@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Conventions (see plans/relational.py): identical column aliases on both
+sides, floats rounded (2dp money / 4dp fractions), timestamps formatted to
+strings, deterministic tiebreaks on every top-k.
 """
 
 from __future__ import annotations
@@ -13,26 +16,212 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_datastore_discovery_with_aws_glue_spark.plans import relational as R
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass pricing-summary aggregation on sf0.001."""
+    return R.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_volume": R.q5_region_volume,
+        "a1_argmax_group": R.a1_argmax_group,
+        "a2_distinct": R.a2_distinct,
+        "p1_state_filter": R.p1_state_filter,
+        "p6_projection_filter": R.p6_projection_filter,
+        "p9_membership": R.p9_membership,
+        "p11_substring_guard": R.p11_substring_guard,
+        "j1_latest_per_key": R.j1_latest_per_key,
+        "j2_broadcast_enrich": R.j2_broadcast_enrich,
+        "j3_lookup_join": R.j3_lookup_join,
+        "j4_first_match": R.j4_first_match,
+        "u1_union_sources": R.u1_union_sources,
+        "u2_anti_membership": R.u2_anti_membership,
+        "f_scalar_suite": R.f_scalar_suite,
+        "f10_time_bucket": R.f10_time_bucket,
+        "f13_json_extract": R.f13_json_extract,
+        "w_topk_per_group": R.w_topk_per_group,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_region_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "a1_argmax_group": """
+            SELECT user_id,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "a2_distinct": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "p1_state_filter": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+                   user_id, event_type,
+                   round(value, 2) AS value,
+                   props
+            FROM events
+            WHERE event_type = 'purchase' AND user_id = 7
+            ORDER BY event_id
+        """,
+        "p6_projection_filter": """
+            SELECT event_id, event_type
+            FROM events
+            WHERE event_type = 'error' AND user_id = 3
+            ORDER BY event_id
+        """,
+        "p9_membership": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events
+            WHERE event_type IN ('click', 'view') AND user_id NOT IN (1, 2, 3)
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "p11_substring_guard": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE instr(lower(text), 'vector') > 0
+            ORDER BY doc_id
+        """,
+        "j1_latest_per_key": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+                   event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "j2_broadcast_enrich": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "j3_lookup_join": """
+            SELECT o_orderkey, c_name, c_mktsegment,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 400.0
+            ORDER BY o_orderkey
+        """,
+        "j4_first_match": """
+            SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey
+            LIMIT 1
+        """,
+        "u1_union_sources": """
+            SELECT * FROM (
+                SELECT event_id, user_id, 'clickstream' AS source_kind
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT event_id, user_id, 'sales' AS source_kind
+                FROM events WHERE event_type = 'purchase'
+            )
+            ORDER BY event_id
+        """,
+        "u2_anti_membership": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 195.0
+            )
+            ORDER BY user_id
+        """,
+        "f_scalar_suite": """
+            SELECT p_partkey,
+                   regexp_replace(p_name, '[- .]', '_', 'g') AS sanitized_name,
+                   lower(p_brand) AS brand_lower,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   substring(p_type, 1, 5) AS type_prefix,
+                   trim(p_name) AS trimmed_name,
+                   string_split(p_type, ' ')[1] AS type_head,
+                   coalesce(p_brand, 'UNKNOWN') AS brand_or_default
+            FROM part
+            ORDER BY p_partkey
+        """,
+        "f10_time_bucket": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+                   event_type,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY hour_bucket, event_type
+        """,
+        "f13_json_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "w_topk_per_group": """
+            SELECT user_id, rk, event_id, round(value, 2) AS value
+            FROM (
+                SELECT user_id, event_id, value, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+                FROM events
+                WHERE event_type = 'purchase'
+            )
+            WHERE rk <= 3
+            ORDER BY user_id, rk
+        """,
+    }

@@ -1,0 +1,150 @@
+"""Source readers.
+
+The reference discovers three source families — S3 CSV buckets, DynamoDB
+tables (key-value JSON items), and RDS Postgres via JDBC — and reads them
+through crawler-inferred catalog tables (SURVEY §2.1 S1-S5). Our engine
+maps each family onto a native Spark reader; schema inference is the
+reader's own (`inferSchema`), not a separate crawler service.
+
+Readers deliberately return *lazy* DataFrames: predicate pushdown and
+column pruning then reach the file scan for free via Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: tables the driver generates at /root/testdata/sf*/ (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — metadata-only footer
+    read (no data touched), cached per path."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:  # pragma: no cover - non-local or non-parquet path
+        return ()
+    return tuple(
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (lazy scan).
+
+    Parquet TIMESTAMP(NANOS) columns are illegal for Spark's vectorized
+    reader; we read them as raw int64 nanos (legacy conf) and truncate to
+    microsecond timestamps — the same truncation DuckDB applies — keeping
+    the scan fully vectorized and pushdown-capable.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    multi_line: bool = False,
+) -> DataFrame:
+    """CSV source with header + schema inference.
+
+    Mirrors the reference's crawler-inferred CSV reads
+    (`lambda/catalog-creator-s3/app.py:182-200`); `multiLine` covers the
+    quoted-multiline fixture (`individual_details.csv`, FIXTURES.md §3).
+    """
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("multiLine", multi_line)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_json_items(spark: SparkSession, path: str) -> DataFrame:
+    """Key-value item source (DynamoDB-export analogue): JSON lines with
+    per-record schema, merged by Spark's JSON schema inference
+    (ref: `lambda/catalog-creator-ddb/app.py:158-172`)."""
+    return spark.read.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source (ref: `lambda/rds-glue-initial/app.py:482-499`).
+
+    At scale, always pass (partition_column, lower/upper bound,
+    num_partitions) so the scan parallelizes instead of running on one
+    executor; Spark pushes filters down to the database.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def read_text_whole(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-object text read (ref DDL-file fetch,
+    `lambda/rds-ddl-init/app.py:251-271`): one row per file."""
+    return spark.read.text(path, wholetext=True)
+
+
+def run_sql_batch(spark: SparkSession, script: str) -> list[DataFrame]:
+    """Split a SQL script on ';' and execute each statement
+    (ref: `lambda/rds-ddl-init/app.py:355-367`)."""
+    results: list[DataFrame] = []
+    for stmt in script.split(";"):
+        stmt = stmt.strip(" \n\t")
+        if stmt:
+            results.append(spark.sql(stmt))
+    return results
