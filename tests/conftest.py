@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from automated_datastore_discovery_with_aws_glue_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("engine-tests", master="local[4]", shuffle_partitions=8)
+    yield spark

@@ -1,0 +1,176 @@
+"""Golden classification tests over reference-shaped fixtures (FIXTURES.md;
+SURVEY §5.2.3): the engineered PII columns must trip their expected
+entities at the reference's defaults (sample 1.0, threshold 0.1)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+    build_findings,
+    classify_columns,
+    classify_columns_long,
+    luhn_valid,
+)
+
+import pyspark.sql.functions as F
+
+
+def _luhn_complete(prefix15: str) -> str:
+    digits = [int(c) for c in prefix15]
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 0:  # these become the doubled positions once check digit appended
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return prefix15 + str((10 - total % 10) % 10)
+
+
+@pytest.fixture(scope="module")
+def payment_info(spark):
+    rng = random.Random(42)
+    rows = []
+    for _ in range(200):
+        card = _luhn_complete("".join(str(rng.randint(0, 9)) for _ in range(15)))
+        rows.append(
+            (
+                str(rng.randint(100000, 999999)),
+                "".join(str(rng.randint(0, 9)) for _ in range(8)),
+                f"{rng.randint(10,99)}-{rng.randint(10,99)}-{rng.randint(10,99)}",
+                f"{card[:4]}-{card[4:8]}-{card[8:12]}-{card[12:]}",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        ["BACS_Service_User_Number", "Bank_Account_Number", "Bank_Account_Sort_Code", "Payment_Card"],
+    )
+
+
+def test_payment_info_golden(spark, payment_info):
+    result = {
+        r["columnName"]: r["entityTypes"]
+        for r in classify_columns(
+            payment_info,
+            ["CREDIT_CARD", "BANK_ACCOUNT", "UK_BANK_ACCOUNT", "UK_BANK_SORT_CODE"],
+            1.0,
+            0.1,
+            validate=True,
+        ).collect()
+    }
+    assert "CREDIT_CARD" in result["Payment_Card"]
+    assert "UK_BANK_SORT_CODE" in result["Bank_Account_Sort_Code"]
+    assert "BANK_ACCOUNT" in result["Bank_Account_Number"]
+    assert "UK_BANK_ACCOUNT" in result["Bank_Account_Number"]
+    # sort codes must NOT look like credit cards
+    assert "CREDIT_CARD" not in result.get("Bank_Account_Sort_Code", [])
+
+
+def test_network_info_golden(spark):
+    rng = random.Random(42)
+    rows = [
+        (
+            f"{rng.randint(1,223)}.{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(1,254)}",
+            "2001:db8:85a3:0:0:8a2e:370:7334",
+            f"10.{rng.randint(0,255)}.{rng.randint(0,255)}.{rng.randint(1,254)}",
+            ":".join(f"{rng.randint(0,255):02x}" for _ in range(6)),
+            str(rng.randint(10**9, 10**10 - 1)),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        [
+            "IP_Address_IPv4_Individually_Identifiable",
+            "IP_Address_IPv6_Individually_Identifiable",
+            "IP_Address_Non_Individually_Identifiable",
+            "MAC_Address",
+            "id",
+        ],
+    )
+    result = {
+        r["columnName"]: r["entityTypes"]
+        for r in classify_columns(df, ["IP_ADDRESS", "MAC_ADDRESS"], 1.0, 0.1).collect()
+    }
+    assert "IP_ADDRESS" in result["IP_Address_IPv4_Individually_Identifiable"]
+    assert "IP_ADDRESS" in result["IP_Address_IPv6_Individually_Identifiable"]
+    assert "IP_ADDRESS" in result["IP_Address_Non_Individually_Identifiable"]
+    assert "MAC_ADDRESS" in result["MAC_Address"]
+    assert "MAC_ADDRESS" not in result["IP_Address_IPv4_Individually_Identifiable"]
+
+
+def test_individual_details_golden(spark):
+    rng = random.Random(42)
+    first = ["Amanda", "John", "Leonard", "Amber", "Susan", "Carl"]
+    last = ["Barker", "Smith", "Richards", "Patel", "Willis", "Kent"]
+    rows = [
+        (
+            f"{rng.choice(first)} {rng.choice(last)}",
+            str(rng.randint(10**8, 10**9 - 1)),
+            rng.choice(["Male", "Female"]),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["Billing_Account_Name", "Individual_Telephone_Number", "Individual_Gender"])
+    result = {
+        r["columnName"]: r["entityTypes"]
+        for r in classify_columns(df, ["PERSON_NAME", "PHONE_NUMBER"], 1.0, 0.1).collect()
+    }
+    assert "PERSON_NAME" in result["Billing_Account_Name"]
+    assert "PHONE_NUMBER" in result["Individual_Telephone_Number"]
+    assert "Individual_Gender" not in result  # no detections on plain labels
+
+
+def test_threshold_monotonicity(spark, payment_info):
+    """Raising the threshold can only shrink the detected set."""
+    lo = classify_columns(payment_info, ["CREDIT_CARD", "BANK_ACCOUNT"], 1.0, 0.05)
+    hi = classify_columns(payment_info, ["CREDIT_CARD", "BANK_ACCOUNT"], 1.0, 0.95)
+    lo_set = {(r["columnName"], e) for r in lo.collect() for e in r["entityTypes"]}
+    hi_set = {(r["columnName"], e) for r in hi.collect() for e in r["entityTypes"]}
+    assert hi_set <= lo_set
+
+
+def test_sampling_still_detects(spark, payment_info):
+    result = {
+        r["columnName"]: r["entityTypes"]
+        for r in classify_columns(payment_info, ["UK_BANK_SORT_CODE"], 0.5, 0.1).collect()
+    }
+    assert "UK_BANK_SORT_CODE" in result["Bank_Account_Sort_Code"]
+
+
+def test_luhn_expression(spark):
+    df = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",), ("4111-1111-1111-1111",)],
+        ["card"],
+    )
+    got = [r[0] for r in df.select(luhn_valid(F.col("card"))).collect()]
+    assert got == [True, False, True]
+
+
+def test_long_form_fractions_exact(spark):
+    df = spark.createDataFrame(
+        [("a@b.co",), ("nope",), ("x@y.io",), (None,)],
+        ["maybe_email"],
+    )
+    rows = classify_columns_long(df, ["EMAIL"]).collect()
+    assert len(rows) == 1
+    # 2 of 3 non-null values match
+    assert abs(rows[0]["match_fraction"] - 0.6667) < 1e-9
+
+
+def test_build_findings_shape(spark):
+    df = spark.createDataFrame([("col_a", ["EMAIL"])], ["columnName", "entityTypes"])
+    out = build_findings(
+        df,
+        data_source_type="s3",
+        data_catalog_table="t",
+        data_catalog_database="db",
+        source_attrs={"s3_bucket_name": "b"},
+    ).collect()[0]
+    assert out["data_source_type"] == "s3"
+    assert out["s3_bucket_name"] == "b"
+    assert len(out["id"]) == 36  # uuid
+    assert out["timestamp"] is not None

@@ -1,0 +1,63 @@
+"""Entity registry invariants."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.functions.entities import (
+    ALL_ENTITY_NAMES,
+    ENTITY_REGISTRY,
+    resolve_entities,
+)
+
+# full capability surface of the reference's EntityDetector
+# (scripts/glue/s3-source/s3-source-script.py:24-281)
+REFERENCE_ENTITY_COUNT = 256
+
+
+def test_registry_covers_reference_surface():
+    assert len(ALL_ENTITY_NAMES) == REFERENCE_ENTITY_COUNT
+
+
+def test_all_patterns_compile_and_are_re2_safe():
+    for spec in ENTITY_REGISTRY.values():
+        rx = re.compile(spec.anchored)
+        assert rx is not None
+        # RE2 compatibility: no lookarounds / backreferences
+        assert "(?=" not in spec.pattern
+        assert "(?!" not in spec.pattern
+        assert "(?<" not in spec.pattern
+        assert not re.search(r"\\[0-9]", spec.pattern)
+
+
+@pytest.mark.parametrize(
+    ("entity", "positive", "negative"),
+    [
+        ("EMAIL", "a.user+tag@sub.example.co.uk", "not-an-email"),
+        ("CREDIT_CARD", "4111-1111-1111-1111", "12ab"),
+        ("IP_ADDRESS", "192.168.0.255", "999.999.1.1"),
+        ("MAC_ADDRESS", "00:1B:44:11:3A:B7", "001B44113AB7"),
+        ("USA_SSN", "123-45-6789", "12-345-6789"),
+        ("UK_BANK_SORT_CODE", "75-37-90", "7537-90"),
+        ("UK_NATIONAL_INSURANCE_NUMBER", "AB123456C", "DQ123456C"),
+        ("UK_UNIQUE_TAXPAYER_REFERENCE_NUMBER", "9246159175", "12345"),
+        ("PHONE_NUMBER", "+44 20 7946 0321", "12"),
+        ("JAPAN_PASSPORT_NUMBER", "TK1234567", "123"),
+        ("ITALY_FISCAL_CODE", "RSSMRA85T10A562S", "XXXX"),
+        ("SPAIN_DNI", "12345678-Z", "1234"),
+        ("INDIA_AADHAAR_NUMBER", "2345 6789 0123", "1234 5678 9012"),
+        ("CHINA_IDENTIFICATION", "11010519491231002X", "123"),
+        ("NETHERLANDS_VALUE_ADDED_TAX", "NL123456789B01", "NL123"),
+    ],
+)
+def test_detector_formats(entity, positive, negative):
+    rx = re.compile(ENTITY_REGISTRY[entity].anchored)
+    assert rx.fullmatch(positive.strip()) or rx.match(positive.strip()), entity
+    assert rx.fullmatch(negative) is None
+
+
+def test_resolve_unknown_raises():
+    with pytest.raises(KeyError):
+        resolve_entities(["NOT_AN_ENTITY"])
