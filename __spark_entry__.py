@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_broadcast_enrich": R.j2_broadcast_enrich,
         "j3_lookup_join": R.j3_lookup_join,
         "j4_first_match": R.j4_first_match,
+        "s8_merge_insert": R.s8_merge_insert,
+        "s9_merge_update": R.s9_merge_update,
         "u1_union_sources": R.u1_union_sources,
         "u2_anti_membership": R.u2_anti_membership,
         "f_scalar_suite": R.f_scalar_suite,
@@ -167,6 +169,23 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             ORDER BY s_acctbal DESC, s_suppkey
             LIMIT 1
+        """,
+        "s8_merge_insert": """
+            SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_custkey <= 700
+            UNION ALL
+            SELECT c_custkey, 'NEW_' || c_name AS c_name, c_mktsegment,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_custkey BETWEEN 500 AND 900 AND c_custkey > 700
+            ORDER BY c_custkey
+        """,
+        "s9_merge_update": """
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey BETWEEN 500 AND 900 THEN 'REVIEWED'
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM customer WHERE c_custkey <= 700
+            ORDER BY c_custkey
         """,
         "u1_union_sources": """
             SELECT * FROM (

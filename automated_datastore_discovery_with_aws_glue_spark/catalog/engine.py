@@ -1,0 +1,294 @@
+"""The discovery lifecycle engine — the reference's 17-Lambda pipeline as
+~6 idempotent batch APIs over one SparkSession (SURVEY §3, §7.0).
+
+State machine (tracker rows): ``(data_catalog_entry, glue_job_created)``
+goes false/false -> true/false -> true/true, exactly the reference's flag
+progression (`lambda/glue-tracking-initial/app.py:213-219` ->
+`lambda/catalog-creator-s3/app.py:119-145` ->
+`lambda/s3-glue-job-creator/app.py:146-166`); here the flags mean
+"registered in the Spark catalog" and "classified at least once".
+
+All scheduling is the caller's concern; every method is an idempotent
+batch (re-running cannot corrupt state — MERGE keys are deterministic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from automated_datastore_discovery_with_aws_glue_spark.functions.sanitize import sanitize_identifier
+from automated_datastore_discovery_with_aws_glue_spark.operators.classify import build_findings, classify_columns
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import read_csv_source, read_json_items
+from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+
+TRACKER = "tracker"
+FINDINGS = "pii_findings"
+TAG_REPORT = "tag_report"
+
+#: governance tags the reports capture (`lambda/s3-tag-report/app.py:18`)
+REQUIRED_TAG_KEYS = (
+    "APP_ID",
+    "APP_NAME",
+    "Purpose of Processing",
+    "Data Subjects",
+    "Business Function",
+    "Processing Activity",
+)
+
+#: onboarding gate tag (`lambda/s3-trigger/app.py:14-18`)
+GATE_TAG = ("gdpr-scan", "true")
+
+_TRACKER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("data_source_type", T.StringType()),
+        T.StructField("glue_job_created", T.BooleanType()),
+        T.StructField("data_catalog_entry", T.BooleanType()),
+        T.StructField("data_source_attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("data_catalog_table_name", T.StringType()),
+        T.StructField("data_catalog_db_name", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def _source_id(source_type: str, attrs: dict[str, str]) -> str:
+    """Deterministic tracker id from the natural key, so replayed
+    onboarding events MERGE to no-ops (the reference dedups with
+    ``attribute_not_exists(id)`` + queue delete; we get idempotence from
+    the key itself)."""
+    payload = json.dumps([source_type, sorted(attrs.items())])
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+class DiscoveryEngine:
+    def __init__(self, spark: SparkSession, state_root: str, *, database: str = "discovered"):
+        self.spark = spark
+        self.store = ParquetStateStore(spark, state_root)
+        self.database = sanitize_identifier(database)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}")
+
+    # -- entry point A: onboarding (SURVEY §3.1) ---------------------------
+
+    def onboard_source(
+        self,
+        source_type: str,
+        attrs: dict[str, str],
+        tags: dict[str, str] | None = None,
+        *,
+        enforce_gate: bool = True,
+    ) -> bool:
+        """Register a discovered source as a tracker row (S8 conditional
+        insert). Returns False when the gdpr-scan gate rejects it
+        (`lambda/s3-trigger/app.py:217-239`)."""
+        tags = tags or {}
+        if enforce_gate and tags.get(GATE_TAG[0]) != GATE_TAG[1]:
+            return False
+        row = {
+            "id": _source_id(source_type, attrs),
+            "data_source_type": source_type,
+            "glue_job_created": False,
+            "data_catalog_entry": False,
+            "data_source_attrs": attrs,
+            "data_catalog_table_name": None,
+            "data_catalog_db_name": None,
+            "tags": tags,
+        }
+        batch = self.spark.createDataFrame([row], _TRACKER_SCHEMA)
+        self.onboard_batch(batch)
+        return True
+
+    def onboard_batch(self, batch: DataFrame) -> None:
+        """MERGE a batch of tracker rows; WHEN NOT MATCHED INSERT only —
+        replays never clobber state flags."""
+        self.store.merge(
+            TRACKER,
+            batch,
+            "id",
+            insert_not_matched=True,
+            partition_by="data_source_type",
+        )
+
+    # -- the six P-queries (SURVEY §2.2) -----------------------------------
+
+    def tracker(self) -> DataFrame:
+        return self.store.read(TRACKER)
+
+    def pending_catalog(self, source_type: str) -> DataFrame:
+        """P1/P2: not cataloged, not classified."""
+        return self.tracker().filter(
+            (~F.col("glue_job_created"))
+            & (~F.col("data_catalog_entry"))
+            & (F.col("data_source_type") == source_type)
+        )
+
+    def pending_classify(self, source_type: str) -> DataFrame:
+        """P3: cataloged but never classified."""
+        return self.tracker().filter(
+            (~F.col("glue_job_created"))
+            & F.col("data_catalog_entry")
+            & (F.col("data_source_type") == source_type)
+        )
+
+    def cataloged(self, source_type: str) -> DataFrame:
+        """P4: cataloged (tag-report input)."""
+        return self.tracker().filter(
+            F.col("data_catalog_entry") & (F.col("data_source_type") == source_type)
+        )
+
+    def by_source_type(self, source_type: str) -> DataFrame:
+        """P5."""
+        return self.tracker().filter(F.col("data_source_type") == source_type)
+
+    def findings_for(self, table: str, ts) -> DataFrame:
+        """P6: projection + filter on the findings table."""
+        return (
+            self.store.read(FINDINGS)
+            .filter((F.col("data_catalog_table") == table) & (F.col("timestamp") == ts))
+            .select("columnName", "entityTypes")
+        )
+
+    # -- entry point B: registration + schema inference (SURVEY §3.2) ------
+
+    def register_pending(self, source_type: str = "s3") -> list[str]:
+        """Catalog every pending source: read with schema inference, write
+        as a managed table, flip ``data_catalog_entry`` (S9). The
+        reference needs create_table + a scheduled crawler
+        (`lambda/catalog-creator-s3/app.py:148-202`); here inference is
+        the reader's own and happens inline."""
+        pending = self.pending_catalog(source_type).collect()
+        registered: list[str] = []
+        for row in pending:
+            attrs = dict(row["data_source_attrs"] or {})
+            path = attrs.get("path")
+            name = attrs.get("name") or (path.rstrip("/").rsplit("/", 1)[-1] if path else row["id"])
+            table = sanitize_identifier(f"{source_type}_{name}")
+            fq = f"{self.database}.{table}"
+            df = self._read_source(source_type, attrs)
+            df.write.mode("overwrite").saveAsTable(fq)
+            flip = self.spark.createDataFrame([(row["id"], table, self.database)], ["id", "t", "d"])
+            self.store.merge(
+                TRACKER,
+                flip,
+                "id",
+                set_on_match={
+                    "data_catalog_entry": F.lit(True),
+                    "data_catalog_table_name": F.col("src.t"),
+                    "data_catalog_db_name": F.col("src.d"),
+                },
+                insert_not_matched=False,
+                partition_by="data_source_type",
+            )
+            registered.append(fq)
+        return registered
+
+    def _read_source(self, source_type: str, attrs: dict[str, str]) -> DataFrame:
+        path = attrs["path"]
+        fmt = attrs.get("format", "csv" if source_type == "s3" else "json")
+        if fmt == "csv":
+            return read_csv_source(self.spark, path, multi_line=attrs.get("multiline") == "true")
+        if fmt == "json":
+            return read_json_items(self.spark, path)
+        if fmt == "parquet":
+            return self.spark.read.parquet(path)
+        raise ValueError(f"unsupported source format: {fmt}")
+
+    # -- entry point C: classification + publish (SURVEY §3.3) -------------
+
+    def classify_pending(
+        self,
+        source_type: str = "s3",
+        entities: list[str] | None = None,
+        sample_fraction: float = 1.0,
+        detection_threshold: float = 0.1,
+    ) -> int:
+        """Classify every cataloged-but-unclassified source, append
+        findings, flip ``glue_job_created``. One Spark session, N tables —
+        vs the reference's one cold-started Glue job per table."""
+        pending = self.pending_classify(source_type).collect()
+        for row in pending:
+            fq = f"{row['data_catalog_db_name']}.{row['data_catalog_table_name']}"
+            classified = classify_columns(
+                self.spark.table(fq),
+                entities,
+                sample_fraction,
+                detection_threshold,
+            )
+            findings = build_findings(
+                classified,
+                data_source_type=source_type,
+                data_catalog_table=row["data_catalog_table_name"],
+                data_catalog_database=row["data_catalog_db_name"],
+            )
+            self.store.append(FINDINGS, findings, partition_by="data_catalog_table")
+            flip = self.spark.createDataFrame([(row["id"],)], ["id"])
+            self.store.merge(
+                TRACKER,
+                flip,
+                "id",
+                set_on_match={"glue_job_created": F.lit(True)},
+                insert_not_matched=False,
+                partition_by="data_source_type",
+            )
+        return len(pending)
+
+    def latest_findings(self) -> DataFrame:
+        """J1/A1: latest classification per catalog table (window argmax —
+        one shuffle, no join; `lambda/pii-report/app.py:244-283`)."""
+        from pyspark.sql import Window
+
+        f = self.store.read(FINDINGS)
+        return (
+            f.withColumn(
+                "rn",
+                F.dense_rank().over(
+                    Window.partitionBy("data_catalog_table").orderBy(F.col("timestamp").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def publish_findings(self) -> int:
+        """J2: write detections back as column comments, 255-char
+        truncated ('Sensitive Data Element | [...]',
+        `lambda/pii-report/app.py:185-198`)."""
+        latest = self.latest_findings().collect()
+        n = 0
+        for row in latest:
+            fq = f"{row['data_catalog_database']}.{row['data_catalog_table']}"
+            comment = f"Sensitive Data Element | {row['entityTypes']}"[:255].replace("'", "")
+            self.spark.sql(
+                f"ALTER TABLE {fq} ALTER COLUMN `{row['columnName']}` COMMENT '{comment}'"
+            )
+            n += 1
+        return n
+
+    def column_comments(self, fq_table: str) -> dict[str, str]:
+        return {
+            f.name: (f.metadata or {}).get("comment", "")
+            for f in self.spark.table(fq_table).schema.fields
+        }
+
+    # -- tag report (SURVEY §2.3 J3) ---------------------------------------
+
+    def tag_report(self, source_type: str = "s3") -> DataFrame:
+        """Project the governance-tag subset per cataloged source into the
+        tag-report table (`lambda/s3-tag-report/app.py:191-223`)."""
+        rows = self.cataloged(source_type)
+        report = rows.select(
+            F.col("id"),
+            F.col("data_catalog_table_name"),
+            *[
+                F.col("tags").getItem(k).alias(sanitize_identifier(k))
+                for k in REQUIRED_TAG_KEYS
+            ],
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("time_stamp"),
+        )
+        self.store.merge(TAG_REPORT, report, ["id", "data_catalog_table_name"])
+        return self.store.read(TAG_REPORT)

@@ -279,6 +279,48 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MERGE semantics (SURVEY §2.1 S8/S9) — the state-store mutation operators
+# verified relationally over testdata-derived target/source frames
+# ---------------------------------------------------------------------------
+
+def s8_merge_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional insert (put-if-absent,
+    `lambda/glue-tracking-initial/app.py:221-228`): matched keys keep the
+    TARGET row untouched; only unmatched source rows are inserted."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.merge import merge_frames
+
+    cu = load_table(spark, sf_dir, "customer")
+    target = cu.filter(F.col("c_custkey") <= 700)
+    source = cu.filter(F.col("c_custkey").between(500, 900)).withColumn(
+        "c_name", F.concat(F.lit("NEW_"), F.col("c_name"))
+    )
+    merged = merge_frames(target, source, "c_custkey")
+    return merged.select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).orderBy("c_custkey")
+
+
+def s9_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point update (SET fields on matched keys,
+    `lambda/catalog-creator-s3/app.py:119-145`): no inserts."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.merge import merge_frames
+
+    cu = load_table(spark, sf_dir, "customer")
+    target = cu.filter(F.col("c_custkey") <= 700)
+    source = cu.filter(F.col("c_custkey").between(500, 900)).select("c_custkey")
+    merged = merge_frames(
+        target,
+        source,
+        "c_custkey",
+        set_on_match={"c_mktsegment": F.lit("REVIEWED")},
+        insert_not_matched=False,
+    )
+    return merged.select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.7)
 # ---------------------------------------------------------------------------
 

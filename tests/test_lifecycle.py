@@ -1,0 +1,117 @@
+"""End-to-end lifecycle (SURVEY §5.2.4): onboard -> register/infer ->
+classify -> publish -> tag-report, asserting the tracker state machine
+false/false -> true/false -> true/true and final column comments."""
+
+from __future__ import annotations
+
+import csv
+import random
+
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.catalog.engine import DiscoveryEngine
+
+
+@pytest.fixture(scope="module")
+def csv_source(tmp_path_factory):
+    """payment_info-shaped CSV fixture (FIXTURES.md §7)."""
+    rng = random.Random(42)
+    d = tmp_path_factory.mktemp("payment_info")
+    with open(d / "part1.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["BACS_Service_User_Number", "Bank_Account_Number", "Bank_Account_Sort_Code", "Payment_Card"])
+        for _ in range(300):
+            w.writerow(
+                [
+                    rng.randint(100000, 999999),
+                    "".join(str(rng.randint(0, 9)) for _ in range(8)),
+                    f"{rng.randint(10,99)}-{rng.randint(10,99)}-{rng.randint(10,99)}",
+                    "-".join("".join(str(rng.randint(0, 9)) for _ in range(4)) for _ in range(4)),
+                ]
+            )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    return DiscoveryEngine(spark, str(tmp_path_factory.mktemp("state")), database="e2e_db")
+
+
+ENTITIES = ["CREDIT_CARD", "UK_BANK_SORT_CODE", "BANK_ACCOUNT", "EMAIL"]
+
+
+def test_full_lifecycle(spark, engine, csv_source):
+    # 1. onboard: gate rejects untagged, accepts gdpr-scan=true
+    assert not engine.onboard_source("s3", {"path": csv_source, "name": "payment_info"}, {})
+    ok = engine.onboard_source(
+        "s3",
+        {"path": csv_source, "name": "payment_info", "format": "csv"},
+        {"gdpr-scan": "true", "APP_ID": "42", "APP_NAME": "payments"},
+    )
+    assert ok
+    row = engine.tracker().collect()[0]
+    assert (row["data_catalog_entry"], row["glue_job_created"]) == (False, False)
+
+    # replayed event MERGEs to a no-op (same natural key)
+    engine.onboard_source(
+        "s3",
+        {"path": csv_source, "name": "payment_info", "format": "csv"},
+        {"gdpr-scan": "true", "APP_ID": "42", "APP_NAME": "payments"},
+    )
+    assert engine.tracker().count() == 1
+
+    # 2. register: schema inferred, catalog entry flipped
+    registered = engine.register_pending("s3")
+    assert registered == ["e2e_db.s3_payment_info"]
+    assert spark.table("e2e_db.s3_payment_info").count() == 300
+    row = engine.tracker().collect()[0]
+    assert (row["data_catalog_entry"], row["glue_job_created"]) == (True, False)
+    assert row["data_catalog_table_name"] == "s3_payment_info"
+
+    # 3. classify: findings appended, state flips to true/true
+    n = engine.classify_pending("s3", ENTITIES)
+    assert n == 1
+    row = engine.tracker().collect()[0]
+    assert (row["data_catalog_entry"], row["glue_job_created"]) == (True, True)
+    found = {
+        r["columnName"]: r["entityTypes"]
+        for r in engine.latest_findings().collect()
+    }
+    assert "UK_BANK_SORT_CODE" in found["Bank_Account_Sort_Code"]
+    assert "CREDIT_CARD" in found["Payment_Card"]
+
+    # idempotence: nothing pending anymore
+    assert engine.classify_pending("s3", ENTITIES) == 0
+
+    # 4. publish: column comments written back, 255-truncated
+    n_comments = engine.publish_findings()
+    assert n_comments >= 2
+    comments = engine.column_comments("e2e_db.s3_payment_info")
+    assert "Sensitive Data Element" in comments["Payment_Card"]
+    assert "CREDIT_CARD" in comments["Payment_Card"]
+    assert len(comments["Payment_Card"]) <= 255
+
+    # 5. tag report: governance-tag subset captured
+    report = engine.tag_report("s3").collect()
+    assert len(report) == 1
+    assert report[0]["app_id"] == "42"
+    assert report[0]["app_name"] == "payments"
+    assert report[0]["purpose_of_processing"] is None
+
+
+def test_second_classification_wins(spark, engine, csv_source):
+    """Re-classification produces a newer timestamp; latest_findings keeps
+    only the newest run per table (J1 argmax semantics)."""
+    flip = spark.createDataFrame([(engine.tracker().collect()[0]["id"],)], ["id"])
+    import pyspark.sql.functions as F
+
+    engine.store.merge(
+        "tracker", flip, "id",
+        set_on_match={"glue_job_created": F.lit(False)},
+        insert_not_matched=False,
+    )
+    assert engine.classify_pending("s3", ENTITIES) == 1
+    latest = engine.latest_findings()
+    assert latest.select("timestamp").distinct().count() == 1
+    total = engine.store.read("pii_findings")
+    assert total.select("timestamp").distinct().count() == 2
