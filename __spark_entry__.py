@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline as L
 from automated_datastore_discovery_with_aws_glue_spark.plans import profiling as P
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational as R
 
@@ -49,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_json_extract": R.f13_json_extract,
         "w_topk_per_group": R.w_topk_per_group,
         "pii_classify_derived": P.pii_classify_derived,
+        **L.QUERIES,
     }
 
 
@@ -246,4 +248,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, rk
         """,
         "pii_classify_derived": P.pii_classify_oracle_sql(),
+        **L.ORACLES,
     }

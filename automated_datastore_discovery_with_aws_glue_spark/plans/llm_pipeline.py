@@ -1,0 +1,264 @@
+"""LLM-data-pipeline queries over the driver testdata (documents +
+embeddings) with DuckDB oracle twins.
+
+Normalization / shingle / scoring formulas are written once here (as
+Spark expressions in operators/, as SQL fragments below) and kept
+textually parallel; integer cross-multiplication for thresholds keeps
+boundary pairs engine-stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_datastore_discovery_with_aws_glue_spark.operators import dedup as D
+from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
+from automated_datastore_discovery_with_aws_glue_spark.operators import text as TX
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+# -- shared SQL fragments (DuckDB) ------------------------------------------
+
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_WORDS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_SQL_WORDS}, t -> list_contains([{words}], t)))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text").orderBy("fp")
+
+
+DEDUP_EXACT_SQL = f"""
+    SELECT md5({_SQL_NORM}) AS fp,
+           min(doc_id) AS representative_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               ) AS sh
+        FROM w
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 10000
+          >= 5000 * len(list_distinct(a.sh || b.sh))
+    ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accelerated near-dup (no SQL oracle — probabilistic candidate
+    generation; recall vs the exact pairs is asserted in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 pairs within language blocks (no SQL oracle —
+    xxhash64 has no DuckDB twin; sketch properties tested in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", "lang", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.text_stats(docs, "text")
+        .select(
+            "doc_id",
+            "stat_n_chars",
+            "n_tokens",
+            "avg_token_len",
+            "stopword_ratio",
+            "punct_ratio",
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS stat_n_chars,
+               CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               length(replace({_SQL_NORM}, ' ', '')) AS n_word_chars,
+               {_sql_stopword_hits('en')} AS sw
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, stat_n_chars, n_tokens,
+               round(n_word_chars::DOUBLE / greatest(n_tokens, 1), 4) AS avg_token_len,
+               round(sw::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio,
+               round(n_punct::DOUBLE / greatest(stat_n_chars, 1), 4) AS punct_ratio
+        FROM base
+    )
+    SELECT doc_id, stat_n_chars, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+           round(least(n_tokens / 20.0, 1.0) * 0.4
+                 + least(stopword_ratio * 5, 1.0) * 0.4
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.2, 4) AS quality_score
+    FROM m
+    ORDER BY doc_id
+"""
+
+
+def lang_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+LANG_ID_SQL = f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_sql_stopword_hits('en')} AS s_en,
+               {_sql_stopword_hits('es')} AS s_es,
+               {_sql_stopword_hits('de')} AS s_de,
+               {_sql_stopword_hits('fr')} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp"), TX.token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+    SELECT doc_id, md5({_SQL_NORM}) AS fp,
+           CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0's embedding, expressed as
+    a broadcast join against the one-row query frame (fully lazy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        S.as_double(F.col("embedding")).alias("q")
+    )
+    sim = F.round(S.cosine(S.as_double(F.col("embedding")), F.col("q")), 4)
+    return (
+        emb.crossJoin(F.broadcast(qrow))
+        .select("vec_id", sim.alias("similarity"))
+        .orderBy(F.col("similarity").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+KNN_BRUTEFORCE_SQL = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS similarity
+    FROM embeddings, q
+    ORDER BY similarity DESC, vec_id
+    LIMIT 10
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via hyperplane LSH (no SQL oracle — bucket
+    pruning is probabilistic; recall vs brute force asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return S.lsh_topk(emb, "embedding", query, 10, id_col="vec_id", n_planes=4)
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (threshold 0.35 —
+    demo level for the uniform-random test embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.blocked_near_dup(emb, "vec_id", "embedding", "label", threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+           round(list_cosine_similarity(a.v, b.v), 4) AS similarity
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    ORDER BY id_a, id_b
+"""
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_quality": text_quality,
+    "lang_identify": lang_identify,
+    "doc_fingerprint": doc_fingerprint,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+    "emb_near_dup": emb_near_dup,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_identify": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "emb_near_dup": EMB_NEAR_DUP_SQL,
+}

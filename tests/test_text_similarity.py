@@ -1,0 +1,95 @@
+"""Text-analysis and similarity-search operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+    blocked_near_dup,
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+)
+from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+)
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+from tests.conftest import SF_DIR
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("  Hello   WORLD  ",), ("hello world",), ("",), ("one",)], ["text"]
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("n"), fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    assert [r["n"] for r in rows] == [2, 2, 0, 1]
+    assert rows[0]["fp"] == rows[1]["fp"]  # case/whitespace-insensitive
+
+
+def test_lang_id_stopword_evidence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in a box"),
+            (2, "el perro y la casa de los gatos en una caja"),
+            (3, "der hund und die katze ist von dem haus mit ein"),
+            (4, "le chien et les chats dans une maison est pour"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r[1] for r in df.select("id", lang_id(F.col("text"))).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr"}
+
+
+def test_text_stats_ranges(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    stats = text_stats(docs).select(
+        "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+    row = stats.agg(
+        F.min("quality_score"), F.max("quality_score"), F.min("n_tokens")
+    ).collect()[0]
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    assert row[2] >= 0
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert abs(got[0] - 0.0) < 1e-12
+    assert abs(got[1] - 1.0) < 1e-12
+
+
+def test_brute_force_topk_self_is_top(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = brute_force_topk(emb, "embedding", query, 5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["similarity"] - 1.0) < 1e-9
+    sims = [r["similarity"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    """LSH scores are true cosine values; the query's own vector always
+    lands in its bucket (identical signs), so top-1 is itself."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    approx = lsh_topk(emb, "embedding", query, 5, id_col="vec_id", n_planes=4)
+    rows = approx.collect()
+    assert rows[0]["vec_id"] == 7
+    assert abs(rows[0]["similarity"] - 1.0) < 1e-9
+
+
+def test_blocked_near_dup_symmetric_free(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = blocked_near_dup(emb, "vec_id", "embedding", "label", threshold=0.3).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(r["similarity"] >= 0.3 for r in pairs)
