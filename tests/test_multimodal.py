@@ -1,0 +1,78 @@
+"""Multimodal column plumbing tests: binary metadata, mime sniffing,
+Arrow-batched decode/feature stubs, frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"fakepng-payload" * 10
+JPG = b"\xff\xd8\xff\xe0" + b"fakejpg-payload" * 10
+WAV = b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 64
+WEBP = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 32
+RAW = b"\x01\x02\x03\x04 unknown bytes"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(
+        [(1, PNG), (2, JPG), (3, WAV), (4, WEBP), (5, RAW)], ["media_id", "content"]
+    )
+
+
+def test_metadata_and_mime(spark, media):
+    rows = {r["media_id"]: r for r in attach_binary_metadata(media).collect()}
+    assert rows[1]["mime"] == "image/png"
+    assert rows[2]["mime"] == "image/jpeg"
+    assert rows[3]["mime"] == "audio/wav"
+    assert rows[4]["mime"] == "image/webp"
+    assert rows[5]["mime"] == "application/octet-stream"
+    assert rows[1]["content_size"] == len(PNG)
+    assert len(rows[1]["content_sha256"]) == 64
+
+
+def test_decode_images_fake_deterministic(spark, media):
+    imgs = media.filter("media_id <= 2")
+    a = {r["media_id"]: (r["width"], r["height"], r["mode"]) for r in decode_images(imgs, fake=True).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["mode"]) for r in decode_images(imgs, fake=True).collect()}
+    assert a == b
+    assert all(64 <= w <= 255 and 64 <= h <= 255 for (w, h, _) in a.values())
+    assert all(m == "RGB" for (_, _, m) in a.values())
+
+
+def test_decode_images_real_path_raises_without_pil(spark, media):
+    with pytest.raises(Exception) as exc:
+        decode_images(media.filter("media_id = 1"), fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
+def test_extract_features_schema_and_determinism(spark, media):
+    out = extract_features(media, dim=16, fake=True)
+    assert dict(out.dtypes)["features"] == "array<float>"
+    rows = {r["media_id"]: list(r["features"]) for r in out.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    rows2 = {r["media_id"]: list(r["features"]) for r in extract_features(media, dim=16, fake=True).collect()}
+    assert rows == rows2
+    assert rows[1] != rows[2]  # different content -> different features
+
+
+def test_extract_features_preserves_partitioning_shape(spark, media):
+    out = extract_features(media.repartition(3, "media_id"), fake=True)
+    assert out.rdd.getNumPartitions() == 3
+    assert out.count() == 5
+
+
+def test_sample_frames(spark, media):
+    frames = sample_frames(media.filter("media_id = 1"), every_n_bytes=32, max_frames=4)
+    rows = frames.collect()
+    assert [r["frame_index"] for r in rows] == [0, 1, 2, 3]
+    assert all(len(r["frame_bytes"]) <= 32 for r in rows)
+    # frames tile the original bytes
+    assert rows[0]["frame_bytes"] == PNG[:32]
+    assert rows[1]["frame_bytes"] == PNG[32:64]

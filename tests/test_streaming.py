@@ -1,0 +1,145 @@
+"""Streaming onboarding tests: file-source stream -> validate -> gate ->
+foreachBatch MERGE, replay dedup, fan-out routing, windowed counts."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.catalog.engine import DiscoveryEngine
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+from automated_datastore_discovery_with_aws_glue_spark.streaming.onboard import (
+    EVENT_SCHEMA,
+    onboard_stream,
+    parse_events,
+    route_events,
+    windowed_event_counts,
+)
+from tests.conftest import SF_DIR
+
+
+def _evt(source, name, attrs, tags):
+    return {
+        "source": source,
+        "detail": {"eventName": name, "requestParameters": attrs},
+        "tags": tags,
+    }
+
+
+EVENTS = [
+    _evt("aws.s3", "CreateBucket", {"bucketName": "b1"}, {"gdpr-scan": "true"}),
+    _evt("aws.s3", "CreateBucket", {"bucketName": "b1"}, {"gdpr-scan": "true"}),  # replay
+    _evt("aws.s3", "CreateBucket", {"bucketName": "b2"}, {}),  # gate reject
+    _evt("aws.s3", "DeleteBucket", {"bucketName": "b3"}, {"gdpr-scan": "true"}),  # invalid event
+    _evt("aws.dynamodb", "CreateTable", {"tableName": "t1"}, {"gdpr-scan": "true", "glue-custom-entity": "true"}),
+    _evt("aws.rds", "CreateDBCluster", {"dBClusterIdentifier": "c1"}, {"gdpr-scan": "true"}),
+    _evt("aws.lambda", "CreateFunction", {"functionName": "f"}, {"gdpr-scan": "true"}),  # wrong source
+]
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    with open(d / "batch1.json", "w") as fh:
+        for e in EVENTS:
+            fh.write(json.dumps(e) + "\n")
+    return str(d)
+
+
+def test_parse_events_validation_and_gate(spark, events_dir):
+    raw = spark.read.schema(EVENT_SCHEMA).json(events_dir)
+    parsed = parse_events(raw)
+    rows = parsed.collect()
+    # b1 (twice -> still two rows pre-merge), t1, c1; b2/b3/f filtered out
+    assert len(rows) == 4
+    assert {r["data_source_type"] for r in rows} == {"s3", "dynamodb", "rds"}
+    assert all((not r["glue_job_created"]) and (not r["data_catalog_entry"]) for r in rows)
+    # replayed event derives the SAME natural-key id
+    s3_ids = [r["id"] for r in rows if r["data_source_type"] == "s3"]
+    assert len(set(s3_ids)) == 1
+
+
+def test_route_events_fanout(spark, events_dir):
+    raw = spark.read.schema(EVENT_SCHEMA).json(events_dir)
+    branches = route_events(raw)
+    std = branches["standard"].collect()
+    custom = branches["custom_entity"].collect()
+    assert {r["data_source_type"] for r in custom} == {"dynamodb"}
+    assert len(std) == 3  # b1 x2 + c1
+    assert len(custom) == 1
+
+
+def test_onboard_stream_merges_with_replay_dedup(spark, events_dir, tmp_path_factory):
+    engine = DiscoveryEngine(
+        spark, str(tmp_path_factory.mktemp("stream_state")), database="stream_db"
+    )
+    q = onboard_stream(
+        spark, engine, events_dir, str(tmp_path_factory.mktemp("ckpt"))
+    )
+    q.awaitTermination(120)
+    tracker = engine.tracker().collect()
+    assert len(tracker) == 3  # b1 deduped, t1, c1
+    assert {r["data_source_type"] for r in tracker} == {"s3", "dynamodb", "rds"}
+
+    # re-running over the same directory with a FRESH checkpoint replays
+    # every event; MERGE keeps state unchanged (idempotence)
+    q2 = onboard_stream(
+        spark, engine, events_dir, str(tmp_path_factory.mktemp("ckpt2"))
+    )
+    q2.awaitTermination(120)
+    assert engine.tracker().count() == 3
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    """The stream aggregation applied to the batch events table must match
+    a plain group-by (watermark is a no-op in complete batches)."""
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in windowed_event_counts(ev).collect()
+    }
+    want = {
+        (r["hb"], r["event_type"]): (r["n"], r["av"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hb"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("av"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_windowed_counts_on_stream_with_late_data(spark, tmp_path_factory):
+    """Drive the SAME aggregation as an actual stateful stream."""
+    d = tmp_path_factory.mktemp("tsevents")
+    rows = [
+        {"ts": "2024-01-01T10:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:55:00", "event_type": "click", "value": 3.0},
+        {"ts": "2024-01-01T11:10:00", "event_type": "view", "value": 2.0},
+    ]
+    with open(d / "b.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(d))
+    out_dir = tmp_path_factory.mktemp("out")
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): 2,
+        ("2024-01-01 11:00:00", "view"): 1,
+    }
