@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
 
+from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint, normalize_text
 
 
@@ -77,20 +79,23 @@ def jaccard_pairs(
 
     Threshold compares use integer cross-multiplication so engine float
     quirks can't flip boundary pairs. Output: (id_a, id_b, jaccard).
+
+    The hashed-shingle frame is the prefix index AND both verification
+    sides, so it is persisted (memory-and-disk; hashes only, never the
+    text) — one shingling pass instead of three; ``spread`` rebalances
+    unsplittable inputs before the CPU-heavy shingle stage.
     """
     num = int(round(threshold * 10000))
     base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(block_col).alias("block"),
-            word_shingles(F.col(text_col), n).alias("sh"),
-        )
+        spread(df.select(F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(text_col).alias("_t")))
+        .select("id", "block", word_shingles(F.col("_t"), n).alias("sh"))
         # canonical order = hashed shingles, sorted; verification uses
         # hashes too (intersection cardinality is order/collision-stable)
         .withColumn("hs", F.sort_array(F.transform("sh", lambda s: F.xxhash64(s))))
         .drop("sh")
         .withColumn("sz", F.size("hs"))
         .withColumn("plen", F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("int") + 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pref = base.select(
         "id", "block", "sz", F.explode(F.slice("hs", 1, F.col("plen"))).alias("ph")
@@ -126,6 +131,23 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) with sh = distinct word n-grams; input spread first so the
+    shingling stage parallelizes even off unsplittable files."""
+    return spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select("id", word_shingles(F.col("_t"), n).alias("sh"))
+
+
+def _signatures_of(sh_frame: DataFrame, num_hashes: int) -> DataFrame:
+    exploded = sh_frame.select("id", F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -141,15 +163,7 @@ def minhash_signatures(
     + one hash aggregate (num_hashes MIN columns, map-side combined) —
     the shuffle carries a 64-long vector per document, never the
     shingles."""
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    agg = exploded.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    return _signatures_of(_shingle_frame(df, id_col, text_col, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -169,9 +183,13 @@ def minhash_lsh_pairs(
     candidates (equi-join on (band, bucket-hash) — linear shuffle, never
     all-pairs). Verification recomputes exact shingle Jaccard on the
     candidates only. With 16 bands x 4 rows the S-curve catches
-    J >= ~0.5 with high recall."""
+    J >= ~0.5 with high recall.
+
+    The shingle frame feeds the signature aggregate and both
+    verification sides — persisted once (hash arrays, never text)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    sh = _shingle_frame(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_of(sh, num_hashes)
     banded = sigs.select(
         "id",
         F.explode(
@@ -193,7 +211,6 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     num = int(round(threshold * 10000))
@@ -213,20 +230,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side: explode tokens, one
     aggregate with 64 signed bit-sums, reassemble the sketch with bit
     arithmetic."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("tok"),
+    toks = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select(
+        "id",
+        F.explode(F.array_distinct(F.split(normalize_text(F.col("_t")), " "))).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+    # per-bit ones-count instead of signed sums: sign-sum > 0 iff
+    # 2*ones > n_tokens, and the branch-free update keeps the generated
+    # aggregate small enough for whole-stage codegen (the `when` version
+    # compiles ~2x slower and risks interpreted fallback)
+    ones = [
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
         for i in range(64)
     ]
-    agg = toks.groupBy("id").agg(*sums)
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
     sketch = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (F.col(f"o{i}") * 2 > F.col("n")).cast("long")
         term = F.shiftleft(bit, i)
         sketch = term if sketch is None else sketch.bitwiseXOR(term)
     return agg.select("id", sketch.alias("simhash"))
@@ -241,17 +262,49 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming within blocks.
-    (At scale, the block key would be simhash prefix chunks — pigeonhole:
-    two sketches within d bits share one of d+1 prefix bands.)"""
+
+    Candidate generation is EXACT band-blocking (Manku et al., WWW'07):
+    split the 64-bit sketch into ``max_hamming + 1`` disjoint bit bands —
+    by pigeonhole, two sketches within ``max_hamming`` bits agree on at
+    least one whole band — and equi-join on (block, band, band-bits).
+    Work scales with band collisions, never all pairs; verification is a
+    single bit_count per candidate."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    mask = (1 << width) - 1
     s = simhash64(df, id_col, text_col)
     blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("block"))
-    base = s.join(blocks, "id")
-    a = base.select(F.col("id").alias("id_a"), "block", F.col("simhash").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), "block", F.col("simhash").alias("sh_b"))
+    # both sides of the band join read the sketch frame — persist the
+    # (id, simhash, block) triple (16B/doc) so sketches compute once
+    base = s.join(blocks, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    banded = base.select(
+        "id",
+        "block",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "block", "bb.band", "bb.key")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["block", "band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
         .filter(hamming <= max_hamming)
         .select("id_a", "id_b", hamming.alias("hamming"))
     )

@@ -15,6 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -70,12 +73,15 @@ def blocked_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (id_a < id_b).
     The self-join shuffles on the block key only; cosine is evaluated on
-    co-located pairs."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        as_double(F.col(vec_col)).alias("v"),
-    )
+    co-located pairs. The cast vectors are persisted once (both join
+    sides read them); ``spread`` rebalances unsplittable inputs."""
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("block"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = base.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"))
     b = base.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"))
     sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)

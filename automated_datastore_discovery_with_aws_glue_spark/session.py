@@ -23,8 +23,10 @@ DEFAULT_APP_NAME = "datastore-discovery-spark"
 
 
 def _cpus() -> int:
+    """0 means "unset" — the session falls back to local[*] / 32 shuffle
+    partitions; any positive value pins both."""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+        return max(0, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
     except ValueError:
         return 0
 
