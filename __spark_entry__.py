@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline as L
+from automated_datastore_discovery_with_aws_glue_spark.plans import media as M
 from automated_datastore_discovery_with_aws_glue_spark.plans import profiling as P
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational as R
 
@@ -49,8 +50,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_time_bucket": R.f10_time_bucket,
         "f13_json_extract": R.f13_json_extract,
         "w_topk_per_group": R.w_topk_per_group,
+        "j_semi_exists": R.j_semi_exists,
+        "a3_rollup": R.a3_rollup,
+        "w_tumbling_counts": R.w_tumbling_counts,
+        "f_array_explode": R.f_array_explode,
         "pii_classify_derived": P.pii_classify_derived,
+        "prof_column_stats": P.prof_column_stats,
+        "prof_approx_distinct": P.prof_approx_distinct,
         **L.QUERIES,
+        **M.QUERIES,
     }
 
 
@@ -247,6 +255,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
             ORDER BY user_id, rk
         """,
+        "j_semi_exists": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 450.0
+            )
+            ORDER BY c_custkey
+        """,
+        "a3_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type_c,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP(event_type)
+            ORDER BY event_type_c
+        """,
+        "w_tumbling_counts": """
+            SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_start_epoch,
+                   event_type,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY bucket_start_epoch, event_type
+        """,
+        "f_array_explode": r"""
+            SELECT word, count(*) AS n
+            FROM (
+                SELECT unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 20
+        """,
         "pii_classify_derived": P.pii_classify_oracle_sql(),
+        "prof_column_stats": P.prof_column_stats_sql(),
         **L.ORACLES,
+        **M.ORACLES,
     }

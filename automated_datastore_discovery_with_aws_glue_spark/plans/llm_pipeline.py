@@ -169,6 +169,44 @@ LANG_ID_SQL = f"""
 """
 
 
+#: BPE-ish subword splitter: letter runs, digit runs, single symbols
+_TOK_RX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tok_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation) — the pre-tokenizer pass of an LLM data pipeline.
+    Pure native regexp_extract_all; counts, distinct counts and
+    char-per-token ratio per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RX), 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+            F.round(
+                F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOK_REGEX_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n_chars,
+               regexp_extract_all(lower(text), '{_TOK_RX}') AS toks
+        FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_distinct_bpe,
+           round(n_chars::DOUBLE / greatest(len(toks), 1), 4) AS chars_per_token
+    FROM t
+    ORDER BY doc_id
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -248,6 +286,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_identify": lang_identify,
     "doc_fingerprint": doc_fingerprint,
+    "tok_regex_count": tok_regex_count,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "emb_near_dup": emb_near_dup,
@@ -257,6 +296,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_quality": TEXT_QUALITY_SQL,
+    "tok_regex_count": TOK_REGEX_SQL,
     "lang_identify": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,

@@ -1,0 +1,134 @@
+"""Multimodal queries over synthesized binary columns.
+
+The driver testdata has no binary media table, so these queries
+synthesize one deterministically from `documents`: each doc's text
+becomes the payload, prefixed with a real magic-byte header (PNG / JPEG
+/ MP3-ID3 chosen by doc_id % 3). That keeps the oracle expressible —
+DuckDB builds the identical blob — while the Spark side exercises the
+real operators (`operators/multimodal.py`): native metadata extraction,
+mime sniffing, Arrow-batched fake decode, frame sampling.
+
+The decode kernel itself is a stub (media codecs are not installed —
+see operators/multimodal.py); everything around it (schema, mapInPandas
+batch shape, partitioning) is the code a real deployment would run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_images,
+    sample_frames,
+)
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+_PNG = b"\x89PNG\r\n\x1a\n"
+_JPEG = b"\xff\xd8\xff\xe0"
+_ID3 = b"ID3\x04"
+
+
+def _with_content(docs: DataFrame) -> DataFrame:
+    """documents + synthetic binary `content` column (header by doc_id%3 +
+    utf-8 text payload)."""
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_PNG))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_JPEG))
+        .otherwise(F.lit(_ID3))
+    )
+    return docs.select(
+        "doc_id", F.concat(header, F.encode("text", "UTF-8")).alias("content"), "text"
+    )
+
+
+#: DuckDB twin of _with_content (blob literals hex-escaped)
+_SQL_CONTENT = r"""
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+                 WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+                 ELSE 'ID3\x04'::BLOB END) || encode(text) AS content,
+           text
+    FROM documents
+"""
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata layer: byte size, payload content id, mime
+    via magic-byte sniff — all native expressions, no UDF, so a metadata
+    query on a 100 TB media table prunes without deserializing bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = attach_binary_metadata(_with_content(docs), "content")
+    return (
+        out.select(
+            "doc_id",
+            "content_size",
+            F.sha2(F.encode("text", "UTF-8"), 256).alias("payload_sha256"),
+            "mime",
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_BINARY_META_SQL = f"""
+    WITH c AS ({_SQL_CONTENT})
+    SELECT doc_id,
+           octet_length(content) AS content_size,
+           sha256(text) AS payload_sha256,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                ELSE 'audio/mpeg' END AS mime
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image decode (deterministic fake kernel — real path
+    needs Pillow; rows-only check by design: the hash-derived dimensions
+    have no SQL twin). Exercises the full mapInPandas plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_images(_with_content(docs), "content", fake=True)
+    return decoded.select("doc_id", "width", "height", "mode").orderBy("doc_id")
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: one row per sampled frame (explode of a
+    native sequence; byte-slice stands in for the decoded frame). The
+    oracle reproduces the frame arithmetic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        _with_content(docs), "content", every_n_bytes=64, max_frames=4
+    )
+    return (
+        frames.select(
+            "doc_id", "frame_index", F.length("frame_bytes").alias("frame_len")
+        )
+        .orderBy("doc_id", "frame_index")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+    WITH c AS ({_SQL_CONTENT}),
+    n AS (
+        SELECT doc_id, octet_length(content) AS len,
+               least(greatest(octet_length(content) // 64, 1), 4) AS n_frames
+        FROM c
+    )
+    SELECT doc_id, i AS frame_index,
+           least(64, len - i * 64) AS frame_len
+    FROM n, unnest(generate_series(0, n_frames - 1)) AS t(i)
+    ORDER BY doc_id, frame_index
+"""
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_image_decode": mm_image_decode,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+}

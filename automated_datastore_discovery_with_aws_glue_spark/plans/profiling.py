@@ -70,3 +70,75 @@ def pii_classify_oracle_sql() -> str:
         f"WITH derived AS ({derived}), stacked AS ({stacked}) "
         f"SELECT * FROM ({body}) ORDER BY columnName, entity"
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the crawler/schema-discovery analytics surface)
+# ---------------------------------------------------------------------------
+
+#: (column, value-as-string expression) pairs profiled on orders
+_PROF_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders` — rows, nulls, exact distincts,
+    min/max (as strings) — the numeric core of what the reference's
+    crawler harvests per column during discovery (`README.md:27-29`).
+
+    One pass, one wide aggregate: every statistic for every column is a
+    column of a single agg, so the scan happens once and the shuffle
+    carries a single row of partials per partition. The long (column,
+    stat) shape comes from a driver-side unpivot of that one row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROF_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in _PROF_COLS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_PROF_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
+        )
+        .orderBy("column_name")
+    )
+
+
+def prof_column_stats_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   min({c}::VARCHAR) AS min_s, max({c}::VARCHAR) AS max_s
+            FROM orders"""
+        for c in _PROF_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def prof_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality profile (rows-only check: the sketch
+    estimate is engine-specific by construction). This is the 100 TB
+    path — approx_count_distinct keeps the aggregate buffer constant
+    (~1.5 KB per column at 2% rsd) where exact distinct would shuffle
+    every distinct value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.approx_count_distinct(c, 0.02).alias(f"{c}__and")
+        for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    ]
+    wide = li.agg(*aggs)
+    cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    stack_args = ", ".join(f"'{c}', {c}__and" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, approx_n_distinct)"
+    ).orderBy("column_name")

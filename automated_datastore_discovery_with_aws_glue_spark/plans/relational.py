@@ -425,3 +425,92 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "rk", "event_id", F.round("value", 2).alias("value"))
         .orderBy("user_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended analytic surface: semi joins, rollup, tumbling windows, explode
+# ---------------------------------------------------------------------------
+
+def j_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left-semi join: customers with at least one order above
+    a price threshold (the relational form of the reference's "has a
+    matching row" gates, e.g. `lambda/rds-glue-initial/app.py:149-160`).
+
+    Scale: LEFT SEMI shuffles only the join keys of the filtered orders
+    side and short-circuits on first match; no row multiplication, no
+    payload columns move."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450.0)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def a3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: per-event-type totals plus the grand total in one
+    pass (subtotal lattice; Spark expands grouping sets map-side, so the
+    shuffle still carries one partial row per (grouping, partition)).
+
+    NULL grouping markers are coalesced to 'ALL' so the frame is
+    engine-neutral."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type_c"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type_c")
+    )
+
+
+def w_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling-window counts via F.window — the batch twin of
+    the Structured Streaming windowed aggregation (streaming/onboard.py
+    uses the same expression with a watermark).
+
+    The bucket leaves as epoch seconds (timezone-proof on both engines);
+    sub-day windows are epoch-aligned so results are absolute."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start_epoch"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+        .orderBy("bucket_start_epoch", "event_type")
+    )
+
+
+def f_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode normalized words, global top-20 by
+    frequency (F.explode + two-phase count; the unpivot/flatten shape the
+    PII classifier uses internally via stack).
+
+    Scale: count aggregates partially before the shuffle; the final
+    top-20 is a TakeOrdered, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
