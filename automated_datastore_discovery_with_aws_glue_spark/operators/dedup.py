@@ -86,14 +86,10 @@ def jaccard_pairs(
     unsplittable inputs before the CPU-heavy shingle stage.
     """
     num = int(round(threshold * 10000))
+    # canonical order = hashed shingles, sorted; verification uses
+    # hashes too (intersection cardinality is order/collision-stable)
     base = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(text_col).alias("_t")))
-        .select("id", "block", word_shingles(F.col("_t"), n).alias("sh"))
-        # canonical order = hashed shingles, sorted; verification uses
-        # hashes too (intersection cardinality is order/collision-stable)
-        .withColumn("hs", F.sort_array(F.transform("sh", lambda s: F.xxhash64(s))))
-        .drop("sh")
-        .withColumn("sz", F.size("hs"))
+        _hashed_shingle_frame(df, id_col, text_col, n, block_col)
         .withColumn("plen", F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("int") + 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -131,21 +127,45 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh) with sh = distinct word n-grams; input spread first so the
-    shingling stage parallelizes even off unsplittable files."""
-    return spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    ).select("id", word_shingles(F.col("_t"), n).alias("sh"))
+def _hashed_shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int, block_col: str | None = None
+) -> DataFrame:
+    """(id[, block], hs, sz): hs = sorted xxhash64'd distinct word
+    n-grams. Every downstream stage (signatures, prefix index,
+    verification) works on the 8-byte hashes — the text is dropped at
+    the scan. ``spread`` rebalances unsplittable inputs before the
+    CPU-heavy shingling."""
+    cols = [F.col(id_col).alias("id")]
+    keep = ["id"]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("block"))
+        keep.append("block")
+    cols.append(F.col(text_col).alias("_t"))
+    return (
+        spread(df.select(*cols))
+        .select(
+            *keep,
+            F.sort_array(
+                F.transform(word_shingles(F.col("_t"), n), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+        .withColumn("sz", F.size("hs"))
+    )
 
 
-def _signatures_of(sh_frame: DataFrame, num_hashes: int) -> DataFrame:
-    exploded = sh_frame.select("id", F.explode("sh").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    agg = exploded.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+def _signature_expr(hs: Column, num_hashes: int) -> Column:
+    """MinHash signature from a hashed-shingle array, fully map-side.
+
+    The i-th permutation is ``xxhash64(h, i)`` over the 64-bit shingle
+    hash — an independent mix per i with no modular arithmetic
+    (ANSI-safe), and hashing a fixed-width long instead of re-walking the
+    shingle string per permutation. Computed as a nested higher-order
+    transform inside one projection: NO explode, NO shuffle — the
+    signature stage is embarrassingly parallel at any scale."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
+    )
 
 
 def minhash_signatures(
@@ -156,14 +176,11 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """64-permutation MinHash signature per document.
-
-    The i-th permutation is ``xxhash64(shingle, i)`` — an independent
-    64-bit mix per i with no modular arithmetic (ANSI-safe). One explode
-    + one hash aggregate (num_hashes MIN columns, map-side combined) —
-    the shuffle carries a 64-long vector per document, never the
-    shingles."""
-    return _signatures_of(_shingle_frame(df, id_col, text_col, n), num_hashes)
+    """64-permutation MinHash signature per document (one shuffle-free
+    projection: shingle -> hash -> per-permutation array_min)."""
+    return _hashed_shingle_frame(df, id_col, text_col, n).select(
+        "id", _signature_expr(F.col("hs"), num_hashes).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -185,11 +202,12 @@ def minhash_lsh_pairs(
     candidates only. With 16 bands x 4 rows the S-curve catches
     J >= ~0.5 with high recall.
 
-    The shingle frame feeds the signature aggregate and both
-    verification sides — persisted once (hash arrays, never text)."""
+    The hashed-shingle frame feeds the map-side signature expression and
+    both verification sides — persisted once (sorted hash arrays, never
+    text); signatures need no shuffle at all (see ``_signature_expr``)."""
     rows = num_hashes // bands
-    sh = _shingle_frame(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_of(sh, num_hashes)
+    base = _hashed_shingle_frame(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = base.select("id", _signature_expr(F.col("hs"), num_hashes).alias("signature"))
     banded = sigs.select(
         "id",
         F.explode(
@@ -197,9 +215,8 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bandix: F.struct(
                     bandix.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice("signature", bandix * rows + 1, rows), lambda v: v.cast("string")))
-                    ).alias("bucket"),
+                    # xxhash64 hashes the band's long-array slice directly
+                    F.xxhash64(F.slice("signature", bandix * rows + 1, rows)).alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -211,12 +228,18 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
     num = int(round(threshold * 10000))
     return (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
         .filter(inter * 10000 >= F.lit(num) * union)
         .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
     )
@@ -226,31 +249,42 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: per-document sketch from the distinct-token hash array ``th``: fold a
+#: 64-bin bit histogram (ones[i] = #tokens with bit i set), then set
+#: sketch bit i iff the majority of tokens have it (sign-sum > 0 iff
+#: 2*ones > n). ONE SQL expression: a single parse/analyze, no explode,
+#: no shuffle — the sketch stage scales with executors alone.
+_SIMHASH_EXPR = """
+    aggregate(
+        zip_with(
+            aggregate(
+                th,
+                array_repeat(cast(0 as bigint), 64),
+                (acc, h) -> zip_with(acc, sequence(0, 63),
+                                     (a, i) -> a + (shiftrightunsigned(h, i) & 1))
+            ),
+            sequence(0, 63),
+            (o, i) -> shiftleft(cast(o * 2 > size(th) as bigint), i)
+        ),
+        cast(0 as bigint),
+        (acc, t) -> acc ^ t
+    )
+"""
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side: explode tokens, one
-    aggregate with 64 signed bit-sums, reassemble the sketch with bit
-    arithmetic."""
-    toks = spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    ).select(
+    """64-bit SimHash per document, fully map-side: hash the distinct
+    tokens, then fold the sketch with one higher-order expression. The
+    old formulation exploded every token and ran a 64-column SUM
+    aggregate — a full shuffle of the token stream plus a giant
+    generated aggregate class; this is one shuffle-free projection."""
+    return spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id",
-        F.explode(F.array_distinct(F.split(normalize_text(F.col("_t")), " "))).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
-    # per-bit ones-count instead of signed sums: sign-sum > 0 iff
-    # 2*ones > n_tokens, and the branch-free update keeps the generated
-    # aggregate small enough for whole-stage codegen (the `when` version
-    # compiles ~2x slower and risks interpreted fallback)
-    ones = [
-        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
-    sketch = None
-    for i in range(64):
-        bit = (F.col(f"o{i}") * 2 > F.col("n")).cast("long")
-        term = F.shiftleft(bit, i)
-        sketch = term if sketch is None else sketch.bitwiseXOR(term)
-    return agg.select("id", sketch.alias("simhash"))
+        F.transform(
+            F.array_distinct(F.split(normalize_text(F.col("_t")), " ")),
+            lambda t: F.xxhash64(t),
+        ).alias("th"),
+    ).select("id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
 def simhash_pairs(

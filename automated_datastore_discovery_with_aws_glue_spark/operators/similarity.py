@@ -33,8 +33,50 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double-array columns."""
+    """Cosine similarity of two double-array columns (any dimension;
+    higher-order fold — interpreted per element, so prefer
+    ``cosine_fixed`` in hot paths when the dimension is known)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _vec_term(name: str | list[float], i: int) -> str:
+    """SQL fragment for element i of a vector: column subscript or an
+    inlined literal coefficient (Python float repr round-trips exactly
+    through Java's Double.parseDouble)."""
+    if isinstance(name, str):
+        return f"CAST({name}[{i}] AS DOUBLE)"
+    return f"CAST('{float(name[i])!r}' AS DOUBLE)"
+
+
+def dot_fixed_sql(a: str | list[float], b: str | list[float], dim: int) -> str:
+    """Statically-unrolled dot product for a known dimension, as ONE SQL
+    string (single parse — building the same tree out of Python Column
+    ops costs hundreds of py4j round-trips per query).
+
+    The higher-order ``aggregate(zip_with(...))`` form materializes a
+    zipped array and walks an interpreted lambda per element — ~10x
+    slower per pair than this flat expression, which whole-stage codegen
+    compiles to straight-line JVM arithmetic. Fold order (left-to-right,
+    seeded 0.0) matches the HOF form bit-for-bit, so oracle hashes agree."""
+    terms = " + ".join(f"{_vec_term(a, i)} * {_vec_term(b, i)}" for i in range(dim))
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def dot_fixed(a: str | list[float], b: str | list[float], dim: int) -> Column:
+    return F.expr(dot_fixed_sql(a, b, dim))
+
+
+def cosine_fixed(a: str | list[float], b: str | list[float], dim: int) -> Column:
+    """Unrolled cosine; ``a``/``b`` are column names or literal vectors."""
+    d, na, nb = dot_fixed_sql(a, b, dim), dot_fixed_sql(a, a, dim), dot_fixed_sql(b, b, dim)
+    return F.expr(f"{d} / (sqrt({na}) * sqrt({nb}))")
+
+
+def vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality probe (one-row scan). Array columns carry
+    no length in the schema, so the unrolled kernels need one lookup."""
+    rows = df.select(F.size(F.col(vec_col))).limit(1).collect()
+    return int(rows[0][0]) if rows else 0
 
 
 def as_double(vec: Column) -> Column:
@@ -54,8 +96,10 @@ def brute_force_topk(
     Executes as scan -> projection -> TakeOrderedAndProject: no shuffle,
     no global sort materialization; each partition keeps k rows.
     Rounded similarity + id tiebreak make the ordering total."""
-    q = query if isinstance(query, Column) else F.array(*[F.lit(float(v)) for v in query])
-    sim = F.round(cosine(as_double(F.col(vec_col)), q), 4)
+    if isinstance(query, Column):  # opaque query expression -> generic kernel
+        sim = F.round(cosine(as_double(F.col(vec_col)), query), 4)
+    else:
+        sim = F.round(cosine_fixed(vec_col, list(query), len(query)), 4)
     return (
         df.select(F.col(id_col), sim.alias("similarity"))
         .orderBy(F.col("similarity").desc(), F.col(id_col))
@@ -73,18 +117,25 @@ def blocked_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (id_a < id_b).
     The self-join shuffles on the block key only; cosine is evaluated on
-    co-located pairs. The cast vectors are persisted once (both join
-    sides read them); ``spread`` rebalances unsplittable inputs."""
-    base = spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(block_col).alias("block"),
-            as_double(F.col(vec_col)).alias("v"),
+    co-located pairs with the unrolled fixed-dim kernel, and each
+    vector's norm is computed ONCE per row (persisted) instead of once
+    per pair — at B rows per block that saves B norm evaluations per
+    candidate. ``spread`` rebalances unsplittable inputs."""
+    dim = vector_dim(df, vec_col)
+    base = (
+        spread(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(block_col).alias("block"),
+                as_double(F.col(vec_col)).alias("v"),
+            )
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = base.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"))
-    b = base.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"))
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+        .withColumn("nrm", F.expr(f"sqrt({dot_fixed_sql('v', 'v', dim)})"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = base.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    sim = F.round(dot_fixed("v_a", "v_b", dim) / (F.col("n_a") * F.col("n_b")), 4)
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -103,15 +154,16 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
 
-def lsh_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id of a vector under the given hyperplanes —
-    native expressions only (one dot product per plane)."""
-    bucket = F.lit(0).cast("long")
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of a vector under the given hyperplanes — one
+    SQL expression (unrolled dot product per plane; plane coefficients
+    fold into the codegen'd expression as literals)."""
+    dim = planes.shape[1]
+    parts = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(_dot(vec_col, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
-    return bucket
+        dot = dot_fixed_sql(vec_col, [float(c) for c in plane], dim)
+        parts.append(f"shiftleft(CAST({dot} >= 0 AS BIGINT), {i})")
+    return F.expr(" ^ ".join(parts))
 
 
 def lsh_topk(
@@ -136,12 +188,13 @@ def lsh_topk(
     for i, plane in enumerate(planes):
         if float(np.dot(qv, plane)) >= 0:
             qbucket |= 1 << i
-    v = as_double(F.col(vec_col))
-    qcol = F.array(*[F.lit(float(x)) for x in query])
     return (
-        df.withColumn("bucket", lsh_bucket_expr(v, planes))
+        df.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
         .filter(F.col("bucket") == qbucket)
-        .select(F.col(id_col), F.round(cosine(v, qcol), 4).alias("similarity"))
+        .select(
+            F.col(id_col),
+            F.round(cosine_fixed(vec_col, [float(x) for x in query], dim), 4).alias("similarity"),
+        )
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
     )
