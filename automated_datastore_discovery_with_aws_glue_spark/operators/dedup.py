@@ -94,15 +94,30 @@ def jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pref = base.select(
-        "id", "block", "sz", F.explode(F.slice("hs", 1, F.col("plen"))).alias("ph")
+        "id",
+        "block",
+        "sz",
+        F.posexplode(F.slice("hs", 1, F.col("plen"))).alias("p", "ph"),
     )
-    a = pref.select(F.col("id").alias("id_a"), "block", F.col("sz").alias("sz_a"), "ph")
-    b = pref.select(F.col("id").alias("id_b"), "block", F.col("sz").alias("sz_b"), "ph")
-    size_ok = F.least("sz_a", "sz_b") * 10000 >= F.lit(num) * F.greatest("sz_a", "sz_b")
+    a = pref.select(F.col("id").alias("id_a"), "block", F.col("sz").alias("sz_a"), F.col("p").alias("p_a"), "ph")
+    b = pref.select(F.col("id").alias("id_b"), "block", F.col("sz").alias("sz_b"), F.col("p").alias("p_b"), "ph")
+    # PPJoin positional filter (Xiao et al. WWW'08): with the matched
+    # prefix shingle at 0-based positions (p_a, p_b), the overlap can't
+    # exceed min(p_a,p_b) common shingles before the match + the match +
+    # min(suffix_a, suffix_b) after it; J >= t needs overlap*(1+t) >=
+    # t*(sz_a+sz_b). At the best positions (0,0) this reduces to the
+    # plain size-compatibility bound, so it strictly subsumes it. Checked
+    # with integer cross-multiplication (scaled by 10000+num).
+    overlap_bound = (
+        F.least("p_a", "p_b")
+        + 1
+        + F.least(F.col("sz_a") - F.col("p_a") - 1, F.col("sz_b") - F.col("p_b") - 1)
+    )
+    pos_ok = overlap_bound * F.lit(10000 + num) >= F.lit(num) * (F.col("sz_a") + F.col("sz_b"))
     cand = (
         a.join(b, ["block", "ph"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(size_ok)
+        .filter(pos_ok)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -127,14 +142,32 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Sorted distinct 64-bit hashes of the word n-grams — computed
+    numerically: hash each word once, then hash each n-window of word
+    hashes (``xxhash64(h_i, h_{i+1}, h_{i+2})``). No shingle string is
+    ever materialized, and distinct/sort run over fixed-width longs
+    instead of variable-length strings. Set cardinalities (and therefore
+    Jaccard) match the string formulation modulo 64-bit collisions."""
+    words = F.split(normalize_text(col), " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    k = F.size(wh)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(n)]),
+    )
+    return F.sort_array(
+        F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.xxhash64(wh))))
+    )
+
+
 def _hashed_shingle_frame(
     df: DataFrame, id_col: str, text_col: str, n: int, block_col: str | None = None
 ) -> DataFrame:
-    """(id[, block], hs, sz): hs = sorted xxhash64'd distinct word
-    n-grams. Every downstream stage (signatures, prefix index,
-    verification) works on the 8-byte hashes — the text is dropped at
-    the scan. ``spread`` rebalances unsplittable inputs before the
-    CPU-heavy shingling."""
+    """(id[, block], hs, sz): hs = ``hashed_shingles``. Every downstream
+    stage (signatures, prefix index, verification) works on the 8-byte
+    hashes — the text is dropped at the scan. ``spread`` rebalances
+    unsplittable inputs before the CPU-heavy shingling."""
     cols = [F.col(id_col).alias("id")]
     keep = ["id"]
     if block_col is not None:
@@ -143,12 +176,7 @@ def _hashed_shingle_frame(
     cols.append(F.col(text_col).alias("_t"))
     return (
         spread(df.select(*cols))
-        .select(
-            *keep,
-            F.sort_array(
-                F.transform(word_shingles(F.col("_t"), n), lambda s: F.xxhash64(s))
-            ).alias("hs"),
-        )
+        .select(*keep, hashed_shingles(F.col("_t"), n).alias("hs"))
         .withColumn("sz", F.size("hs"))
     )
 
