@@ -166,6 +166,71 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return F.expr(" ^ ".join(parts))
 
 
+def ivf_centroids(
+    df: DataFrame, vec_col: str, *, n_cells: int = 16, id_col: str = "vec_id"
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: take the n_cells vectors with
+    the smallest ``xxhash64(id)`` (a seedless pseudo-random but
+    reproducible sample) and L2-normalize them. A tiny driver-side
+    collect — n_cells x dim floats — regardless of table size."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    c = np.array([[float(x) for x in r["v"]] for r in rows])
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
+    """Cell id = argmax over centroids of dot(v, unit_centroid) — one SQL
+    expression via the array_max(struct(sim, cell)) trick (ties break to
+    the higher cell id, deterministically). Centroid coefficients fold in
+    as literals; the whole assignment is map-side codegen."""
+    dim = centroids.shape[1]
+    structs = ", ".join(
+        f"named_struct('s', {dot_fixed_sql(vec_col, [float(x) for x in c], dim)}, 'c', {i})"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(f"array_max(array({structs})).c")
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: score only the
+    vectors whose nearest centroid is among the query's n_probe nearest
+    centroids.
+
+    Scale path: materialize the cell id as a partition/bucket column at
+    ingest (``ivf_cell_expr``) and this becomes a partition-pruned scan
+    of n_probe/n_cells of the data; here the assignment is computed
+    inline. Complements hyperplane LSH: IVF adapts to the data
+    distribution (centroids come from the data), LSH is data-oblivious."""
+    cents = ivf_centroids(df, vec_col, n_cells=n_cells, id_col=id_col)
+    qv = np.asarray(query, dtype=float)
+    probes = np.argsort(-(cents @ qv))[:n_probe].tolist()
+    dim = len(query)
+    return (
+        df.withColumn("_cell", ivf_cell_expr(vec_col, cents))
+        .filter(F.col("_cell").isin([int(p) for p in probes]))
+        .select(
+            F.col(id_col),
+            F.round(cosine_fixed(vec_col, [float(x) for x in query], dim), 4).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,

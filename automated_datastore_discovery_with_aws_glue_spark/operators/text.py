@@ -67,6 +67,54 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable so ``body`` can reference it
+    many times while it is evaluated ONCE per row. Spark SQL has no
+    let-expression; referencing a Column object twice inlines (and thus
+    re-executes) its whole expression tree at every use site — fatal for
+    higher-order pipelines where stage N scans stage N-1's array
+    element-wise (turns O(L) into O(L^2) work per row). The standard
+    workaround: wrap in a 1-element array, ``transform`` with the body,
+    take element 1."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def winnow_fingerprints(
+    col: Column, *, k: int = 8, w: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every character k-gram of the normalized text, slide a window
+    of w consecutive gram hashes, keep each window's minimum, return the
+    sorted distinct selection. Guarantees any shared substring of length
+    >= k + w - 1 contributes at least one common fingerprint — the
+    plagiarism/near-dup detection primitive.
+
+    Fully map-side (nested higher-order transforms over one projection);
+    no explode, no shuffle. Each stage's array is let-bound (see ``let``)
+    so the gram-hash array is computed once per document, not once per
+    window. ``hash_fn='xxhash64'`` is the production path (8-byte
+    hashes); ``'md5'`` selects lexicographic-min over hex digests, which
+    exists identically in DuckDB so the differential oracle can replay
+    the whole computation."""
+    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+
+    def grams(norm: Column) -> Column:
+        m = F.length(norm) - k + 1
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: hasher(norm.substr(i, F.lit(k))),
+        )
+
+    def mins(gh: Column) -> Column:
+        n_windows = F.greatest(F.size(gh) - w + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(gh, j, w))
+        )
+
+    sel = let(normalize_text(col), lambda norm: let(grams(norm), mins))
+    return F.sort_array(F.array_distinct(sel))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: token count, average token length,
     stopword ratio, punctuation ratio, and a composite quality score in

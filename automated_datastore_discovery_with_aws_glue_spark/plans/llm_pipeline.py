@@ -207,6 +207,49 @@ TOK_REGEX_SQL = rf"""
 """
 
 
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (k=8 char-grams, window w=4),
+    reduced to (count, md5-of-sorted-set digest) so the result is one
+    row per doc while still pinning every selected fingerprint value.
+    Uses the md5 gram-hash variant — DuckDB replays the identical
+    computation for the differential oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(F.col("text"), k=8, w=4, hash_fn="md5")
+    pair = TX.let(
+        fps,
+        lambda v: F.struct(F.size(v).alias("n"), F.md5(F.concat_ws("", v)).alias("d")),
+    )
+    return docs.select("doc_id", pair.alias("_p")).select(
+        "doc_id",
+        F.col("_p.n").alias("n_fp"),
+        F.col("_p.d").alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
+DOC_WINNOW_SQL = f"""
+    WITH g AS (
+        SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                              i -> md5(norm[i : i + 7])) AS gh
+        FROM g
+    ),
+    m AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_transform(generate_series(1, greatest(len(gh) - 3, 1)),
+                                  j -> list_min(gh[j : j + 3]))
+               )) AS fps
+        FROM h
+    )
+    SELECT doc_id, len(fps) AS n_fp, md5(array_to_string(fps, '')) AS fp_digest
+    FROM m
+    ORDER BY doc_id
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -253,6 +296,15 @@ KNN_BRUTEFORCE_SQL = """
 """
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF cells, probing 4 of 16 (no SQL oracle —
+    data-dependent centroids + probabilistic recall; self-retrieval and
+    brute-force containment asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return S.ivf_topk(emb, "embedding", query, 10, id_col="vec_id", n_cells=16, n_probe=4)
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via hyperplane LSH (no SQL oracle — bucket
     pruning is probabilistic; recall vs brute force asserted in pytest)."""
@@ -288,8 +340,10 @@ QUERIES = {
     "lang_identify": lang_identify,
     "doc_fingerprint": doc_fingerprint,
     "tok_regex_count": tok_regex_count,
+    "doc_winnow_fingerprint": doc_winnow_fingerprint,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "emb_near_dup": emb_near_dup,
 }
 
@@ -300,6 +354,7 @@ ORACLES = {
     "tok_regex_count": TOK_REGEX_SQL,
     "lang_identify": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_winnow_fingerprint": DOC_WINNOW_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "emb_near_dup": EMB_NEAR_DUP_SQL,
 }

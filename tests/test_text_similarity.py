@@ -93,3 +93,38 @@ def test_blocked_near_dup_symmetric_free(spark):
     pairs = blocked_near_dup(emb, "vec_id", "embedding", "label", threshold=0.3).collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(r["similarity"] >= 0.3 for r in pairs)
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (= 11 here) share at least one fingerprint; identical docs share all."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "THE QUICK  brown fox jumps over the lazy dog"),  # normalizes equal
+            (3, "a totally different sentence with the quick brown fox inside"),
+            (4, "zzzz yyyy xxxx wwww vvvv uuuu"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fp")).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] & out[3], "shared 'the quick brown fox' must yield a common fingerprint"
+    assert not (out[1] & out[4])
+
+
+def test_ivf_topk_self_and_containment(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    rows = ivf_topk(emb, "embedding", query, 5, id_col="vec_id", n_cells=8, n_probe=3).collect()
+    assert rows[0]["vec_id"] == 7  # own cell is always probe #1
+    assert abs(rows[0]["similarity"] - 1.0) < 1e-9
+    exact = {r["vec_id"] for r in brute_force_topk(emb, "embedding", query, 50).collect()}
+    assert {r["vec_id"] for r in rows} <= exact  # scores are true cosines
