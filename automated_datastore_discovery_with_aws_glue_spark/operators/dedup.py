@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.storagelevel import StorageLevel
 
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
-from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint, normalize_text
+from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint, let, normalize_text
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -39,16 +39,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (whole text as a
-    single shingle when shorter than n words)."""
-    words = F.split(normalize_text(col), " ")
-    k = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return F.array_distinct(
-        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
-    )
+    single shingle when shorter than n words). The word array is
+    let-bound so the split runs once per row, not once per gram."""
+
+    def body(words: Column) -> Column:
+        k = F.size(words)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+        return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
+
+    return F.array_distinct(let(F.split(normalize_text(col), " "), body))
 
 
 def jaccard_pairs(
@@ -84,20 +86,41 @@ def jaccard_pairs(
     sides, so it is persisted (memory-and-disk; hashes only, never the
     text) — one shingling pass instead of three; ``spread`` rebalances
     unsplittable inputs before the CPU-heavy shingle stage.
+
+    Canonical shingle order is ASCENDING DOCUMENT FREQUENCY (ties by
+    hash) — the standard all-pairs refinement: prefixes then hold each
+    document's *rarest* shingles, so the inverted index rarely collides
+    on stop-gram noise. Costs one extra explode+groupBy+join pipeline
+    over the shingle stream (at PB scale the df table can come from a
+    sample instead; the ordering only affects pruning power, never
+    correctness). Raw candidates skip the pre-verification ``distinct``
+    — verifying a duplicate candidate is cheaper than shuffling all
+    candidates to dedup them; the final (tiny) result dedups instead.
     """
     num = int(round(threshold * 10000))
-    # canonical order = hashed shingles, sorted; verification uses
-    # hashes too (intersection cardinality is order/collision-stable)
     base = (
         _hashed_shingle_frame(df, id_col, text_col, n, block_col)
         .withColumn("plen", F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("int") + 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pref = base.select(
+    # document frequency per shingle hash -> rarest-first total order
+    grams = base.select("id", "block", "sz", "plen", F.explode("hs").alias("ph"))
+    freq = grams.groupBy("ph").agg(F.count("*").alias("df"))
+    ordered = (
+        grams.join(freq, "ph")
+        .groupBy("id")
+        .agg(
+            F.first("block").alias("block"),
+            F.first("sz").alias("sz"),
+            F.first("plen").alias("plen"),
+            F.array_sort(F.collect_list(F.struct("df", "ph"))).alias("ord"),
+        )
+    )
+    pref = ordered.select(
         "id",
         "block",
         "sz",
-        F.posexplode(F.slice("hs", 1, F.col("plen"))).alias("p", "ph"),
+        F.posexplode(F.slice(F.col("ord.ph"), 1, F.col("plen"))).alias("p", "ph"),
     )
     a = pref.select(F.col("id").alias("id_a"), "block", F.col("sz").alias("sz_a"), F.col("p").alias("p_a"), "ph")
     b = pref.select(F.col("id").alias("id_b"), "block", F.col("sz").alias("sz_b"), F.col("p").alias("p_b"), "ph")
@@ -119,7 +142,6 @@ def jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(pos_ok)
         .select("id_a", "id_b")
-        .distinct()
     )
     sets = base.select("id", "hs", "sz")
     joined = (
@@ -135,6 +157,7 @@ def jaccard_pairs(
             "id_b",
             F.round(F.col("inter").cast("double") / union, 4).alias("jaccard"),
         )
+        .distinct()
     )
 
 
@@ -148,17 +171,22 @@ def hashed_shingles(col: Column, n: int = 3) -> Column:
     hashes (``xxhash64(h_i, h_{i+1}, h_{i+2})``). No shingle string is
     ever materialized, and distinct/sort run over fixed-width longs
     instead of variable-length strings. Set cardinalities (and therefore
-    Jaccard) match the string formulation modulo 64-bit collisions."""
-    words = F.split(normalize_text(col), " ")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
-    k = F.size(wh)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - n + 1),
-        lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(n)]),
-    )
-    return F.sort_array(
-        F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.xxhash64(wh))))
-    )
+    Jaccard) match the string formulation modulo 64-bit collisions.
+
+    The word-hash array is let-bound: a plain Column reference inside the
+    gram lambda would re-execute the whole split+hash tree for every
+    ``element_at`` — O(L^2) work per document instead of O(L)."""
+
+    def body(wh: Column) -> Column:
+        k = F.size(wh)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(n)]),
+        )
+        return F.when(k >= n, grams).otherwise(F.array(F.xxhash64(wh)))
+
+    wh_expr = F.transform(F.split(normalize_text(col), " "), lambda w: F.xxhash64(w))
+    return F.sort_array(F.array_distinct(let(wh_expr, body)))
 
 
 def _hashed_shingle_frame(
