@@ -20,6 +20,7 @@ from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline
 from automated_datastore_discovery_with_aws_glue_spark.plans import media as M
 from automated_datastore_discovery_with_aws_glue_spark.plans import profiling as P
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational as R
+from automated_datastore_discovery_with_aws_glue_spark.plans import relational_deep as RD
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational_ext as RX
 
 
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_tumbling_counts": R.w_tumbling_counts,
         "f_array_explode": R.f_array_explode,
         **RX.QUERIES,
+        **RD.QUERIES,
         "pii_classify_derived": P.pii_classify_derived,
         "prof_column_stats": P.prof_column_stats,
         "prof_approx_distinct": P.prof_approx_distinct,
@@ -296,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         **RX.ORACLES,
+        **RD.ORACLES,
         "pii_classify_derived": P.pii_classify_oracle_sql(),
         "prof_column_stats": P.prof_column_stats_sql(),
         **L.ORACLES,
