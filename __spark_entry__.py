@@ -38,7 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_distinct": R.a2_distinct,
         "p1_state_filter": R.p1_state_filter,
         "p6_projection_filter": R.p6_projection_filter,
+        "p7_event_validation": R.p7_event_validation,
         "p9_membership": R.p9_membership,
+        "p10_tag_gate": R.p10_tag_gate,
         "p11_substring_guard": R.p11_substring_guard,
         "j1_latest_per_key": R.j1_latest_per_key,
         "j2_broadcast_enrich": R.j2_broadcast_enrich,
@@ -135,6 +137,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'error' AND user_id = 3
             ORDER BY event_id
+        """,
+        "p7_event_validation": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE event_type = 'purchase'
+              AND json_extract_string(props, '$.k') IS NOT NULL
+            ORDER BY event_id
+        """,
+        "p10_tag_gate": """
+            SELECT doc_id, source AS origin
+            FROM documents
+            WHERE source IN ('src1', 'src2', 'src3')
+            ORDER BY doc_id
         """,
         "p9_membership": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -514,3 +514,66 @@ def f_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+def p7_event_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-envelope validation (ref `lambda/s3-trigger/app.py:86-111`):
+    parse the JSON payload, rebuild the CloudTrail-style nested envelope
+    `{source, detail: {eventName, requestParameters}}`, then filter on
+    nested fields (P7) with a required-field NOT NULL guard (P8) and
+    extract a nested leaf (F15 / F13 from_json).
+
+    Scale: from_json + struct access is whole-stage codegen'd; the
+    conjunctive equality filter collapses to a pushable predicate on the
+    flat source columns, so Catalyst prunes the scan exactly as if the
+    envelope never existed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    env = ev.select(
+        "event_id",
+        F.struct(
+            F.concat(F.lit("aws."), F.col("event_type")).alias("source"),
+            F.struct(
+                F.col("event_type").alias("eventName"),
+                F.from_json("props", "k BIGINT").alias("requestParameters"),
+            ).alias("detail"),
+        ).alias("evt"),
+    )
+    return (
+        env.filter(
+            (F.col("evt.source") == "aws.purchase")
+            & (F.col("evt.detail.eventName") == "purchase")
+            & F.col("evt.detail.requestParameters.k").isNotNull()
+        )
+        .select("event_id", F.col("evt.detail.requestParameters.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+def p10_tag_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-equality gate + map subset-projection (ref
+    `lambda/s3-trigger/app.py:14-18,217-239` and REQUIRED_TAG_KEYS
+    filtering at `lambda/s3-tag-report/app.py:18,205-207`): build a tag
+    map per row, keep only the governed keys with `map_filter` (F14),
+    pass rows iff tags['gdpr-scan'] == 'true' (P10), project a kept tag.
+
+    Scale: the map is constructed and filtered inside one codegen'd
+    projection; the gate folds to a plain column predicate, so no row
+    ever materializes a map it doesn't need.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tags = F.create_map(
+        F.lit("gdpr-scan"),
+        F.when(F.col("source").isin("src1", "src2", "src3"), F.lit("true")).otherwise(F.lit("false")),
+        F.lit("origin"),
+        F.col("source"),
+        F.lit("lang"),
+        F.col("lang"),
+    )
+    kept = F.map_filter(tags, lambda k, _v: k.isin("gdpr-scan", "origin"))
+    return (
+        docs.select("doc_id", kept.alias("tags"))
+        .filter(F.col("tags")["gdpr-scan"] == "true")
+        .select("doc_id", F.col("tags")["origin"].alias("origin"))
+        .orderBy("doc_id")
+    )
