@@ -306,41 +306,57 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 #: per-document sketch from the distinct-token hash array ``th``: fold a
-#: 64-bin bit histogram (ones[i] = #tokens with bit i set), then set
+#: {width}-bin bit histogram (ones[i] = #tokens with bit i set), then set
 #: sketch bit i iff the majority of tokens have it (sign-sum > 0 iff
 #: 2*ones > n). ONE SQL expression: a single parse/analyze, no explode,
 #: no shuffle — the sketch stage scales with executors alone.
-_SIMHASH_EXPR = """
+_SIMHASH_EXPR_TMPL = """
     aggregate(
         zip_with(
             aggregate(
                 th,
-                array_repeat(cast(0 as bigint), 64),
-                (acc, h) -> zip_with(acc, sequence(0, 63),
+                array_repeat(cast(0 as bigint), {width}),
+                (acc, h) -> zip_with(acc, sequence(0, {maxbit}),
                                      (a, i) -> a + (shiftrightunsigned(h, i) & 1))
             ),
-            sequence(0, 63),
+            sequence(0, {maxbit}),
             (o, i) -> shiftleft(cast(o * 2 > size(th) as bigint), i)
         ),
         cast(0 as bigint),
         (acc, t) -> acc ^ t
     )
 """
+_SIMHASH_EXPR = _SIMHASH_EXPR_TMPL.format(width=64, maxbit=63)
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, fully map-side: hash the distinct
-    tokens, then fold the sketch with one higher-order expression. The
-    old formulation exploded every token and ran a 64-column SUM
-    aggregate — a full shuffle of the token stream plus a giant
-    generated aggregate class; this is one shuffle-free projection."""
+def simhash64(df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash per document, fully map-side: hash the distinct tokens,
+    then fold the sketch with one higher-order expression. The old
+    formulation exploded every token and ran a 64-column SUM aggregate —
+    a full shuffle of the token stream plus a giant generated aggregate
+    class; this is one shuffle-free projection.
+
+    ``hash_fn='xxhash64'`` is the production path (full 64-bit sketch).
+    ``'md5'`` hashes each token to the top 15 hex digits of its md5 —
+    a 60-bit sketch whose entire computation exists identically in
+    DuckDB, so the differential oracle can replay the sketch math
+    bit-for-bit (same pattern as ``text.winnow_fingerprints``)."""
+    if hash_fn == "md5":
+        width = 60
+        def tok_hash(t: Column) -> Column:
+            return F.conv(F.md5(t.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+    else:
+        width = 64
+        def tok_hash(t: Column) -> Column:
+            return F.xxhash64(t)
+    expr = _SIMHASH_EXPR_TMPL.format(width=width, maxbit=width - 1)
     return spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
         "id",
         F.transform(
             F.array_distinct(F.split(normalize_text(F.col("_t")), " ")),
-            lambda t: F.xxhash64(t),
+            tok_hash,
         ).alias("th"),
-    ).select("id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    ).select("id", F.expr(expr).alias("simhash"))
 
 
 def simhash_pairs(

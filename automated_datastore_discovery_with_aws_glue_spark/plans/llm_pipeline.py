@@ -331,11 +331,41 @@ EMB_NEAR_DUP_SQL = """
     ORDER BY id_a, id_b
 """
 
+def dedup_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash sketch itself, oracle-checked bit-for-bit: the md5
+    token-hash variant (60-bit) exists identically in DuckDB, so the
+    differential gate pins every sketch value — the strong twin of the
+    rows-only ``dedup_simhash`` pair query (whose xxhash64 path has no
+    DuckDB equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64(docs, "doc_id", "text", hash_fn="md5").select(
+        F.col("id").alias("doc_id"), "simhash"
+    ).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SKETCH_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(list_distinct({_SQL_WORDS}),
+                              t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS th
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(60), i ->
+               CASE WHEN 2 * list_sum(list_transform(th, x -> (x >> i) & 1)) > len(th)
+                    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS simhash
+    FROM h
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_sketch": dedup_simhash_sketch,
     "text_quality": text_quality,
     "lang_identify": lang_identify,
     "doc_fingerprint": doc_fingerprint,
@@ -350,6 +380,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_simhash_sketch": DEDUP_SIMHASH_SKETCH_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "tok_regex_count": TOK_REGEX_SQL,
     "lang_identify": LANG_ID_SQL,
