@@ -231,9 +231,32 @@ def minhash_signatures(
     *,
     n: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-permutation MinHash signature per document (one shuffle-free
-    projection: shingle -> hash -> per-permutation array_min)."""
+    """MinHash signature per document (one shuffle-free projection:
+    shingle -> hash -> per-permutation array_min).
+
+    ``hash_fn='xxhash64'`` is the production path (numeric shingle
+    hashes, ``xxhash64(h, i)`` permutations). ``'md5'`` computes the
+    i-th permutation as the top-15-hex-digit md5 of ``shingle + '#' + i``
+    over the *string* shingles — slower, but the identical computation
+    exists in DuckDB so the differential oracle can replay every
+    signature value (same pattern as ``simhash64``)."""
+    if hash_fn == "md5":
+        def perm(s: Column, i: Column) -> Column:
+            key = F.concat(s, F.lit("#"), i.cast("string"))
+            return F.conv(F.md5(key.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+
+        sig = let(
+            word_shingles(F.col("_t"), n),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(F.transform(sh, lambda s: perm(s, i))),
+            ),
+        )
+        return spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
+            "id", sig.alias("signature")
+        )
     return _hashed_shingle_frame(df, id_col, text_col, n).select(
         "id", _signature_expr(F.col("hs"), num_hashes).alias("signature")
     )

@@ -360,12 +360,51 @@ DEDUP_SIMHASH_SKETCH_SQL = f"""
 """
 
 
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature values, oracle-checked bit-for-bit: the md5
+    permutation-hash variant (16 perms over word 3-gram shingles) exists
+    identically in DuckDB — the strong twin of the rows-only
+    ``dedup_minhash_lsh`` pair query (whose xxhash64 path has no DuckDB
+    equivalent). One row per (doc, permutation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16, hash_fn="md5")
+    return (
+        sigs.select(F.col("id").alias("doc_id"), F.posexplode("signature").alias("_p", "minhash"))
+        .select("doc_id", F.col("_p").cast("bigint").alias("perm"), "minhash")
+        .orderBy("doc_id", "perm")
+    )
+
+
+DEDUP_MINHASH_SIG_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               ) AS sh
+        FROM w
+    )
+    SELECT doc_id, i AS perm,
+           list_min(list_transform(sh,
+               g -> CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+           )) AS minhash
+    FROM s, range(16) t(i)
+    ORDER BY doc_id, perm
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_sketch": dedup_simhash_sketch,
+    "dedup_minhash_sig": dedup_minhash_sig,
     "text_quality": text_quality,
     "lang_identify": lang_identify,
     "doc_fingerprint": doc_fingerprint,
@@ -381,6 +420,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_simhash_sketch": DEDUP_SIMHASH_SKETCH_SQL,
+    "dedup_minhash_sig": DEDUP_MINHASH_SIG_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "tok_regex_count": TOK_REGEX_SQL,
     "lang_identify": LANG_ID_SQL,
