@@ -248,10 +248,16 @@ def lsh_topk(
     Recall is probabilistic (tested against the exact baseline)."""
     dim = len(query)
     planes = hyperplanes(dim, n_planes, seed)
-    qv = np.asarray(query, dtype=float)
+    # left-to-right IEEE fold, exactly the order the codegen'd SQL
+    # expression uses — np.dot's pairwise/SIMD summation could flip the
+    # sign of a near-zero projection and disagree with the executor-side
+    # bucket (and the differential oracle) on the same data
     qbucket = 0
     for i, plane in enumerate(planes):
-        if float(np.dot(qv, plane)) >= 0:
+        acc = 0.0
+        for x, c in zip(query, plane):
+            acc += float(x) * float(c)
+        if acc >= 0:
             qbucket |= 1 << i
     return (
         df.withColumn("bucket", lsh_bucket_expr(vec_col, planes))

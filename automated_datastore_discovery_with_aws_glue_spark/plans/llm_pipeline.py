@@ -306,8 +306,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via hyperplane LSH (no SQL oracle — bucket
-    pruning is probabilistic; recall vs brute force asserted in pytest)."""
+    """Approximate top-10 via hyperplane LSH. The seeded planes fold in
+    as literals, so the DuckDB oracle (``knn_lsh_oracle_sql``) replays
+    bucket assignment and scoring exactly; recall vs brute force is
+    additionally asserted in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return S.lsh_topk(emb, "embedding", query, 10, id_col="vec_id", n_planes=4)
@@ -398,6 +400,40 @@ DEDUP_MINHASH_SIG_SQL = f"""
 """
 
 
+def knn_lsh_oracle_sql(*, n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of ``knn_lsh``: the hyperplanes are seeded literals,
+    so the whole bucket computation regenerates here with identical
+    coefficients and an identical left-to-right IEEE fold (1-based
+    subscripts; bit terms summed — they are disjoint, matching the
+    Spark side's XOR fold bit-for-bit). The query's bucket is computed
+    by the same expression applied to the vec_id=0 row."""
+    planes = S.hyperplanes(dim, n_planes, seed)
+
+    def duck_dot(vexpr: str, plane) -> str:
+        terms = " + ".join(
+            f"CAST({vexpr}[{i + 1}] AS DOUBLE) * CAST('{float(plane[i])!r}' AS DOUBLE)"
+            for i in range(dim)
+        )
+        return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {duck_dot('v', pl)} >= 0 THEN CAST(1 AS BIGINT) << {i}"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT b.vec_id,
+               round(list_cosine_similarity(b.v, qv), 4) AS similarity
+        FROM b, q
+        WHERE b.bucket = qbucket
+        ORDER BY similarity DESC, vec_id
+        LIMIT 10
+    """
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -427,5 +463,6 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_winnow_fingerprint": DOC_WINNOW_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "knn_lsh": knn_lsh_oracle_sql(),
     "emb_near_dup": EMB_NEAR_DUP_SQL,
 }
