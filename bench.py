@@ -54,6 +54,13 @@ def main() -> None:
     # honest number — not the first-ever codegen compile.
     spark.range(1_000_000).selectExpr("sum(id)", "count(*)").collect()
     spark.range(1000).selectExpr("id", "md5(cast(id as string)) h").groupBy("h").count().collect()
+    # higher-order-function + hash expression warm-up: compiles the
+    # transform/aggregate/zip_with + xxhash64 codegen and Janino paths the
+    # sketch queries use, again on synthetic rows only
+    spark.range(1000).selectExpr(
+        "aggregate(transform(sequence(1, 16), i -> xxhash64(id, i)), cast(0 as bigint), (a, b) -> a ^ b) s",
+        "array_min(transform(split(repeat(concat('w', id, ' '), 8), ' '), w -> xxhash64(w))) m",
+    ).selectExpr("min(s)", "min(m)").collect()
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
