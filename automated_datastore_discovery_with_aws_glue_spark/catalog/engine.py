@@ -163,6 +163,7 @@ class DiscoveryEngine:
         the reader's own and happens inline."""
         pending = self.pending_catalog(source_type).collect()
         registered: list[str] = []
+        flips: list[tuple[str, str, str]] = []
         for row in pending:
             attrs = dict(row["data_source_attrs"] or {})
             path = attrs.get("path")
@@ -171,7 +172,12 @@ class DiscoveryEngine:
             fq = f"{self.database}.{table}"
             df = self._read_source(source_type, attrs)
             df.write.mode("overwrite").saveAsTable(fq)
-            flip = self.spark.createDataFrame([(row["id"], table, self.database)], ["id", "t", "d"])
+            flips.append((row["id"], table, self.database))
+            registered.append(fq)
+        if flips:
+            # One flip frame, one MERGE, one tracker version bump per call —
+            # not one full-table rewrite per source.
+            flip = self.spark.createDataFrame(flips, ["id", "t", "d"])
             self.store.merge(
                 TRACKER,
                 flip,
@@ -184,7 +190,6 @@ class DiscoveryEngine:
                 insert_not_matched=False,
                 partition_by="data_source_type",
             )
-            registered.append(fq)
         return registered
 
     def _read_source(self, source_type: str, attrs: dict[str, str]) -> DataFrame:
@@ -211,6 +216,7 @@ class DiscoveryEngine:
         findings, flip ``glue_job_created``. One Spark session, N tables —
         vs the reference's one cold-started Glue job per table."""
         pending = self.pending_classify(source_type).collect()
+        all_findings: DataFrame | None = None
         for row in pending:
             fq = f"{row['data_catalog_db_name']}.{row['data_catalog_table_name']}"
             classified = classify_columns(
@@ -225,8 +231,16 @@ class DiscoveryEngine:
                 data_catalog_table=row["data_catalog_table_name"],
                 data_catalog_database=row["data_catalog_db_name"],
             )
-            self.store.append(FINDINGS, findings, partition_by="data_catalog_table")
-            flip = self.spark.createDataFrame([(row["id"],)], ["id"])
+            all_findings = (
+                findings
+                if all_findings is None
+                else all_findings.unionByName(findings, allowMissingColumns=True)
+            )
+        if pending:
+            # One findings append and one tracker MERGE for the whole batch:
+            # exactly one version bump on each state table per call.
+            self.store.append(FINDINGS, all_findings, partition_by="data_catalog_table")
+            flip = self.spark.createDataFrame([(r["id"],) for r in pending], ["id"])
             self.store.merge(
                 TRACKER,
                 flip,

@@ -97,8 +97,11 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # min/max in the column's NATIVE type (numeric order for numerics,
+            # not lexicographic "10" < "9"), cast to string only for the
+            # uniform long-format output row.
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     stack_args = ", ".join(
@@ -116,9 +119,9 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prof_column_stats_sql() -> str:
     parts = [
         f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
-                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                    count(DISTINCT {c}) AS n_distinct,
-                   min({c}::VARCHAR) AS min_s, max({c}::VARCHAR) AS max_s
+                   min({c})::VARCHAR AS min_s, max({c})::VARCHAR AS max_s
             FROM orders"""
         for c in _PROF_COLS
     ]
@@ -126,19 +129,49 @@ def prof_column_stats_sql() -> str:
 
 
 def prof_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality profile (rows-only check: the sketch
-    estimate is engine-specific by construction). This is the 100 TB
-    path — approx_count_distinct keeps the aggregate buffer constant
-    (~1.5 KB per column at 2% rsd) where exact distinct would shuffle
-    every distinct value."""
+    """HyperLogLog++ cardinality profile, oracle-checkable.
+
+    The 100 TB path is `approx_count_distinct`: constant aggregate buffer
+    (~1.5 KB per column at 2% rsd) where exact distinct shuffles every
+    distinct value. The sketch estimate itself is engine-specific, so the
+    driver-compared output carries (a) the exact distinct count and (b) a
+    *relational* check that the HLL estimate landed within 5x the requested
+    rsd of the exact value — deterministic on both engines. The raw
+    estimate stays out of the hashed columns by design.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [
-        F.approx_count_distinct(c, 0.02).alias(f"{c}__and")
+    cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.approx_count_distinct(c, 0.02).alias(f"{c}__and"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', {c}__nd, {c}__and" for c in cols)
+    return (
+        wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_distinct, approx_nd)"
+        )
+        .select(
+            "column_name",
+            "n_distinct",
+            # 5x rsd tolerance: HLL++ at rsd=0.02 is comfortably within 10%.
+            (
+                F.abs(F.col("approx_nd") / F.col("n_distinct") - F.lit(1.0))
+                <= F.lit(0.10)
+            ).alias("approx_within_tol"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def prof_approx_distinct_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+                   count(DISTINCT {c}) AS n_distinct,
+                   TRUE AS approx_within_tol
+            FROM lineitem"""
         for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
     ]
-    wide = li.agg(*aggs)
-    cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
-    stack_args = ", ".join(f"'{c}', {c}__and" for c in cols)
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (column_name, approx_n_distinct)"
-    ).orderBy("column_name")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"

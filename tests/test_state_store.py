@@ -69,3 +69,71 @@ def test_store_merge_idempotent_replay(spark, store):
     store.merge("r", batch, "id")
     store.merge("r", batch, "id")
     assert store.read("r").count() == 1
+
+
+def _data_files(d):
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out += [
+            os.path.join(root, f) for f in files if not f.startswith(("_", "."))
+        ]
+    return out
+
+
+def test_append_is_o_batch_not_o_table(spark, store, tmp_path):
+    """Append must not rewrite existing data: every data file of the previous
+    version must reappear in the new version as a hard link (same inode),
+    i.e. zero bytes of old data pass through Spark."""
+    import os
+
+    store.init("t", _df(spark, [("a", 1, False), ("b", 2, False)]))
+    v1 = store._version_dir("t", 1)
+    v1_inodes = {os.stat(p).st_ino for p in _data_files(v1)}
+    assert v1_inodes
+
+    store.append("t", _df(spark, [("c", 3, True)]))
+    assert store.latest_version("t") == 2
+    v2 = store._version_dir("t", 2)
+    v2_files = _data_files(v2)
+    v2_inodes = {os.stat(p).st_ino for p in v2_files}
+    # all previous data files are present by hard link, not rewritten
+    assert v1_inodes <= v2_inodes
+    # and the batch contributed new files on top
+    assert len(v2_inodes) > len(v1_inodes)
+    out = {r["id"]: r["val"] for r in store.read("t").collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+
+def test_append_schema_drift_falls_back_to_rewrite(spark, store):
+    store.init("t", _df(spark, [("a", 1, False)]))
+    wider = spark.createDataFrame([("b", 2, True, "x")], ["id", "val", "flag", "extra"])
+    store.append("t", wider)
+    got = store.read("t")
+    assert set(got.columns) == {"id", "val", "flag", "extra"}
+    assert got.count() == 2
+
+
+def test_append_partitioned_keeps_layout_and_links(spark, store):
+    import os
+
+    rows = [("x", 1, False), ("y", 2, True)]
+    df = spark.createDataFrame(rows, ["grp", "val", "flag"])
+    store.init("p", df, partition_by="grp")
+    v1_inodes = {os.stat(p).st_ino for p in _data_files(store._version_dir("p", 1))}
+    batch = spark.createDataFrame([("y", 3, True)], ["grp", "val", "flag"])
+    store.append("p", batch, partition_by="grp")
+    v2_inodes = {os.stat(p).st_ino for p in _data_files(store._version_dir("p", 2))}
+    assert v1_inodes <= v2_inodes
+    got = store.read("p")
+    assert got.filter(F.col("grp") == "y").count() == 2
+    assert got.count() == 3
+
+
+def test_vacuum_after_append_keeps_linked_data_alive(spark, store):
+    store.init("v", _df(spark, [("a", 1, False)]))
+    store.append("v", _df(spark, [("b", 2, False)]))
+    store.append("v", _df(spark, [("c", 3, False)]))
+    store.vacuum("v", keep=1)  # removes v1/v2 dirs; hard links keep inodes
+    assert sorted(r["id"] for r in store.read("v").collect()) == ["a", "b", "c"]
