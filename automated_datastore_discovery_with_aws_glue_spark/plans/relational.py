@@ -200,12 +200,17 @@ def j2_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracker x external-attributes lookup join
     (ref `lambda/s3-tag-report/app.py:191-223`): per-row natural-key
-    lookup, done as one broadcast join instead of N API calls."""
+    lookup, done as one join instead of N API calls.
+
+    Scale: customer grows with the data — no hard broadcast hint (a hint
+    would OOM the driver at 100x and disable AQE's fallback). AQE picks
+    broadcast when the lookup side fits under the threshold, sort-merge
+    otherwise."""
     orders = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
     return (
         orders.filter(F.col("o_totalprice") > 400.0)
-        .join(F.broadcast(cu), orders.o_custkey == cu.c_custkey)
+        .join(cu, orders.o_custkey == cu.c_custkey)
         .select(
             "o_orderkey",
             "c_name",
@@ -230,7 +235,9 @@ def j4_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + top-k.
 
-    Scale: customer filtered then broadcast; orders/lineitem co-shuffle on
+    Scale: customer is filtered before the join but still scales with the
+    data, so no hard broadcast hint — AQE broadcasts it while it fits and
+    falls back to shuffle join beyond that. orders/lineitem co-shuffle on
     orderkey once (Catalyst reuses the exchange). Top-10 executes as
     TakeOrderedAndProject — no global sort materialization.
     """
@@ -241,7 +248,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -257,7 +264,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join rollup; supplier/customer nation must
-    match. Dims broadcast; the single big-big join (orders x lineitem)
+    match. Only the fixed-size dims (nation 25 rows, region 5) carry hard
+    broadcast hints; customer/supplier scale with the data, so AQE decides
+    their join strategy. The single big-big join (orders x lineitem)
     shuffles on orderkey only once."""
     cu = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -267,8 +276,8 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load_table(spark, sf_dir, "region")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -341,8 +350,9 @@ def u1_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def u2_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-membership via anti-join (ref exception lists, SURVEY U2):
-    users with no high-value purchase. Scale: left-anti with the small side
-    broadcast beats NOT IN (which builds an unscalable in-filter)."""
+    users with no high-value purchase. Scale: left-anti beats NOT IN (which
+    builds an unscalable in-filter); the exclusion set scales with the
+    data, so no hard broadcast hint — AQE broadcasts it while small."""
     ev = load_table(spark, sf_dir, "events")
     signups = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 195.0))
@@ -352,7 +362,7 @@ def u2_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("user_id")
         .distinct()
-        .join(F.broadcast(signups), "user_id", "left_anti")
+        .join(signups, "user_id", "left_anti")
         .orderBy("user_id")
     )
 

@@ -39,7 +39,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part) is the part's minimum. Scale: cost aggregates lineitem down to
     one row per (part, supplier) before anything joins; the per-part min
     is a tiny second aggregate joined back on the 2dp-rounded value
-    (engine-stable equality); supplier/nation/region broadcast."""
+    (engine-stable equality); nation/region broadcast by hint,
+    part/supplier scale with the data so AQE decides their joins."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -49,7 +50,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.avg("l_extendedprice"), 2).alias("supply_cost"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
     )
     mins = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.min("supply_cost").alias("_min_cost")
@@ -57,7 +58,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eur = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "EUROPE")
+        .filter(F.col("r_name") == "EUROPE")  # nation/region: fixed-size dims
     )
     return (
         cost.join(
@@ -126,7 +127,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(n1, F.col("s_nationkey") == F.col("_snk"))
         .join(n2, F.col("c_nationkey") == F.col("_cnk"))
@@ -164,8 +165,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_10 suppliers' share of PROMO-part revenue
     sold to ASIA customers, per year. Scale: the numerator is a
     conditional sum inside the same aggregate as the denominator — one
-    pass, no self-join; part (filtered) and all dims broadcast, so the
-    only large shuffle is lineitem⋈orders."""
+    pass, no self-join. nation/region broadcast by hint; the filtered
+    part/customer/supplier sides scale with the data, so AQE picks their
+    join strategies; the only guaranteed large shuffle is
+    lineitem⋈orders."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -179,13 +182,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .select("c_custkey")
     )
-    supp_nation = F.broadcast(
+    supp_nation = (
         s.join(n.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("supp_nation")),
                F.col("s_nationkey") == F.col("_nk"))
         .select("s_suppkey", "supp_nation")
     )
     return (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+        li.join(p.filter(F.col("p_type") == "PROMO").select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
@@ -230,8 +233,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on widget parts per supplier nation per
     year; cost approximated as 10% of retail price × quantity (the
     schema has no ps_supplycost). Scale: part pre-filtered on the LIKE
-    and broadcast; supplier→nation broadcast; one shuffle (groupBy on
-    25 nations × 7 years)."""
+    (scales with data — AQE decides the join); nation broadcast by hint;
+    one shuffle (groupBy on 25 nations × 7 years)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -245,11 +248,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(28,4)")
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")),
+            p.filter(F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
@@ -287,9 +290,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    nation_supp = F.broadcast(
-        s.join(n.filter(F.col("n_name") == "NATION_3"), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
+    nation_supp = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
     )
     per_part = (
         li.join(nation_supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -371,19 +376,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     below 20% of that part's average quantity. Scale: the correlated
     scalar subquery decorrelates into an aggregate-then-join — the
     per-part average is computed over the SAME brand-filtered slice then
-    broadcast back; the threshold is rounded to 4dp on both sides so the
+    joined back (both sides scale with part count, so AQE picks the
+    strategy); the threshold is rounded to 4dp on both sides so the
     strict compare is engine-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     brand = li.join(
-        F.broadcast(p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        p.filter(F.col("p_brand") == "Brand#1").select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     avg_qty = brand.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.round(F.avg("l_quantity") * 0.2, 4).alias("_limit")
     )
     return (
-        brand.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        brand.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -417,7 +423,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     bolt = li.join(
-        F.broadcast(p.filter(F.col("p_name").like("%bolt%")).select("p_partkey")),
+        p.filter(F.col("p_name").like("%bolt%")).select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     qty_sp = bolt.groupBy("l_partkey", "l_suppkey").agg(
@@ -427,7 +433,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("qty") * 0.5, 4).alias("_half_max")
     )
     qualifying = (
-        qty_sp.join(F.broadcast(mx), F.col("l_partkey") == F.col("_pk"))
+        qty_sp.join(mx, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("qty") > F.col("_half_max"))
         .select("l_suppkey")
     )
@@ -471,7 +477,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized order. Scale: the exists branch is a left-semi and the
     not-exists a left-anti against the same late-lineitem frame keyed by
     orderkey with a suppkey inequality — no row multiplication; order
-    status pre-filters before any join; supplier/nation broadcast."""
+    status pre-filters before any join; nation broadcasts by hint, the
+    nation-filtered supplier side is left to AQE (it scales with data)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -504,11 +511,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_late.join(
-            F.broadcast(
-                s.join(n.filter(F.col("n_name") == "NATION_5"),
-                       F.col("s_nationkey") == F.col("n_nationkey"))
-                .select("s_suppkey", "s_name")
-            ),
+            s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -98,8 +98,9 @@ Q4_SQL = """
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns per customer (top 20).
     Scale: lineitem is filtered on returnflag before the join; orders is
-    date-pruned; customer/nation broadcast (dimension-sized). The only
-    big shuffle is lineitem⋈orders on orderkey."""
+    date-pruned; nation (25 rows) broadcasts by hint, customer scales with
+    the data so AQE picks its join strategy. The only big shuffle is
+    lineitem⋈orders on orderkey."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -113,7 +114,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
@@ -179,8 +180,8 @@ Q12_SQL = """
 
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional to total aggregate (promo
-    revenue share of a month). Scale: part broadcasts (dimension);
-    both sums fold map-side; one row out."""
+    revenue share of a month). Scale: part scales with the data — no hard
+    broadcast hint, AQE decides; both sums fold map-side; one row out."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
@@ -189,7 +190,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(_rev()), 4).alias("promo_revenue_pct")
         )
@@ -213,17 +214,15 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (suppliers per brand/type/size, via lineitem since there is
     no partsupp). Scale: distinct-agg runs as two hash aggregates —
     partial distinct on (group, suppkey) map-side, then the count; the
-    NOT-IN list is a literal filter pushed to the part scan, and part
-    broadcasts."""
+    NOT-IN list is a literal filter pushed to the part scan. part scales
+    with the data, so AQE picks the join strategy (no hard hint)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(
-                p.filter(
-                    (F.col("p_brand") != "Brand#2")
-                    & F.col("p_size").isin(1, 5, 9, 12, 15, 20)
-                )
+            p.filter(
+                (F.col("p_brand") != "Brand#2")
+                & F.col("p_size").isin(1, 5, 9, 12, 15, 20)
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -247,8 +246,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING on a grouped fact, then enrich. Scale:
     aggregate lineitem BEFORE joining (the groupBy shrinks 100 TB of
     lineitem to one row per order, and the >150 filter cuts that again)
-    — joining first would shuffle the full fact twice. Customer
-    broadcasts."""
+    — joining first would shuffle the full fact twice. Customer scales
+    with the data, so its join strategy is left to AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -259,7 +258,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -296,7 +295,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity bounds) below the join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     c1 = (
         (F.col("p_brand") == "Brand#11")
         & (F.col("p_size").between(1, 15))
@@ -383,7 +382,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
