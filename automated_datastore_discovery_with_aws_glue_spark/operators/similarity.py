@@ -4,10 +4,25 @@
 - blocked near-dup          — cosine >= t within blocking keys
 - hyperplane-LSH top-k      — sign-bit bucketing; the 100 TB path where
                               only the query's bucket is scanned
+- IVF top-k                 — data-adaptive coarse quantizer; scan only
+                              the probed cells
 
-Dot products run as ``aggregate(zip_with(...))`` higher-order
-expressions in the JVM; embeddings are cast to double once so results
-are bit-identical with the DuckDB oracle's list_cosine_similarity.
+Kernel choice (measured, 200k rows x local[32]): the higher-order
+``aggregate(zip_with(...))`` dot product is the fast path at every
+dimension we tested — 0.12s/0.11s at dim 8 (tie), 0.44s vs 0.14s at
+dim 32, 0.84s vs 0.19s at dim 64 (unrolled vs HOF). A statically
+unrolled sum looks like straight-line codegen material, but past a few
+hundred terms the generated method exceeds the JIT's ~8 KB bytecode
+budget (so it runs as un-JIT-compiled bytecode) and past ~500 terms
+Janino fails outright and the whole stage falls back to interpreted
+Catalyst evaluation of a giant expression tree. The HOF kernel is a
+compact JIT-friendly loop, its expression tree is O(1) in the
+dimension (Catalyst analysis stays cheap), and its left-to-right
+seeded-0.0 fold is deterministic — the DuckDB oracle replays it
+bit-for-bit.
+
+Embeddings are cast to double once so results are bit-identical with
+the DuckDB oracle's list_cosine_similarity.
 """
 
 from __future__ import annotations
@@ -20,7 +35,10 @@ from pyspark.storagelevel import StorageLevel
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 
 
-def _dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two double-array columns: left-to-right IEEE fold
+    seeded 0.0 — ((0 + a1*b1) + a2*b2) + ... — the order every oracle
+    twin replays."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -28,53 +46,24 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def lit_vec(values: list[float]) -> Column:
+    """A literal double-array Column. Python floats cross py4j as exact
+    IEEE doubles, so executor-side arithmetic matches driver-side."""
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
 def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+    return F.sqrt(dot(a, a))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double-array columns (any dimension;
-    higher-order fold — interpreted per element, so prefer
-    ``cosine_fixed`` in hot paths when the dimension is known)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
-def _vec_term(name: str | list[float], i: int) -> str:
-    """SQL fragment for element i of a vector: column subscript or an
-    inlined literal coefficient (Python float repr round-trips exactly
-    through Java's Double.parseDouble)."""
-    if isinstance(name, str):
-        return f"CAST({name}[{i}] AS DOUBLE)"
-    return f"CAST('{float(name[i])!r}' AS DOUBLE)"
-
-
-def dot_fixed_sql(a: str | list[float], b: str | list[float], dim: int) -> str:
-    """Statically-unrolled dot product for a known dimension, as ONE SQL
-    string (single parse — building the same tree out of Python Column
-    ops costs hundreds of py4j round-trips per query).
-
-    The higher-order ``aggregate(zip_with(...))`` form materializes a
-    zipped array and walks an interpreted lambda per element — ~10x
-    slower per pair than this flat expression, which whole-stage codegen
-    compiles to straight-line JVM arithmetic. Fold order (left-to-right,
-    seeded 0.0) matches the HOF form bit-for-bit, so oracle hashes agree."""
-    terms = " + ".join(f"{_vec_term(a, i)} * {_vec_term(b, i)}" for i in range(dim))
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
-
-
-def dot_fixed(a: str | list[float], b: str | list[float], dim: int) -> Column:
-    return F.expr(dot_fixed_sql(a, b, dim))
-
-
-def cosine_fixed(a: str | list[float], b: str | list[float], dim: int) -> Column:
-    """Unrolled cosine; ``a``/``b`` are column names or literal vectors."""
-    d, na, nb = dot_fixed_sql(a, b, dim), dot_fixed_sql(a, a, dim), dot_fixed_sql(b, b, dim)
-    return F.expr(f"{d} / (sqrt({na}) * sqrt({nb}))")
+    """Cosine similarity of two double-array columns (any dimension)."""
+    return dot(a, b) / (_norm(a) * _norm(b))
 
 
 def vector_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality probe (one-row scan). Array columns carry
-    no length in the schema, so the unrolled kernels need one lookup."""
+    no length in the schema."""
     rows = df.select(F.size(F.col(vec_col))).limit(1).collect()
     return int(rows[0][0]) if rows else 0
 
@@ -96,10 +85,8 @@ def brute_force_topk(
     Executes as scan -> projection -> TakeOrderedAndProject: no shuffle,
     no global sort materialization; each partition keeps k rows.
     Rounded similarity + id tiebreak make the ordering total."""
-    if isinstance(query, Column):  # opaque query expression -> generic kernel
-        sim = F.round(cosine(as_double(F.col(vec_col)), query), 4)
-    else:
-        sim = F.round(cosine_fixed(vec_col, list(query), len(query)), 4)
+    q = query if isinstance(query, Column) else lit_vec(list(query))
+    sim = F.round(cosine(as_double(F.col(vec_col)), q), 4)
     return (
         df.select(F.col(id_col), sim.alias("similarity"))
         .orderBy(F.col("similarity").desc(), F.col(id_col))
@@ -117,11 +104,10 @@ def blocked_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (id_a < id_b).
     The self-join shuffles on the block key only; cosine is evaluated on
-    co-located pairs with the unrolled fixed-dim kernel, and each
-    vector's norm is computed ONCE per row (persisted) instead of once
-    per pair — at B rows per block that saves B norm evaluations per
-    candidate. ``spread`` rebalances unsplittable inputs."""
-    dim = vector_dim(df, vec_col)
+    co-located pairs, and each vector's norm is computed ONCE per row
+    (persisted) instead of once per pair — at B rows per block that
+    saves B norm evaluations per candidate. ``spread`` rebalances
+    unsplittable inputs."""
     base = (
         spread(
             df.select(
@@ -130,12 +116,12 @@ def blocked_near_dup(
                 as_double(F.col(vec_col)).alias("v"),
             )
         )
-        .withColumn("nrm", F.expr(f"sqrt({dot_fixed_sql('v', 'v', dim)})"))
+        .withColumn("nrm", _norm(F.col("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = base.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     b = base.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    sim = F.round(dot_fixed("v_a", "v_b", dim) / (F.col("n_a") * F.col("n_b")), 4)
+    sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -155,15 +141,19 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id of a vector under the given hyperplanes — one
-    SQL expression (unrolled dot product per plane; plane coefficients
-    fold into the codegen'd expression as literals)."""
-    dim = planes.shape[1]
-    parts = []
+    """Sign-bit bucket id of a vector under the given hyperplanes.
+
+    One HOF dot per plane (coefficients as a literal array), sign bits
+    XOR-folded into a BIGINT. The per-plane fold is left-to-right, so
+    the DuckDB oracle regenerates the identical bucket from the same
+    seeded literals."""
+    v = as_double(F.col(vec_col))
+    bucket: Column | None = None
     for i, plane in enumerate(planes):
-        dot = dot_fixed_sql(vec_col, [float(c) for c in plane], dim)
-        parts.append(f"shiftleft(CAST({dot} >= 0 AS BIGINT), {i})")
-    return F.expr(" ^ ".join(parts))
+        bit = F.shiftleft((dot(v, lit_vec([float(c) for c in plane])) >= 0).cast("bigint"), i)
+        bucket = bit if bucket is None else bucket.bitwiseXOR(bit)
+    assert bucket is not None
+    return bucket
 
 
 def ivf_centroids(
@@ -172,9 +162,15 @@ def ivf_centroids(
     """Deterministic IVF coarse quantizer: take the n_cells vectors with
     the smallest ``xxhash64(id)`` (a seedless pseudo-random but
     reproducible sample) and L2-normalize them. A tiny driver-side
-    collect — n_cells x dim floats — regardless of table size."""
+    collect — n_cells x dim floats — regardless of table size.
+
+    All-zero embeddings are excluded from the sample: normalizing one
+    would yield a NaN centroid, and since Spark sorts NaN above every
+    double, ``ivf_cell_expr``'s argmax would assign EVERY vector to the
+    NaN cell, silently destroying the pruning."""
     rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        df.filter(F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0))
+        .select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
         .limit(n_cells)
         .collect()
@@ -184,16 +180,19 @@ def ivf_centroids(
 
 
 def ivf_cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
-    """Cell id = argmax over centroids of dot(v, unit_centroid) — one SQL
-    expression via the array_max(struct(sim, cell)) trick (ties break to
-    the higher cell id, deterministically). Centroid coefficients fold in
-    as literals; the whole assignment is map-side codegen."""
-    dim = centroids.shape[1]
-    structs = ", ".join(
-        f"named_struct('s', {dot_fixed_sql(vec_col, [float(x) for x in c], dim)}, 'c', {i})"
+    """Cell id = argmax over centroids of dot(v, unit_centroid) — one
+    array_max(array(struct(sim, cell))) expression (ties break to the
+    higher cell id, deterministically). One HOF dot per centroid; the
+    whole assignment is map-side, no shuffle."""
+    v = as_double(F.col(vec_col))
+    structs = [
+        F.struct(
+            dot(v, lit_vec([float(x) for x in c])).alias("s"),
+            F.lit(i).alias("c"),
+        )
         for i, c in enumerate(centroids)
-    )
-    return F.expr(f"array_max(array({structs})).c")
+    ]
+    return F.array_max(F.array(*structs)).getField("c")
 
 
 def ivf_topk(
@@ -218,13 +217,12 @@ def ivf_topk(
     cents = ivf_centroids(df, vec_col, n_cells=n_cells, id_col=id_col)
     qv = np.asarray(query, dtype=float)
     probes = np.argsort(-(cents @ qv))[:n_probe].tolist()
-    dim = len(query)
     return (
         df.withColumn("_cell", ivf_cell_expr(vec_col, cents))
         .filter(F.col("_cell").isin([int(p) for p in probes]))
         .select(
             F.col(id_col),
-            F.round(cosine_fixed(vec_col, [float(x) for x in query], dim), 4).alias("similarity"),
+            F.round(cosine(as_double(F.col(vec_col)), lit_vec([float(x) for x in query])), 4).alias("similarity"),
         )
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
@@ -248,8 +246,8 @@ def lsh_topk(
     Recall is probabilistic (tested against the exact baseline)."""
     dim = len(query)
     planes = hyperplanes(dim, n_planes, seed)
-    # left-to-right IEEE fold, exactly the order the codegen'd SQL
-    # expression uses — np.dot's pairwise/SIMD summation could flip the
+    # left-to-right IEEE fold, exactly the order the executor-side HOF
+    # aggregate uses — np.dot's pairwise/SIMD summation could flip the
     # sign of a near-zero projection and disagree with the executor-side
     # bucket (and the differential oracle) on the same data
     qbucket = 0
@@ -264,7 +262,7 @@ def lsh_topk(
         .filter(F.col("bucket") == qbucket)
         .select(
             F.col(id_col),
-            F.round(cosine_fixed(vec_col, [float(x) for x in query], dim), 4).alias("similarity"),
+            F.round(cosine(as_double(F.col(vec_col)), lit_vec([float(x) for x in query])), 4).alias("similarity"),
         )
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)

@@ -273,11 +273,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0's embedding, expressed as
     a broadcast join against the one-row query frame (fully lazy)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = S.vector_dim(emb, "embedding")
     qrow = emb.filter(F.col("vec_id") == 0).select(
         S.as_double(F.col("embedding")).alias("q")
     )
-    sim = F.round(S.cosine_fixed("embedding", "q", dim), 4)
+    sim = F.round(S.cosine(S.as_double(F.col("embedding")), F.col("q")), 4)
     return (
         emb.crossJoin(F.broadcast(qrow))
         .select("vec_id", sim.alias("similarity"))

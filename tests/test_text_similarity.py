@@ -118,6 +118,30 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert not (out[1] & out[4])
 
 
+def test_ivf_centroids_zero_norm_guard(spark):
+    """An all-zero embedding in the hash-ordered sample must not become a
+    NaN centroid (NaN sorts above every double, so one NaN cell would
+    swallow every vector and silently destroy IVF pruning)."""
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_centroids,
+    )
+
+    axes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = [(i, [0.0, 0.0, 0.0, 0.0] if i % 2 == 0 else axes[i % 3]) for i in range(24)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_centroids(df, "embedding", n_cells=4)
+    assert not np.isnan(cents).any()
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.withColumn("c", ivf_cell_expr("embedding", cents)).collect()
+    }
+    # distinct-axis vectors must not all collapse into one cell
+    assert len({got[i] for i in got if i % 2 == 1}) > 1
+
+
 def test_ivf_topk_self_and_containment(spark):
     from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import ivf_topk
 
