@@ -83,6 +83,7 @@ _UNIVERSAL = [
         # generic account number: 8-17 digits, or IBAN shape
         rf"{_D}{{8,17}}|[A-Z]{{2}}{_D}{{2}}[A-Z0-9]{{11,30}}",
         ("account", "acct", "iban"),
+        validator="mod97",  # enforced on IBAN-shaped values only
         approximate=True,
     ),
 ]
@@ -412,7 +413,21 @@ def _build_registry() -> dict[str, EntitySpec]:
         )
 
     for name, rx in _NATIONAL_IDS.items():
-        add(_spec(name, rx, (), approximate=True))
+        if name.endswith("_BANK_ACCOUNT"):
+            # layouts with an IBAN alternative get the mod-97 checksum
+            # (domestic forms pass through inside the validator)
+            has_iban = rx[:2].isalpha() and rx[:2].isupper()
+            add(
+                _spec(
+                    name,
+                    rx,
+                    ("account", "acct", "iban", "bank"),
+                    validator="mod97" if has_iban else None,
+                    approximate=True,
+                )
+            )
+        else:
+            add(_spec(name, rx, (), approximate=True))
 
     return registry
 

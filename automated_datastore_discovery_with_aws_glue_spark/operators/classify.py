@@ -69,7 +69,48 @@ def luhn_valid(col: Column) -> Column:
     return (F.length(digits) >= 12) & (summed % 10 == 0)
 
 
-_VALIDATORS = {"luhn": luhn_valid}
+def mod97_valid(col: Column) -> Column:
+    """ISO 13616 / ISO 7064 mod-97 IBAN checksum as a pure expression tree.
+
+    Applies only to IBAN-shaped values (two letters + two digits prefix):
+    the national bank-account entities accept either an IBAN or a
+    domestic layout, and domestic layouts carry no mod-97 check — those
+    pass through on the format regex alone. For IBAN-shaped values the
+    first four chars rotate to the end, letters map to 10..35, and the
+    resulting big integer must be ≡ 1 (mod 97) — folded per character so
+    no arbitrary-precision arithmetic is needed.
+    """
+    cleaned = F.upper(F.regexp_replace(col, "[^0-9A-Za-z]", ""))
+    rearranged = F.concat(F.substring(cleaned, 5, 1000), F.substring(cleaned, 1, 4))
+    rem = F.aggregate(
+        F.split(rearranged, ""),
+        F.lit(0),
+        lambda acc, ch: F.when(
+            ch.rlike("^[0-9]$"), (acc * 10 + ch.cast("int")) % 97
+        ).otherwise((acc * 100 + (F.ascii(ch) - 55)) % 97),
+    )
+    looks_iban = cleaned.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    return F.when(looks_iban, rem == 1).otherwise(F.lit(True))
+
+
+def nhs_valid(col: Column) -> Column:
+    """UK NHS number check digit (public ISO 7064 mod-11 variant): the
+    first nine digits weighted 10..2, check = 11 - (sum mod 11), where 11
+    maps to 0 and 10 is invalid; must equal the tenth digit."""
+    digits = F.regexp_replace(col, "[^0-9]", "")
+    first9 = F.slice(F.split(digits, ""), 1, 9)
+    weighted = F.aggregate(
+        F.zip_with(first9, F.sequence(F.lit(10), F.lit(2)), lambda ch, w: ch.cast("int") * w),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    check = 11 - (weighted % 11)
+    expected = F.when(check == 11, 0).otherwise(check)
+    actual = F.element_at(F.split(digits, ""), 10).cast("int")
+    return (F.length(digits) == 10) & (check != 10) & (expected == actual)
+
+
+_VALIDATORS = {"luhn": luhn_valid, "mod97": mod97_valid, "nhs": nhs_valid}
 
 
 def _match_expr(value: Column, spec: EntitySpec, validate: bool) -> Column:
@@ -149,6 +190,7 @@ def classify_columns(
     *,
     columns: Sequence[str] | None = None,
     validate: bool = False,
+    use_context: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """Reference-shaped output: one row per column with detections —
@@ -158,7 +200,17 @@ def classify_columns(
     `scripts/glue/s3-source/s3-source-script.py:302-308`; defaults 1.0 /
     0.1 per `:305-307`); columns with no detected entity are omitted,
     matching the reference's dict semantics.
+
+    ``use_context`` gates ``approximate=True`` entities (formats not
+    fully determined by a regex — generic digit runs, name heuristics)
+    on their ``EntitySpec.context`` column-name hints: a 10-digit column
+    named ``phone`` reads as PHONE_NUMBER, the same values under
+    ``account_number`` as BANK_ACCOUNT. The hint check is resolved
+    driver-side from the schema (column names are known before any data
+    moves), so it adds zero executor work. Exact-format entities are
+    never gated.
     """
+    specs = resolve_entities(list(entities) if entities is not None else None)
     long_df = classify_columns_long(
         df,
         entities,
@@ -167,8 +219,26 @@ def classify_columns(
         validate=validate,
         seed=seed,
     )
+    keep = F.col("match_fraction") >= detection_threshold
+    if use_context:
+        cols = _string_columns(df, columns)
+        approx = [s.name for s in specs if s.approximate]
+        hinted = [
+            f"{c}\x00{s.name}"
+            for s in specs
+            if s.approximate
+            for c in cols
+            if any(h in c.lower() for h in s.context)
+        ]
+        if approx:
+            is_hinted = (
+                F.concat_ws("\x00", F.col("columnName"), F.col("entity")).isin(hinted)
+                if hinted
+                else F.lit(False)
+            )
+            keep = keep & (~F.col("entity").isin(approx) | is_hinted)
     return (
-        long_df.filter(F.col("match_fraction") >= detection_threshold)
+        long_df.filter(keep)
         .groupBy("columnName")
         .agg(F.sort_array(F.collect_list("entity")).alias("entityTypes"))
     )

@@ -13,6 +13,8 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.classify import
     classify_columns,
     classify_columns_long,
     luhn_valid,
+    mod97_valid,
+    nhs_valid,
 )
 
 import pyspark.sql.functions as F
@@ -148,6 +150,79 @@ def test_luhn_expression(spark):
     )
     got = [r[0] for r in df.select(luhn_valid(F.col("card"))).collect()]
     assert got == [True, False, True]
+
+
+def test_mod97_expression(spark):
+    df = spark.createDataFrame(
+        [
+            ("GB82WEST12345698765432",),  # valid (public ISO 13616 example)
+            ("GB82WEST12345698765431",),  # last digit corrupted
+            ("DE89370400440532013000",),  # valid
+            ("DE89 3704 0044 0532 0130 00",),  # valid with separators
+            ("0532013000",),  # domestic digit form: validator passes through
+        ],
+        ["iban"],
+    )
+    got = [r[0] for r in df.select(mod97_valid(F.col("iban"))).collect()]
+    assert got == [True, False, True, True, True]
+
+
+def test_nhs_expression(spark):
+    df = spark.createDataFrame(
+        [("943 476 5919",), ("9434765919",), ("943 476 5918",), ("12345",)],
+        ["nhs"],
+    )
+    got = [r[0] for r in df.select(nhs_valid(F.col("nhs"))).collect()]
+    assert got == [True, True, False, False]
+
+
+def test_validators_cut_false_positives(spark):
+    """A digit-soup column matches BANK_ACCOUNT's IBAN alternative and the
+    16-digit CREDIT_CARD format; with validate=True both checksums reject
+    the fabricated values."""
+    rng = random.Random(7)
+    rows = [
+        (
+            "GB99" + "".join(str(rng.randint(0, 9)) for _ in range(18)),
+            "".join(str(rng.randint(0, 9)) for _ in range(16)),
+        )
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["iban_like_junk", "card_like_junk"])
+    loose = classify_columns(df, ["BANK_ACCOUNT", "CREDIT_CARD"], 1.0, 0.5, validate=False)
+    strict = classify_columns(df, ["BANK_ACCOUNT", "CREDIT_CARD"], 1.0, 0.5, validate=True)
+    loose_set = {(r["columnName"], e) for r in loose.collect() for e in r["entityTypes"]}
+    strict_set = {(r["columnName"], e) for r in strict.collect() for e in r["entityTypes"]}
+    assert ("iban_like_junk", "BANK_ACCOUNT") in loose_set
+    assert ("iban_like_junk", "BANK_ACCOUNT") not in strict_set
+    assert ("card_like_junk", "CREDIT_CARD") in loose_set
+    # ~1/10 of random 16-digit strings pass Luhn; at threshold 0.5 the
+    # validated fraction cannot clear it
+    assert ("card_like_junk", "CREDIT_CARD") not in strict_set
+
+
+def test_context_disambiguates_digit_columns(spark):
+    """The same all-digit values classify differently under a ``phone``
+    header vs an ``account_number`` header: approximate entities require
+    their column-name hint."""
+    rng = random.Random(11)
+    vals = ["0" + "".join(str(rng.randint(0, 9)) for _ in range(9)) for _ in range(100)]
+    df = spark.createDataFrame([(v, v) for v in vals], ["phone", "account_number"])
+    result = {
+        r["columnName"]: set(r["entityTypes"])
+        for r in classify_columns(df, ["PHONE_NUMBER", "BANK_ACCOUNT"], 1.0, 0.1).collect()
+    }
+    assert result["phone"] == {"PHONE_NUMBER"}
+    assert result["account_number"] == {"BANK_ACCOUNT"}
+    # with context off, both entities fire on both columns
+    loose = {
+        r["columnName"]: set(r["entityTypes"])
+        for r in classify_columns(
+            df, ["PHONE_NUMBER", "BANK_ACCOUNT"], 1.0, 0.1, use_context=False
+        ).collect()
+    }
+    assert loose["phone"] == {"PHONE_NUMBER", "BANK_ACCOUNT"}
+    assert loose["account_number"] == {"PHONE_NUMBER", "BANK_ACCOUNT"}
 
 
 def test_long_form_fractions_exact(spark):
