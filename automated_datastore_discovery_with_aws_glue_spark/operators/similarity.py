@@ -156,6 +156,70 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Sub-quadratic embedding near-duplicate pairs: banded hyperplane-LSH
+    candidate generation composed with exact cosine verification — the
+    100 TB complement of :func:`blocked_near_dup` (which is all-pairs
+    *within* caller-provided blocks).
+
+    Shape: one projection emits ``n_bands`` (band, bucket) keys per row
+    (bucket = sign bits under that band's ``band_planes`` hyperplanes);
+    the self-join runs per (band, bucket) group — never all-pairs;
+    candidate pairs dedup once; exact cosine verifies survivors. Every
+    stage shuffles on bounded keys, so the plan scales with the number
+    of colliding pairs, not rows².
+
+    Recall tuning (sim s, collision prob per plane p = 1 - acos(s)/pi):
+    a pair survives a band with p^band_planes and is a candidate with
+    1-(1-p^band_planes)^n_bands — more bands raise recall, more planes
+    per band cut the candidate count. Defaults favor high thresholds;
+    the pytest recall assertion runs wider bands for the uniform-random
+    fixture. Deterministic planes -> the DuckDB oracle replays candidate
+    generation and verification exactly."""
+    dim = vector_dim(df, vec_col)
+    planes = hyperplanes(dim, n_bands * band_planes, seed)
+    base = (
+        spread(df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")))
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = []
+    for b in range(n_bands):
+        sub = planes[b * band_planes : (b + 1) * band_planes]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), lsh_bucket_expr("v", sub).alias("bucket"))
+        )
+    buckets = base.select("id", F.explode(F.array(*bands)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )
+
+
 def ivf_centroids(
     df: DataFrame, vec_col: str, *, n_cells: int = 16, id_col: str = "vec_id"
 ) -> np.ndarray:

@@ -332,6 +332,58 @@ EMB_NEAR_DUP_SQL = """
     ORDER BY id_a, id_b
 """
 
+
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic near-dup: banded-LSH candidates + exact cosine
+    verify (`S.lsh_near_dup`) — the scale path where `emb_near_dup`'s
+    within-block all-pairs is the exact verifier. Seeded planes fold in
+    as literals, so the DuckDB oracle replays candidate generation AND
+    verification bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_near_dup(
+        emb, "vec_id", "embedding", threshold=0.35, n_bands=8, band_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+def emb_near_dup_lsh_oracle_sql(
+    *, threshold: float = 0.35, n_bands: int = 8, band_planes: int = 4,
+    seed: int = 42, dim: int = 64,
+) -> str:
+    """DuckDB twin of ``emb_near_dup_lsh`` — per-band bucket exprs from
+    the same seeded hyperplanes, identical left-to-right folds."""
+    planes = S.hyperplanes(dim, n_bands * band_planes, seed)
+
+    def duck_dot(vexpr: str, plane) -> str:
+        terms = " + ".join(
+            f"CAST({vexpr}[{i + 1}] AS DOUBLE) * CAST('{float(plane[i])!r}' AS DOUBLE)"
+            for i in range(dim)
+        )
+        return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+    band_selects = []
+    for b in range(n_bands):
+        sub = planes[b * band_planes : (b + 1) * band_planes]
+        bucket = " + ".join(
+            f"(CASE WHEN {duck_dot('v', pl)} >= 0 THEN CAST(1 AS BIGINT) << {i}"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i, pl in enumerate(sub)
+        )
+        band_selects.append(f"SELECT id, {b} AS band, {bucket} AS bucket FROM e")
+    bk = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        bk AS ({bk}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                 WHERE a.id < b.id)
+        SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS similarity
+        FROM cand
+        JOIN e ea ON ea.id = cand.id_a
+        JOIN e eb ON eb.id = cand.id_b
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
 def dedup_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash sketch itself, oracle-checked bit-for-bit: the md5
     token-hash variant (60-bit) exists identically in DuckDB, so the
@@ -449,6 +501,7 @@ QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "emb_near_dup": emb_near_dup,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
 }
 
 ORACLES = {
@@ -464,4 +517,5 @@ ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_lsh": knn_lsh_oracle_sql(),
     "emb_near_dup": EMB_NEAR_DUP_SQL,
+    "emb_near_dup_lsh": emb_near_dup_lsh_oracle_sql(),
 }

@@ -118,6 +118,26 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert not (out[1] & out[4])
 
 
+def test_lsh_near_dup_recall_and_precision(spark):
+    """Banded-LSH candidates + exact verify: no false positives vs the
+    exact all-pairs ground truth, and wide-band recall >= 0.9 even on
+    uniform-random embeddings (the LSH-adversarial case)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import lsh_near_dup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = blocked_near_dup(
+        emb.withColumn("_blk", F.lit(1)), "vec_id", "embedding", "_blk", threshold=0.35
+    )
+    truth = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    approx = lsh_near_dup(
+        emb, "vec_id", "embedding", threshold=0.35, n_bands=16, band_planes=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert got <= truth  # exact verification -> zero false positives
+    assert truth, "fixture must contain near-dup pairs"
+    assert len(got) / len(truth) >= 0.9
+
+
 def test_ivf_centroids_zero_norm_guard(spark):
     """An all-zero embedding in the hash-ordered sample must not become a
     NaN centroid (NaN sorts above every double, so one NaN cell would
