@@ -29,6 +29,7 @@ from automated_datastore_discovery_with_aws_glue_spark.state.store import Parque
 TRACKER = "tracker"
 FINDINGS = "pii_findings"
 TAG_REPORT = "tag_report"
+RDS_TAG_REPORT = "rds_tag_report"
 
 #: governance tags the reports capture (`lambda/s3-tag-report/app.py:18`)
 REQUIRED_TAG_KEYS = (
@@ -271,8 +272,21 @@ class DiscoveryEngine:
     def publish_findings(self) -> int:
         """J2: write detections back as column comments, 255-char
         truncated ('Sensitive Data Element | [...]',
-        `lambda/pii-report/app.py:185-198`)."""
+        `lambda/pii-report/app.py:185-198`).
+
+        Optimistic-concurrency guard (the reference checks the catalog
+        ``VersionId`` before writing back, `lambda/pii-report/app.py:200-211`):
+        the findings snapshot version is pinned before the collect and
+        re-checked before any comment is written — a concurrent classify
+        run invalidates this publish instead of racing it."""
+        from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+        pinned = self.store.latest_version(FINDINGS)
         latest = self.latest_findings().collect()
+        if self.store.latest_version(FINDINGS) != pinned:
+            raise ConcurrentWriteError(
+                f"{FINDINGS}: snapshot moved past v{pinned} during publish; retry"
+            )
         n = 0
         for row in latest:
             fq = f"{row['data_catalog_database']}.{row['data_catalog_table']}"
@@ -306,3 +320,51 @@ class DiscoveryEngine:
         )
         self.store.merge(TAG_REPORT, report, ["id", "data_catalog_table_name"])
         return self.store.read(TAG_REPORT)
+
+    # -- RDS tag report: 3-step dereference (SURVEY §2.3 J3 multi-hop) -----
+
+    def rds_tag_report(
+        self,
+        connections: DataFrame,
+        clusters: DataFrame,
+        *,
+        source_type: str = "rds",
+    ) -> DataFrame:
+        """The RDS tag report's 3-step dereference as a chained lookup
+        join (`lambda/rds-tag-report/app.py:197-212`): tracker row names a
+        *connection*; the connection record carries the JDBC URL; the URL's
+        endpoint host resolves the *cluster*, which owns the governance
+        tags. The reference walks this chain with three API calls per
+        source; here it is two equi-joins over the whole batch.
+
+        ``connections``: (connection_name, jdbc_url);
+        ``clusters``: (endpoint, tags map<string,string>).
+        Both are control-plane inventories — bounded row counts (thousands
+        of connections, not data-scale), safe to broadcast by hint.
+        """
+        rows = self.by_source_type(source_type).select(
+            "id",
+            "data_catalog_table_name",
+            F.col("data_source_attrs").getItem("connection").alias("connection_name"),
+        )
+        # jdbc:postgresql://HOST:PORT/db -> HOST (reference parses the URL
+        # the same way, `lambda/rds-tag-report/app.py:203-206`)
+        endpoint = F.regexp_extract(F.col("jdbc_url"), r"jdbc:[a-z0-9]+://([^:/]+)", 1)
+        deref = (
+            rows.join(F.broadcast(connections), "connection_name", "left")
+            .withColumn("endpoint", endpoint)
+            .join(F.broadcast(clusters), "endpoint", "left")
+        )
+        report = deref.select(
+            F.col("id"),
+            F.col("data_catalog_table_name"),
+            F.col("connection_name"),
+            F.col("endpoint"),
+            *[
+                F.col("tags").getItem(k).alias(sanitize_identifier(k))
+                for k in REQUIRED_TAG_KEYS
+            ],
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("time_stamp"),
+        )
+        self.store.merge(RDS_TAG_REPORT, report, ["id", "data_catalog_table_name"])
+        return self.store.read(RDS_TAG_REPORT)

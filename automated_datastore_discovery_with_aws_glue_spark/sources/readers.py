@@ -103,6 +103,47 @@ def read_json_items(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """The exact option map handed to Spark's JDBC source — split out so
+    the partitioned-read contract is testable without a database: this
+    environment ships no JDBC driver jar, so ``read_jdbc`` can never open
+    a connection here (documented in COVERAGE.md). The option names are
+    Spark's public JDBC data-source contract; given these options the
+    built-in source emits one bounded-range query per partition and
+    pushes filters/column pruning into the database.
+
+    A partial partition spec is an error, not a silent single-partition
+    scan: at 100 TB an unpartitioned JDBC read funnels the whole table
+    through one executor.
+    """
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    opts.update(properties or {})
+    partition_spec = (partition_column, lower_bound, upper_bound)
+    if any(v is not None for v in partition_spec):
+        if any(v is None for v in partition_spec):
+            raise ValueError(
+                "partitioned JDBC scan needs partition_column, lower_bound "
+                f"and upper_bound together; got {partition_spec}"
+            )
+        opts.update(
+            partitionColumn=str(partition_column),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions or 8),
+        )
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -118,19 +159,19 @@ def read_jdbc(
 
     At scale, always pass (partition_column, lower/upper bound,
     num_partitions) so the scan parallelizes instead of running on one
-    executor; Spark pushes filters down to the database.
-    """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 8))
-        )
-    return reader.load()
+    executor; Spark pushes filters down to the database. Options are
+    built by :func:`jdbc_scan_options` (contract-tested — no driver jar
+    ships in this environment)."""
+    opts = jdbc_scan_options(
+        url,
+        table,
+        properties=properties,
+        num_partitions=num_partitions,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def read_text_whole(spark: SparkSession, path: str) -> DataFrame:

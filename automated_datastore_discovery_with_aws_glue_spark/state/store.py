@@ -12,8 +12,12 @@ dependency — delta isn't in this environment):
 
 Readers resolve `_LATEST` and scan exactly one version directory; writers
 write the next version directory first and flip the pointer last (an
-atomic rename on POSIX), giving snapshot isolation for single-writer use.
-History enables audit/time-travel; `vacuum()` trims it.
+atomic rename on POSIX), giving snapshot isolation. Concurrent writers
+are serialized by an optimistic-concurrency CAS on the pointer flip
+(`ConcurrentWriteError` — the reference's VersionId guard,
+`lambda/pii-report/app.py:200-211`): first committer wins, the loser's
+version directory is discarded and the caller retries on the new
+snapshot. History enables audit/time-travel; `vacuum()` trims it.
 
 Scale posture: each version is partitioned by a declared partition column
 (e.g. ``data_source_type`` — the filter key of every P1-P5 state query),
@@ -30,10 +34,18 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.state.merge import merge_frames
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this mutation's snapshot read and
+    its pointer flip (the reference's VersionId guard,
+    `lambda/pii-report/app.py:200-211`). The losing writer's version
+    directory is discarded; retry re-reads the new snapshot."""
 
 
 class ParquetStateStore:
@@ -60,13 +72,44 @@ class ParquetStateStore:
     def _version_dir(self, table: str, version: int) -> str:
         return os.path.join(self._table_dir(table), f"v={version:08d}")
 
-    def _commit(self, table: str, version: int) -> None:
+    def _staging_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), f"._staging_{uuid.uuid4().hex}")
+
+    def _commit_staged(self, table: str, staging: str, *, expect: int) -> int:
+        """Publish a fully-written staging directory as version
+        ``expect + 1`` — the optimistic-concurrency CAS. Writers never
+        touch a live version directory: data lands in a uniquely-named
+        staging dir first, then a lock file (O_CREAT|O_EXCL — atomic on
+        POSIX) serializes the check-rename-flip. A pointer that moved
+        past ``expect`` raises :class:`ConcurrentWriteError`; the loser's
+        staging dir is discarded and the winner's commit stands untouched
+        (the reference's VersionId guard, `lambda/pii-report/app.py:200-211`)."""
         tdir = self._table_dir(table)
-        os.makedirs(tdir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=tdir, prefix="._latest")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._pointer(table))  # atomic pointer flip
+        lock = os.path.join(tdir, "_COMMIT_LOCK")
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table}: commit lock held by another writer"
+            ) from None
+        try:
+            found = self.latest_version(table)
+            if found != expect:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{table}: expected version {expect}, found {found}"
+                )
+            version = expect + 1
+            os.rename(staging, self._version_dir(table, version))
+            fd, tmp = tempfile.mkstemp(dir=tdir, prefix="._latest")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, self._pointer(table))  # atomic pointer flip
+            return version
+        finally:
+            os.close(lock_fd)
+            os.remove(lock)
 
     # -- public API ---------------------------------------------------------
 
@@ -118,14 +161,13 @@ class ParquetStateStore:
             merged = current.unionByName(df, allowMissingColumns=True)
             self._write_version(table, merged, partition_by=partition_by)
             return
-        next_v = cur_v + 1
-        out = self._version_dir(table, next_v)
+        staging = self._staging_dir(table)
         writer = df.select(*current.columns).write.mode("overwrite")
         if partition_by and partition_by in df.columns:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(out)
-        self._link_version_files(cur_dir, out)
-        self._commit(table, next_v)
+        writer.parquet(staging)
+        self._link_version_files(cur_dir, staging)
+        self._commit_staged(table, staging, expect=cur_v)
 
     def merge(
         self,
@@ -143,14 +185,15 @@ class ParquetStateStore:
             if insert_not_matched:
                 self._write_version(table, source, partition_by=partition_by)
             return
+        cur_v = self.latest_version(table)
         merged = merge_frames(
-            self.read(table),
+            self.spark.read.parquet(self._version_dir(table, cur_v)),
             source,
             key,
             set_on_match=set_on_match,
             insert_not_matched=insert_not_matched,
         )
-        self._write_version(table, merged, partition_by=partition_by)
+        self._write_version(table, merged, partition_by=partition_by, expect=cur_v)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop all but the last ``keep`` committed versions."""
@@ -163,6 +206,9 @@ class ParquetStateStore:
                 v = int(name.split("=")[1])
                 if v <= latest - keep:
                     shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+            elif name.startswith("._staging_"):
+                # leftovers from crashed/conflicted writers — never live
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     # -- internals ----------------------------------------------------------
 
@@ -188,11 +234,17 @@ class ParquetStateStore:
                 except OSError:
                     shutil.copy2(src, dst)
 
-    def _write_version(self, table: str, df: DataFrame, *, partition_by: str | None) -> None:
-        next_v = self.latest_version(table) + 1
-        out = self._version_dir(table, next_v)
+    def _write_version(
+        self, table: str, df: DataFrame, *, partition_by: str | None, expect: int | None = None
+    ) -> None:
+        # ``expect`` pins the snapshot the caller derived ``df`` from; when
+        # omitted, the version at entry is the snapshot (the Spark write
+        # below is the long window a concurrent commit could slip into).
+        base_v = self.latest_version(table) if expect is None else expect
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        staging = self._staging_dir(table)
         writer = df.write.mode("overwrite")
         if partition_by and partition_by in df.columns:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(out)
-        self._commit(table, next_v)
+        writer.parquet(staging)
+        self._commit_staged(table, staging, expect=base_v)

@@ -148,3 +148,70 @@ def test_batched_flips_single_version_bump(spark, tmp_path):
     assert eng.store.latest_version("pii_findings") == f_before + 1
     # all three flipped to classified
     assert eng.tracker().filter("glue_job_created AND data_catalog_entry").count() == 3
+
+
+def test_rds_tag_report_three_step_deref(spark, tmp_path):
+    """connection name -> JDBC URL -> cluster endpoint -> governance tags,
+    as two chained lookup joins (ref lambda/rds-tag-report/app.py:197-212)."""
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="rds_db")
+    eng.onboard_source(
+        "rds",
+        {"connection": "conn-app", "path": "ignored", "name": "appdb"},
+        {"gdpr-scan": "true"},
+    )
+    connections = spark.createDataFrame(
+        [
+            ("conn-app", "jdbc:postgresql://app-cluster.example.internal:5432/app"),
+            ("conn-other", "jdbc:postgresql://other.example.internal:5432/x"),
+        ],
+        ["connection_name", "jdbc_url"],
+    )
+    clusters = spark.createDataFrame(
+        [
+            (
+                "app-cluster.example.internal",
+                {"APP_ID": "42", "APP_NAME": "payments", "Business Function": "billing"},
+            )
+        ],
+        ["endpoint", "tags"],
+    )
+    report = eng.rds_tag_report(connections, clusters).collect()
+    assert len(report) == 1
+    row = report[0]
+    assert row["connection_name"] == "conn-app"
+    assert row["endpoint"] == "app-cluster.example.internal"
+    assert row["app_id"] == "42" and row["app_name"] == "payments"
+    assert row["business_function"] == "billing"
+    # untagged keys surface as NULL, not errors
+    assert row["data_subjects"] is None
+
+
+def test_publish_findings_pins_findings_snapshot(spark, tmp_path, csv_source):
+    """A classify run racing a publish invalidates it (VersionId guard)."""
+    from automated_datastore_discovery_with_aws_glue_spark.catalog.engine import FINDINGS
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="cas_db")
+    eng.onboard_source(
+        "s3", {"path": csv_source, "name": "payment_info"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    eng.classify_pending("s3", ENTITIES)
+    assert eng.publish_findings() > 0  # no concurrent writer: publishes
+
+    pinned = eng.store.latest_version(FINDINGS)
+    real_latest = eng.latest_findings
+
+    def racing_latest():
+        out = real_latest()
+        # simulate a concurrent classify committing mid-publish
+        eng.store.append(FINDINGS, eng.store.read(FINDINGS).limit(1))
+        return out
+
+    eng.latest_findings = racing_latest
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            eng.publish_findings()
+    finally:
+        eng.latest_findings = real_latest
+    assert eng.store.latest_version(FINDINGS) == pinned + 1

@@ -83,3 +83,47 @@ def test_read_jdbc_is_lazy_until_load(spark):
             num_partitions=4,
         )
     assert "driver" in str(exc.value).lower() or "connection" in str(exc.value).lower()
+
+
+def test_jdbc_scan_options_partitioned_matrix():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db:5432/app",
+        "public.orders",
+        properties={"user": "u", "password": "p", "driver": "org.postgresql.Driver"},
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=6_000_000,
+        num_partitions=64,
+    )
+    assert opts["url"] == "jdbc:postgresql://db:5432/app"
+    assert opts["dbtable"] == "public.orders"
+    # credential/driver passthrough
+    assert opts["user"] == "u" and opts["driver"] == "org.postgresql.Driver"
+    # the parallel-scan contract: one bounded-range query per partition
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("1", "6000000")
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_scan_options_unpartitioned_and_defaults():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import jdbc_scan_options
+
+    opts = jdbc_scan_options("jdbc:postgresql://db/app", "t")
+    assert "partitionColumn" not in opts and "numPartitions" not in opts
+    # default partition count applies once a full spec is given
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db/app", "t", partition_column="id", lower_bound=0, upper_bound=10
+    )
+    assert opts["numPartitions"] == "8"
+
+
+def test_jdbc_scan_options_partial_partition_spec_rejected():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import jdbc_scan_options
+
+    with pytest.raises(ValueError, match="partition"):
+        jdbc_scan_options("jdbc:x://h/d", "t", partition_column="id", lower_bound=0)
+    with pytest.raises(ValueError, match="partition"):
+        jdbc_scan_options("jdbc:x://h/d", "t", upper_bound=10)

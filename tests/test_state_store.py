@@ -137,3 +137,36 @@ def test_vacuum_after_append_keeps_linked_data_alive(spark, store):
     store.append("v", _df(spark, [("c", 3, False)]))
     store.vacuum("v", keep=1)  # removes v1/v2 dirs; hard links keep inodes
     assert sorted(r["id"] for r in store.read("v").collect()) == ["a", "b", "c"]
+
+
+def test_commit_cas_rejects_stale_writer(spark, store):
+    """Optimistic concurrency: a writer whose snapshot moved loses with
+    ConcurrentWriteError and its orphan version dir is discarded."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    import os
+
+    store.init("t", _df(spark, [("a", 1, True)]))
+    stale = store.latest_version("t")  # = 1
+    # the stale writer fully materializes its staging dir first...
+    loser_staging = store._staging_dir("t")
+    _df(spark, [("stale", 9, False)]).write.parquet(loser_staging)
+    # ...but a concurrent winner commits v2 before it can publish
+    store.overwrite("t", _df(spark, [("b", 2, True)]))
+    with pytest.raises(ConcurrentWriteError):
+        store._commit_staged("t", loser_staging, expect=stale)
+    # the winner's commit stands; the loser left nothing behind
+    assert store.latest_version("t") == 2
+    assert [r["id"] for r in store.read("t").collect()] == ["b"]
+    assert not os.path.exists(os.path.join(store._table_dir("t"), "_COMMIT_LOCK"))
+    assert not os.path.exists(loser_staging)
+
+
+def test_commit_lock_is_released_after_success(spark, store):
+    import os
+
+    store.init("t", _df(spark, [("a", 1, True)]))
+    store.append("t", _df(spark, [("b", 2, False)]))
+    store.merge("t", _df(spark, [("c", 3, True)]), "id")
+    assert store.latest_version("t") == 3
+    assert not os.path.exists(os.path.join(store._table_dir("t"), "_COMMIT_LOCK"))
