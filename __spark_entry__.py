@@ -65,7 +65,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_classify_derived": P.pii_classify_derived,
         "prof_column_stats": P.prof_column_stats,
         "prof_approx_distinct": P.prof_approx_distinct,
-        **L.QUERIES,
+        # dedup_simhash moves just past the window (rows-only; its sketch
+        # math is oracle-green in-window via dedup_simhash_sketch, and
+        # dedup_minhash_lsh keeps a rows-only pair query represented) to
+        # make room for the oracle-backed dedup_clusters_jaccard.
+        **{k: v for k, v in L.QUERIES.items() if k != "dedup_simhash"},
         "sess_gap_split": SS.sess_gap_split,
         # mm_image_decode is pinned just past the window: its decode kernel
         # is an honest stub (no codec libs here), so its rows-only driver
@@ -77,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cast fix and needs a driver row to prove it (dup keys below are
         # no-op merges — first position, same callable).
         "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
+        "dedup_simhash": L.QUERIES["dedup_simhash"],
         **M.QUERIES,
         **RX.QUERIES,
         **RD.QUERIES,

@@ -442,3 +442,87 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) + canonical selection
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pairwise similarity into dedup groups: ``(id, cluster_id)`` with
+    ``cluster_id`` = the component's minimum id (a deterministic
+    canonical representative). With ``all_ids`` (one id per row, first
+    column), unpaired documents appear as their own singleton cluster.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; after k rounds a node
+    holds the component minimum within distance k, so rounds needed =
+    component diameter. Near-dup components are shallow (star-like
+    around a template document), so 2-4 rounds is typical; ``max_rounds``
+    bounds adversarial chains.
+
+    Scale: each round is one equi-join + one groupBy, both keyed on the
+    node id (the exchange is reused), and convergence is detected with a
+    LIMIT-1 count — O(1) driver data per round. ``localCheckpoint``
+    truncates lineage every round so the plan does not grow with rounds
+    (iterative DataFrame algorithms otherwise re-plan the full history).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nmin = (
+            edges.join(labels.select(F.col("id").alias("b"), F.col("label").alias("nb")), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("nb").alias("nlabel"))
+        )
+        new = (
+            labels.join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.select("id", F.col("label").alias("nl"))
+            .join(labels, "id")
+            .filter(F.col("nl") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+        return ids.join(labels, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("cluster_id")
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep exactly one document per near-dup cluster (the minimum-id
+    representative) — the end of the dedup pipeline: pairs -> clusters ->
+    filtered corpus. Left-semi join, so no column changes and no row
+    multiplication."""
+    keep = dedup_clusters(pairs, df.select(id_col)).filter(
+        F.col("id") == F.col("cluster_id")
+    )
+    return df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")

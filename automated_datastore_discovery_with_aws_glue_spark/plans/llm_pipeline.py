@@ -78,6 +78,59 @@ DEDUP_JACCARD_SQL = f"""
 """
 
 
+def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the n-gram-Jaccard
+    pair graph, every document labeled with its component's min doc_id
+    (singletons label themselves). The step that turns pairwise
+    similarity into dedup groups; `D.dedup_canonical` filters a corpus
+    to one representative per cluster. Oracle: DuckDB recursive CTE
+    computes the transitive closure of the same pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.5)
+    return D.dedup_clusters(pairs, docs.select("doc_id")).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               ) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 10000
+              >= 5000 * len(list_distinct(a.sh || b.sh))
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.mn, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d
+    LEFT JOIN (SELECT a, least(a, min(b)) AS mn FROM reach GROUP BY a) m
+           ON d.doc_id = m.a
+    ORDER BY doc_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-accelerated near-dup (no SQL oracle — probabilistic candidate
     generation; recall vs the exact pairs is asserted in pytest)."""
@@ -488,6 +541,7 @@ def knn_lsh_oracle_sql(*, n_planes: int = 4, seed: int = 42, dim: int = 64) -> s
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters_jaccard": dedup_clusters_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_sketch": dedup_simhash_sketch,
@@ -507,6 +561,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,
     "dedup_simhash_sketch": DEDUP_SIMHASH_SKETCH_SQL,
     "dedup_minhash_sig": DEDUP_MINHASH_SIG_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -112,3 +112,60 @@ def test_simhash_pairs_blocked(spark, docs):
     }
     assert pairs[(1, 2)] == 0
     assert all(h <= 10 for h in pairs.values())
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds exact components, including a chain
+    (multi-round convergence) and singletons from all_ids."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 18)]  # one 9-node chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), *chain], ["id_a", "id_b"]
+    )
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, *range(10, 19)]], ["doc_id"])
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs, all_ids).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[5] == got[6] == 5
+    assert got[4] == 4  # singleton
+    assert all(got[i] == 10 for i in range(10, 19))  # chain converges to min
+
+
+def test_dedup_canonical_keeps_one_per_cluster(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 4, 5]
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Differential: cluster labels over the real sf pairs match a
+    driver-side union-find ground truth."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.5)
+    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == truth
