@@ -47,9 +47,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def lit_vec(values: list[float]) -> Column:
-    """A literal double-array Column. Python floats cross py4j as exact
-    IEEE doubles, so executor-side arithmetic matches driver-side."""
-    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+    """A literal double-array Column, built as ONE SQL string — building
+    it from per-element ``F.lit(...).cast(...)`` Columns costs 2 py4j
+    round-trips per element, which at 64 planes x 64 dims made plan
+    CONSTRUCTION (not execution) the dominant cost of the LSH operators
+    (~8s of driver time). Python float repr round-trips exactly through
+    Java's Double.parseDouble, so values are bit-identical either way."""
+    inner = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+    return F.expr(f"array({inner})")
 
 
 def _norm(a: Column) -> Column:
@@ -146,14 +151,22 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     One HOF dot per plane (coefficients as a literal array), sign bits
     XOR-folded into a BIGINT. The per-plane fold is left-to-right, so
     the DuckDB oracle regenerates the identical bucket from the same
-    seeded literals."""
-    v = as_double(F.col(vec_col))
-    bucket: Column | None = None
+    seeded literals.
+
+    Emitted as ONE SQL string: building it from per-plane Column ops
+    costs ~10 py4j round-trips per plane (lambda registration per HOF),
+    which at 64 planes dominated the operator's wall-clock with driver
+    time. The element cast runs inside the zip_with lambda, so no
+    intermediate double array materializes per plane."""
+    bits = []
     for i, plane in enumerate(planes):
-        bit = F.shiftleft((dot(v, lit_vec([float(c) for c in plane])) >= 0).cast("bigint"), i)
-        bucket = bit if bucket is None else bucket.bitwiseXOR(bit)
-    assert bucket is not None
-    return bucket
+        arr = "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in plane) + ")"
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        bits.append(f"shiftleft(CAST({d} >= 0 AS BIGINT), {i})")
+    return F.expr(" ^ ".join(bits))
 
 
 def lsh_near_dup(
@@ -198,8 +211,14 @@ def lsh_near_dup(
         bands.append(
             F.struct(F.lit(b).alias("band"), lsh_bucket_expr("v", sub).alias("bucket"))
         )
-    buckets = base.select("id", F.explode(F.array(*bands)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # persisted: the (band, bucket) frame feeds BOTH sides of the self-join,
+    # and the bucket expression (n_bands x band_planes literal-plane dots) is
+    # large — persisting caches 24 bytes/row-band AND keeps Catalyst from
+    # analyzing/AQE-replanning the giant expression twice
+    buckets = (
+        base.select("id", F.explode(F.array(*bands)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         buckets.alias("a")

@@ -391,15 +391,21 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify (`S.lsh_near_dup`) — the scale path where `emb_near_dup`'s
     within-block all-pairs is the exact verifier. Seeded planes fold in
     as literals, so the DuckDB oracle replays candidate generation AND
-    verification bit-for-bit."""
+    verification bit-for-bit.
+
+    8 planes per band: a random pair collides in a band with p=2^-8, so
+    candidates stay ~linear even on uniform-random embeddings (the
+    LSH-adversarial fixture); recall for genuinely-similar pairs is the
+    band-OR curve (wide-band recall is pytest-asserted separately in
+    test_lsh_near_dup_recall_and_precision)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_near_dup(
-        emb, "vec_id", "embedding", threshold=0.35, n_bands=8, band_planes=4
+        emb, "vec_id", "embedding", threshold=0.35, n_bands=8, band_planes=8
     ).orderBy("id_a", "id_b")
 
 
 def emb_near_dup_lsh_oracle_sql(
-    *, threshold: float = 0.35, n_bands: int = 8, band_planes: int = 4,
+    *, threshold: float = 0.35, n_bands: int = 8, band_planes: int = 8,
     seed: int = 42, dim: int = 64,
 ) -> str:
     """DuckDB twin of ``emb_near_dup_lsh`` — per-band bucket exprs from

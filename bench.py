@@ -33,6 +33,7 @@ HEADLINE = [
     "pii_classify_derived",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
@@ -40,6 +41,8 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "emb_near_dup",
+    "emb_near_dup_lsh",
+    "sess_gap_split",
 ]
 
 
