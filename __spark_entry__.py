@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_datastore_discovery_with_aws_glue_spark.operators import generate as G
 from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline as L
 from automated_datastore_discovery_with_aws_glue_spark.plans import media as M
 from automated_datastore_discovery_with_aws_glue_spark.plans import profiling as P
@@ -65,22 +66,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_classify_derived": P.pii_classify_derived,
         "prof_column_stats": P.prof_column_stats,
         "prof_approx_distinct": P.prof_approx_distinct,
-        # dedup_simhash moves just past the window (rows-only; its sketch
-        # math is oracle-green in-window via dedup_simhash_sketch, and
-        # dedup_minhash_lsh keeps a rows-only pair query represented) to
-        # make room for the oracle-backed dedup_clusters_jaccard.
-        **{k: v for k, v in L.QUERIES.items() if k != "dedup_simhash"},
+        # Every in-window entry carries a DuckDB oracle, so the driver's
+        # 50-row CORRECTNESS report can be fully hash-checked (no
+        # `no_oracle` rows). The rows-only queries sit immediately past
+        # the window: their math is pinned in-window by oracle-backed
+        # twins (dedup_minhash_lsh -> dedup_minhash_lsh_md5 pair set,
+        # dedup_simhash -> dedup_simhash_sketch, doc_fingerprint's md5 ->
+        # dedup_exact/doc_winnow_fingerprint), and knn_ivf /
+        # mm_image_decode are pytest-covered (recall bound, fake-path
+        # Arrow plumbing).
+        **{
+            k: v
+            for k, v in L.QUERIES.items()
+            if k not in ("dedup_simhash", "dedup_minhash_lsh", "knn_ivf", "doc_fingerprint")
+        },
         "sess_gap_split": SS.sess_gap_split,
-        # mm_image_decode is pinned just past the window: its decode kernel
-        # is an honest stub (no codec libs here), so its rows-only driver
-        # row is the least informative — pytest covers the fake-path
-        # plumbing. The two oracle-checked media queries stay inside.
         "mm_binary_meta": M.QUERIES["mm_binary_meta"],
         "mm_frame_sample": M.QUERIES["mm_frame_sample"],
         # q12 pinned inside the window: its oracle carries the HUGEINT->BIGINT
         # cast fix and needs a driver row to prove it (dup keys below are
         # no-op merges — first position, same callable).
         "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
+        # Count-bounded synthetic generation (SURVEY A4/F17): deterministic
+        # (seed, index) mixing that DuckDB replays bit-for-bit.
+        **G.QUERIES,
+        "doc_fingerprint": L.QUERIES["doc_fingerprint"],
+        "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],
+        "knn_ivf": L.QUERIES["knn_ivf"],
         "dedup_simhash": L.QUERIES["dedup_simhash"],
         **M.QUERIES,
         **RX.QUERIES,
@@ -339,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_column_stats": P.prof_column_stats_sql(),
         "prof_approx_distinct": P.prof_approx_distinct_sql(),
         **L.ORACLES,
+        **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,
         **M.ORACLES,
         **RX.ORACLES,

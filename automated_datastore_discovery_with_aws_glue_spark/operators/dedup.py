@@ -320,6 +320,79 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Differential twin of ``minhash_lsh_pairs``: same banded-LSH shape
+    (signature -> band slices -> equi-join -> exact-Jaccard verify), but
+    every hash is the top-15-hex-digit md5 used by ``minhash_signatures
+    (hash_fn='md5')`` — a computation DuckDB reproduces bit-for-bit, so
+    the *pair set itself* is oracle-checkable, not just the signatures.
+    Candidates join on the band's signature slice directly (arrays are
+    hashable join keys); verification runs on distinct string shingles.
+
+    The xxhash64 variant stays the production path — numeric shingle
+    hashes and more permutations; this twin exists so the driver's
+    differential gate can pin the full candidate+verify pipeline."""
+    rows = num_hashes // bands
+    base = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", word_shingles(F.col("_t"), n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def perm(s: Column, i: Column) -> Column:
+        key = F.concat(s, F.lit("#"), i.cast("string"))
+        return F.conv(F.md5(key.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: perm(s, i))),
+    )
+    banded = base.select("id", sig.alias("signature")).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bandix: F.struct(
+                    bandix.alias("band"),
+                    F.slice("signature", bandix * rows + 1, rows).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    num = int(round(threshold * 10000))
+    return (
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(inter * 10000 >= F.lit(num) * union)
+        .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -140,6 +140,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked banded-LSH pair pipeline: md5 permutation hashes
+    regenerate identically in DuckDB, so the candidate join *and* the
+    exact-Jaccard verification are both pinned by the differential gate
+    (``dedup_minhash_lsh`` keeps the faster xxhash64 production path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_MINHASH_LSH_MD5_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               ) AS sh
+        FROM w
+    ),
+    sig AS (
+        SELECT doc_id, i,
+               list_min(list_transform(sh,
+                   g -> CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+               )) AS mh
+        FROM s, range(16) t(i)
+    ),
+    banded AS (
+        SELECT doc_id, i // 2 AS band, list(mh ORDER BY i) AS bucket
+        FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    v AS (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+        FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+    FROM v
+    WHERE inter * 10000 >= 5000 * un
+    ORDER BY id_a, id_b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming<=3 pairs within language blocks (no SQL oracle —
     xxhash64 has no DuckDB twin; sketch properties tested in pytest)."""
@@ -549,6 +603,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters_jaccard": dedup_clusters_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_sketch": dedup_simhash_sketch,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -568,6 +623,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,
+    "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
     "dedup_simhash_sketch": DEDUP_SIMHASH_SKETCH_SQL,
     "dedup_minhash_sig": DEDUP_MINHASH_SIG_SQL,
     "text_quality": TEXT_QUALITY_SQL,
