@@ -57,15 +57,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader; we read them as raw int64 nanos (legacy conf) and truncate to
     microsecond timestamps — the same truncation DuckDB applies — keeping
     the scan fully vectorized and pushdown-capable.
+
+    Plain (un-zoned) parquet timestamps must surface as TIMESTAMP, not
+    TIMESTAMP_NTZ: PySpark >= 3.4 infers NTZ for them by default, and NTZ
+    is rejected by ``unix_micros`` / long casts / ``F.window`` epoch math
+    downstream. Disabling the inference at the reader keeps the column a
+    primitive scan output (pushdown intact); with the session timezone
+    pinned to UTC (session.py) the values are identical either way. A
+    defensive cast covers files whose footer *explicitly* declares NTZ.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
