@@ -65,27 +65,32 @@ def main() -> None:
         "array_min(transform(split(repeat(concat('w', id, ' '), 8), ' '), w -> xxhash64(w))) m",
     ).selectExpr("min(s)", "min(m)").collect()
 
+    # Per-query fault isolation: one broken query must never zero out the
+    # whole run's perf signal — record its error and keep timing the rest.
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = len(rows)
+        try:
+            rows = fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            _ = len(rows)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
