@@ -543,6 +543,10 @@ def dedup_clusters(
     LIMIT-1 count — O(1) driver data per round. ``localCheckpoint``
     truncates lineage every round so the plan does not grow with rounds
     (iterative DataFrame algorithms otherwise re-plan the full history).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_rounds`` — exiting silently there would return *wrong* cluster
+    ids for any component whose diameter exceeds the bound.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
@@ -577,6 +581,13 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters: labels still changing after {max_rounds} rounds "
+            "(a component's diameter exceeds max_rounds; its cluster ids would "
+            "be wrong). Raise max_rounds — rounds needed = component diameter."
+        )
     edges.unpersist()
     if all_ids is not None:
         ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))

@@ -131,6 +131,22 @@ def test_dedup_clusters_components(spark):
     assert all(got[i] == 10 for i in range(10, 19))  # chain converges to min
 
 
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_rounds must raise, not
+    silently return wrong labels (the bound defaults to 20; a small bound
+    against a longer chain exercises the same exit path fast)."""
+    import pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="still changing"):
+        dedup_clusters(chain, max_rounds=3)
+    # the same chain with a sufficient bound converges to the true labels
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(chain, max_rounds=10).collect()}
+    assert all(v == 0 for v in got.values())
+
+
 def test_dedup_canonical_keeps_one_per_cluster(spark):
     from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_canonical
 
