@@ -48,19 +48,29 @@ def _make_session_fn(gap_us: int):
         else:
             start, last, n = None, None, 0
         closed: list[tuple[int, int, int]] = []
-        chunks = [pdf["ts"] for pdf in pdf_iter]
-        if chunks:
-            for t in _to_micros(pd.concat(chunks)).sort_values():
-                t = int(t)
-                if last is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_us:
-                    closed.append((start, last, n))
-                    start, last, n = t, t, 1
-                else:
-                    last, n = t, n + 1
-        if last is not None:
-            state.update((int(start), int(last), int(n)))
+        if state.hasTimedOut:
+            # watermark passed last+gap with no further events for this
+            # key: the open session is definitively closed — flush it.
+            if last is not None:
+                closed.append((start, last, n))
+            state.remove()
+        else:
+            chunks = [pdf["ts"] for pdf in pdf_iter]
+            if chunks:
+                for t in _to_micros(pd.concat(chunks)).sort_values():
+                    t = int(t)
+                    if last is None:
+                        start, last, n = t, t, 1
+                    elif t - last > gap_us:
+                        closed.append((start, last, n))
+                        start, last, n = t, t, 1
+                    else:
+                        last, n = t, n + 1
+            if last is not None:
+                state.update((int(start), int(last), int(n)))
+                # schedule the idle flush: fires once the event-time
+                # watermark passes the session's gap horizon (epoch ms)
+                state.setTimeoutTimestamp((int(last) + gap_us) // 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -80,23 +90,28 @@ def sessionize_stream(
     gap_minutes: int = 30,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming sessionization: emits each CLOSED session exactly once;
     the open session per key lives in checkpointed group state across
-    micro-batches and restarts. (A production deployment would add an
-    event-time timeout to flush idle sessions; replaying one later event
-    per key closes them here, which is what the tests do.)"""
+    micro-batches and restarts. Sessions close two ways: a later event
+    past the gap (data-driven), or the event-time watermark passing
+    ``last + gap`` with no further events (idle flush via
+    ``GroupStateTimeout.EventTimeTimeout``) — so an abandoned key still
+    emits its final session. ``watermark_delay`` is the out-of-orderness
+    budget: raise it if events can arrive late across micro-batches."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
         events.select(F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_session_fn(gap_minutes * 60_000_000),
             SESSION_OUT_SCHEMA,
             _STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

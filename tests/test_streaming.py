@@ -186,7 +186,8 @@ def _run_session_stream(spark, src, ckpt, sink_table):
 def test_sessionize_stream_state_survives_restart(spark, tmp_path):
     """Closed sessions emit exactly once; the open session's state lives
     in the checkpoint and is continued — then closed — by a later batch
-    arriving after a full stream restart."""
+    arriving after a full stream restart. Idle sessions flush once the
+    event-time watermark passes their gap horizon (EventTimeTimeout)."""
     src, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
     _write_session_batch(
         src,
@@ -198,10 +199,17 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
         ],
     )
     got = _run_session_stream(spark, src, ckpt, "sess_run1")
-    assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2)}
+    # user 2's 09:00 idle session times out (watermark reaches 12:00 >
+    # 09:30 horizon); user 1's 12:00 session stays open (12:30 > 12:00)
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+    }
 
-    # second run: user 1's 12:00 open session continues at 12:20, then a
-    # 15:00 event closes it; user 2's 09:00 session closes too
+    # second run: user 1's checkpointed 12:00 open session continues at
+    # 12:20, then the 15:00 event closes it (restart survival). user 2's
+    # 11:00 event is below the checkpointed 12:00 watermark -> dropped as
+    # late data (the watermark_delay budget is 0 here by construction).
     _write_session_batch(
         src,
         [
@@ -213,8 +221,24 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
     got2 = _run_session_stream(spark, src, ckpt, "sess_run2")
     assert got2 == {
         (1, "2024-01-01 12:00:00", "2024-01-01 12:20:00", 2),
-        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
     }
+
+
+def test_sessionize_stream_flushes_idle_session_on_timeout(spark, tmp_path):
+    """A key's LAST session emits without any subsequent event for that
+    key: another key's later event advances the watermark past the idle
+    key's gap horizon and the EventTimeTimeout fires."""
+    src, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    _write_session_batch(
+        src,
+        [
+            (7, "2024-01-01 10:00:00"),
+            (7, "2024-01-01 10:05:00"),
+            (8, "2024-01-01 13:00:00"),  # pushes watermark past 10:35
+        ],
+    )
+    got = _run_session_stream(spark, src, ckpt, "sess_idle")
+    assert got == {(7, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)}
 
 
 def test_sessionize_batch_matches_stream_semantics(spark):
