@@ -39,6 +39,15 @@ def test_merge_update_only(spark):
     assert out == {"a": (1, False), "b": (0, True)}
 
 
+def test_merge_rejects_null_source_key(spark):
+    """A NULL merge key can never match the equi-join and would silently
+    become an unmatchable insert; merge_frames rejects it up front."""
+    t = _df(spark, [("a", 1, False)])
+    s = _df(spark, [(None, 9, True), ("b", 2, True)])
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_frames(t, s, "id")
+
+
 def test_merge_missing_source_columns_null_filled(spark):
     t = _df(spark, [("a", 1, False)])
     s = spark.createDataFrame([("z",)], ["id"])
