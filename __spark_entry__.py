@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Count-bounded synthetic generation (SURVEY A4/F17): deterministic
         # (seed, index) mixing that DuckDB replays bit-for-bit.
         **G.QUERIES,
+        "prof_approx_distinct_est": P.prof_approx_distinct_est,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],
         "knn_ivf": L.QUERIES["knn_ivf"],

@@ -128,16 +128,14 @@ def prof_column_stats_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
 
 
-def prof_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality profile, oracle-checkable.
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality profile — the user-facing surface.
 
     The 100 TB path is `approx_count_distinct`: constant aggregate buffer
     (~1.5 KB per column at 2% rsd) where exact distinct shuffles every
-    distinct value. The sketch estimate itself is engine-specific, so the
-    driver-compared output carries (a) the exact distinct count and (b) a
-    *relational* check that the HLL estimate landed within 5x the requested
-    rsd of the exact value — deterministic on both engines. The raw
-    estimate stays out of the hashed columns by design.
+    distinct value. Emits the raw HLL estimate (``approx_nd``) next to
+    the exact count and a tolerance bit, so users see the estimate rather
+    than just a boolean.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
@@ -156,6 +154,7 @@ def prof_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "column_name",
             "n_distinct",
+            "approx_nd",
             # 5x rsd tolerance: HLL++ at rsd=0.02 is comfortably within 10%.
             (
                 F.abs(F.col("approx_nd") / F.col("n_distinct") - F.lit(1.0))
@@ -164,6 +163,21 @@ def prof_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+def prof_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-compared twin of :func:`approx_distinct_profile`: the sketch
+    estimate is engine-specific (DuckDB's HLL lands elsewhere), so the
+    hash-checked output projects the deterministic columns — exact count
+    plus the *relational* check that the estimate landed within 5x the
+    requested rsd. ``prof_approx_distinct_est`` carries the raw estimate
+    as a rows-only driver entry."""
+    return approx_distinct_profile(spark, sf_dir).drop("approx_nd")
+
+
+def prof_approx_distinct_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry exposing the raw HLL estimate column."""
+    return approx_distinct_profile(spark, sf_dir)
 
 
 def prof_approx_distinct_sql() -> str:
