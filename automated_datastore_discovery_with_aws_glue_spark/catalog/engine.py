@@ -278,7 +278,11 @@ class DiscoveryEngine:
         ``VersionId`` before writing back, `lambda/pii-report/app.py:200-211`):
         the findings snapshot version is pinned before the collect and
         re-checked before any comment is written — a concurrent classify
-        run invalidates this publish instead of racing it."""
+        run invalidates this publish instead of racing it.
+
+        Comments are written ONE catalog interaction per table, not one
+        per column: at thousands of tables a per-column ALTER loop is a
+        driver-serial metadata bottleneck."""
         from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
 
         pinned = self.store.latest_version(FINDINGS)
@@ -287,15 +291,51 @@ class DiscoveryEngine:
             raise ConcurrentWriteError(
                 f"{FINDINGS}: snapshot moved past v{pinned} during publish; retry"
             )
-        n = 0
+        by_table: dict[tuple[str, str], dict[str, str]] = {}
         for row in latest:
-            fq = f"{row['data_catalog_database']}.{row['data_catalog_table']}"
             comment = f"Sensitive Data Element | {row['entityTypes']}"[:255].replace("'", "")
-            self.spark.sql(
-                f"ALTER TABLE {fq} ALTER COLUMN `{row['columnName']}` COMMENT '{comment}'"
-            )
-            n += 1
+            key = (row["data_catalog_database"], row["data_catalog_table"])
+            by_table.setdefault(key, {})[row["columnName"]] = comment
+        n = 0
+        for (db, table), comments in by_table.items():
+            self._write_column_comments(db, table, comments)
+            n += len(comments)
         return n
+
+    def _write_column_comments(
+        self, database: str, table: str, comments: dict[str, str]
+    ) -> None:
+        """Apply all of a table's column comments in one catalog call:
+        build the commented schema client-side and alter the table's data
+        schema atomically (the session-catalog equivalent of the
+        reference's single ``glue.update_table`` per table,
+        `lambda/pii-report/app.py:200-211`). V1 tables reject multi-column
+        ``ALTER COLUMN`` SQL, hence the catalog-API route; if a catalog
+        doesn't expose it, fall back to per-column DDL."""
+        fq = f"{database}.{table}"
+        fields = []
+        for f in self.spark.table(fq).schema.fields:
+            md = dict(f.metadata or {})
+            if f.name in comments:
+                md["comment"] = comments[f.name]
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        try:
+            jvm = self.spark._jvm
+            jschema = jvm.org.apache.spark.sql.types.StructType.fromJson(
+                T.StructType(fields).json()
+            )
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                table, jvm.scala.Option.apply(database)
+            )
+            self.spark._jsparkSession.sessionState().catalog().alterTableDataSchema(
+                ident, jschema
+            )
+        except Exception:  # pragma: no cover - non-session catalogs
+            for col, comment in comments.items():
+                self.spark.sql(
+                    f"ALTER TABLE {fq} ALTER COLUMN `{col}` COMMENT '{comment}'"
+                )
+        self.spark.catalog.refreshTable(fq)
 
     def column_comments(self, fq_table: str) -> dict[str, str]:
         return {

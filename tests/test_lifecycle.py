@@ -99,6 +99,40 @@ def test_full_lifecycle(spark, engine, csv_source):
     assert report[0]["purpose_of_processing"] is None
 
 
+def test_publish_one_catalog_interaction_per_table(spark, tmp_path, csv_source, monkeypatch):
+    """Column comments land via ONE catalog call per table (grouped
+    schema alter), never a per-column ALTER loop."""
+    eng = DiscoveryEngine(spark, str(tmp_path), database="pub_db")
+    eng.onboard_source(
+        "s3",
+        {"path": csv_source, "name": "payment_info", "format": "csv"},
+        {"gdpr-scan": "true"},
+    )
+    eng.register_pending("s3")
+    eng.classify_pending("s3", ENTITIES)
+
+    table_calls: list[str] = []
+    real = DiscoveryEngine._write_column_comments
+
+    def spy(self, database, table, comments):
+        table_calls.append(f"{database}.{table}")
+        assert len(comments) >= 2  # grouped: all columns arrive together
+        real(self, database, table, comments)
+
+    monkeypatch.setattr(DiscoveryEngine, "_write_column_comments", spy)
+    sql_calls: list[str] = []
+    real_sql = spark.sql
+    monkeypatch.setattr(
+        spark, "sql", lambda q, *a, **k: (sql_calls.append(q), real_sql(q, *a, **k))[1]
+    )
+    n = eng.publish_findings()
+    assert n >= 2
+    assert table_calls == ["pub_db.s3_payment_info"]  # one interaction per table
+    assert not [q for q in sql_calls if q.lstrip().upper().startswith("ALTER")]
+    comments = eng.column_comments("pub_db.s3_payment_info")
+    assert "CREDIT_CARD" in comments["Payment_Card"]
+
+
 def test_second_classification_wins(spark, engine, csv_source):
     """Re-classification produces a newer timestamp; latest_findings keeps
     only the newest run per table (J1 argmax semantics)."""
