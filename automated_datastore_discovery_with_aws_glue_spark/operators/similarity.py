@@ -312,6 +312,65 @@ def ivf_topk(
     )
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    *,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> np.ndarray:
+    """Materialize the IVF index: assign every vector its cell id
+    (map-side, no shuffle) and write the table PARTITIONED BY the cell —
+    the ingest-side half of the promise in :func:`ivf_topk`'s docstring.
+    Returns the centroids; persist them next to the index (n_cells x dim
+    floats) — queries need the same quantizer.
+
+    At 100 TB this is the difference between scanning everything and
+    listing n_probe directories: the cell filter in
+    :func:`ivf_topk_partitioned` prunes whole partitions at planning
+    time (PartitionFilters, plan-asserted in tests/test_similarity_ivf).
+    """
+    cents = ivf_centroids(df, vec_col, n_cells=n_cells, id_col=id_col)
+    (
+        df.withColumn("_cell", ivf_cell_expr(vec_col, cents))
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "emb",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Partition-pruned IVF top-k over a :func:`write_ivf_partitioned`
+    index: the ``_cell IN (probes)`` predicate is a partition filter, so
+    only n_probe/n_cells of the files are even listed, let alone read."""
+    qv = np.asarray(query, dtype=float)
+    probes = [int(p) for p in np.argsort(-(centroids @ qv))[:n_probe]]
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("_cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(F.col(vec_col)), lit_vec([float(x) for x in query])), 4
+            ).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,

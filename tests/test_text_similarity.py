@@ -172,3 +172,39 @@ def test_ivf_topk_self_and_containment(spark):
     assert abs(rows[0]["similarity"] - 1.0) < 1e-9
     exact = {r["vec_id"] for r in brute_force_topk(emb, "embedding", query, 50).collect()}
     assert {r["vec_id"] for r in rows} <= exact  # scores are true cosines
+
+
+def test_ivf_partitioned_prunes_and_matches_inline(spark, tmp_path):
+    """The persisted-index path: the _cell predicate must prune at the
+    partition level (PartitionFilters in the scan node), and the pruned
+    query must return exactly what the inline assignment returns."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        write_ivf_partitioned,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_partitioned(emb, path, "embedding", id_col="vec_id", n_cells=8)
+
+    top = ivf_topk_partitioned(
+        spark, path, cents, query, 5, vec_col="embedding", id_col="vec_id", n_probe=3
+    )
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    # the cell predicate reaches the scan as a partition filter over
+    # exactly the n_probe probed cells — a planning-time prune, not a
+    # post-scan filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[_cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m and len(m.group(1).split(",")) == 3, plan
+    assert "PushedFilters" not in plan or "_cell" not in plan.split("PushedFilters", 1)[1].split("\n")[0]
+
+    inline = ivf_topk(
+        emb, "embedding", query, 5, id_col="vec_id", n_cells=8, n_probe=3
+    ).collect()
+    assert [tuple(r) for r in top.collect()] == [tuple(r) for r in inline]
