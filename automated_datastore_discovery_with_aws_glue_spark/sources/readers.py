@@ -126,12 +126,11 @@ def jdbc_scan_options(
     fetch_size: int = 10_000,
 ) -> dict[str, str]:
     """The exact option map handed to Spark's JDBC source — split out so
-    the partitioned-read contract is testable without a database: this
-    environment ships no JDBC driver jar, so ``read_jdbc`` can never open
-    a connection here (documented in COVERAGE.md). The option names are
-    Spark's public JDBC data-source contract; given these options the
-    built-in source emits one bounded-range query per partition and
-    pushes filters/column pruning into the database.
+    the partitioned-read contract is testable without a database. The
+    option names are Spark's public JDBC data-source contract; given
+    these options the built-in source emits one bounded-range query per
+    partition and pushes filters/column pruning into the database (both
+    asserted live against embedded Derby in tests/test_readers.py).
 
     A partial partition spec is an error, not a silent single-partition
     scan: at 100 TB an unpartitioned JDBC read funnels the whole table
@@ -171,8 +170,8 @@ def read_jdbc(
     At scale, always pass (partition_column, lower/upper bound,
     num_partitions) so the scan parallelizes instead of running on one
     executor; Spark pushes filters down to the database. Options are
-    built by :func:`jdbc_scan_options` (contract-tested — no driver jar
-    ships in this environment)."""
+    built by :func:`jdbc_scan_options`; the full path runs live against
+    embedded Derby in tests (partitioning, pushdown, pruning)."""
     opts = jdbc_scan_options(
         url,
         table,

@@ -85,6 +85,69 @@ def test_read_jdbc_is_lazy_until_load(spark):
     assert "driver" in str(exc.value).lower() or "connection" in str(exc.value).lower()
 
 
+def test_read_jdbc_live_roundtrip_partitioned_pushdown(spark):
+    """Live S4 path against embedded Derby (ships with Spark): the
+    partitioned read produces one task per bounded range, and Spark
+    pushes filters/column pruning into the database (`*`-marked =
+    handled by the source, not re-evaluated)."""
+    import pyspark.sql.functions as F
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:s4db;create=true")
+    st = conn.createStatement()
+    try:
+        st.execute("CREATE TABLE billing (id INT PRIMARY KEY, name VARCHAR(50), amount DOUBLE)")
+        for i in range(20):
+            st.execute(f"INSERT INTO billing VALUES ({i}, 'acct{i}', {i * 1.5})")
+    finally:
+        st.close()
+
+    df = read_jdbc(
+        spark,
+        "jdbc:derby:memory:s4db",
+        "billing",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=20,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4  # bounded-range query per task
+    assert df.count() == 20
+
+    filtered = df.filter(F.col("AMOUNT") > 10).select("ID", "NAME")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "*GreaterThan(AMOUNT,10.0)" in plan, plan  # filter ran in the DB
+    assert "ReadSchema: struct<ID:int,NAME:string>" in plan, plan  # pruned
+    assert sorted(r["ID"] for r in filtered.collect()) == list(range(7, 20))
+
+
+def test_jdbc_information_schema_scan(spark):
+    """S5 over JDBC: list user tables through the database's own
+    information schema (Derby: SYS.SYSTABLES with TABLETYPE 'T'),
+    mirroring the reference's information_schema.tables query
+    (`lambda/rds-glue-initial/app.py:21-23,445-470`)."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:s5db;create=true")
+    st = conn.createStatement()
+    try:
+        st.execute("CREATE TABLE t_one (id INT)")
+        st.execute("CREATE TABLE t_two (id INT)")
+    finally:
+        st.close()
+    tables = read_jdbc(
+        spark,
+        "jdbc:derby:memory:s5db",
+        "(SELECT tablename FROM SYS.SYSTABLES WHERE tabletype = 'T') q",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    assert sorted(r[0] for r in tables.collect()) == ["T_ONE", "T_TWO"]
+
+
 def test_jdbc_scan_options_partitioned_matrix():
     from automated_datastore_discovery_with_aws_glue_spark.sources.readers import jdbc_scan_options
 
