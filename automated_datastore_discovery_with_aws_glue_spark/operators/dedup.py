@@ -554,31 +554,35 @@ def dedup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    ).localCheckpoint()
+    # init = the first propagation round fused into a groupBy (labels are
+    # the identity at round 0, so min-over-neighbors needs no join yet):
+    # every node starts at min(id, neighbors) — one round fewer in the loop
+    labels = (
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("mb"))
+        .select("id", F.least("id", "mb").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_rounds):
         nmin = (
             edges.join(labels.select(F.col("id").alias("b"), F.col("label").alias("nb")), "b")
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("nb").alias("nlabel"))
         )
+        # change detection rides the update projection — no second join
+        # against the previous labels, just a LIMIT-1 probe on the
+        # checkpointed result
         new = (
             labels.join(nmin, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.coalesce(F.col("nlabel") < F.col("label"), F.lit(False)).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.select("id", F.col("label").alias("nl"))
-            .join(labels, "id")
-            .filter(F.col("nl") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("_chg").limit(1).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     else:

@@ -145,28 +145,43 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
 
+def _lit_matrix_sql(rows: np.ndarray) -> str:
+    """A literal array-of-double-arrays as one SQL string (see
+    :func:`lit_vec` for why strings beat per-element Column ops). The
+    optimizer constant-folds it to a single array literal."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     """Sign-bit bucket id of a vector under the given hyperplanes.
 
-    One HOF dot per plane (coefficients as a literal array), sign bits
-    XOR-folded into a BIGINT. The per-plane fold is left-to-right, so
+    One compact fold over the plane index: bit i = sign of
+    dot(v, planes[i]), XOR-accumulated into a BIGINT. The per-plane dot
+    is the same left-to-right zip_with/aggregate fold as :func:`dot`, so
     the DuckDB oracle regenerates the identical bucket from the same
     seeded literals.
 
-    Emitted as ONE SQL string: building it from per-plane Column ops
-    costs ~10 py4j round-trips per plane (lambda registration per HOF),
-    which at 64 planes dominated the operator's wall-clock with driver
-    time. The element cast runs inside the zip_with lambda, so no
-    intermediate double array materializes per plane."""
-    bits = []
-    for i, plane in enumerate(planes):
-        arr = "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in plane) + ")"
-        d = (
-            f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-        )
-        bits.append(f"shiftleft(CAST({d} >= 0 AS BIGINT), {i})")
-    return F.expr(" ^ ".join(bits))
+    Emitted as ONE SQL string with the planes as a single 2-D literal —
+    NOT one unrolled dot-expression per plane: per-plane Column ops cost
+    ~10 py4j round-trips each, and the unrolled expression tree (planes x
+    dim literals as separate nodes) made Janino's first-run compile of
+    the stage the dominant cost of a single query (~2-3s at 32x64).
+    The looped form keeps the generated code O(1) in plane count."""
+    n = len(planes)
+    return F.expr(
+        f"aggregate(sequence(0, {n - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc ^ shiftleft(CAST(aggregate(zip_with(`{vec_col}`, "
+        f"element_at({_lit_matrix_sql(planes)}, i + 1), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+        f"(a, b) -> a + b) >= 0 AS BIGINT), i))"
+    )
 
 
 def lsh_near_dup(
@@ -264,18 +279,19 @@ def ivf_centroids(
 
 def ivf_cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
     """Cell id = argmax over centroids of dot(v, unit_centroid) — one
-    array_max(array(struct(sim, cell))) expression (ties break to the
-    higher cell id, deterministically). One HOF dot per centroid; the
-    whole assignment is map-side, no shuffle."""
-    v = as_double(F.col(vec_col))
-    structs = [
-        F.struct(
-            dot(v, lit_vec([float(x) for x in c])).alias("s"),
-            F.lit(i).alias("c"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*structs)).getField("c")
+    array_max over (sim, cell) structs (ties break to the higher cell
+    id, deterministically). The centroids ride as a single 2-D literal
+    and the structs come from a transform over the cell index — compact
+    generated code (see :func:`lsh_bucket_expr`), not one unrolled dot
+    per centroid. Map-side, no shuffle."""
+    n = len(centroids)
+    return F.expr(
+        f"CAST(array_max(transform(sequence(0, {n - 1}), i -> named_struct("
+        f"'s', aggregate(zip_with(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        f"element_at({_lit_matrix_sql(centroids)}, i + 1), "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b), "
+        f"'c', i))).c AS INT)"
+    )
 
 
 def ivf_topk(

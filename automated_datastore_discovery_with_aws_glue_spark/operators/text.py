@@ -57,13 +57,29 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Argmax language with the fixed priority en > es > de > fr on ties
-    (deterministic across engines)."""
-    s = lang_scores(col)
-    return (
-        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
-        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
-        .when(s["de"] >= s["fr"], "de")
-        .otherwise("fr")
+    (deterministic across engines; ``array_position`` returns the FIRST
+    max, and the name array is in priority order).
+
+    Both the token array and the per-language score array are let-bound
+    (see :func:`let`): a naive when-chain over per-language scores
+    re-inlines the whole tokenize+filter tree at every comparison (11
+    copies for 4 languages) — measured ~3x slower end-to-end at sf0.1,
+    with most of the first-run cost in Janino compiling the giant
+    expression."""
+    langs = list(LANG_STOPWORDS)
+    names = F.array(*[F.lit(lang) for lang in langs])
+
+    def pick(scores: Column) -> Column:
+        return F.element_at(
+            names, F.array_position(scores, F.array_max(scores)).cast("int")
+        )
+
+    return let(
+        tokens(col),
+        lambda toks: let(
+            F.array(*[_stopword_hits(toks, LANG_STOPWORDS[lang]) for lang in langs]),
+            pick,
+        ),
     )
 
 

@@ -64,6 +64,13 @@ def main() -> None:
         "aggregate(transform(sequence(1, 16), i -> xxhash64(id, i)), cast(0 as bigint), (a, b) -> a ^ b) s",
         "array_min(transform(split(repeat(concat('w', id, ' '), 8), ' '), w -> xxhash64(w))) m",
     ).selectExpr("min(s)", "min(m)").collect()
+    # zip_with double-fold (the similarity kernels' dot-product shape) and
+    # indexed 2-D literal lookup (the LSH/IVF plane matrices)
+    spark.range(1000).selectExpr(
+        "aggregate(zip_with(array(cast(id as double), 1.0), "
+        "element_at(array(array(1.0, 2.0), array(3.0, 4.0)), cast(id % 2 + 1 as int)), "
+        "(x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b) d"
+    ).selectExpr("min(d)").collect()
 
     # Per-query fault isolation: one broken query must never zero out the
     # whole run's perf signal — record its error and keep timing the rest.
@@ -72,6 +79,12 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # per-query isolation: several operators persist intermediate
+        # frames (shingle/bucket/label caches) that are only dropped when
+        # Python GCs the DataFrame — left pinned, they evict each other
+        # and the page cache, charging earlier queries' memory to later
+        # ones (measured: +4.5s on lang_identify by position alone)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             rows = fn(spark, sf_dir).collect()
