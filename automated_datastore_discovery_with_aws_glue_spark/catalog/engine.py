@@ -113,6 +113,9 @@ class DiscoveryEngine:
             "id",
             insert_not_matched=True,
             partition_by="data_source_type",
+            # safe: the id is derived from the source type (_source_id),
+            # so a key can never move between partitions
+            prune_partitions=True,
         )
 
     # -- the six P-queries (SURVEY §2.2) -----------------------------------
@@ -177,8 +180,12 @@ class DiscoveryEngine:
             registered.append(fq)
         if flips:
             # One flip frame, one MERGE, one tracker version bump per call —
-            # not one full-table rewrite per source.
-            flip = self.spark.createDataFrame(flips, ["id", "t", "d"])
+            # not one full-table rewrite per source. The flip carries the
+            # partition value so only this source type's partition rewrites.
+            flip = self.spark.createDataFrame(
+                [(i, t, d, source_type) for i, t, d in flips],
+                ["id", "t", "d", "data_source_type"],
+            )
             self.store.merge(
                 TRACKER,
                 flip,
@@ -190,6 +197,7 @@ class DiscoveryEngine:
                 },
                 insert_not_matched=False,
                 partition_by="data_source_type",
+                prune_partitions=True,
             )
         return registered
 
@@ -241,7 +249,9 @@ class DiscoveryEngine:
             # One findings append and one tracker MERGE for the whole batch:
             # exactly one version bump on each state table per call.
             self.store.append(FINDINGS, all_findings, partition_by="data_catalog_table")
-            flip = self.spark.createDataFrame([(r["id"],) for r in pending], ["id"])
+            flip = self.spark.createDataFrame(
+                [(r["id"], source_type) for r in pending], ["id", "data_source_type"]
+            )
             self.store.merge(
                 TRACKER,
                 flip,
@@ -249,6 +259,7 @@ class DiscoveryEngine:
                 set_on_match={"glue_job_created": F.lit(True)},
                 insert_not_matched=False,
                 partition_by="data_source_type",
+                prune_partitions=True,
             )
         return len(pending)
 

@@ -24,9 +24,10 @@ Scale posture: each version is partitioned by a declared partition column
 so the reference's "PartiQL full scan per invocation" (BASELINE.md) turns
 into partition-pruned reads. Appends are O(batch): the batch is written
 and the previous version's files are hard-linked in (no data copy).
-MERGE rewrites are full-version rewrites here; on a petabyte deployment
-you'd use the same plan over Delta/Iceberg where only matched files
-rewrite — the operator surface is identical.
+MERGE with ``prune_partitions=True`` rewrites only the partitions the
+source batch touches (untouched partitions hard-link) — the copy-on-write
+granularity Delta/Iceberg give per-file, here per-partition; without the
+flag it is a full-version rewrite.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ import shutil
 import tempfile
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.state.merge import merge_frames
@@ -178,22 +180,97 @@ class ParquetStateStore:
         set_on_match: dict[str, Column] | None = None,
         insert_not_matched: bool = True,
         partition_by: str | None = None,
+        prune_partitions: bool = False,
     ) -> None:
         """MERGE INTO <table> USING <source> (S8/S9/J5 semantics);
-        initializes the table from the source batch when absent."""
+        initializes the table from the source batch when absent.
+
+        ``prune_partitions=True`` rewrites ONLY the partitions whose
+        ``partition_by`` value appears in the source batch; every other
+        partition's files hard-link into the new version unchanged —
+        O(touched partitions), not O(table). It is the caller's contract
+        that a key's partition value is immutable (true for the tracker:
+        the id is derived from the source type), because a source row can
+        then only ever match target rows inside its own partition value.
+        Falls back to the full rewrite when the source lacks the
+        partition column, when ``set_on_match`` rewrites it, or when the
+        current version isn't partitioned."""
         if not self.exists(table):
             if insert_not_matched:
                 self._write_version(table, source, partition_by=partition_by)
             return
         cur_v = self.latest_version(table)
+        cur_dir = self._version_dir(table, cur_v)
+        current = self.spark.read.parquet(cur_dir)
+        if prune_partitions and partition_by:
+            prev_partitioned = any(
+                "=" in name and os.path.isdir(os.path.join(cur_dir, name))
+                for name in os.listdir(cur_dir)
+            )
+            safe = (
+                partition_by in source.columns
+                and partition_by not in (set_on_match or {})
+                and prev_partitioned
+            )
+            if safe:
+                self._merge_pruned(
+                    table,
+                    current,
+                    source,
+                    key,
+                    set_on_match=set_on_match,
+                    insert_not_matched=insert_not_matched,
+                    partition_by=partition_by,
+                    cur_v=cur_v,
+                    cur_dir=cur_dir,
+                )
+                return
         merged = merge_frames(
-            self.spark.read.parquet(self._version_dir(table, cur_v)),
+            current,
             source,
             key,
             set_on_match=set_on_match,
             insert_not_matched=insert_not_matched,
         )
         self._write_version(table, merged, partition_by=partition_by, expect=cur_v)
+
+    def _merge_pruned(
+        self,
+        table: str,
+        current: DataFrame,
+        source: DataFrame,
+        key: str | list[str],
+        *,
+        set_on_match: dict[str, Column] | None,
+        insert_not_matched: bool,
+        partition_by: str,
+        cur_v: int,
+        cur_dir: str,
+    ) -> None:
+        """Partition-granular copy-on-write: merge the touched partitions
+        through Spark, hard-link the rest (see :meth:`merge`)."""
+        vals = [r[0] for r in source.select(partition_by).distinct().collect()]
+        touched = current.filter(F.col(partition_by).isin(vals))
+        merged = merge_frames(
+            touched,
+            source,
+            key,
+            set_on_match=set_on_match,
+            insert_not_matched=insert_not_matched,
+        )
+        staging = self._staging_dir(table)
+        merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        # untouched partitions: link whole directories. A touched value
+        # with target rows always re-appears in staging (merge retains
+        # matched rows), so "in cur but not in staging" = untouched.
+        for name in os.listdir(cur_dir):
+            if "=" not in name or not os.path.isdir(os.path.join(cur_dir, name)):
+                continue
+            if not os.path.isdir(os.path.join(staging, name)):
+                self._link_version_files(
+                    os.path.join(cur_dir, name), os.path.join(staging, name)
+                )
+        self._commit_staged(table, staging, expect=cur_v)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop all but the last ``keep`` committed versions."""

@@ -55,6 +55,72 @@ def test_merge_missing_source_columns_null_filled(spark):
     assert out == {"a": (1, False), "z": (None, None)}
 
 
+def _partition_inodes(store, table, version, part):
+    d = f"{store.root}/{table}/v={version:08d}/{part}"
+    import os
+
+    return {
+        name: os.stat(os.path.join(d, name)).st_ino
+        for name in os.listdir(d)
+        if not name.startswith(("_", "."))
+    }
+
+
+def test_merge_prune_rewrites_only_touched_partitions(spark, store):
+    """Partition-pruned MERGE: the source's partition values rewrite;
+    every other partition's files hard-link into the new version
+    (same inode) — O(touched), not O(table)."""
+    t = spark.createDataFrame(
+        [("a", 1, "s3"), ("b", 2, "s3"), ("c", 3, "rds"), ("d", 4, "rds")],
+        ["id", "val", "data_source_type"],
+    )
+    store.init("trk", t, partition_by="data_source_type")
+    src = spark.createDataFrame([("a", 99, "s3"), ("e", 5, "s3")], ["id", "val", "data_source_type"])
+    store.merge(
+        "trk",
+        src,
+        "id",
+        set_on_match={"val": F.col("src.val")},
+        insert_not_matched=True,
+        partition_by="data_source_type",
+        prune_partitions=True,
+    )
+    out = {r["id"]: (r["val"], r["data_source_type"]) for r in store.read("trk").collect()}
+    assert out == {
+        "a": (99, "s3"), "b": (2, "s3"), "e": (5, "s3"),
+        "c": (3, "rds"), "d": (4, "rds"),
+    }
+    # untouched rds partition: identical hard-linked files
+    assert _partition_inodes(store, "trk", 2, "data_source_type=rds") == _partition_inodes(
+        store, "trk", 1, "data_source_type=rds"
+    )
+    # touched s3 partition: freshly written files
+    v1 = set(_partition_inodes(store, "trk", 1, "data_source_type=s3").values())
+    v2 = set(_partition_inodes(store, "trk", 2, "data_source_type=s3").values())
+    assert not (v1 & v2)
+
+
+def test_merge_prune_falls_back_when_partition_value_updated(spark, store):
+    """set_on_match rewriting the partition column defeats the pruning
+    contract -> full rewrite, still correct."""
+    t = spark.createDataFrame(
+        [("a", 1, "s3"), ("c", 3, "rds")], ["id", "val", "data_source_type"]
+    )
+    store.init("trk2", t, partition_by="data_source_type")
+    src = spark.createDataFrame([("a", 0, "rds")], ["id", "val", "data_source_type"])
+    store.merge(
+        "trk2",
+        src,
+        "id",
+        set_on_match={"val": F.col("src.val"), "data_source_type": F.col("src.data_source_type")},
+        insert_not_matched=False,
+        partition_by="data_source_type",
+        prune_partitions=True,
+    )
+    out = {r["id"]: (r["val"], r["data_source_type"]) for r in store.read("trk2").collect()}
+    assert out == {"a": (0, "rds"), "c": (3, "rds")}
+
+
 def test_store_versioning_and_vacuum(spark, store):
     store.init("t", _df(spark, [("a", 1, False)]))
     assert store.latest_version("t") == 1
