@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (seed, index) mixing that DuckDB replays bit-for-bit.
         **G.QUERIES,
         "prof_approx_distinct_est": P.prof_approx_distinct_est,
+        **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],
         "knn_ivf": L.QUERIES["knn_ivf"],

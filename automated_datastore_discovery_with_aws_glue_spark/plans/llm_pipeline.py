@@ -250,6 +250,80 @@ TEXT_QUALITY_SQL = f"""
 """
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation — the composed pipeline a training
+    run actually executes: quality-score every document, drop low-quality
+    ones, then keep exactly one representative per near-dup cluster
+    (min-id canonical over the n-gram-Jaccard pair graph). Output:
+    (doc_id, quality_score) of the surviving corpus.
+
+    One quality pass + the PPJoin/label-propagation machinery of
+    ``dedup_clusters_jaccard``, restricted to the kept docs — every stage
+    is the already-bounded operator, so the composition inherits their
+    scale posture (no all-pairs, no driver data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TX.text_stats(docs, "text").filter(F.col("quality_score") >= 0.5)
+    pairs = D.jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5)
+    return (
+        D.dedup_canonical(kept, pairs, "doc_id")
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CLEAN_SQL = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, lang, text,
+               length(text) AS n_chars,
+               CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               {_sql_stopword_hits('en')} AS sw
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               round(least(n_tokens / 20.0, 1.0) * 0.4
+                     + least(round(sw::DOUBLE / greatest(n_tokens, 1), 4) * 5, 1.0) * 0.4
+                     + (1 - least(round(n_punct::DOUBLE / greatest(n_chars, 1), 4) * 10, 1.0)) * 0.2,
+                     4) AS quality_score
+        FROM base
+    ),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    w AS (SELECT doc_id, lang, {_SQL_WORDS} AS words FROM kept),
+    s AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               ) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 10000
+              >= 5000 * len(list_distinct(a.sh || b.sh))
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lbl AS (SELECT a, least(a, min(b)) AS mn FROM reach GROUP BY a)
+    SELECT k.doc_id, k.quality_score
+    FROM kept k LEFT JOIN lbl ON k.doc_id = lbl.a
+    WHERE coalesce(lbl.mn, k.doc_id) = k.doc_id
+    ORDER BY doc_id
+"""
+
+
 def lang_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -619,7 +693,14 @@ QUERIES = {
     "emb_near_dup_lsh": emb_near_dup_lsh,
 }
 
+#: registered past the driver's 50-query window in __spark_entry__ (the
+#: window is full of green entries; check_oracle.py still verifies it)
+EXTRA_QUERIES = {
+    "corpus_clean": corpus_clean,
+}
+
 ORACLES = {
+    "corpus_clean": CORPUS_CLEAN_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,

@@ -158,6 +158,28 @@ def test_dedup_canonical_keeps_one_per_cluster(spark):
     assert kept == [1, 4, 5]
 
 
+def test_corpus_clean_composition_invariants(spark):
+    """The composed pipeline keeps only quality survivors, exactly one
+    per near-dup cluster, and never invents documents."""
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import corpus_clean
+
+    docs = load_table(spark, SF_DIR, "documents")
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import text_stats
+
+    kept = text_stats(docs, "text").filter(F.col("quality_score") >= 0.5)
+    out = corpus_clean(spark, SF_DIR).collect()
+    out_ids = {r["doc_id"] for r in out}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert out_ids <= kept_ids
+    assert all(r["quality_score"] >= 0.5 for r in out)
+    # no surviving near-dup pair: of every qualifying pair among kept
+    # docs, at most one side remains
+    pairs = jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5).collect()
+    assert pairs, "fixture should contain near-dup pairs among kept docs"
+    for p in pairs:
+        assert not ({p["id_a"], p["id_b"]} <= out_ids), (p["id_a"], p["id_b"])
+
+
 def test_dedup_clusters_matches_union_find(spark):
     """Differential: cluster labels over the real sf pairs match a
     driver-side union-find ground truth."""

@@ -121,6 +121,22 @@ def test_merge_prune_falls_back_when_partition_value_updated(spark, store):
     assert out == {"a": (0, "rds"), "c": (3, "rds")}
 
 
+def test_state_read_prunes_partitions(spark, store):
+    """The P1-P5 filter key (data_source_type) is the partition column,
+    so state scans prune at planning time — the reference's 'PartiQL full
+    scan per invocation' becomes a one-partition read."""
+    t = spark.createDataFrame(
+        [("a", 1, "s3"), ("c", 3, "rds"), ("d", 4, "dynamodb")],
+        ["id", "val", "data_source_type"],
+    )
+    store.init("trk3", t, partition_by="data_source_type")
+    q = store.read("trk3").filter(F.col("data_source_type") == "s3")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    line = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "data_source_type" in line, plan
+    assert [r["id"] for r in q.collect()] == ["a"]
+
+
 def test_store_versioning_and_vacuum(spark, store):
     store.init("t", _df(spark, [("a", 1, False)]))
     assert store.latest_version("t") == 1
