@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (seed, index) mixing that DuckDB replays bit-for-bit.
         **G.QUERIES,
         "prof_approx_distinct_est": P.prof_approx_distinct_est,
+        "prof_numeric_quantiles": P.prof_numeric_quantiles,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_classify_derived": P.pii_classify_oracle_sql(),
         "prof_column_stats": P.prof_column_stats_sql(),
         "prof_approx_distinct": P.prof_approx_distinct_sql(),
+        "prof_numeric_quantiles": P.prof_numeric_quantiles_sql(),
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,

@@ -180,6 +180,47 @@ def prof_approx_distinct_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_profile(spark, sf_dir)
 
 
+_QUANT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def prof_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quartiles of the lineitem numerics — the distribution
+    half of a column profile (min/max/distinct live in
+    :func:`prof_column_stats`). Spark's exact ``percentile`` uses the
+    same linear interpolation as DuckDB's ``quantile_cont``, so the
+    oracle hash-matches. One wide aggregate, one scan; at 100 TB swap in
+    ``approx_percentile`` (t-digest, constant memory) the same way
+    ``approx_count_distinct`` backs the distinct profile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.expr(
+            f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))"
+        ).alias(f"{c}__q")
+        for c in _QUANT_COLS
+    ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', round(element_at({c}__q, 1), 4), round(element_at({c}__q, 2), 4), "
+        f"round(element_at({c}__q, 3), 4)"
+        for c in _QUANT_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_QUANT_COLS)}, {stack_args}) AS (column_name, q25, q50, q75)"
+    ).orderBy("column_name")
+
+
+def prof_numeric_quantiles_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+                   round(quantile_cont({c}::DOUBLE, 0.25), 4) AS q25,
+                   round(quantile_cont({c}::DOUBLE, 0.50), 4) AS q50,
+                   round(quantile_cont({c}::DOUBLE, 0.75), 4) AS q75
+            FROM lineitem"""
+        for c in _QUANT_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
 def prof_approx_distinct_sql() -> str:
     parts = [
         f"""SELECT '{c}' AS column_name,
