@@ -75,6 +75,96 @@ def _fake_dims(data: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+# -- real header-level dimension parsing (no media libraries needed) --------
+
+def _be_u32(content: Column, pos: int) -> Column:
+    return F.conv(F.hex(F.substring(content, pos, 4)), 16, 10).cast("int")
+
+
+def _le_u16(content: Column, pos: int) -> Column:
+    hi = F.conv(F.hex(F.substring(content, pos + 1, 1)), 16, 10).cast("int")
+    lo = F.conv(F.hex(F.substring(content, pos, 1)), 16, 10).cast("int")
+    return hi * 256 + lo
+
+
+def _jpeg_dims(data: bytes) -> tuple[int | None, int | None]:
+    """Width/height from the first SOF segment (public JPEG/JFIF marker
+    layout): walk FF-prefixed segments; SOFn carries height@+5, width@+7
+    big-endian."""
+    sof = frozenset(
+        (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+    )
+    i, n = 2, len(data)
+    while i + 9 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xFF, 0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in sof:
+            return (
+                int.from_bytes(data[i + 7 : i + 9], "big"),
+                int.from_bytes(data[i + 5 : i + 7], "big"),
+            )
+        i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    return None, None
+
+
+def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL image dimensions from container headers — no media library.
+
+    Spark-first split by format cost: PNG (IHDR big-endian u32 at bytes
+    17/21) and GIF (little-endian u16 at 7/9) are fixed-offset, so their
+    parse is a pure native expression — JVM-side, codegen'd, zero
+    Python. JPEG needs a variable-length marker walk, the honest Pandas
+    case: a pure-Python SOF scan over Arrow batches (``mapInPandas``),
+    applied ONLY to the jpeg partition of the data. Other mimes pass
+    through with NULL dims. Pixel decode (needs Pillow) stays stubbed in
+    :func:`decode_images` — this operator covers the metadata need
+    (resolution filters, aspect-ratio buckets) that dominates corpus
+    curation."""
+    c = F.col(content_col)
+    with_mime = df.withColumn("_mime", sniff_mime(c))
+    fixed = with_mime.filter(F.col("_mime").isin("image/png", "image/gif")).select(
+        "*",
+        F.when(F.col("_mime") == "image/png", _be_u32(c, 17))
+        .otherwise(_le_u16(c, 7))
+        .alias("img_width"),
+        F.when(F.col("_mime") == "image/png", _be_u32(c, 21))
+        .otherwise(_le_u16(c, 9))
+        .alias("img_height"),
+    )
+    jpeg = with_mime.filter(F.col("_mime") == "image/jpeg")
+    jpeg_schema = _extended_schema(
+        jpeg,
+        T.StructField("img_width", T.IntegerType()),
+        T.StructField("img_height", T.IntegerType()),
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_jpeg_dims(bytes(b)) for b in pdf[content_col]]
+            yield pdf.assign(
+                img_width=pd.array([d[0] for d in dims], dtype="Int32"),
+                img_height=pd.array([d[1] for d in dims], dtype="Int32"),
+            )
+
+    rest = with_mime.filter(
+        ~F.col("_mime").isin("image/png", "image/gif", "image/jpeg")
+    ).select(
+        "*",
+        F.lit(None).cast("int").alias("img_width"),
+        F.lit(None).cast("int").alias("img_height"),
+    )
+    return (
+        fixed.unionByName(jpeg.mapInPandas(_scan, schema=jpeg_schema))
+        .unionByName(rest)
+        .drop("_mime")
+    )
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",

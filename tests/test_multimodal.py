@@ -9,6 +9,7 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal impo
     attach_binary_metadata,
     decode_images,
     extract_features,
+    image_dims,
     sample_frames,
 )
 
@@ -24,6 +25,62 @@ def media(spark):
     return spark.createDataFrame(
         [(1, PNG), (2, JPG), (3, WAV), (4, WEBP), (5, RAW)], ["media_id", "content"]
     )
+
+
+def _png_with_dims(w, h):
+    # signature + IHDR length/type + width/height big-endian (real layout;
+    # CRC/payload irrelevant to header parsing)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 16
+    )
+
+
+def _gif_with_dims(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 16
+
+
+def _jpeg_with_dims(w, h):
+    # SOI + APP0 (JFIF) + SOF0 carrying height/width big-endian
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_dims_real_header_parse(spark):
+    """PNG/GIF dims come from native fixed-offset expressions, JPEG from
+    the pure-Python SOF scan — real parsing, no media library."""
+    rows = spark.createDataFrame(
+        [
+            (1, _png_with_dims(640, 480)),
+            (2, _gif_with_dims(320, 200)),
+            (3, _jpeg_with_dims(1024, 768)),
+            (4, b"\x01\x02 not an image"),
+        ],
+        ["media_id", "content"],
+    )
+    got = {
+        r["media_id"]: (r["img_width"], r["img_height"])
+        for r in image_dims(rows).collect()
+    }
+    assert got == {
+        1: (640, 480),
+        2: (320, 200),
+        3: (1024, 768),
+        4: (None, None),
+    }
 
 
 def test_metadata_and_mime(spark, media):
