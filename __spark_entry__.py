@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **G.QUERIES,
         "prof_approx_distinct_est": P.prof_approx_distinct_est,
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
+        "sess_native_window": SS.sess_native_window,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],
@@ -357,6 +358,9 @@ def oracle_sql() -> dict[str, str]:
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,
+        "sess_native_window": SS.SESS_NATIVE_WINDOW_SQL_TEMPLATE.format(
+            gap_us=SS._SESS_GAP_MINUTES * 60_000_000
+        ),
         **M.ORACLES,
         **RX.ORACLES,
         **RD.ORACLES,

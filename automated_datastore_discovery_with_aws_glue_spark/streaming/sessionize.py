@@ -156,6 +156,55 @@ def sess_gap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=_SESS_GAP_MINUTES)
 
 
+def sess_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap sessions via Spark's BUILT-IN ``session_window``
+    operator — the compose-built-ins-first formulation (one groupBy, the
+    state machinery lives inside the operator). Boundary semantics match
+    :func:`sessionize_batch` exactly: an event at ``last + gap`` extends
+    the session (inclusive), one past it splits — probed empirically and
+    pinned by the shared DuckDB oracle. In streaming mode the same
+    expression works under a watermark, which is why it is declared here
+    next to the stateful twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{_SESS_GAP_MINUTES} minutes"), F.col("user_id")
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESS_NATIVE_WINDOW_SQL_TEMPLATE = """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+"""
+
+
 SESS_GAP_SPLIT_SQL = f"""
     WITH o AS (
         SELECT user_id, ts, event_id,

@@ -241,6 +241,26 @@ def test_sessionize_stream_flushes_idle_session_on_timeout(spark, tmp_path):
     assert got == {(7, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)}
 
 
+def test_native_session_window_matches_batch_twin(spark):
+    """Spark's built-in session_window splits exactly where the manual
+    lag/running-sum twin does (inclusive gap boundary) on real data."""
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.sessionize import (
+        sess_gap_split,
+        sess_native_window,
+    )
+    from tests.conftest import SF_DIR
+
+    manual = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess_gap_split(spark, SF_DIR).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess_native_window(spark, SF_DIR).collect()
+    }
+    assert native == manual
+
+
 def test_sessionize_batch_matches_stream_semantics(spark):
     """The batch twin reproduces the stream's gap-splitting on a closed
     fixture (every session followed by a later event or end-of-data)."""
