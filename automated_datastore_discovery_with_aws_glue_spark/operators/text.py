@@ -50,11 +50,6 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    toks = tokens(col)
-    return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
-
-
 def lang_id(col: Column) -> Column:
     """Argmax language with the fixed priority en > es > de > fr on ties
     (deterministic across engines; ``array_position`` returns the FIRST
