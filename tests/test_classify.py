@@ -249,3 +249,31 @@ def test_build_findings_shape(spark):
     assert out["s3_bucket_name"] == "b"
     assert len(out["id"]) == 36  # uuid
     assert out["timestamp"] is not None
+
+
+def test_classify_wide_schema_single_pass(spark):
+    """SURVEY §7.3(c): classify must survive wide schemas. The unpivot
+    design makes aggregate expressions scale with ENTITIES, not
+    columns x entities — 150 columns against the full ~256-entity
+    registry stays one stack + one hash aggregate."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.entities import (
+        ENTITY_REGISTRY,
+    )
+
+    n_cols = 150
+    df = spark.range(40).select(
+        *[
+            F.concat(F.lit(f"v{i}-"), F.col("id").cast("string")).alias(f"col_{i}")
+            for i in range(n_cols)
+        ]
+    )
+    out = classify_columns_long(df)  # full registry
+    assert out.count() == n_cols * len(ENTITY_REGISTRY)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    # ONE aggregate pair around ONE shuffle: partial + Exchange + final
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
