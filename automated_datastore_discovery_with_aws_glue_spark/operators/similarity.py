@@ -193,6 +193,7 @@ def lsh_near_dup(
     n_bands: int = 8,
     band_planes: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-duplicate pairs: banded hyperplane-LSH
     candidate generation composed with exact cosine verification — the
@@ -212,7 +213,16 @@ def lsh_near_dup(
     per band cut the candidate count. Defaults favor high thresholds;
     the pytest recall assertion runs wider bands for the uniform-random
     fixture. Deterministic planes -> the DuckDB oracle replays candidate
-    generation and verification exactly."""
+    generation and verification exactly.
+
+    ``max_bucket`` is the hot-bucket safety valve for skewed corpora: a
+    degenerate (band, bucket) group — near-constant embeddings all
+    landing together — makes that group's self-join quadratic. With a
+    cap, buckets holding more than ``max_bucket`` rows are EXCLUDED from
+    candidate generation (standard LSH practice; such buckets carry no
+    discriminative signal — route them to the exact blocked verifier
+    instead). One extra groupBy-count on the already-persisted bucket
+    frame; None (default) keeps every bucket."""
     dim = vector_dim(df, vec_col)
     planes = hyperplanes(dim, n_bands * band_planes, seed)
     base = (
@@ -235,6 +245,13 @@ def lsh_near_dup(
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])

@@ -138,6 +138,25 @@ def test_lsh_near_dup_recall_and_precision(spark):
     assert len(got) / len(truth) >= 0.9
 
 
+def test_lsh_near_dup_hot_bucket_cap(spark):
+    """A degenerate corpus (many identical vectors) floods one bucket;
+    max_bucket excludes it from candidate generation while normal-sized
+    buckets keep producing pairs."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import lsh_near_dup
+
+    hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]          # one hot bucket
+    cool = [(200, [0.0, 1.0, 0.1, 0.0]), (201, [0.0, 1.0, 0.1, 0.0])]  # small bucket pair
+    df = spark.createDataFrame(hot + cool, ["vec_id", "embedding"])
+    uncapped = lsh_near_dup(df, "vec_id", "embedding", threshold=0.99, n_bands=4, band_planes=2)
+    capped = lsh_near_dup(
+        df, "vec_id", "embedding", threshold=0.99, n_bands=4, band_planes=2, max_bucket=50
+    )
+    got_uncapped = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (200, 201) in got_uncapped and len(got_uncapped) > 1000
+    assert got_capped == {(200, 201)}  # hot bucket excluded, small bucket intact
+
+
 def test_ivf_centroids_zero_norm_guard(spark):
     """An all-zero embedding in the hash-ordered sample must not become a
     NaN centroid (NaN sorts above every double, so one NaN cell would
