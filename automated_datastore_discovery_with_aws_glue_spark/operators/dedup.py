@@ -267,6 +267,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH + exact-Jaccard verification.
 
@@ -279,7 +280,12 @@ def minhash_lsh_pairs(
 
     The hashed-shingle frame feeds the map-side signature expression and
     both verification sides — persisted once (sorted hash arrays, never
-    text); signatures need no shuffle at all (see ``_signature_expr``)."""
+    text); signatures need no shuffle at all (see ``_signature_expr``).
+
+    ``max_bucket`` mirrors the hot-bucket safety valve of
+    ``similarity.lsh_near_dup``: (band, bucket) groups larger than the
+    cap — boilerplate-dominated corpora collapsing into one bucket — are
+    excluded from the self-join before it turns quadratic."""
     rows = num_hashes // bands
     base = _hashed_shingle_frame(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = base.select("id", _signature_expr(F.col("hs"), num_hashes).alias("signature"))
@@ -296,6 +302,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
@@ -458,6 +471,7 @@ def simhash_pairs(
     block_col: str,
     *,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming within blocks.
 
@@ -466,7 +480,14 @@ def simhash_pairs(
     by pigeonhole, two sketches within ``max_hamming`` bits agree on at
     least one whole band — and equi-join on (block, band, band-bits).
     Work scales with band collisions, never all pairs; verification is a
-    single bit_count per candidate."""
+    single bit_count per candidate.
+
+    ``max_bucket`` is the hot-bucket safety valve (see
+    ``minhash_lsh_pairs``): (block, band, key) groups above the cap are
+    excluded from the self-join. NOTE unlike the probabilistic LSH
+    families this band-blocking is exact, so a cap trades completeness
+    for boundedness — capped pairs are genuinely dropped, not just
+    lower-recall. Default None keeps exactness."""
     bands = max_hamming + 1
     width = 64 // bands
     mask = (1 << width) - 1
@@ -496,6 +517,13 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "block", "simhash", "bb.band", "bb.key")
+    if max_bucket is not None:
+        sizes = banded.groupBy("block", "band", "key").agg(F.count("*").alias("_bn"))
+        banded = (
+            banded.join(sizes, ["block", "band", "key"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = banded.select(
         F.col("id").alias("id_a"), "block", "band", "key", F.col("simhash").alias("sh_a")
     )

@@ -114,6 +114,34 @@ def test_simhash_pairs_blocked(spark, docs):
     assert all(h <= 10 for h in pairs.values())
 
 
+def test_hot_bucket_cap_minhash_and_simhash(spark):
+    """max_bucket drops oversize LSH buckets in both sketch families: a
+    boilerplate corpus (identical docs) stops producing quadratic pairs
+    while distinct small groups keep theirs."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    boiler = [(i, "the same boilerplate text repeated everywhere in the corpus", "en") for i in range(40)]
+    # identical text for the small pair: short-doc simhashes are volatile
+    # under single-word edits, and the cap test needs a pair that exists
+    # in BOTH families before capping
+    pair = [
+        (100, "a genuinely unique document about spark executors and shuffles", "en"),
+        (101, "a genuinely unique document about spark executors and shuffles", "en"),
+    ]
+    df = spark.createDataFrame(boiler + pair, ["doc_id", "text", "lang"])
+
+    mh = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_bucket=10)
+    got_mh = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert got_mh == {(100, 101)}
+
+    sh = simhash_pairs(df, "doc_id", "text", "lang", max_hamming=3, max_bucket=10)
+    got_sh = {(r["id_a"], r["id_b"]) for r in sh.collect()}
+    assert got_sh == {(100, 101)}
+
+
 def test_dedup_clusters_components(spark):
     """Min-label propagation finds exact components, including a chain
     (multi-round convergence) and singletons from all_ids."""
