@@ -435,14 +435,54 @@ def _build_registry() -> dict[str, EntitySpec]:
 ENTITY_REGISTRY: dict[str, EntitySpec] = _build_registry()
 
 #: every entity name the reference's EntityDetector accepts
-#: (`scripts/glue/s3-source/s3-source-script.py:24-281`)
+#: (`scripts/glue/s3-source/s3-source-script.py:24-281`); custom entities
+#: registered at runtime are NOT in this tuple — it is the built-in set
 ALL_ENTITY_NAMES: tuple[str, ...] = tuple(sorted(ENTITY_REGISTRY))
+
+_VALID_VALIDATORS = ("luhn", "mod97", "nhs")
+
+
+def register_custom_entity(
+    name: str,
+    pattern: str,
+    *,
+    context: tuple[str, ...] = (),
+    validator: str | None = None,
+    approximate: bool = False,
+) -> EntitySpec:
+    """Register a user-defined entity type — the engine's analogue of
+    Glue's ``CreateCustomEntityType(Name, RegexString, ContextWords)``,
+    which is where the reference's ``glue-custom-entity``-tagged sources
+    route (`lambda/s3-trigger/app.py:17,217-239`). The spec participates
+    in ``classify_columns`` exactly like a built-in: same anchored-regex
+    aggregate, same context gating, same optional checksum validator.
+
+    The pattern is compiled eagerly so a bad regex fails at registration,
+    not inside an executor task."""
+    import re
+
+    if name in ENTITY_REGISTRY:
+        raise ValueError(f"entity type already registered: {name}")
+    if validator is not None and validator not in _VALID_VALIDATORS:
+        raise ValueError(f"unknown validator {validator!r}; use one of {_VALID_VALIDATORS}")
+    spec = _spec(name, pattern, tuple(context), validator, approximate)
+    re.compile(spec.anchored)
+    ENTITY_REGISTRY[name] = spec
+    return spec
+
+
+def unregister_custom_entity(name: str) -> None:
+    """Remove a runtime-registered entity; built-ins are immutable."""
+    if name in ALL_ENTITY_NAMES:
+        raise ValueError(f"cannot unregister built-in entity type: {name}")
+    ENTITY_REGISTRY.pop(name, None)
 
 
 def resolve_entities(names: list[str] | tuple[str, ...] | None) -> list[EntitySpec]:
-    """Resolve entity names to specs; None means the full registry."""
+    """Resolve entity names to specs; None means the full registry
+    (built-ins plus any registered custom entities)."""
     if names is None:
-        return [ENTITY_REGISTRY[n] for n in ALL_ENTITY_NAMES]
+        return [ENTITY_REGISTRY[n] for n in sorted(ENTITY_REGISTRY)]
     unknown = [n for n in names if n not in ENTITY_REGISTRY]
     if unknown:
         raise KeyError(f"unknown entity types: {unknown}")

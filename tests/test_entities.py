@@ -61,3 +61,49 @@ def test_detector_formats(entity, positive, negative):
 def test_resolve_unknown_raises():
     with pytest.raises(KeyError):
         resolve_entities(["NOT_AN_ENTITY"])
+
+
+def test_register_custom_entity_full_path(spark):
+    """A runtime-registered custom entity classifies like a built-in
+    (the reference's glue-custom-entity route) and cleans up."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.entities import (
+        register_custom_entity,
+        unregister_custom_entity,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+        classify_columns,
+    )
+
+    register_custom_entity(
+        "ACME_ORDER_ID", r"ACME-[0-9]{6}", context=("order",)
+    )
+    try:
+        df = spark.createDataFrame(
+            [(f"ACME-{100000 + i}", f"note {i}") for i in range(20)],
+            ["order_ref", "note"],
+        )
+        got = {
+            r["columnName"]: r["entityTypes"]
+            for r in classify_columns(df, ["ACME_ORDER_ID", "EMAIL"]).collect()
+        }
+        assert got == {"order_ref": ["ACME_ORDER_ID"]}
+    finally:
+        unregister_custom_entity("ACME_ORDER_ID")
+    with pytest.raises(KeyError):
+        resolve_entities(["ACME_ORDER_ID"])
+
+
+def test_register_custom_entity_validation():
+    from automated_datastore_discovery_with_aws_glue_spark.functions.entities import (
+        register_custom_entity,
+        unregister_custom_entity,
+    )
+
+    with pytest.raises(ValueError, match="already registered"):
+        register_custom_entity("EMAIL", r"x")
+    with pytest.raises(Exception):  # bad regex fails eagerly
+        register_custom_entity("BROKEN_RX", r"([unclosed")
+    with pytest.raises(ValueError, match="unknown validator"):
+        register_custom_entity("BAD_VALIDATOR", r"x", validator="crc32")
+    with pytest.raises(ValueError, match="built-in"):
+        unregister_custom_entity("EMAIL")
