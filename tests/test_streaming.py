@@ -241,6 +241,48 @@ def test_sessionize_stream_flushes_idle_session_on_timeout(spark, tmp_path):
     assert got == {(7, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)}
 
 
+def test_native_session_window_streams_under_watermark(spark, tmp_path):
+    """The same session_window expression runs as a STREAMING aggregate:
+    with a watermark, closed sessions emit in append mode once the
+    watermark passes their end."""
+    import pyspark.sql.functions as F
+
+    src, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    _write_session_batch(
+        src,
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 12:00:00"),  # own session; also advances watermark
+        ],
+    )
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").json(src)
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("start"),
+            "n_events",
+        )
+    )
+    out: list[tuple] = []
+    q = (
+        sessions.writeStream.foreachBatch(
+            lambda b, _: out.extend((r["user_id"], r["start"], r["n_events"]) for r in b.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the 10:00 session (ends 10:40 incl. gap padding) closes once the
+    # watermark reaches 12:00; the 12:00 session stays open
+    assert set(out) == {(1, "2024-01-01 10:00:00", 2)}
+
+
 def test_native_session_window_matches_batch_twin(spark):
     """Spark's built-in session_window splits exactly where the manual
     lag/running-sum twin does (inclusive gap boundary) on real data."""
