@@ -118,11 +118,32 @@ class ParquetStateStore:
     def exists(self, table: str) -> bool:
         return self.latest_version(table) > 0
 
-    def read(self, table: str) -> DataFrame:
-        v = self.latest_version(table)
-        if v == 0:
+    def read(self, table: str, *, version: int | None = None) -> DataFrame:
+        """Snapshot read — latest by default, or time-travel to any
+        retained ``version`` (audit/debug; ``vacuum`` bounds retention).
+        """
+        latest = self.latest_version(table)
+        if latest == 0:
             raise FileNotFoundError(f"state table not initialized: {table}")
+        v = latest if version is None else version
+        if v < 1 or v > latest or not os.path.isdir(self._version_dir(table, v)):
+            raise FileNotFoundError(
+                f"{table}: version {v} not available (latest {latest}; older "
+                "versions may have been vacuumed)"
+            )
         return self.spark.read.parquet(self._version_dir(table, v))
+
+    def versions(self, table: str) -> list[int]:
+        """Retained, readable versions (ascending)."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        latest = self.latest_version(table)
+        return sorted(
+            int(name.split("=")[1])
+            for name in os.listdir(tdir)
+            if name.startswith("v=") and int(name.split("=")[1]) <= latest
+        )
 
     def init(self, table: str, df: DataFrame, *, partition_by: str | None = None) -> None:
         """Create version 1 from a (possibly empty) DataFrame."""

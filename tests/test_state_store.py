@@ -261,3 +261,21 @@ def test_commit_lock_is_released_after_success(spark, store):
     store.merge("t", _df(spark, [("c", 3, True)]), "id")
     assert store.latest_version("t") == 3
     assert not os.path.exists(os.path.join(store._table_dir("t"), "_COMMIT_LOCK"))
+
+
+def test_time_travel_read_and_versions(spark, store):
+    """Every retained version stays readable at its snapshot content;
+    vacuumed versions error clearly."""
+    store.init("tt", _df(spark, [("a", 1, False)]))
+    store.append("tt", _df(spark, [("b", 2, True)]))
+    store.append("tt", _df(spark, [("c", 3, True)]))
+    assert store.versions("tt") == [1, 2, 3]
+    assert {r["id"] for r in store.read("tt", version=1).collect()} == {"a"}
+    assert {r["id"] for r in store.read("tt", version=2).collect()} == {"a", "b"}
+    assert {r["id"] for r in store.read("tt").collect()} == {"a", "b", "c"}
+    store.vacuum("tt", keep=1)
+    assert store.versions("tt") == [3]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.read("tt", version=1)
+    with pytest.raises(FileNotFoundError):
+        store.read("tt", version=9)
