@@ -43,6 +43,9 @@ HEADLINE = [
     "emb_near_dup",
     "emb_near_dup_lsh",
     "sess_gap_split",
+    "sess_native_window",
+    "prof_numeric_quantiles",
+    "corpus_clean",
 ]
 
 
