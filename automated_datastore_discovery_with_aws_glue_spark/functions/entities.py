@@ -457,16 +457,27 @@ def register_custom_entity(
     in ``classify_columns`` exactly like a built-in: same anchored-regex
     aggregate, same context gating, same optional checksum validator.
 
-    The pattern is compiled eagerly so a bad regex fails at registration,
-    not inside an executor task."""
-    import re
-
+    Classification executes the pattern as a JAVA regex (``rlike``), so
+    validation compiles it with ``java.util.regex.Pattern`` when a
+    SparkSession is active — a Python ``re.compile`` would reject valid
+    Java patterns (``\\p{L}``) and accept invalid ones (``(?P<x>...)``).
+    With no active session the check is skipped; the executor raises the
+    same ``PatternSyntaxException`` on first use."""
     if name in ENTITY_REGISTRY:
         raise ValueError(f"entity type already registered: {name}")
     if validator is not None and validator not in _VALID_VALIDATORS:
         raise ValueError(f"unknown validator {validator!r}; use one of {_VALID_VALIDATORS}")
     spec = _spec(name, pattern, tuple(context), validator, approximate)
-    re.compile(spec.anchored)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark._jvm.java.util.regex.Pattern.compile(spec.anchored)
+        except Exception as exc:
+            raise ValueError(
+                f"invalid Java regex for entity type {name}: {exc}"
+            ) from None
     ENTITY_REGISTRY[name] = spec
     return spec
 

@@ -118,22 +118,26 @@ def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     Spark-first split by format cost: PNG (IHDR big-endian u32 at bytes
     17/21) and GIF (little-endian u16 at 7/9) are fixed-offset, so their
     parse is a pure native expression — JVM-side, codegen'd, zero
-    Python. JPEG needs a variable-length marker walk, the honest Pandas
-    case: a pure-Python SOF scan over Arrow batches (``mapInPandas``),
-    applied ONLY to the jpeg partition of the data. Other mimes pass
-    through with NULL dims. Pixel decode (needs Pillow) stays stubbed in
-    :func:`decode_images` — this operator covers the metadata need
-    (resolution filters, aspect-ratio buckets) that dominates corpus
-    curation."""
+    Python; other non-jpeg mimes ride the same pass with NULL dims (ONE
+    scan for everything that isn't jpeg). JPEG needs a variable-length
+    marker walk, the honest Pandas case: a pure-Python SOF scan over
+    Arrow batches (``mapInPandas``), applied ONLY to the jpeg rows — a
+    second scan of just that slice, rather than shipping every non-jpeg
+    row's bytes through a Python worker. Pixel decode (needs Pillow)
+    stays stubbed in :func:`decode_images` — this operator covers the
+    metadata need (resolution filters, aspect-ratio buckets) that
+    dominates corpus curation."""
     c = F.col(content_col)
     with_mime = df.withColumn("_mime", sniff_mime(c))
-    fixed = with_mime.filter(F.col("_mime").isin("image/png", "image/gif")).select(
+    native = with_mime.filter(F.col("_mime") != "image/jpeg").select(
         "*",
         F.when(F.col("_mime") == "image/png", _be_u32(c, 17))
-        .otherwise(_le_u16(c, 7))
+        .when(F.col("_mime") == "image/gif", _le_u16(c, 7))
+        .otherwise(F.lit(None).cast("int"))
         .alias("img_width"),
         F.when(F.col("_mime") == "image/png", _be_u32(c, 21))
-        .otherwise(_le_u16(c, 9))
+        .when(F.col("_mime") == "image/gif", _le_u16(c, 9))
+        .otherwise(F.lit(None).cast("int"))
         .alias("img_height"),
     )
     jpeg = with_mime.filter(F.col("_mime") == "image/jpeg")
@@ -151,18 +155,7 @@ def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
                 img_height=pd.array([d[1] for d in dims], dtype="Int32"),
             )
 
-    rest = with_mime.filter(
-        ~F.col("_mime").isin("image/png", "image/gif", "image/jpeg")
-    ).select(
-        "*",
-        F.lit(None).cast("int").alias("img_width"),
-        F.lit(None).cast("int").alias("img_height"),
-    )
-    return (
-        fixed.unionByName(jpeg.mapInPandas(_scan, schema=jpeg_schema))
-        .unionByName(rest)
-        .drop("_mime")
-    )
+    return native.unionByName(jpeg.mapInPandas(_scan, schema=jpeg_schema)).drop("_mime")
 
 
 def decode_images(

@@ -67,11 +67,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     defensive cast covers files whose footer *explicitly* declares NTZ.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # The NTZ-inference conf is session-global and there is no per-read
+    # option; the schema resolves eagerly inside read.parquet(), so
+    # save/restore scopes the flip to this call (verified: execution of
+    # the returned frame is driven by its resolved schema, not the conf).
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev_ntz = spark.conf.get(ntz_key, None)
+    spark.conf.set(ntz_key, "false")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev_ntz is None:
+            spark.conf.unset(ntz_key)
+        else:
+            spark.conf.set(ntz_key, prev_ntz)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     for field in df.schema.fields:

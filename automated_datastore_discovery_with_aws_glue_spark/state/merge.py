@@ -46,21 +46,27 @@ def merge_frames(
     ``set_on_match`` maps column name -> expression over the joined row;
     source columns are available as ``src.<name>``.
 
-    Raises ``ValueError`` if any source row has a NULL merge key: the
-    reference's ``put_item``/``update_item`` require the key, and a NULL
-    key here would silently miss the equi-join and fall through to the
-    insert branch as an unmatchable row. The probe is a LIMIT-1 count on
-    the (small, typically broadcast-side) source batch.
+    A NULL source merge key is rejected: the reference's
+    ``put_item``/``update_item`` require the key, and a NULL key would
+    silently miss the equi-join and fall through to the insert branch as
+    an unmatchable row. The guard is LAZY — each key column is wrapped
+    in a ``raise_error`` branch that fires executor-side during the
+    merge's own evaluation (surfacing as a Spark runtime error naming
+    the key), so no extra job re-evaluates the source lineage up front.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    null_key_pred = keys and F.lit(False)
     for k in keys:
-        null_key_pred = null_key_pred | F.col(k).isNull()
-    if source.filter(null_key_pred).limit(1).count():
-        raise ValueError(
-            f"merge_frames: source rows with NULL merge key {keys} are not "
-            "mergeable (key-value point ops require the key); filter or "
-            "repair them before merging"
+        source = source.withColumn(
+            k,
+            F.when(
+                F.col(k).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"merge_frames: NULL merge key '{k}' in source (key-value "
+                        "point ops require the key); filter or repair before merging"
+                    )
+                ),
+            ).otherwise(F.col(k)),
         )
     src = F.broadcast(source.alias("src")) if broadcast_source else source.alias("src")
     tgt = target.alias("tgt")

@@ -233,12 +233,23 @@ class ParquetStateStore:
                 and partition_by not in (set_on_match or {})
                 and prev_partitioned
             )
+            vals: list = []
+            if safe:
+                vals = [r[0] for r in source.select(partition_by).distinct().collect()]
+                # a NULL partition value can't be matched by isin() (SQL
+                # NULL semantics), so the NULL partition's target rows
+                # would be excluded from the merge AND shadowed by the
+                # staged NULL-partition dir at link time — silently lost.
+                # NULLs take the full-rewrite path instead.
+                if any(v is None for v in vals):
+                    safe = False
             if safe:
                 self._merge_pruned(
                     table,
                     current,
                     source,
                     key,
+                    vals=vals,
                     set_on_match=set_on_match,
                     insert_not_matched=insert_not_matched,
                     partition_by=partition_by,
@@ -262,6 +273,7 @@ class ParquetStateStore:
         source: DataFrame,
         key: str | list[str],
         *,
+        vals: list,
         set_on_match: dict[str, Column] | None,
         insert_not_matched: bool,
         partition_by: str,
@@ -269,8 +281,9 @@ class ParquetStateStore:
         cur_dir: str,
     ) -> None:
         """Partition-granular copy-on-write: merge the touched partitions
-        through Spark, hard-link the rest (see :meth:`merge`)."""
-        vals = [r[0] for r in source.select(partition_by).distinct().collect()]
+        through Spark, hard-link the rest (see :meth:`merge`). ``vals``
+        is the source's distinct partition values, pre-collected and
+        NULL-free (the caller routes NULLs to the full rewrite)."""
         touched = current.filter(F.col(partition_by).isin(vals))
         merged = merge_frames(
             touched,

@@ -90,7 +90,7 @@ def sessionize_stream(
     gap_minutes: int = 30,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming sessionization: emits each CLOSED session exactly once;
     the open session per key lives in checkpointed group state across
@@ -99,7 +99,11 @@ def sessionize_stream(
     ``last + gap`` with no further events (idle flush via
     ``GroupStateTimeout.EventTimeTimeout``) — so an abandoned key still
     emits its final session. ``watermark_delay`` is the out-of-orderness
-    budget: raise it if events can arrive late across micro-batches."""
+    budget: events arriving later than it (relative to the max event
+    time seen) are DROPPED by the watermark, so the default keeps a
+    margin; shrink it for perfectly ordered sources (tests pin
+    '0 seconds' for determinism), grow it for lateness-prone ones —
+    idle flushes then lag by the same margin."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (

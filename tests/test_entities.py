@@ -93,7 +93,7 @@ def test_register_custom_entity_full_path(spark):
         resolve_entities(["ACME_ORDER_ID"])
 
 
-def test_register_custom_entity_validation():
+def test_register_custom_entity_validation(spark):
     from automated_datastore_discovery_with_aws_glue_spark.functions.entities import (
         register_custom_entity,
         unregister_custom_entity,
@@ -101,9 +101,22 @@ def test_register_custom_entity_validation():
 
     with pytest.raises(ValueError, match="already registered"):
         register_custom_entity("EMAIL", r"x")
-    with pytest.raises(Exception):  # bad regex fails eagerly
+    with pytest.raises(ValueError, match="invalid Java regex"):
         register_custom_entity("BROKEN_RX", r"([unclosed")
     with pytest.raises(ValueError, match="unknown validator"):
         register_custom_entity("BAD_VALIDATOR", r"x", validator="crc32")
     with pytest.raises(ValueError, match="built-in"):
         unregister_custom_entity("EMAIL")
+    # Java-dialect patterns that Python re rejects must register fine
+    register_custom_entity("JAVA_DIALECT_RX", r"\p{L}{3}-[0-9]{4}")
+    try:
+        from automated_datastore_discovery_with_aws_glue_spark.functions.entities import (
+            ENTITY_REGISTRY,
+        )
+
+        assert "JAVA_DIALECT_RX" in ENTITY_REGISTRY
+    finally:
+        unregister_custom_entity("JAVA_DIALECT_RX")
+    # Python-only syntax is a JAVA error and must fail at registration
+    with pytest.raises(ValueError, match="invalid Java regex"):
+        register_custom_entity("PY_ONLY_RX", r"(?P<x>ACME)-[0-9]{6}")

@@ -41,11 +41,12 @@ def test_merge_update_only(spark):
 
 def test_merge_rejects_null_source_key(spark):
     """A NULL merge key can never match the equi-join and would silently
-    become an unmatchable insert; merge_frames rejects it up front."""
+    become an unmatchable insert; the lazy in-plan guard fires during
+    the merge's own evaluation (no extra up-front job)."""
     t = _df(spark, [("a", 1, False)])
     s = _df(spark, [(None, 9, True), ("b", 2, True)])
-    with pytest.raises(ValueError, match="NULL merge key"):
-        merge_frames(t, s, "id")
+    with pytest.raises(Exception, match="NULL merge key"):
+        merge_frames(t, s, "id").collect()
 
 
 def test_merge_missing_source_columns_null_filled(spark):
@@ -98,6 +99,36 @@ def test_merge_prune_rewrites_only_touched_partitions(spark, store):
     v1 = set(_partition_inodes(store, "trk", 1, "data_source_type=s3").values())
     v2 = set(_partition_inodes(store, "trk", 2, "data_source_type=s3").values())
     assert not (v1 & v2)
+
+
+def test_merge_prune_null_partition_value_loses_nothing(spark, store):
+    """A NULL partition value in the source can't be matched by isin();
+    pruning must fall back to the full rewrite so the NULL partition's
+    target rows survive (regression: they were silently dropped)."""
+    t = spark.createDataFrame(
+        [("a", 1, "s3"), ("b", 2, None), ("c", 3, "rds")],
+        "id string, val int, data_source_type string",
+    )
+    store.init("trknull", t, partition_by="data_source_type")
+    src = spark.createDataFrame(
+        [("x", 9, None), ("a", 10, "s3")], "id string, val int, data_source_type string"
+    )
+    store.merge(
+        "trknull",
+        src,
+        "id",
+        set_on_match={"val": F.col("src.val")},
+        insert_not_matched=True,
+        partition_by="data_source_type",
+        prune_partitions=True,
+    )
+    out = {r["id"]: (r["val"], r["data_source_type"]) for r in store.read("trknull").collect()}
+    assert out == {
+        "a": (10, "s3"),
+        "b": (2, None),   # NULL-partition target row preserved
+        "c": (3, "rds"),
+        "x": (9, None),
+    }
 
 
 def test_merge_prune_falls_back_when_partition_value_updated(spark, store):

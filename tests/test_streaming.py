@@ -172,7 +172,7 @@ def _run_session_stream(spark, src, ckpt, sink_table):
         )
 
     q = (
-        sessionize_stream(stream, gap_minutes=30)
+        sessionize_stream(stream, gap_minutes=30, watermark_delay="0 seconds")
         .writeStream.foreachBatch(_collect)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
