@@ -403,7 +403,67 @@ Q15_SQL = """
 """
 
 
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY §2.7 — absent in the reference, declared via
+    the Spark built-in): nations that field both customers and
+    suppliers."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+U3_SQL = """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — the full grouping-set
+    lattice (SURVEY §2.4 'not present' in the reference; Spark built-in,
+    declared with an oracle). NULL group markers are coalesced to 'ALL'
+    so both engines hash identically."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+AGG_CUBE_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+"""
+
+
 QUERIES = {
+    "u3_intersect": u3_intersect,
+    "agg_cube": agg_cube,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_late_shipments": q4_late_shipments,
     "q10_returned_revenue": q10_returned_revenue,
@@ -417,6 +477,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "u3_intersect": U3_SQL,
+    "agg_cube": AGG_CUBE_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q4_late_shipments": Q4_SQL,
     "q10_returned_revenue": Q10_SQL,
