@@ -541,6 +541,58 @@ def simhash_pairs(
     )
 
 
+def dedup_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Segment-level (paragraph/line) dedup across the WHOLE corpus —
+    the C4/RefinedWeb-style cleaning step: split each document on
+    ``sep``, keep only the globally FIRST occurrence of every distinct
+    segment (order: (doc id, position)), and reassemble documents from
+    their surviving segments. Returns ``(id, text, n_kept, n_dropped)``
+    — a document whose every segment is boilerplate comes back empty
+    rather than disappearing.
+
+    Shape: posexplode -> md5 fingerprint -> one row_number window keyed
+    on the fingerprint (the only shuffle that grows with segment count;
+    the shuffle carries 16-byte hashes + positions, never full segments
+    twice) -> groupBy(id) reassembly ordered by position. No all-pairs
+    anywhere; skew on a viral boilerplate segment is one hot fingerprint
+    key whose rows are a few bytes each."""
+    segs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "seg"),
+        )
+        .filter(F.trim("seg") != "")
+        .withColumn("fp", F.md5(F.col("seg").cast("binary")))
+    )
+    w = Window.partitionBy("fp").orderBy("id", "pos")
+    kept = segs.withColumn("rn", F.row_number().over(w))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s.getField("seg"),
+                ),
+            ).alias("text"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("rn") != 1).cast("long")).alias("n_dropped"),
+        )
+        .select("id", "text", "n_kept", "n_dropped")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering (connected components) + canonical selection
 # ---------------------------------------------------------------------------

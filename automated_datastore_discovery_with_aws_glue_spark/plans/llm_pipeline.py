@@ -693,14 +693,64 @@ QUERIES = {
     "emb_near_dup_lsh": emb_near_dup_lsh,
 }
 
+def para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (C4/RefinedWeb cleaning step): split
+    documents into segments, drop every repeat of a segment already seen
+    earlier in the corpus (order: doc id, position), reassemble. The
+    fixture text has no natural breaks, so the query synthesizes a
+    deterministic one every 10 words — both engines apply the same
+    regex — then runs the real ``dedup_segments`` operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    para = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(([a-z]+ ){10})", "$1\n").alias("text"),
+    )
+    return (
+        D.dedup_segments(para, "doc_id", "text", sep="\n")
+        .select(F.col("id").alias("doc_id"), "text", "n_kept", "n_dropped")
+        .orderBy("doc_id")
+    )
+
+
+PARA_DEDUP_SQL = r"""
+    WITH para AS (
+        SELECT doc_id,
+               regexp_replace(text, '(([a-z]+ ){10})', '\1' || chr(10), 'g') AS text
+        FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM para),
+    idx AS (
+        SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM sp
+    ),
+    segs AS (
+        SELECT doc_id, i - 1 AS pos, parts[i] AS seg
+        FROM idx WHERE trim(parts[i]) <> ''
+    ),
+    marked AS (
+        SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '') AS text,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 #: registered past the driver's 50-query window in __spark_entry__ (the
 #: window is full of green entries; check_oracle.py still verifies it)
 EXTRA_QUERIES = {
     "corpus_clean": corpus_clean,
+    "para_dedup": para_dedup,
 }
 
 ORACLES = {
     "corpus_clean": CORPUS_CLEAN_SQL,
+    "para_dedup": PARA_DEDUP_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,

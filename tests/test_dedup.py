@@ -186,6 +186,28 @@ def test_dedup_canonical_keeps_one_per_cluster(spark):
     assert kept == [1, 4, 5]
 
 
+def test_dedup_segments_removes_corpus_wide_boilerplate(spark):
+    """The shared header survives only in its first corpus position;
+    unique paragraphs survive everywhere; an all-boilerplate document
+    comes back empty rather than vanishing."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_segments
+
+    header = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\n\nunique first body"),
+            (2, f"{header}\n\nunique second body\n\n{header}"),
+            (3, header),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: (r["text"], r["n_kept"], r["n_dropped"]) for r in
+           dedup_segments(docs, "doc_id", "text").collect()}
+    assert out[1] == (f"{header}\n\nunique first body", 2, 0)
+    assert out[2] == ("unique second body", 1, 2)
+    assert out[3] == ("", 0, 1)
+
+
 def test_corpus_clean_composition_invariants(spark):
     """The composed pipeline keeps only quality survivors, exactly one
     per near-dup cluster, and never invents documents."""
