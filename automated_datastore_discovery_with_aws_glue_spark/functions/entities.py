@@ -22,7 +22,7 @@ Spark's `rlike` (Java) and the DuckDB oracle's `regexp_matches`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -2,10 +2,8 @@
 
 from __future__ import annotations
 
-import math
 
 import pyspark.sql.functions as F
-import pytest
 
 from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
     blocked_near_dup,
