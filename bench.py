@@ -46,6 +46,8 @@ HEADLINE = [
     "sess_native_window",
     "prof_numeric_quantiles",
     "corpus_clean",
+    "para_dedup",
+    "agg_cube",
 ]
 
 
