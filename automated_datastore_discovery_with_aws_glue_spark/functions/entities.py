@@ -471,10 +471,22 @@ def register_custom_entity(
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
+    jvm = None
     if spark is not None:
         try:
-            spark._jvm.java.util.regex.Pattern.compile(spec.anchored)
-        except Exception as exc:
+            jvm = spark._jvm
+        except Exception:
+            jvm = None  # e.g. Spark Connect: no JVM bridge -> skip check
+    if jvm is not None:
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import IllegalArgumentException
+
+        try:
+            jvm.java.util.regex.Pattern.compile(spec.anchored)
+        except (Py4JJavaError, IllegalArgumentException) as exc:
+            # PatternSyntaxException (IllegalArgumentException once the
+            # py4j client converts it) — a genuinely bad pattern; other
+            # infrastructure errors propagate untouched
             raise ValueError(
                 f"invalid Java regex for entity type {name}: {exc}"
             ) from None

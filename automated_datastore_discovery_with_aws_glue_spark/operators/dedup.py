@@ -559,20 +559,28 @@ def dedup_segments(
     Shape: posexplode -> md5 fingerprint -> one row_number window keyed
     on the fingerprint (the only shuffle that grows with segment count;
     the shuffle carries 16-byte hashes + positions, never full segments
-    twice) -> groupBy(id) reassembly ordered by position. No all-pairs
-    anywhere; skew on a viral boilerplate segment is one hot fingerprint
-    key whose rows are a few bytes each."""
+    twice) -> groupBy(id) reassembly ordered by position, left-joined
+    back onto the input ids so EVERY document keeps its output row (a
+    NULL/empty/all-boilerplate text comes back as ''). ``sep`` is a
+    literal string — it is regex-escaped for the split (F.split takes a
+    pattern; an unescaped '. ' or '|' would shred documents). No
+    all-pairs anywhere; skew on a viral boilerplate segment is one hot
+    fingerprint key whose rows are a few bytes each."""
+    import re as _re
+
     segs = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "seg"),
+            F.posexplode(
+                F.split(F.col(text_col), F.lit(_re.escape(sep)), -1)
+            ).alias("pos", "seg"),
         )
         .filter(F.trim("seg") != "")
         .withColumn("fp", F.md5(F.col("seg").cast("binary")))
     )
     w = Window.partitionBy("fp").orderBy("id", "pos")
     kept = segs.withColumn("rn", F.row_number().over(w))
-    return (
+    reassembled = (
         kept.groupBy("id")
         .agg(
             F.concat_ws(
@@ -589,7 +597,16 @@ def dedup_segments(
             F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
             F.sum((F.col("rn") != 1).cast("long")).alias("n_dropped"),
         )
-        .select("id", "text", "n_kept", "n_dropped")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
     )
 
 

@@ -407,8 +407,6 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (SURVEY §2.7 — absent in the reference, declared via
     the Spark built-in): nations that field both customers and
     suppliers."""
-    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
-
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
@@ -431,8 +429,6 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice (SURVEY §2.4 'not present' in the reference; Spark built-in,
     declared with an oracle). NULL group markers are coalesced to 'ALL'
     so both engines hash identically."""
-    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
-
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")

@@ -188,8 +188,12 @@ class ParquetStateStore:
         writer = df.select(*current.columns).write.mode("overwrite")
         if partition_by and partition_by in df.columns:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(staging)
-        self._link_version_files(cur_dir, staging)
+        try:
+            writer.parquet(staging)
+            self._link_version_files(cur_dir, staging)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         self._commit_staged(table, staging, expect=cur_v)
 
     def merge(
@@ -293,17 +297,23 @@ class ParquetStateStore:
             insert_not_matched=insert_not_matched,
         )
         staging = self._staging_dir(table)
-        merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
-        # untouched partitions: link whole directories. A touched value
-        # with target rows always re-appears in staging (merge retains
-        # matched rows), so "in cur but not in staging" = untouched.
-        for name in os.listdir(cur_dir):
-            if "=" not in name or not os.path.isdir(os.path.join(cur_dir, name)):
-                continue
-            if not os.path.isdir(os.path.join(staging, name)):
-                self._link_version_files(
-                    os.path.join(cur_dir, name), os.path.join(staging, name)
-                )
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+            # untouched partitions: link whole directories. A touched value
+            # with target rows always re-appears in staging (merge retains
+            # matched rows), so "in cur but not in staging" = untouched.
+            for name in os.listdir(cur_dir):
+                if "=" not in name or not os.path.isdir(os.path.join(cur_dir, name)):
+                    continue
+                if not os.path.isdir(os.path.join(staging, name)):
+                    self._link_version_files(
+                        os.path.join(cur_dir, name), os.path.join(staging, name)
+                    )
+        except Exception:
+            # a mid-write failure (e.g. the NULL-merge-key guard firing
+            # executor-side) must not leave partial staging data behind
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         self._commit_staged(table, staging, expect=cur_v)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
@@ -357,5 +367,11 @@ class ParquetStateStore:
         writer = df.write.mode("overwrite")
         if partition_by and partition_by in df.columns:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        except Exception:
+            # failed plans (lazy guards, executor errors) must not leave
+            # partial staging directories behind
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         self._commit_staged(table, staging, expect=base_v)

@@ -78,13 +78,18 @@ def main() -> None:
     ).selectExpr("min(d)").collect()
     # vectorized parquet reader + ColumnarToRow codegen (synthetic file;
     # measured: halves the first real scan's wall-clock)
+    import shutil
     import tempfile
 
-    warm_dir = os.path.join(tempfile.mkdtemp(prefix="bench_warm_"), "t")
-    spark.range(10_000).selectExpr(
-        "id", "cast(id as double) v", "cast(id as string) s", "timestamp_micros(id) ts"
-    ).write.parquet(warm_dir)
-    spark.read.parquet(warm_dir).selectExpr("sum(v)", "max(s)", "max(ts)").collect()
+    warm_root = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        warm_dir = os.path.join(warm_root, "t")
+        spark.range(10_000).selectExpr(
+            "id", "cast(id as double) v", "cast(id as string) s", "timestamp_micros(id) ts"
+        ).write.parquet(warm_dir)
+        spark.read.parquet(warm_dir).selectExpr("sum(v)", "max(s)", "max(ts)").collect()
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
 
     # Per-query fault isolation: one broken query must never zero out the
     # whole run's perf signal — record its error and keep timing the rest.

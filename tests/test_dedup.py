@@ -198,14 +198,33 @@ def test_dedup_segments_removes_corpus_wide_boilerplate(spark):
             (1, f"{header}\n\nunique first body"),
             (2, f"{header}\n\nunique second body\n\n{header}"),
             (3, header),
+            (4, None),   # NULL text must keep its row, not vanish
+            (5, "   "),  # whitespace-only likewise
         ],
-        ["doc_id", "text"],
+        "doc_id bigint, text string",
     )
     out = {r["id"]: (r["text"], r["n_kept"], r["n_dropped"]) for r in
            dedup_segments(docs, "doc_id", "text").collect()}
     assert out[1] == (f"{header}\n\nunique first body", 2, 0)
     assert out[2] == ("unique second body", 1, 2)
     assert out[3] == ("", 0, 1)
+    assert out[4] == ("", 0, 0)
+    assert out[5] == ("", 0, 0)
+
+
+def test_dedup_segments_regex_metachar_separator(spark):
+    """The separator is a literal, not a regex: '. ' must split on the
+    two-char sequence, not on every character."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_segments
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta. gamma delta"), (2, "alpha beta. other tail")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: (r["text"], r["n_kept"], r["n_dropped"]) for r in
+           dedup_segments(docs, "doc_id", "text", sep=". ").collect()}
+    assert out[1] == ("alpha beta. gamma delta", 2, 0)
+    assert out[2] == ("other tail", 1, 1)  # shared first sentence deduped
 
 
 def test_corpus_clean_composition_invariants(spark):

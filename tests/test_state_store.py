@@ -310,3 +310,17 @@ def test_time_travel_read_and_versions(spark, store):
         store.read("tt", version=1)
     with pytest.raises(FileNotFoundError):
         store.read("tt", version=9)
+
+
+def test_failed_merge_leaves_no_staging_garbage(spark, store):
+    """A mid-write failure (the lazy NULL-key guard firing executor-side)
+    must clean up its staging directory, not accumulate partial data."""
+    import os
+
+    store.init("clean", _df(spark, [("a", 1, False)]))
+    bad = spark.createDataFrame([(None, 9, True)], "id string, val long, flag boolean")
+    with pytest.raises(Exception, match="NULL merge key"):
+        store.merge("clean", bad, "id")
+    leftovers = [n for n in os.listdir(f"{store.root}/clean") if n.startswith("._staging_")]
+    assert leftovers == []
+    assert store.read("clean").count() == 1  # table untouched
