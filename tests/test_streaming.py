@@ -303,6 +303,59 @@ def test_native_session_window_matches_batch_twin(spark):
     assert native == manual
 
 
+def test_stream_exact_dedup_first_sighting_wins(spark, tmp_path):
+    """Duplicate texts across micro-batches emit once (first sighting);
+    case/whitespace variants share a fingerprint; distinct texts pass.
+    State is bounded by the watermark horizon (dropDuplicatesWithinWatermark)."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.dedup import (
+        stream_exact_dedup,
+    )
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for doc_id, text, ts in rows:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
+
+    write_batch(
+        [
+            (1, "hello world", "2024-01-01 10:00:00"),
+            (2, "HELLO   world", "2024-01-01 10:00:30"),  # normalized dup of 1
+            (3, "something else", "2024-01-01 10:01:00"),
+        ]
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(src)
+    out: list[int] = []
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.foreachBatch(lambda b, _: out.extend(r["doc_id"] for r in b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == [1, 3]
+
+    # second run: replay-adjacent dup within the horizon still suppressed
+    write_batch([(4, "hello world", "2024-01-01 10:02:00"), (5, "brand new", "2024-01-01 10:02:30")])
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.foreachBatch(lambda b, _: out.extend(r["doc_id"] for r in b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == [1, 3, 5]
+
+
 def test_sessionize_batch_matches_stream_semantics(spark):
     """The batch twin reproduces the stream's gap-splitting on a closed
     fixture (every session followed by a later event or end-of-data)."""
