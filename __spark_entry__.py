@@ -287,7 +287,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
                    event_type,
                    count(*) AS n,
-                   round(avg(value), 4) AS avg_value
+                   ((CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) * 200 + count(*))
+                    // (2 * count(*))) / 10000.0 AS avg_value
             FROM events
             GROUP BY 1, 2
             ORDER BY hour_bucket, event_type
@@ -334,7 +335,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_start_epoch,
                    event_type,
                    count(*) AS n,
-                   round(avg(value), 4) AS avg_value
+                   ((CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) * 200 + count(*))
+                    // (2 * count(*))) / 10000.0 AS avg_value
             FROM events
             GROUP BY 1, 2
             ORDER BY bucket_start_epoch, event_type

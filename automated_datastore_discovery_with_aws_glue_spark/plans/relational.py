@@ -391,19 +391,33 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_avg_value() -> list:
+    """Deterministic avg(value) for the 2-decimal ``events.value`` data:
+    sum exact integer cents (order-independent — double partial-sum
+    ordering flips the 4th decimal of a float avg at sf >= 0.1), then
+    half-up integer division to 1e-4 and one exact double division.
+    Both engines compute identical integers, hence identical doubles."""
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    n = F.count(F.lit(1))
+    return [
+        n.alias("n"),
+        ((cents * 200 + n) .cast("long")).alias("_c200n"),
+    ]
+
+
 def f10_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp parse/format + bucket (F10): hourly event rollup —
-    also the batch equivalent of the tumbling-window stream agg (§2.9)."""
+    also the batch equivalent of the tumbling-window stream agg (§2.9).
+    ``avg_value`` uses exact cent arithmetic (see :func:`_exact_avg_value`)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
             "event_type",
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
+        .agg(*_exact_avg_value())
+        .withColumn("avg_value", F.expr("(_c200n div (2 * n)) / CAST(10000 AS DOUBLE)"))
+        .select("hour_bucket", "event_type", "n", "avg_value")
         .orderBy("hour_bucket", "event_type")
     )
 
@@ -491,10 +505,8 @@ def w_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
+        .agg(*_exact_avg_value())
+        .withColumn("avg_value", F.expr("(_c200n div (2 * n)) / CAST(10000 AS DOUBLE)"))
         .select(
             F.col("w.start").cast("long").alias("bucket_start_epoch"),
             "event_type",
