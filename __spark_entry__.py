@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **G.QUERIES,
         "prof_approx_distinct_est": P.prof_approx_distinct_est,
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
+        # tolerance-gated approx-quantile twin (oracle-backed) + the pure
+        # constant-memory estimate surface (rows-only; the bench headline
+        # times this one — at 100 TB exact percentile's buffer is an OOM)
+        "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
+        "prof_numeric_quantiles_approx_est": P.prof_numeric_quantiles_approx_est,
         "sess_native_window": SS.sess_native_window,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
@@ -357,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_column_stats": P.prof_column_stats_sql(),
         "prof_approx_distinct": P.prof_approx_distinct_sql(),
         "prof_numeric_quantiles": P.prof_numeric_quantiles_sql(),
+        "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx_sql(),
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,

@@ -201,6 +201,69 @@ class DiscoveryEngine:
             )
         return registered
 
+    def recrawl(self, source_type: str = "s3") -> list[dict]:
+        """Re-run discovery over already-cataloged sources — the
+        reference's *scheduled* crawler with ``SchemaChangePolicy:
+        UPDATE_IN_DATABASE`` / ``DeleteBehavior: LOG``
+        (`lambda/catalog-creator-s3/app.py:196-198`): sources drift daily
+        and the catalog must follow without losing curation state.
+
+        Per cataloged source: re-read with schema inference and evolve
+        the table in place —
+
+        - columns NEW in the source are added (UPDATE_IN_DATABASE);
+        - columns GONE from the source are retained in the schema as
+          typed NULLs and reported, never silently dropped
+          (DeleteBehavior LOG — the catalog keeps the column and its
+          curation metadata; downstream queries keep compiling);
+        - a column present in both takes the source's current type
+          (type drift is an update, not a delete);
+        - existing column COMMENTS — the classification findings
+          ``publish_findings`` wrote back — are re-applied after the
+          rewrite, so re-crawling never erases published PII markings.
+
+        Returns the drift log: one dict per table with ``added`` /
+        ``removed`` / ``retyped`` column lists (empty lists = no drift).
+        Idempotent: a re-crawl with no drift rewrites to the same schema
+        and re-applies the same comments."""
+        rows = self.cataloged(source_type).collect()
+        report: list[dict] = []
+        for row in rows:
+            db, table = row["data_catalog_db_name"], row["data_catalog_table_name"]
+            fq = f"{db}.{table}"
+            old_schema = self.spark.table(fq).schema
+            old_comments = {
+                f.name: (f.metadata or {}).get("comment")
+                for f in old_schema.fields
+            }
+            df = self._read_source(source_type, dict(row["data_source_attrs"] or {}))
+            new_types = {f.name: f.dataType for f in df.schema.fields}
+            old_names = [f.name for f in old_schema.fields]
+            added = [c for c in df.columns if c not in set(old_names)]
+            removed = [f.name for f in old_schema.fields if f.name not in new_types]
+            retyped = [
+                f.name
+                for f in old_schema.fields
+                if f.name in new_types and new_types[f.name] != f.dataType
+            ]
+            # evolved schema: every previously-known column first (gone
+            # ones as typed NULLs), then the new columns in source order
+            cols = [
+                F.col(f.name)
+                if f.name in new_types
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in old_schema.fields
+            ]
+            cols += [F.col(c) for c in added]
+            df.select(*cols).write.mode("overwrite").saveAsTable(fq)
+            comments = {k: v for k, v in old_comments.items() if v}
+            if comments:
+                self._write_column_comments(db, table, comments)
+            report.append(
+                {"table": fq, "added": added, "removed": removed, "retyped": retyped}
+            )
+        return report
+
     def _read_source(self, source_type: str, attrs: dict[str, str]) -> DataFrame:
         path = attrs["path"]
         fmt = attrs.get("format", "csv" if source_type == "s3" else "json")

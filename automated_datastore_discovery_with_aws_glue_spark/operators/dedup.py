@@ -19,6 +19,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
+from automated_datastore_discovery_with_aws_glue_spark.operators.cache import (
+    adopt,
+    carry,
+    persistent_rdd_ids,
+    rdd_id_releaser,
+    release,
+)
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint, let, normalize_text
 
@@ -146,7 +153,7 @@ def jaccard_pairs(
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    return (
+    result = (
         joined.filter(F.col("inter") * 10000 >= F.lit(num) * union)
         .select(
             "id_a",
@@ -155,6 +162,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
+    return adopt(result, base)
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +327,7 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter
     num = int(round(threshold * 10000))
-    return (
+    result = (
         cand.join(
             base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")),
             "id_a",
@@ -331,6 +339,7 @@ def minhash_lsh_pairs(
         .filter(inter * 10000 >= F.lit(num) * union)
         .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
     )
+    return adopt(result, base)
 
 
 def minhash_lsh_pairs_md5(
@@ -392,7 +401,7 @@ def minhash_lsh_pairs_md5(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter
     num = int(round(threshold * 10000))
-    return (
+    result = (
         cand.join(
             base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
             "id_a",
@@ -404,6 +413,7 @@ def minhash_lsh_pairs_md5(
         .filter(inter * 10000 >= F.lit(num) * union)
         .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
     )
+    return adopt(result, base)
 
 
 # ---------------------------------------------------------------------------
@@ -531,7 +541,7 @@ def simhash_pairs(
         F.col("id").alias("id_b"), "block", "band", "key", F.col("simhash").alias("sh_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    result = (
         left.join(right, ["block", "band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming)
@@ -539,6 +549,7 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+    return adopt(result, base)
 
 
 def dedup_segments(
@@ -644,7 +655,17 @@ def dedup_clusters(
     Raises ``RuntimeError`` if labels are still changing after
     ``max_rounds`` — exiting silently there would return *wrong* cluster
     ids for any component whose diameter exceeds the bound.
+
+    Cache lifecycle: each round's checkpoint blocks are unpersisted as
+    soon as the next round materializes (the superseded round's blocks
+    serve no plan); the FINAL round's blocks back the returned frame and
+    are adopted onto it — freed by ``cache.release(result)`` or when the
+    result is garbage-collected. The ``pairs`` frame is fully consumed
+    here (the label loop is eager), so its operator caches are released
+    on exit too — re-collecting a ``jaccard_pairs`` result after passing
+    it in recomputes (correct, uncached).
     """
+    sc = pairs.sparkSession.sparkContext
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -654,12 +675,14 @@ def dedup_clusters(
     # init = the first propagation round fused into a groupBy (labels are
     # the identity at round 0, so min-over-neighbors needs no join yet):
     # every node starts at min(id, neighbors) — one round fewer in the loop
+    seen = persistent_rdd_ids(sc)
     labels = (
         edges.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("mb"))
         .select("id", F.least("id", "mb").alias("label"))
         .localCheckpoint()
     )
+    own_ids = persistent_rdd_ids(sc) - seen
     for _ in range(max_rounds):
         nmin = (
             edges.join(labels.select(F.col("id").alias("b"), F.col("label").alias("nb")), "b")
@@ -669,6 +692,7 @@ def dedup_clusters(
         # change detection rides the update projection — no second join
         # against the previous labels, just a LIMIT-1 probe on the
         # checkpointed result
+        seen = persistent_rdd_ids(sc)
         new = (
             labels.join(nmin, "id", "left")
             .select(
@@ -678,32 +702,47 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
+        new_ids = persistent_rdd_ids(sc) - seen
         changed = new.filter("_chg").limit(1).count()
+        # the superseded round's checkpoint blocks feed no live plan once
+        # `new` is materialized (localCheckpoint is eager) — drop them NOW
+        # instead of letting them pile up for the session's lifetime
+        rdd_id_releaser(sc, own_ids)()
+        own_ids = new_ids
         labels = new.drop("_chg")
         if changed == 0:
             break
     else:
         edges.unpersist()
+        rdd_id_releaser(sc, own_ids)()
+        release(pairs)
         raise RuntimeError(
             f"dedup_clusters: labels still changing after {max_rounds} rounds "
             "(a component's diameter exceeds max_rounds; its cluster ids would "
             "be wrong). Raise max_rounds — rounds needed = component diameter."
         )
     edges.unpersist()
+    release(pairs)
     if all_ids is not None:
         ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
-        return ids.join(labels, "id", "left").select(
+        result = ids.join(labels, "id", "left").select(
             "id", F.coalesce("label", F.col("id")).alias("cluster_id")
         )
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    else:
+        result = labels.select("id", F.col("label").alias("cluster_id"))
+    return adopt(result, rdd_id_releaser(sc, own_ids))
 
 
 def dedup_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep exactly one document per near-dup cluster (the minimum-id
     representative) — the end of the dedup pipeline: pairs -> clusters ->
     filtered corpus. Left-semi join, so no column changes and no row
-    multiplication."""
-    keep = dedup_clusters(pairs, df.select(id_col)).filter(
-        F.col("id") == F.col("cluster_id")
-    )
-    return df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")
+    multiplication.
+
+    The returned plan reads the cluster result's checkpoint blocks, so
+    their ownership is carried onto it (``cache.carry``) — released with
+    the result, not when the intermediate goes out of scope."""
+    clusters = dedup_clusters(pairs, df.select(id_col))
+    keep = clusters.filter(F.col("id") == F.col("cluster_id"))
+    result = df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")
+    return carry(result, clusters)

@@ -129,14 +129,21 @@ def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     dominates corpus curation."""
     c = F.col(content_col)
     with_mime = df.withColumn("_mime", sniff_mime(c))
+    # fixed-offset parses are gated on the container actually holding the
+    # full dimension fields (PNG IHDR dims end at byte 24, GIF screen
+    # descriptor at byte 10): a truncated file with a valid magic prefix
+    # yields NULL dims, like the JPEG marker walk — never a number parsed
+    # off a partial header
+    png_ok = (F.col("_mime") == "image/png") & (F.length(c) >= 24)
+    gif_ok = (F.col("_mime") == "image/gif") & (F.length(c) >= 10)
     native = with_mime.filter(F.col("_mime") != "image/jpeg").select(
         "*",
-        F.when(F.col("_mime") == "image/png", _be_u32(c, 17))
-        .when(F.col("_mime") == "image/gif", _le_u16(c, 7))
+        F.when(png_ok, _be_u32(c, 17))
+        .when(gif_ok, _le_u16(c, 7))
         .otherwise(F.lit(None).cast("int"))
         .alias("img_width"),
-        F.when(F.col("_mime") == "image/png", _be_u32(c, 21))
-        .when(F.col("_mime") == "image/gif", _le_u16(c, 9))
+        F.when(png_ok, _be_u32(c, 21))
+        .when(gif_ok, _le_u16(c, 9))
         .otherwise(F.lit(None).cast("int"))
         .alias("img_height"),
     )

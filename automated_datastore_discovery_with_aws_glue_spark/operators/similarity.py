@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.storagelevel import StorageLevel
 
+from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 
 
@@ -127,13 +128,14 @@ def blocked_near_dup(
     a = base.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     b = base.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
-    return (
+    result = (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("similarity", sim)
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "block", "similarity")
     )
+    return adopt(result, base)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +242,7 @@ def lsh_near_dup(
     # and the bucket expression (n_bands x band_planes literal-plane dots) is
     # large — persisting caches 24 bytes/row-band AND keeps Catalyst from
     # analyzing/AQE-replanning the giant expression twice
-    buckets = (
+    buckets = cached_buckets = (
         base.select("id", F.explode(F.array(*bands)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -262,13 +264,14 @@ def lsh_near_dup(
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
-    return (
+    result = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("similarity", sim)
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity")
     )
+    return adopt(result, base, cached_buckets)
 
 
 def ivf_centroids(

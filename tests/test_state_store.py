@@ -324,3 +324,94 @@ def test_failed_merge_leaves_no_staging_garbage(spark, store):
     leftovers = [n for n in os.listdir(f"{store.root}/clean") if n.startswith("._staging_")]
     assert leftovers == []
     assert store.read("clean").count() == 1  # table untouched
+
+
+def _no_link(monkeypatch):
+    import os
+
+    def raiser(src, dst, **kw):
+        raise OSError("hard links unsupported on this filesystem")
+
+    monkeypatch.setattr(os, "link", raiser)
+
+
+def test_linkless_append_is_metadata_only(spark, store, monkeypatch):
+    """On a filesystem without hard links (os.link raises — the
+    object-store posture) an append must stay O(batch): prior data files
+    are inherited via the _INHERITED manifest, not copied. Asserted by
+    basenames: a copy would materialize the old part files (their names
+    are job-unique) inside the new version directory."""
+    import os
+
+    store.init("t", _df(spark, [("a", 1, False), ("b", 2, False)]))
+    v1_names = {os.path.basename(p) for p in _data_files(store._version_dir("t", 1))}
+
+    _no_link(monkeypatch)
+    store.append("t", _df(spark, [("c", 3, True)]))
+    v2 = store._version_dir("t", 2)
+    v2_names = {os.path.basename(p) for p in _data_files(v2)}
+    # no old data file was copied into v2 ...
+    assert not (v1_names & v2_names)
+    # ... they are inherited through the manifest instead
+    manifest = store._read_manifest(v2)
+    assert {os.path.basename(e["src"]) for e in manifest} == v1_names
+    out = {r["id"]: r["val"] for r in store.read("t").collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+    # second linkless append: manifests never chain — v3's manifest points
+    # straight at each file's owning version
+    store.append("t", _df(spark, [("d", 4, True)]))
+    v3 = store._version_dir("t", 3)
+    m3 = store._read_manifest(v3)
+    assert {os.path.basename(e["src"]) for e in m3} >= v1_names
+    for e in m3:
+        assert os.path.isfile(e["src"])  # resolved, not a reference to a manifest
+    assert sorted(r["id"] for r in store.read("t").collect()) == ["a", "b", "c", "d"]
+    # time travel still works across manifest versions
+    assert sorted(r["id"] for r in store.read("t", version=2).collect()) == ["a", "b", "c"]
+
+
+def test_linkless_merge_prune_keeps_untouched_partitions(spark, store, monkeypatch):
+    rows = [("s3", "a", 1), ("s3", "b", 2), ("rds", "c", 3)]
+    df = spark.createDataFrame(rows, ["data_source_type", "id", "val"])
+    store.init("p", df, partition_by="data_source_type")
+    _no_link(monkeypatch)
+    src = spark.createDataFrame([("s3", "a", 99)], ["data_source_type", "id", "val"])
+    store.merge(
+        "p", src, "id",
+        set_on_match={"val": F.col("src.val")},
+        insert_not_matched=False,
+        partition_by="data_source_type",
+        prune_partitions=True,
+    )
+    got = {r["id"]: r["val"] for r in store.read("p").collect()}
+    assert got == {"a": 99, "b": 2, "c": 3}
+    # the untouched rds partition is inherited by manifest, not copied
+    import os
+    v2 = store._version_dir("p", 2)
+    assert not _data_files(os.path.join(v2, "data_source_type=rds"))
+    m = store._read_manifest(v2)
+    assert any(e["dst"].startswith("data_source_type=rds") for e in m)
+
+
+def test_linkless_vacuum_keeps_referenced_files(spark, store, monkeypatch):
+    """vacuum on a link-less store must not delete files a retained
+    version's manifest still points at; the vacuumed version directory
+    becomes a tombstoned file pool and leaves the readable history."""
+    store.init("v", _df(spark, [("a", 1, False)]))
+    _no_link(monkeypatch)
+    store.append("v", _df(spark, [("b", 2, False)]))
+    store.append("v", _df(spark, [("c", 3, False)]))
+    store.vacuum("v", keep=1)
+    # full data still readable through the retained version's manifest
+    assert sorted(r["id"] for r in store.read("v").collect()) == ["a", "b", "c"]
+    # vacuumed versions drop out of the readable history
+    assert store.versions("v") == [3]
+    with pytest.raises(FileNotFoundError):
+        store.read("v", version=1)
+
+
+def test_reserved_version_column_rejected(spark, store):
+    df = spark.createDataFrame([(1, "x")], ["v", "val"])
+    with pytest.raises(ValueError, match="reserve"):
+        store.init("r", df)
