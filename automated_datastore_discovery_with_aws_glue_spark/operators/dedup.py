@@ -26,6 +26,11 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.cache import (
     rdd_id_releaser,
     release,
 )
+from automated_datastore_discovery_with_aws_glue_spark.operators.hot import (
+    HOT_POLICIES,
+    split_hot_buckets,
+    star_reps,
+)
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint, let, normalize_text
 
@@ -276,6 +281,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    on_hot: str = "drop",
 ) -> DataFrame:
     """Near-dup pairs via banded LSH + exact-Jaccard verification.
 
@@ -292,8 +298,14 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` mirrors the hot-bucket safety valve of
     ``similarity.lsh_near_dup``: (band, bucket) groups larger than the
-    cap — boilerplate-dominated corpora collapsing into one bucket — are
-    excluded from the self-join before it turns quadratic."""
+    cap — boilerplate-dominated corpora collapsing into one bucket —
+    leave the self-join before it turns quadratic. ``on_hot`` picks the
+    policy (``operators/hot.py``): ``'drop'`` excludes them (logged,
+    never silent), ``'route'`` emits star candidates to each hot
+    group's min-id representative — O(B) per bucket, same exact
+    verification."""
+    if on_hot not in HOT_POLICIES:
+        raise ValueError(f"on_hot must be one of {HOT_POLICIES}, got {on_hot!r}")
     rows = num_hashes // bands
     base = _hashed_shingle_frame(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = base.select("id", _signature_expr(F.col("hs"), num_hashes).alias("signature"))
@@ -310,20 +322,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    extra = None
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
-        banded = (
-            banded.join(sizes, ["band", "bucket"])
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        banded, hot, _stats = split_hot_buckets(
+            banded, ("band", "bucket"), max_bucket,
+            label="minhash_lsh_pairs", policy=on_hot,
         )
+        if on_hot == "route":
+            extra = (
+                star_reps(hot, ("band", "bucket"))
+                .filter(F.col("id") != F.col("_rep"))
+                .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+            )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    if extra is not None:
+        cand = cand.union(extra)
+    cand = cand.distinct()
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter
     num = int(round(threshold * 10000))
@@ -482,6 +501,7 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    on_hot: str = "drop",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming within blocks.
 
@@ -493,11 +513,16 @@ def simhash_pairs(
     single bit_count per candidate.
 
     ``max_bucket`` is the hot-bucket safety valve (see
-    ``minhash_lsh_pairs``): (block, band, key) groups above the cap are
-    excluded from the self-join. NOTE unlike the probabilistic LSH
-    families this band-blocking is exact, so a cap trades completeness
-    for boundedness — capped pairs are genuinely dropped, not just
-    lower-recall. Default None keeps exactness."""
+    ``minhash_lsh_pairs``): (block, band, key) groups above the cap
+    leave the self-join. NOTE unlike the probabilistic LSH families this
+    band-blocking is exact, so a cap trades completeness for boundedness.
+    ``on_hot='drop'`` excludes capped groups (logged, never silent);
+    ``on_hot='route'`` keeps hot groups connected by pairing every
+    member with the group's min-id representative (its sketch rides the
+    ``min_by`` aggregate) — O(B) per bucket, Hamming-verified like any
+    candidate. Default ``max_bucket=None`` keeps exactness."""
+    if on_hot not in HOT_POLICIES:
+        raise ValueError(f"on_hot must be one of {HOT_POLICIES}, got {on_hot!r}")
     bands = max_hamming + 1
     width = 64 // bands
     mask = (1 << width) - 1
@@ -527,13 +552,23 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "block", "simhash", "bb.band", "bb.key")
+    extra = None
     if max_bucket is not None:
-        sizes = banded.groupBy("block", "band", "key").agg(F.count("*").alias("_bn"))
-        banded = (
-            banded.join(sizes, ["block", "band", "key"])
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        banded, hot, _stats = split_hot_buckets(
+            banded, ("block", "band", "key"), max_bucket,
+            label="simhash_pairs", policy=on_hot,
         )
+        if on_hot == "route":
+            extra = (
+                star_reps(hot, ("block", "band", "key"), carry={"_rep_sh": "simhash"})
+                .filter(F.col("id") != F.col("_rep"))
+                .select(
+                    F.col("_rep").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.col("_rep_sh").alias("sh_a"),
+                    F.col("simhash").alias("sh_b"),
+                )
+            )
     left = banded.select(
         F.col("id").alias("id_a"), "block", "band", "key", F.col("simhash").alias("sh_a")
     )
@@ -541,10 +576,15 @@ def simhash_pairs(
         F.col("id").alias("id_b"), "block", "band", "key", F.col("simhash").alias("sh_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    result = (
+    cand = (
         left.join(right, ["block", "band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming)
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    if extra is not None:
+        cand = cand.union(extra)
+    result = (
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -33,6 +33,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.storagelevel import StorageLevel
 
 from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt
+from automated_datastore_discovery_with_aws_glue_spark.operators.hot import (
+    HOT_POLICIES,
+    split_hot_buckets,
+    star_reps,
+)
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
 
 
@@ -196,6 +201,7 @@ def lsh_near_dup(
     band_planes: int = 4,
     seed: int = 42,
     max_bucket: int | None = None,
+    on_hot: str = "drop",
 ) -> DataFrame:
     """Sub-quadratic embedding near-duplicate pairs: banded hyperplane-LSH
     candidate generation composed with exact cosine verification — the
@@ -220,11 +226,16 @@ def lsh_near_dup(
     ``max_bucket`` is the hot-bucket safety valve for skewed corpora: a
     degenerate (band, bucket) group — near-constant embeddings all
     landing together — makes that group's self-join quadratic. With a
-    cap, buckets holding more than ``max_bucket`` rows are EXCLUDED from
-    candidate generation (standard LSH practice; such buckets carry no
-    discriminative signal — route them to the exact blocked verifier
-    instead). One extra groupBy-count on the already-persisted bucket
+    cap, over-cap groups leave candidate generation under the ``on_hot``
+    policy (``operators/hot.py``): ``'drop'`` excludes them with a
+    logged account of the dropped (group, row) counts; ``'route'``
+    pairs every member with the group's min-id representative — O(B)
+    candidates per hot bucket through the same exact-cosine verify,
+    keeping boilerplate components connected for the clustering
+    consumers. One extra groupBy-count on the already-persisted bucket
     frame; None (default) keeps every bucket."""
+    if on_hot not in HOT_POLICIES:
+        raise ValueError(f"on_hot must be one of {HOT_POLICIES}, got {on_hot!r}")
     dim = vector_dim(df, vec_col)
     planes = hyperplanes(dim, n_bands * band_planes, seed)
     base = (
@@ -247,20 +258,27 @@ def lsh_near_dup(
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    extra = None
     if max_bucket is not None:
-        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
-        buckets = (
-            buckets.join(sizes, ["band", "bucket"])
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        buckets, hot, _stats = split_hot_buckets(
+            buckets, ("band", "bucket"), max_bucket,
+            label="lsh_near_dup", policy=on_hot,
         )
+        if on_hot == "route":
+            extra = (
+                star_reps(hot, ("band", "bucket"))
+                .filter(F.col("id") != F.col("_rep"))
+                .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+            )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if extra is not None:
+        cand = cand.union(extra)
+    cand = cand.distinct()
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
@@ -275,12 +293,25 @@ def lsh_near_dup(
 
 
 def ivf_centroids(
-    df: DataFrame, vec_col: str, *, n_cells: int = 16, id_col: str = "vec_id"
+    df: DataFrame,
+    vec_col: str,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    refine_sample: int = 32,
 ) -> np.ndarray:
-    """Deterministic IVF coarse quantizer: take the n_cells vectors with
-    the smallest ``xxhash64(id)`` (a seedless pseudo-random but
-    reproducible sample) and L2-normalize them. A tiny driver-side
-    collect — n_cells x dim floats — regardless of table size.
+    """Deterministic IVF coarse quantizer: seed with the n_cells vectors
+    of smallest ``xxhash64(id)`` (a seedless pseudo-random but
+    reproducible sample), then run ONE Lloyd/k-means step over a larger
+    hash sample (``n_cells * refine_sample`` vectors) so near-duplicate
+    seeds drift apart instead of wasting cells — two seeds drawn from
+    the same dense region split it, where raw seeds would leave one cell
+    empty and another doubled. Still a tiny driver-side collect
+    (sample x dim floats, bounded regardless of table size) and fully
+    deterministic: the sample order is the hash order (ties broken by
+    id), assignment argmax takes the first maximal cell, and empty or
+    degenerate (zero-mean) cells keep their seed. ``refine_sample=1``
+    disables refinement (seeds only).
 
     All-zero embeddings are excluded from the sample: normalizing one
     would yield a NaN centroid, and since Spark sorts NaN above every
@@ -289,12 +320,27 @@ def ivf_centroids(
     rows = (
         df.filter(F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0))
         .select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
-        .limit(n_cells)
+        .orderBy("h", "v")
+        .limit(n_cells * max(1, refine_sample))
         .collect()
     )
-    c = np.array([[float(x) for x in r["v"]] for r in rows])
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+    pts = np.array([[float(x) for x in r["v"]] for r in rows])
+    seeds = pts[:n_cells]
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    if refine_sample <= 1 or len(pts) <= n_cells:
+        return seeds
+    spts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    assign = np.argmax(spts @ seeds.T, axis=1)
+    cents = np.vstack(
+        [
+            spts[assign == c].mean(axis=0) if np.any(assign == c) else seeds[c]
+            for c in range(n_cells)
+        ]
+    )
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    # a cell whose members cancel out (zero mean) falls back to its seed
+    cents = np.where(norms > 1e-12, cents / np.maximum(norms, 1e-300), seeds)
+    return cents
 
 
 def ivf_cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
@@ -323,6 +369,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_sample: int = 32,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells: score only the
     vectors whose nearest centroid is among the query's n_probe nearest
@@ -333,7 +380,9 @@ def ivf_topk(
     of n_probe/n_cells of the data; here the assignment is computed
     inline. Complements hyperplane LSH: IVF adapts to the data
     distribution (centroids come from the data), LSH is data-oblivious."""
-    cents = ivf_centroids(df, vec_col, n_cells=n_cells, id_col=id_col)
+    cents = ivf_centroids(
+        df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    )
     qv = np.asarray(query, dtype=float)
     probes = np.argsort(-(cents @ qv))[:n_probe].tolist()
     return (
@@ -355,6 +404,7 @@ def write_ivf_partitioned(
     *,
     id_col: str = "vec_id",
     n_cells: int = 16,
+    refine_sample: int = 32,
 ) -> np.ndarray:
     """Materialize the IVF index: assign every vector its cell id
     (map-side, no shuffle) and write the table PARTITIONED BY the cell —
@@ -367,7 +417,9 @@ def write_ivf_partitioned(
     :func:`ivf_topk_partitioned` prunes whole partitions at planning
     time (PartitionFilters, plan-asserted in tests/test_similarity_ivf).
     """
-    cents = ivf_centroids(df, vec_col, n_cells=n_cells, id_col=id_col)
+    cents = ivf_centroids(
+        df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    )
     (
         df.withColumn("_cell", ivf_cell_expr(vec_col, cents))
         .write.mode("overwrite")

@@ -1,0 +1,107 @@
+"""Hot-bucket accounting + routing (operators/hot.py).
+
+A boilerplate-degenerate corpus collapses into one (band, bucket) group;
+``max_bucket`` must never lose pairs SILENTLY: ``on_hot='drop'`` logs the
+dropped group/row counts, ``on_hot='route'`` recovers the component via
+star candidates to the group's min-id representative at O(B) cost.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.cache import release
+from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+    dedup_clusters,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import lsh_near_dup
+
+BOILER = "subscribe to our newsletter for updates and follow us on social media today"
+
+
+@pytest.fixture()
+def boiler_docs(spark):
+    rows = [(i, BOILER, "en") for i in range(12)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+@pytest.fixture()
+def const_emb(spark):
+    rows = [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(12)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_drop_policy_accounts_for_dropped_buckets(spark, const_emb, caplog):
+    with caplog.at_level(logging.WARNING, logger="automated_datastore_discovery_with_aws_glue_spark.operators.hot"):
+        pairs = lsh_near_dup(
+            const_emb, "vec_id", "embedding",
+            threshold=0.9, n_bands=2, band_planes=2, max_bucket=5,
+        )
+        got = pairs.collect()
+        release(pairs)
+    assert got == []  # capped: identical embeddings dropped from candidates
+    warnings = [r.getMessage() for r in caplog.records if "hot bucket" in r.getMessage()]
+    assert warnings, "dropping hot buckets must be logged, never silent"
+    assert "max_bucket=5" in warnings[0] and "policy=drop" in warnings[0]
+
+
+def test_route_policy_recovers_component_linear(spark, const_emb):
+    pairs = lsh_near_dup(
+        const_emb, "vec_id", "embedding",
+        threshold=0.9, n_bands=2, band_planes=2, max_bucket=5, on_hot="route",
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    # star routing: every member pairs with the min id — O(B), not O(B^2)
+    assert got == [(0, i) for i in range(1, 12)]
+    assert all(r["similarity"] == 1.0 for r in pairs.collect())
+    clusters = dedup_clusters(pairs, const_emb.select("vec_id"))
+    labels = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    assert set(labels.values()) == {0}  # one component, nothing lost
+    release(clusters)
+
+
+def test_route_policy_minhash(spark, boiler_docs):
+    dropped = minhash_lsh_pairs(boiler_docs, "doc_id", "text", threshold=0.5, max_bucket=5)
+    routed = minhash_lsh_pairs(
+        boiler_docs, "doc_id", "text", threshold=0.5, max_bucket=5, on_hot="route"
+    )
+    assert dropped.count() == 0
+    got = sorted((r["id_a"], r["id_b"]) for r in routed.collect())
+    assert got == [(0, i) for i in range(1, 12)]
+    release(dropped)
+    release(routed)
+
+
+def test_route_policy_simhash_carries_rep_sketch(spark, boiler_docs):
+    routed = simhash_pairs(
+        boiler_docs, "doc_id", "text", "lang",
+        max_hamming=3, max_bucket=5, on_hot="route",
+    )
+    rows = routed.collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in rows) == [(0, i) for i in range(1, 12)]
+    assert all(r["hamming"] == 0 for r in rows)  # identical sketches
+    release(routed)
+
+
+def test_bad_policy_rejected(spark, boiler_docs):
+    with pytest.raises(ValueError, match="on_hot"):
+        minhash_lsh_pairs(boiler_docs, "doc_id", "text", max_bucket=5, on_hot="nope")
+
+
+def test_cap_does_not_disturb_normal_buckets(spark):
+    """Mixed corpus: a hot boilerplate group under the cap policy must
+    not affect pairs found in healthy buckets."""
+    rows = [(i, BOILER, "en") for i in range(8)] + [
+        (100, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (101, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, max_bucket=4)
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert (100, 101) in got
+    assert not [p for p in got if p[0] < 100]  # boilerplate dropped by cap
+    release(pairs)

@@ -225,3 +225,55 @@ def test_ivf_partitioned_prunes_and_matches_inline(spark, tmp_path):
         emb, "embedding", query, 5, id_col="vec_id", n_cells=8, n_probe=3
     ).collect()
     assert [tuple(r) for r in top.collect()] == [tuple(r) for r in inline]
+
+
+def test_ivf_lloyd_refinement_recall_and_determinism(spark):
+    """The one Lloyd step over the hash sample exists for CLUSTERED data
+    (the realistic embedding shape): hash-random seeds over-sample dense
+    regions, wasting cells, and the refinement drifts centroids toward
+    region means. On a skewed clustered fixture the refined quantizer's
+    recall at the same n_probe must be >= the raw seeds'; centroids stay
+    deterministic call-to-call."""
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n_clusters = 16, 8
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(150 if c == 0 else 12):  # one dominant dense cluster
+            v = centers[c] + rng.standard_normal(dim) * 0.15
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    c1 = ivf_centroids(df, "embedding", n_cells=8)
+    c2 = ivf_centroids(df, "embedding", n_cells=8)
+    assert np.array_equal(c1, c2)  # deterministic
+    assert not np.isnan(c1).any()
+
+    k = 8
+    queries = [150 + 12 * c for c in range(7)] + [0, 75]
+
+    def recall(refine):
+        hits = 0
+        for qid in queries:
+            q = rows[qid][1]
+            exact = {r["vec_id"] for r in brute_force_topk(df, "embedding", q, k).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ivf_topk(
+                    df, "embedding", q, k, id_col="vec_id",
+                    n_cells=8, n_probe=2, refine_sample=refine,
+                ).collect()
+            }
+            hits += len(exact & approx)
+        return hits / (k * len(queries))
+
+    assert recall(32) >= recall(1)
