@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # times this one — at 100 TB exact percentile's buffer is an OOM)
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
         "prof_numeric_quantiles_approx_est": P.prof_numeric_quantiles_approx_est,
+        # discovery-profile extensions: per-column frequent values (one
+        # unpivot + one agg + one window) and an equi-width histogram
+        # whose shuffle carries (bucket, count) only
+        "prof_top_values": P.prof_top_values,
+        "prof_histogram": P.prof_histogram,
         "sess_native_window": SS.sess_native_window,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
@@ -363,6 +368,8 @@ def oracle_sql() -> dict[str, str]:
         "prof_approx_distinct": P.prof_approx_distinct_sql(),
         "prof_numeric_quantiles": P.prof_numeric_quantiles_sql(),
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx_sql(),
+        "prof_top_values": P.prof_top_values_sql(),
+        "prof_histogram": P.prof_histogram_sql(),
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,

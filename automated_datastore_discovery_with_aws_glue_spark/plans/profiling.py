@@ -310,6 +310,117 @@ def prof_numeric_quantiles_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
 
 
+_TOP_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def prof_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column top-5 most frequent values — the frequent-values half
+    of a discovery profile (what a crawler surfaces next to min/max/
+    distinct for low-cardinality columns).
+
+    Spark-first shape: ONE unpivot (``stack``) over the profiled columns
+    then ONE (column, value) hash aggregate — map-side partial
+    aggregation collapses each partition to at most
+    sum(cardinalities) rows before the single shuffle — and one
+    row_number window for the per-column top-k. Never C separate
+    scans/aggregates; scales with distinct values, not rows. Total
+    deterministic order (count desc, value asc)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _TOP_COLS)
+    stacked = orders.selectExpr(
+        f"stack({len(_TOP_COLS)}, {stack_args}) AS (column_name, value)"
+    )
+    counts = stacked.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("column_name").orderBy(F.col("n").desc(), "value")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("column_name", "rk")
+    )
+
+
+def prof_top_values_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}::VARCHAR AS value FROM orders"
+        for c in _TOP_COLS
+    )
+    return f"""
+        SELECT column_name, value, n, rk FROM (
+            SELECT column_name, value, n,
+                   row_number() OVER (PARTITION BY column_name
+                                      ORDER BY n DESC, value) AS rk
+            FROM (
+                SELECT column_name, value, count(*) AS n
+                FROM ({unions})
+                GROUP BY column_name, value
+            )
+        )
+        WHERE rk <= 5
+        ORDER BY column_name, rk
+    """
+
+
+def prof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (20 buckets over the
+    column's min/max) — the distribution sketch a discovery profile
+    draws. Two passes total: one tiny min/max aggregate (2 doubles to
+    the driver), then one ``width_bucket`` groupBy whose shuffle carries
+    (bucket, count) only — constant memory at any scale, unlike exact
+    quantiles. Empty buckets are absent by construction (count >= 1);
+    bucket edges are derived from the same min/max in both engines, so
+    the hash check pins the bucketing math bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).first()
+    n_buckets = 20
+    # explicit bucket arithmetic, written IDENTICALLY in the oracle SQL
+    # (same IEEE double op order: (x - lo) / (hi - lo) * n) so boundary
+    # values land in the same bin in both engines — a width_bucket
+    # builtin would tie the hash check to engine-specific edge semantics
+    x = F.col("l_extendedprice").cast("double")
+    b = F.least(
+        F.floor((x - F.lit(lo)) / F.lit(hi - lo) * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    ) + F.lit(1)
+    return (
+        li.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(
+                F.lit(lo) + (F.col("bucket") - 1) * (F.lit(hi) - F.lit(lo)) / n_buckets, 4
+            ).alias("lo_edge"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+def prof_histogram_sql() -> str:
+    # the oracle recomputes min/max itself — same data, same edges,
+    # same bucket arithmetic (see prof_histogram)
+    return """
+        WITH mm AS (
+            SELECT min(l_extendedprice::DOUBLE) AS lo, max(l_extendedprice::DOUBLE) AS hi
+            FROM lineitem
+        ),
+        b AS (
+            SELECT least(CAST(floor((l_extendedprice::DOUBLE - lo) / (hi - lo) * 20) AS INT), 19) + 1 AS bucket
+            FROM lineitem, mm
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               round((SELECT lo FROM mm) + (bucket - 1) * ((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 20, 4) AS lo_edge,
+               count(*) AS n
+        FROM b
+        GROUP BY bucket
+        ORDER BY bucket
+    """
+
+
 def prof_approx_distinct_sql() -> str:
     parts = [
         f"""SELECT '{c}' AS column_name,
