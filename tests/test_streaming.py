@@ -376,3 +376,59 @@ def test_sessionize_batch_matches_stream_semantics(spark):
         (1, 2, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
         (2, 1, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
     ]
+
+
+def test_stream_segment_dedup_c4_cleaning(spark, tmp_path):
+    """Ingest-time paragraph dedup: a segment seen in an earlier
+    micro-batch is dropped from later documents (bounded watermark
+    state); a document whose every segment is boilerplate still emits —
+    empty — via its sentinel row, matching the batch operator."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.dedup import (
+        reassemble_segments,
+        stream_segment_dedup,
+    )
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for doc_id, text, ts in rows:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
+
+    out: dict[int, tuple] = {}
+
+    def sink(batch, _):
+        for r in reassemble_segments(batch).collect():
+            out[r["doc_id"]] = (r["text"], r["n_kept"], r["n_dropped"])
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(src)
+        q = (
+            stream_segment_dedup(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch([(1, "alpha beta\n\ncommon footer", "2024-01-01 10:00:00")])
+    run()
+    assert out[1] == ("alpha beta\n\ncommon footer", 2, 0)
+
+    # later batch: duplicate segment dropped cross-batch; fresh one kept;
+    # an all-boilerplate doc still emits, empty
+    write_batch(
+        [
+            (2, "gamma delta\n\ncommon footer", "2024-01-01 10:01:00"),
+            (3, "common footer", "2024-01-01 10:01:30"),
+        ]
+    )
+    run()
+    assert out[2] == ("gamma delta", 1, 1)
+    assert out[3] == ("", 0, 1)
