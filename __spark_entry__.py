@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose shuffle carries (bucket, count) only
         "prof_top_values": P.prof_top_values,
         "prof_histogram": P.prof_histogram,
+        # the scrub step after classification: cell masking + in-prose
+        # redaction from the same entity registry as the classifier
+        "pii_redact": P.pii_redact,
         "sess_native_window": SS.sess_native_window,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
@@ -370,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx_sql(),
         "prof_top_values": P.prof_top_values_sql(),
         "prof_histogram": P.prof_histogram_sql(),
+        "pii_redact": P.pii_redact_oracle_sql(),
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,

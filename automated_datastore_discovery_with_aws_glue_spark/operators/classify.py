@@ -268,3 +268,70 @@ def build_findings(
     for k, v in (source_attrs or {}).items():
         out = out.withColumn(k, F.lit(v))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Redaction — the scrubbing half of the PII pipeline (classify -> redact)
+# ---------------------------------------------------------------------------
+
+def redact_cells(
+    df: DataFrame,
+    entities: Sequence[str] | None = None,
+    *,
+    columns: Sequence[str] | None = None,
+    validate: bool = False,
+    token_fmt: str = "[{name}]",
+) -> DataFrame:
+    """Cell-level PII scrubbing: every string cell that FULLY matches an
+    entity's anchored pattern (optionally checksum-validated — the same
+    ``_match_expr`` the classifier uses) is replaced by a typed mask
+    token; everything else passes through unchanged. The reference stops
+    at classification (`lambda/pii-report/app.py` writes findings); a
+    training-data pipeline needs the scrub step itself, and cell
+    granularity matches the classifier's definition of "contains PII".
+
+    One projection, JVM regexes, no UDF: per column the entity checks
+    chain into a single CASE expression evaluated in one pass. First
+    matching entity (registry order) names the token — deterministic."""
+    specs = resolve_entities(list(entities) if entities is not None else None)
+    cols = set(_string_columns(df, columns))
+    out = []
+    for field in df.columns:
+        if field not in cols:
+            out.append(F.col(field))
+            continue
+        value = F.trim(F.col(field))
+        expr = F.col(field)
+        for spec in reversed(specs):
+            expr = F.when(
+                _match_expr(value, spec, validate), F.lit(token_fmt.format(name=spec.name))
+            ).otherwise(expr)
+        out.append(expr.alias(field))
+    return df.select(*out)
+
+
+def redact_text(
+    col: Column,
+    entities: Sequence[str] | None = None,
+    *,
+    token_fmt: str = "[{name}]",
+) -> Column:
+    """Free-text PII redaction: replace in-text occurrences of each
+    entity's pattern (word-boundary wrapped) with a typed mask token —
+    chained ``regexp_replace``, one projection, no UDF.
+
+    ``\\b`` anchoring is RE2-compatible, so the DuckDB oracle replays the
+    identical replacement chain. Best-effort by nature: the registry's
+    patterns are cell-format regexes, and in free prose a boundary-less
+    format (e.g. digits inside a longer run) won't match — cell-level
+    scrubbing (:func:`redact_cells`) is the precise tool for structured
+    columns. Entities apply in registry order; already-masked spans are
+    never re-matched (replacement tokens contain no word-boundary
+    pattern starts)."""
+    specs = resolve_entities(list(entities) if entities is not None else None)
+    expr = col
+    for spec in specs:
+        expr = F.regexp_replace(
+            expr, f"\\b(?:{spec.pattern})\\b", token_fmt.format(name=spec.name)
+        )
+    return expr

@@ -72,6 +72,74 @@ def pii_classify_oracle_sql() -> str:
     )
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrubbing step a training-data pipeline runs AFTER
+    classification: cell-level masking of the structured PII columns
+    (full-cell anchored match — the classifier's own definition of
+    "contains PII") plus best-effort in-prose redaction of a free-text
+    column via word-boundary-wrapped patterns. Both are chained JVM
+    regex projections (``operators.classify.redact_cells`` /
+    ``redact_text``); entity order and regexes come from the shared
+    registry, so the DuckDB oracle replays the identical CASE /
+    replacement chains."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+        redact_cells,
+        redact_text,
+    )
+
+    base = derived_pii_frame(spark, sf_dir).withColumn(
+        "prose",
+        F.concat(
+            F.lit("contact "), F.col("email_like"),
+            F.lit(" from "), F.col("ip_like"),
+            F.lit(" ref "), F.col("ssn_like"),
+        ),
+    )
+    red = redact_cells(
+        base, list(ORACLE_ENTITIES), columns=["ssn_like", "email_like", "ip_like"]
+    )
+    return (
+        red.withColumn("prose", redact_text(F.col("prose"), list(ORACLE_ENTITIES)))
+        .select("ssn_like", "email_like", "ip_like", "prose")
+        .orderBy("ssn_like", "email_like", "ip_like", "prose")
+    )
+
+
+def pii_redact_oracle_sql() -> str:
+    """DuckDB twin of :func:`pii_redact`, generated from the same entity
+    registry (same pattern strings, same order — the CASE arm order and
+    the replacement-chain order both affect the result)."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.entities import ENTITY_REGISTRY
+
+    derived = """
+        SELECT printf('%03d-%02d-%04d', user_id, event_id % 100, event_id % 10000) AS ssn_like,
+               'user' || user_id || '@example.com' AS email_like,
+               printf('10.%d.%d.%d', user_id % 256, event_id % 256, (event_id // 7) % 256) AS ip_like
+        FROM events
+    """
+
+    def cell(col: str) -> str:
+        arms = []
+        for name in ORACLE_ENTITIES:
+            rx = ENTITY_REGISTRY[name].anchored.replace("'", "''")
+            arms.append(
+                f"WHEN regexp_matches(trim({col}), '{rx}') THEN '[{name}]'"
+            )
+        return f"CASE {' '.join(arms)} ELSE {col} END AS {col}"
+
+    prose = "'contact ' || email_like || ' from ' || ip_like || ' ref ' || ssn_like"
+    for name in ORACLE_ENTITIES:
+        rx = f"\\b(?:{ENTITY_REGISTRY[name].pattern})\\b".replace("'", "''")
+        prose = f"regexp_replace({prose}, '{rx}', '[{name}]', 'g')"
+    return f"""
+        WITH derived AS ({derived})
+        SELECT {cell('ssn_like')}, {cell('email_like')}, {cell('ip_like')},
+               {prose} AS prose
+        FROM derived
+        ORDER BY ssn_like, email_like, ip_like, prose
+    """
+
+
 # ---------------------------------------------------------------------------
 # Column profiling (the crawler/schema-discovery analytics surface)
 # ---------------------------------------------------------------------------

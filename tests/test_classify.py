@@ -277,3 +277,49 @@ def test_classify_wide_schema_single_pass(spark):
     # ONE aggregate pair around ONE shuffle: partial + Exchange + final
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") == 2, plan
+
+
+def test_redact_cells_masks_full_cell_matches(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import redact_cells
+
+    df = spark.createDataFrame(
+        [
+            ("079-28-1234", "plain note"),
+            ("not an ssn", "user7@example.com"),
+        ],
+        ["a", "b"],
+    )
+    got = [tuple(r) for r in redact_cells(df, ["USA_SSN", "EMAIL"]).collect()]
+    assert got == [
+        ("[USA_SSN]", "plain note"),
+        ("not an ssn", "[EMAIL]"),
+    ]
+
+
+def test_redact_cells_validator_gates_mask(spark):
+    """With validate=True the checksum gates the mask exactly as it
+    gates classification: a Luhn-valid card redacts, a one-digit-off
+    fake passes through untouched."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import redact_cells
+
+    df = spark.createDataFrame(
+        [("4539578763621486",), ("4539578763621487",)], ["card"]
+    )
+    got = [r["card"] for r in redact_cells(df, ["CREDIT_CARD"], validate=True).collect()]
+    assert got == ["[CREDIT_CARD]", "4539578763621487"]
+
+
+def test_redact_text_in_prose(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import redact_text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("mail user7@example.com or 10.1.2.3 ok",), ("no pii here",)], ["t"]
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            redact_text(F.col("t"), ["EMAIL", "IP_ADDRESS"]).alias("out")
+        ).collect()
+    ]
+    assert got == ["mail [EMAIL] or [IP_ADDRESS] ok", "no pii here"]
