@@ -753,14 +753,170 @@ PARA_DEDUP_SQL = r"""
 
 #: registered past the driver's 50-query window in __spark_entry__ (the
 #: window is full of green entries; check_oracle.py still verifies it)
+# ---------------------------------------------------------------------------
+# Corpus assembly: splits, stratified sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+def _seeded_hash(idcol: F.Column, seed: str) -> F.Column:
+    """Deterministic 60-bit hash of (seed, id) — top-15 hex digits of the
+    md5, the same DuckDB-replayable idiom the minhash md5 twin uses."""
+    key = F.concat(F.lit(seed + "#"), idcol.cast("string"))
+    return F.conv(F.md5(key.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+
+
+def _seeded_hash_sql(expr: str, seed: str) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}#' || CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment (90/5/5) by a
+    seeded hash bucket of the doc id — the split every training run
+    needs: reproducible on any engine or cluster size, stable under
+    corpus growth (a document's split never changes when new docs
+    arrive), and purely map-side — the only shuffle is the output ORDER
+    BY, which a real pipeline drops."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (_seeded_hash(F.col("doc_id"), "split") % 1000).alias("bucket")
+    return (
+        docs.select("doc_id", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 900, "train")
+            .when(F.col("bucket") < 950, "validation")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, {_seeded_hash_sql('doc_id', 'split')} % 1000 AS bucket
+        FROM documents
+    )
+    ORDER BY doc_id
+"""
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: within each language stratum,
+    order documents by a seeded hash (uniform, reproducible) and keep
+    the first 50 — balanced-per-stratum sampling with one window shuffle
+    on the stratum key, no driver data, no RNG state to coordinate
+    across executors."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = _seeded_hash(F.col("doc_id"), "sample")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+        .orderBy("lang", "rk")
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_seeded_hash_sql('doc_id', 'sample')}, doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= 50
+    ORDER BY lang, rk
+"""
+
+
+_PACK_BUDGET = 256
+
+
+def tok_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing, per shard — the step that turns
+    a cleaned corpus into fixed-length training sequences: within each
+    language shard, documents concatenate in doc_id order and the token
+    stream chunks every ``_PACK_BUDGET`` tokens; a document's pack id is
+    its start-offset chunk, with a flag when it straddles a boundary
+    (i.e. will be split across sequences).
+
+    Scale shape: the running token sum is a SHARD-LOCAL window
+    (``partitionBy(lang)``) — packing parallelizes across shards exactly
+    the way per-worker packing does in production, and no global
+    single-partition cumulative window ever exists. Token counts reuse
+    the BPE-ish pre-tokenizer regex of ``tok_regex_count``."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOK_RX), 0))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select("doc_id", "lang", n.alias("n_tokens"))
+        .withColumn("cum_tokens", cum)
+        .withColumn("start_offset", F.col("cum_tokens") - F.col("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_offset") / F.lit(float(_PACK_BUDGET))).cast("bigint"),
+        )
+        .withColumn(
+            "straddles",
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("cum_tokens") - 1) / F.lit(float(_PACK_BUDGET))).cast("bigint")
+                != F.col("pack_id")
+            ),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+TOK_PACK_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '{_TOK_RX}')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum_tokens - n_tokens) / {float(_PACK_BUDGET)}) AS BIGINT) AS pack_id,
+           n_tokens > 0 AND
+           CAST(floor((cum_tokens - 1) / {float(_PACK_BUDGET)}) AS BIGINT)
+               != CAST(floor((cum_tokens - n_tokens) / {float(_PACK_BUDGET)}) AS BIGINT)
+               AS straddles
+    FROM c
+    ORDER BY lang, doc_id
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_clean": corpus_clean,
     "para_dedup": para_dedup,
+    "corpus_split": corpus_split,
+    "corpus_sample_stratified": corpus_sample_stratified,
+    "tok_pack_sequences": tok_pack_sequences,
 }
 
 ORACLES = {
     "corpus_clean": CORPUS_CLEAN_SQL,
     "para_dedup": PARA_DEDUP_SQL,
+    "corpus_split": CORPUS_SPLIT_SQL,
+    "corpus_sample_stratified": CORPUS_SAMPLE_SQL,
+    "tok_pack_sequences": TOK_PACK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,

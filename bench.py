@@ -52,6 +52,8 @@ HEADLINE = [
     "corpus_clean",
     "para_dedup",
     "agg_cube",
+    "pii_redact",
+    "tok_pack_sequences",
 ]
 
 
