@@ -903,12 +903,102 @@ TOK_PACK_SQL = rf"""
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage form a 100 TB embedding corpus actually keeps (4x
+    smaller than float32): ``scale = amax/127``; ``q_i = floor(x_i/scale
+    + 0.5)`` clamped to [-127, 127] (explicit floor(+0.5) instead of a
+    round() builtin so both engines run the identical IEEE ops — no
+    rounding-mode ambiguity at .5 boundaries). Entirely map-side; the
+    md5 digest of the quantized CSV pins the whole vector bit-for-bit in
+    the oracle without shipping arrays through the compare. All-zero
+    vectors quantize to zeros via the scale=1 guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    q = F.transform(
+        xs,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).cast("binary")).alias(
+            "q_digest"
+        ),
+    ).orderBy("vec_id")
+
+
+EMB_QUANTIZE_SQL = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xs FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xs,
+               CASE WHEN list_max(list_transform(xs, x -> abs(x))) = 0.0 THEN 1.0
+                    ELSE list_max(list_transform(xs, x -> abs(x))) / 127.0 END AS scale
+        FROM e
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           md5(array_to_string(
+               list_transform(xs, x -> CAST(greatest(-127, least(127,
+                   CAST(floor(x / scale + 0.5) AS INT))) AS VARCHAR)),
+               ',')) AS q_digest
+    FROM s
+    ORDER BY vec_id
+"""
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weight
+    proportional to sqrt(share), renormalized — the temperature-style
+    (alpha = 0.5) rebalancing multilingual / multi-domain training mixes
+    use so small domains aren't drowned by head domains. One groupBy over
+    the corpus; the normalizing window runs on the AGGREGATED frame
+    (one row per source — bounded, never data-scale). sqrt instead of a
+    pow() builtin keeps both engines on the identical IEEE op."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(total)
+    raw = F.sqrt(share)
+    return (
+        counts.withColumn("share", F.round(share, 6))
+        .withColumn("weight", F.round(raw / F.sum(raw).over(total), 6))
+        .select("source", "n_docs", "share", "weight")
+        .orderBy("source")
+    )
+
+
+CORPUS_MIXTURE_SQL = """
+    WITH c AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    sh AS (
+        SELECT source, n_docs, n_docs / sum(n_docs) OVER () AS share FROM c
+    )
+    SELECT source, n_docs,
+           round(share, 6) AS share,
+           round(sqrt(share) / sum(sqrt(share)) OVER (), 6) AS weight
+    FROM sh
+    ORDER BY source
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_clean": corpus_clean,
     "para_dedup": para_dedup,
     "corpus_split": corpus_split,
     "corpus_sample_stratified": corpus_sample_stratified,
     "tok_pack_sequences": tok_pack_sequences,
+    "emb_quantize_int8": emb_quantize_int8,
+    "corpus_mixture_weights": corpus_mixture_weights,
 }
 
 ORACLES = {
@@ -917,6 +1007,8 @@ ORACLES = {
     "corpus_split": CORPUS_SPLIT_SQL,
     "corpus_sample_stratified": CORPUS_SAMPLE_SQL,
     "tok_pack_sequences": TOK_PACK_SQL,
+    "emb_quantize_int8": EMB_QUANTIZE_SQL,
+    "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,
