@@ -201,7 +201,7 @@ class DiscoveryEngine:
             )
         return registered
 
-    def recrawl(self, source_type: str = "s3") -> list[dict]:
+    def recrawl(self, source_type: str = "s3", *, reclassify: bool = True) -> list[dict]:
         """Re-run discovery over already-cataloged sources — the
         reference's *scheduled* crawler with ``SchemaChangePolicy:
         UPDATE_IN_DATABASE`` / ``DeleteBehavior: LOG``
@@ -225,9 +225,17 @@ class DiscoveryEngine:
         Returns the drift log: one dict per table with ``added`` /
         ``removed`` / ``retyped`` column lists (empty lists = no drift).
         Idempotent: a re-crawl with no drift rewrites to the same schema
-        and re-applies the same comments."""
+        and re-applies the same comments.
+
+        ``reclassify=True`` (default) flips ``glue_job_created`` back to
+        False for every table whose schema DRIFTED, so the next
+        ``classify_pending`` run re-classifies it and the new columns
+        get findings — the reference's crawler-update -> scheduled
+        classify-job chain. No-drift tables keep their flag (no wasted
+        re-classification)."""
         rows = self.cataloged(source_type).collect()
         report: list[dict] = []
+        drifted_ids: list[str] = []
         for row in rows:
             db, table = row["data_catalog_db_name"], row["data_catalog_table_name"]
             fq = f"{db}.{table}"
@@ -261,6 +269,21 @@ class DiscoveryEngine:
                 self._write_column_comments(db, table, comments)
             report.append(
                 {"table": fq, "added": added, "removed": removed, "retyped": retyped}
+            )
+            if added or retyped:
+                drifted_ids.append(row["id"])
+        if reclassify and drifted_ids:
+            flip = self.spark.createDataFrame(
+                [(i, source_type) for i in drifted_ids], ["id", "data_source_type"]
+            )
+            self.store.merge(
+                TRACKER,
+                flip,
+                "id",
+                set_on_match={"glue_job_created": F.lit(False)},
+                insert_not_matched=False,
+                partition_by="data_source_type",
+                prune_partitions=True,
             )
         return report
 

@@ -297,6 +297,12 @@ def test_recrawl_schema_evolution_preserves_comments(spark, tmp_path):
     after = eng.column_comments("recrawl_db.s3_crm")
     assert after["customer_email"] == before["customer_email"]
 
+    # schema drift re-opens classification (the crawler-update ->
+    # scheduled classify-job chain): the new phone column gets findings
+    assert eng.classify_pending("s3", ["EMAIL", "PHONE_NUMBER"]) == 1
+    found = {r["columnName"]: r["entityTypes"] for r in eng.latest_findings().collect()}
+    assert "PHONE_NUMBER" in found.get("phone", "")
+
     # no-drift re-crawl is an idempotent no-op on schema and comments;
     # the vanished column is still absent from the source, so it stays
     # in the DeleteBehavior-LOG report (and stays retained in the schema)
@@ -305,3 +311,5 @@ def test_recrawl_schema_evolution_preserves_comments(spark, tmp_path):
     t2 = spark.table("recrawl_db.s3_crm")
     assert t2.columns == t.columns and t2.count() == 60
     assert eng.column_comments("recrawl_db.s3_crm")["customer_email"] == before["customer_email"]
+    # no drift -> classification stays closed (no wasted re-runs)
+    assert eng.classify_pending("s3", ["EMAIL"]) == 0
