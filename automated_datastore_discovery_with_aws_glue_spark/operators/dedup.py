@@ -592,6 +592,61 @@ def simhash_pairs(
     return adopt(result, base)
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Test-set decontamination (the GPT-3-style pipeline step): drop
+    every training document that shares ANY word ``n``-gram with the
+    benchmark corpus, so evaluation data never leaks into training.
+
+    Scale shape — the benchmark is the SMALL side (benchmarks are KBs/MBs
+    where the corpus is TBs): its distinct gram hashes build once and
+    BROADCAST to the training scan, so contamination detection is a
+    map-side semi-join over the exploded corpus grams (no corpus-sized
+    shuffle to find matches); the only corpus-keyed shuffle is the final
+    anti-join on contaminated ids, which is bounded by the number of
+    contaminated documents. Gram hashing reuses ``hashed_shingles``
+    (fixed-width longs, no gram strings materialize).
+
+    ``hash_fn='md5'`` computes grams as top-15-hex-digit md5 of the
+    string shingles — the DuckDB-replayable twin (same dual-path design
+    as ``minhash_signatures``); ``'xxhash64'`` is the production path.
+    Returns the surviving ``train`` rows unchanged."""
+    if hash_fn == "md5":
+        def grams(df: DataFrame) -> DataFrame:
+            sh = word_shingles(F.col("_t"), n)
+            return (
+                spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+                .select("id", F.explode(sh).alias("g"))
+                .select(
+                    "id",
+                    F.conv(F.md5(F.col("g").cast("binary")).substr(1, 15), 16, 10)
+                    .cast("bigint")
+                    .alias("gh"),
+                )
+            )
+    else:
+        def grams(df: DataFrame) -> DataFrame:
+            return _hashed_shingle_frame(df, id_col, text_col, n).select(
+                "id", F.explode("hs").alias("gh")
+            )
+
+    bench_grams = grams(bench).select("gh").distinct()
+    contaminated = (
+        grams(train)
+        .join(F.broadcast(bench_grams), "gh", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def dedup_segments(
     df: DataFrame,
     id_col: str,

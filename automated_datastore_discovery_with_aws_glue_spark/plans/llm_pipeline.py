@@ -903,6 +903,52 @@ TOK_PACK_SQL = rf"""
 """
 
 
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination over the documents table: treat the
+    ``src1`` slice as the benchmark/eval set and every other source as
+    the training corpus; drop training docs sharing any word 3-gram with
+    the benchmark (3 instead of the production 13 — the synthetic docs
+    are short). Uses the md5 gram twin so DuckDB replays the identical
+    gram keys; the xxhash64 production path is pinned by the same-math
+    recall relationship tested in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    return (
+        D.decontaminate(train, bench, "doc_id", "text", n=3, hash_fn="md5")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_DECONTAMINATE_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, source, {_SQL_WORDS} AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               ) AS grams
+        FROM w
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src1'
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src1'
+        ) t WHERE gram IN (SELECT gram FROM bench)
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source <> 'src1' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+"""
+
+
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     the storage form a 100 TB embedding corpus actually keeps (4x
@@ -999,6 +1045,7 @@ EXTRA_QUERIES = {
     "tok_pack_sequences": tok_pack_sequences,
     "emb_quantize_int8": emb_quantize_int8,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_decontaminate": corpus_decontaminate,
 }
 
 ORACLES = {
@@ -1009,6 +1056,7 @@ ORACLES = {
     "tok_pack_sequences": TOK_PACK_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
+    "corpus_decontaminate": CORPUS_DECONTAMINATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,

@@ -276,3 +276,28 @@ def test_dedup_clusters_matches_union_find(spark):
     truth = {x: find(x) for x in parent}
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == truth
+
+
+def test_decontaminate_paths_agree_and_drop_overlaps(spark):
+    """A training doc sharing any word n-gram with the benchmark drops;
+    clean docs survive; the xxhash64 production path and the
+    DuckDB-replayable md5 twin select the identical survivor set."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated training text about spark plans"),
+            (2, "prefix words then the secret benchmark passage appears verbatim"),
+            (3, "another clean document with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    for fn in ("xxhash64", "md5"):
+        kept = sorted(
+            r["doc_id"]
+            for r in decontaminate(train, bench, "doc_id", "text", n=3, hash_fn=fn).collect()
+        )
+        assert kept == [1, 3], fn
