@@ -54,6 +54,7 @@ HEADLINE = [
     "agg_cube",
     "pii_redact",
     "tok_pack_sequences",
+    "corpus_decontaminate",
 ]
 
 

@@ -415,3 +415,32 @@ def test_reserved_version_column_rejected(spark, store):
     df = spark.createDataFrame([(1, "x")], ["v", "val"])
     with pytest.raises(ValueError, match="reserve"):
         store.init("r", df)
+
+
+def test_linkless_vacuum_keep_shrink_then_grow(spark, store, monkeypatch):
+    """keep can vary call-to-call: an aggressively vacuumed (tombstoned)
+    version stays dead when a later vacuum retains more history, and
+    files its pool still serves to newer manifests keep surviving."""
+    store.init("v", _df(spark, [("a", 1, False)]))
+    _no_link(monkeypatch)
+    store.append("v", _df(spark, [("b", 2, False)]))
+    store.append("v", _df(spark, [("c", 3, False)]))
+    store.append("v", _df(spark, [("d", 4, False)]))
+    store.vacuum("v", keep=1)
+    assert store.versions("v") == [4]
+    store.vacuum("v", keep=3)  # growing keep must not resurrect the dead
+    assert store.versions("v") == [4]
+    assert sorted(r["id"] for r in store.read("v").collect()) == ["a", "b", "c", "d"]
+    with pytest.raises(FileNotFoundError):
+        store.read("v", version=2)
+
+
+def test_linkless_append_empty_batch(spark, store, monkeypatch):
+    """An empty batch on a manifest store still produces a readable new
+    version whose data is entirely inherited."""
+    store.init("t", _df(spark, [("a", 1, False)]))
+    _no_link(monkeypatch)
+    empty = spark.createDataFrame([], _df(spark, [("a", 1, False)]).schema)
+    store.append("t", empty)
+    assert store.latest_version("t") == 2
+    assert sorted(r["id"] for r in store.read("t").collect()) == ["a"]
