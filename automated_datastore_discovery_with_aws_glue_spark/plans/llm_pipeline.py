@@ -334,6 +334,12 @@ CORPUS_CLEAN_SQL = f"""
 """
 
 
+#: the quality->pairs->closure CTE chain, shared by the composed oracles
+_CORPUS_CLEAN_CTES = CORPUS_CLEAN_SQL.split("WITH RECURSIVE", 1)[1].rsplit(
+    "SELECT k.doc_id, k.quality_score", 1
+)[0].rstrip().rstrip(",") + ","
+
+
 def lang_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -903,6 +909,90 @@ TOK_PACK_SQL = rf"""
 """
 
 
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-preparation pipeline a training run executes,
+    composed end-to-end from the already-proven bounded operators:
+
+    1. quality-score and gate (``text_stats``, score >= 0.5);
+    2. keep one representative per near-dup cluster (PPJoin pairs ->
+       label propagation -> canonical min-id keep);
+    3. decontaminate against the benchmark slice (``source = 'src1'``
+       plays the eval set; RAW benchmark docs — the eval set is never
+       quality-filtered);
+    4. assign the deterministic train/validation/test split.
+
+    Output is the training manifest ``(doc_id, quality_score, split)``.
+    Every stage inherits its operator's scale posture — no all-pairs, no
+    unbounded driver data — and the caches flow through the lifecycle
+    machinery (released with the returned frame)."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        TX.text_stats(docs, "text")
+        .filter(F.col("quality_score") >= 0.5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = D.jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5)
+    canon = D.dedup_canonical(kept, pairs, "doc_id")
+    bench = docs.filter(F.col("source") == "src1")
+    train = canon.filter(F.col("source") != "src1")
+    clean = D.decontaminate(train, bench, "doc_id", "text", n=3, hash_fn="md5")
+    bucket = _seeded_hash(F.col("doc_id"), "split") % 1000
+    result = (
+        clean.select(
+            "doc_id",
+            "quality_score",
+            F.when(bucket < 900, "train")
+            .when(bucket < 950, "validation")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+    return C.adopt(C.carry(result, canon), kept)
+
+
+def _corpus_prepare_sql() -> str:
+    gram_list = """list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               )"""
+    return f"""
+    WITH RECURSIVE {_CORPUS_CLEAN_CTES}
+    canon AS (
+        SELECT k.doc_id, k.text, k.quality_score
+        FROM kept k LEFT JOIN lbl ON k.doc_id = lbl.a
+        WHERE coalesce(lbl.mn, k.doc_id) = k.doc_id
+    ),
+    bw AS (SELECT {_SQL_WORDS} AS words FROM documents WHERE source = 'src1'),
+    bg AS (SELECT DISTINCT unnest({gram_list}) AS gram FROM bw),
+    tr AS (
+        SELECT c.doc_id, c.text, c.quality_score
+        FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+        WHERE d.source <> 'src1'
+    ),
+    trw AS (SELECT doc_id, {_SQL_WORDS} AS words FROM tr),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({gram_list}) AS gram FROM trw
+        ) t WHERE gram IN (SELECT gram FROM bg)
+    )
+    SELECT doc_id, quality_score,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, quality_score,
+               {_seeded_hash_sql('doc_id', 'split')} % 1000 AS bucket
+        FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    ORDER BY doc_id
+    """
+
+
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination over the documents table: treat the
     ``src1`` slice as the benchmark/eval set and every other source as
@@ -1046,6 +1136,7 @@ EXTRA_QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_prepare": corpus_prepare,
 }
 
 ORACLES = {
@@ -1057,6 +1148,7 @@ ORACLES = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
     "corpus_decontaminate": CORPUS_DECONTAMINATE_SQL,
+    "corpus_prepare": _corpus_prepare_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters_jaccard": DEDUP_CLUSTERS_SQL,
