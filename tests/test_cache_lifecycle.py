@@ -153,6 +153,7 @@ def test_query_layer_entries_release(spark):
         "dedup_simhash",
         "emb_near_dup",
         "emb_near_dup_lsh",
+        "corpus_prepare",
     ]:
         assert _no_cached_rdds(spark), f"dirty session before {name}"
         df = queries[name](spark, "/root/testdata/sf0.001")
