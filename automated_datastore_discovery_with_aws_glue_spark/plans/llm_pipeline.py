@@ -23,6 +23,15 @@ from automated_datastore_discovery_with_aws_glue_spark.sources.readers import lo
 _SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_WORDS = f"string_split({_SQL_NORM}, ' ')"
 
+#: distinct word 3-gram shingles of a pre-split `words` list — the SQL
+#: twin of ``operators.dedup.word_shingles(n=3)``
+_SQL_GRAMS3 = """list_distinct(
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(generate_series(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+2], ' '))
+                        ELSE [array_to_string(words, ' ')] END
+               )"""
+
 
 def _sql_stopword_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
@@ -251,17 +260,61 @@ TEXT_QUALITY_SQL = f"""
 """
 
 
-def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+CANDIDATE_STRATEGIES = ("lsh", "lsh_md5", "ppjoin")
+
+
+def _near_dup_pairs(
+    df: DataFrame, *, candidates: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """The pair stage of the corpus compositions, parameterized by
+    candidate-generation strategy (the compositions used to hard-wire
+    exact PPJoin, whose pair output grew ~42x for 10x data in the sf1
+    stress probe while the in-repo LSH path grew ~8x):
+
+    - ``'lsh'``     — banded MinHash-LSH candidates + exact-Jaccard
+                      verify (xxhash64, ``D.minhash_lsh_pairs``): the
+                      100 TB throughput path — candidate volume scales
+                      with colliding near-dups, never with all
+                      shared-shingle pairs.
+    - ``'lsh_md5'`` — the same banded-LSH shape with md5 permutation
+                      hashes (``D.minhash_lsh_pairs_md5``): every hash
+                      replays in DuckDB, so the WHOLE composition stays
+                      differential-oracle-checkable. Query-layer
+                      default; identical plan shape to ``'lsh'``.
+    - ``'ppjoin'``  — exact prefix-filtered set-similarity join
+                      (``D.jaccard_pairs``): guaranteed-complete pairs
+                      for compliance-grade dedup; intrinsically
+                      super-linear pair output on near-dup-dense
+                      corpora — the exact MODE, not the default.
+    """
+    if candidates == "ppjoin":
+        return D.jaccard_pairs(df, "doc_id", "text", "lang", n=n, threshold=threshold)
+    if candidates == "lsh":
+        return D.minhash_lsh_pairs(df, "doc_id", "text", n=n, threshold=threshold)
+    if candidates == "lsh_md5":
+        return D.minhash_lsh_pairs_md5(
+            df, "doc_id", "text", n=n, num_hashes=16, bands=8, threshold=threshold
+        )
+    raise ValueError(
+        f"candidates must be one of {CANDIDATE_STRATEGIES}, got {candidates!r}"
+    )
+
+
+def corpus_clean(
+    spark: SparkSession, sf_dir: str, *, candidates: str = "lsh_md5"
+) -> DataFrame:
     """End-to-end corpus preparation — the composed pipeline a training
     run actually executes: quality-score every document, drop low-quality
     ones, then keep exactly one representative per near-dup cluster
-    (min-id canonical over the n-gram-Jaccard pair graph). Output:
+    (min-id canonical over the near-dup pair graph). Output:
     (doc_id, quality_score) of the surviving corpus.
 
-    One quality pass + the PPJoin/label-propagation machinery of
-    ``dedup_clusters_jaccard``, restricted to the kept docs — every stage
-    is the already-bounded operator, so the composition inherits their
-    scale posture (no all-pairs, no driver data).
+    The pair stage is pluggable (:func:`_near_dup_pairs`) and defaults
+    to MinHash-LSH candidates + exact-Jaccard verify — the scale path;
+    ``candidates='ppjoin'`` is the guaranteed-complete exact mode
+    (:func:`corpus_clean_exact` keeps its oracle). Every stage is an
+    already-bounded operator, so the composition inherits their scale
+    posture (no all-pairs, no driver data).
 
     ``kept`` (quality stats + filter) feeds BOTH the pair generator and
     the canonical keep side — persisted once instead of recomputing the
@@ -275,14 +328,28 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = D.jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5)
+    pairs = _near_dup_pairs(kept, candidates=candidates, n=3, threshold=0.5)
     canon = D.dedup_canonical(kept, pairs, "doc_id")
     result = canon.select("doc_id", "quality_score").orderBy("doc_id")
     return C.adopt(C.carry(result, canon), kept)
 
 
-CORPUS_CLEAN_SQL = f"""
-    WITH RECURSIVE base AS (
+def corpus_clean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode composition: PPJoin candidate generation (complete
+    pair set). Oracle-backed by the PPJoin CTE chain."""
+    return corpus_clean(spark, sf_dir, candidates="ppjoin")
+
+
+def corpus_clean_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path composition: xxhash64 MinHash-LSH candidates
+    (rows-only — xxhash64 has no DuckDB twin; the identical-shape
+    ``corpus_clean`` lsh_md5 default is the oracle-checked proof)."""
+    return corpus_clean(spark, sf_dir, candidates="lsh")
+
+
+# -- composed-oracle CTE builders (DuckDB) ----------------------------------
+
+_SQL_QUALITY_CTES = f"""base AS (
         SELECT doc_id, lang, text,
                length(text) AS n_chars,
                CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens,
@@ -298,25 +365,56 @@ CORPUS_CLEAN_SQL = f"""
                      4) AS quality_score
         FROM base
     ),
-    kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
-    w AS (SELECT doc_id, lang, {_SQL_WORDS} AS words FROM kept),
-    s AS (
-        SELECT doc_id, lang,
-               list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               ) AS sh
-        FROM w
-    ),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.5)"""
+
+
+def _sql_ppjoin_pairs(src: str) -> str:
+    """CTE chain ending in ``p(id_a, id_b)``: exact blocked n-gram-Jaccard
+    pairs of ``src`` (needs doc_id, lang, text) — the twin of
+    ``D.jaccard_pairs(n=3, threshold=0.5)``."""
+    return f"""w AS (SELECT doc_id, lang, {_SQL_WORDS} AS words FROM {src}),
+    s AS (SELECT doc_id, lang, {_SQL_GRAMS3} AS sh FROM w),
     p AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh)) * 10000
               >= 5000 * len(list_distinct(a.sh || b.sh))
+    )"""
+
+
+def _sql_md5_lsh_pairs(src: str, *, num_hashes: int = 16, band_rows: int = 2) -> str:
+    """CTE chain ending in ``p(id_a, id_b)``: banded md5-MinHash-LSH
+    candidates + exact-Jaccard verify of ``src`` (needs doc_id, text) —
+    the twin of ``D.minhash_lsh_pairs_md5(num_hashes=16, bands=8,
+    threshold=0.5)``."""
+    return f"""w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM {src}),
+    s AS (SELECT doc_id, {_SQL_GRAMS3} AS sh FROM w),
+    sig AS (
+        SELECT doc_id, i,
+               list_min(list_transform(sh,
+                   g -> CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+               )) AS mh
+        FROM s, range({num_hashes}) t(i)
     ),
-    edges AS (
+    banded AS (
+        SELECT doc_id, i // {band_rows} AS band, list(mh ORDER BY i) AS bucket
+        FROM sig GROUP BY doc_id, i // {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    p AS (
+        SELECT id_a, id_b
+        FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * 10000
+              >= 5000 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+    )"""
+
+
+#: transitive closure of the pair CTE ``p`` -> per-node min label ``lbl``
+_SQL_CLOSURE = """edges AS (
         SELECT id_a AS a, id_b AS b FROM p
         UNION
         SELECT id_b, id_a FROM p
@@ -326,7 +424,19 @@ CORPUS_CLEAN_SQL = f"""
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    lbl AS (SELECT a, least(a, min(b)) AS mn FROM reach GROUP BY a)
+    lbl AS (SELECT a, least(a, min(b)) AS mn FROM reach GROUP BY a)"""
+
+
+def _corpus_clean_sql(candidates: str) -> str:
+    pair_ctes = (
+        _sql_ppjoin_pairs("kept")
+        if candidates == "ppjoin"
+        else _sql_md5_lsh_pairs("kept")
+    )
+    return f"""
+    WITH RECURSIVE {_SQL_QUALITY_CTES},
+    {pair_ctes},
+    {_SQL_CLOSURE}
     SELECT k.doc_id, k.quality_score
     FROM kept k LEFT JOIN lbl ON k.doc_id = lbl.a
     WHERE coalesce(lbl.mn, k.doc_id) = k.doc_id
@@ -334,10 +444,8 @@ CORPUS_CLEAN_SQL = f"""
 """
 
 
-#: the quality->pairs->closure CTE chain, shared by the composed oracles
-_CORPUS_CLEAN_CTES = CORPUS_CLEAN_SQL.split("WITH RECURSIVE", 1)[1].rsplit(
-    "SELECT k.doc_id, k.quality_score", 1
-)[0].rstrip().rstrip(",") + ","
+CORPUS_CLEAN_SQL = _corpus_clean_sql("lsh_md5")
+CORPUS_CLEAN_EXACT_SQL = _corpus_clean_sql("ppjoin")
 
 
 def lang_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,13 +1017,17 @@ TOK_PACK_SQL = rf"""
 """
 
 
-def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_prepare(
+    spark: SparkSession, sf_dir: str, *, candidates: str = "lsh_md5"
+) -> DataFrame:
     """The WHOLE corpus-preparation pipeline a training run executes,
     composed end-to-end from the already-proven bounded operators:
 
     1. quality-score and gate (``text_stats``, score >= 0.5);
-    2. keep one representative per near-dup cluster (PPJoin pairs ->
-       label propagation -> canonical min-id keep);
+    2. keep one representative per near-dup cluster (MinHash-LSH
+       candidate pairs by default — :func:`_near_dup_pairs`; exact
+       PPJoin via ``candidates='ppjoin'`` — -> label propagation ->
+       canonical min-id keep);
     3. decontaminate against the benchmark slice (``source = 'src1'``
        plays the eval set; RAW benchmark docs — the eval set is never
        quality-filtered);
@@ -933,7 +1045,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = D.jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5)
+    pairs = _near_dup_pairs(kept, candidates=candidates, n=3, threshold=0.5)
     canon = D.dedup_canonical(kept, pairs, "doc_id")
     bench = docs.filter(F.col("source") == "src1")
     train = canon.filter(F.col("source") != "src1")
@@ -953,15 +1065,17 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.adopt(C.carry(result, canon), kept)
 
 
-def _corpus_prepare_sql() -> str:
-    gram_list = """list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               )"""
+def _corpus_prepare_sql(candidates: str = "lsh_md5") -> str:
+    gram_list = _SQL_GRAMS3
+    pair_ctes = (
+        _sql_ppjoin_pairs("kept")
+        if candidates == "ppjoin"
+        else _sql_md5_lsh_pairs("kept")
+    )
     return f"""
-    WITH RECURSIVE {_CORPUS_CLEAN_CTES}
+    WITH RECURSIVE {_SQL_QUALITY_CTES},
+    {pair_ctes},
+    {_SQL_CLOSURE},
     canon AS (
         SELECT k.doc_id, k.text, k.quality_score
         FROM kept k LEFT JOIN lbl ON k.doc_id = lbl.a
@@ -1129,6 +1243,8 @@ CORPUS_MIXTURE_SQL = """
 
 EXTRA_QUERIES = {
     "corpus_clean": corpus_clean,
+    "corpus_clean_exact": corpus_clean_exact,
+    "corpus_clean_xxh": corpus_clean_xxh,
     "para_dedup": para_dedup,
     "corpus_split": corpus_split,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -1141,6 +1257,7 @@ EXTRA_QUERIES = {
 
 ORACLES = {
     "corpus_clean": CORPUS_CLEAN_SQL,
+    "corpus_clean_exact": CORPUS_CLEAN_EXACT_SQL,
     "para_dedup": PARA_DEDUP_SQL,
     "corpus_split": CORPUS_SPLIT_SQL,
     "corpus_sample_stratified": CORPUS_SAMPLE_SQL,

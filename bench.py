@@ -49,7 +49,14 @@ HEADLINE = [
     # value — correct here, an OOM at 100 TB; its tolerance gate is the
     # oracle-backed prof_numeric_quantiles_approx entry)
     "prof_numeric_quantiles_approx_est",
+    # composed corpus pipelines: LSH candidates by default (r5) —
+    # corpus_clean is the oracle-checked md5-LSH chain, corpus_clean_xxh
+    # the xxhash64 production path (identical shape, faster hashes),
+    # corpus_clean_exact the PPJoin exact mode kept for comparison
     "corpus_clean",
+    "corpus_clean_xxh",
+    "corpus_clean_exact",
+    "corpus_prepare",
     "para_dedup",
     "agg_cube",
     "pii_redact",

@@ -228,25 +228,57 @@ def test_dedup_segments_regex_metachar_separator(spark):
 
 
 def test_corpus_clean_composition_invariants(spark):
-    """The composed pipeline keeps only quality survivors, exactly one
-    per near-dup cluster, and never invents documents."""
+    """Exact mode: the composed pipeline keeps only quality survivors,
+    exactly one per near-dup cluster, and never invents documents."""
     from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import corpus_clean
 
     docs = load_table(spark, SF_DIR, "documents")
     from automated_datastore_discovery_with_aws_glue_spark.operators.text import text_stats
 
     kept = text_stats(docs, "text").filter(F.col("quality_score") >= 0.5)
-    out = corpus_clean(spark, SF_DIR).collect()
+    out = corpus_clean(spark, SF_DIR, candidates="ppjoin").collect()
     out_ids = {r["doc_id"] for r in out}
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert out_ids <= kept_ids
     assert all(r["quality_score"] >= 0.5 for r in out)
     # no surviving near-dup pair: of every qualifying pair among kept
-    # docs, at most one side remains
+    # docs, at most one side remains (PPJoin pairs are COMPLETE, so the
+    # exact mode guarantees this for every qualifying pair)
     pairs = jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5).collect()
     assert pairs, "fixture should contain near-dup pairs among kept docs"
     for p in pairs:
         assert not ({p["id_a"], p["id_b"]} <= out_ids), (p["id_a"], p["id_b"])
+
+
+def test_corpus_clean_lsh_default_invariants(spark):
+    """Default (LSH-candidate) mode: same structural invariants, with
+    pair coverage asserted against the LSH pair set it actually uses —
+    plus recall: the default must remove ~every exact near-dup the
+    PPJoin mode finds (banded-LSH recall at J>=0.5 is high but
+    probabilistic, so the bound is >=, not equality)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import minhash_lsh_pairs_md5
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import text_stats
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import corpus_clean
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = text_stats(docs, "text").filter(F.col("quality_score") >= 0.5)
+    out = corpus_clean(spark, SF_DIR).collect()
+    out_ids = {r["doc_id"] for r in out}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert out_ids <= kept_ids
+    # every LSH-detected near-dup pair lost at least one side
+    lsh_pairs = minhash_lsh_pairs_md5(
+        kept, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    assert lsh_pairs, "fixture should contain LSH-detectable near-dups"
+    for p in lsh_pairs:
+        assert not ({p["id_a"], p["id_b"]} <= out_ids), (p["id_a"], p["id_b"])
+    # and the LSH default catches (here) at least 90% of the exact dup
+    # mass: survivors <= exact survivors * 1.1
+    exact_ids = {
+        r["doc_id"] for r in corpus_clean(spark, SF_DIR, candidates="ppjoin").collect()
+    }
+    assert len(out_ids) <= max(len(exact_ids) * 1.1, len(exact_ids) + 2)
 
 
 def test_dedup_clusters_matches_union_find(spark):
