@@ -323,11 +323,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     extra = None
+    cached: list = [base]
     if max_bucket is not None:
-        banded, hot, _stats = split_hot_buckets(
+        banded, hot, _stats, sizes = split_hot_buckets(
             banded, ("band", "bucket"), max_bucket,
             label="minhash_lsh_pairs", policy=on_hot,
         )
+        cached.append(sizes)
         if on_hot == "route":
             extra = (
                 star_reps(hot, ("band", "bucket"))
@@ -358,7 +360,7 @@ def minhash_lsh_pairs(
         .filter(inter * 10000 >= F.lit(num) * union)
         .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
     )
-    return adopt(result, base)
+    return adopt(result, *cached)
 
 
 def minhash_lsh_pairs_md5(
@@ -553,11 +555,13 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("id", "block", "simhash", "bb.band", "bb.key")
     extra = None
+    cached = [base]
     if max_bucket is not None:
-        banded, hot, _stats = split_hot_buckets(
+        banded, hot, _stats, sizes = split_hot_buckets(
             banded, ("block", "band", "key"), max_bucket,
             label="simhash_pairs", policy=on_hot,
         )
+        cached.append(sizes)
         if on_hot == "route":
             extra = (
                 star_reps(hot, ("block", "band", "key"), carry={"_rep_sh": "simhash"})
@@ -589,7 +593,7 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return adopt(result, base)
+    return adopt(result, *cached)
 
 
 def decontaminate(
@@ -727,6 +731,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 20,
+    consume_pairs: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs — the step that turns
     pairwise similarity into dedup groups: ``(id, cluster_id)`` with
@@ -755,10 +760,16 @@ def dedup_clusters(
     soon as the next round materializes (the superseded round's blocks
     serve no plan); the FINAL round's blocks back the returned frame and
     are adopted onto it — freed by ``cache.release(result)`` or when the
-    result is garbage-collected. The ``pairs`` frame is fully consumed
-    here (the label loop is eager), so its operator caches are released
-    on exit too — re-collecting a ``jaccard_pairs`` result after passing
-    it in recomputes (correct, uncached).
+    result is garbage-collected. Because the returned plan reads
+    lineage-TRUNCATED checkpoint blocks, any frame derived from it must
+    keep the result alive via ``cache.carry(derived, result)`` — after a
+    release (explicit or GC-backstop) a derived plan cannot recompute.
+    With ``consume_pairs=True`` (default), the ``pairs`` frame is fully
+    consumed here (the label loop is eager) and its operator caches are
+    released on exit — re-collecting a ``jaccard_pairs`` result after
+    passing it in recomputes (correct, uncached). Pass
+    ``consume_pairs=False`` to keep reusing the pairs frame afterward
+    (release it yourself via ``cache.release(pairs)``).
     """
     sc = pairs.sparkSession.sparkContext
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -810,14 +821,16 @@ def dedup_clusters(
     else:
         edges.unpersist()
         rdd_id_releaser(sc, own_ids)()
-        release(pairs)
+        if consume_pairs:
+            release(pairs)
         raise RuntimeError(
             f"dedup_clusters: labels still changing after {max_rounds} rounds "
             "(a component's diameter exceeds max_rounds; its cluster ids would "
             "be wrong). Raise max_rounds — rounds needed = component diameter."
         )
     edges.unpersist()
-    release(pairs)
+    if consume_pairs:
+        release(pairs)
     if all_ids is not None:
         ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
         result = ids.join(labels, "id", "left").select(
@@ -836,7 +849,9 @@ def dedup_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 
     The returned plan reads the cluster result's checkpoint blocks, so
     their ownership is carried onto it (``cache.carry``) — released with
-    the result, not when the intermediate goes out of scope."""
+    the result, not when the intermediate goes out of scope. The same
+    contract applies to callers deriving from this result: carry it
+    (lineage-truncated blocks cannot recompute after release)."""
     clusters = dedup_clusters(pairs, df.select(id_col))
     keep = clusters.filter(F.col("id") == F.col("cluster_id"))
     result = df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")

@@ -21,9 +21,14 @@ loses exactness). Two policies, both accounted for:
   routing recovers the component at linear cost, trading only
   pair-level completeness *within* the bucket.
 
-The accounting probe is one tiny aggregate over the bucket-size frame
-(an eager ``first()`` — the only way to surface the signal at call time);
-it runs only when ``max_bucket`` is set.
+The bucket-size frame is PERSISTED and returned to the caller: the
+accounting probe (one tiny aggregate over it) is the job that populates
+the cache, and the action-time (keys, count) joins reuse those blocks —
+the probe surfaces the signal at call time WITHOUT recomputing the size
+aggregate later. Callers adopt the sizes frame onto their result
+(``cache.adopt``) so the blocks are released with it. Laziness-critical
+callers pass ``account=False`` to skip the probe (and the logging)
+entirely — the split itself stays fully lazy.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 log = logging.getLogger(__name__)
 
@@ -46,40 +52,52 @@ def split_hot_buckets(
     *,
     label: str,
     policy: str = "drop",
-) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
+    account: bool = True,
+) -> tuple[DataFrame, DataFrame, tuple[int, int] | None, DataFrame]:
     """Partition a banded frame into (ok, hot) by group size and account
-    for the hot side. Returns ``(ok, hot, (n_groups, n_rows))`` where the
-    counts describe the over-cap groups; logs a warning when any exist.
-    The size aggregate shuffles only (keys, count) — never document
-    payloads."""
+    for the hot side. Returns ``(ok, hot, stats, sizes)`` — ``stats`` =
+    ``(n_groups, n_rows)`` of the over-cap groups (None with
+    ``account=False``; a warning is logged when any exist), ``sizes`` =
+    the persisted (keys, count) frame both filtered sides read: tie its
+    lifetime to the operator result (``cache.adopt``). The size
+    aggregate shuffles only (keys, count) — never document payloads —
+    and is computed ONCE (the probe populates the cache the action
+    reuses)."""
     keys = list(keys)
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("_bn"))
-    stats = (
-        sizes.filter(F.col("_bn") > max_bucket)
-        .agg(
-            F.count("*").alias("k"),
-            F.coalesce(F.sum("_bn"), F.lit(0)).alias("r"),
-        )
-        .first()
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_bn"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_groups, n_rows = int(stats["k"]), int(stats["r"])
-    if n_groups:
-        log.warning(
-            "%s: %d hot bucket group(s) holding %d rows exceed max_bucket=%d; "
-            "policy=%s (%s; see operators/hot.py)",
-            label,
-            n_groups,
-            n_rows,
-            max_bucket,
-            policy,
-            "excluded from candidate generation"
-            if policy == "drop"
-            else "star-routed to the group representative",
+    stats = None
+    if account:
+        row = (
+            sizes.filter(F.col("_bn") > max_bucket)
+            .agg(
+                F.count("*").alias("k"),
+                F.coalesce(F.sum("_bn"), F.lit(0)).alias("r"),
+            )
+            .first()
         )
+        n_groups, n_rows = int(row["k"]), int(row["r"])
+        stats = (n_groups, n_rows)
+        if n_groups:
+            log.warning(
+                "%s: %d hot bucket group(s) holding %d rows exceed max_bucket=%d; "
+                "policy=%s (%s; see operators/hot.py)",
+                label,
+                n_groups,
+                n_rows,
+                max_bucket,
+                policy,
+                "excluded from candidate generation"
+                if policy == "drop"
+                else "star-routed to the group representative",
+            )
     joined = banded.join(sizes, keys)
     ok = joined.filter(F.col("_bn") <= max_bucket).drop("_bn")
     hot = joined.filter(F.col("_bn") > max_bucket).drop("_bn")
-    return ok, hot, (n_groups, n_rows)
+    return ok, hot, stats, sizes
 
 
 def star_reps(

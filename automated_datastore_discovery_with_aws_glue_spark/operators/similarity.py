@@ -112,13 +112,29 @@ def blocked_near_dup(
     block_col: str,
     *,
     threshold: float = 0.95,
+    max_block: int | None = None,
+    on_hot: str = "drop",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (id_a < id_b).
     The self-join shuffles on the block key only; cosine is evaluated on
     co-located pairs, and each vector's norm is computed ONCE per row
     (persisted) instead of once per pair — at B rows per block that
     saves B norm evaluations per candidate. ``spread`` rebalances
-    unsplittable inputs."""
+    unsplittable inputs.
+
+    This operator is the EXACT all-pairs-within-block verifier — pair
+    work is intrinsically O(B²) per block, so a degenerate caller block
+    (one language, one near-constant embedding cluster) goes quadratic.
+    ``max_block`` is the same safety valve the LSH family carries
+    (``operators/hot.py``): blocks above the cap leave the self-join
+    under the ``on_hot`` policy — ``'drop'`` excludes them with a logged
+    (group, row) account, ``'route'`` pairs every member with the
+    block's min-id representative (O(B) candidates, cosine-verified like
+    any pair) so a boilerplate block stays connected for clustering
+    consumers. Default ``None`` keeps exactness; the sub-quadratic
+    sibling :func:`lsh_near_dup` is the 100 TB candidate generator."""
+    if on_hot not in HOT_POLICIES:
+        raise ValueError(f"on_hot must be one of {HOT_POLICIES}, got {on_hot!r}")
     base = (
         spread(
             df.select(
@@ -130,17 +146,44 @@ def blocked_near_dup(
         .withColumn("nrm", _norm(F.col("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = base.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
-    b = base.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
-    result = (
+    src = base
+    extra = None
+    cached: list = [base]
+    if max_block is not None:
+        src, hot, _stats, sizes = split_hot_buckets(
+            base, ("block",), max_block, label="blocked_near_dup", policy=on_hot
+        )
+        cached.append(sizes)
+        if on_hot == "route":
+            extra = (
+                star_reps(hot, ("block",), carry={"_rep_v": "v", "_rep_n": "nrm"})
+                .filter(F.col("id") != F.col("_rep"))
+                .select(
+                    F.col("_rep").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    "block",
+                    F.col("_rep_v").alias("v_a"),
+                    F.col("_rep_n").alias("n_a"),
+                    F.col("v").alias("v_b"),
+                    F.col("nrm").alias("n_b"),
+                )
+            )
+    a = src.select(F.col("id").alias("id_a"), "block", F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = src.select(F.col("id").alias("id_b"), "block", F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cand = (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("similarity", sim)
+        .select("id_a", "id_b", "block", "v_a", "n_a", "v_b", "n_b")
+    )
+    if extra is not None:
+        cand = cand.unionByName(extra.select("id_a", "id_b", "block", "v_a", "n_a", "v_b", "n_b"))
+    sim = F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
+    result = (
+        cand.withColumn("similarity", sim)
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "block", "similarity")
     )
-    return adopt(result, base)
+    return adopt(result, *cached)
 
 
 # ---------------------------------------------------------------------------
@@ -259,11 +302,13 @@ def lsh_near_dup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     extra = None
+    cached = [base, cached_buckets]
     if max_bucket is not None:
-        buckets, hot, _stats = split_hot_buckets(
+        buckets, hot, _stats, sizes = split_hot_buckets(
             buckets, ("band", "bucket"), max_bucket,
             label="lsh_near_dup", policy=on_hot,
         )
+        cached.append(sizes)
         if on_hot == "route":
             extra = (
                 star_reps(hot, ("band", "bucket"))
@@ -289,7 +334,7 @@ def lsh_near_dup(
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity")
     )
-    return adopt(result, base, cached_buckets)
+    return adopt(result, *cached)
 
 
 def ivf_centroids(

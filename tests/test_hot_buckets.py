@@ -92,6 +92,57 @@ def test_bad_policy_rejected(spark, boiler_docs):
         minhash_lsh_pairs(boiler_docs, "doc_id", "text", max_bucket=5, on_hot="nope")
 
 
+def test_blocked_near_dup_max_block_drop(spark, const_emb, caplog):
+    """The exact verifier's degenerate-block guard: an over-cap caller
+    block leaves the all-pairs self-join, logged — never silent."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import blocked_near_dup
+
+    emb = const_emb.withColumn("label", const_emb.vec_id % 1)  # one block of 12
+    with caplog.at_level(logging.WARNING, logger="automated_datastore_discovery_with_aws_glue_spark.operators.hot"):
+        pairs = blocked_near_dup(
+            emb, "vec_id", "embedding", "label", threshold=0.9, max_block=5
+        )
+        got = pairs.collect()
+        release(pairs)
+    assert got == []
+    warnings = [r.getMessage() for r in caplog.records if "hot bucket" in r.getMessage()]
+    assert warnings and "blocked_near_dup" in warnings[0]
+
+
+def test_blocked_near_dup_max_block_route(spark, const_emb):
+    """Routing keeps a capped block connected at O(B): every member pairs
+    with the min-id representative, cosine-verified."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import blocked_near_dup
+
+    emb = const_emb.withColumn("label", const_emb.vec_id % 1)
+    pairs = blocked_near_dup(
+        emb, "vec_id", "embedding", "label", threshold=0.9, max_block=5, on_hot="route"
+    )
+    rows = pairs.collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in rows) == [(0, i) for i in range(1, 12)]
+    assert all(r["similarity"] == 1.0 for r in rows)
+    clusters = dedup_clusters(pairs, emb.select("vec_id"))
+    assert {r["cluster_id"] for r in clusters.collect()} == {0}
+    release(clusters)
+
+
+def test_blocked_near_dup_cap_spares_normal_blocks(spark):
+    """Mixed blocks: the cap removes only the degenerate block's pairs."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import blocked_near_dup
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], "hot") for i in range(8)] + [
+        (100, [0.0, 1.0, 0.0, 0.0], "ok"),
+        (101, [0.0, 1.0, 0.0, 0.0], "ok"),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = blocked_near_dup(
+        emb, "vec_id", "embedding", "label", threshold=0.9, max_block=4
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(100, 101)]
+    release(pairs)
+
+
 def test_cap_does_not_disturb_normal_buckets(spark):
     """Mixed corpus: a hot boilerplate group under the cap policy must
     not affect pairs found in healthy buckets."""
