@@ -1,0 +1,63 @@
+"""Profiling-plan shape tests (plans/profiling.py).
+
+prof_histogram's r4 nit: the min/max bounds probe used to run an eager
+``.first()`` Spark job at plan-BUILD time (a second scan per call). Now
+the default path folds the bounds aggregate into the same lazy plan
+(broadcast 1-row join), and callers holding bounds (e.g. from
+prof_column_stats) get a single-scan plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automated_datastore_discovery_with_aws_glue_spark.plans.profiling import prof_histogram
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_scans(df) -> int:
+    # formatted mode prints each node twice (tree + detail) — count the
+    # numbered detail headers only
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+
+
+def test_histogram_with_bounds_is_single_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    lo, hi = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).first()
+    df = prof_histogram(spark, SF_DIR, bounds=(lo, hi))
+    assert _n_scans(df) == 1
+
+
+def test_histogram_default_is_lazy_and_matches_bounds_path(spark, monkeypatch):
+    # plan construction must trigger NO eager action (r4: an eager
+    # .first() bounds probe ran a second scan per call)
+    from pyspark.sql import DataFrame as SDF
+
+    def boom(self, *a, **k):
+        raise AssertionError("eager action during histogram plan build")
+
+    with monkeypatch.context() as m:
+        for action in ("first", "collect", "count", "head", "take"):
+            m.setattr(SDF, action, boom)
+        df = prof_histogram(spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem")
+    lo, hi = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).first()
+    got = [tuple(r) for r in df.collect()]
+    want = [tuple(r) for r in prof_histogram(spark, SF_DIR, bounds=(lo, hi)).collect()]
+    assert got == want
+    assert sum(r[2] for r in got) == li.count()
