@@ -45,6 +45,27 @@ One naming caveat of the manifest read path: it mounts the table root as
 the scan's ``basePath``, so ``v=NNNNNNNN`` is parsed as a partition
 column and dropped — a data column literally named ``v`` would collide
 (rejected at write time).
+
+Commit atomicity — failure modes on rename-less object stores. The
+commit protocol is (1) acquire ``_COMMIT_LOCK`` via ``O_CREAT|O_EXCL``,
+(2) ``os.rename`` staging -> version dir, (3) ``os.replace`` the
+``_LATEST`` pointer, (4) release the lock. On POSIX every step is atomic
+and a reader can never observe a torn state: the pointer flips only
+after the version dir fully exists, and a crash between (2) and (3)
+leaves an orphaned (unreferenced, invisible) version dir that the next
+writer's CAS ignores and ``vacuum`` sweeps. On raw S3-style stores
+neither ``O_EXCL`` nor rename is atomic, so THIS CLASS MUST NOT run
+against one directly; the supported postures are (a) a
+strongly-consistent POSIX layer (EFS/NFSv4/Lustre — what 100 TB Spark
+deployments mount for coordination), or (b) swapping the pointer flip
+for a conditional-PUT CAS (S3 now supports If-None-Match; DynamoDB lock
+tables are the classic fallback) — the single-pointer design is exactly
+the Delta/Iceberg commit shape, so the hand-off is the pointer write
+alone, which is why commit state lives in ONE file. A writer that dies
+holding the lock blocks later writers with ``ConcurrentWriteError``
+(fail-stop, never corruption); removing the stale lock file is the
+documented operator intervention (see
+``test_commit_lock_held_raises_concurrent_write``).
 """
 
 from __future__ import annotations
@@ -407,11 +428,16 @@ class ParquetStateStore:
         tdir = self._table_dir(table)
         if latest == 0 or not os.path.isdir(tdir):
             return
+        # realpath-normalized on BOTH sides of the compare: manifest srcs
+        # resolve root-relative (so any spelling of the root agrees) and
+        # symlinked components collapse — a retained manifest's files can
+        # never be missed because of path-spelling drift
         referenced: set[str] = set()
         for name in os.listdir(tdir):
             if name.startswith("v=") and latest - keep < int(name.split("=")[1]) <= latest:
                 referenced.update(
-                    e["src"] for e in self._read_manifest(os.path.join(tdir, name))
+                    os.path.realpath(e["src"])
+                    for e in self._read_manifest(os.path.join(tdir, name))
                 )
         for name in os.listdir(tdir):
             path = os.path.join(tdir, name)
@@ -424,7 +450,7 @@ class ParquetStateStore:
 
     def _vacuum_version(self, vdir: str, referenced: set[str]) -> None:
         if not any(
-            os.path.join(root, f) in referenced
+            os.path.realpath(os.path.join(root, f)) in referenced
             for root, _d, files in os.walk(vdir)
             for f in files
         ):
@@ -433,7 +459,7 @@ class ParquetStateStore:
         for root, _dirs, files in os.walk(vdir, topdown=False):
             for name in files:
                 p = os.path.join(root, name)
-                if p not in referenced:
+                if os.path.realpath(p) not in referenced:
                     try:
                         os.remove(p)
                     except OSError:
@@ -481,16 +507,39 @@ class ParquetStateStore:
         return entries
 
     def _read_manifest(self, vdir: str) -> list[dict]:
+        """Manifest entries with ``src`` RESOLVED against the current
+        table root. Entries are persisted root-relative (see
+        :meth:`_write_manifest`), so a store re-opened through another
+        spelling of the same directory — relative path, symlinked mount,
+        or a relocated root — still resolves every inherited file;
+        absolute srcs (pre-relative manifests) pass through unchanged."""
         try:
             with open(os.path.join(vdir, _MANIFEST)) as fh:
-                return json.load(fh)
+                entries = json.load(fh)
         except FileNotFoundError:
             return []
+        root = os.path.dirname(os.path.normpath(vdir))
+        for e in entries:
+            if not os.path.isabs(e["src"]):
+                e["src"] = os.path.join(root, e["src"])
+        return entries
 
     def _write_manifest(self, vdir: str, entries: list[dict]) -> None:
+        """Persist manifest entries with ``src`` RELATIVE to the table
+        root (srcs always point into sibling version dirs): path
+        identity then survives root renames/symlinks, and vacuum's
+        reference check can never miss a referenced file because the
+        root was spelled differently at write time."""
         if entries:
+            root = os.path.dirname(os.path.normpath(vdir))
+            out = []
+            for e in entries:
+                rel = os.path.relpath(e["src"], root)
+                out.append(
+                    {"dst": e["dst"], "src": e["src"] if rel.startswith("..") else rel}
+                )
             with open(os.path.join(vdir, _MANIFEST), "w") as fh:
-                json.dump(entries, fh)
+                json.dump(out, fh)
 
     def _check_reserved(self, df: DataFrame) -> None:
         if "v" in df.columns:

@@ -444,3 +444,53 @@ def test_linkless_append_empty_batch(spark, store, monkeypatch):
     store.append("t", empty)
     assert store.latest_version("t") == 2
     assert sorted(r["id"] for r in store.read("t").collect()) == ["a"]
+
+
+def test_linkless_vacuum_survives_root_respell(spark, store, monkeypatch, tmp_path_factory):
+    """Manifest srcs are stored TABLE-ROOT-RELATIVE and vacuum compares
+    realpaths: a store re-opened through a different spelling of the same
+    directory (here: a symlink) must still recognize manifest-referenced
+    files as live — absolute-path manifests used to make vacuum rmtree
+    pools that retained versions still read."""
+    import os
+
+    store.init("v", _df(spark, [("a", 1, False)]))
+    _no_link(monkeypatch)
+    store.append("v", _df(spark, [("b", 2, False)]))
+    store.append("v", _df(spark, [("c", 3, False)]))
+    link_root = str(tmp_path_factory.mktemp("respell")) + "/alias"
+    os.symlink(store.root, link_root)
+    alias = ParquetStateStore(spark, link_root)
+    alias.vacuum("v", keep=1)
+    # the retained version's manifest-referenced files survived
+    assert sorted(r["id"] for r in alias.read("v").collect()) == ["a", "b", "c"]
+    assert sorted(r["id"] for r in store.read("v").collect()) == ["a", "b", "c"]
+
+
+def test_commit_lock_held_raises_concurrent_write(spark, store):
+    """Simulated non-atomic-rename environment / crashed mid-commit
+    writer: while the O_EXCL commit lock exists, any writer fails with
+    ConcurrentWriteError (never corrupts the pointer) and discards its
+    staging; vacuum cleans crashed writers' leftovers."""
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    store.init("t", _df(spark, [("a", 1, True)]))
+    lock = os.path.join(store._table_dir("t"), "_COMMIT_LOCK")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(ConcurrentWriteError, match="lock"):
+        store.append("t", _df(spark, [("b", 2, False)]))
+    # loser's staging is gone; the table is untouched
+    leftovers = [n for n in os.listdir(store._table_dir("t")) if n.startswith("._staging_")]
+    assert leftovers == []
+    assert store.latest_version("t") == 1
+    os.remove(lock)  # operator intervention for a crashed holder
+    store.append("t", _df(spark, [("b", 2, False)]))
+    assert store.latest_version("t") == 2
+    # vacuum also sweeps staging dirs a crashed writer left behind
+    orphan = store._staging_dir("t")
+    os.makedirs(orphan)
+    store.vacuum("t", keep=5)
+    assert not os.path.exists(orphan)
