@@ -1,11 +1,16 @@
-"""Streaming exact dedup — the stream twin of ``operators.dedup``'s
-exact path, for ingest-time cleaning of a document feed.
+"""Streaming dedup — the stream twins of ``operators.dedup``, for
+ingest-time cleaning of a document feed:
+
+- :func:`stream_exact_dedup` — exact (fingerprint) dedup;
+- :func:`stream_segment_dedup` — C4-style paragraph dedup;
+- :func:`stream_minhash_dedup` — NEAR-dup (MinHash-LSH) detection, the
+  stream half of the batch ``minhash_lsh_pairs`` candidate rule.
 
 ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
 event-time watermark passes the key's first sighting plus the delay, so
 state is bounded by the dedup horizon instead of growing with the corpus
 (plain ``dropDuplicates`` on a stream retains every key forever). The
-dedup key is the text fingerprint (md5 of the normalized text,
+exact-dedup key is the text fingerprint (md5 of the normalized text,
 ``operators.text.fingerprint``) — the same key the batch ``dedup_exact``
 groups on, so backfill and live ingest agree on what counts as a dup.
 """
@@ -15,6 +20,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+    _signature_expr,
+    hashed_shingles,
+)
 from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint
 
 
@@ -66,7 +75,12 @@ def stream_segment_dedup(
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("ts"),
-        F.split(F.col(text_col), F.lit(_re.escape(sep)), -1).alias("_parts"),
+        # NULL text must still emit the sentinel row — split(NULL) is
+        # NULL and posexplode would silently eliminate the document,
+        # breaking the every-doc-emits contract; coalesce to ''
+        F.split(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(_re.escape(sep)), -1
+        ).alias("_parts"),
     ).select(
         "doc_id",
         "ts",
@@ -98,6 +112,100 @@ def stream_segment_dedup(
         .dropDuplicatesWithinWatermark(["fp"])
     )
     return segs
+
+
+def stream_minhash_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    dedup_horizon: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-bounded streaming NEAR-dup detection — the stream twin
+    of batch ``minhash_lsh_pairs``' candidate rule (two docs are
+    near-dup candidates iff they share ANY LSH band bucket), applied
+    within the event-time horizon.
+
+    Shape: each arriving doc's MinHash signature computes MAP-SIDE
+    (``hashed_shingles`` -> per-permutation ``array_min`` — no shuffle,
+    identical math to the batch operator), splits into ``bands`` banded
+    bucket keys, and ``dropDuplicatesWithinWatermark`` on (band, bucket)
+    claims each bucket for its first sighting; state is one row per
+    distinct bucket within the horizon — bounded, restart-safe via the
+    checkpoint. Emits surviving BAND rows ``(doc_id, ts, n_bands, band,
+    bucket)``; compose with :func:`finalize_minhash_dedup` inside
+    ``foreachBatch`` (all of a doc's rows surface in the same
+    micro-batch) to get per-document verdicts:
+
+    - every band fresh            -> unique doc, keep;
+    - some band already claimed   -> ``is_near_dup_candidate`` — the
+      batch candidate rule. Streaming cannot run the exact-Jaccard
+      verify (the earlier doc's shingles are gone when the dup
+      arrives), so this is the recall-biased ingest gate: drop
+      candidates for lossy cleaning, or route them to a batch
+      ``minhash_lsh_pairs`` verify when precision matters;
+    - EXACT replay (same id, ts, text) -> every row including the
+      per-doc sentinel (band = -1, keyed on (id, ts)) is a duplicate,
+      so the doc vanishes entirely — replayed messages dedup to
+      nothing, like :func:`stream_exact_dedup`.
+    """
+    rows = num_hashes // bands
+    sig = _signature_expr(
+        hashed_shingles(F.coalesce(F.col(text_col), F.lit("")), n), num_hashes
+    )
+    banded = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.slice(F.col("_sig"), b * rows + 1, rows)).alias("bucket"),
+        ),
+    )
+    sentinel = F.struct(
+        F.lit(-1).alias("band"),
+        # unique per (doc, ts): survives unless the whole doc is an
+        # exact replay of an in-horizon message
+        F.xxhash64(F.col("doc_id").cast("string"), F.col("ts").cast("string")).alias(
+            "bucket"
+        ),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"), sig.alias("_sig")
+        )
+        .select(
+            "doc_id",
+            "ts",
+            F.lit(bands).alias("n_bands"),
+            F.explode(F.concat(F.array(sentinel), banded)).alias("bb"),
+        )
+        .select("doc_id", "ts", "n_bands", "bb.band", "bb.bucket")
+        .withWatermark("ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["band", "bucket"])
+    )
+
+
+def finalize_minhash_dedup(band_rows: DataFrame) -> DataFrame:
+    """Batch-side verdicts for ``foreachBatch`` over
+    :func:`stream_minhash_dedup` output: one row per ingested document —
+    ``(doc_id, ts, n_bands, n_bands_new, is_near_dup_candidate)`` where
+    ``n_bands_new`` counts the doc's fresh (unclaimed) band buckets and
+    the candidate flag fires when ANY band was already claimed within
+    the horizon (the batch LSH candidate rule). Exact replays have no
+    rows at all (even the sentinel deduped) and so never re-emit."""
+    return (
+        band_rows.groupBy("doc_id", "ts")
+        .agg(
+            F.max("n_bands").alias("n_bands"),
+            F.sum((F.col("band") >= 0).cast("int")).alias("n_bands_new"),
+        )
+        .withColumn(
+            "is_near_dup_candidate", F.col("n_bands_new") < F.col("n_bands")
+        )
+    )
 
 
 def reassemble_segments(

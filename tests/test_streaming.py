@@ -432,3 +432,76 @@ def test_stream_segment_dedup_c4_cleaning(spark, tmp_path):
     run()
     assert out[2] == ("gamma delta", 1, 1)
     assert out[3] == ("", 0, 1)
+
+    # NULL-text document: split(NULL) must not eliminate the row — the
+    # sentinel still emits an (empty, 0, 0) output row
+    write_batch([(4, None, "2024-01-01 10:02:00")])
+    run()
+    assert out[4] == ("", 0, 0)
+
+
+def test_stream_minhash_neardup_detection(spark, tmp_path):
+    """Streaming NEAR-dup (MinHash-LSH) ingest gate: a lightly-reworded
+    cross-batch duplicate is flagged (any shared band — the batch LSH
+    candidate rule), an unrelated doc passes clean, an exact replay
+    vanishes entirely; state is watermark-bounded and the verdicts
+    survive query restarts (each batch runs a fresh availableNow query
+    off the shared checkpoint)."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.dedup import (
+        finalize_minhash_dedup,
+        stream_minhash_dedup,
+    )
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for doc_id, text, ts in rows:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
+
+    out: dict[int, tuple] = {}
+
+    def sink(batch, _):
+        for r in finalize_minhash_dedup(batch).collect():
+            out[r["doc_id"]] = (r["n_bands"], r["n_bands_new"], r["is_near_dup_candidate"])
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(src)
+        q = (
+            stream_minhash_dedup(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge near the quiet village every morning"
+    )
+    write_batch([(1, base, "2024-01-01 10:00:00")])
+    run()
+    assert out[1] == (16, 16, False)  # unique: every band fresh
+
+    paraphrase = base.replace("quick", "fast").replace("morning", "evening")
+    write_batch(
+        [
+            (2, paraphrase, "2024-01-01 10:01:00"),
+            (3, "completely different content about spark shuffle partitions and adaptive execution plans", "2024-01-01 10:01:30"),
+        ]
+    )
+    run()  # fresh query off the checkpoint -> cross-batch state survived restart
+    assert out[2][2] is True and out[2][1] < 16  # reworded dup flagged
+    assert out[3] == (16, 16, False)  # unrelated doc unaffected
+
+    # exact replay (same id/ts/text): every row incl. the sentinel dedups
+    out.clear()
+    write_batch([(1, base, "2024-01-01 10:00:00")])
+    run()
+    assert 1 not in out
