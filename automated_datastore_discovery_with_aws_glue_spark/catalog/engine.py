@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +57,57 @@ _TRACKER_SCHEMA = T.StructType(
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
     ]
 )
+
+
+#: data_source_attrs key holding the source's content fingerprint
+FINGERPRINT_KEY = "content_fingerprint"
+
+
+def _source_fingerprint(attrs: dict[str, str]) -> str | None:
+    """Content fingerprint of a path-based source: sha256 over the sorted
+    (relative path, size, mtime_ns) of every data file — METADATA-only,
+    no data read. This is the job-bookmark the reference explicitly
+    disabled (`lambda/s3-glue-job-creator/app.py:17`, every run rescans):
+    at 100 TB you re-crawl/re-classify only sources whose listing
+    changed. On an object store the (key, size, etag) listing plays the
+    same role. Returns None for non-path sources (JDBC etc. — callers
+    fall back to unconditional processing)."""
+    path = attrs.get("path")
+    if not path:
+        return None
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if not os.path.exists(p):
+        return None
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isfile(p):
+        st = os.stat(p)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    else:
+        for root, _dirs, files in os.walk(p):
+            for name in files:
+                fp = os.path.join(root, name)
+                st = os.stat(fp)
+                entries.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:32]
+
+
+def _attrs_with_fingerprint() -> F.Column:
+    """MERGE expression updating ``data_source_attrs`` with the source
+    batch's ``fp`` (map rebuilt without the old key — ``map_concat``
+    rejects duplicates under the default dedup policy); rows with a NULL
+    ``fp`` keep their attrs untouched."""
+    empty = F.expr("CAST(map() AS MAP<STRING,STRING>)")
+    updated = F.map_concat(
+        F.map_filter(
+            F.coalesce(F.col("tgt.data_source_attrs"), empty),
+            lambda k, _v: k != F.lit(FINGERPRINT_KEY),
+        ),
+        F.create_map(F.lit(FINGERPRINT_KEY), F.col("src.fp")),
+    )
+    return F.when(F.col("src.fp").isNotNull(), updated).otherwise(
+        F.col("tgt.data_source_attrs")
+    )
 
 
 def _source_id(source_type: str, attrs: dict[str, str]) -> str:
@@ -167,24 +219,27 @@ class DiscoveryEngine:
         the reader's own and happens inline."""
         pending = self.pending_catalog(source_type).collect()
         registered: list[str] = []
-        flips: list[tuple[str, str, str]] = []
+        flips: list[tuple[str, str, str, str | None]] = []
         for row in pending:
             attrs = dict(row["data_source_attrs"] or {})
             path = attrs.get("path")
             name = attrs.get("name") or (path.rstrip("/").rsplit("/", 1)[-1] if path else row["id"])
             table = sanitize_identifier(f"{source_type}_{name}")
             fq = f"{self.database}.{table}"
+            # fingerprint BEFORE the read: a file landing mid-read makes
+            # the recorded state conservative (next recrawl sees drift)
+            fp = _source_fingerprint(attrs)
             df = self._read_source(source_type, attrs)
             df.write.mode("overwrite").saveAsTable(fq)
-            flips.append((row["id"], table, self.database))
+            flips.append((row["id"], table, self.database, fp))
             registered.append(fq)
         if flips:
             # One flip frame, one MERGE, one tracker version bump per call —
             # not one full-table rewrite per source. The flip carries the
             # partition value so only this source type's partition rewrites.
             flip = self.spark.createDataFrame(
-                [(i, t, d, source_type) for i, t, d in flips],
-                ["id", "t", "d", "data_source_type"],
+                [(i, t, d, fp, source_type) for i, t, d, fp in flips],
+                "id string, t string, d string, fp string, data_source_type string",
             )
             self.store.merge(
                 TRACKER,
@@ -194,6 +249,7 @@ class DiscoveryEngine:
                     "data_catalog_entry": F.lit(True),
                     "data_catalog_table_name": F.col("src.t"),
                     "data_catalog_db_name": F.col("src.d"),
+                    "data_source_attrs": _attrs_with_fingerprint(),
                 },
                 insert_not_matched=False,
                 partition_by="data_source_type",
@@ -228,23 +284,49 @@ class DiscoveryEngine:
         and re-applies the same comments.
 
         ``reclassify=True`` (default) flips ``glue_job_created`` back to
-        False for every table whose schema DRIFTED, so the next
-        ``classify_pending`` run re-classifies it and the new columns
-        get findings — the reference's crawler-update -> scheduled
-        classify-job chain. No-drift tables keep their flag (no wasted
-        re-classification)."""
+        False for every table whose schema OR CONTENT drifted, so the
+        next ``classify_pending`` run re-classifies it and the new
+        columns/rows get findings — the reference's crawler-update ->
+        scheduled classify-job chain. No-drift tables keep their flag
+        (no wasted re-classification).
+
+        Incremental (the job-bookmark the reference disabled): each
+        source's content fingerprint — the metadata-only file listing
+        hash recorded at register time — is compared first; an UNCHANGED
+        source is skipped outright (``{"skipped": True}`` in the report,
+        ZERO source scans, no table rewrite, no comment churn). Content
+        drift WITHOUT schema drift still re-opens classification: new
+        rows can carry new PII even when columns are stable. Sources
+        with no recordable fingerprint (non-path) always process."""
         rows = self.cataloged(source_type).collect()
         report: list[dict] = []
-        drifted_ids: list[str] = []
+        fp_updates: list[tuple[str, str | None, bool]] = []
         for row in rows:
             db, table = row["data_catalog_db_name"], row["data_catalog_table_name"]
             fq = f"{db}.{table}"
+            attrs = dict(row["data_source_attrs"] or {})
+            cur_fp = _source_fingerprint(attrs)
+            stored_fp = attrs.get(FINGERPRINT_KEY)
+            if cur_fp is not None and stored_fp == cur_fp:
+                report.append(
+                    {
+                        "table": fq,
+                        "skipped": True,
+                        "added": [],
+                        "removed": [],
+                        "retyped": [],
+                    }
+                )
+                continue
+            content_drift = (
+                cur_fp is not None and stored_fp is not None and stored_fp != cur_fp
+            )
             old_schema = self.spark.table(fq).schema
             old_comments = {
                 f.name: (f.metadata or {}).get("comment")
                 for f in old_schema.fields
             }
-            df = self._read_source(source_type, dict(row["data_source_attrs"] or {}))
+            df = self._read_source(source_type, attrs)
             new_types = {f.name: f.dataType for f in df.schema.fields}
             old_names = [f.name for f in old_schema.fields]
             added = [c for c in df.columns if c not in set(old_names)]
@@ -268,19 +350,31 @@ class DiscoveryEngine:
             if comments:
                 self._write_column_comments(db, table, comments)
             report.append(
-                {"table": fq, "added": added, "removed": removed, "retyped": retyped}
+                {
+                    "table": fq,
+                    "skipped": False,
+                    "added": added,
+                    "removed": removed,
+                    "retyped": retyped,
+                }
             )
-            if added or retyped:
-                drifted_ids.append(row["id"])
-        if reclassify and drifted_ids:
+            reflag = bool(added or retyped or content_drift)
+            fp_updates.append((row["id"], cur_fp, reflag))
+        if fp_updates:
             flip = self.spark.createDataFrame(
-                [(i, source_type) for i in drifted_ids], ["id", "data_source_type"]
+                [(i, fp, reclassify and rf, source_type) for i, fp, rf in fp_updates],
+                "id string, fp string, reflag boolean, data_source_type string",
             )
             self.store.merge(
                 TRACKER,
                 flip,
                 "id",
-                set_on_match={"glue_job_created": F.lit(False)},
+                set_on_match={
+                    "glue_job_created": F.when(
+                        F.col("src.reflag"), F.lit(False)
+                    ).otherwise(F.col("tgt.glue_job_created")),
+                    "data_source_attrs": _attrs_with_fingerprint(),
+                },
                 insert_not_matched=False,
                 partition_by="data_source_type",
                 prune_partitions=True,

@@ -286,7 +286,13 @@ def test_recrawl_schema_evolution_preserves_comments(spark, tmp_path):
 
     report = eng.recrawl("s3")
     assert report == [
-        {"table": "recrawl_db.s3_crm", "added": ["phone"], "removed": ["legacy_code"], "retyped": []}
+        {
+            "table": "recrawl_db.s3_crm",
+            "skipped": False,
+            "added": ["phone"],
+            "removed": ["legacy_code"],
+            "retyped": [],
+        }
     ]
     t = spark.table("recrawl_db.s3_crm")
     assert t.count() == 60
@@ -303,13 +309,61 @@ def test_recrawl_schema_evolution_preserves_comments(spark, tmp_path):
     found = {r["columnName"]: r["entityTypes"] for r in eng.latest_findings().collect()}
     assert "PHONE_NUMBER" in found.get("phone", "")
 
-    # no-drift re-crawl is an idempotent no-op on schema and comments;
-    # the vanished column is still absent from the source, so it stays
-    # in the DeleteBehavior-LOG report (and stays retained in the schema)
+    # no-drift re-crawl: the unchanged content fingerprint short-circuits
+    # the whole pass — no source scan, no table rewrite, no comment churn
     report2 = eng.recrawl("s3")
-    assert report2[0]["added"] == [] and report2[0]["removed"] == ["legacy_code"]
+    assert report2 == [
+        {"table": "recrawl_db.s3_crm", "skipped": True, "added": [], "removed": [], "retyped": []}
+    ]
     t2 = spark.table("recrawl_db.s3_crm")
     assert t2.columns == t.columns and t2.count() == 60
     assert eng.column_comments("recrawl_db.s3_crm")["customer_email"] == before["customer_email"]
     # no drift -> classification stays closed (no wasted re-runs)
+    assert eng.classify_pending("s3", ["EMAIL"]) == 0
+
+
+def test_recrawl_fingerprint_incremental_classification(spark, tmp_path):
+    """The job-bookmark the reference disabled
+    (`lambda/s3-glue-job-creator/app.py:17`): after a classify pass, an
+    unchanged source costs ZERO scans on re-crawl + re-classify; a
+    content-only change (same schema, new rows) re-opens classification."""
+    src = tmp_path / "leads"
+    src.mkdir()
+
+    def write_rows(n):
+        with open(src / "part1.csv", "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["customer_email", "note"])
+            for i in range(n):
+                w.writerow([f"user{i}@example.com", f"note {i}"])
+
+    write_rows(40)
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="incr_db")
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "leads", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    assert eng.classify_pending("s3", ["EMAIL"]) == 1
+
+    reads = []
+    orig = eng._read_source
+    eng._read_source = lambda st, attrs: (reads.append(1), orig(st, attrs))[1]
+
+    # unchanged source: recrawl skips with zero source scans, and the
+    # second classify pass scans nothing
+    report = eng.recrawl("s3")
+    assert report[0]["skipped"] is True
+    assert reads == [], "unchanged source must not be re-read"
+    assert eng.classify_pending("s3", ["EMAIL"]) == 0
+
+    # content-only drift (same columns, more rows): fingerprint changes,
+    # recrawl processes it and re-opens classification
+    write_rows(55)
+    report2 = eng.recrawl("s3")
+    assert report2[0]["skipped"] is False
+    assert report2[0]["added"] == [] and report2[0]["retyped"] == []
+    assert reads, "drifted source must be re-read"
+    assert eng.classify_pending("s3", ["EMAIL"]) == 1
+    # and the refreshed fingerprint closes the loop again
+    assert eng.recrawl("s3")[0]["skipped"] is True
     assert eng.classify_pending("s3", ["EMAIL"]) == 0
