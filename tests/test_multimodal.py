@@ -125,9 +125,34 @@ def test_decode_images_fake_deterministic(spark, media):
 
 
 def test_decode_images_real_path_raises_without_pil(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — the raise-path doesn't apply")
+    except ImportError:
+        pass
     with pytest.raises(Exception) as exc:
         decode_images(media.filter("media_id = 1"), fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
+def test_decode_images_real_path_with_pillow(spark):
+    """Optional-dependency upgrade: where Pillow IS importable the same
+    ``decode_images`` call decodes real bytes — identical mapInPandas
+    plumbing, real kernel (skipped in Pillow-less environments; the fake
+    path keeps its own tests either way)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    row = decode_images(df, fake=False).collect()[0]
+    assert (row["width"], row["height"], row["mode"]) == (32, 16, "RGB")
 
 
 def test_extract_features_schema_and_determinism(spark, media):
