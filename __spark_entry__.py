@@ -49,14 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_volume": R.q5_region_volume,
-        "a1_argmax_group": R.a1_argmax_group,
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,
         "j1_latest_per_key": R.j1_latest_per_key,
         "j2_broadcast_enrich": R.j2_broadcast_enrich,
         "j3_lookup_join": R.j3_lookup_join,
         "f10_time_bucket": R.f10_time_bucket,
-        "w_topk_per_group": R.w_topk_per_group,
         "a3_rollup": R.a3_rollup,
         "w_tumbling_counts": R.w_tumbling_counts,
         "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
@@ -83,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": L.QUERIES["knn_lsh"],
         "emb_near_dup": L.QUERIES["emb_near_dup"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
+        "knn_batch": L.EXTRA_QUERIES["knn_batch"],
+        "text_repetition": L.EXTRA_QUERIES["text_repetition"],
         # -- sessionization + multimodal + generators --
         "sess_gap_split": SS.sess_gap_split,
         "sess_native_window": SS.sess_native_window,
@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": L.EXTRA_QUERIES["para_dedup"],
         # ---- driver window ends here (50 entries) ----
         # rotated-out relational rows (3+ green rounds, pytest-pinned)
+        "a1_argmax_group": R.a1_argmax_group,
+        "w_topk_per_group": R.w_topk_per_group,
         "a2_distinct": R.a2_distinct,
         "p6_projection_filter": R.p6_projection_filter,
         "p9_membership": R.p9_membership,

@@ -126,6 +126,65 @@ def winnow_fingerprints(
     return F.sort_array(F.array_distinct(sel))
 
 
+def word_grams(col: Column, n: int = 2) -> Column:
+    """ALL word n-grams in document order, duplicates KEPT — unlike the
+    dedup shingles (``dedup.word_shingles``), repetition analysis needs
+    multiplicity. Empty array when the document has fewer than n words.
+    The word array is let-bound so the split runs once per row."""
+
+    def body(words: Column) -> Column:
+        k = F.size(words)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+        return F.when(k >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(col), body)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", *, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals (public filter family from Rae et
+    al. 2021, 'Scaling Language Models: ... Gopher', App. A1.1): the
+    fraction of duplicated word n-grams and the share held by the single
+    most frequent n-gram. High values mark boilerplate, keyword-stuffed
+    spam, and degenerate generations that length/stopword heuristics
+    miss — a standard pre-training quality gate next to
+    ``text_stats``.
+
+    Fully map-side higher-order expressions (no shuffle, no UDF); the
+    per-row top-gram count is O(distinct x total) over document-sized
+    arrays — bounded by document length, embarrassingly parallel at any
+    corpus size. Adds ``n_grams``, ``dup_gram_frac``, ``top_gram_frac``.
+    """
+
+    def metrics(grams: Column) -> Column:
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda x: F.size(F.filter(grams, lambda y: y == x)),
+            )
+        )
+        denom = F.greatest(total, F.lit(1))
+        return F.struct(
+            total.alias("n"),
+            F.round((total - distinct) / denom, 4).alias("dupf"),
+            F.round(F.coalesce(top, F.lit(0)) / denom, 4).alias("topf"),
+        )
+
+    m = let(word_grams(F.col(text_col), n), metrics)
+    return df.select("*", m.alias("_m")).select(
+        *df.columns,
+        F.col("_m.n").alias("n_grams"),
+        F.col("_m.dupf").alias("dup_gram_frac"),
+        F.col("_m.topf").alias("top_gram_frac"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: token count, average token length,
     stopword ratio, punctuation ratio, and a composite quality score in

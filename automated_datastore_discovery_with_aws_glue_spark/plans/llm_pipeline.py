@@ -300,6 +300,88 @@ def _near_dup_pairs(
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals per document (duplicate
+    word-bigram fraction + top-bigram share) — see
+    ``operators.text.repetition_stats``. The quality gate that catches
+    boilerplate/degenerate text that token-count/stopword heuristics
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.repetition_stats(docs, "text", n=2)
+        .select("doc_id", "n_grams", "dup_gram_frac", "top_gram_frac")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 2
+                    THEN list_transform(generate_series(1, len(words) - 1),
+                                        i -> array_to_string(words[i:i+1], ' '))
+                    ELSE []::VARCHAR[] END AS grams
+        FROM w
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                 / greatest(len(grams), 1), 4) AS dup_gram_frac,
+           round(coalesce(list_max(list_transform(list_distinct(grams),
+                     x -> len(list_filter(grams, y -> y = x)))), 0)::DOUBLE
+                 / greatest(len(grams), 1), 4) AS top_gram_frac
+    FROM g
+    ORDER BY doc_id
+"""
+
+
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force similarity JOIN: exact cosine top-3 neighbors
+    for EACH of the 5 query vectors (vec_id < 5) in one plan — the
+    all-queries-at-once shape a batch ANN / recall-evaluation job runs.
+    The bounded query side broadcasts, scoring runs co-located on one
+    corpus scan (one scan per BATCH of queries, not per query), and a
+    per-query window takes the top-k. Rounded similarity + id tiebreak
+    keep the ordering total across engines."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    sim = F.round(S.cosine(S.as_double(F.col("embedding")), F.col("qv")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(), "vec_id")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("similarity"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    )
+
+
+KNN_BATCH_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (
+        SELECT query_id, e.vec_id,
+               round(list_cosine_similarity(e.v, qv), 4) AS similarity
+        FROM e, q WHERE e.vec_id <> query_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY similarity DESC, vec_id) AS rk
+        FROM s
+    )
+    SELECT query_id, vec_id, similarity, rk FROM r WHERE rk <= 3
+    ORDER BY query_id, rk
+"""
+
+
 def corpus_clean(
     spark: SparkSession, sf_dir: str, *, candidates: str = "lsh_md5"
 ) -> DataFrame:
@@ -1245,6 +1327,8 @@ EXTRA_QUERIES = {
     "corpus_clean": corpus_clean,
     "corpus_clean_exact": corpus_clean_exact,
     "corpus_clean_xxh": corpus_clean_xxh,
+    "text_repetition": text_repetition,
+    "knn_batch": knn_batch,
     "para_dedup": para_dedup,
     "corpus_split": corpus_split,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -1258,6 +1342,8 @@ EXTRA_QUERIES = {
 ORACLES = {
     "corpus_clean": CORPUS_CLEAN_SQL,
     "corpus_clean_exact": CORPUS_CLEAN_EXACT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "knn_batch": KNN_BATCH_SQL,
     "para_dedup": PARA_DEDUP_SQL,
     "corpus_split": CORPUS_SPLIT_SQL,
     "corpus_sample_stratified": CORPUS_SAMPLE_SQL,

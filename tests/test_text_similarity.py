@@ -277,3 +277,25 @@ def test_ivf_lloyd_refinement_recall_and_determinism(spark):
         return hits / (k * len(queries))
 
     assert recall(32) >= recall(1)
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals: duplicate-bigram fraction and
+    top-bigram share against hand-computed values."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # bigrams: "spam spam" x3
+            (2, "all words unique here now"),  # 4 distinct bigrams
+            (3, "x"),                          # under 2 words -> no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_gram_frac"], r["top_gram_frac"])
+        for r in repetition_stats(docs).collect()
+    }
+    assert out[1] == (3, round(2 / 3, 4), 1.0)
+    assert out[2] == (4, 0.0, 0.25)
+    assert out[3] == (0, 0.0, 0.0)
