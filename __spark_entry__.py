@@ -52,7 +52,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,
         "j1_latest_per_key": R.j1_latest_per_key,
-        "j2_broadcast_enrich": R.j2_broadcast_enrich,
         "j3_lookup_join": R.j3_lookup_join,
         "f10_time_bucket": R.f10_time_bucket,
         "a3_rollup": R.a3_rollup,
@@ -83,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "text_repetition": L.EXTRA_QUERIES["text_repetition"],
+        "emb_canonical": L.EXTRA_QUERIES["emb_canonical"],
         # -- sessionization + multimodal + generators --
         "sess_gap_split": SS.sess_gap_split,
         "sess_native_window": SS.sess_native_window,
@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated-out relational rows (3+ green rounds, pytest-pinned)
         "a1_argmax_group": R.a1_argmax_group,
         "w_topk_per_group": R.w_topk_per_group,
+        "j2_broadcast_enrich": R.j2_broadcast_enrich,
         "a2_distinct": R.a2_distinct,
         "p6_projection_filter": R.p6_projection_filter,
         "p9_membership": R.p9_membership,

@@ -651,6 +651,75 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def contamination_scores(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """GRADED test-set contamination: per training document, the
+    fraction of its distinct word ``n``-grams that appear anywhere in
+    the benchmark corpus — the overlap metric behind GPT-3's appendix-C
+    contamination analysis, where :func:`decontaminate` is the boolean
+    gate built on the same rule. Use it to rank/flag instead of drop
+    (e.g. keep docs under an overlap budget).
+
+    Same scale shape as :func:`decontaminate`: the benchmark's distinct
+    gram hashes build once and BROADCAST (benchmarks are MBs where the
+    corpus is TBs), the corpus side joins map-side against them, and the
+    only corpus-keyed shuffle is the per-doc aggregate of (hits, total)
+    pairs of longs. Returns ``(id, n_grams, n_contaminated,
+    contamination_frac)`` for every ``train`` row (gram-less docs score
+    0.0). ``hash_fn`` as in :func:`decontaminate` ('md5' = the
+    DuckDB-replayable twin)."""
+    if hash_fn == "md5":
+        def grams(df: DataFrame) -> DataFrame:
+            sh = word_shingles(F.col("_t"), n)
+            return (
+                spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+                .select("id", F.explode(sh).alias("g"))
+                .select(
+                    "id",
+                    F.conv(F.md5(F.col("g").cast("binary")).substr(1, 15), 16, 10)
+                    .cast("bigint")
+                    .alias("gh"),
+                )
+            )
+    else:
+        def grams(df: DataFrame) -> DataFrame:
+            return _hashed_shingle_frame(df, id_col, text_col, n).select(
+                "id", F.explode("hs").alias("gh")
+            )
+
+    bench_grams = grams(bench).select("gh").distinct().withColumn("_hit", F.lit(1))
+    scored = (
+        grams(train)
+        .join(F.broadcast(bench_grams), "gh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("contamination_frac"),
+        )
+    )
+
+
 def dedup_segments(
     df: DataFrame,
     id_col: str,

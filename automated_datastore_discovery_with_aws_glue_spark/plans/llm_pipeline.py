@@ -264,7 +264,13 @@ CANDIDATE_STRATEGIES = ("lsh", "lsh_md5", "ppjoin")
 
 
 def _near_dup_pairs(
-    df: DataFrame, *, candidates: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    *,
+    candidates: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    on_hot: str = "route",
 ) -> DataFrame:
     """The pair stage of the corpus compositions, parameterized by
     candidate-generation strategy (the compositions used to hard-wire
@@ -290,7 +296,14 @@ def _near_dup_pairs(
     if candidates == "ppjoin":
         return D.jaccard_pairs(df, "doc_id", "text", "lang", n=n, threshold=threshold)
     if candidates == "lsh":
-        return D.minhash_lsh_pairs(df, "doc_id", "text", n=n, threshold=threshold)
+        # the 100 TB path also carries the hot-bucket valve: boilerplate-
+        # degenerate (band, bucket) groups above the cap star-route to the
+        # group representative (on_hot='route' keeps components connected
+        # for the downstream clustering) instead of going quadratic
+        return D.minhash_lsh_pairs(
+            df, "doc_id", "text", n=n, threshold=threshold,
+            max_bucket=max_bucket, on_hot=on_hot,
+        )
     if candidates == "lsh_md5":
         return D.minhash_lsh_pairs_md5(
             df, "doc_id", "text", n=n, num_hashes=16, bands=8, threshold=threshold
@@ -383,7 +396,11 @@ KNN_BATCH_SQL = """
 
 
 def corpus_clean(
-    spark: SparkSession, sf_dir: str, *, candidates: str = "lsh_md5"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    candidates: str = "lsh_md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus preparation — the composed pipeline a training
     run actually executes: quality-score every document, drop low-quality
@@ -410,7 +427,9 @@ def corpus_clean(
         .filter(F.col("quality_score") >= 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = _near_dup_pairs(kept, candidates=candidates, n=3, threshold=0.5)
+    pairs = _near_dup_pairs(
+        kept, candidates=candidates, n=3, threshold=0.5, max_bucket=max_bucket
+    )
     canon = D.dedup_canonical(kept, pairs, "doc_id")
     result = canon.select("doc_id", "quality_score").orderBy("doc_id")
     return C.adopt(C.carry(result, canon), kept)
@@ -738,12 +757,14 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
-def emb_near_dup_lsh_oracle_sql(
+def _emb_lsh_pair_ctes(
     *, threshold: float = 0.35, n_bands: int = 8, band_planes: int = 8,
     seed: int = 42, dim: int = 64,
 ) -> str:
-    """DuckDB twin of ``emb_near_dup_lsh`` — per-band bucket exprs from
-    the same seeded hyperplanes, identical left-to-right folds."""
+    """CTE chain ending in ``p(id_a, id_b)``: banded hyperplane-LSH
+    candidates + exact-cosine verify over ``embeddings`` — per-band
+    bucket exprs from the same seeded hyperplanes as
+    ``S.lsh_near_dup``, identical left-to-right IEEE folds."""
     planes = S.hyperplanes(dim, n_bands * band_planes, seed)
 
     def duck_dot(vexpr: str, plane) -> str:
@@ -763,18 +784,69 @@ def emb_near_dup_lsh_oracle_sql(
         )
         band_selects.append(f"SELECT id, {b} AS band, {bucket} AS bucket FROM e")
     bk = " UNION ALL ".join(band_selects)
-    return f"""
-        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         bk AS ({bk}),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-                 WHERE a.id < b.id)
-        SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS similarity
-        FROM cand
-        JOIN e ea ON ea.id = cand.id_a
-        JOIN e eb ON eb.id = cand.id_b
-        WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {threshold}
+                 WHERE a.id < b.id),
+        p AS (
+            SELECT id_a, id_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 4) AS similarity
+            FROM cand
+            JOIN e ea ON ea.id = cand.id_a
+            JOIN e eb ON eb.id = cand.id_b
+            WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {threshold}
+        )"""
+
+
+def emb_near_dup_lsh_oracle_sql(**kw) -> str:
+    """DuckDB twin of ``emb_near_dup_lsh`` (see
+    :func:`_emb_lsh_pair_ctes`)."""
+    return f"""
+        WITH {_emb_lsh_pair_ctes(**kw)}
+        SELECT id_a, id_b, similarity FROM p
         ORDER BY id_a, id_b
+    """
+
+
+def emb_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level (semantic) dedup end-to-end — the SemDeDup-style
+    pipeline step (public: Abbas et al. 2023 'SemDeDup'): banded
+    hyperplane-LSH near-dup candidates over the embedding column,
+    exact-cosine verification, connected components over the verified
+    pairs, and every vector labeled with its cluster's min-id canonical
+    representative (keep ``vec_id == cluster_id`` to dedup the corpus
+    semantically). Every stage is the proven bounded operator — LSH
+    candidates (never all-pairs), join+groupBy label propagation — and
+    the seeded planes fold in as literals, so the WHOLE composition
+    (candidates -> verify -> transitive closure) replays in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_dup(
+        emb, "vec_id", "embedding", threshold=0.35, n_bands=8, band_planes=8
+    )
+    clusters = D.dedup_clusters(pairs, emb.select("vec_id"))
+    result = clusters.select(F.col("id").alias("vec_id"), "cluster_id").orderBy("vec_id")
+    return C.carry(result, clusters)
+
+
+def emb_canonical_oracle_sql(**kw) -> str:
+    return f"""
+        WITH RECURSIVE {_emb_lsh_pair_ctes(**kw)},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION
+            SELECT id_b, id_a FROM p
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+        ),
+        lbl AS (SELECT a, least(a, min(b)) AS mn FROM reach GROUP BY a)
+        SELECT emb.vec_id,
+               CAST(coalesce(lbl.mn, emb.vec_id) AS BIGINT) AS cluster_id
+        FROM embeddings emb LEFT JOIN lbl ON emb.vec_id = lbl.a
+        ORDER BY vec_id
     """
 
 def dedup_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,7 +1172,11 @@ TOK_PACK_SQL = rf"""
 
 
 def corpus_prepare(
-    spark: SparkSession, sf_dir: str, *, candidates: str = "lsh_md5"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    candidates: str = "lsh_md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The WHOLE corpus-preparation pipeline a training run executes,
     composed end-to-end from the already-proven bounded operators:
@@ -1127,7 +1203,9 @@ def corpus_prepare(
         .filter(F.col("quality_score") >= 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = _near_dup_pairs(kept, candidates=candidates, n=3, threshold=0.5)
+    pairs = _near_dup_pairs(
+        kept, candidates=candidates, n=3, threshold=0.5, max_bucket=max_bucket
+    )
     canon = D.dedup_canonical(kept, pairs, "doc_id")
     bench = docs.filter(F.col("source") == "src1")
     train = canon.filter(F.col("source") != "src1")
@@ -1235,6 +1313,52 @@ CORPUS_DECONTAMINATE_SQL = f"""
 """
 
 
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scores (``D.contamination_scores``): per
+    training doc (source <> 'src1'), the fraction of its distinct word
+    3-grams that appear in the 'src1' benchmark slice — rank/flag
+    instead of the boolean `corpus_decontaminate` drop. md5 gram twin
+    for the oracle; xxhash64 is the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    return (
+        D.contamination_scores(train, bench, "doc_id", "text", n=3, hash_fn="md5")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CONTAMINATION_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, source, {_SQL_WORDS} AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, {_SQL_GRAMS3} AS grams FROM w
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src1'
+    ),
+    tr AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src1'
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM tr GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(a.n_contaminated, 0)::DOUBLE
+                 / greatest(coalesce(a.n_grams, 0), 1), 4) AS contamination_frac
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE d.source <> 'src1'
+    ORDER BY d.doc_id
+"""
+
+
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     the storage form a 100 TB embedding corpus actually keeps (4x
@@ -1329,6 +1453,7 @@ EXTRA_QUERIES = {
     "corpus_clean_xxh": corpus_clean_xxh,
     "text_repetition": text_repetition,
     "knn_batch": knn_batch,
+    "emb_canonical": emb_canonical,
     "para_dedup": para_dedup,
     "corpus_split": corpus_split,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -1336,6 +1461,7 @@ EXTRA_QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "corpus_mixture_weights": corpus_mixture_weights,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_contamination": corpus_contamination,
     "corpus_prepare": corpus_prepare,
 }
 
@@ -1344,6 +1470,7 @@ ORACLES = {
     "corpus_clean_exact": CORPUS_CLEAN_EXACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "knn_batch": KNN_BATCH_SQL,
+    "emb_canonical": emb_canonical_oracle_sql(),
     "para_dedup": PARA_DEDUP_SQL,
     "corpus_split": CORPUS_SPLIT_SQL,
     "corpus_sample_stratified": CORPUS_SAMPLE_SQL,
@@ -1351,6 +1478,7 @@ ORACLES = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
     "corpus_decontaminate": CORPUS_DECONTAMINATE_SQL,
+    "corpus_contamination": CORPUS_CONTAMINATION_SQL,
     "corpus_prepare": _corpus_prepare_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,

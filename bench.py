@@ -41,8 +41,11 @@ HEADLINE = [
     "lang_identify",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_batch",
+    "text_repetition",
     "emb_near_dup",
     "emb_near_dup_lsh",
+    "emb_canonical",
     "sess_gap_split",
     "sess_native_window",
     # the constant-memory approx path (exact `percentile` buffers every

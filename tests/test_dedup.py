@@ -333,3 +333,34 @@ def test_decontaminate_paths_agree_and_drop_overlaps(spark):
             for r in decontaminate(train, bench, "doc_id", "text", n=3, hash_fn=fn).collect()
         )
         assert kept == [1, 3], fn
+
+
+def test_contamination_scores_hand_computed_and_paths_agree(spark):
+    """Graded contamination: per-doc overlap fraction against
+    hand-computed values; xxhash64 and md5 paths agree; a doc with no
+    grams and a doc absent from the gram stream still emit 0.0 rows."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated training text about spark plans"),
+            # distinct 3-grams: 6 total, of which "the secret benchmark"
+            # and "secret benchmark passage" hit the bench set
+            (2, "prefix words then the secret benchmark passage appears"),
+            (3, "xy"),  # single word -> 1 whole-text shingle, no hit
+        ],
+        ["doc_id", "text"],
+    )
+    for fn in ("xxhash64", "md5"):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+            for r in contamination_scores(
+                train, bench, "doc_id", "text", n=3, hash_fn=fn
+            ).collect()
+        }
+        assert got[1][1] == 0 and got[1][2] == 0.0, fn
+        assert got[2] == (6, 2, round(2 / 6, 4)), fn
+        assert got[3] == (1, 0, 0.0), fn
