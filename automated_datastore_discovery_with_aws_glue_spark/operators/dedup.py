@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from automated_datastore_discovery_with_aws_glue_spark.operators.cache import (
@@ -793,6 +794,54 @@ def dedup_segments(
 # Near-dup clustering (connected components) + canonical selection
 # ---------------------------------------------------------------------------
 
+def _clusters_driver_unionfind(
+    pairs: DataFrame,
+    edges: DataFrame,
+    all_ids: DataFrame | None,
+    *,
+    id_a: str,
+    consume_pairs: bool,
+) -> DataFrame:
+    """Bounded small-graph path of :func:`dedup_clusters`: exact
+    union-find over the collected edge set (path-halving + min-root
+    merge so the representative is the component MINIMUM, matching the
+    distributed labels bit-for-bit), labels re-distributed via a
+    broadcast join. The caller has counted ``edges`` under the cap, so
+    the collect is bounded by construction."""
+    rows = edges.collect()
+    edges.unpersist()
+    if consume_pairs:
+        release(pairs)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            # min root wins -> label = component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    idt = pairs.schema[id_a].dataType
+    schema = T.StructType(
+        [T.StructField("id", idt), T.StructField("cluster_id", idt)]
+    )
+    spark = pairs.sparkSession
+    labels_df = spark.createDataFrame(labels, schema)
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+        return ids.join(F.broadcast(labels_df), "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    return labels_df
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame | None = None,
@@ -801,6 +850,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_rounds: int = 20,
     consume_pairs: bool = True,
+    driver_max_pairs: int | None = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs — the step that turns
     pairwise similarity into dedup groups: ``(id, cluster_id)`` with
@@ -808,12 +858,24 @@ def dedup_clusters(
     canonical representative). With ``all_ids`` (one id per row, first
     column), unpaired documents appear as their own singleton cluster.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; after k rounds a node
-    holds the component minimum within distance k, so rounds needed =
-    component diameter. Near-dup components are shallow (star-like
-    around a template document), so 2-4 rounds is typical; ``max_rounds``
-    bounds adversarial chains.
+    Small-graph fast path: the verified pair set is orders of magnitude
+    smaller than the corpus (it is the LSH/PPJoin OUTPUT — ~O(actual
+    near-dups), not O(rows²)), so when the distinct directed edge count
+    is at most ``2 * driver_max_pairs`` the components are solved with a
+    driver-side union-find — one bounded collect (two ints per edge;
+    the default cap is ~32 MB), ZERO iterative jobs — and the labels
+    broadcast back. This removes the per-round scheduling latency that
+    dominates the distributed loop on small graphs. Above the cap (or
+    with ``driver_max_pairs=None``) the fully distributed path runs;
+    results are identical either way (both compute exact components
+    with min-id labels).
+
+    Distributed path — iterative min-label propagation: each round every
+    node takes the minimum label among itself and its neighbors; after k
+    rounds a node holds the component minimum within distance k, so
+    rounds needed = component diameter. Near-dup components are shallow
+    (star-like around a template document), so 2-4 rounds is typical;
+    ``max_rounds`` bounds adversarial chains.
 
     Scale: each round is one equi-join + one groupBy, both keyed on the
     node id (the exchange is reused), and convergence is detected with a
@@ -847,6 +909,13 @@ def dedup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # the count materializes the persisted edge set either way; on the
+    # small side it also licenses the bounded driver collect
+    if driver_max_pairs is not None and edges.count() <= 2 * driver_max_pairs:
+        result = _clusters_driver_unionfind(
+            pairs, edges, all_ids, id_a=id_a, consume_pairs=consume_pairs
+        )
+        return result
     # init = the first propagation round fused into a groupBy (labels are
     # the identity at round 0, so min-over-neighbors needs no join yet):
     # every node starts at min(id, neighbors) — one round fewer in the loop

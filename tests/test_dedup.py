@@ -142,8 +142,10 @@ def test_hot_bucket_cap_minhash_and_simhash(spark):
     assert got_sh == {(100, 101)}
 
 
-def test_dedup_clusters_components(spark):
-    """Min-label propagation finds exact components, including a chain
+@pytest.mark.parametrize("cap", [2_000_000, None], ids=["driver_uf", "distributed"])
+def test_dedup_clusters_components(spark, cap):
+    """Both component paths — bounded driver union-find and distributed
+    min-label propagation — find exact components, including a chain
     (multi-round convergence) and singletons from all_ids."""
     from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dedup_clusters
 
@@ -152,7 +154,10 @@ def test_dedup_clusters_components(spark):
         [(1, 2), (2, 3), (5, 6), *chain], ["id_a", "id_b"]
     )
     all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, *range(10, 19)]], ["doc_id"])
-    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs, all_ids).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, all_ids, driver_max_pairs=cap).collect()
+    }
     assert got[1] == got[2] == got[3] == 1
     assert got[5] == got[6] == 5
     assert got[4] == 4  # singleton
@@ -169,9 +174,12 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(8)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="still changing"):
-        dedup_clusters(chain, max_rounds=3)
+        dedup_clusters(chain, max_rounds=3, driver_max_pairs=None)
     # the same chain with a sufficient bound converges to the true labels
-    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(chain, max_rounds=10).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(chain, max_rounds=10, driver_max_pairs=None).collect()
+    }
     assert all(v == 0 for v in got.values())
 
 
@@ -281,9 +289,10 @@ def test_corpus_clean_lsh_default_invariants(spark):
     assert len(out_ids) <= max(len(exact_ids) * 1.1, len(exact_ids) + 2)
 
 
-def test_dedup_clusters_matches_union_find(spark):
+@pytest.mark.parametrize("cap", [2_000_000, None], ids=["driver_uf", "distributed"])
+def test_dedup_clusters_matches_union_find(spark, cap):
     """Differential: cluster labels over the real sf pairs match a
-    driver-side union-find ground truth."""
+    test-local union-find ground truth on BOTH component paths."""
     from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
         dedup_clusters,
         jaccard_pairs,
@@ -306,7 +315,10 @@ def test_dedup_clusters_matches_union_find(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     truth = {x: find(x) for x in parent}
-    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_max_pairs=cap).collect()
+    }
     assert got == truth
 
 
