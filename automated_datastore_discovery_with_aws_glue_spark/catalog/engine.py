@@ -86,7 +86,14 @@ def _source_fingerprint(attrs: dict[str, str]) -> str | None:
         for root, _dirs, files in os.walk(p):
             for name in files:
                 fp = os.path.join(root, name)
-                st = os.stat(fp)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    # listed-then-deleted race (an upstream job rewriting
+                    # the source): skip the vanished file — the resulting
+                    # fingerprint is merely conservative (the deletion
+                    # itself changes the listing, so drift is still seen)
+                    continue
                 entries.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
     entries.sort()
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:32]
@@ -359,7 +366,11 @@ class DiscoveryEngine:
                 }
             )
             reflag = bool(added or retyped or content_drift)
-            fp_updates.append((row["id"], cur_fp, reflag))
+            # fingerprint-less (non-path) sources with no schema drift
+            # would be a pure no-op merge: skip them so a scheduled
+            # recrawl doesn't burn a tracker version per run
+            if cur_fp is not None or reflag:
+                fp_updates.append((row["id"], cur_fp, reflag))
         if fp_updates:
             flip = self.spark.createDataFrame(
                 [(i, fp, reclassify and rf, source_type) for i, fp, rf in fp_updates],

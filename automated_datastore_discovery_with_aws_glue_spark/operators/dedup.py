@@ -373,6 +373,8 @@ def minhash_lsh_pairs_md5(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
+    on_hot: str = "drop",
 ) -> DataFrame:
     """Differential twin of ``minhash_lsh_pairs``: same banded-LSH shape
     (signature -> band slices -> equi-join -> exact-Jaccard verify), but
@@ -381,10 +383,14 @@ def minhash_lsh_pairs_md5(
     the *pair set itself* is oracle-checkable, not just the signatures.
     Candidates join on the band's signature slice directly (arrays are
     hashable join keys); verification runs on distinct string shingles.
+    ``max_bucket``/``on_hot`` are the same hot-bucket valve as the
+    xxhash64 variant (the (band, slice) group is the bucket key).
 
     The xxhash64 variant stays the production path — numeric shingle
     hashes and more permutations; this twin exists so the driver's
     differential gate can pin the full candidate+verify pipeline."""
+    if on_hot not in HOT_POLICIES:
+        raise ValueError(f"on_hot must be one of {HOT_POLICIES}, got {on_hot!r}")
     rows = num_hashes // bands
     base = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
@@ -413,13 +419,29 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    extra = None
+    cached = [base]
+    if max_bucket is not None:
+        banded, hot, _stats, sizes = split_hot_buckets(
+            banded, ("band", "bucket"), max_bucket,
+            label="minhash_lsh_pairs_md5", policy=on_hot,
+        )
+        cached.append(sizes)
+        if on_hot == "route":
+            extra = (
+                star_reps(hot, ("band", "bucket"))
+                .filter(F.col("id") != F.col("_rep"))
+                .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+            )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    if extra is not None:
+        cand = cand.union(extra)
+    cand = cand.distinct()
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter
     num = int(round(threshold * 10000))
@@ -435,7 +457,7 @@ def minhash_lsh_pairs_md5(
         .filter(inter * 10000 >= F.lit(num) * union)
         .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
     )
-    return adopt(result, base)
+    return adopt(result, *cached)
 
 
 # ---------------------------------------------------------------------------
@@ -850,7 +872,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_rounds: int = 20,
     consume_pairs: bool = True,
-    driver_max_pairs: int | None = 2_000_000,
+    driver_max_pairs: int | None = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs — the step that turns
     pairwise similarity into dedup groups: ``(id, cluster_id)`` with
@@ -862,13 +884,15 @@ def dedup_clusters(
     smaller than the corpus (it is the LSH/PPJoin OUTPUT — ~O(actual
     near-dups), not O(rows²)), so when the distinct directed edge count
     is at most ``2 * driver_max_pairs`` the components are solved with a
-    driver-side union-find — one bounded collect (two ints per edge;
-    the default cap is ~32 MB), ZERO iterative jobs — and the labels
-    broadcast back. This removes the per-round scheduling latency that
-    dominates the distributed loop on small graphs. Above the cap (or
-    with ``driver_max_pairs=None``) the fully distributed path runs;
-    results are identical either way (both compute exact components
-    with min-id labels).
+    driver-side union-find — one bounded collect, ZERO iterative jobs —
+    and the labels broadcast back. The real driver cost is PySpark Row
+    objects (~100+ bytes each incl. py4j transfer), so the default cap
+    of 200k pairs bounds the collect at tens of MB of Python objects;
+    raise it deliberately if your driver is sized for more. This removes
+    the per-round scheduling latency that dominates the distributed loop
+    on small graphs. Above the cap (or with ``driver_max_pairs=None``)
+    the fully distributed path runs; results are identical either way
+    (both compute exact components with min-id labels).
 
     Distributed path — iterative min-label propagation: each round every
     node takes the minimum label among itself and its neighbors; after k

@@ -292,9 +292,26 @@ def _near_dup_pairs(
                       for compliance-grade dedup; intrinsically
                       super-linear pair output on near-dup-dense
                       corpora — the exact MODE, not the default.
+
+    All three strategies share GLOBAL (cross-language) near-dup
+    semantics: an identical text tagged with two different ``lang``
+    values is still a duplicate. PPJoin therefore runs with a constant
+    block (its prefix/positional filters, not language blocking, bound
+    the candidate work) — blocking it by ``lang`` would silently exempt
+    cross-language duplicates that the LSH strategies catch.
+
+    ``max_bucket``/``on_hot`` (the hot-bucket valve) apply to the LSH
+    strategies; PPJoin has no bucket concept, so passing a cap with
+    ``candidates='ppjoin'`` is an error rather than a silent no-op.
     """
     if candidates == "ppjoin":
-        return D.jaccard_pairs(df, "doc_id", "text", "lang", n=n, threshold=threshold)
+        if max_bucket is not None:
+            raise ValueError(
+                "max_bucket applies to the LSH candidate strategies; "
+                "'ppjoin' has no bucket concept (its prefix filter is the bound)"
+            )
+        blocked = df.withColumn("_blk", F.lit(1))
+        return D.jaccard_pairs(blocked, "doc_id", "text", "_blk", n=n, threshold=threshold)
     if candidates == "lsh":
         # the 100 TB path also carries the hot-bucket valve: boilerplate-
         # degenerate (band, bucket) groups above the cap star-route to the
@@ -306,7 +323,8 @@ def _near_dup_pairs(
         )
     if candidates == "lsh_md5":
         return D.minhash_lsh_pairs_md5(
-            df, "doc_id", "text", n=n, num_hashes=16, bands=8, threshold=threshold
+            df, "doc_id", "text", n=n, num_hashes=16, bands=8, threshold=threshold,
+            max_bucket=max_bucket, on_hot=on_hot,
         )
     raise ValueError(
         f"candidates must be one of {CANDIDATE_STRATEGIES}, got {candidates!r}"
@@ -470,14 +488,16 @@ _SQL_QUALITY_CTES = f"""base AS (
 
 
 def _sql_ppjoin_pairs(src: str) -> str:
-    """CTE chain ending in ``p(id_a, id_b)``: exact blocked n-gram-Jaccard
-    pairs of ``src`` (needs doc_id, lang, text) — the twin of
-    ``D.jaccard_pairs(n=3, threshold=0.5)``."""
-    return f"""w AS (SELECT doc_id, lang, {_SQL_WORDS} AS words FROM {src}),
-    s AS (SELECT doc_id, lang, {_SQL_GRAMS3} AS sh FROM w),
+    """CTE chain ending in ``p(id_a, id_b)``: exact GLOBAL n-gram-Jaccard
+    pairs of ``src`` (needs doc_id, text) — the twin of the compositions'
+    'ppjoin' mode (``D.jaccard_pairs`` over a constant block: the exact
+    strategy must see the same cross-language duplicates the LSH
+    strategies catch — see ``_near_dup_pairs``)."""
+    return f"""w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM {src}),
+    s AS (SELECT doc_id, {_SQL_GRAMS3} AS sh FROM w),
     p AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh)) * 10000
               >= 5000 * len(list_distinct(a.sh || b.sh))
     )"""

@@ -149,9 +149,12 @@ def stream_minhash_dedup(
       candidates for lossy cleaning, or route them to a batch
       ``minhash_lsh_pairs`` verify when precision matters;
     - EXACT replay (same id, ts, text) -> every row including the
-      per-doc sentinel (band = -1, keyed on (id, ts)) is a duplicate,
-      so the doc vanishes entirely — replayed messages dedup to
-      nothing, like :func:`stream_exact_dedup`.
+      per-doc sentinel (band = -1, keyed on (id, ts, text-fingerprint))
+      is a duplicate, so the doc vanishes entirely — replayed messages
+      dedup to nothing, like :func:`stream_exact_dedup`. A same-key
+      message whose TEXT differs gets a fresh sentinel, so it always
+      surfaces with a verdict (likely flagged) instead of being
+      silently swallowed by its predecessor's band claims.
     """
     rows = num_hashes // bands
     sig = _signature_expr(
@@ -166,15 +169,18 @@ def stream_minhash_dedup(
     )
     sentinel = F.struct(
         F.lit(-1).alias("band"),
-        # unique per (doc, ts): survives unless the whole doc is an
-        # exact replay of an in-horizon message
-        F.xxhash64(F.col("doc_id").cast("string"), F.col("ts").cast("string")).alias(
-            "bucket"
-        ),
+        # unique per (doc, ts, content): dedups ONLY a true replay —
+        # same key AND same text — never a corrected/near-dup message
+        F.xxhash64(
+            F.col("doc_id").cast("string"), F.col("ts").cast("string"), F.col("_fp")
+        ).alias("bucket"),
     )
     return (
         docs.select(
-            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"), sig.alias("_sig")
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("ts"),
+            sig.alias("_sig"),
+            fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
         )
         .select(
             "doc_id",

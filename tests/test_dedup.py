@@ -249,10 +249,12 @@ def test_corpus_clean_composition_invariants(spark):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert out_ids <= kept_ids
     assert all(r["quality_score"] >= 0.5 for r in out)
-    # no surviving near-dup pair: of every qualifying pair among kept
-    # docs, at most one side remains (PPJoin pairs are COMPLETE, so the
-    # exact mode guarantees this for every qualifying pair)
-    pairs = jaccard_pairs(kept, "doc_id", "text", "lang", n=3, threshold=0.5).collect()
+    # no surviving near-dup pair: of every qualifying GLOBAL pair among
+    # kept docs, at most one side remains (the exact mode is complete and
+    # cross-language — same semantics as the LSH default)
+    pairs = jaccard_pairs(
+        kept.withColumn("_blk", F.lit(1)), "doc_id", "text", "_blk", n=3, threshold=0.5
+    ).collect()
     assert pairs, "fixture should contain near-dup pairs among kept docs"
     for p in pairs:
         assert not ({p["id_a"], p["id_b"]} <= out_ids), (p["id_a"], p["id_b"])

@@ -364,6 +364,10 @@ def test_recrawl_fingerprint_incremental_classification(spark, tmp_path):
     assert report2[0]["added"] == [] and report2[0]["retyped"] == []
     assert reads, "drifted source must be re-read"
     assert eng.classify_pending("s3", ["EMAIL"]) == 1
-    # and the refreshed fingerprint closes the loop again
+    # and the refreshed fingerprint closes the loop again — with ZERO
+    # tracker version churn for the skipped pass (a scheduled daily
+    # recrawl must not burn a state version per no-op run)
+    v_before = eng.store.latest_version("tracker")
     assert eng.recrawl("s3")[0]["skipped"] is True
+    assert eng.store.latest_version("tracker") == v_before
     assert eng.classify_pending("s3", ["EMAIL"]) == 0

@@ -505,3 +505,10 @@ def test_stream_minhash_neardup_detection(spark, tmp_path):
     write_batch([(1, base, "2024-01-01 10:00:00")])
     run()
     assert 1 not in out
+
+    # same key but CORRECTED (near-dup) text: the content-keyed sentinel
+    # is fresh, so the message surfaces with a verdict instead of being
+    # silently swallowed by its predecessor's band claims
+    write_batch([(1, base.replace("village", "hamlet"), "2024-01-01 10:00:00")])
+    run()
+    assert 1 in out and out[1][2] is True
