@@ -1429,6 +1429,77 @@ EMB_QUANTIZE_SQL = """
 """
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the summary table a data-curation
+    dashboard shows after every pipeline run: document count, mean
+    quality score, mean token count, and the exact-duplicate fraction
+    (1 - distinct fingerprints / docs). One pass over the corpus and one
+    groupBy on the bounded source key. ``mean_quality`` uses the exact
+    integer-unit average idiom (sum 1e-4 units as longs, half-up integer
+    division — see ``relational._exact_avg_value``) so double partial-sum
+    ordering can never flip the 4th decimal between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = TX.text_stats(docs, "text").withColumn("fp", TX.fingerprint(F.col("text")))
+    qunits = F.sum(F.round(F.col("quality_score") * 10000, 0).cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        stats.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            (qunits * 2 + n).cast("long").alias("_q2n"),
+            F.sum("n_tokens").alias("_tsum"),
+            F.countDistinct("fp").alias("_nfp"),
+        )
+        .withColumn(
+            "mean_quality",
+            F.expr("(_q2n div (2 * n_docs)) / CAST(10000 AS DOUBLE)"),
+        )
+        .withColumn(
+            "mean_tokens",
+            F.round(F.col("_tsum").cast("double") / F.col("n_docs"), 4),
+        )
+        .withColumn(
+            "exact_dup_frac",
+            F.round(
+                (F.col("n_docs") - F.col("_nfp")).cast("double") / F.col("n_docs"), 4
+            ),
+        )
+        .select("source", "n_docs", "mean_quality", "mean_tokens", "exact_dup_frac")
+        .orderBy("source")
+    )
+
+
+CORPUS_REPORT_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               md5({_SQL_NORM}) AS fp,
+               length(text) AS n_chars,
+               CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               {_sql_stopword_hits('en')} AS sw
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, fp, n_tokens,
+               CAST(round(
+                   round(least(n_tokens / 20.0, 1.0) * 0.4
+                         + least(round(sw::DOUBLE / greatest(n_tokens, 1), 4) * 5, 1.0) * 0.4
+                         + (1 - least(round(n_punct::DOUBLE / greatest(n_chars, 1), 4) * 10, 1.0)) * 0.2,
+                         4) * 10000, 0) AS BIGINT) AS q_units
+        FROM base
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           ((2 * CAST(sum(q_units) AS BIGINT) + count(*)) // (2 * count(*))) / 10000.0
+               AS mean_quality,
+           round(CAST(sum(n_tokens) AS BIGINT)::DOUBLE / count(*), 4) AS mean_tokens,
+           round((count(*) - count(DISTINCT fp))::DOUBLE / count(*), 4) AS exact_dup_frac
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture reweighting: per-source sampling weight
     proportional to sqrt(share), renormalized — the temperature-style
@@ -1480,6 +1551,7 @@ EXTRA_QUERIES = {
     "tok_pack_sequences": tok_pack_sequences,
     "emb_quantize_int8": emb_quantize_int8,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_report": corpus_report,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_contamination": corpus_contamination,
     "corpus_prepare": corpus_prepare,
@@ -1497,6 +1569,7 @@ ORACLES = {
     "tok_pack_sequences": TOK_PACK_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
+    "corpus_report": CORPUS_REPORT_SQL,
     "corpus_decontaminate": CORPUS_DECONTAMINATE_SQL,
     "corpus_contamination": CORPUS_CONTAMINATION_SQL,
     "corpus_prepare": _corpus_prepare_sql(),

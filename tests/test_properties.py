@@ -89,3 +89,82 @@ def _to_epoch(s: str) -> int:
     from datetime import datetime, timezone
 
     return int(datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc).timestamp())
+
+
+_texts = st.lists(
+    st.text(alphabet="abc d", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_texts)
+def test_repetition_fracs_bounded_and_consistent(spark, texts):
+    """Repetition signals are well-formed on arbitrary text: fractions in
+    [0, 1], top-gram share >= uniform share, zero grams -> zero fracs."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for r in repetition_stats(df, "text", n=2).collect():
+        assert 0.0 <= r["dup_gram_frac"] <= 1.0
+        assert 0.0 <= r["top_gram_frac"] <= 1.0
+        if r["n_grams"] == 0:
+            assert r["dup_gram_frac"] == 0.0 and r["top_gram_frac"] == 0.0
+        else:
+            # most frequent gram holds at least its uniform share
+            # (fractions are rounded to 4dp -> up to 5e-5 * n slack)
+            assert r["top_gram_frac"] * r["n_grams"] >= 1.0 - 1e-4 * r["n_grams"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True),
+    extra=st.lists(st.integers(min_value=10_001, max_value=20_000), min_size=0, max_size=10, unique=True),
+)
+def test_corpus_split_stable_under_growth(spark, ids, extra):
+    """A document's train/val/test assignment never changes when new
+    documents arrive (the seeded-hash split is a pure function of the
+    id) — the reproducibility contract a growing corpus depends on."""
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import _seeded_hash
+
+    def assign(id_list):
+        df = spark.createDataFrame([(i,) for i in id_list], ["doc_id"])
+        bucket = _seeded_hash(F.col("doc_id"), "split") % 1000
+        out = df.select(
+            "doc_id",
+            F.when(bucket < 900, "train").when(bucket < 950, "validation").otherwise("test").alias("split"),
+        )
+        return {r["doc_id"]: r["split"] for r in out.collect()}
+
+    before = assign(ids)
+    after = assign(ids + extra)
+    assert all(after[i] == before[i] for i in ids)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_int8_quantization_bounded_error(spark, vecs):
+    """Symmetric int8 quantization round-trips within half a scale step
+    per element (the quantizer's defining error bound), and all-zero
+    vectors quantize exactly."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table  # noqa: F401
+
+    df = spark.createDataFrame(list(enumerate(vecs)), ["vec_id", "embedding"])
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    q = F.transform(
+        xs,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int"))
+        ),
+    )
+    rows = df.select("vec_id", xs.alias("v"), scale.alias("s"), q.alias("q")).collect()
+    for r in rows:
+        for x, qi in zip(r["v"], r["q"]):
+            assert abs(qi * r["s"] - x) <= r["s"] / 2 + 1e-9, (x, qi, r["s"])
