@@ -71,7 +71,10 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
 
 
 def _fake_dims(data: bytes) -> tuple[int, int]:
-    h = hashlib.sha256(data).digest()
+    # hashes the lowercase HEX encoding rather than the raw bytes so the
+    # DuckDB differential twin can replay the stub bit-for-bit (DuckDB
+    # 1.0 has no BLOB overload for sha256); equally deterministic
+    h = hashlib.sha256(data.hex().encode()).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 

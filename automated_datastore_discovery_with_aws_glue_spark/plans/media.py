@@ -85,12 +85,28 @@ MM_BINARY_META_SQL = f"""
 
 
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched image decode (deterministic fake kernel — real path
-    needs Pillow; rows-only check by design: the hash-derived dimensions
-    have no SQL twin). Exercises the full mapInPandas plumbing."""
+    """Arrow-batched image decode (deterministic fake kernel — the real
+    kernel auto-upgrades where Pillow is importable, see
+    ``operators.multimodal.decode_images``). The fake dimensions are
+    sha256-derived, which DuckDB replays bit-for-bit — so even the STUB
+    path is differential-oracle-checked: the mapInPandas plumbing
+    (Arrow batches, schema, partitioning) must deliver exactly the
+    per-row kernel output."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_images(_with_content(docs), "content", fake=True)
     return decoded.select("doc_id", "width", "height", "mode").orderBy("doc_id")
+
+
+MM_IMAGE_DECODE_SQL = f"""
+    WITH c AS ({_SQL_CONTENT}),
+    h AS (SELECT doc_id, sha256(lower(hex(content))) AS hx FROM c)
+    SELECT doc_id,
+           64 + (CAST(('0x' || substr(hx, 1, 2)) AS INT) % 192) AS width,
+           64 + (CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192) AS height,
+           'RGB' AS mode
+    FROM h
+    ORDER BY doc_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,5 +146,6 @@ QUERIES = {
 
 ORACLES = {
     "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_image_decode": MM_IMAGE_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
 }
