@@ -427,9 +427,52 @@ def _build_registry() -> dict[str, EntitySpec]:
                 )
             )
         else:
-            add(_spec(name, rx, (), approximate=True))
+            add(_spec(name, rx, _name_hints(name), approximate=True))
 
     return registry
+
+
+#: name tokens too generic to serve as column-name hints (a column named
+#: "national_id" must not light up EVERY country's national-ID entity)
+_GENERIC_NAME_TOKENS = frozenset(
+    {
+        "number",
+        "id",
+        "identification",
+        "card",
+        "of",
+        "the",
+        "registry",
+        "register",
+        "permanent",
+        "personal",
+        "national",
+        "uniform",
+        "unique",
+        "civil",
+        "government",
+        "legal",
+        "natural",
+        "person",
+        "entities",
+        "mainland",
+    }
+)
+
+
+def _name_hints(name: str) -> tuple[str, ...]:
+    """Column-name context hints derived from an entity name's
+    DISTINCTIVE tokens (country + domain word: tax / medicare / aadhaar
+    / phone ...). Approximate entities with no curated context words
+    would otherwise be structurally undetectable under the default
+    ``use_context=True`` gate — their match fractions computed and then
+    unconditionally discarded. A column named ``aadhaar_number`` now
+    hints INDIA_AADHAAR_NUMBER; ``national_id`` alone hints nothing
+    (generic tokens are excluded)."""
+    return tuple(
+        t for t in (tok.lower() for tok in name.split("_"))
+        if t not in _GENERIC_NAME_TOKENS and len(t) >= 3
+    )
 
 
 ENTITY_REGISTRY: dict[str, EntitySpec] = _build_registry()

@@ -68,14 +68,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_columns(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The NTZ-inference conf is session-global and there is no per-read
-    # option; the schema resolves eagerly inside read.parquet(), so
-    # save/restore scopes the flip to this call (verified: execution of
-    # the returned frame is driven by its resolved schema, not the conf).
+    # Both confs are session-global with no per-read option; the schema
+    # resolves eagerly inside read.parquet(), so save/restore scopes the
+    # flips to this call (verified — incl. on a real TIMESTAMP(NANOS)
+    # file: execution of the returned frame is driven by its resolved
+    # schema, not the conf, so a later action works with the conf
+    # restored). Leaving nanosAsLong set would make every LATER
+    # spark.read.parquet on a nanos file silently yield raw int64
+    # columns instead of failing fast.
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
     ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev_nanos = spark.conf.get(nanos_key, None)
     prev_ntz = spark.conf.get(ntz_key, None)
+    if ns_cols:
+        spark.conf.set(nanos_key, "true")
     spark.conf.set(ntz_key, "false")
     try:
         df = spark.read.parquet(path)
@@ -84,6 +90,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.unset(ntz_key)
         else:
             spark.conf.set(ntz_key, prev_ntz)
+        if ns_cols:
+            if prev_nanos is None:
+                spark.conf.unset(nanos_key)
+            else:
+                spark.conf.set(nanos_key, prev_nanos)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     for field in df.schema.fields:
@@ -150,12 +161,16 @@ def jdbc_scan_options(
     """
     opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
     opts.update(properties or {})
+    # num_partitions is part of the spec check: requesting parallelism
+    # without the column/bounds used to be dropped on the floor — the
+    # exact silent single-partition scan the contract forbids
     partition_spec = (partition_column, lower_bound, upper_bound)
-    if any(v is not None for v in partition_spec):
+    if any(v is not None for v in partition_spec) or num_partitions is not None:
         if any(v is None for v in partition_spec):
             raise ValueError(
                 "partitioned JDBC scan needs partition_column, lower_bound "
-                f"and upper_bound together; got {partition_spec}"
+                f"and upper_bound together (num_partitions={num_partitions}); "
+                f"got {partition_spec}"
             )
         opts.update(
             partitionColumn=str(partition_column),

@@ -101,9 +101,14 @@ def stream_segment_dedup(
                 F.col("pos") >= 0,
                 F.md5(F.concat(F.lit("s"), F.col("seg")).cast("binary")),
             ).otherwise(
+                # concat_ws silently DROPS nulls — two NULL-id docs at
+                # one ts would collide on a sentinel; coalesce first
                 F.md5(
                     F.concat_ws(
-                        "|", F.lit("d"), F.col("doc_id"), F.col("ts")
+                        "|",
+                        F.lit("d"),
+                        F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+                        F.coalesce(F.col("ts").cast("string"), F.lit("<null>")),
                     ).cast("binary")
                 )
             ),
@@ -185,10 +190,13 @@ def stream_minhash_dedup(
         .select(
             "doc_id",
             "ts",
+            "_fp",
             F.lit(bands).alias("n_bands"),
             F.explode(F.concat(F.array(sentinel), banded)).alias("bb"),
         )
-        .select("doc_id", "ts", "n_bands", "bb.band", "bb.bucket")
+        .select(
+            "doc_id", "ts", F.col("_fp").alias("fp"), "n_bands", "bb.band", "bb.bucket"
+        )
         .withWatermark("ts", dedup_horizon)
         .dropDuplicatesWithinWatermark(["band", "bucket"])
     )
@@ -196,14 +204,18 @@ def stream_minhash_dedup(
 
 def finalize_minhash_dedup(band_rows: DataFrame) -> DataFrame:
     """Batch-side verdicts for ``foreachBatch`` over
-    :func:`stream_minhash_dedup` output: one row per ingested document —
-    ``(doc_id, ts, n_bands, n_bands_new, is_near_dup_candidate)`` where
-    ``n_bands_new`` counts the doc's fresh (unclaimed) band buckets and
-    the candidate flag fires when ANY band was already claimed within
-    the horizon (the batch LSH candidate rule). Exact replays have no
-    rows at all (even the sentinel deduped) and so never re-emit."""
+    :func:`stream_minhash_dedup` output: one row per ingested MESSAGE —
+    ``(doc_id, ts, fp, n_bands, n_bands_new, is_near_dup_candidate)``
+    where ``n_bands_new`` counts the message's fresh (unclaimed) band
+    buckets and the candidate flag fires when ANY band was already
+    claimed within the horizon (the batch LSH candidate rule). Grouping
+    includes the content fingerprint, so a corrected message sharing
+    (id, ts) with its predecessor IN THE SAME micro-batch gets its own
+    verdict row (sentinel only, everything claimed -> flagged) instead
+    of folding into the predecessor's clean verdict. Exact replays have
+    no rows at all (even the sentinel deduped) and so never re-emit."""
     return (
-        band_rows.groupBy("doc_id", "ts")
+        band_rows.groupBy("doc_id", "ts", "fp")
         .agg(
             F.max("n_bands").alias("n_bands"),
             F.sum((F.col("band") >= 0).cast("int")).alias("n_bands_new"),
@@ -219,11 +231,15 @@ def reassemble_segments(
 ) -> DataFrame:
     """Batch-side reassembly for ``foreachBatch`` over
     :func:`stream_segment_dedup` output: surviving segments regroup into
-    ``(doc_id, text, n_kept, n_dropped)`` ordered by original position.
-    The sentinel (``pos = -1``) guarantees one output row per ingested
-    document; ``n_dropped`` = pre-dedup segment count minus survivors."""
+    ``(doc_id, ts, text, n_kept, n_dropped)`` ordered by original
+    position. Grouping is on (doc_id, ts) — the message identity the
+    sentinel is keyed on — so two versions of one doc id arriving in the
+    same micro-batch reassemble separately instead of interleaving into
+    one garbage row (with ``n_dropped`` going negative). The sentinel
+    (``pos = -1``) guarantees one output row per ingested message;
+    ``n_dropped`` = pre-dedup segment count minus survivors."""
     return (
-        segs.groupBy("doc_id")
+        segs.groupBy("doc_id", "ts")
         .agg(
             F.concat_ws(
                 sep,

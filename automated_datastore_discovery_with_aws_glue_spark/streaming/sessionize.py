@@ -36,6 +36,21 @@ SESSION_OUT_SCHEMA = (
 _STATE_SCHEMA = "start long, last long, n long"  # epoch micros + count
 
 
+def _out_schema(events: DataFrame, key_col: str):
+    """Output schema with the key column's ACTUAL type (a hardcoded
+    bigint key would fail Arrow conversion for string/other keys)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("user_id", events.schema[key_col].dataType),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+
 def _to_micros(ts: pd.Series) -> pd.Series:
     return pd.to_datetime(ts).astype("datetime64[us]").astype("int64")
 
@@ -64,8 +79,18 @@ def _make_session_fn(gap_us: int):
                     elif t - last > gap_us:
                         closed.append((start, last, n))
                         start, last, n = t, t, 1
+                    elif t < start - gap_us:
+                        # a late event more than gap BEFORE the open
+                        # session (cross-batch, within the watermark):
+                        # it can't join it — emit as its own session
+                        closed.append((t, t, 1))
                     else:
-                        last, n = t, n + 1
+                        # in-session event, possibly LATE (cross-batch
+                        # arrival older than `last` but within the
+                        # watermark): bounds must only ever widen — a
+                        # plain `last = t` would regress session_end and
+                        # the idle-flush horizon
+                        start, last, n = min(start, t), max(last, t), n + 1
             if last is not None:
                 state.update((int(start), int(last), int(n)))
                 # schedule the idle flush: fires once the event-time
@@ -100,8 +125,12 @@ def sessionize_stream(
     ``GroupStateTimeout.EventTimeTimeout``) — so an abandoned key still
     emits its final session. ``watermark_delay`` is the out-of-orderness
     budget: events arriving later than it (relative to the max event
-    time seen) are DROPPED by the watermark, so the default keeps a
-    margin; shrink it for perfectly ordered sources (tests pin
+    time seen) are DROPPED by the watermark; a late event WITHIN the
+    budget merges into the open session with widen-only bounds
+    (``start``/``last`` move only outward — a late arrival can never
+    regress ``session_end`` or the idle-flush horizon), and one more
+    than ``gap`` before the open session's start emits as its own
+    session. Shrink the budget for perfectly ordered sources (tests pin
     '0 seconds' for determinism), grow it for lateness-prone ones —
     idle flushes then lag by the same margin."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -112,7 +141,7 @@ def sessionize_stream(
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_session_fn(gap_minutes * 60_000_000),
-            SESSION_OUT_SCHEMA,
+            _out_schema(events, key_col),
             _STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,

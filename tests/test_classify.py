@@ -323,3 +323,23 @@ def test_redact_text_in_prose(spark):
         ).collect()
     ]
     assert got == ["mail [EMAIL] or [IP_ADDRESS] ok", "no pii here"]
+
+
+def test_name_derived_hints_gate_national_ids(spark):
+    """Approximate national-ID entities with no curated context words use
+    hints derived from their distinctive name tokens: a column literally
+    named for the entity detects, while a generic national_id column does
+    not light up every country's ID entity (the gate still gates)."""
+    df = spark.createDataFrame(
+        [("2345 6789 1234", "1234567890123"), ("3456 7891 2345", "9876543210987")],
+        ["aadhaar_number", "national_id"],
+    )
+    got = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(df, detection_threshold=0.5).collect()
+    }
+    assert "INDIA_AADHAAR_NUMBER" in got.get("aadhaar_number", [])
+    # the generic column matches many 13-digit national-ID patterns but
+    # carries no distinctive hint, so the context gate drops them all
+    for ent in got.get("national_id", []):
+        assert "UNIQUE_MASTER_CITIZEN" not in ent and "NATIONAL_IDENTIFICATION" not in ent

@@ -190,3 +190,7 @@ def test_jdbc_scan_options_partial_partition_spec_rejected():
         jdbc_scan_options("jdbc:x://h/d", "t", partition_column="id", lower_bound=0)
     with pytest.raises(ValueError, match="partition"):
         jdbc_scan_options("jdbc:x://h/d", "t", upper_bound=10)
+    # num_partitions alone used to be silently dropped — the exact
+    # single-partition scan the contract forbids
+    with pytest.raises(ValueError, match="partition"):
+        jdbc_scan_options("jdbc:x://h/d", "t", num_partitions=16)

@@ -400,10 +400,12 @@ def test_stream_segment_dedup_c4_cleaning(spark, tmp_path):
                 fh.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
 
     out: dict[int, tuple] = {}
+    seg_rows: list[tuple] = []
 
     def sink(batch, _):
         for r in reassemble_segments(batch).collect():
             out[r["doc_id"]] = (r["text"], r["n_kept"], r["n_dropped"])
+            seg_rows.append((r["doc_id"], r["text"], r["n_kept"], r["n_dropped"]))
 
     def run():
         stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(src)
@@ -439,6 +441,22 @@ def test_stream_segment_dedup_c4_cleaning(spark, tmp_path):
     run()
     assert out[4] == ("", 0, 0)
 
+    # two versions of one doc_id (different ts) in ONE batch: grouped by
+    # (doc_id, ts) they reassemble separately — no interleaved text, no
+    # negative n_dropped (regression: groupBy(doc_id) merged them)
+    write_batch(
+        [
+            (5, "first version body\n\nshared trailer", "2024-01-01 10:03:00"),
+            (5, "second version body\n\nshared trailer", "2024-01-01 10:03:30"),
+        ]
+    )
+    run()
+    v5 = sorted((t, k, d) for doc, t, k, d in seg_rows if doc == 5)
+    assert v5 == [
+        ("first version body\n\nshared trailer", 2, 0),
+        ("second version body", 1, 1),
+    ], v5
+
 
 def test_stream_minhash_neardup_detection(spark, tmp_path):
     """Streaming NEAR-dup (MinHash-LSH) ingest gate: a lightly-reworded
@@ -464,10 +482,14 @@ def test_stream_minhash_neardup_detection(spark, tmp_path):
                 fh.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
 
     out: dict[int, tuple] = {}
+    all_rows: list[tuple] = []
 
     def sink(batch, _):
         for r in finalize_minhash_dedup(batch).collect():
             out[r["doc_id"]] = (r["n_bands"], r["n_bands_new"], r["is_near_dup_candidate"])
+            all_rows.append(
+                (r["doc_id"], r["n_bands_new"], r["is_near_dup_candidate"])
+            )
 
     def run():
         stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(src)
@@ -512,3 +534,78 @@ def test_stream_minhash_neardup_detection(spark, tmp_path):
     write_batch([(1, base.replace("village", "hamlet"), "2024-01-01 10:00:00")])
     run()
     assert 1 in out and out[1][2] is True
+
+    # SAME-batch correction: v1 and a near-dup v2 share (id, ts) inside
+    # one micro-batch — fp-keyed grouping yields two verdicts, the
+    # correction flagged rather than folded into v1's clean verdict
+    v1 = "a fresh passage about streaming joins checkpoint recovery and state stores under load"
+    write_batch(
+        [
+            (9, v1, "2024-01-01 10:03:00"),
+            (9, v1.replace("fresh", "new"), "2024-01-01 10:03:00"),
+        ]
+    )
+    run()
+    rows9 = [(n, f) for d, n, f in all_rows if d == 9]
+    assert sorted(f for _n, f in rows9) == [False, True], rows9
+
+
+def test_session_state_machine_late_event_widens_bounds():
+    """Cross-batch out-of-order events (within the watermark budget) must
+    only WIDEN the open session — a late arrival regressing `last` would
+    shrink session_end and pull the idle-flush horizon early — and a late
+    event more than gap before the open session emits as its own
+    session. Drives the applyInPandasWithState kernel directly."""
+    import pandas as pd
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.sessionize import (
+        _make_session_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists, self.hasTimedOut = None, False, False
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    gap_us = 30 * 60_000_000
+    fn = _make_session_fn(gap_us)
+    state = FakeState()
+
+    def run_batch(ts_list):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list)})
+        return list(fn((1,), iter([pdf]), state))
+
+    # batch 1: one event at 12:00
+    assert run_batch(["2024-01-01 12:00:00"]) == []
+    assert state.get == (1704110400000000, 1704110400000000, 1)
+
+    # batch 2: late event 11:55 (within session) — bounds widen, last
+    # does NOT regress; the idle-flush horizon stays at 12:00 + gap
+    assert run_batch(["2024-01-01 11:55:00"]) == []
+    start, last, n = state.get
+    assert (start, last, n) == (1704110100000000, 1704110400000000, 2)
+    assert state.timeout == (1704110400000000 + gap_us) // 1000
+
+    # batch 3: 12:26 — 26 min after the TRUE session end (12:00), within
+    # gap: same session (the pre-fix regression to 11:55 would split it)
+    assert run_batch(["2024-01-01 12:26:00"]) == []
+    assert state.get[2] == 3
+
+    # batch 4: a very late straggler more than gap before the open
+    # session emits as its own closed single-event session
+    out = run_batch(["2024-01-01 09:00:00"])
+    assert len(out) == 1 and out[0]["n_events"].tolist() == [1]
+    assert state.get[2] == 3  # open session untouched
