@@ -227,11 +227,26 @@ class DiscoveryEngine:
         pending = self.pending_catalog(source_type).collect()
         registered: list[str] = []
         flips: list[tuple[str, str, str, str | None]] = []
+        # table names already claimed (control-plane rows — bounded):
+        # two sources whose path BASENAMES collide must not silently
+        # overwrite each other's catalog table
+        taken: dict[str, str] = {
+            r["data_catalog_table_name"]: r["id"]
+            for r in self.tracker()
+            .filter(F.col("data_catalog_table_name").isNotNull())
+            .select("data_catalog_table_name", "id")
+            .collect()
+        }
         for row in pending:
             attrs = dict(row["data_source_attrs"] or {})
             path = attrs.get("path")
             name = attrs.get("name") or (path.rstrip("/").rsplit("/", 1)[-1] if path else row["id"])
             table = sanitize_identifier(f"{source_type}_{name}")
+            if taken.get(table, row["id"]) != row["id"]:
+                # deterministic disambiguation: suffix with the source's
+                # natural-key hash prefix (stable across re-runs)
+                table = sanitize_identifier(f"{source_type}_{name}_{row['id'][:8]}")
+            taken[table] = row["id"]
             fq = f"{self.database}.{table}"
             # fingerprint BEFORE the read: a file landing mid-read makes
             # the recorded state conservative (next recrawl sees drift)
@@ -549,7 +564,12 @@ class DiscoveryEngine:
 
     def tag_report(self, source_type: str = "s3") -> DataFrame:
         """Project the governance-tag subset per cataloged source into the
-        tag-report table (`lambda/s3-tag-report/app.py:191-223`)."""
+        tag-report table (`lambda/s3-tag-report/app.py:191-223`).
+
+        REPLACE semantics on re-run: the reference ``put_item``s the
+        row each time, so updated tracker tags and a fresh time_stamp
+        must overwrite the existing report row — an insert-only merge
+        would freeze the first run's values forever."""
         rows = self.cataloged(source_type)
         report = rows.select(
             F.col("id"),
@@ -560,8 +580,20 @@ class DiscoveryEngine:
             ],
             F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("time_stamp"),
         )
-        self.store.merge(TAG_REPORT, report, ["id", "data_catalog_table_name"])
+        self._upsert_report(TAG_REPORT, report, ["id", "data_catalog_table_name"])
         return self.store.read(TAG_REPORT)
+
+    def _upsert_report(self, table: str, report: DataFrame, keys: list[str]) -> None:
+        """MERGE with put_item semantics: matched rows take every source
+        column, unmatched insert."""
+        self.store.merge(
+            table,
+            report,
+            keys,
+            set_on_match={
+                c: F.col(f"src.{c}") for c in report.columns if c not in keys
+            },
+        )
 
     # -- RDS tag report: 3-step dereference (SURVEY §2.3 J3 multi-hop) -----
 
@@ -583,8 +615,14 @@ class DiscoveryEngine:
         ``clusters``: (endpoint, tags map<string,string>).
         Both are control-plane inventories — bounded row counts (thousands
         of connections, not data-scale), safe to broadcast by hint.
+
+        Input is the CATALOGED rows (the reference's P4 filter,
+        `lambda/rds-tag-report/app.py:12`): an onboarded-but-uncataloged
+        source has a NULL data_catalog_table_name, which is half the
+        report's merge key — including it would trip the NULL-merge-key
+        guard on every scheduled run.
         """
-        rows = self.by_source_type(source_type).select(
+        rows = self.cataloged(source_type).select(
             "id",
             "data_catalog_table_name",
             F.col("data_source_attrs").getItem("connection").alias("connection_name"),
@@ -608,5 +646,5 @@ class DiscoveryEngine:
             ],
             F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("time_stamp"),
         )
-        self.store.merge(RDS_TAG_REPORT, report, ["id", "data_catalog_table_name"])
+        self._upsert_report(RDS_TAG_REPORT, report, ["id", "data_catalog_table_name"])
         return self.store.read(RDS_TAG_REPORT)

@@ -33,7 +33,12 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.hot import (
     star_reps,
 )
 from automated_datastore_discovery_with_aws_glue_spark.operators.rebalance import spread
-from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint, let, normalize_text
+from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+    fingerprint,
+    let,
+    md5_hash64,
+    normalize_text,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -254,8 +259,7 @@ def minhash_signatures(
     signature value (same pattern as ``simhash64``)."""
     if hash_fn == "md5":
         def perm(s: Column, i: Column) -> Column:
-            key = F.concat(s, F.lit("#"), i.cast("string"))
-            return F.conv(F.md5(key.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+            return md5_hash64(F.concat(s, F.lit("#"), i.cast("string")))
 
         sig = let(
             word_shingles(F.col("_t"), n),
@@ -400,8 +404,7 @@ def minhash_lsh_pairs_md5(
     )
 
     def perm(s: Column, i: Column) -> Column:
-        key = F.concat(s, F.lit("#"), i.cast("string"))
-        return F.conv(F.md5(key.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+        return md5_hash64(F.concat(s, F.lit("#"), i.cast("string")))
 
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -503,7 +506,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "xxha
     if hash_fn == "md5":
         width = 60
         def tok_hash(t: Column) -> Column:
-            return F.conv(F.md5(t.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+            return md5_hash64(t)
     else:
         width = 64
         def tok_hash(t: Column) -> Column:
@@ -651,12 +654,7 @@ def decontaminate(
             return (
                 spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
                 .select("id", F.explode(sh).alias("g"))
-                .select(
-                    "id",
-                    F.conv(F.md5(F.col("g").cast("binary")).substr(1, 15), 16, 10)
-                    .cast("bigint")
-                    .alias("gh"),
-                )
+                .select("id", md5_hash64(F.col("g")).alias("gh"))
             )
     else:
         def grams(df: DataFrame) -> DataFrame:
@@ -704,12 +702,7 @@ def contamination_scores(
             return (
                 spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
                 .select("id", F.explode(sh).alias("g"))
-                .select(
-                    "id",
-                    F.conv(F.md5(F.col("g").cast("binary")).substr(1, 15), 16, 10)
-                    .cast("bigint")
-                    .alias("gh"),
-                )
+                .select("id", md5_hash64(F.col("g")).alias("gh"))
             )
     else:
         def grams(df: DataFrame) -> DataFrame:

@@ -369,6 +369,10 @@ def ivf_centroids(
         .limit(n_cells * max(1, refine_sample))
         .collect()
     )
+    if not rows:
+        # empty corpus (or all-zero embeddings): no quantizer to build —
+        # callers treat zero centroids as "probe nothing" (empty top-k)
+        return np.zeros((0, max(1, vector_dim(df, vec_col))))
     pts = np.array([[float(x) for x in r["v"]] for r in rows])
     seeds = pts[:n_cells]
     seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
@@ -428,6 +432,10 @@ def ivf_topk(
     cents = ivf_centroids(
         df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
     )
+    if len(cents) == 0:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("similarity")
+        ).limit(0)
     qv = np.asarray(query, dtype=float)
     probes = np.argsort(-(cents @ qv))[:n_probe].tolist()
     return (
@@ -465,8 +473,11 @@ def write_ivf_partitioned(
     cents = ivf_centroids(
         df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
     )
+    cell = (
+        F.lit(0) if len(cents) == 0 else ivf_cell_expr(vec_col, cents)
+    )  # empty corpus: nothing to assign, write an empty 1-cell index
     (
-        df.withColumn("_cell", ivf_cell_expr(vec_col, cents))
+        df.withColumn("_cell", cell)
         .write.mode("overwrite")
         .partitionBy("_cell")
         .parquet(path)

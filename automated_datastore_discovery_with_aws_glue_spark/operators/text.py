@@ -45,6 +45,16 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+def md5_hash64(col: Column) -> Column:
+    """Top-15-hex-digit md5 of a string column as a BIGINT — the 60-bit
+    DuckDB-replayable hash every md5 oracle twin shares
+    (``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`` on the SQL
+    side). ONE definition: a drift in substr width or cast order in any
+    single copy would silently break oracle parity for just that
+    operator."""
+    return F.conv(F.md5(col.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
+
+
 def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     vocab = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))

@@ -53,8 +53,53 @@ def merge_frames(
     in a ``raise_error`` branch that fires executor-side during the
     merge's own evaluation (surfacing as a Spark runtime error naming
     the key), so no extra job re-evaluates the source lineage up front.
+
+    Duplicate source keys: exact full-row duplicates (queue redelivery
+    inside one batch) collapse via ``dropDuplicates`` — the common
+    replay case merges cleanly. DISTINCT rows sharing a merge key are
+    rejected (lazy in-plan guard, like the NULL check): a set-based
+    MERGE has no arrival order to break the tie (the reference's
+    sequential ``put_item`` does), and letting them through would
+    multiply matched target rows and insert duplicate keys — ANSI MERGE
+    raises on multiple matches for the same reason.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
     keys = [key] if isinstance(key, str) else list(key)
+    # full-row dedup; MAP columns (tracker attrs/tags) are not valid
+    # set-operation keys, so they dedup through a sorted-entries
+    # surrogate (deterministic, order-insensitive)
+    dedup_cols: list[str] = []
+    surrogates: list[str] = []
+    for f in source.schema.fields:
+        if isinstance(f.dataType, T.MapType):
+            a = f"_dd_{f.name}"
+            source = source.withColumn(
+                a, F.array_sort(F.map_entries(F.col(f.name)))
+            )
+            dedup_cols.append(a)
+            surrogates.append(a)
+        else:
+            dedup_cols.append(f.name)
+    source = source.dropDuplicates(dedup_cols).drop(*surrogates)
+    dup = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    source = source.withColumn(
+        keys[0],
+        F.when(
+            dup > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_frames: multiple DISTINCT source rows share merge key "
+                        f"{keys} (value: "
+                    ),
+                    F.col(keys[0]).cast("string"),
+                    F.lit("); a set-based MERGE cannot order them — dedup upstream"),
+                )
+            ),
+        ).otherwise(F.col(keys[0])),
+    )
     for k in keys:
         source = source.withColumn(
             k,

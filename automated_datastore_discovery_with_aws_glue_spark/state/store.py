@@ -74,6 +74,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 import pyspark.sql.functions as F
@@ -85,6 +86,10 @@ from automated_datastore_discovery_with_aws_glue_spark.state.merge import merge_
 #: per-version manifest of inherited files (link-less filesystems):
 #: JSON list of {"dst": <path rel to version dir>, "src": <abs path>}
 _MANIFEST = "_INHERITED"
+#: vacuum only sweeps staging dirs idle longer than this — an active
+#: writer's staging write runs BEFORE it takes the commit lock, so age
+#: is the only safe liveness signal
+_STAGING_SWEEP_GRACE_S = 3600.0
 #: tombstone left by vacuum when a version dir must survive partially
 #: because retained manifests still reference files inside it
 _VACUUMED = "_VACUUMED"
@@ -150,7 +155,14 @@ class ParquetStateStore:
                     f"{table}: expected version {expect}, found {found}"
                 )
             version = expect + 1
-            os.rename(staging, self._version_dir(table, version))
+            vdir = self._version_dir(table, version)
+            # a crash between a previous commit's rename and pointer flip
+            # leaves an orphan (unreferenced, invisible) version dir at
+            # exactly this number; we hold the lock, so nothing live owns
+            # it — clear it or the rename wedges every commit (ENOTEMPTY)
+            if os.path.exists(vdir):
+                shutil.rmtree(vdir, ignore_errors=True)
+            os.rename(staging, vdir)
             fd, tmp = tempfile.mkstemp(dir=tdir, prefix="._latest")
             with os.fdopen(fd, "w") as fh:
                 fh.write(str(version))
@@ -247,16 +259,24 @@ class ParquetStateStore:
         cur_v = self.latest_version(table)
         cur_dir = self._version_dir(table, cur_v)
         current = self.read(table)
-        prev_partitioned = any(
-            "=" in name and os.path.isdir(os.path.join(cur_dir, name))
+        prev_part_cols = {
+            name.split("=", 1)[0]
             for name in os.listdir(cur_dir)
-        )
+            if "=" in name and os.path.isdir(os.path.join(cur_dir, name))
+        }
+        new_part_col = partition_by if partition_by and partition_by in df.columns else None
+        # layout must match by the PARTITION COLUMN, not just by
+        # partitioned-ness: appending region=*/ dirs next to linked
+        # data_source_type=*/ dirs would corrupt the version
         same_layout = set(df.columns) == set(current.columns) and (
-            bool(partition_by and partition_by in df.columns) == prev_partitioned
+            prev_part_cols == ({new_part_col} if new_part_col else set())
         )
         if not same_layout:
+            # expect pins the snapshot `current` was read from: a commit
+            # landing during the union-rewrite must lose the CAS, not be
+            # silently overwritten by a result built on the old snapshot
             merged = current.unionByName(df, allowMissingColumns=True)
-            self._write_version(table, merged, partition_by=partition_by)
+            self._write_version(table, merged, partition_by=partition_by, expect=cur_v)
             return
         staging = self._staging_dir(table)
         writer = df.select(*current.columns).write.mode("overwrite")
@@ -445,8 +465,16 @@ class ParquetStateStore:
                 if int(name.split("=")[1]) <= latest - keep:
                     self._vacuum_version(path, referenced)
             elif name.startswith("._staging_"):
-                # leftovers from crashed/conflicted writers — never live
-                shutil.rmtree(path, ignore_errors=True)
+                # leftovers from crashed/conflicted writers. An ACTIVE
+                # writer's staging (its parquet write precedes the commit
+                # lock) must not be swept from under it — only dirs idle
+                # past the grace period are dead for sure.
+                try:
+                    idle = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if idle > _STAGING_SWEEP_GRACE_S:
+                    shutil.rmtree(path, ignore_errors=True)
 
     def _vacuum_version(self, vdir: str, referenced: set[str]) -> None:
         if not any(

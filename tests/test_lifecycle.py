@@ -186,12 +186,39 @@ def test_batched_flips_single_version_bump(spark, tmp_path):
 
 def test_rds_tag_report_three_step_deref(spark, tmp_path):
     """connection name -> JDBC URL -> cluster endpoint -> governance tags,
-    as two chained lookup joins (ref lambda/rds-tag-report/app.py:197-212)."""
+    as two chained lookup joins (ref lambda/rds-tag-report/app.py:197-212).
+    Input is the CATALOGED rows (the reference's P4): an uncataloged rds
+    source must not reach the report (its NULL table name is half the
+    merge key), and a re-run REPLACES the row (put_item semantics)."""
+    import pyspark.sql.functions as F
+
     eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="rds_db")
     eng.onboard_source(
         "rds",
         {"connection": "conn-app", "path": "ignored", "name": "appdb"},
         {"gdpr-scan": "true"},
+    )
+    # a second source that never gets cataloged: must stay out of the report
+    eng.onboard_source(
+        "rds",
+        {"connection": "conn-other", "path": "ignored2", "name": "otherdb"},
+        {"gdpr-scan": "true"},
+    )
+    # catalog the first source (the reference's rds-glue-tracking chain
+    # flips data_catalog_entry on the Glue CreateTable event)
+    flip = eng.tracker().filter(
+        F.col("data_source_attrs")["connection"] == "conn-app"
+    ).select("id", "data_source_type")
+    eng.store.merge(
+        "tracker",
+        flip,
+        "id",
+        set_on_match={
+            "data_catalog_entry": F.lit(True),
+            "data_catalog_table_name": F.lit("rds_appdb"),
+        },
+        insert_not_matched=False,
+        partition_by="data_source_type",
     )
     connections = spark.createDataFrame(
         [
@@ -210,7 +237,7 @@ def test_rds_tag_report_three_step_deref(spark, tmp_path):
         ["endpoint", "tags"],
     )
     report = eng.rds_tag_report(connections, clusters).collect()
-    assert len(report) == 1
+    assert len(report) == 1  # the uncataloged source is excluded
     row = report[0]
     assert row["connection_name"] == "conn-app"
     assert row["endpoint"] == "app-cluster.example.internal"
@@ -218,6 +245,17 @@ def test_rds_tag_report_three_step_deref(spark, tmp_path):
     assert row["business_function"] == "billing"
     # untagged keys surface as NULL, not errors
     assert row["data_subjects"] is None
+
+    # re-run with CHANGED cluster tags: the report row is replaced, not
+    # frozen at the first run's values (and the re-run doesn't trip the
+    # NULL-merge-key guard on the still-uncataloged source)
+    clusters2 = spark.createDataFrame(
+        [("app-cluster.example.internal", {"APP_ID": "42", "APP_NAME": "payments-v2"})],
+        ["endpoint", "tags"],
+    )
+    report2 = eng.rds_tag_report(connections, clusters2).collect()
+    assert len(report2) == 1
+    assert report2[0]["app_name"] == "payments-v2"
 
 
 def test_publish_findings_pins_findings_snapshot(spark, tmp_path, csv_source):
@@ -371,3 +409,28 @@ def test_recrawl_fingerprint_incremental_classification(spark, tmp_path):
     assert eng.recrawl("s3")[0]["skipped"] is True
     assert eng.store.latest_version("tracker") == v_before
     assert eng.classify_pending("s3", ["EMAIL"]) == 0
+
+
+def test_register_pending_disambiguates_basename_collisions(spark, tmp_path):
+    """Two sources whose paths share a basename must get DISTINCT catalog
+    tables (regression: the second silently overwrote the first)."""
+    for bucket, col in (("bucketa", "email_a"), ("bucketb", "email_b")):
+        d = tmp_path / bucket / "users"
+        d.mkdir(parents=True)
+        with open(d / "part1.csv", "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow([col])
+            w.writerow([f"x@{bucket}.example.com"])
+
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="collide_db")
+    for bucket in ("bucketa", "bucketb"):
+        eng.onboard_source(
+            "s3", {"path": str(tmp_path / bucket / "users")}, {"gdpr-scan": "true"}
+        )
+    registered = eng.register_pending("s3")
+    assert len(registered) == 2 and len(set(registered)) == 2
+    cols = {tuple(spark.table(fq).columns) for fq in registered}
+    assert cols == {("email_a",), ("email_b",)}
+    # tracker rows record the distinct table names
+    names = [r["data_catalog_table_name"] for r in eng.tracker().collect()]
+    assert len(set(names)) == 2

@@ -489,8 +489,94 @@ def test_commit_lock_held_raises_concurrent_write(spark, store):
     os.remove(lock)  # operator intervention for a crashed holder
     store.append("t", _df(spark, [("b", 2, False)]))
     assert store.latest_version("t") == 2
-    # vacuum also sweeps staging dirs a crashed writer left behind
+    # vacuum sweeps staging dirs a crashed writer left behind — but only
+    # past the idle grace period: an ACTIVE writer's staging (written
+    # before it takes the commit lock) must never be swept mid-flight
     orphan = store._staging_dir("t")
     os.makedirs(orphan)
     store.vacuum("t", keep=5)
+    assert os.path.exists(orphan), "fresh staging must survive vacuum"
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    store.vacuum("t", keep=5)
     assert not os.path.exists(orphan)
+
+
+def test_orphan_version_dir_does_not_wedge_commits(spark, store):
+    """A crash between the version-dir rename and the pointer flip leaves
+    an orphan v=N+1 the pointer never references; the next commit (under
+    the lock) must clear and replace it instead of failing ENOTEMPTY
+    forever."""
+    import os
+
+    store.init("t", _df(spark, [("a", 1, True)]))
+    # simulate the crashed commit: v=2 exists with data, pointer still 1
+    orphan = store._version_dir("t", 2)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-dead.parquet"), "w") as fh:
+        fh.write("garbage")
+    assert store.latest_version("t") == 1
+    store.append("t", _df(spark, [("b", 2, False)]))
+    assert store.latest_version("t") == 2
+    assert sorted(r["id"] for r in store.read("t").collect()) == ["a", "b"]
+
+
+def test_append_drift_path_loses_cas_to_concurrent_commit(spark, store):
+    """The schema-drift union-rewrite pins the snapshot it read: a commit
+    landing mid-rewrite must make the drift append LOSE with
+    ConcurrentWriteError, never silently overwrite the winner."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    store.init("t", _df(spark, [("a", 1, True)]))
+    drifted = spark.createDataFrame([("x", 9)], ["id", "val"])  # column set differs
+
+    orig = store._write_version
+
+    def racing(table, df, **kw):
+        # winner commits between the drift path's snapshot read and its write
+        if kw.get("expect") == 1:
+            orig(table, _df(spark, [("winner", 7, True)]), partition_by=None)
+        return orig(table, df, **kw)
+
+    store._write_version = racing
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.append("t", drifted)
+    finally:
+        store._write_version = orig
+    # the winner's commit stands untouched (its version wrote exactly
+    # its own full-version content); the drift append lost cleanly
+    assert store.latest_version("t") == 2
+    assert {r["id"] for r in store.read("t").collect()} == {"winner"}
+
+
+def test_append_partition_column_change_falls_back_to_rewrite(spark, store):
+    """Same column set but a DIFFERENT partition column is layout drift:
+    the fast link path would mix region=*/ dirs with linked
+    data_source_type=*/ dirs; the append must take the union-rewrite."""
+    rows = [("s3", "a", 1), ("rds", "b", 2)]
+    df = spark.createDataFrame(rows, ["data_source_type", "id", "val"])
+    store.init("p", df, partition_by="data_source_type")
+    more = spark.createDataFrame([("s3", "c", 3)], ["data_source_type", "id", "val"])
+    store.append("p", more, partition_by="id")  # different partition col
+    got = {r["id"]: r["val"] for r in store.read("p").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    import os
+
+    v2 = store._version_dir("p", 2)
+    subdirs = {n.split("=")[0] for n in os.listdir(v2) if "=" in n}
+    assert subdirs == {"id"}  # clean rewrite, no mixed layouts
+
+
+def test_merge_collapses_exact_replays_and_rejects_dup_keys(spark):
+    """Full-row duplicate source rows (queue redelivery in one batch)
+    collapse; DISTINCT rows sharing a merge key are rejected loudly — a
+    set-based MERGE has no arrival order to pick a winner, and letting
+    them through would multiply matched rows / insert duplicate keys."""
+    t = _df(spark, [("a", 1, False)])
+    replay = _df(spark, [("b", 2, True), ("b", 2, True)])
+    out = {r["id"] for r in merge_frames(t, replay, "id").collect()}
+    assert out == {"a", "b"}
+    conflict = _df(spark, [("b", 2, True), ("b", 3, True)])
+    with pytest.raises(Exception, match="DISTINCT source rows"):
+        merge_frames(t, conflict, "id").collect()

@@ -299,3 +299,20 @@ def test_repetition_stats_hand_computed(spark):
     assert out[1] == (3, round(2 / 3, 4), 1.0)
     assert out[2] == (4, 0.0, 0.25)
     assert out[3] == (0, 0.0, 0.0)
+
+
+def test_ivf_empty_and_allzero_corpus(spark):
+    """A filtered-to-empty (or all-zero-embedding) pipeline stage must
+    yield an empty top-k, not a numpy axis crash in the quantizer."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert ivf_topk(empty, "embedding", [1.0, 0.0, 0.0, 0.0], 5).collect() == []
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(3)], ["vec_id", "embedding"]
+    )
+    assert len(ivf_centroids(zeros, "embedding")) == 0
+    assert ivf_topk(zeros, "embedding", [1.0, 0.0, 0.0, 0.0], 5).collect() == []
