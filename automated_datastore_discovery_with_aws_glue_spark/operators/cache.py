@@ -30,6 +30,7 @@ be gone, and a cleanup path must never raise.
 
 from __future__ import annotations
 
+import threading
 import weakref
 from contextlib import contextmanager
 from typing import Callable, Iterator
@@ -38,9 +39,18 @@ from pyspark.sql import DataFrame
 
 _ATTR = "_graft_cache_handle"
 
-#: stack of active cache_scope frames, innermost last; each is a list of
-#: release callables.
-_scopes: list[list[Callable[[], None]]] = []
+
+class _ScopeStack(threading.local):
+    """Per-THREAD stack of active cache_scope frames (innermost last;
+    each is a list of release callables). Thread-local so a scope opened
+    in one query thread can never adopt — and later unpersist — caches
+    an operator is building concurrently in another thread."""
+
+    def __init__(self):
+        self.frames: list[list[Callable[[], None]]] = []
+
+
+_scope_stack = _ScopeStack()
 
 
 def _unpersister(df: DataFrame) -> Callable[[], None]:
@@ -73,8 +83,8 @@ def adopt(result: DataFrame, *cached) -> DataFrame:
     ]
     if not releasers:
         return result
-    if _scopes:
-        _scopes[-1].extend(releasers)
+    if _scope_stack.frames:
+        _scope_stack.frames[-1].extend(releasers)
         return result
     existing = getattr(result, _ATTR, None)
     if existing is not None:
@@ -163,11 +173,11 @@ def cache_scope() -> Iterator[None]:
     operators' results INSIDE the block — after exit, plans recompute
     (or, for lineage-truncated cluster results, fail)."""
     frame: list[Callable[[], None]] = []
-    _scopes.append(frame)
+    _scope_stack.frames.append(frame)
     try:
         yield
     finally:
-        _scopes.pop()
+        _scope_stack.frames.pop()
         for r in frame:
             try:
                 r()

@@ -13,16 +13,44 @@ parallelism *only when the incoming plan has fewer partitions than
 that* — a well-partitioned 100 TB input passes through untouched (no
 extra shuffle), while a pathological layout gets one cheap narrow-column
 shuffle before the expensive stage.
+
+The partition probe (``df.rdd``) is only safe on NARROW plans
+(scan/project/filter/generate): under AQE, probing a plan that contains
+an exchange finalizes the adaptive plan — EXECUTING every upstream
+stage at plan-build time, whose work the repartitioned plan then
+re-runs. Frames with joins/aggregates/windows therefore pass through
+untouched: their upstream exchange already spread the data across
+``spark.sql.shuffle.partitions``.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: logical-plan nodes that introduce (or imply) an exchange — probing
+#: .rdd past one of these executes the upstream stages under AQE
+_WIDE_NODE = re.compile(
+    r"^[\s:+-]*(Join|Aggregate|Window|Sort|Deduplicate|Distinct|"
+    r"Repartition|RepartitionByExpression|Intersect|Except|GlobalLimit)\b",
+    re.M,
+)
+
+
+def _is_narrow(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - exotic plans
+        return False
+    return _WIDE_NODE.search(plan) is None
 
 
 def spread(df: DataFrame, *, factor: int = 1) -> DataFrame:
-    """Repartition ``df`` to ``defaultParallelism * factor`` iff it
-    currently has fewer partitions than that target."""
+    """Repartition ``df`` to ``defaultParallelism * factor`` iff it is a
+    narrow (scan-stage) plan with fewer partitions than that target."""
+    if not _is_narrow(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = max(1, sc.defaultParallelism * factor)
     try:

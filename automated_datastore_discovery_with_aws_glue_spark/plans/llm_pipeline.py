@@ -69,12 +69,7 @@ DEDUP_JACCARD_SQL = f"""
     ),
     s AS (
         SELECT doc_id, lang,
-               list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               ) AS sh
+               {_SQL_GRAMS3} AS sh
         FROM w
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -109,12 +104,7 @@ DEDUP_CLUSTERS_SQL = f"""
     ),
     s AS (
         SELECT doc_id, lang,
-               list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               ) AS sh
+               {_SQL_GRAMS3} AS sh
         FROM w
     ),
     p AS (
@@ -168,12 +158,7 @@ DEDUP_MINHASH_LSH_MD5_SQL = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               ) AS sh
+               {_SQL_GRAMS3} AS sh
         FROM w
     ),
     sig AS (
@@ -263,6 +248,21 @@ TEXT_QUALITY_SQL = f"""
 CANDIDATE_STRATEGIES = ("lsh", "lsh_md5", "ppjoin")
 
 
+def _validate_candidates(candidates: str, max_bucket: int | None) -> None:
+    """Argument validation shared by the compositions — called BEFORE any
+    frame is persisted, so an invalid call can't leak a cache entry in a
+    long-lived session."""
+    if candidates not in CANDIDATE_STRATEGIES:
+        raise ValueError(
+            f"candidates must be one of {CANDIDATE_STRATEGIES}, got {candidates!r}"
+        )
+    if candidates == "ppjoin" and max_bucket is not None:
+        raise ValueError(
+            "max_bucket applies to the LSH candidate strategies; "
+            "'ppjoin' has no bucket concept (its prefix filter is the bound)"
+        )
+
+
 def _near_dup_pairs(
     df: DataFrame,
     *,
@@ -304,12 +304,8 @@ def _near_dup_pairs(
     strategies; PPJoin has no bucket concept, so passing a cap with
     ``candidates='ppjoin'`` is an error rather than a silent no-op.
     """
+    _validate_candidates(candidates, max_bucket)
     if candidates == "ppjoin":
-        if max_bucket is not None:
-            raise ValueError(
-                "max_bucket applies to the LSH candidate strategies; "
-                "'ppjoin' has no bucket concept (its prefix filter is the bound)"
-            )
         blocked = df.withColumn("_blk", F.lit(1))
         return D.jaccard_pairs(blocked, "doc_id", "text", "_blk", n=n, threshold=threshold)
     if candidates == "lsh":
@@ -321,13 +317,9 @@ def _near_dup_pairs(
             df, "doc_id", "text", n=n, threshold=threshold,
             max_bucket=max_bucket, on_hot=on_hot,
         )
-    if candidates == "lsh_md5":
-        return D.minhash_lsh_pairs_md5(
-            df, "doc_id", "text", n=n, num_hashes=16, bands=8, threshold=threshold,
-            max_bucket=max_bucket, on_hot=on_hot,
-        )
-    raise ValueError(
-        f"candidates must be one of {CANDIDATE_STRATEGIES}, got {candidates!r}"
+    return D.minhash_lsh_pairs_md5(
+        df, "doc_id", "text", n=n, num_hashes=16, bands=8, threshold=threshold,
+        max_bucket=max_bucket, on_hot=on_hot,
     )
 
 
@@ -439,6 +431,7 @@ def corpus_clean(
     machinery (``cache.adopt``/``carry``)."""
     from pyspark.storagelevel import StorageLevel
 
+    _validate_candidates(candidates, max_bucket)  # before any persist
     docs = load_table(spark, sf_dir, "documents")
     kept = (
         TX.text_stats(docs, "text")
@@ -777,6 +770,30 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
+def _duck_dot(vexpr: str, plane) -> str:
+    """One seeded-plane dot product as DuckDB SQL — the identical
+    left-to-right IEEE fold the Spark-side HOF kernel runs (Python float
+    repr round-trips exactly through both engines' double parsers). ONE
+    definition shared by every seeded-plane oracle (see
+    ``text.md5_hash64`` for the drift rationale)."""
+    terms = " + ".join(
+        f"CAST({vexpr}[{i + 1}] AS DOUBLE) * CAST('{float(c)!r}' AS DOUBLE)"
+        for i, c in enumerate(plane)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _duck_sign_bucket(vexpr: str, planes) -> str:
+    """Sign-bit bucket id under ``planes`` as DuckDB SQL: the bit terms
+    are disjoint, so their SUM equals the Spark side's XOR fold
+    bit-for-bit."""
+    return " + ".join(
+        f"(CASE WHEN {_duck_dot(vexpr, pl)} >= 0 THEN CAST(1 AS BIGINT) << {i}"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i, pl in enumerate(planes)
+    )
+
+
 def _emb_lsh_pair_ctes(
     *, threshold: float = 0.35, n_bands: int = 8, band_planes: int = 8,
     seed: int = 42, dim: int = 64,
@@ -786,23 +803,12 @@ def _emb_lsh_pair_ctes(
     bucket exprs from the same seeded hyperplanes as
     ``S.lsh_near_dup``, identical left-to-right IEEE folds."""
     planes = S.hyperplanes(dim, n_bands * band_planes, seed)
-
-    def duck_dot(vexpr: str, plane) -> str:
-        terms = " + ".join(
-            f"CAST({vexpr}[{i + 1}] AS DOUBLE) * CAST('{float(plane[i])!r}' AS DOUBLE)"
-            for i in range(dim)
-        )
-        return f"(CAST(0.0 AS DOUBLE) + {terms})"
-
     band_selects = []
     for b in range(n_bands):
         sub = planes[b * band_planes : (b + 1) * band_planes]
-        bucket = " + ".join(
-            f"(CASE WHEN {duck_dot('v', pl)} >= 0 THEN CAST(1 AS BIGINT) << {i}"
-            f" ELSE CAST(0 AS BIGINT) END)"
-            for i, pl in enumerate(sub)
+        band_selects.append(
+            f"SELECT id, {b} AS band, {_duck_sign_bucket('v', sub)} AS bucket FROM e"
         )
-        band_selects.append(f"SELECT id, {b} AS band, {bucket} AS bucket FROM e")
     bk = " UNION ALL ".join(band_selects)
     return f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         bk AS ({bk}),
@@ -919,12 +925,7 @@ DEDUP_MINHASH_SIG_SQL = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               ) AS sh
+               {_SQL_GRAMS3} AS sh
         FROM w
     )
     SELECT doc_id, i AS perm,
@@ -944,19 +945,7 @@ def knn_lsh_oracle_sql(*, n_planes: int = 4, seed: int = 42, dim: int = 64) -> s
     Spark side's XOR fold bit-for-bit). The query's bucket is computed
     by the same expression applied to the vec_id=0 row."""
     planes = S.hyperplanes(dim, n_planes, seed)
-
-    def duck_dot(vexpr: str, plane) -> str:
-        terms = " + ".join(
-            f"CAST({vexpr}[{i + 1}] AS DOUBLE) * CAST('{float(plane[i])!r}' AS DOUBLE)"
-            for i in range(dim)
-        )
-        return f"(CAST(0.0 AS DOUBLE) + {terms})"
-
-    bucket = " + ".join(
-        f"(CASE WHEN {duck_dot('v', pl)} >= 0 THEN CAST(1 AS BIGINT) << {i}"
-        f" ELSE CAST(0 AS BIGINT) END)"
-        for i, pl in enumerate(planes)
-    )
+    bucket = _duck_sign_bucket("v", planes)
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
@@ -1028,14 +1017,23 @@ PARA_DEDUP_SQL = r"""
         SELECT doc_id, pos, seg,
                row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
         FROM segs
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '') AS text,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM marked
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos), '') AS text,
-           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-    FROM marked
-    GROUP BY doc_id
-    ORDER BY doc_id
+    -- left join onto ALL input docs: a document with no non-empty
+    -- segment still emits ('', 0, 0), matching dedup_segments' contract
+    SELECT d.doc_id,
+           coalesce(a.text, '') AS text,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.n_dropped, 0) AS n_dropped
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
 """
 
 
@@ -1217,6 +1215,7 @@ def corpus_prepare(
     machinery (released with the returned frame)."""
     from pyspark.storagelevel import StorageLevel
 
+    _validate_candidates(candidates, max_bucket)  # before any persist
     docs = load_table(spark, sf_dir, "documents")
     kept = (
         TX.text_stats(docs, "text")
@@ -1311,12 +1310,7 @@ CORPUS_DECONTAMINATE_SQL = f"""
     ),
     g AS (
         SELECT doc_id, source,
-               list_distinct(
-                   CASE WHEN len(words) >= 3
-                        THEN list_transform(generate_series(1, len(words) - 2),
-                                            i -> array_to_string(words[i:i+2], ' '))
-                        ELSE [array_to_string(words, ' ')] END
-               ) AS grams
+               {_SQL_GRAMS3} AS grams
         FROM w
     ),
     bench AS (

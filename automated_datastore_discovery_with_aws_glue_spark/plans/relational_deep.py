@@ -183,8 +183,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     supp_nation = (
-        s.join(n.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("supp_nation")),
-               F.col("s_nationkey") == F.col("_nk"))
+        s.join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("s_nationkey") == F.col("_nk"),
+        )
         .select("s_suppkey", "supp_nation")
     )
     return (

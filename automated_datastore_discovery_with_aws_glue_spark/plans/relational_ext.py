@@ -333,7 +333,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    # the threshold average is ROUNDED before the compare (suite
+    # convention): double partial-sum order differs between engines, and
+    # a boundary customer within ulp noise of the raw mean would flip
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("_avg")
+    )
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -353,7 +358,7 @@ Q22_SQL = """
     SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01')

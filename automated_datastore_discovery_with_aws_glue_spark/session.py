@@ -64,10 +64,40 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    requested_explicitly = (
+        master is not None or shuffle_partitions is not None or extra_conf
+    )
+    existing = _any_session()
+    spark = builder.getOrCreate()
+    if existing is not None and requested_explicitly:
+        # getOrCreate reuses the live session and IGNORES builder confs —
+        # warn instead of letting the caller believe its settings took
+        got = spark.conf.get("spark.sql.shuffle.partitions", None)
+        if shuffle_partitions is not None and got != str(shuffle_partitions):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "get_spark: session already exists; requested "
+                "shuffle_partitions=%s ignored (active: %s). Immutable "
+                "confs (master, memory) cannot change on a live session.",
+                shuffle_partitions,
+                got,
+            )
+    return spark
+
+
+def _any_session() -> SparkSession | None:
+    """The live session regardless of thread: ``getActiveSession`` is
+    THREAD-LOCAL, so a watchdog/cleanup thread other than the creator
+    sees None — fall back to the process-wide instantiated session
+    (PySpark's default-session equivalent)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return getattr(SparkSession, "_instantiatedSession", None)
 
 
 def stop_spark() -> None:
-    active = SparkSession.getActiveSession()
+    active = _any_session()
     if active is not None:
         active.stop()
