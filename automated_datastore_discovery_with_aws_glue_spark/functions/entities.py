@@ -93,7 +93,10 @@ _UNIVERSAL = [
 # ---------------------------------------------------------------------------
 
 _USA = [
-    _spec("USA_SSN", rf"{_D}{{3}}-{_D}{{2}}-{_D}{{4}}|{_D}{{9}}", ("ssn", "social")),
+    # the bare \d{9} alternative makes this a generic digit run — the
+    # module rule (formats not fully determined by the regex are
+    # approximate) applies; the dashed form alone would be exact
+    _spec("USA_SSN", rf"{_D}{{3}}-{_D}{{2}}-{_D}{{4}}|{_D}{{9}}", ("ssn", "social"), approximate=True),
     # ITIN: 9xx-7x/8x/9x-xxxx; ATIN 9xx-93-xxxx; PTIN P followed by 8 digits
     _spec("USA_ITIN", rf"9{_D}{{2}}-?[78]{_D}-?{_D}{{4}}", ("itin",)),
     _spec("USA_ATIN", rf"9{_D}{{2}}-?93-?{_D}{{4}}", ("atin",)),
@@ -114,15 +117,15 @@ _USA = [
 
 _UK = [
     _spec("UK_BANK_ACCOUNT", rf"{_D}{{8}}", ("account",), approximate=True),
-    _spec("UK_BANK_SORT_CODE", rf"{_D}{{2}}-{_D}{{2}}-{_D}{{2}}|{_D}{{6}}", ("sort",)),
+    _spec("UK_BANK_SORT_CODE", rf"{_D}{{2}}-{_D}{{2}}-{_D}{{2}}|{_D}{{6}}", ("sort",), approximate=True),
     _spec("UK_DRIVING_LICENSE", rf"[A-Z9]{{5}}{_D}{{6}}[A-Z9]{{2}}{_D}[A-Z]{{2}}", ("license", "licence")),
     _spec("UK_ELECTORAL_ROLL_NUMBER", rf"[A-Z]{{2,3}}{_D}{{1,4}}", ("electoral",), approximate=True),
     _spec("UK_NATIONAL_HEALTH_SERVICE_NUMBER", rf"{_D}{{3}}[ -]?{_D}{{3}}[ -]?{_D}{{4}}", ("nhs",), validator="nhs"),
     _spec("UK_NATIONAL_INSURANCE_NUMBER", rf"[A-CEGHJ-PR-TW-Z]{{2}}{_D}{{6}}[A-D]", ("insurance", "nino", "ni_number")),
     _spec("UK_PASSPORT_NUMBER", rf"{_D}{{9}}", ("passport",), approximate=True),
     _spec("UK_PHONE_NUMBER", rf"(?:\+44[ -]?|0){_D}{{2,4}}[ -]?{_D}{{3,4}}[ -]?{_D}{{3,4}}", ("phone", "telephone")),
-    _spec("UK_UNIQUE_TAXPAYER_REFERENCE_NUMBER", rf"{_D}{{9,10}}", ("utr", "taxpayer")),
-    _spec("UK_VALUE_ADDED_TAX", rf"(?:GB)?{_D}{{9}}(?:{_D}{{3}})?", ("vat",)),
+    _spec("UK_UNIQUE_TAXPAYER_REFERENCE_NUMBER", rf"{_D}{{9,10}}", ("utr", "taxpayer"), approximate=True),
+    _spec("UK_VALUE_ADDED_TAX", rf"(?:GB)?{_D}{{9}}(?:{_D}{{3}})?", ("vat",), approximate=True),
 ]
 
 # ---------------------------------------------------------------------------

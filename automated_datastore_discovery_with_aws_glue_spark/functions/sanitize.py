@@ -26,5 +26,10 @@ def sanitize_identifier(name: str) -> str:
 
 def sanitize_col(col: Column) -> Column:
     """Executor-side twin of :func:`sanitize_identifier` as a native
-    expression (no UDF)."""
-    return F.lower(F.regexp_replace(col, "[^0-9a-zA-Z_]", "_"))
+    expression (no UDF) — including the ``t_`` prefix for empty or
+    digit-leading results, so identifiers derived from DATA are valid
+    exactly when the driver-side path would have produced them."""
+    base = F.lower(F.regexp_replace(col, "[^0-9a-zA-Z_]", "_"))
+    return F.when(
+        (base == "") | base.rlike("^[0-9]"), F.concat(F.lit("t_"), base)
+    ).otherwise(base)

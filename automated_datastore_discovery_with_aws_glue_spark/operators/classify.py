@@ -144,7 +144,14 @@ def classify_columns_long(
     specs = resolve_entities(list(entities) if entities is not None else None)
     cols = _string_columns(df, columns)
     if not cols:
-        raise ValueError("no string columns to classify")
+        # a table with zero string columns is a NORMAL discovered source
+        # (all-numeric/timestamp): zero findings, not an error — raising
+        # here would abort the engine's whole classify_pending batch
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "columnName string, entity string, match_fraction double",
+        )
 
     if sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
@@ -310,6 +317,27 @@ def redact_cells(
     return df.select(*out)
 
 
+def redaction_order(specs):
+    """Application order for the in-prose replacement chain:
+    LONGEST-pattern-first. A long structured run (a 16-digit credit
+    card) must be claimed by ITS pattern before a shorter digit-run
+    pattern (phone) can consume a prefix of it and leave the suffix
+    unmasked — the partial-mask leak. Pattern string length is a
+    deterministic proxy for maximum match length across the registry's
+    format regexes (name tiebreak); shared with the DuckDB oracle
+    builder so the chains can't drift."""
+    return sorted(specs, key=lambda s: (-len(s.pattern), s.name))
+
+
+def redaction_pattern(spec) -> str:
+    """RE2-compatible in-prose pattern: optional leading '+' OUTSIDE the
+    word boundary (``\\b`` cannot sit between a space and '+', so a
+    phone's '+' would otherwise stay unmasked in front of the token) +
+    word-boundary-wrapped body. No lookarounds — DuckDB's RE2 replays
+    the identical chain."""
+    return f"[+]?\\b(?:{spec.pattern})\\b"
+
+
 def redact_text(
     col: Column,
     entities: Sequence[str] | None = None,
@@ -317,21 +345,22 @@ def redact_text(
     token_fmt: str = "[{name}]",
 ) -> Column:
     """Free-text PII redaction: replace in-text occurrences of each
-    entity's pattern (word-boundary wrapped) with a typed mask token —
-    chained ``regexp_replace``, one projection, no UDF.
+    entity's pattern (word-boundary wrapped, longest-pattern-first —
+    see :func:`redaction_order` / :func:`redaction_pattern`) with a
+    typed mask token — chained ``regexp_replace``, one projection, no
+    UDF.
 
-    ``\\b`` anchoring is RE2-compatible, so the DuckDB oracle replays the
+    The anchoring is RE2-compatible, so the DuckDB oracle replays the
     identical replacement chain. Best-effort by nature: the registry's
     patterns are cell-format regexes, and in free prose a boundary-less
     format (e.g. digits inside a longer run) won't match — cell-level
     scrubbing (:func:`redact_cells`) is the precise tool for structured
-    columns. Entities apply in registry order; already-masked spans are
-    never re-matched (replacement tokens contain no word-boundary
-    pattern starts)."""
+    columns. Already-masked spans are never re-matched (replacement
+    tokens contain no word-boundary pattern starts)."""
     specs = resolve_entities(list(entities) if entities is not None else None)
     expr = col
-    for spec in specs:
+    for spec in redaction_order(specs):
         expr = F.regexp_replace(
-            expr, f"\\b(?:{spec.pattern})\\b", token_fmt.format(name=spec.name)
+            expr, redaction_pattern(spec), token_fmt.format(name=spec.name)
         )
     return expr

@@ -35,7 +35,6 @@ _MAGIC = {
     "47494638": "image/gif",
     "52494646": "audio/wav",  # RIFF (also webp/avi; refined below)
     "494433": "audio/mpeg",
-    "000000": "video/mp4",  # ftyp boxes start with size; see refinement
 }
 
 
@@ -46,6 +45,11 @@ def sniff_mime(content: Column) -> Column:
     expr = F.lit("application/octet-stream")
     for prefix, mime in reversed(list(_MAGIC.items())):
         expr = F.when(head.startswith(prefix), mime).otherwise(expr)
+    # MP4-family: a box starts [4-byte size]['ftyp'] — check the actual
+    # 'ftyp' tag at offset 5 rather than a 0x00-prefix heuristic (any
+    # length-prefixed/zero-padded binary would otherwise read as video)
+    ftyp = F.upper(F.hex(F.substring(content, 5, 4)))
+    expr = F.when(ftyp == "66747970", "video/mp4").otherwise(expr)
     # refine RIFF: WAVE vs WEBP vs AVI at offset 9-12
     riff_kind = F.upper(F.hex(F.substring(content, 9, 4)))
     expr = (
@@ -70,10 +74,14 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
-def _fake_dims(data: bytes) -> tuple[int, int]:
+def _fake_dims(data: bytes | None) -> tuple[int | None, int | None]:
     # hashes the lowercase HEX encoding rather than the raw bytes so the
     # DuckDB differential twin can replay the stub bit-for-bit (DuckDB
-    # 1.0 has no BLOB overload for sha256); equally deterministic
+    # 1.0 has no BLOB overload for sha256); equally deterministic.
+    # NULL content (outer joins, corrupt rows) yields NULL dims like the
+    # native metadata layer, never a task crash.
+    if data is None:
+        return None, None
     h = hashlib.sha256(data.hex().encode()).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
@@ -173,7 +181,6 @@ def decode_images(
     content_col: str = "content",
     *,
     fake: bool = False,
-    batch_hint: int | None = None,
 ) -> DataFrame:
     """Decode image binaries to (width, height, mode) via ``mapInPandas``
     (Arrow-batched; one Python worker per partition, batches stay
@@ -205,9 +212,9 @@ def decode_images(
                     )
                 dims = [_fake_dims(b) for b in pdf[content_col]]
                 pdf = pdf.assign(
-                    width=[d[0] for d in dims],
-                    height=[d[1] for d in dims],
-                    mode="RGB",
+                    width=pd.array([d[0] for d in dims], dtype="Int32"),
+                    height=pd.array([d[1] for d in dims], dtype="Int32"),
+                    mode=[None if d[0] is None else "RGB" for d in dims],
                 )
             else:  # pragma: no cover - PIL not in this environment
                 import io
@@ -250,6 +257,9 @@ def extract_features(
         for pdf in batches:
             feats = []
             for b in pdf[content_col]:
+                if b is None:  # NULL media cell -> NULL vector, not a crash
+                    feats.append(None)
+                    continue
                 h = hashlib.sha256(b).digest()
                 feats.append([round((h[i % 32] - 128) / 128.0, 6) for i in range(dim)])
             yield pdf.assign(features=feats)

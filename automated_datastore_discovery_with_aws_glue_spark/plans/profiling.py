@@ -127,10 +127,15 @@ def pii_redact_oracle_sql() -> str:
             )
         return f"CASE {' '.join(arms)} ELSE {col} END AS {col}"
 
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+        redaction_order,
+        redaction_pattern,
+    )
+
     prose = "'contact ' || email_like || ' from ' || ip_like || ' ref ' || ssn_like"
-    for name in ORACLE_ENTITIES:
-        rx = f"\\b(?:{ENTITY_REGISTRY[name].pattern})\\b".replace("'", "''")
-        prose = f"regexp_replace({prose}, '{rx}', '[{name}]', 'g')"
+    for spec in redaction_order([ENTITY_REGISTRY[n] for n in ORACLE_ENTITIES]):
+        rx = redaction_pattern(spec).replace("'", "''")
+        prose = f"regexp_replace({prose}, '{rx}', '[{spec.name}]', 'g')"
     return f"""
         WITH derived AS ({derived})
         SELECT {cell('ssn_like')}, {cell('email_like')}, {cell('ip_like')},

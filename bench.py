@@ -116,17 +116,21 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
+        df = None
         try:
             df = fn(spark, sf_dir)
             rows = df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
             _ = len(rows)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
             # operators adopt their internal persisted frames onto the
             # returned DataFrame; release() frees them deterministically
             # so one query's caches never charge the next query's memory
-            release(df)
-        except Exception as exc:  # noqa: BLE001 - report, don't abort
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            # — ON FAILURE TOO, or a failed query skews what follows
+            if df is not None:
+                release(df)
 
     # A partial run must not masquerade as a full one: with any failed
     # query the headline total is incomparable, so report null + rc=1

@@ -343,3 +343,19 @@ def test_name_derived_hints_gate_national_ids(spark):
     # carries no distinctive hint, so the context gate drops them all
     for ent in got.get("national_id", []):
         assert "UNIQUE_MASTER_CITIZEN" not in ent and "NATIONAL_IDENTIFICATION" not in ent
+
+
+def test_redact_text_no_partial_digit_run_leak(spark):
+    """Regression (verified leak): the shorter PHONE pattern used to
+    consume a 14-char prefix of a 16-digit card, leaving the last 4
+    digits unmasked, and the '+' stayed outside the phone mask. The
+    longest-pattern-first chain + leading-'+' wrapper masks both fully."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import redact_text
+
+    df = spark.createDataFrame(
+        [("call +1 415 555 0123, card 4111 1111 1111 1111",)], ["t"]
+    )
+    got = df.select(
+        redact_text(F.col("t"), ["EMAIL", "PHONE_NUMBER", "CREDIT_CARD"]).alias("r")
+    ).collect()[0]["r"]
+    assert got == "call [PHONE_NUMBER], card [CREDIT_CARD]", got

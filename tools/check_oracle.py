@@ -51,6 +51,11 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not report a false-green "0 pass, 0 fail"
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 1
     n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -33,6 +33,19 @@ from automated_datastore_discovery_with_aws_glue_spark.sources.readers import TE
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
+_OFFSETS: dict[str, int] = {}
+
+
+def _orderkey_offset(spark, src: str) -> int:
+    """max(order key) + 1 across BOTH orders and lineitem — the single
+    offset both tables' copies shift by, so every copied lineitem lands
+    on its own copy's orders."""
+    if src not in _OFFSETS:
+        o = load_table(spark, src, "orders").agg(F.max("o_orderkey")).first()[0]
+        l = load_table(spark, src, "lineitem").agg(F.max("l_orderkey")).first()[0]
+        _OFFSETS[src] = max(int(o), int(l)) + 1
+    return _OFFSETS[src]
+
 
 def scale(spark, src: str, dst: str, copies: int) -> None:
     os.makedirs(dst, exist_ok=True)
@@ -45,10 +58,14 @@ def scale(spark, src: str, dst: str, copies: int) -> None:
         copy = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_copy")
         rep = df.select("*", copy)
         if table == "lineitem":
-            mx = df.agg(F.max("l_orderkey")).first()[0] + 1
+            # ONE shared offset for lineitem AND orders: independent
+            # per-table maxima keep the copies join-consistent only when
+            # the two maxima happen to coincide (orders with no
+            # lineitems could push max(o_orderkey) past max(l_orderkey))
+            mx = _orderkey_offset(spark, src)
             rep = rep.withColumn("l_orderkey", F.col("l_orderkey") + F.col("_copy") * F.lit(mx))
         elif table == "orders":
-            mx = df.agg(F.max("o_orderkey")).first()[0] + 1
+            mx = _orderkey_offset(spark, src)
             rep = rep.withColumn("o_orderkey", F.col("o_orderkey") + F.col("_copy") * F.lit(mx))
         elif table == "events":
             mx = df.agg(F.max("event_id")).first()[0] + 1
