@@ -4,7 +4,9 @@ import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from automated_datastore_discovery_with_aws_glue_spark.session import get_spark
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import gc
 
+from tests.conftest import SF_DIR
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -132,7 +134,7 @@ def test_corpus_clean_releases(spark):
     from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import corpus_clean
 
     assert _no_cached_rdds(spark)
-    result = corpus_clean(spark, "/root/testdata/sf0.001")
+    result = corpus_clean(spark, SF_DIR)
     rows = result.collect()
     assert len(rows) > 0
     release(result)
@@ -156,7 +158,7 @@ def test_query_layer_entries_release(spark):
         "corpus_prepare",
     ]:
         assert _no_cached_rdds(spark), f"dirty session before {name}"
-        df = queries[name](spark, "/root/testdata/sf0.001")
+        df = queries[name](spark, SF_DIR)
         df.collect()
         release(df)
         assert _no_cached_rdds(spark), f"{name} leaked caches after release"

@@ -54,7 +54,10 @@ def test_all_patterns_compile_and_are_re2_safe():
 )
 def test_detector_formats(entity, positive, negative):
     rx = re.compile(ENTITY_REGISTRY[entity].anchored)
-    assert rx.fullmatch(positive.strip()) or rx.match(positive.strip()), entity
+    # fullmatch ONLY: anchored is ^(?:...)$, so a prefix-match fallback
+    # could never add coverage — and would hide a truncated-format
+    # regression if the anchoring were ever loosened
+    assert rx.fullmatch(positive.strip()), entity
     assert rx.fullmatch(negative) is None
 
 

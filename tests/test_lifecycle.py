@@ -133,12 +133,24 @@ def test_publish_one_catalog_interaction_per_table(spark, tmp_path, csv_source, 
     assert "CREDIT_CARD" in comments["Payment_Card"]
 
 
-def test_second_classification_wins(spark, engine, csv_source):
+def test_second_classification_wins(spark, tmp_path, csv_source):
     """Re-classification produces a newer timestamp; latest_findings keeps
-    only the newest run per table (J1 argmax semantics)."""
-    flip = spark.createDataFrame([(engine.tracker().collect()[0]["id"],)], ["id"])
+    only the newest run per table (J1 argmax semantics). Self-contained:
+    builds its own engine + first classification (the previous shared
+    module fixture made this test order-dependent — it failed in
+    isolation)."""
     import pyspark.sql.functions as F
 
+    engine = DiscoveryEngine(spark, str(tmp_path / "state"), database="reclass_db")
+    engine.onboard_source(
+        "s3",
+        {"path": csv_source, "name": "payment_info", "format": "csv"},
+        {"gdpr-scan": "true"},
+    )
+    engine.register_pending("s3")
+    assert engine.classify_pending("s3", ENTITIES) == 1
+
+    flip = spark.createDataFrame([(engine.tracker().collect()[0]["id"],)], ["id"])
     engine.store.merge(
         "tracker", flip, "id",
         set_on_match={"glue_job_created": F.lit(False)},

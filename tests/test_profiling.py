@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from automated_datastore_discovery_with_aws_glue_spark.plans.profiling import prof_histogram
 from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR
 
 
 def _n_scans(df) -> int:

@@ -95,13 +95,16 @@ def test_read_jdbc_live_roundtrip_partitioned_pushdown(spark):
     jvm = spark._jvm
     jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     conn = jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:s4db;create=true")
-    st = conn.createStatement()
     try:
-        st.execute("CREATE TABLE billing (id INT PRIMARY KEY, name VARCHAR(50), amount DOUBLE)")
-        for i in range(20):
-            st.execute(f"INSERT INTO billing VALUES ({i}, 'acct{i}', {i * 1.5})")
+        st = conn.createStatement()
+        try:
+            st.execute("CREATE TABLE billing (id INT PRIMARY KEY, name VARCHAR(50), amount DOUBLE)")
+            for i in range(20):
+                st.execute(f"INSERT INTO billing VALUES ({i}, 'acct{i}', {i * 1.5})")
+        finally:
+            st.close()
     finally:
-        st.close()
+        conn.close()  # don't pin the embedded DB in the shared JVM
 
     df = read_jdbc(
         spark,
@@ -133,12 +136,15 @@ def test_jdbc_information_schema_scan(spark):
     jvm = spark._jvm
     jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     conn = jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:s5db;create=true")
-    st = conn.createStatement()
     try:
-        st.execute("CREATE TABLE t_one (id INT)")
-        st.execute("CREATE TABLE t_two (id INT)")
+        st = conn.createStatement()
+        try:
+            st.execute("CREATE TABLE t_one (id INT)")
+            st.execute("CREATE TABLE t_two (id INT)")
+        finally:
+            st.close()
     finally:
-        st.close()
+        conn.close()
     tables = read_jdbc(
         spark,
         "jdbc:derby:memory:s5db",

@@ -78,7 +78,7 @@ def test_onboard_stream_merges_with_replay_dedup(spark, events_dir, tmp_path_fac
     q = onboard_stream(
         spark, engine, events_dir, str(tmp_path_factory.mktemp("ckpt"))
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     tracker = engine.tracker().collect()
     assert len(tracker) == 3  # b1 deduped, t1, c1
     assert {r["data_source_type"] for r in tracker} == {"s3", "dynamodb", "rds"}
@@ -88,7 +88,7 @@ def test_onboard_stream_merges_with_replay_dedup(spark, events_dir, tmp_path_fac
     q2 = onboard_stream(
         spark, engine, events_dir, str(tmp_path_factory.mktemp("ckpt2"))
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not finish in time"
     assert engine.tracker().count() == 3
 
 
@@ -125,7 +125,6 @@ def test_windowed_counts_on_stream_with_late_data(spark, tmp_path_factory):
             fh.write(json.dumps(r) + "\n")
     schema = "ts timestamp, event_type string, value double"
     stream = spark.readStream.schema(schema).json(str(d))
-    out_dir = tmp_path_factory.mktemp("out")
     q = (
         windowed_event_counts(stream, window="1 hour", watermark="2 hours")
         .writeStream.format("memory")
@@ -134,7 +133,7 @@ def test_windowed_counts_on_stream_with_late_data(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = {
         (r["window_start"], r["event_type"]): r["n"]
         for r in spark.sql("SELECT * FROM win_counts").collect()
@@ -159,7 +158,7 @@ def _write_session_batch(d, rows):
             fh.write(json.dumps({"user_id": user_id, "ts": ts}) + "\n")
 
 
-def _run_session_stream(spark, src, ckpt, sink_table):
+def _run_session_stream(spark, src, ckpt):
     from automated_datastore_discovery_with_aws_glue_spark.streaming.sessionize import sessionize_stream
 
     stream = spark.readStream.schema("user_id bigint, ts timestamp").json(src)
@@ -179,7 +178,7 @@ def _run_session_stream(spark, src, ckpt, sink_table):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     return set(out)
 
 
@@ -198,7 +197,7 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
             (2, "2024-01-01 09:00:00"),
         ],
     )
-    got = _run_session_stream(spark, src, ckpt, "sess_run1")
+    got = _run_session_stream(spark, src, ckpt)
     # user 2's 09:00 idle session times out (watermark reaches 12:00 >
     # 09:30 horizon); user 1's 12:00 session stays open (12:30 > 12:00)
     assert got == {
@@ -218,7 +217,7 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
             (2, "2024-01-01 11:00:00"),
         ],
     )
-    got2 = _run_session_stream(spark, src, ckpt, "sess_run2")
+    got2 = _run_session_stream(spark, src, ckpt)
     assert got2 == {
         (1, "2024-01-01 12:00:00", "2024-01-01 12:20:00", 2),
     }
@@ -237,7 +236,7 @@ def test_sessionize_stream_flushes_idle_session_on_timeout(spark, tmp_path):
             (8, "2024-01-01 13:00:00"),  # pushes watermark past 10:35
         ],
     )
-    got = _run_session_stream(spark, src, ckpt, "sess_idle")
+    got = _run_session_stream(spark, src, ckpt)
     assert got == {(7, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)}
 
 
@@ -277,7 +276,7 @@ def test_native_session_window_streams_under_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     # the 10:00 session (ends 10:40 incl. gap padding) closes once the
     # watermark reaches 12:00; the 12:00 session stays open
     assert set(out) == {(1, "2024-01-01 10:00:00", 2)}
@@ -339,7 +338,7 @@ def test_stream_exact_dedup_first_sighting_wins(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     assert sorted(out) == [1, 3]
 
     # second run: replay-adjacent dup within the horizon still suppressed
@@ -352,7 +351,7 @@ def test_stream_exact_dedup_first_sighting_wins(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     assert sorted(out) == [1, 3, 5]
 
 
@@ -417,7 +416,7 @@ def test_stream_segment_dedup_c4_cleaning(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in time"
 
     write_batch([(1, "alpha beta\n\ncommon footer", "2024-01-01 10:00:00")])
     run()
@@ -501,7 +500,7 @@ def test_stream_minhash_neardup_detection(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in time"
 
     base = (
         "the quick brown fox jumps over the lazy dog while the calm river "
