@@ -32,14 +32,25 @@ class EntitySpec:
     context: tuple[str, ...] = ()  # column-name hints (lowercase substrings)
     validator: str | None = None  # optional checksum: luhn | mod97 | nhs
     approximate: bool = False
+    # For ``approximate`` entities whose alternation mixes a generic form
+    # (hint-gated) with a form the regex fully determines (e.g. the dashed
+    # 123-45-6789 SSN layout): the fully-determined sub-pattern. The
+    # classifier lets a column whose values match THIS form clear the
+    # context gate without a column-name hint — only the generic
+    # alternative stays hint-gated.
+    exact_pattern: str | None = None
 
     @property
     def anchored(self) -> str:
         return f"^(?:{self.pattern})$"
 
+    @property
+    def anchored_exact(self) -> str:
+        return f"^(?:{self.exact_pattern})$"
 
-def _spec(name, pattern, context=(), validator=None, approximate=False):
-    return EntitySpec(name, pattern, tuple(context), validator, approximate)
+
+def _spec(name, pattern, context=(), validator=None, approximate=False, exact_pattern=None):
+    return EntitySpec(name, pattern, tuple(context), validator, approximate, exact_pattern)
 
 
 # ---------------------------------------------------------------------------
@@ -93,10 +104,17 @@ _UNIVERSAL = [
 # ---------------------------------------------------------------------------
 
 _USA = [
-    # the bare \d{9} alternative makes this a generic digit run — the
-    # module rule (formats not fully determined by the regex are
-    # approximate) applies; the dashed form alone would be exact
-    _spec("USA_SSN", rf"{_D}{{3}}-{_D}{{2}}-{_D}{{4}}|{_D}{{9}}", ("ssn", "social"), approximate=True),
+    # the bare \d{9} alternative is a generic digit run and stays
+    # hint-gated; the dashed 123-45-6789 layout IS fully determined by
+    # the regex, so it is declared as the exact sub-form — columns of
+    # dashed SSNs classify without needing an 'ssn'/'social' header
+    _spec(
+        "USA_SSN",
+        rf"{_D}{{3}}-{_D}{{2}}-{_D}{{4}}|{_D}{{9}}",
+        ("ssn", "social"),
+        approximate=True,
+        exact_pattern=rf"{_D}{{3}}-{_D}{{2}}-{_D}{{4}}",
+    ),
     # ITIN: 9xx-7x/8x/9x-xxxx; ATIN 9xx-93-xxxx; PTIN P followed by 8 digits
     _spec("USA_ITIN", rf"9{_D}{{2}}-?[78]{_D}-?{_D}{{4}}", ("itin",)),
     _spec("USA_ATIN", rf"9{_D}{{2}}-?93-?{_D}{{4}}", ("atin",)),
@@ -117,7 +135,15 @@ _USA = [
 
 _UK = [
     _spec("UK_BANK_ACCOUNT", rf"{_D}{{8}}", ("account",), approximate=True),
-    _spec("UK_BANK_SORT_CODE", rf"{_D}{{2}}-{_D}{{2}}-{_D}{{2}}|{_D}{{6}}", ("sort",), approximate=True),
+    _spec(
+        "UK_BANK_SORT_CODE",
+        rf"{_D}{{2}}-{_D}{{2}}-{_D}{{2}}|{_D}{{6}}",
+        ("sort",),
+        approximate=True,
+        # the dashed 12-34-56 layout is fully determined; only the bare
+        # 6-digit run stays hint-gated
+        exact_pattern=rf"{_D}{{2}}-{_D}{{2}}-{_D}{{2}}",
+    ),
     _spec("UK_DRIVING_LICENSE", rf"[A-Z9]{{5}}{_D}{{6}}[A-Z9]{{2}}{_D}[A-Z]{{2}}", ("license", "licence")),
     _spec("UK_ELECTORAL_ROLL_NUMBER", rf"[A-Z]{{2,3}}{_D}{{1,4}}", ("electoral",), approximate=True),
     _spec("UK_NATIONAL_HEALTH_SERVICE_NUMBER", rf"{_D}{{3}}[ -]?{_D}{{3}}[ -]?{_D}{{4}}", ("nhs",), validator="nhs"),

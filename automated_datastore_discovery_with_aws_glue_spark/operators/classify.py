@@ -126,6 +126,11 @@ def _string_columns(df: DataFrame, columns: Sequence[str] | None) -> list[str]:
     return [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
 
 
+#: internal suffix marking exact-sub-form rows in the long frame; cannot
+#: collide with registry names (those are upper-case identifiers)
+_EXACT_MARK = "!exact"
+
+
 def classify_columns_long(
     df: DataFrame,
     entities: Sequence[str] | None = None,
@@ -134,12 +139,20 @@ def classify_columns_long(
     columns: Sequence[str] | None = None,
     validate: bool = False,
     seed: int = 42,
+    _exact_forms: bool = False,
 ) -> DataFrame:
     """Per-(column, entity) match fractions — the classifier's long form.
 
     Returns ``(columnName, entity, match_fraction)`` with the fraction of
     *non-null* sampled values fully matching the entity's format, rounded
     to 4 decimals (deterministic across engines).
+
+    ``_exact_forms`` (internal, used by :func:`classify_columns`'s
+    context gate) additionally emits, for approximate specs that declare
+    an ``exact_pattern``, rows named ``<entity>!exact`` carrying the
+    fraction matching only the fully-determined sub-form — still within
+    the same single stack + hash aggregate (extra agg expressions, not an
+    extra pass).
     """
     specs = resolve_entities(list(entities) if entities is not None else None)
     cols = _string_columns(df, columns)
@@ -165,27 +178,38 @@ def classify_columns_long(
         F.stack(F.lit(len(cols)), *stack_args).alias("columnName", "raw_value")
     ).select("columnName", F.trim(F.col("raw_value")).alias("value"))
 
-    aggs = [
-        F.round(
+    def _frac(matched: Column) -> Column:
+        return F.round(
             F.avg(
                 F.when(F.col("value").isNull() | (F.col("value") == ""), None)
-                .when(_match_expr(F.col("value"), s, validate), 1.0)
+                .when(matched, 1.0)
                 .otherwise(0.0)
             ),
             4,
-        ).alias(s.name)
-        for s in specs
-    ]
+        )
+
+    agg_names: list[str] = []
+    aggs: list[Column] = []
+    for s in specs:
+        agg_names.append(s.name)
+        aggs.append(_frac(_match_expr(F.col("value"), s, validate)).alias(s.name))
+        if _exact_forms and s.approximate and s.exact_pattern:
+            exact_name = s.name + _EXACT_MARK
+            matched = F.col("value").rlike(s.anchored_exact)
+            if validate and s.validator in _VALIDATORS:
+                matched = matched & _VALIDATORS[s.validator](F.col("value"))
+            agg_names.append(exact_name)
+            aggs.append(_frac(matched).alias(exact_name))
     wide = stacked.groupBy("columnName").agg(*aggs)
 
     # wide -> long without a second shuffle (stack is a projection)
     unstack_args: list[Column] = []
-    for s in specs:
-        unstack_args.append(F.lit(s.name))
-        unstack_args.append(F.col(s.name))
+    for name in agg_names:
+        unstack_args.append(F.lit(name))
+        unstack_args.append(F.col(name))
     return wide.select(
         "columnName",
-        F.stack(F.lit(len(specs)), *unstack_args).alias("entity", "match_fraction"),
+        F.stack(F.lit(len(agg_names)), *unstack_args).alias("entity", "match_fraction"),
     )
 
 
@@ -225,11 +249,13 @@ def classify_columns(
         columns=columns,
         validate=validate,
         seed=seed,
+        _exact_forms=use_context,
     )
     keep = F.col("match_fraction") >= detection_threshold
     if use_context:
         cols = _string_columns(df, columns)
         approx = [s.name for s in specs if s.approximate]
+        has_exact = [s.name for s in specs if s.approximate and s.exact_pattern]
         hinted = [
             f"{c}\x00{s.name}"
             for s in specs
@@ -237,13 +263,37 @@ def classify_columns(
             for c in cols
             if any(h in c.lower() for h in s.context)
         ]
+        if has_exact:
+            # fold the ``<entity>!exact`` rows back onto their base row as
+            # an ``exact_fraction`` column. A re-group (not a self-join):
+            # the long frame is already aggregated to #cols x #entities
+            # rows, so this second groupBy shuffles KBs — a self-join
+            # would instead recompute the data-scale scan for both sides.
+            is_mark = F.col("entity").endswith(_EXACT_MARK)
+            base_entity = F.when(
+                is_mark,
+                F.expr(f"substring(entity, 1, length(entity) - {len(_EXACT_MARK)})"),
+            ).otherwise(F.col("entity"))
+            long_df = (
+                long_df.groupBy("columnName", base_entity.alias("entity"))
+                .agg(
+                    F.max(F.when(~is_mark, F.col("match_fraction"))).alias("match_fraction"),
+                    F.max(F.when(is_mark, F.col("match_fraction"))).alias("exact_fraction"),
+                )
+            )
+            exact_ok = F.coalesce(F.col("exact_fraction"), F.lit(0.0)) >= detection_threshold
+        else:
+            exact_ok = F.lit(False)
         if approx:
             is_hinted = (
                 F.concat_ws("\x00", F.col("columnName"), F.col("entity")).isin(hinted)
                 if hinted
                 else F.lit(False)
             )
-            keep = keep & (~F.col("entity").isin(approx) | is_hinted)
+            # approximate entities need a column-name hint — unless the
+            # column's values clear the threshold on the exact sub-form
+            # alone (fully determined by the format; no hint required)
+            keep = keep & (~F.col("entity").isin(approx) | is_hinted | exact_ok)
     return (
         long_df.filter(keep)
         .groupBy("columnName")

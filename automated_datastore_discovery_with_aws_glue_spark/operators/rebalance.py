@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame
 #: .rdd past one of these executes the upstream stages under AQE
 _WIDE_NODE = re.compile(
     r"^[\s:+-]*(Join|Aggregate|Window|Sort|Deduplicate|Distinct|"
-    r"Repartition|RepartitionByExpression|Intersect|Except|GlobalLimit)\b",
+    r"Repartition|RepartitionByExpression|Intersect|Except|GlobalLimit|"
+    # group-map / cogroup / stateful nodes imply an exchange too:
+    # groupBy().applyInPandas / applyInPandasWithState / cogroup
+    r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|FlatMapGroupsWithState|"
+    r"ApplyInPandasWithState|MapGroups|CoGroup)\b",
     re.M,
 )
 

@@ -75,6 +75,13 @@ def stream_segment_dedup(
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("ts"),
+        # content fingerprint for the sentinel: a corrected message
+        # reusing its predecessor's (id, ts) must keep its own sentinel
+        # (only true exact replays may dedup to nothing) — the minhash
+        # twin keys its sentinel the same way
+        F.md5(
+            F.coalesce(F.col(text_col), F.lit("<null>")).cast("binary")
+        ).alias("_tfp"),
         # NULL text must still emit the sentinel row — split(NULL) is
         # NULL and posexplode would silently eliminate the document,
         # breaking the every-doc-emits contract; coalesce to ''
@@ -84,6 +91,7 @@ def stream_segment_dedup(
     ).select(
         "doc_id",
         "ts",
+        "_tfp",
         F.size(F.filter("_parts", lambda s: F.trim(s) != "")).alias("n_total"),
         F.posexplode(
             F.concat(F.array(F.lit("")), F.col("_parts"))  # slot 0 = sentinel
@@ -102,17 +110,23 @@ def stream_segment_dedup(
                 F.md5(F.concat(F.lit("s"), F.col("seg")).cast("binary")),
             ).otherwise(
                 # concat_ws silently DROPS nulls — two NULL-id docs at
-                # one ts would collide on a sentinel; coalesce first
+                # one ts would collide on a sentinel; coalesce first.
+                # The content fingerprint is part of the key so only a
+                # bit-for-bit replay of the same (id, ts, text) loses
+                # its sentinel — a correction reusing the predecessor's
+                # (id, ts) still emits.
                 F.md5(
                     F.concat_ws(
                         "|",
                         F.lit("d"),
                         F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
                         F.coalesce(F.col("ts").cast("string"), F.lit("<null>")),
+                        F.col("_tfp"),
                     ).cast("binary")
                 )
             ),
         )
+        .drop("_tfp")
         .withWatermark("ts", dedup_horizon)
         .dropDuplicatesWithinWatermark(["fp"])
     )

@@ -70,6 +70,11 @@ def _make_session_fn(gap_us: int):
                 closed.append((start, last, n))
             state.remove()
         else:
+            # consecutive before-session stragglers accumulate into ONE
+            # pending early session (batch-twin parity: two late events
+            # within gap of each other merge, not two singletons); closed
+            # when the next straggler is > gap after it or at batch end
+            pend: tuple[int, int, int] | None = None
             chunks = [pdf["ts"] for pdf in pdf_iter]
             if chunks:
                 for t in _to_micros(pd.concat(chunks)).sort_values():
@@ -82,8 +87,15 @@ def _make_session_fn(gap_us: int):
                     elif t < start - gap_us:
                         # a late event more than gap BEFORE the open
                         # session (cross-batch, within the watermark):
-                        # it can't join it — emit as its own session
-                        closed.append((t, t, 1))
+                        # it can't join it — grow the pending early
+                        # session (events arrive here time-sorted, so
+                        # t >= pend.last whenever pend exists)
+                        if pend is not None and t - pend[1] <= gap_us:
+                            pend = (pend[0], t, pend[2] + 1)
+                        else:
+                            if pend is not None:
+                                closed.append(pend)
+                            pend = (t, t, 1)
                     else:
                         # in-session event, possibly LATE (cross-batch
                         # arrival older than `last` but within the
@@ -91,6 +103,14 @@ def _make_session_fn(gap_us: int):
                         # plain `last = t` would regress session_end and
                         # the idle-flush horizon
                         start, last, n = min(start, t), max(last, t), n + 1
+                        if pend is not None and start - pend[1] <= gap_us:
+                            # widening `start` brought the open session
+                            # within gap of the pending stragglers:
+                            # absorb them (batch-twin semantics)
+                            start, n = min(start, pend[0]), n + pend[2]
+                            pend = None
+            if pend is not None:
+                closed.append(pend)
             if last is not None:
                 state.update((int(start), int(last), int(n)))
                 # schedule the idle flush: fires once the event-time
@@ -128,9 +148,12 @@ def sessionize_stream(
     time seen) are DROPPED by the watermark; a late event WITHIN the
     budget merges into the open session with widen-only bounds
     (``start``/``last`` move only outward — a late arrival can never
-    regress ``session_end`` or the idle-flush horizon), and one more
-    than ``gap`` before the open session's start emits as its own
-    session. Shrink the budget for perfectly ordered sources (tests pin
+    regress ``session_end`` or the idle-flush horizon). Stragglers more
+    than ``gap`` before the open session accumulate into a pending early
+    session (consecutive ones within gap of each other merge, matching
+    the batch twin) that closes at batch end — or is absorbed into the
+    open session if intervening events bridge the gap. Shrink the budget
+    for perfectly ordered sources (tests pin
     '0 seconds' for determinism), grow it for lateness-prone ones —
     idle flushes then lag by the same margin."""
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -225,6 +225,39 @@ def test_context_disambiguates_digit_columns(spark):
     assert loose["account_number"] == {"PHONE_NUMBER", "BANK_ACCOUNT"}
 
 
+def test_exact_subform_clears_context_gate(spark):
+    """A fully-determined dashed SSN (123-45-6789) must classify even in
+    a column with no 'ssn'/'social' header; the bare 9-digit run stays
+    hint-gated (recall fix: USA_SSN was wholesale approximate, silently
+    dropping dashed SSNs from unhinted columns). Same split for
+    UK_BANK_SORT_CODE's dashed 12-34-56 layout."""
+    rows = [
+        (f"{100 + i:03d}-{i % 90 + 10:02d}-{1000 + i:04d}", f"{100000000 + i}", f"{10 + i % 80:02d}-{20 + i % 70:02d}-{30 + i % 60:02d}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["ref_code", "ref_digits", "branch_ref"])
+    got = {
+        r["columnName"]: set(r["entityTypes"])
+        for r in classify_columns(
+            df, ["USA_SSN", "UK_BANK_SORT_CODE"], 1.0, 0.1, use_context=True
+        ).collect()
+    }
+    # dashed forms fire without hints
+    assert "USA_SSN" in got.get("ref_code", set())
+    assert "UK_BANK_SORT_CODE" in got.get("branch_ref", set())
+    # bare digit runs stay gated in unhinted columns
+    assert "USA_SSN" not in got.get("ref_digits", set())
+    # ...but a hinted header still unlocks the generic form
+    hinted = {
+        r["columnName"]: set(r["entityTypes"])
+        for r in classify_columns(
+            df.withColumnRenamed("ref_digits", "ssn"),
+            ["USA_SSN"], 1.0, 0.1, use_context=True,
+        ).collect()
+    }
+    assert "USA_SSN" in hinted.get("ssn", set())
+
+
 def test_long_form_fractions_exact(spark):
     df = spark.createDataFrame(
         [("a@b.co",), ("nope",), ("x@y.io",), (None,)],

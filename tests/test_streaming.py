@@ -456,6 +456,21 @@ def test_stream_segment_dedup_c4_cleaning(spark, tmp_path):
         ("second version body", 1, 1),
     ], v5
 
+    # a CORRECTION reusing its predecessor's (doc_id, ts) whose segments
+    # are all already-seen must still emit (empty) — the sentinel is
+    # keyed on content too, so only bit-for-bit replays vanish
+    write_batch([(6, "fresh six body", "2024-01-01 10:04:00")])
+    run()
+    assert out[6] == ("fresh six body", 1, 0)
+    write_batch([(6, "common footer", "2024-01-01 10:04:00")])  # same id+ts, new text
+    run()
+    assert out[6] == ("", 0, 1)
+    # ...while a true exact replay of THAT correction emits nothing
+    n_before = len(seg_rows)
+    write_batch([(6, "common footer", "2024-01-01 10:04:00")])
+    run()
+    assert len(seg_rows) == n_before
+
 
 def test_stream_minhash_neardup_detection(spark, tmp_path):
     """Streaming NEAR-dup (MinHash-LSH) ingest gate: a lightly-reworded
@@ -608,3 +623,24 @@ def test_session_state_machine_late_event_widens_bounds():
     out = run_batch(["2024-01-01 09:00:00"])
     assert len(out) == 1 and out[0]["n_events"].tolist() == [1]
     assert state.get[2] == 3  # open session untouched
+
+    # batch 5: TWO before-session stragglers within gap of each other
+    # merge into ONE 2-event pending session (batch-twin parity; the
+    # pre-fix kernel emitted two singletons)
+    out = run_batch(["2024-01-01 09:00:00", "2024-01-01 09:05:00"])
+    assert len(out) == 1
+    assert out[0]["n_events"].tolist() == [2]
+    assert out[0]["session_start"].tolist() == [pd.Timestamp("2024-01-01 09:00:00")]
+    assert out[0]["session_end"].tolist() == [pd.Timestamp("2024-01-01 09:05:00")]
+    assert state.get[2] == 3
+
+    # batch 6: stragglers that BRIDGE to the open session get absorbed:
+    # 11:00 starts pending (> gap before the open start 11:55); 11:30 is
+    # in-session (>= 11:25) and widens start to 11:30, which is within
+    # gap of the pending's last (11:00) -> the pending merges in instead
+    # of closing as an early singleton
+    out = run_batch(["2024-01-01 11:00:00", "2024-01-01 11:30:00"])
+    assert out == []
+    start, last, n = state.get
+    assert start == 1704106800000000  # 11:00
+    assert n == 5
