@@ -42,23 +42,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rows-only queries sit past the window; their math is pinned
     # in-window by oracle-backed twins (dedup_minhash_lsh / corpus_clean_xxh
     # -> the md5-LSH chain, dedup_simhash -> dedup_simhash_sketch,
-    # doc_fingerprint -> dedup_exact/doc_winnow_fingerprint), and knn_ivf /
-    # mm_image_decode are pytest-covered (recall bound, decode plumbing).
+    # doc_fingerprint -> dedup_exact/doc_winnow_fingerprint), and knn_ivf
+    # is pytest-covered (recall bound). r6 rotation: the late-landing r5
+    # oracles (corpus_report / corpus_contamination / corpus_clean_exact /
+    # mm_image_decode) and the new pii_classify_counts are IN-window.
     return {
         # -- relational parity core (SURVEY §2) --
         "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_region_volume": R.q5_region_volume,
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,
         "j1_latest_per_key": R.j1_latest_per_key,
-        "j3_lookup_join": R.j3_lookup_join,
-        "f10_time_bucket": R.f10_time_bucket,
         "a3_rollup": R.a3_rollup,
         "w_tumbling_counts": R.w_tumbling_counts,
-        "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
         # -- discovery profiling + PII classification/redaction --
         "pii_classify_derived": P.pii_classify_derived,
+        "pii_classify_counts": P.pii_classify_counts,  # NEW r6: mergeable counts form
         "pii_redact": P.pii_redact,
         "prof_column_stats": P.prof_column_stats,
         "prof_approx_distinct": P.prof_approx_distinct,
@@ -101,8 +99,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "para_dedup": L.EXTRA_QUERIES["para_dedup"],
+        # -- rotated IN for r6 (VERDICT r5 item 2): the late-landing r5
+        #    oracles + this round's new work
+        "corpus_report": L.EXTRA_QUERIES["corpus_report"],
+        "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
+        "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
+        "mm_image_decode": M.QUERIES["mm_image_decode"],
         # ---- driver window ends here (50 entries) ----
         # rotated-out relational rows (3+ green rounds, pytest-pinned)
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_volume": R.q5_region_volume,
+        "f10_time_bucket": R.f10_time_bucket,
+        "j3_lookup_join": R.j3_lookup_join,
+        "q12_priority_by_linestatus": RX.QUERIES["q12_priority_by_linestatus"],
         "a1_argmax_group": R.a1_argmax_group,
         "w_topk_per_group": R.w_topk_per_group,
         "j2_broadcast_enrich": R.j2_broadcast_enrich,
@@ -387,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "pii_classify_derived": P.pii_classify_oracle_sql(),
+        "pii_classify_counts": P.pii_classify_counts_sql(),
         "prof_column_stats": P.prof_column_stats_sql(),
         "prof_approx_distinct": P.prof_approx_distinct_sql(),
         "prof_numeric_quantiles": P.prof_numeric_quantiles_sql(),

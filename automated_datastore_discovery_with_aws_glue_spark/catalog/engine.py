@@ -31,6 +31,9 @@ TRACKER = "tracker"
 FINDINGS = "pii_findings"
 TAG_REPORT = "tag_report"
 RDS_TAG_REPORT = "rds_tag_report"
+#: per-(source, file, column, entity) match counts — the file-level
+#: bookmark that makes re-classification O(changed files)
+CLASSIFY_STATS = "classify_stats"
 
 #: governance tags the reports capture (`lambda/s3-tag-report/app.py:18`)
 REQUIRED_TAG_KEYS = (
@@ -63,15 +66,11 @@ _TRACKER_SCHEMA = T.StructType(
 FINGERPRINT_KEY = "content_fingerprint"
 
 
-def _source_fingerprint(attrs: dict[str, str]) -> str | None:
-    """Content fingerprint of a path-based source: sha256 over the sorted
-    (relative path, size, mtime_ns) of every data file — METADATA-only,
-    no data read. This is the job-bookmark the reference explicitly
-    disabled (`lambda/s3-glue-job-creator/app.py:17`, every run rescans):
-    at 100 TB you re-crawl/re-classify only sources whose listing
-    changed. On an object store the (key, size, etag) listing plays the
-    same role. Returns None for non-path sources (JDBC etc. — callers
-    fall back to unconditional processing)."""
+def _source_listing(attrs: dict[str, str]) -> tuple[str, list[tuple[str, int, int]]] | None:
+    """Metadata-only file listing of a path-based source: the normalized
+    root plus sorted (relative path, size, mtime_ns) entries — no data
+    read. On an object store the (key, size, etag) listing plays the
+    same role. Returns None for non-path sources (JDBC etc.)."""
     path = attrs.get("path")
     if not path:
         return None
@@ -81,7 +80,8 @@ def _source_fingerprint(attrs: dict[str, str]) -> str | None:
     entries: list[tuple[str, int, int]] = []
     if os.path.isfile(p):
         st = os.stat(p)
-        entries.append(("", st.st_size, st.st_mtime_ns))
+        entries.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+        p = os.path.dirname(p)
     else:
         for root, _dirs, files in os.walk(p):
             for name in files:
@@ -96,6 +96,21 @@ def _source_fingerprint(attrs: dict[str, str]) -> str | None:
                     continue
                 entries.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
     entries.sort()
+    return os.path.abspath(p), entries
+
+
+def _source_fingerprint(attrs: dict[str, str]) -> str | None:
+    """Content fingerprint of a path-based source: sha256 over the
+    sorted file listing (see :func:`_source_listing`). This is the
+    job-bookmark the reference explicitly disabled
+    (`lambda/s3-glue-job-creator/app.py:17`, every run rescans): at
+    100 TB you re-crawl/re-classify only sources whose listing changed.
+    Returns None for non-path sources (callers fall back to
+    unconditional processing)."""
+    listing = _source_listing(attrs)
+    if listing is None:
+        return None
+    _root, entries = listing
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:32]
 
 
@@ -407,15 +422,23 @@ class DiscoveryEngine:
             )
         return report
 
-    def _read_source(self, source_type: str, attrs: dict[str, str]) -> DataFrame:
-        path = attrs["path"]
+    def _read_source(
+        self,
+        source_type: str,
+        attrs: dict[str, str],
+        paths: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a source (schema inference). ``paths`` restricts the read
+        to an explicit file list — the delta-read used by file-level
+        incremental classification; every reader here accepts a list."""
+        path: str | list[str] = paths if paths is not None else attrs["path"]
         fmt = attrs.get("format", "csv" if source_type == "s3" else "json")
         if fmt == "csv":
             return read_csv_source(self.spark, path, multi_line=attrs.get("multiline") == "true")
         if fmt == "json":
             return read_json_items(self.spark, path)
         if fmt == "parquet":
-            return self.spark.read.parquet(path)
+            return self.spark.read.parquet(*path) if isinstance(path, list) else self.spark.read.parquet(path)
         raise ValueError(f"unsupported source format: {fmt}")
 
     # -- entry point C: classification + publish (SURVEY §3.3) -------------
@@ -429,17 +452,43 @@ class DiscoveryEngine:
     ) -> int:
         """Classify every cataloged-but-unclassified source, append
         findings, flip ``glue_job_created``. One Spark session, N tables —
-        vs the reference's one cold-started Glue job per table."""
+        vs the reference's one cold-started Glue job per table.
+
+        Path-based sources classify INCREMENTALLY at file granularity
+        (full scans only, ``sample_fraction == 1.0``): per-(file, column,
+        entity) match COUNTS persist in the ``classify_stats`` state
+        table, and a re-classification scans ONLY files that are new or
+        changed since the last pass — unchanged files' counts carry
+        forward, deleted/changed files' counts drop out, and the source's
+        classification derives from the SUM over its current files,
+        bit-identical to a full rescan (counts are additive; fractions
+        are not). This finishes beating the job bookmark the reference
+        disabled (`lambda/s3-glue-job-creator/app.py:17`): at 100 TB the
+        re-classify unit is the changed-file delta, not the table.
+        Non-path sources and sampled passes take the direct whole-table
+        path."""
         pending = self.pending_classify(source_type).collect()
         all_findings: DataFrame | None = None
+        stats_updates: list[DataFrame] = []
+        stats_sources: list[str] = []
         for row in pending:
             fq = f"{row['data_catalog_db_name']}.{row['data_catalog_table_name']}"
-            classified = classify_columns(
-                self.spark.table(fq),
-                entities,
-                sample_fraction,
-                detection_threshold,
-            )
+            attrs = dict(row["data_source_attrs"] or {})
+            listing = _source_listing(attrs) if sample_fraction >= 1.0 else None
+            if listing is None:
+                classified = classify_columns(
+                    self.spark.table(fq),
+                    entities,
+                    sample_fraction,
+                    detection_threshold,
+                )
+            else:
+                classified, stats = self._classify_source_incremental(
+                    row["id"], fq, row["data_source_type"], attrs, listing,
+                    entities, detection_threshold,
+                )
+                stats_updates.append(stats)
+                stats_sources.append(row["id"])
             findings = build_findings(
                 classified,
                 data_source_type=source_type,
@@ -452,6 +501,19 @@ class DiscoveryEngine:
                 else all_findings.unionByName(findings, allowMissingColumns=True)
             )
         if pending:
+            if stats_updates:
+                # one stats version for the whole batch: each source's
+                # partition is REPLACED (kept + delta counts — replace,
+                # not merge, so deleted files' rows actually disappear)
+                new_stats = stats_updates[0]
+                for extra in stats_updates[1:]:
+                    new_stats = new_stats.unionByName(extra)
+                self.store.replace_partitions(
+                    CLASSIFY_STATS,
+                    new_stats,
+                    partition_by="source_id",
+                    values=stats_sources,
+                )
             # One findings append and one tracker MERGE for the whole batch:
             # exactly one version bump on each state table per call.
             self.store.append(FINDINGS, all_findings, partition_by="data_catalog_table")
@@ -468,6 +530,119 @@ class DiscoveryEngine:
                 prune_partitions=True,
             )
         return len(pending)
+
+    _STATS_COLS = ("source_id", "file", "sig", "columnName", "entity", "n_matched", "n_values")
+    _STATS_SCHEMA = (
+        "source_id string, file string, sig string, columnName string, "
+        "entity string, n_matched long, n_values long"
+    )
+
+    def _classify_source_incremental(
+        self,
+        source_id: str,
+        fq: str,
+        source_type: str,
+        attrs: dict[str, str],
+        listing: tuple[str, list[tuple[str, int, int]]],
+        entities: list[str] | None,
+        detection_threshold: float,
+    ) -> tuple[DataFrame, DataFrame]:
+        """File-level incremental classify of one path source. Returns
+        ``(classified, stats)`` where ``stats`` is the source's NEW
+        complete per-file count set (kept + delta) destined for a
+        partition replace.
+
+        Delta files are read through the normal source reader restricted
+        to their paths, CONFORMED to the registered table's schema by
+        NAME (missing columns -> typed NULLs, shared columns cast), and
+        counted per file via ``input_file_name()`` grouping — one job for
+        the whole delta, not one per file. A per-file sentinel row
+        (``columnName = ''``) records files that yielded zero values
+        (header-only/empty) so they aren't re-read forever."""
+        from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+            classification_from_counts,
+            classify_columns_counts,
+        )
+
+        from automated_datastore_discovery_with_aws_glue_spark.functions.entities import resolve_entities
+
+        root, entries = listing
+        # the entity set is part of each file's signature: counts stored
+        # for [EMAIL] can't answer a later [EMAIL, PHONE] pass — a
+        # changed detector set must invalidate every file, not silently
+        # merge partial counts (threshold changes, by contrast, are
+        # derive-time only and reuse counts as-is)
+        ehash = hashlib.sha256(
+            json.dumps(sorted(s.name for s in resolve_entities(entities))).encode()
+        ).hexdigest()[:8]
+        sigs = {rel: f"{size}:{mtime}:{ehash}" for rel, size, mtime in entries}
+        prior: DataFrame | None = None
+        prior_sigs: dict[str, str] = {}
+        if self.store.exists(CLASSIFY_STATS):
+            prior = self.store.read(CLASSIFY_STATS).filter(F.col("source_id") == source_id)
+            # control-plane collect: one row per (file) — the file count
+            # of ONE source; at larger scale flip this to a distributed
+            # anti-join on (file, sig)
+            prior_sigs = {
+                r["file"]: r["sig"] for r in prior.select("file", "sig").distinct().collect()
+            }
+        delta = sorted(f for f, sig in sigs.items() if prior_sigs.get(f) != sig)
+        kept = sorted(f for f, sig in sigs.items() if prior_sigs.get(f) == sig)
+
+        table_schema = self.spark.table(fq).schema
+        string_cols = [f.name for f in table_schema.fields if f.dataType.typeName() == "string"]
+        parts: list[DataFrame] = []
+        if prior is not None and kept:
+            parts.append(prior.filter(F.col("file").isin(kept)).select(*self._STATS_COLS))
+        if delta:
+            raw = self._read_source(source_type, attrs, [os.path.join(root, f) for f in delta])
+            present = set(raw.columns)
+            conformed = raw.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in present
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in table_schema.fields
+                ]
+            )
+            import re as _re
+
+            # input_file_name() -> source-relative path (strip scheme +
+            # root; object-store keys would come pre-relative)
+            rel_file = F.regexp_replace(
+                F.input_file_name(), "^.*?" + _re.escape(root.rstrip("/")) + "/", ""
+            )
+            counts = classify_columns_counts(
+                conformed,
+                entities,
+                columns=string_cols,
+                file_col=rel_file,
+            )
+            sig_rows = [(source_id, f, sigs[f]) for f in delta]
+            sig_df = self.spark.createDataFrame(sig_rows, "source_id string, file string, sig string")
+            parts.append(
+                counts.join(F.broadcast(sig_df), "file", "inner").select(*self._STATS_COLS)
+            )
+            # zero-value files (header-only, empty) still need their sig
+            # recorded or they'd re-read as delta every pass
+            sentinels = self.spark.createDataFrame(
+                [(sid, f, sig, "", "", 0, 0) for sid, f, sig in sig_rows],
+                self._STATS_SCHEMA,
+            )
+            parts.append(sentinels)
+        if parts:
+            stats = parts[0]
+            for extra in parts[1:]:
+                stats = stats.unionByName(extra)
+        else:
+            stats = self.spark.createDataFrame([], self._STATS_SCHEMA)
+        classified = classification_from_counts(
+            stats.filter(F.col("columnName").isin(string_cols)),
+            entities,
+            detection_threshold,
+            column_names=string_cols,
+        )
+        return classified, stats
 
     def latest_findings(self) -> DataFrame:
         """J1/A1: latest classification per catalog table (window argmax —

@@ -251,9 +251,30 @@ def classify_columns(
         seed=seed,
         _exact_forms=use_context,
     )
+    return _finalize_classification(
+        long_df,
+        specs,
+        _string_columns(df, columns),
+        detection_threshold=detection_threshold,
+        use_context=use_context,
+    )
+
+
+def _finalize_classification(
+    long_df: DataFrame,
+    specs: list[EntitySpec],
+    cols: Sequence[str],
+    *,
+    detection_threshold: float,
+    use_context: bool,
+) -> DataFrame:
+    """Threshold + context gate + collect, shared by the direct
+    (fraction) path and the mergeable count path: takes the long frame
+    ``(columnName, entity, match_fraction)`` — with ``!exact`` marker
+    rows when ``use_context`` — and produces the reference-shaped
+    ``(columnName, entityTypes)``."""
     keep = F.col("match_fraction") >= detection_threshold
     if use_context:
-        cols = _string_columns(df, columns)
         approx = [s.name for s in specs if s.approximate]
         has_exact = [s.name for s in specs if s.approximate and s.exact_pattern]
         hinted = [
@@ -298,6 +319,124 @@ def classify_columns(
         long_df.filter(keep)
         .groupBy("columnName")
         .agg(F.sort_array(F.collect_list("entity")).alias("entityTypes"))
+    )
+
+
+def classify_columns_counts(
+    df: DataFrame,
+    entities: Sequence[str] | None = None,
+    *,
+    columns: Sequence[str] | None = None,
+    validate: bool = False,
+    file_col: Column | None = None,
+    exact_forms: bool = True,
+) -> DataFrame:
+    """The MERGEABLE form of classification: per-(column, entity) match
+    COUNTS instead of fractions — ``(columnName, entity, n_matched,
+    n_values)``, optionally keyed by ``file_col`` (e.g.
+    ``F.input_file_name()``) for per-file attribution.
+
+    Fractions are not additive across file subsets; counts are. This is
+    what makes file-level incremental classification exact: classify only
+    the new/changed files of a source, store their counts, and derive the
+    source's classification from the SUM over its current files —
+    bit-identical to a full rescan (``sum(matched)/sum(values)`` is the
+    same double ``avg`` computes). The reference re-scans every source in
+    full on every run (its job bookmark is disabled,
+    `lambda/s3-glue-job-creator/app.py:17`).
+
+    Same single stack + hash aggregate shape as
+    :func:`classify_columns_long`; the shuffle carries
+    ``#files x #columns`` keys, still metadata-scale.
+
+    ``exact_forms=True`` also emits ``<entity>!exact`` rows for
+    approximate specs with an ``exact_pattern`` so the downstream
+    context gate (:func:`classification_from_counts`) can replay
+    :func:`classify_columns`'s exact-sub-form escape.
+    """
+    specs = resolve_entities(list(entities) if entities is not None else None)
+    cols = _string_columns(df, columns)
+    spark = df.sparkSession
+    out_schema = "file string, columnName string, entity string, n_matched long, n_values long"
+    if not cols:
+        return spark.createDataFrame([], out_schema if file_col is not None else out_schema.split(", ", 1)[1])
+
+    stack_args: list[Column] = []
+    for c in cols:
+        stack_args.append(F.lit(c))
+        stack_args.append(F.col(c).cast("string"))
+    pre = [file_col.alias("file")] if file_col is not None else []
+    keys = ["file", "columnName"] if file_col is not None else ["columnName"]
+    stacked = df.select(
+        *pre, F.stack(F.lit(len(cols)), *stack_args).alias("columnName", "raw_value")
+    ).select(*keys, F.trim(F.col("raw_value")).alias("value"))
+
+    empty = F.col("value").isNull() | (F.col("value") == "")
+    agg_names: list[str] = []
+    aggs: list[Column] = [
+        F.sum(F.when(~empty, 1).otherwise(0)).alias("__n_values")
+    ]
+    for s in specs:
+        agg_names.append(s.name)
+        aggs.append(
+            F.sum(
+                F.when(~empty & _match_expr(F.col("value"), s, validate), 1).otherwise(0)
+            ).alias(s.name)
+        )
+        if exact_forms and s.approximate and s.exact_pattern:
+            matched = F.col("value").rlike(s.anchored_exact)
+            if validate and s.validator in _VALIDATORS:
+                matched = matched & _VALIDATORS[s.validator](F.col("value"))
+            exact_name = s.name + _EXACT_MARK
+            agg_names.append(exact_name)
+            aggs.append(F.sum(F.when(~empty & matched, 1).otherwise(0)).alias(exact_name))
+    wide = stacked.groupBy(*keys).agg(*aggs)
+
+    unstack_args: list[Column] = []
+    for name in agg_names:
+        unstack_args.append(F.lit(name))
+        unstack_args.append(F.col(name))
+    return wide.select(
+        *keys,
+        F.stack(F.lit(len(agg_names)), *unstack_args).alias("entity", "n_matched"),
+        F.col("__n_values").alias("n_values"),
+    )
+
+
+def classification_from_counts(
+    counts: DataFrame,
+    entities: Sequence[str] | None = None,
+    detection_threshold: float = 0.1,
+    *,
+    column_names: Sequence[str] | None = None,
+    use_context: bool = True,
+) -> DataFrame:
+    """Derive the reference-shaped ``(columnName, entityTypes)`` from
+    (possibly per-file, possibly multi-pass) match counts: sum, divide,
+    then the SAME threshold + context gate as :func:`classify_columns`.
+    ``column_names`` feeds the context gate's hint check (defaults to the
+    distinct columns present in ``counts``, resolved driver-side — the
+    frame is metadata-scale)."""
+    specs = resolve_entities(list(entities) if entities is not None else None)
+    summed = counts.groupBy("columnName", "entity").agg(
+        F.sum("n_matched").alias("n_matched"), F.sum("n_values").alias("n_values")
+    )
+    long_df = summed.select(
+        "columnName",
+        "entity",
+        F.when(
+            F.col("n_values") > 0,
+            F.round(F.col("n_matched") / F.col("n_values"), 4),
+        ).alias("match_fraction"),
+    )
+    if column_names is None:
+        column_names = [r[0] for r in counts.select("columnName").distinct().collect()]
+    return _finalize_classification(
+        long_df,
+        specs,
+        list(column_names),
+        detection_threshold=detection_threshold,
+        use_context=use_context,
     )
 
 

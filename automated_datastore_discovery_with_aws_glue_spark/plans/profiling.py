@@ -72,6 +72,72 @@ def pii_classify_oracle_sql() -> str:
     )
 
 
+def pii_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE classification form (file-level incremental
+    classification's storage unit, `catalog/engine.py` classify_stats):
+    per-(column, entity) match COUNTS over the derived PII frame, split
+    into two halves by a deterministic partition key and summed back —
+    exercising exactly the counts-are-additive invariant the incremental
+    engine relies on. The DuckDB oracle recomputes the same counts in one
+    pass; equality proves split-then-merge == full-scan."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import classify_columns_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    derived = ev.select(
+        (F.col("event_id") % 2).cast("string").alias("half"),
+        F.format_string("%03d-%02d-%04d", F.col("user_id"), F.col("event_id") % 100, F.col("event_id") % 10000).alias("ssn_like"),
+        F.concat(F.lit("user"), F.col("user_id"), F.lit("@example.com")).alias("email_like"),
+        F.col("event_type").alias("free_text"),
+    )
+    counts = classify_columns_counts(
+        derived,
+        list(ORACLE_ENTITIES),
+        columns=["ssn_like", "email_like", "free_text"],
+        file_col=F.col("half"),
+        exact_forms=False,
+    )
+    return (
+        counts.groupBy("columnName", "entity")
+        .agg(
+            F.sum("n_matched").alias("n_matched"),
+            F.sum("n_values").alias("n_values"),
+        )
+        .orderBy("columnName", "entity")
+    )
+
+
+def pii_classify_counts_sql() -> str:
+    """DuckDB twin of :func:`pii_classify_counts` — one-pass counts from
+    the same registry regexes (the Spark side splits into halves and
+    sums; additivity makes the results identical)."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.entities import ENTITY_REGISTRY
+
+    derived = """
+        SELECT printf('%03d-%02d-%04d', user_id, event_id % 100, event_id % 10000) AS ssn_like,
+               'user' || user_id || '@example.com' AS email_like,
+               event_type AS free_text
+        FROM events
+    """
+    unions = " UNION ALL ".join(
+        f"SELECT '{col}' AS columnName, trim({col}) AS value FROM derived"
+        for col in ("email_like", "free_text", "ssn_like")
+    )
+    entity_rows = []
+    for name in ORACLE_ENTITIES:
+        rx = ENTITY_REGISTRY[name].anchored.replace("'", "''")
+        entity_rows.append(
+            f"SELECT columnName, '{name}' AS entity, "
+            f"sum(CASE WHEN value IS NOT NULL AND value <> '' AND regexp_matches(value, '{rx}') THEN 1 ELSE 0 END) AS n_matched, "
+            f"sum(CASE WHEN value IS NOT NULL AND value <> '' THEN 1 ELSE 0 END) AS n_values "
+            f"FROM stacked GROUP BY columnName"
+        )
+    body = " UNION ALL ".join(entity_rows)
+    return (
+        f"WITH derived AS ({derived}), stacked AS ({unions}) "
+        f"SELECT * FROM ({body}) ORDER BY columnName, entity"
+    )
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scrubbing step a training-data pipeline runs AFTER
     classification: cell-level masking of the structured PII columns

@@ -46,26 +46,29 @@ the scan's ``basePath``, so ``v=NNNNNNNN`` is parsed as a partition
 column and dropped — a data column literally named ``v`` would collide
 (rejected at write time).
 
-Commit atomicity — failure modes on rename-less object stores. The
-commit protocol is (1) acquire ``_COMMIT_LOCK`` via ``O_CREAT|O_EXCL``,
-(2) ``os.rename`` staging -> version dir, (3) ``os.replace`` the
-``_LATEST`` pointer, (4) release the lock. On POSIX every step is atomic
-and a reader can never observe a torn state: the pointer flips only
-after the version dir fully exists, and a crash between (2) and (3)
-leaves an orphaned (unreferenced, invisible) version dir that the next
-writer's CAS ignores and ``vacuum`` sweeps. On raw S3-style stores
-neither ``O_EXCL`` nor rename is atomic, so THIS CLASS MUST NOT run
-against one directly; the supported postures are (a) a
-strongly-consistent POSIX layer (EFS/NFSv4/Lustre — what 100 TB Spark
-deployments mount for coordination), or (b) swapping the pointer flip
-for a conditional-PUT CAS (S3 now supports If-None-Match; DynamoDB lock
-tables are the classic fallback) — the single-pointer design is exactly
-the Delta/Iceberg commit shape, so the hand-off is the pointer write
-alone, which is why commit state lives in ONE file. A writer that dies
-holding the lock blocks later writers with ``ConcurrentWriteError``
-(fail-stop, never corruption); removing the stale lock file is the
-documented operator intervention (see
-``test_commit_lock_held_raises_concurrent_write``).
+Commit atomicity — PLUGGABLE commit backends (``state/commit.py``). The
+default :class:`PosixCommitBackend` protocol is (1) acquire
+``_COMMIT_LOCK`` via ``O_CREAT|O_EXCL``, (2) ``os.rename`` staging ->
+version dir, (3) ``os.replace`` the ``_LATEST`` pointer, (4) release the
+lock. On POSIX every step is atomic and a reader can never observe a
+torn state: the pointer flips only after the version dir fully exists,
+and a crash between (2) and (3) leaves an orphaned (unreferenced,
+invisible) version dir that the next writer's CAS ignores and ``vacuum``
+sweeps. On raw S3-style stores neither ``O_EXCL`` nor rename is atomic —
+pass :class:`ConditionalPutCommitBackend` instead, which commits with
+the store's conditional PUTs only (If-None-Match claim of the version
+slot, non-atomic multi-file publish into the unreferenced slot, If-Match
+CAS of the pointer — the Delta-on-S3/Iceberg commit shape; the
+single-pointer design is exactly why commit state lives in ONE file).
+Supported postures therefore: (a) strongly-consistent POSIX layer
+(EFS/NFSv4/Lustre — what 100 TB Spark deployments mount for
+coordination) with the default backend, or (b) a conditional-PUT-capable
+object store with the conditional backend. Under either backend a writer
+that dies mid-commit blocks later writers with ``ConcurrentWriteError``
+(fail-stop, never corruption); removing the stale lock file / ``_CLAIM``
+slot is the documented operator intervention (see
+``test_commit_lock_held_raises_concurrent_write`` /
+``test_conditional_backend_stale_claim_fail_stop``).
 """
 
 from __future__ import annotations
@@ -73,7 +76,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 import time
 import uuid
 
@@ -103,9 +105,17 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class ParquetStateStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, *, commit_backend=None):
+        """``commit_backend`` selects the commit protocol (see
+        ``state/commit.py``): default :class:`PosixCommitBackend`
+        (lock file + atomic rename — strongly-consistent POSIX layers);
+        pass :class:`ConditionalPutCommitBackend` for rename-less
+        object-store postures (conditional-PUT claim + pointer CAS)."""
+        from automated_datastore_discovery_with_aws_glue_spark.state.commit import PosixCommitBackend
+
         self.spark = spark
         self.root = root
+        self._backend = commit_backend or PosixCommitBackend()
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping ------------------------------------------------
@@ -131,46 +141,22 @@ class ParquetStateStore:
 
     def _commit_staged(self, table: str, staging: str, *, expect: int) -> int:
         """Publish a fully-written staging directory as version
-        ``expect + 1`` — the optimistic-concurrency CAS. Writers never
-        touch a live version directory: data lands in a uniquely-named
-        staging dir first, then a lock file (O_CREAT|O_EXCL — atomic on
-        POSIX) serializes the check-rename-flip. A pointer that moved
-        past ``expect`` raises :class:`ConcurrentWriteError`; the loser's
-        staging dir is discarded and the winner's commit stands untouched
-        (the reference's VersionId guard, `lambda/pii-report/app.py:200-211`)."""
-        tdir = self._table_dir(table)
-        lock = os.path.join(tdir, "_COMMIT_LOCK")
-        try:
-            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"{table}: commit lock held by another writer"
-            ) from None
-        try:
-            found = self.latest_version(table)
-            if found != expect:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"{table}: expected version {expect}, found {found}"
-                )
-            version = expect + 1
-            vdir = self._version_dir(table, version)
-            # a crash between a previous commit's rename and pointer flip
-            # leaves an orphan (unreferenced, invisible) version dir at
-            # exactly this number; we hold the lock, so nothing live owns
-            # it — clear it or the rename wedges every commit (ENOTEMPTY)
-            if os.path.exists(vdir):
-                shutil.rmtree(vdir, ignore_errors=True)
-            os.rename(staging, vdir)
-            fd, tmp = tempfile.mkstemp(dir=tdir, prefix="._latest")
-            with os.fdopen(fd, "w") as fh:
-                fh.write(str(version))
-            os.replace(tmp, self._pointer(table))  # atomic pointer flip
-            return version
-        finally:
-            os.close(lock_fd)
-            os.remove(lock)
+        ``expect + 1`` — the optimistic-concurrency CAS, delegated to the
+        configured commit backend (``state/commit.py``: POSIX lock +
+        atomic rename by default; conditional-PUT claim + pointer CAS for
+        rename-less object stores). Writers never touch a live version
+        directory: a pointer that moved past ``expect`` raises
+        :class:`ConcurrentWriteError`; the loser's staging dir is
+        discarded and the winner's commit stands untouched (the
+        reference's VersionId guard, `lambda/pii-report/app.py:200-211`)."""
+        return self._backend.commit(
+            table=table,
+            table_dir=self._table_dir(table),
+            pointer=self._pointer(table),
+            staging=staging,
+            version_dir=self._version_dir(table, expect + 1),
+            expect=expect,
+        )
 
     # -- public API ---------------------------------------------------------
 
@@ -289,6 +275,115 @@ class ParquetStateStore:
             # resolved (it names each file's owning version), so it
             # carries forward verbatim — manifests never chain
             inherited.extend(self._read_manifest(cur_dir))
+            self._write_manifest(staging, inherited)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._commit_staged(table, staging, expect=cur_v)
+
+    def replace_partitions(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: str,
+        values: list,
+    ) -> None:
+        """INSERT OVERWRITE PARTITION semantics (Spark's dynamic
+        partition-overwrite, modeled on the versioned store): the listed
+        ``values`` of ``partition_by`` are REPLACED wholesale by ``df``'s
+        rows — including replacement-by-nothing (a value with zero rows in
+        ``df`` is emptied, which plain ``merge`` cannot express because it
+        never deletes) — while every other partition's files hard-link
+        into the new version unchanged. O(touched partitions), not
+        O(table): the per-source bookkeeping tables (file-level classify
+        stats) rewrite one source's partition per pass at 100 TB.
+
+        Values must be partition-dir-safe (no chars Spark escapes in
+        ``k=v`` dir names — hex ids and identifiers are; arbitrary user
+        strings may not be) and non-NULL; ``df`` must not carry partition
+        values outside ``values`` (enforced here — extra values would
+        shadow live partitions at link time).
+        """
+        if any(v is None for v in values):
+            raise ValueError("replace_partitions: NULL partition values unsupported")
+        if not self.exists(table):
+            self._write_version(table, df, partition_by=partition_by)
+            return
+        self._check_reserved(df)
+        stray = (
+            df.select(partition_by)
+            .distinct()
+            .filter(~F.col(partition_by).isin(values) | F.col(partition_by).isNull())
+            .limit(1)
+            .collect()
+        )
+        if stray:
+            raise ValueError(
+                f"replace_partitions: df carries partition value {stray[0][0]!r} "
+                f"outside the declared replacement set"
+            )
+        cur_v = self.latest_version(table)
+        cur_dir = self._version_dir(table, cur_v)
+        current = self.read(table)
+        if set(df.columns) != set(current.columns):
+            raise ValueError(
+                "replace_partitions: schema drift — align df to the table "
+                f"columns first (have {sorted(df.columns)}, "
+                f"table {sorted(current.columns)})"
+            )
+        prev_part_cols = {
+            name.split("=", 1)[0]
+            for name in os.listdir(cur_dir)
+            if "=" in name and os.path.isdir(os.path.join(cur_dir, name))
+        }
+        if prev_part_cols != {partition_by}:
+            # current version isn't laid out by this column (first write
+            # was unpartitioned, or a different key): full logical
+            # replace-rewrite — correctness first, the next version is
+            # partitioned and later passes prune again
+            merged = current.filter(
+                ~F.col(partition_by).isin(values) | F.col(partition_by).isNull()
+            ).unionByName(df.select(*current.columns))
+            self._write_version(table, merged, partition_by=partition_by, expect=cur_v)
+            return
+        replaced_dirs = {f"{partition_by}={v}" for v in values}
+        staging = self._staging_dir(table)
+        try:
+            df.select(*current.columns).write.mode("overwrite").partitionBy(
+                partition_by
+            ).parquet(staging)
+            inherited: list[dict] = []
+            untouched = [
+                name
+                for name in os.listdir(cur_dir)
+                if "=" in name
+                and os.path.isdir(os.path.join(cur_dir, name))
+                and name not in replaced_dirs
+            ]
+            for name in untouched:
+                if os.path.isdir(os.path.join(staging, name)):
+                    # df wrote into a partition it did not declare — the
+                    # stray check above makes this unreachable unless the
+                    # value's dir-name encoding diverged; fail loudly
+                    # rather than mixing old and new files
+                    raise ValueError(
+                        f"replace_partitions: undeclared partition dir {name} "
+                        "in staging (value not dir-name-safe?)"
+                    )
+                sub = self._link_version_files(
+                    os.path.join(cur_dir, name), os.path.join(staging, name)
+                )
+                inherited.extend(
+                    {"dst": os.path.join(name, e["dst"]), "src": e["src"]}
+                    for e in sub
+                )
+            untouched_set = set(untouched)
+            inherited.extend(
+                e
+                for e in self._read_manifest(cur_dir)
+                if e["dst"].split(os.sep, 1)[0] in untouched_set
+            )
             self._write_manifest(staging, inherited)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)

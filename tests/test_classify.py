@@ -392,3 +392,37 @@ def test_redact_text_no_partial_digit_run_leak(spark):
         redact_text(F.col("t"), ["EMAIL", "PHONE_NUMBER", "CREDIT_CARD"]).alias("r")
     ).collect()[0]["r"]
     assert got == "call [PHONE_NUMBER], card [CREDIT_CARD]", got
+
+
+def test_counts_form_merges_to_full_scan_classification(spark):
+    """The mergeable count form: per-subset counts summed across subsets
+    derive EXACTLY the classification a one-shot full scan produces
+    (sum(matched)/sum(values) == avg) — the invariant behind file-level
+    incremental classification."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+        classification_from_counts,
+        classify_columns_counts,
+    )
+
+    rows_a = [(f"u{i}@ex.com", f"{100+i:03d}-{10+i%80:02d}-{1000+i:04d}") for i in range(30)]
+    rows_b = [(f"plain {i}", f"note {i}") for i in range(70)]
+    cols = ["contact", "ref"]
+    full = spark.createDataFrame(rows_a + rows_b, cols)
+    ent = ["EMAIL", "USA_SSN"]
+
+    part_counts = [
+        classify_columns_counts(spark.createDataFrame(rows, cols), ent, file_col=F.lit(tag))
+        for tag, rows in (("a", rows_a), ("b", rows_b))
+    ]
+    merged = part_counts[0].unionByName(part_counts[1])
+    got = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classification_from_counts(merged, ent, 0.25, column_names=cols).collect()
+    }
+    expected = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(full, ent, 1.0, 0.25).collect()
+    }
+    # EMAIL at 30% clears 0.25; the unhinted dashed-SSN column clears via
+    # the exact sub-form — through the counts path too
+    assert got == expected == {"contact": ["EMAIL"], "ref": ["USA_SSN"]}

@@ -397,7 +397,7 @@ def test_recrawl_fingerprint_incremental_classification(spark, tmp_path):
 
     reads = []
     orig = eng._read_source
-    eng._read_source = lambda st, attrs: (reads.append(1), orig(st, attrs))[1]
+    eng._read_source = lambda st, attrs, paths=None: (reads.append(1), orig(st, attrs, paths))[1]
 
     # unchanged source: recrawl skips with zero source scans, and the
     # second classify pass scans nothing
@@ -446,3 +446,99 @@ def test_register_pending_disambiguates_basename_collisions(spark, tmp_path):
     # tracker rows record the distinct table names
     names = [r["data_catalog_table_name"] for r in eng.tracker().collect()]
     assert len(set(names)) == 2
+
+
+def test_file_level_incremental_classification(spark, tmp_path):
+    """File-granular re-classification (the 100 TB win over the
+    reference's disabled bookmark): a second classify pass reads ONLY
+    the new/changed files, merges their counts with the kept files'
+    stored counts, and the derived findings are identical to a full
+    rescan of the whole source — including after a file DELETE (zero
+    reads, counts drop out) and after an entity-set change (all files
+    invalidated)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import classify_columns
+
+    src = tmp_path / "mailbox"
+    src.mkdir()
+
+    def write_file(name, n, p_email, q_email):
+        with open(src / name, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["col_p", "col_q"])
+            for i in range(n):
+                w.writerow(
+                    [
+                        f"p{i}@example.com" if p_email else f"plain p {i}",
+                        f"q{i}@example.com" if q_email else f"plain q {i}",
+                    ]
+                )
+
+    # a.csv: col_p all emails, col_q none
+    write_file("a.csv", 40, True, False)
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="filedelta_db")
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "mailbox", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+
+    read_paths: list[list[str] | None] = []
+    orig = eng._read_source
+    def spy(st, attrs, paths=None):
+        read_paths.append(sorted(paths) if paths else paths)
+        return orig(st, attrs, paths)
+    eng._read_source = spy
+
+    assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
+    assert read_paths == [[str(src / "a.csv")]]
+    fq = "filedelta_db.s3_mailbox"
+    found = {r["columnName"]: list(r["entityTypes"]) for r in eng.latest_findings().collect()}
+    assert found == {"col_p": ["EMAIL"]}
+
+    # b.csv lands: col_q all emails, col_p none — merged fractions are
+    # p: 40/120 = 0.33 (below 0.5), q: 80/120 = 0.67 (above)
+    write_file("b.csv", 80, False, True)
+    assert eng.recrawl("s3")[0]["skipped"] is False
+    read_paths.clear()
+    assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
+    # the recrawl read the full source; the CLASSIFY pass read only b.csv
+    classify_reads = [p for p in read_paths if p is not None]
+    assert classify_reads == [[str(src / "b.csv")]], read_paths
+    found = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in eng.latest_findings().filter("data_catalog_table = 's3_mailbox'").collect()
+    }
+    # delta-only (q=1.0, p=0) and kept-only (p=1.0, q=0) would both be
+    # wrong in opposite directions; only the true merge flips p off AND
+    # q on -- and it must equal a direct full rescan of the table
+    expected = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(spark.table(fq), ["EMAIL"], 1.0, 0.5).collect()
+    }
+    assert found == expected == {"col_q": ["EMAIL"]}
+
+    # delete b.csv: classification re-opens, the classify pass reads
+    # NOTHING (a.csv's counts are still good), b's counts drop out and
+    # col_p's 100% comes back -- again bit-equal to the full rescan
+    (src / "b.csv").unlink()
+    assert eng.recrawl("s3")[0]["skipped"] is False
+    read_paths.clear()
+    assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
+    assert [p for p in read_paths if p is not None] == []
+    found = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in eng.latest_findings().filter("data_catalog_table = 's3_mailbox'").collect()
+    }
+    expected = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(spark.table(fq), ["EMAIL"], 1.0, 0.5).collect()
+    }
+    assert found == expected == {"col_p": ["EMAIL"]}
+
+    # entity-set change invalidates every file's counts: touch a.csv to
+    # re-open, classify with a DIFFERENT detector set -> a.csv re-read
+    # (counts for [EMAIL] cannot answer [EMAIL, PHONE_NUMBER])
+    write_file("a.csv", 40, True, False)
+    assert eng.recrawl("s3")[0]["skipped"] is False
+    read_paths.clear()
+    assert eng.classify_pending("s3", ["EMAIL", "PHONE_NUMBER"], detection_threshold=0.5) == 1
+    assert [p for p in read_paths if p is not None] == [[str(src / "a.csv")]]

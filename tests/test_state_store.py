@@ -580,3 +580,253 @@ def test_merge_collapses_exact_replays_and_rejects_dup_keys(spark):
     conflict = _df(spark, [("b", 2, True), ("b", 3, True)])
     with pytest.raises(Exception, match="DISTINCT source rows"):
         merge_frames(t, conflict, "id").collect()
+
+
+def test_replace_partitions_overwrite_link_and_empty(spark, store):
+    """INSERT OVERWRITE PARTITION semantics: listed values are replaced
+    wholesale (including replacement-by-nothing — a delete merge can't
+    express), untouched partitions hard-link, stray values are rejected."""
+    import pytest as _pytest
+
+    t = spark.createDataFrame(
+        [("s1", "f1", 10), ("s1", "f2", 20), ("s2", "f1", 30)],
+        ["source_id", "file", "n"],
+    )
+    store.init("stats", t, partition_by="source_id")
+
+    # replace s1 with a different row set (f2 dropped, f3 added)
+    repl = spark.createDataFrame([("s1", "f1", 11), ("s1", "f3", 12)], ["source_id", "file", "n"])
+    store.replace_partitions("stats", repl, partition_by="source_id", values=["s1"])
+    out = {(r["source_id"], r["file"]): r["n"] for r in store.read("stats").collect()}
+    assert out == {("s1", "f1"): 11, ("s1", "f3"): 12, ("s2", "f1"): 30}
+    # untouched s2: identical hard-linked files
+    assert _partition_inodes(store, "stats", 2, "source_id=s2") == _partition_inodes(
+        store, "stats", 1, "source_id=s2"
+    )
+
+    # replacement-by-nothing empties the partition
+    empty = spark.createDataFrame([], "source_id string, file string, n int")
+    store.replace_partitions("stats", empty, partition_by="source_id", values=["s1"])
+    out = {(r["source_id"], r["file"]): r["n"] for r in store.read("stats").collect()}
+    assert out == {("s2", "f1"): 30}
+
+    # a frame carrying values outside the declared set is rejected
+    stray = spark.createDataFrame([("s9", "f1", 1)], ["source_id", "file", "n"])
+    with _pytest.raises(ValueError, match="outside the declared"):
+        store.replace_partitions("stats", stray, partition_by="source_id", values=["s1"])
+
+
+def test_replace_partitions_unpartitioned_fallback(spark, store):
+    """A current version not laid out by the partition column takes the
+    logical full-rewrite path — other sources' rows survive."""
+    t = spark.createDataFrame([("s1", 1), ("s2", 2)], ["source_id", "n"])
+    store.init("flat", t)  # unpartitioned v1
+    repl = spark.createDataFrame([("s1", 99)], ["source_id", "n"])
+    store.replace_partitions("flat", repl, partition_by="source_id", values=["s1"])
+    out = {r["source_id"]: r["n"] for r in store.read("flat").collect()}
+    assert out == {"s1": 99, "s2": 2}
+    # and the new version IS partitioned, so the next replace prunes
+    repl2 = spark.createDataFrame([("s2", 88)], ["source_id", "n"])
+    store.replace_partitions("flat", repl2, partition_by="source_id", values=["s2"])
+    assert _partition_inodes(store, "flat", 3, "source_id=s1") == _partition_inodes(
+        store, "flat", 2, "source_id=s1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ConditionalPutCommitBackend — the rename-less object-store commit
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cond_store(spark, tmp_path):
+    from automated_datastore_discovery_with_aws_glue_spark.state.commit import ConditionalPutCommitBackend
+
+    return ParquetStateStore(
+        spark, str(tmp_path), commit_backend=ConditionalPutCommitBackend()
+    )
+
+
+def test_conditional_backend_full_store_surface(spark, cond_store):
+    """init/append/merge/prune/read/time-travel/vacuum all work through
+    the conditional-PUT commit path (no lock file, no renames)."""
+    import os
+
+    t = spark.createDataFrame(
+        [("a", 1, "s3"), ("b", 2, "rds")], ["id", "val", "data_source_type"]
+    )
+    cond_store.init("trk", t, partition_by="data_source_type")
+    cond_store.append(
+        "trk",
+        spark.createDataFrame([("c", 3, "s3")], ["id", "val", "data_source_type"]),
+        partition_by="data_source_type",
+    )
+    cond_store.merge(
+        "trk",
+        spark.createDataFrame([("a", 99, "s3")], ["id", "val", "data_source_type"]),
+        "id",
+        set_on_match={"val": F.col("src.val")},
+        partition_by="data_source_type",
+        prune_partitions=True,
+    )
+    out = {r["id"]: r["val"] for r in cond_store.read("trk").collect()}
+    assert out == {"a": 99, "b": 2, "c": 3}
+    assert cond_store.versions("trk") == [1, 2, 3]
+    assert {r["id"] for r in cond_store.read("trk", version=1).collect()} == {"a", "b"}
+    cond_store.vacuum("trk", keep=1)
+    # no POSIX commit-lock artifacts anywhere
+    assert not os.path.exists(os.path.join(cond_store._table_dir("trk"), "_COMMIT_LOCK"))
+    # committed versions carry no claim markers
+    from automated_datastore_discovery_with_aws_glue_spark.state.commit import CLAIM_MARKER
+
+    for v in cond_store.versions("trk"):
+        assert not os.path.exists(
+            os.path.join(cond_store._version_dir("trk", v), CLAIM_MARKER)
+        )
+
+
+def test_conditional_backend_cas_rejects_stale_writer(spark, cond_store):
+    """Same optimistic-concurrency contract as the POSIX backend: the
+    stale writer loses with ConcurrentWriteError, cleans its staging,
+    and the winner's commit stands."""
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    cond_store.init("t", _df(spark, [("a", 1, True)]))
+    stale = cond_store.latest_version("t")
+    loser_staging = cond_store._staging_dir("t")
+    _df(spark, [("stale", 9, False)]).write.parquet(loser_staging)
+    cond_store.overwrite("t", _df(spark, [("b", 2, True)]))
+    with pytest.raises(ConcurrentWriteError):
+        cond_store._commit_staged("t", loser_staging, expect=stale)
+    assert cond_store.latest_version("t") == 2
+    assert [r["id"] for r in cond_store.read("t").collect()] == ["b"]
+    assert not os.path.exists(loser_staging)
+
+
+def test_conditional_backend_pointer_cas_never_tears(spark, cond_store):
+    """The pointer flip is a single If-Match CAS: when the pointer moves
+    AFTER the loser's claim-slot check but BEFORE its flip, the loser
+    retracts its half-published slot and raises — the pointer always
+    names exactly one fully-published version."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.commit import ConditionalPutCommitBackend
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    cond_store.init("t", _df(spark, [("a", 1, True)]))
+    # loser stages v2 content...
+    loser_staging = cond_store._staging_dir("t")
+    _df(spark, [("loser", 9, False)]).write.parquet(loser_staging)
+
+    # ...but a winner commits v2 through a SIDE pointer bump between the
+    # loser's early pointer check and its CAS: simulate by letting the
+    # loser pass the early check, then bumping the pointer mid-publish
+    backend = cond_store._backend
+    real_copy = ConditionalPutCommitBackend._copy_tree
+    winner_dir = cond_store._version_dir("t", 2)
+
+    def hijack(src, dst, __real=real_copy):
+        __real(src, dst)
+        # winner lands while the loser is copying: pointer moves to 2 —
+        # but the loser claimed the v2 slot first, so the winner writes
+        # v3... to keep the simulation honest, just bump the pointer as
+        # an external commit would
+        with open(cond_store._pointer("t"), "w") as fh:
+            fh.write("7")
+
+    backend._copy_tree = hijack
+    try:
+        with pytest.raises(ConcurrentWriteError, match="pointer moved"):
+            cond_store._commit_staged("t", loser_staging, expect=1)
+    finally:
+        backend._copy_tree = real_copy
+    import os
+
+    # the loser retracted its claim slot entirely; pointer is the
+    # external writer's value, untorn
+    assert not os.path.exists(winner_dir)
+    assert cond_store.latest_version("t") == 7
+
+
+def test_conditional_backend_crash_mid_publish_is_invisible_then_fail_stop(
+    spark, cond_store
+):
+    """A writer dying during the non-atomic multi-file publish leaves an
+    unreferenced claimed slot: readers still see the old snapshot, and a
+    later commit of the same version FAIL-STOPS (never overwrites a slot
+    whose claimant might be alive) until the stale claim is removed —
+    the documented operator intervention."""
+    import os
+    import shutil
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.commit import ConditionalPutCommitBackend
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    cond_store.init("t", _df(spark, [("a", 1, True)]))
+
+    backend = cond_store._backend
+
+    def crash(src, dst):
+        # one file lands, then the process "dies"
+        files = []
+        for root, _d, names in os.walk(src):
+            files += [os.path.join(root, n) for n in names]
+        shutil.copy2(files[0], os.path.join(dst, os.path.basename(files[0])))
+        raise OSError("simulated crash mid-publish")
+
+    backend._copy_tree = crash
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            cond_store.append("t", _df(spark, [("b", 2, False)]))
+    finally:
+        backend._copy_tree = ConditionalPutCommitBackend._copy_tree
+
+    # invisible: pointer and reads unchanged
+    assert cond_store.latest_version("t") == 1
+    assert [r["id"] for r in cond_store.read("t").collect()] == ["a"]
+
+    # fail-stop: the claimed slot blocks the next commit of v2
+    with pytest.raises(ConcurrentWriteError, match="claimed"):
+        cond_store.append("t", _df(spark, [("b", 2, False)]))
+
+    # operator removes the stale claim dir -> commits flow again
+    shutil.rmtree(cond_store._version_dir("t", 2))
+    cond_store.append("t", _df(spark, [("b", 2, False)]))
+    assert sorted(r["id"] for r in cond_store.read("t").collect()) == ["a", "b"]
+
+
+def test_conditional_backend_threaded_race_single_winner(spark, cond_store):
+    """Two writers racing the same expected version: exactly one commits,
+    the other raises ConcurrentWriteError; the final state is one of the
+    two complete snapshots, never a mix."""
+    import threading
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    cond_store.init("t", _df(spark, [("a", 1, True)]))
+    stagings = []
+    for tag in ("x", "y"):
+        s = cond_store._staging_dir("t")
+        _df(spark, [(tag, 2, False)]).write.parquet(s)
+        stagings.append(s)
+
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def run(idx):
+        barrier.wait()
+        try:
+            cond_store._commit_staged("t", stagings[idx], expect=1)
+            outcomes[idx] = "ok"
+        except ConcurrentWriteError:
+            outcomes[idx] = "lost"
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(outcomes.values()) == ["lost", "ok"]
+    assert cond_store.latest_version("t") == 2
+    ids = [r["id"] for r in cond_store.read("t").collect()]
+    assert ids in (["x"], ["y"])
