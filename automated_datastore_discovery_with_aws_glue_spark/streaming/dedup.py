@@ -143,6 +143,7 @@ def stream_minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     dedup_horizon: str = "10 minutes",
+    carry_payload: bool = False,
 ) -> DataFrame:
     """Watermark-bounded streaming NEAR-dup detection — the stream twin
     of batch ``minhash_lsh_pairs``' candidate rule (two docs are
@@ -174,6 +175,12 @@ def stream_minhash_dedup(
       message whose TEXT differs gets a fresh sentinel, so it always
       surfaces with a verdict (likely flagged) instead of being
       silently swallowed by its predecessor's band claims.
+
+    ``carry_payload=True`` adds ``text`` and ``buckets`` columns carried
+    on the SENTINEL row only (NULL on band rows — no per-band payload
+    amplification): what :func:`make_verified_minhash_sink` needs to run
+    the precision-restoring exact-Jaccard verify batch-side. The dedup
+    state keys are unchanged (band, bucket).
     """
     rows = num_hashes // bands
     sig = _signature_expr(
@@ -194,23 +201,37 @@ def stream_minhash_dedup(
             F.col("doc_id").cast("string"), F.col("ts").cast("string"), F.col("_fp")
         ).alias("bucket"),
     )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        sig.alias("_sig"),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+    ).select(
+        "doc_id",
+        "ts",
+        "_fp",
+        "_text",
+        F.lit(bands).alias("n_bands"),
+        banded.alias("_buckets"),
+        F.explode(F.concat(F.array(sentinel), banded)).alias("bb"),
+    )
+    cols = [
+        F.col("doc_id"),
+        F.col("ts"),
+        F.col("_fp").alias("fp"),
+        F.col("n_bands"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    ]
+    if carry_payload:
+        is_sent = F.col("bb.band") == -1
+        cols += [
+            F.when(is_sent, F.col("_text")).alias("text"),
+            F.when(is_sent, F.col("_buckets")).alias("buckets"),
+        ]
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(ts_col).alias("ts"),
-            sig.alias("_sig"),
-            fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
-        )
-        .select(
-            "doc_id",
-            "ts",
-            "_fp",
-            F.lit(bands).alias("n_bands"),
-            F.explode(F.concat(F.array(sentinel), banded)).alias("bb"),
-        )
-        .select(
-            "doc_id", "ts", F.col("_fp").alias("fp"), "n_bands", "bb.band", "bb.bucket"
-        )
+        base.select(*cols)
         .withWatermark("ts", dedup_horizon)
         .dropDuplicatesWithinWatermark(["band", "bucket"])
     )
@@ -238,6 +259,148 @@ def finalize_minhash_dedup(band_rows: DataFrame) -> DataFrame:
             "is_near_dup_candidate", F.col("n_bands_new") < F.col("n_bands")
         )
     )
+
+
+def make_verified_minhash_sink(
+    horizon_dir: str,
+    out_dir: str,
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    horizon_us: int = 10 * 60 * 1_000_000,
+):
+    """The precision-restoring hand-off :func:`stream_minhash_dedup`
+    documents: a ``foreachBatch`` sink that routes flagged
+    ``is_near_dup_candidate`` messages through a bounded batch
+    exact-Jaccard verify before dropping anything — LSH band collisions
+    alone are recall-biased (false positives drop real data), so
+    precision-critical ingest verifies each candidate against the
+    actual earlier text.
+
+    Per micro-batch (over ``stream_minhash_dedup(carry_payload=True)``
+    output):
+
+    1. :func:`finalize_minhash_dedup` verdicts join the sentinel-row
+       payload (text + full bucket list).
+    2. Clean messages are accepted outright.
+    3. Candidates join the HORIZON STORE (band, bucket) rows — only
+       docs sharing a claimed bucket, never the whole horizon — and the
+       surviving pairs compute exact n-gram Jaccard JVM-side
+       (``array_intersect``/``array_union`` over hashed shingles). A
+       candidate is dropped only when some partner clears
+       ``jaccard_threshold``; band-collision false positives SURVIVE.
+       The verify corpus also includes the batch's own clean docs, so
+       same-batch near-dups verify too.
+    4. Accepted messages append their exploded bucket rows + text to the
+       horizon store (one subdir per batch, max-event-time sidecar);
+       subdirs whose newest event time fell behind the horizon are
+       PRUNED — state is bounded by the horizon, exactly like the
+       streaming operator's own watermark state.
+    5. Every message's final verdict row lands in ``out_dir``:
+       ``(doc_id, ts, fp, n_bands, n_bands_new, is_near_dup_candidate,
+       verified_dup, kept)``.
+
+    Driver-side work is O(messages per batch) bookkeeping; all text
+    comparison stays distributed. Production notes: the horizon store
+    here is a plain parquet directory for example clarity — swap in the
+    versioned state store for concurrent writers."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import hashed_shingles as _hs
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        verdicts = finalize_minhash_dedup(batch)
+        info = batch.filter(F.col("band") == -1).select(
+            "doc_id", "ts", "fp", "text", "buckets"
+        )
+        merged = verdicts.join(info, ["doc_id", "ts", "fp"], "inner").localCheckpoint()
+
+        clean = merged.filter(~F.col("is_near_dup_candidate"))
+        cands = merged.filter(F.col("is_near_dup_candidate"))
+
+        def explode_buckets(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id", "ts", "fp", "text", F.explode("buckets").alias("bb")
+            ).select("doc_id", "ts", "fp", "text", "bb.band", "bb.bucket")
+
+        # verify corpus: horizon store + this batch's clean docs
+        corpus = explode_buckets(clean)
+        subdirs = (
+            sorted(
+                d
+                for d in _os.listdir(horizon_dir)
+                if _os.path.isdir(_os.path.join(horizon_dir, d))
+            )
+            if _os.path.isdir(horizon_dir)
+            else []
+        )
+        if subdirs:
+            spark = batch.sparkSession
+            stored = spark.read.parquet(*[_os.path.join(horizon_dir, d) for d in subdirs])
+            corpus = corpus.unionByName(stored)
+
+        dropped_fps = None
+        if cands.limit(1).count() > 0:
+            cand_b = explode_buckets(cands)
+            pairs = (
+                cand_b.alias("c")
+                .join(corpus.alias("h"), ["band", "bucket"])
+                .filter(F.col("c.fp") != F.col("h.fp"))
+                .groupBy(F.col("c.fp").alias("fp"), F.col("h.fp").alias("h_fp"))
+                .agg(
+                    F.first(F.col("c.text")).alias("c_text"),
+                    F.first(F.col("h.text")).alias("h_text"),
+                )
+            )
+            a = F.array_distinct(_hs(F.col("c_text"), n))
+            b = F.array_distinct(_hs(F.col("h_text"), n))
+            jac = F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+            dropped_fps = (
+                pairs.filter(jac >= jaccard_threshold).select("fp").distinct()
+            )
+
+        accepted = merged if dropped_fps is None else merged.join(
+            dropped_fps.withColumnRenamed("fp", "_dfp"),
+            merged["fp"] == F.col("_dfp"),
+            "left",
+        ).withColumn("verified_dup", F.col("_dfp").isNotNull()).drop("_dfp")
+        if "verified_dup" not in accepted.columns:
+            accepted = accepted.withColumn("verified_dup", F.lit(False))
+        final = accepted.withColumn("kept", ~F.col("verified_dup")).localCheckpoint()
+
+        final.drop("text", "buckets").write.mode("append").parquet(out_dir)
+
+        kept_docs = final.filter(F.col("kept"))
+        stats = kept_docs.agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts")
+        ).collect()[0]
+        if stats["n"] > 0:
+            bdir = _os.path.join(horizon_dir, f"b{batch_id:08d}")
+            explode_buckets(kept_docs).write.mode("overwrite").parquet(bdir)
+            with open(_os.path.join(bdir, "_MAX_TS"), "w") as fh:
+                _json.dump({"max_ts_us": int(stats["max_ts"].timestamp() * 1e6)}, fh)
+        # prune: drop horizon subdirs whose NEWEST event fell behind the
+        # horizon relative to the newest event seen anywhere — bounded
+        # state, mirroring the stream operator's watermark eviction
+        max_seen = 0
+        metas = {}
+        if _os.path.isdir(horizon_dir):
+            for d in sorted(_os.listdir(horizon_dir)):
+                meta = _os.path.join(horizon_dir, d, "_MAX_TS")
+                if _os.path.isfile(meta):
+                    with open(meta) as fh:
+                        metas[d] = _json.load(fh)["max_ts_us"]
+                    max_seen = max(max_seen, metas[d])
+        cutoff = max_seen - horizon_us
+        for d, ts_us in metas.items():
+            if ts_us < cutoff:
+                _shutil.rmtree(_os.path.join(horizon_dir, d), ignore_errors=True)
+
+    return sink
 
 
 def reassemble_segments(

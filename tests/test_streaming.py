@@ -644,3 +644,135 @@ def test_session_state_machine_late_event_widens_bounds():
     start, last, n = state.get
     assert start == 1704106800000000  # 11:00
     assert n == 5
+
+
+def test_stream_minhash_verified_sink_precision(spark, tmp_path):
+    """The composed precision hand-off (VERDICT r5 item 5): candidates
+    flagged by the streaming LSH gate route through a bounded batch
+    exact-Jaccard verify — a TRUE near-dup is dropped, a band-collision
+    FALSE POSITIVE survives, and the horizon store prunes itself (state
+    bounded by event time)."""
+    import json as _json
+    import os
+    import random
+
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+        _signature_expr,
+        hashed_shingles,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.dedup import (
+        make_verified_minhash_sink,
+        stream_minhash_dedup,
+    )
+
+    NUM_HASHES, BANDS, N = 8, 8, 3  # rows-per-band=1: engineerable collisions
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa"
+    )
+
+    # deterministically craft a FALSE POSITIVE: a word soup sharing >=1
+    # of base's 8 band buckets but with low true Jaccard (xxhash64 is
+    # fixed, so the search result is stable for a fixed seed)
+    rng = random.Random(13)
+    words = [f"w{i:02d}" for i in range(40)]
+    base_words = base.split()
+
+    def variant():
+        # a 5-word consecutive chunk of base -> 3 shared 3-shingles
+        # (J ~ 0.12: enough for ~64% single-band collision odds at
+        # rows-per-band=1, far below the 0.5 verify threshold)
+        i = rng.randint(0, len(base_words) - 5)
+        chunk = base_words[i : i + 5]
+        filler = [rng.choice(words) for _ in range(11)]
+        cut = rng.randint(0, len(filler))
+        return " ".join(filler[:cut] + chunk + filler[cut:])
+
+    variants = [variant() for _ in range(400)]
+    probe = spark.createDataFrame([(t,) for t in [base] + variants], ["text"])
+    sig = _signature_expr(hashed_shingles(F.col("text"), N), NUM_HASHES)
+    buckets = F.array(
+        *[F.xxhash64(F.slice(sig, b + 1, 1)) for b in range(BANDS)]
+    )
+    rows = probe.select(
+        "text",
+        buckets.alias("bk"),
+        F.array_distinct(hashed_shingles(F.col("text"), N)).alias("sh"),
+    ).collect()
+    base_bk, base_sh = set(rows[0]["bk"]), set(rows[0]["sh"])
+
+    def jac(sh):
+        s = set(sh)
+        return len(s & base_sh) / len(s | base_sh)
+
+    false_pos = next(
+        r["text"]
+        for r in rows[1:]
+        if set(r["bk"]) & base_bk and jac(r["sh"]) < 0.3
+    )
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    horizon_dir, out_dir = str(tmp_path / "horizon"), str(tmp_path / "out")
+    os.makedirs(src)
+
+    def write_batch(rows_):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for doc_id, text, ts in rows_:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
+
+    sink = make_verified_minhash_sink(
+        horizon_dir, out_dir, n=N, jaccard_threshold=0.5
+    )
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(src)
+        q = (
+            stream_minhash_dedup(
+                stream, n=N, num_hashes=NUM_HASHES, bands=BANDS, carry_payload=True
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    write_batch([(1, base, "2024-01-01 10:00:00")])
+    run()
+
+    near_dup = base.replace("alpha", "zulu")  # true near-dup (J ~ 0.8)
+    write_batch(
+        [
+            (2, near_dup, "2024-01-01 10:01:00"),
+            (3, false_pos, "2024-01-01 10:01:30"),
+        ]
+    )
+    run()
+
+    got = {
+        r["doc_id"]: (r["is_near_dup_candidate"], r["verified_dup"], r["kept"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[1] == (False, False, True)  # clean first sighting
+    assert got[2] == (True, True, False)  # flagged AND verified -> dropped
+    assert got[3][0] is True  # band collision flagged it...
+    assert got[3] == (True, False, True)  # ...but the verify saved it
+
+    # horizon store bounded: a batch far past the horizon prunes old subdirs
+    subdirs_before = {d for d in os.listdir(horizon_dir)}
+    assert len(subdirs_before) == 2  # b0 (doc1), b1 (doc3 survived)
+    write_batch([(4, "totally new content far in the future by the pier", "2024-01-01 10:30:00")])
+    run()
+    subdirs_after = {d for d in os.listdir(horizon_dir)}
+    # only the newest batch's subdir survives (b0/b1 fell behind the
+    # 10-minute horizon); batch ids are checkpoint-assigned, so assert
+    # shape not name
+    assert len(subdirs_after) == 1 and not (subdirs_after & subdirs_before), subdirs_after
+    got = {
+        r["doc_id"]: r["kept"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[4] is True
