@@ -22,18 +22,37 @@ loses exactness). Two policies, both accounted for:
   pair-level completeness *within* the bucket.
 
 The bucket-size frame is PERSISTED and returned to the caller: the
-accounting probe (one tiny aggregate over it) is the job that populates
-the cache, and the action-time (keys, count) joins reuse those blocks —
-the probe surfaces the signal at call time WITHOUT recomputing the size
-aggregate later. Callers adopt the sizes frame onto their result
-(``cache.adopt``) so the blocks are released with it. Laziness-critical
-callers pass ``account=False`` to skip the probe (and the logging)
-entirely — the split itself stays fully lazy.
+action-time (keys, count) joins share its blocks, and callers adopt the
+sizes frame onto their result (``cache.adopt``) so the blocks are
+released with it.
+
+Accounting modes (``account``):
+
+- ``"async"`` (default): the probe aggregate runs on a DAEMON THREAD —
+  operator construction returns immediately with zero blocking jobs on
+  the caller's critical path, and the probe's work is not wasted: it is
+  the job that populates the persisted sizes cache the caller's action
+  then reuses. The warning (with counts) fires as soon as the probe
+  lands.
+- ``True`` (eager): the legacy probe — the same tiny aggregate runs NOW
+  and the counts return in ``stats``. For callers that need the numbers
+  synchronously.
+- ``False``: no accounting, no logging; fully lazy.
+
+Why not ``DataFrame.observe``? It would be the zero-extra-job ideal
+(metrics ride the caller's own action), but under AQE this Spark
+version returns an EMPTY observed-metrics row when the CollectMetrics
+node sits on an aggregate beneath a join (the exchange-stage re-plan
+drops it; verified empirically — ``obs._jo.get().size() == 0`` with AQE
+on, correct counts with AQE off). The engine runs with AQE on, so the
+async probe is the honest alternative; revisit if Spark fixes
+observed-metrics propagation through AQE stages.
 """
 
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -45,6 +64,33 @@ log = logging.getLogger(__name__)
 HOT_POLICIES = ("drop", "route")
 
 
+def _log_hot_stats(n_groups: int, n_rows: int, label: str, max_bucket: int, policy: str) -> None:
+    log.warning(
+        "%s: %d hot bucket group(s) holding %d rows exceed max_bucket=%d; "
+        "policy=%s (%s; see operators/hot.py)",
+        label,
+        n_groups,
+        n_rows,
+        max_bucket,
+        policy,
+        "excluded from candidate generation"
+        if policy == "drop"
+        else "star-routed to the group representative",
+    )
+
+
+def _probe(sizes: DataFrame, max_bucket: int) -> tuple[int, int]:
+    row = (
+        sizes.filter(F.col("_bn") > max_bucket)
+        .agg(
+            F.count("*").alias("k"),
+            F.coalesce(F.sum("_bn"), F.lit(0)).alias("r"),
+        )
+        .first()
+    )
+    return int(row["k"]), int(row["r"])
+
+
 def split_hot_buckets(
     banded: DataFrame,
     keys: Sequence[str],
@@ -52,17 +98,19 @@ def split_hot_buckets(
     *,
     label: str,
     policy: str = "drop",
-    account: bool = True,
+    account: bool | str = "async",
 ) -> tuple[DataFrame, DataFrame, tuple[int, int] | None, DataFrame]:
     """Partition a banded frame into (ok, hot) by group size and account
     for the hot side. Returns ``(ok, hot, stats, sizes)`` — ``stats`` =
-    ``(n_groups, n_rows)`` of the over-cap groups (None with
-    ``account=False``; a warning is logged when any exist), ``sizes`` =
-    the persisted (keys, count) frame both filtered sides read: tie its
-    lifetime to the operator result (``cache.adopt``). The size
-    aggregate shuffles only (keys, count) — never document payloads —
-    and is computed ONCE (the probe populates the cache the action
-    reuses)."""
+    ``(n_groups, n_rows)`` of the over-cap groups (only with the eager
+    ``account=True``; the default ``"async"`` mode logs the same counts
+    from a daemon thread without blocking construction — see module
+    docstring), ``sizes`` = the persisted (keys, count) frame both
+    filtered sides read: tie its lifetime to the operator result
+    (``cache.adopt``). The size aggregate shuffles only (keys, count) —
+    never document payloads — and is computed ONCE (whichever of the
+    probe or the caller's action runs first populates the cache; the
+    other reuses it)."""
     keys = list(keys)
     sizes = (
         banded.groupBy(*keys)
@@ -70,30 +118,27 @@ def split_hot_buckets(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = None
-    if account:
-        row = (
-            sizes.filter(F.col("_bn") > max_bucket)
-            .agg(
-                F.count("*").alias("k"),
-                F.coalesce(F.sum("_bn"), F.lit(0)).alias("r"),
-            )
-            .first()
-        )
-        n_groups, n_rows = int(row["k"]), int(row["r"])
-        stats = (n_groups, n_rows)
-        if n_groups:
-            log.warning(
-                "%s: %d hot bucket group(s) holding %d rows exceed max_bucket=%d; "
-                "policy=%s (%s; see operators/hot.py)",
-                label,
-                n_groups,
-                n_rows,
-                max_bucket,
-                policy,
-                "excluded from candidate generation"
-                if policy == "drop"
-                else "star-routed to the group representative",
-            )
+    if account is True:
+        stats = _probe(sizes, max_bucket)
+        if stats[0]:
+            _log_hot_stats(stats[0], stats[1], label, max_bucket, policy)
+    elif account == "async":
+        def _run() -> None:
+            try:
+                n_groups, n_rows = _probe(sizes, max_bucket)
+            except Exception:  # session torn down before the probe landed
+                return
+            if n_groups:
+                _log_hot_stats(n_groups, n_rows, label, max_bucket, policy)
+
+        try:
+            from pyspark import InheritableThread
+
+            t: threading.Thread = InheritableThread(target=_run, daemon=True)
+        except ImportError:  # pragma: no cover - ancient pyspark
+            t = threading.Thread(target=_run, daemon=True)
+        t.name = f"hot-bucket-probe-{label}"
+        t.start()
     joined = banded.join(sizes, keys)
     ok = joined.filter(F.col("_bn") <= max_bucket).drop("_bn")
     hot = joined.filter(F.col("_bn") > max_bucket).drop("_bn")

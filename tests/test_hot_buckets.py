@@ -23,6 +23,21 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.similarity impo
 BOILER = "subscribe to our newsletter for updates and follow us on social media today"
 
 
+def _await_warnings(caplog, needle: str, timeout: float = 10.0) -> list[str]:
+    """The default ``account='observe'`` mode logs from a daemon thread
+    after the caller's action — poll briefly instead of asserting
+    immediately."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        msgs = [r.getMessage() for r in caplog.records if needle in r.getMessage()]
+        if msgs:
+            return msgs
+        time.sleep(0.05)
+    return []
+
+
 @pytest.fixture()
 def boiler_docs(spark):
     rows = [(i, BOILER, "en") for i in range(12)]
@@ -42,9 +57,9 @@ def test_drop_policy_accounts_for_dropped_buckets(spark, const_emb, caplog):
             threshold=0.9, n_bands=2, band_planes=2, max_bucket=5,
         )
         got = pairs.collect()
+        warnings = _await_warnings(caplog, "hot bucket")
         release(pairs)
     assert got == []  # capped: identical embeddings dropped from candidates
-    warnings = [r.getMessage() for r in caplog.records if "hot bucket" in r.getMessage()]
     assert warnings, "dropping hot buckets must be logged, never silent"
     assert "max_bucket=5" in warnings[0] and "policy=drop" in warnings[0]
 
@@ -103,9 +118,9 @@ def test_blocked_near_dup_max_block_drop(spark, const_emb, caplog):
             emb, "vec_id", "embedding", "label", threshold=0.9, max_block=5
         )
         got = pairs.collect()
+        warnings = _await_warnings(caplog, "hot bucket")
         release(pairs)
     assert got == []
-    warnings = [r.getMessage() for r in caplog.records if "hot bucket" in r.getMessage()]
     assert warnings and "blocked_near_dup" in warnings[0]
 
 
@@ -156,3 +171,19 @@ def test_cap_does_not_disturb_normal_buckets(spark):
     assert (100, 101) in got
     assert not [p for p in got if p[0] < 100]  # boilerplate dropped by cap
     release(pairs)
+
+
+def test_async_accounting_does_not_block_construction(spark, boiler_docs, caplog):
+    """The default account='async' mode: the probe runs on a daemon
+    thread (its job both logs the account and pre-populates the sizes
+    cache the action reuses) — construction never blocks on a job, and
+    the warning still fires with counts."""
+    with caplog.at_level(logging.WARNING, logger="automated_datastore_discovery_with_aws_glue_spark.operators.hot"):
+        pairs = minhash_lsh_pairs(
+            boiler_docs, "doc_id", "text", threshold=0.5, max_bucket=5
+        )
+        assert pairs.collect() == []
+        warnings = _await_warnings(caplog, "hot bucket")
+        release(pairs)
+    assert warnings, "async accounting must still surface the drop"
+    assert "192 rows" in warnings[0] and "max_bucket=5" in warnings[0]  # 12 docs x 16 bands
