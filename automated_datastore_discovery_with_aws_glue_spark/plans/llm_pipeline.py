@@ -733,20 +733,56 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, "embedding", query, 10, id_col="vec_id", n_planes=4)
 
 
+#: block-size cap for the headline exact verifier: at sf0.01 exactly one
+#: label block (59 rows) exceeds it — the oracle checks BOTH the exact
+#: all-pairs arm and the star-routed arm in one result; at sf0.1+ every
+#: ~500+-row block routes, so the stress audit exercises the valve and
+#: pair work grows O(rows), not O(rows²/blocks)
+EMB_NEAR_DUP_MAX_BLOCK = 55
+
+
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within label blocks (threshold 0.35 —
-    demo level for the uniform-random test embeddings)."""
+    demo level for the uniform-random test embeddings). The headline
+    entry runs WITH the degenerate-block valve engaged
+    (``max_block``/``on_hot='route'``, VERDICT r5 item 6): over-cap
+    blocks contribute min-id star pairs (cosine-verified like any pair)
+    instead of all-pairs — the DuckDB oracle replays both arms, so the
+    routed semantics are hash-checked end-to-end, and the sf1 stress run
+    shows bounded growth instead of the 11.9x all-pairs blowup."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.blocked_near_dup(emb, "vec_id", "embedding", "label", threshold=0.35)
+    pairs = S.blocked_near_dup(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        threshold=0.35,
+        max_block=EMB_NEAR_DUP_MAX_BLOCK,
+        on_hot="route",
+    )
     return C.carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
-EMB_NEAR_DUP_SQL = """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
-           round(list_cosine_similarity(a.v, b.v), 4) AS similarity
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+EMB_NEAR_DUP_SQL = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sz AS (SELECT label, count(*) AS n, min(vec_id) AS rep FROM e GROUP BY label),
+    allp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+               round(list_cosine_similarity(a.v, b.v), 4) AS similarity
+        FROM e a
+        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        JOIN sz ON sz.label = a.label
+        WHERE sz.n <= {EMB_NEAR_DUP_MAX_BLOCK}
+        UNION ALL
+        SELECT r.vec_id AS id_a, m.vec_id AS id_b, m.label AS block,
+               round(list_cosine_similarity(r.v, m.v), 4) AS similarity
+        FROM e m
+        JOIN sz ON sz.label = m.label
+        JOIN e r ON r.vec_id = sz.rep
+        WHERE sz.n > {EMB_NEAR_DUP_MAX_BLOCK} AND m.vec_id <> sz.rep
+    )
+    SELECT * FROM allp
+    WHERE similarity >= 0.35
     ORDER BY id_a, id_b
 """
 
