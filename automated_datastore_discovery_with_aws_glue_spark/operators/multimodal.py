@@ -186,9 +186,14 @@ def decode_images(
     (Arrow-batched; one Python worker per partition, batches stay
     columnar end-to-end).
 
-    Real path needs Pillow — absent here, so it raises
-    ``NotImplementedError`` unless ``fake=True`` (deterministic
-    hash-derived dimensions; plumbing identical)."""
+    Real-path kernel resolution, per item: Pillow when importable
+    (widest coverage); otherwise the vendored pure-Python baseline-PNG
+    decoder (``functions.png`` — stdlib zlib, all five scanline
+    filters) for PNG bytes, so PNG decode works UNCONDITIONALLY in this
+    environment; a non-PNG item with no Pillow raises
+    ``NotImplementedError`` (a capability gap is an error, never a
+    silent NULL). ``fake=True`` keeps the deterministic hash-derived
+    stub (plumbing identical, DuckDB-oracle-replayable)."""
     out_schema = _extended_schema(
         df,
         T.StructField("width", T.IntegerType()),
@@ -204,19 +209,14 @@ def decode_images(
         except ImportError:
             have_pil = False
         for pdf in batches:
-            if fake or not have_pil:
-                if not fake:
-                    raise NotImplementedError(
-                        "image decode requires Pillow (not installed); "
-                        "pass fake=True for the deterministic stub"
-                    )
+            if fake:
                 dims = [_fake_dims(b) for b in pdf[content_col]]
                 pdf = pdf.assign(
                     width=pd.array([d[0] for d in dims], dtype="Int32"),
                     height=pd.array([d[1] for d in dims], dtype="Int32"),
                     mode=[None if d[0] is None else "RGB" for d in dims],
                 )
-            else:  # pragma: no cover - PIL not in this environment
+            elif have_pil:  # pragma: no cover - PIL not in this environment
                 import io
 
                 from PIL import Image
@@ -226,6 +226,30 @@ def decode_images(
                     width=[i.width for i in decoded],
                     height=[i.height for i in decoded],
                     mode=[i.mode for i in decoded],
+                )
+            else:
+                from automated_datastore_discovery_with_aws_glue_spark.functions.png import decode_png
+
+                ws: list[int | None] = []
+                hs: list[int | None] = []
+                ms: list[str | None] = []
+                for b in pdf[content_col]:
+                    if b is None:  # NULL media cell -> NULLs, not a crash
+                        ws.append(None), hs.append(None), ms.append(None)
+                        continue
+                    b = bytes(b)
+                    if not b.startswith(b"\x89PNG"):
+                        raise NotImplementedError(
+                            "non-PNG decode requires Pillow (not installed); "
+                            "the vendored kernel covers baseline PNG only — "
+                            "pass fake=True for the deterministic stub"
+                        )
+                    w, h, mode, _pixels = decode_png(b)
+                    ws.append(w), hs.append(h), ms.append(mode)
+                pdf = pdf.assign(
+                    width=pd.array(ws, dtype="Int32"),
+                    height=pd.array(hs, dtype="Int32"),
+                    mode=ms,
                 )
             yield pdf
 
