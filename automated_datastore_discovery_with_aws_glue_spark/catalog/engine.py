@@ -34,6 +34,10 @@ RDS_TAG_REPORT = "rds_tag_report"
 #: per-(source, file, column, entity) match counts — the file-level
 #: bookmark that makes re-classification O(changed files)
 CLASSIFY_STATS = "classify_stats"
+#: per-(source, file) listing signature recorded at register/recrawl —
+#: the crawl-side bookmark that makes an append-only source's re-crawl
+#: O(new files) instead of an O(table) managed-copy rewrite
+CRAWL_MANIFEST = "crawl_manifest"
 
 #: governance tags the reports capture (`lambda/s3-tag-report/app.py:18`)
 REQUIRED_TAG_KEYS = (
@@ -99,6 +103,19 @@ def _source_listing(attrs: dict[str, str]) -> tuple[str, list[tuple[str, int, in
     return os.path.abspath(p), entries
 
 
+def _fingerprint_of(listing: tuple[str, list[tuple[str, int, int]]] | None) -> str | None:
+    if listing is None:
+        return None
+    _root, entries = listing
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:32]
+
+
+def _listing_sigs(listing: tuple[str, list[tuple[str, int, int]]]) -> dict[str, str]:
+    """relpath -> 'size:mtime_ns' signature map of a listing."""
+    _root, entries = listing
+    return {rel: f"{size}:{mtime}" for rel, size, mtime in entries}
+
+
 def _source_fingerprint(attrs: dict[str, str]) -> str | None:
     """Content fingerprint of a path-based source: sha256 over the
     sorted file listing (see :func:`_source_listing`). This is the
@@ -107,11 +124,7 @@ def _source_fingerprint(attrs: dict[str, str]) -> str | None:
     100 TB you re-crawl/re-classify only sources whose listing changed.
     Returns None for non-path sources (callers fall back to
     unconditional processing)."""
-    listing = _source_listing(attrs)
-    if listing is None:
-        return None
-    _root, entries = listing
-    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:32]
+    return _fingerprint_of(_source_listing(attrs))
 
 
 def _attrs_with_fingerprint() -> F.Column:
@@ -252,6 +265,7 @@ class DiscoveryEngine:
             .select("data_catalog_table_name", "id")
             .collect()
         }
+        manifest_updates: list[tuple[str, dict[str, str]]] = []
         for row in pending:
             attrs = dict(row["data_source_attrs"] or {})
             path = attrs.get("path")
@@ -263,13 +277,18 @@ class DiscoveryEngine:
                 table = sanitize_identifier(f"{source_type}_{name}_{row['id'][:8]}")
             taken[table] = row["id"]
             fq = f"{self.database}.{table}"
-            # fingerprint BEFORE the read: a file landing mid-read makes
-            # the recorded state conservative (next recrawl sees drift)
-            fp = _source_fingerprint(attrs)
+            # fingerprint/listing BEFORE the read: a file landing
+            # mid-read makes the recorded state conservative (next
+            # recrawl sees drift)
+            listing = _source_listing(attrs)
+            fp = _fingerprint_of(listing)
             df = self._read_source(source_type, attrs)
             df.write.mode("overwrite").saveAsTable(fq)
             flips.append((row["id"], table, self.database, fp))
             registered.append(fq)
+            if listing is not None:
+                manifest_updates.append((row["id"], _listing_sigs(listing)))
+        self._record_crawl_manifests(manifest_updates)
         if flips:
             # One flip frame, one MERGE, one tracker version bump per call —
             # not one full-table rewrite per source. The flip carries the
@@ -334,15 +353,29 @@ class DiscoveryEngine:
         ZERO source scans, no table rewrite, no comment churn). Content
         drift WITHOUT schema drift still re-opens classification: new
         rows can carry new PII even when columns are stable. Sources
-        with no recordable fingerprint (non-path) always process."""
+        with no recordable fingerprint (non-path) always process.
+
+        APPEND-ONLY sources go one better (the common 100 TB shape —
+        daily files landing in a prefix): when every previously-recorded
+        file is untouched and only NEW files appeared, the managed copy
+        appends just those files (``appended_files`` in the report; the
+        per-file crawl manifest is the bookmark) — no re-read of old
+        data, no table rewrite, comments untouched. The fast path only
+        engages when the new files introduce zero schema drift;
+        anything else falls back to the full evolve-rewrite below. The
+        re-opened classification then also scans only the new files
+        (the classify-side file bookmark), so the whole
+        recrawl+reclassify cost of a daily drop is O(new data)."""
         rows = self.cataloged(source_type).collect()
         report: list[dict] = []
         fp_updates: list[tuple[str, str | None, bool]] = []
+        manifest_updates: list[tuple[str, dict[str, str]]] = []
         for row in rows:
             db, table = row["data_catalog_db_name"], row["data_catalog_table_name"]
             fq = f"{db}.{table}"
             attrs = dict(row["data_source_attrs"] or {})
-            cur_fp = _source_fingerprint(attrs)
+            listing = _source_listing(attrs)
+            cur_fp = _fingerprint_of(listing)
             stored_fp = attrs.get(FINGERPRINT_KEY)
             if cur_fp is not None and stored_fp == cur_fp:
                 report.append(
@@ -359,6 +392,56 @@ class DiscoveryEngine:
                 cur_fp is not None and stored_fp is not None and stored_fp != cur_fp
             )
             old_schema = self.spark.table(fq).schema
+
+            # APPEND-ONLY FAST PATH: when the listing grew but every
+            # previously-recorded file is untouched, the managed copy
+            # APPENDS only the new files — O(delta), not the O(table)
+            # re-read-and-rewrite below. Guarded: the new files must
+            # introduce no schema drift (new/retyped columns fall back to
+            # the full rewrite, which owns schema evolution). Comments
+            # survive trivially (the table is never rewritten).
+            if listing is not None:
+                cur_sigs = _listing_sigs(listing)
+                prior_sigs = self._crawl_manifest_sigs(row["id"])
+                new_files = sorted(set(cur_sigs) - set(prior_sigs))
+                untouched = prior_sigs and all(
+                    cur_sigs.get(f) == s for f, s in prior_sigs.items()
+                )
+                if untouched and new_files:
+                    root = listing[0]
+                    delta = self._read_source(
+                        source_type, attrs, [os.path.join(root, f) for f in new_files]
+                    )
+                    old_types = {f.name: f.dataType for f in old_schema.fields}
+                    drift = [
+                        c
+                        for c in delta.columns
+                        if c not in old_types or old_types[c] != delta.schema[c].dataType
+                    ]
+                    if not drift:
+                        aligned = delta.select(
+                            *[
+                                F.col(f.name)
+                                if f.name in delta.columns
+                                else F.lit(None).cast(f.dataType).alias(f.name)
+                                for f in old_schema.fields
+                            ]
+                        )
+                        aligned.write.mode("append").saveAsTable(fq)
+                        report.append(
+                            {
+                                "table": fq,
+                                "skipped": False,
+                                "added": [],
+                                "removed": [],
+                                "retyped": [],
+                                "appended_files": len(new_files),
+                            }
+                        )
+                        fp_updates.append((row["id"], cur_fp, True))
+                        manifest_updates.append((row["id"], cur_sigs))
+                        continue
+
             old_comments = {
                 f.name: (f.metadata or {}).get("comment")
                 for f in old_schema.fields
@@ -401,6 +484,9 @@ class DiscoveryEngine:
             # recrawl doesn't burn a tracker version per run
             if cur_fp is not None or reflag:
                 fp_updates.append((row["id"], cur_fp, reflag))
+            if listing is not None:
+                manifest_updates.append((row["id"], _listing_sigs(listing)))
+        self._record_crawl_manifests(manifest_updates)
         if fp_updates:
             flip = self.spark.createDataFrame(
                 [(i, fp, reclassify and rf, source_type) for i, fp, rf in fp_updates],
@@ -421,6 +507,42 @@ class DiscoveryEngine:
                 prune_partitions=True,
             )
         return report
+
+    def _crawl_manifest_sigs(self, source_id: str) -> dict[str, str]:
+        """Prior (file -> sig) crawl manifest for one source (empty when
+        never recorded — e.g. sources registered before this bookmark
+        existed, which then take the full-rewrite path once). Control-
+        plane collect: one row per file of ONE source; at larger scale
+        flip to a distributed anti-join, like the classify-side twin."""
+        if not self.store.exists(CRAWL_MANIFEST):
+            return {}
+        return {
+            r["file"]: r["sig"]
+            for r in self.store.read(CRAWL_MANIFEST)
+            .filter(F.col("source_id") == source_id)
+            .select("file", "sig")
+            .collect()
+        }
+
+    def _record_crawl_manifests(self, updates: list[tuple[str, dict[str, str]]]) -> None:
+        """Replace the crawl manifest partitions of the given sources in
+        ONE store version (partition-pruned; see ``replace_partitions``)."""
+        if not updates:
+            return
+        rows = [
+            (sid, f, sig)
+            for sid, sigs in updates
+            for f, sig in sigs.items()
+        ]
+        frame = self.spark.createDataFrame(
+            rows, "source_id string, file string, sig string"
+        ) if rows else self.spark.createDataFrame([], "source_id string, file string, sig string")
+        self.store.replace_partitions(
+            CRAWL_MANIFEST,
+            frame,
+            partition_by="source_id",
+            values=[sid for sid, _ in updates],
+        )
 
     def _read_source(
         self,

@@ -542,3 +542,97 @@ def test_file_level_incremental_classification(spark, tmp_path):
     read_paths.clear()
     assert eng.classify_pending("s3", ["EMAIL", "PHONE_NUMBER"], detection_threshold=0.5) == 1
     assert [p for p in read_paths if p is not None] == [[str(src / "a.csv")]]
+
+
+def test_recrawl_append_only_fast_path(spark, tmp_path):
+    """Append-only sources (daily files landing in a prefix): recrawl
+    appends ONLY the new files to the managed copy — no re-read of old
+    data, no table rewrite (asserted via untouched data-file inodes),
+    published comments survive without re-apply, and the re-opened
+    classification scans only the delta. Changed files and schema drift
+    still fall back to the full evolve-rewrite."""
+    import os
+
+    src = tmp_path / "dailydrop"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["customer_email", "note"])
+            for i in rows:
+                w.writerow([f"user{i}@example.com", f"note {i}"])
+
+    write_file("day1.csv", range(30))
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="append_db")
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "dailydrop", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    assert eng.classify_pending("s3", ["EMAIL"]) == 1
+    assert eng.publish_findings() >= 1
+    fq = "append_db.s3_dailydrop"
+    comments_before = eng.column_comments(fq)
+    assert "EMAIL" in comments_before["customer_email"]
+
+    def table_file_stats():
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {fq}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        )
+        d = loc[len("file:"):] if loc.startswith("file:") else loc
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    files_before = table_file_stats()
+
+    reads = []
+    orig = eng._read_source
+    eng._read_source = lambda st, attrs, paths=None: (reads.append(sorted(paths) if paths else None), orig(st, attrs, paths))[1]
+
+    # day 2 lands: recrawl APPENDS only day2.csv
+    write_file("day2.csv", range(100, 140))
+    report = eng.recrawl("s3")
+    assert report[0]["appended_files"] == 1
+    assert report[0]["added"] == [] and report[0]["removed"] == []
+    assert reads == [[str(src / "day2.csv")]], reads
+    assert spark.table(fq).count() == 70
+    # the original data files were NOT rewritten (same inodes)
+    files_after = table_file_stats()
+    assert set(files_before) <= set(files_after)
+    assert all(files_after[f] == ino for f, ino in files_before.items())
+    # comments survived without a re-apply pass
+    assert eng.column_comments(fq)["customer_email"] == comments_before["customer_email"]
+
+    # classification re-opened; the classify pass reads only day2.csv
+    reads.clear()
+    assert eng.classify_pending("s3", ["EMAIL"]) == 1
+    assert reads == [[str(src / "day2.csv")]], reads
+
+    # a CHANGED old file disables the fast path (full evolve-rewrite)
+    write_file("day1.csv", range(25))
+    reads.clear()
+    report = eng.recrawl("s3")
+    assert "appended_files" not in report[0]
+    assert report[0]["skipped"] is False
+    assert spark.table(fq).count() == 65
+
+    # schema drift in a NEW file also declines the fast path: the
+    # delta-only inference SEES the extra column and routes to the full
+    # path rather than appending misaligned rows. (Whole-dir CSV
+    # inference then still reads the FIRST file's header — discovering a
+    # column that exists only in newer CSVs is a CSV-format limitation,
+    # not a fast-path one; parquet/json sources merge schemas.)
+    with open(src / "day3.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["customer_email", "note", "phone"])
+        for i in range(5):
+            w.writerow([f"x{i}@example.com", f"n{i}", f"+44 20 7946 {i:04d}"])
+    report = eng.recrawl("s3")
+    assert "appended_files" not in report[0]
+    assert report[0]["skipped"] is False
+    assert spark.table(fq).count() == 70
