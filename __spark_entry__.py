@@ -59,9 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_classify_counts": P.pii_classify_counts,  # NEW r6: mergeable counts form
         "pii_redact": P.pii_redact,
         "prof_column_stats": P.prof_column_stats,
-        "prof_approx_distinct": P.prof_approx_distinct,
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
-        "prof_top_values": P.prof_top_values,
         "prof_histogram": P.prof_histogram,
         # -- dedup / text analysis / similarity search --
         "dedup_exact": L.QUERIES["dedup_exact"],
@@ -100,7 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "para_dedup": L.EXTRA_QUERIES["para_dedup"],
         # -- rotated IN for r6 (VERDICT r5 item 2): the late-landing r5
-        #    oracles + this round's new work
+        #    oracles + this round's new work (learned-style quality
+        #    scorer, per-doc TF-IDF top-k)
+        "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
+        "doc_tfidf_topk": L.EXTRA_QUERIES["doc_tfidf_topk"],
         "corpus_report": L.EXTRA_QUERIES["corpus_report"],
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
@@ -129,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_json_extract": R.f13_json_extract,
         "j_semi_exists": R.j_semi_exists,
         "f_array_explode": R.f_array_explode,
+        # rotated-out profiling rows (oracle-backed, locally checked)
+        "prof_approx_distinct": P.prof_approx_distinct,
+        "prof_top_values": P.prof_top_values,
         # exact-quantile variants (the in-window approx twin is the
         # 100 TB path; exact `percentile` buffers every value)
         "prof_numeric_quantiles": P.prof_numeric_quantiles,

@@ -227,3 +227,46 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         quality.alias("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-style quality scoring: hashed-n-gram linear classifier
+# ---------------------------------------------------------------------------
+
+#: feature-hash dimensionality of the linear scorer (small on purpose —
+#: the weights ride the plan as ONE literal array; a production model
+#: would broadcast a weight table instead, same plan shape)
+QUALITY_DIM = 128
+
+
+def quality_weights(dim: int = QUALITY_DIM, seed: int = 7) -> list[float]:
+    """Deterministic stand-in weight vector for the linear scorer (a
+    trained fastText-style model would supply these; public pipelines
+    like CCNet/fastText score docs exactly this way: hashed n-gram
+    features -> linear model -> sigmoid). Seeded and rounded so the
+    DuckDB oracle folds the SAME literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+
+
+def classifier_score(col: Column, *, dim: int = QUALITY_DIM, seed: int = 7) -> Column:
+    """Linear quality score of a text column in [0, 1]:
+    word unigrams + bigrams -> md5-bucket into ``dim`` -> mean of the
+    bucket weights -> sigmoid, rounded to 4dp.
+
+    Executes entirely JVM-side: the grams build with split/transform,
+    the weight lookup is ``element_at`` on a literal array (constant-
+    folded), and the fold is a sequential ``aggregate`` — same
+    evaluation ORDER as the DuckDB twin's list fold, so the float sums
+    agree bit-for-bit before rounding. md5 bucketing (not xxhash64)
+    keeps the hash DuckDB-replayable, like every md5 oracle twin."""
+    weights = F.array(*[F.lit(w) for w in quality_weights(dim, seed)])
+    toks = tokens(col)
+    grams = F.concat(toks, word_grams(col, 2))
+    w_of = lambda g: F.element_at(weights, (md5_hash64(g) % dim + 1).cast("int"))  # noqa: E731
+    total = F.aggregate(grams, F.lit(0.0), lambda acc, g: acc + w_of(g))
+    n = F.greatest(F.size(grams), F.lit(1))
+    mean = total / n
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 4)

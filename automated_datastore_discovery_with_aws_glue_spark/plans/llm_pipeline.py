@@ -588,6 +588,112 @@ LANG_ID_SQL = f"""
 """
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-style quality scoring (the CCNet/fastText shape public
+    LLM pipelines use): hashed word uni+bigram features -> linear model
+    -> sigmoid, entirely JVM-side (literal weight vector, md5 bucketing
+    so the DuckDB oracle folds the same numbers). The heuristic
+    ``text_quality`` twin stays; this is the model-driven formulation —
+    swap :func:`operators.text.quality_weights` for trained weights and
+    the plan is production-shaped (a big model would broadcast a weight
+    table; same plan, different literal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.classifier_score(F.col("text")).alias("cls_quality")
+    ).orderBy("doc_id")
+
+
+def _classifier_sql() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import QUALITY_DIM, quality_weights
+
+    wv = "[" + ", ".join(repr(w) for w in quality_weights()) + "]::DOUBLE[]"
+    bucket = "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % " + str(QUALITY_DIM)
+    return f"""
+        WITH d AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_concat(
+                       words,
+                       list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                   ) AS grams
+            FROM d
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(
+                   list_sum(list_transform(grams, g -> ({wv})[({bucket}) + 1]))
+                   / greatest(len(grams), 1)
+               ))), 4) AS cls_quality
+        FROM g
+        ORDER BY doc_id
+    """
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = _classifier_sql()
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — keyword extraction / feature
+    selection over the corpus. Two shuffles total (doc-term counts, then
+    the per-doc ranking window; document frequency rides a window over
+    the already-aggregated doc-term frame — no second corpus scan, no
+    join), and the corpus-size scalar folds in as a broadcast of a
+    1-row aggregate. Smooth idf: ln((1 + N) / (1 + df)) + 1."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("dfreq", dfreq)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1.0) + F.col("dfreq"))) + 1),
+                4,
+            ),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+DOC_TFIDF_TOPK_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    t AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    d AS (SELECT *, count(*) OVER (PARTITION BY term) AS dfreq FROM t),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+        SELECT doc_id, term, tf,
+               round(tf * (ln((1 + n_docs) / (1.0 + dfreq)) + 1), 4) AS tfidf
+        FROM d, n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rnk FROM s
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+"""
+
+
 #: BPE-ish subword splitter: letter runs, digit runs, single symbols
 _TOK_RX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
@@ -1585,10 +1691,14 @@ EXTRA_QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_contamination": corpus_contamination,
     "corpus_prepare": corpus_prepare,
+    "text_quality_classifier": text_quality_classifier,
+    "doc_tfidf_topk": doc_tfidf_topk,
 }
 
 ORACLES = {
     "corpus_clean": CORPUS_CLEAN_SQL,
+    "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
+    "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
     "corpus_clean_exact": CORPUS_CLEAN_EXACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "knn_batch": KNN_BATCH_SQL,
