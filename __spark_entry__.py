@@ -81,7 +81,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_canonical": L.EXTRA_QUERIES["emb_canonical"],
         # -- sessionization + multimodal + generators --
         "sess_gap_split": SS.sess_gap_split,
-        "sess_native_window": SS.sess_native_window,
         "mm_binary_meta": M.QUERIES["mm_binary_meta"],
         "mm_frame_sample": M.QUERIES["mm_frame_sample"],
         **G.QUERIES,
@@ -102,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    scorer, per-doc TF-IDF top-k)
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
         "doc_tfidf_topk": L.EXTRA_QUERIES["doc_tfidf_topk"],
+        "doc_lm_perplexity": L.EXTRA_QUERIES["doc_lm_perplexity"],
         "corpus_report": L.EXTRA_QUERIES["corpus_report"],
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
@@ -130,7 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_json_extract": R.f13_json_extract,
         "j_semi_exists": R.j_semi_exists,
         "f_array_explode": R.f_array_explode,
-        # rotated-out profiling rows (oracle-backed, locally checked)
+        # rotated-out rows (oracle-backed, locally checked; the in-window
+        # sess_gap_split shares sess_native_window's oracle semantics)
+        "sess_native_window": SS.sess_native_window,
         "prof_approx_distinct": P.prof_approx_distinct,
         "prof_top_values": P.prof_top_values,
         # exact-quantile variants (the in-window approx twin is the

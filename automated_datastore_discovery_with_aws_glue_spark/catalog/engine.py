@@ -155,11 +155,39 @@ def _source_id(source_type: str, attrs: dict[str, str]) -> str:
 
 
 class DiscoveryEngine:
-    def __init__(self, spark: SparkSession, state_root: str, *, database: str = "discovered"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        *,
+        database: str = "discovered",
+        commit_backend=None,
+    ):
+        """``commit_backend`` passes through to the state store
+        (``state/commit.py``): default POSIX lock+rename; pass
+        ``ConditionalPutCommitBackend()`` on rename-less object-store
+        postures — every tracker/findings/manifest mutation then commits
+        via conditional PUTs."""
         self.spark = spark
-        self.store = ParquetStateStore(spark, state_root)
+        self.store = ParquetStateStore(spark, state_root, commit_backend=commit_backend)
         self.database = sanitize_identifier(database)
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}")
+
+    def maintain(self, keep: int = 5) -> dict[str, int]:
+        """Scheduled retention pass over every engine state table: vacuum
+        all but the last ``keep`` versions of each (the bookkeeping
+        tables — classify stats, crawl manifest — version-bump once per
+        classify/recrawl batch, so a daily pipeline grows one version a
+        day per table until trimmed). Returns {table: retained version
+        count}. Time travel stays available within the retention window;
+        hard links / manifests keep shared data alive (see
+        ``ParquetStateStore.vacuum``)."""
+        out: dict[str, int] = {}
+        for table in (TRACKER, FINDINGS, TAG_REPORT, RDS_TAG_REPORT, CLASSIFY_STATS, CRAWL_MANIFEST):
+            if self.store.exists(table):
+                self.store.vacuum(table, keep=keep)
+                out[table] = len(self.store.versions(table))
+        return out
 
     # -- entry point A: onboarding (SURVEY §3.1) ---------------------------
 

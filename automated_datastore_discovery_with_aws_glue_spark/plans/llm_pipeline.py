@@ -694,6 +694,93 @@ DOC_TFIDF_TOPK_SQL = f"""
 """
 
 
+#: unigram-LM vocabulary cap: top-V terms by corpus frequency form the
+#: model; everything else shares one OOV bucket. Small enough that the
+#: sf0.01 corpus exercises BOTH branches; at 100 TB V is the bounded
+#: broadcast (50k-ish in real pipelines) — the corpus never shuffles by
+#: itself to score itself
+_LM_VOCAB = 50
+
+
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model perplexity — the
+    quality/outlier signal public LLM pipelines (CCNet, Gopher) compute
+    with a KenLM model; here the LM is the corpus's own top-V unigram
+    distribution with a single add-one-smoothed OOV bucket, so the whole
+    thing is two aggregates + one broadcast join:
+
+    1. token counts (one corpus pass, hash aggregate);
+    2. top-V vocab by (count desc, term) — ``TakeOrdered``, V rows;
+    3. every token left-joins the BROADCAST vocab probs; misses fall to
+       the OOV probability (a literal derived from the same aggregates);
+    4. per-doc ``exp(-avg(ln p))``, rounded 4dp.
+
+    High perplexity = text unlike the corpus (noise, wrong language,
+    gibberish) -> filter candidates. Deterministic: boundary ties in the
+    vocab break on the term, and both engines fold the same doubles."""
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with twin imports)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tc.orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB)
+    totals = toks.agg(F.count(F.lit(1)).alias("t_all"))
+    vmass = vocab.agg(F.sum("c").alias("v_mass"))
+    probs = vocab.crossJoin(F.broadcast(totals)).select(
+        "term", (F.col("c") / F.col("t_all")).alias("p")
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vmass))
+        .select(
+            "doc_id",
+            F.log(
+                F.coalesce(
+                    F.col("p"),
+                    # add-one-smoothed OOV bucket: non-zero even when the
+                    # vocab covers the whole corpus
+                    (F.col("t_all") - F.col("v_mass") + 1) / (F.col("t_all") + 1),
+                )
+            ).alias("ln_p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_LM_PERPLEXITY_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    vocab AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT {_LM_VOCAB}),
+    totals AS (SELECT count(*) AS t_all FROM t),
+    vmass AS (SELECT sum(c) AS v_mass FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               ln(coalesce(
+                   vocab.c::DOUBLE / totals.t_all,
+                   (totals.t_all - vmass.v_mass + 1)::DOUBLE / (totals.t_all + 1)
+               )) AS ln_p
+        FROM t
+        LEFT JOIN vocab ON t.term = vocab.term, totals, vmass
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(exp(-avg(ln_p)), 4) AS perplexity
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 #: BPE-ish subword splitter: letter runs, digit runs, single symbols
 _TOK_RX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
@@ -1693,12 +1780,14 @@ EXTRA_QUERIES = {
     "corpus_prepare": corpus_prepare,
     "text_quality_classifier": text_quality_classifier,
     "doc_tfidf_topk": doc_tfidf_topk,
+    "doc_lm_perplexity": doc_lm_perplexity,
 }
 
 ORACLES = {
     "corpus_clean": CORPUS_CLEAN_SQL,
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
+    "doc_lm_perplexity": DOC_LM_PERPLEXITY_SQL,
     "corpus_clean_exact": CORPUS_CLEAN_EXACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "knn_batch": KNN_BATCH_SQL,

@@ -636,3 +636,54 @@ def test_recrawl_append_only_fast_path(spark, tmp_path):
     assert "appended_files" not in report[0]
     assert report[0]["skipped"] is False
     assert spark.table(fq).count() == 70
+
+
+def test_engine_on_conditional_backend_with_maintain(spark, tmp_path):
+    """The whole discovery lifecycle runs on the rename-less
+    conditional-PUT commit backend (every tracker/findings/stats/manifest
+    mutation commits via claim + pointer CAS), and `maintain()` trims
+    every state table to the retention window while keeping reads
+    alive."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.commit import ConditionalPutCommitBackend
+
+    src = tmp_path / "condsrc"
+    src.mkdir()
+
+    def write_rows(name, n, start=0):
+        with open(src / name, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["customer_email", "note"])
+            for i in range(start, start + n):
+                w.writerow([f"user{i}@example.com", f"note {i}"])
+
+    write_rows("a.csv", 20)
+    eng = DiscoveryEngine(
+        spark,
+        str(tmp_path / "state"),
+        database="cond_db",
+        commit_backend=ConditionalPutCommitBackend(),
+    )
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "condsrc", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    assert eng.classify_pending("s3", ["EMAIL"]) == 1
+    found = {r["columnName"]: r["entityTypes"] for r in eng.latest_findings().collect()}
+    assert "EMAIL" in found["customer_email"]
+
+    # drift -> append-only fast path -> incremental classify, all through
+    # the conditional commit protocol
+    write_rows("b.csv", 15, start=100)
+    assert eng.recrawl("s3")[0]["appended_files"] == 1
+    assert eng.classify_pending("s3", ["EMAIL"]) == 1
+    assert spark.table("cond_db.s3_condsrc").count() == 35
+
+    # several versions accumulated; maintain() trims every table
+    before = {t: len(eng.store.versions(t)) for t in ("tracker", "pii_findings", "classify_stats", "crawl_manifest")}
+    assert before["tracker"] >= 3
+    kept = eng.maintain(keep=1)
+    assert set(before) <= set(kept)
+    assert all(v == 1 for t, v in kept.items())
+    # reads still good after the trim
+    assert eng.tracker().count() == 1
+    assert {r["columnName"] for r in eng.latest_findings().collect()} == {"customer_email"}

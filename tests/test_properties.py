@@ -168,3 +168,59 @@ def test_int8_quantization_bounded_error(spark, vecs):
     for r in rows:
         for x, qi in zip(r["v"], r["q"]):
             assert abs(qi * r["s"] - x) <= r["s"] / 2 + 1e-9, (x, qi, r["s"])
+
+
+# ---------------------------------------------------------------------------
+# Counts-merge invariance (file-level incremental classification)
+# ---------------------------------------------------------------------------
+
+_cells = st.one_of(
+    st.just(None),
+    st.just(""),
+    st.from_regex(r"[0-9]{3}-[0-9]{2}-[0-9]{4}", fullmatch=True),  # dashed SSN
+    st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.com", fullmatch=True),  # email
+    st.text(alphabet="xyz 0123456789", min_size=0, max_size=20),  # noise
+)
+_rows = st.lists(st.tuples(_cells, _cells), min_size=1, max_size=24)
+_splits = st.integers(min_value=1, max_value=4)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_rows, n_parts=_splits)
+def test_classify_counts_merge_invariance(spark, rows, n_parts):
+    """The invariant file-level incremental classification rests on: for
+    ANY partition of the rows into subsets, summing per-subset match
+    counts and deriving the classification equals classifying the whole
+    frame in one pass — including threshold, context gate and the
+    exact-sub-form escape."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+        classification_from_counts,
+        classify_columns,
+        classify_columns_counts,
+    )
+
+    cols = ["ref_code", "contact_email"]  # one hinted, one not
+    ent = ["USA_SSN", "EMAIL", "PHONE_NUMBER"]
+    full = spark.createDataFrame(rows, f"{cols[0]} string, {cols[1]} string")
+
+    parts = [rows[i::n_parts] for i in range(n_parts)]
+    counts = None
+    for i, chunk in enumerate(parts):
+        if not chunk:
+            continue
+        c = classify_columns_counts(
+            spark.createDataFrame(chunk, f"{cols[0]} string, {cols[1]} string"),
+            ent,
+            file_col=F.lit(f"part{i}"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+
+    got = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classification_from_counts(counts, ent, 0.3, column_names=cols).collect()
+    }
+    want = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(full, ent, 1.0, 0.3).collect()
+    }
+    assert got == want, (rows, n_parts)
