@@ -256,6 +256,76 @@ def decode_images(
     return df.mapInPandas(_decode, schema=out_schema)
 
 
+def decode_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode audio binaries to (sample_rate, n_channels, sample_width,
+    n_frames, duration_ms) via ``mapInPandas``.
+
+    Real-path kernel: stdlib ``wave`` — PCM RIFF/WAVE decodes
+    UNCONDITIONALLY (no media library needed; the module is part of
+    every CPython). Non-WAV bytes raise ``NotImplementedError`` naming
+    the gap (compressed codecs need ffmpeg-class libraries that are not
+    in this environment); NULL cells yield NULLs. ``fake=True`` keeps
+    the deterministic hash-derived stub for pipeline plumbing tests."""
+    out_schema = _extended_schema(
+        df,
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_width", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rates: list[int | None] = []
+            chans: list[int | None] = []
+            widths: list[int | None] = []
+            frames: list[int | None] = []
+            durs: list[int | None] = []
+            for b in pdf[content_col]:
+                if b is None:
+                    rates.append(None), chans.append(None), widths.append(None)
+                    frames.append(None), durs.append(None)
+                    continue
+                b = bytes(b)
+                if fake:
+                    h = hashlib.sha256(b).digest()
+                    r = 8000 * (1 + h[0] % 5)
+                    n = 1 + h[1] % 256
+                    rates.append(r), chans.append(1 + h[2] % 2), widths.append(2)
+                    frames.append(n), durs.append(n * 1000 // r)
+                    continue
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires an external codec "
+                        "(not installed); the stdlib kernel covers PCM WAV — "
+                        "pass fake=True for the deterministic stub"
+                    )
+                with wave.open(io.BytesIO(b)) as w:
+                    rates.append(w.getframerate())
+                    chans.append(w.getnchannels())
+                    widths.append(w.getsampwidth())
+                    frames.append(w.getnframes())
+                    durs.append(w.getnframes() * 1000 // w.getframerate())
+            yield pdf.assign(
+                sample_rate=pd.array(rates, dtype="Int32"),
+                n_channels=pd.array(chans, dtype="Int32"),
+                sample_width=pd.array(widths, dtype="Int32"),
+                n_frames=pd.array(frames, dtype="Int64"),
+                duration_ms=pd.array(durs, dtype="Int64"),
+            )
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame,
     content_col: str = "content",

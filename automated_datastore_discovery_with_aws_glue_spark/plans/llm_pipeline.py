@@ -718,8 +718,6 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     High perplexity = text unlike the corpus (noise, wrong language,
     gibberish) -> filter candidates. Deterministic: boundary ties in the
     vocab break on the term, and both engines fold the same doubles."""
-    from pyspark.sql import Window as _W  # noqa: F401  (parity with twin imports)
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")

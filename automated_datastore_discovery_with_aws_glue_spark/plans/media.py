@@ -138,14 +138,84 @@ MM_FRAME_SAMPLE_SQL = f"""
     ORDER BY doc_id, frame_index
 """
 
+def _le_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Hex string of ``col`` as an ``nbytes`` little-endian integer —
+    the building block for synthesizing REAL binary formats natively
+    (big-endian hex, zero-padded, byte pairs reversed)."""
+    he = F.lpad(F.hex(col.cast("bigint")), nbytes * 2, "0")
+    pairs = [F.substring(he, i * 2 + 1, 2) for i in range(nbytes)]
+    return F.concat(*reversed(pairs))
+
+
+def _wav_content(docs: DataFrame) -> DataFrame:
+    """documents + a REAL PCM WAV binary per row, built entirely from
+    native expressions (RIFF/fmt/data chunks with correct little-endian
+    sizes; 16-bit samples, parameters derived from doc_id). stdlib
+    ``wave`` round-trips these bytes — pinned in pytest — so the decode
+    query exercises a genuine parser against genuine files."""
+    rate = (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("bigint")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("bigint")
+    n_frames = (F.lit(16) + F.col("doc_id") % 32).cast("bigint")
+    block_align = channels * 2
+    data_size = n_frames * block_align
+    byte_rate = rate * block_align
+    header_hex = F.concat(
+        F.lit("52494646"),                 # 'RIFF'
+        _le_hex(F.lit(36) + data_size, 4), # chunk size
+        F.lit("57415645"),                 # 'WAVE'
+        F.lit("666D7420"),                 # 'fmt '
+        _le_hex(F.lit(16), 4),             # fmt chunk size
+        _le_hex(F.lit(1), 2),              # PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block_align, 2),
+        _le_hex(F.lit(16), 2),             # bits per sample
+        F.lit("64617461"),                 # 'data'
+        _le_hex(data_size, 4),
+        F.repeat(F.lit("0100"), (n_frames * channels).cast("int")),  # samples
+    )
+    return docs.select("doc_id", F.unhex(header_hex).alias("content"))
+
+
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: natively synthesized PCM WAV files
+    (`_wav_content` — correct RIFF structure, parameters a formula of
+    doc_id) parsed by the stdlib ``wave`` kernel inside mapInPandas
+    (``operators.multimodal.decode_audio``). The DuckDB oracle derives
+    the expected metadata from the SAME doc_id formulas — equality
+    proves the Arrow plumbing delivered bytes a genuine parser reads
+    back to spec."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_audio(_wav_content(docs), "content")
+    return out.select(
+        "doc_id", "sample_rate", "n_channels", "sample_width", "n_frames", "duration_ms"
+    ).orderBy("doc_id")
+
+
+MM_AUDIO_DECODE_SQL = """
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(2 AS INT) AS sample_width,
+           16 + doc_id % 32 AS n_frames,
+           ((16 + doc_id % 32) * 1000) // (8000 + (doc_id % 4) * 4000) AS duration_ms
+    FROM documents
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode": mm_image_decode,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_decode": mm_audio_decode,
 }
 
 ORACLES = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_image_decode": MM_IMAGE_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_audio_decode": MM_AUDIO_DECODE_SQL,
 }

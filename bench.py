@@ -65,6 +65,12 @@ HEADLINE = [
     "pii_redact",
     "tok_pack_sequences",
     "corpus_decontaminate",
+    # r6 additions: mergeable classify counts, learned-style quality
+    # scorer, per-doc TF-IDF top-k, unigram LM perplexity
+    "pii_classify_counts",
+    "text_quality_classifier",
+    "doc_tfidf_topk",
+    "doc_lm_perplexity",
 ]
 
 

@@ -232,3 +232,67 @@ def test_sample_frames(spark, media):
     # frames tile the original bytes
     assert rows[0]["frame_bytes"] == PNG[:32]
     assert rows[1]["frame_bytes"] == PNG[32:64]
+
+
+def test_decode_audio_real_wav_stdlib_kernel(spark):
+    """REAL audio decode, no external codec: PCM WAVs written by the
+    stdlib `wave` module decode to their exact parameters through the
+    mapInPandas kernel; NULL cells yield NULLs; non-WAV bytes raise
+    (capability gap = error)."""
+    import io
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import decode_audio
+
+    def make_wav(rate, channels, frames):
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x01\x00" * frames * channels)
+        return bytearray(buf.getvalue())
+
+    rows = [
+        (1, make_wav(16000, 1, 160)),
+        (2, make_wav(44100, 2, 441)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: (
+            r["sample_rate"], r["n_channels"], r["sample_width"],
+            r["n_frames"], r["duration_ms"],
+        )
+        for r in decode_audio(df).collect()
+    }
+    assert got[1] == (16000, 1, 2, 160, 10)
+    assert got[2] == (44100, 2, 2, 441, 10)
+    assert got[3] == (None, None, None, None, None)
+
+    bad = spark.createDataFrame([(9, bytearray(b"ID3\x04not a wav"))], "media_id long, content binary")
+    with _pytest.raises(Exception) as exc:
+        decode_audio(bad).collect()
+    assert "NotImplementedError" in str(exc.value) or "WAV" in str(exc.value)
+
+
+def test_native_wav_synthesis_is_to_spec(spark):
+    """The natively-synthesized WAV bytes (`plans.media._wav_content` —
+    little-endian chunk arithmetic built from pure expressions) parse
+    with stdlib `wave` to exactly the doc_id-derived parameters the
+    oracle predicts — the synthesis is a real file, not a lookalike."""
+    import io
+    import wave as _wave
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans.media import _wav_content
+
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(8)], ["doc_id", "text"])
+    for r in _wav_content(docs).collect():
+        with _wave.open(io.BytesIO(bytes(r["content"]))) as w:
+            i = r["doc_id"]
+            assert w.getframerate() == 8000 + (i % 4) * 4000
+            assert w.getnchannels() == 1 + i % 2
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == 16 + i % 32
