@@ -66,11 +66,13 @@ HEADLINE = [
     "tok_pack_sequences",
     "corpus_decontaminate",
     # r6 additions: mergeable classify counts, learned-style quality
-    # scorer, per-doc TF-IDF top-k, unigram LM perplexity
+    # scorer, per-doc TF-IDF top-k, unigram LM perplexity, real WAV
+    # decode through the Arrow kernel
     "pii_classify_counts",
     "text_quality_classifier",
     "doc_tfidf_topk",
     "doc_lm_perplexity",
+    "mm_audio_decode",
 ]
 
 
