@@ -776,3 +776,62 @@ def test_stream_minhash_verified_sink_precision(spark, tmp_path):
         r["doc_id"]: r["kept"] for r in spark.read.parquet(out_dir).collect()
     }
     assert got[4] is True
+
+
+def test_text_operators_run_on_streams_stateless(spark, tmp_path):
+    """The text-analysis surface (quality stats, learned-style classifier
+    score, language ID) is pure projection — it runs UNCHANGED on a
+    readStream with no state, no watermark, and produces exactly the
+    batch results. This is the ingest-time shape: score documents as
+    they land, before any stateful dedup."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+        classifier_score,
+        lang_id,
+        text_stats,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away"),
+        (2, "el rapido zorro marron salta sobre el perro perezoso hoy"),
+        (3, "x" * 40),
+    ]
+    with open(f"{src}/b0.json", "w") as fh:
+        for doc_id, text in rows:
+            fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def project(df):
+        return text_stats(df).select(
+            "doc_id",
+            "quality_score",
+            classifier_score(F.col("text")).alias("cls"),
+            lang_id(F.col("text")).alias("lang"),
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = (
+        project(stream)
+        .writeStream.format("memory")
+        .queryName("txt_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        r["doc_id"]: (r["quality_score"], r["cls"], r["lang"])
+        for r in spark.sql("SELECT * FROM txt_stream").collect()
+    }
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        r["doc_id"]: (r["quality_score"], r["cls"], r["lang"])
+        for r in project(batch).collect()
+    }
+    assert got == want
+    assert got[1][2] == "en" and got[2][2] == "es"
