@@ -719,6 +719,12 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish) -> filter candidates. Deterministic: boundary ties in the
     vocab break on the term, and both engines fold the same doubles."""
     docs = load_table(spark, sf_dir, "documents")
+    return _lm_perplexity_frame(docs).orderBy("doc_id")
+
+
+def _lm_perplexity_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, perplexity) — the unordered body of
+    :func:`doc_lm_perplexity`, reused by the composed signal gate."""
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
@@ -745,13 +751,9 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln_p"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity"),
     )
 
 
@@ -777,6 +779,66 @@ DOC_LM_PERPLEXITY_SQL = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+#: combined-gate thresholds (each bites on the test corpus: quality
+#: median .72, classifier median .47, dup-bigram median .03, perplexity
+#: median 30.0)
+_SIG_MIN_QUALITY = 0.6
+_SIG_MIN_CLS = 0.46
+_SIG_MAX_DUP = 0.05
+_SIG_MAX_PPL = 30.5
+
+
+def corpus_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined pre-training filter recipe (C4-style heuristics +
+    Gopher repetition + learned-style classifier + LM perplexity — the
+    gates public pipelines apply together): one row per SURVIVING
+    document with every signal that cleared.
+
+    Plan shape: the three per-document signals (heuristic quality,
+    classifier score, duplicate-bigram fraction) are pure projections
+    computed in ONE corpus scan; the perplexity frame (which needs the
+    corpus-level LM aggregates) joins on doc_id — two scans + one join
+    total, vs the oracle's compose-the-verified-twins formulation which
+    literally joins the four standalone oracle queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    proj = TX.repetition_stats(TX.text_stats(docs)).select(
+        "doc_id",
+        "quality_score",
+        TX.classifier_score(F.col("text")).alias("cls_quality"),
+        "dup_gram_frac",
+    )
+    ppl = _lm_perplexity_frame(docs).select("doc_id", "perplexity")
+    return (
+        proj.join(ppl, "doc_id")
+        .filter(
+            (F.col("quality_score") >= _SIG_MIN_QUALITY)
+            & (F.col("cls_quality") >= _SIG_MIN_CLS)
+            & (F.col("dup_gram_frac") <= _SIG_MAX_DUP)
+            & (F.col("perplexity") <= _SIG_MAX_PPL)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_filter_signals_sql() -> str:
+    """Compose-the-verified-twins oracle: the four standalone oracle
+    queries join on doc_id and the gates filter — any drift in any
+    signal's math surfaces here too."""
+    return f"""
+        SELECT q.doc_id, q.quality_score, c.cls_quality, r.dup_gram_frac,
+               p.perplexity
+        FROM ({TEXT_QUALITY_SQL}) q
+        JOIN ({TEXT_QUALITY_CLASSIFIER_SQL}) c USING (doc_id)
+        JOIN ({TEXT_REPETITION_SQL}) r USING (doc_id)
+        JOIN ({DOC_LM_PERPLEXITY_SQL}) p USING (doc_id)
+        WHERE q.quality_score >= {_SIG_MIN_QUALITY}
+          AND c.cls_quality >= {_SIG_MIN_CLS}
+          AND r.dup_gram_frac <= {_SIG_MAX_DUP}
+          AND p.perplexity <= {_SIG_MAX_PPL}
+        ORDER BY doc_id
+    """
 
 
 #: BPE-ish subword splitter: letter runs, digit runs, single symbols
@@ -1779,6 +1841,7 @@ EXTRA_QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "corpus_filter_signals": corpus_filter_signals,
 }
 
 ORACLES = {
@@ -1786,6 +1849,7 @@ ORACLES = {
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
     "doc_lm_perplexity": DOC_LM_PERPLEXITY_SQL,
+    "corpus_filter_signals": corpus_filter_signals_sql(),
     "corpus_clean_exact": CORPUS_CLEAN_EXACT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "knn_batch": KNN_BATCH_SQL,

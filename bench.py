@@ -73,6 +73,7 @@ HEADLINE = [
     "doc_tfidf_topk",
     "doc_lm_perplexity",
     "mm_audio_decode",
+    "corpus_filter_signals",
 ]
 
 
