@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sess_gap_split": SS.sess_gap_split,
         "mm_binary_meta": M.QUERIES["mm_binary_meta"],
         "mm_frame_sample": M.QUERIES["mm_frame_sample"],
-        **G.QUERIES,
+        "gen_individuals": G.QUERIES["gen_individuals"],
         # -- corpus assembly / composed training-data pipelines (r4+r5);
         #    corpus_clean & corpus_prepare now default to MinHash-LSH
         #    candidates (md5 twin — the whole composition oracle-checked)
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
         "doc_tfidf_topk": L.EXTRA_QUERIES["doc_tfidf_topk"],
         "doc_lm_perplexity": L.EXTRA_QUERIES["doc_lm_perplexity"],
+        "corpus_filter_signals": L.EXTRA_QUERIES["corpus_filter_signals"],
         "corpus_report": L.EXTRA_QUERIES["corpus_report"],
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
@@ -131,8 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_semi_exists": R.j_semi_exists,
         "f_array_explode": R.f_array_explode,
         # rotated-out rows (oracle-backed, locally checked; the in-window
-        # sess_gap_split shares sess_native_window's oracle semantics)
+        # sess_gap_split shares sess_native_window's oracle semantics,
+        # gen_individuals pins the seeded-generator family)
         "sess_native_window": SS.sess_native_window,
+        "gen_network": G.QUERIES["gen_network"],
         "prof_approx_distinct": P.prof_approx_distinct,
         "prof_top_values": P.prof_top_values,
         # exact-quantile variants (the in-window approx twin is the

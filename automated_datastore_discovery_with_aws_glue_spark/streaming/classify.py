@@ -1,0 +1,86 @@
+"""Ingest-time PII classification — the streaming composition of the
+mergeable COUNT form (SURVEY A3 + the file-level incremental machinery,
+`operators/classify.py`).
+
+Classification is an aggregate (per-column match fractions), so a
+stream can't emit it row-by-row — but counts are ADDITIVE: each
+micro-batch contributes its per-(column, entity) match counts at
+O(batch) cost, the counts append to a state table, and the
+reference-shaped classification derives from the SUM at any moment —
+EXACTLY equal to a one-shot batch classify of everything ingested so
+far. That is ingest-time PII monitoring: a column's detection flips the
+instant enough matching rows have arrived, with no re-scan of history.
+
+State growth is one metadata-scale row-set per batch (#columns x
+#entities, not data-sized); compact periodically by replacing the table
+with its own sum (``compact_counts``) and vacuuming.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+    classification_from_counts,
+    classify_columns_counts,
+)
+from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+
+_COLS = ("columnName", "entity", "n_matched", "n_values")
+
+
+def make_classify_sink(
+    store: ParquetStateStore,
+    table: str,
+    entities: Sequence[str] | None = None,
+    *,
+    columns: Sequence[str] | None = None,
+):
+    """``foreachBatch`` sink: append each micro-batch's match counts to
+    ``table``. Pair with :func:`current_classification` to read the
+    up-to-now detections."""
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        counts = classify_columns_counts(batch, entities, columns=columns)
+        store.append(table, counts.select(*_COLS))
+
+    return sink
+
+
+def current_classification(
+    store: ParquetStateStore,
+    table: str,
+    entities: Sequence[str] | None = None,
+    detection_threshold: float = 0.1,
+    *,
+    column_names: Sequence[str],
+    use_context: bool = True,
+) -> DataFrame:
+    """Reference-shaped ``(columnName, entityTypes)`` over everything
+    ingested so far — the same threshold + context gate (incl. the
+    exact-sub-form escape) as the batch classifier, over summed
+    counts."""
+    return classification_from_counts(
+        store.read(table),
+        entities,
+        detection_threshold,
+        column_names=column_names,
+        use_context=use_context,
+    )
+
+
+def compact_counts(store: ParquetStateStore, table: str) -> None:
+    """Replace the per-batch count rows with their sum (one row per
+    (column, entity)) — run periodically with ``store.vacuum`` to keep
+    the monitoring table O(columns x entities) regardless of how many
+    batches ever landed. Derivations before/after are identical
+    (summing is associative)."""
+    summed = (
+        store.read(table)
+        .groupBy("columnName", "entity")
+        .agg(F.sum("n_matched").alias("n_matched"), F.sum("n_values").alias("n_values"))
+    )
+    store.overwrite(table, summed.select(*_COLS))

@@ -835,3 +835,83 @@ def test_text_operators_run_on_streams_stateless(spark, tmp_path):
     }
     assert got == want
     assert got[1][2] == "en" and got[2][2] == "es"
+
+
+def test_streaming_incremental_classification(spark, tmp_path):
+    """Ingest-time PII monitoring: per-batch match COUNTS append to a
+    state table; the derived classification at every point equals a
+    one-shot batch classify of everything ingested so far — a column's
+    detection FLIPS when enough matching rows have arrived, with no
+    re-scan of history. Compaction preserves the derivation."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import classify_columns
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.classify import (
+        compact_counts,
+        current_classification,
+        make_classify_sink,
+    )
+
+    src, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    cols = ["contact", "note"]
+    ent = ["EMAIL"]
+    sink = make_classify_sink(store, "live_counts", ent, columns=cols)
+
+    seen: list[tuple] = []
+
+    def write_batch(rows):
+        seen.extend(rows)
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for contact, note in rows:
+                fh.write(_json.dumps({"contact": contact, "note": note}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("contact string, note string").json(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    def live():
+        return {
+            r["columnName"]: list(r["entityTypes"])
+            for r in current_classification(
+                store, "live_counts", ent, 0.5, column_names=cols
+            ).collect()
+        }
+
+    def batch_truth():
+        df = spark.createDataFrame(seen, f"{cols[0]} string, {cols[1]} string")
+        return {
+            r["columnName"]: list(r["entityTypes"])
+            for r in classify_columns(df, ent, 1.0, 0.5).collect()
+        }
+
+    # batch 1: 2 of 6 contacts are emails (33% < 50%) -> no detection
+    write_batch([(f"u{i}@ex.com" if i < 2 else f"plain {i}", f"n{i}") for i in range(6)])
+    run()
+    assert live() == batch_truth() == {}
+
+    # batch 2: 6 more, all emails -> cumulative 8/12 (67%) -> flips ON
+    write_batch([(f"v{i}@ex.com", f"n{i}") for i in range(6)])
+    run()
+    assert live() == batch_truth() == {"contact": ["EMAIL"]}
+
+    # compaction: one row per (column, entity); derivation unchanged
+    n_before = store.read("live_counts").count()
+    compact_counts(store, "live_counts")
+    assert store.read("live_counts").count() < n_before
+    assert live() == {"contact": ["EMAIL"]}
+
+    # further batches keep accumulating on the compacted table
+    write_batch([(f"plain tail {i}", f"n{i}") for i in range(2)])
+    run()
+    assert live() == batch_truth() == {"contact": ["EMAIL"]}
