@@ -730,7 +730,9 @@ def _lm_perplexity_frame(docs: DataFrame) -> DataFrame:
     ).filter(F.col("term") != "")
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     vocab = tc.orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB)
-    totals = toks.agg(F.count(F.lit(1)).alias("t_all"))
+    # total token count derives from the term-count aggregate — no
+    # second corpus scan (sum of per-term counts == count of tokens)
+    totals = tc.agg(F.sum("c").alias("t_all"))
     vmass = vocab.agg(F.sum("c").alias("v_mass"))
     probs = vocab.crossJoin(F.broadcast(totals)).select(
         "term", (F.col("c") / F.col("t_all")).alias("p")
@@ -762,7 +764,7 @@ DOC_LM_PERPLEXITY_SQL = f"""
     t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
     tc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
     vocab AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT {_LM_VOCAB}),
-    totals AS (SELECT count(*) AS t_all FROM t),
+    totals AS (SELECT sum(c) AS t_all FROM tc),
     vmass AS (SELECT sum(c) AS v_mass FROM vocab),
     scored AS (
         SELECT t.doc_id,
