@@ -1,0 +1,84 @@
+"""Incremental corpus dedup (plans/incremental.py): a growing corpus
+dedups per batch against a persisted LSH index — no history re-scan."""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_datastore_discovery_with_aws_glue_spark.plans.incremental import CorpusDedupIndex
+
+BASE = "the quick brown fox jumps over the lazy dog while the calm river flows past the old stone bridge"
+OTHER = "completely different content about spark adaptive execution and shuffle partition tuning at scale"
+THIRD = "unrelated third document discussing parquet row groups column pruning and predicate pushdown"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    return CorpusDedupIndex(spark, str(tmp_path / "idx"), threshold=0.5)
+
+
+def test_cross_batch_dedup_matches_batch_operator(spark, index):
+    """Arrival order == id order: the union of per-batch survivors
+    equals the one-shot batch canonical dedup of the full corpus."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+        dedup_canonical,
+        minhash_lsh_pairs,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import release
+
+    b1 = [(1, BASE), (2, OTHER), (3, BASE.replace("quick", "swift"))]
+    b2 = [(4, BASE.replace("lazy", "idle")), (5, THIRD), (6, OTHER + " extra")]
+
+    kept1 = sorted(r["doc_id"] for r in index.ingest(_docs(spark, b1)).collect())
+    assert kept1 == [1, 2]  # 3 is a within-batch near-dup of 1
+
+    kept2 = sorted(r["doc_id"] for r in index.ingest(_docs(spark, b2)).collect())
+    # 4 near-dups indexed 1; 6 near-dups indexed 2; 5 is fresh
+    assert kept2 == [5]
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2, 5]
+
+    # one-shot batch truth over the full corpus
+    full = _docs(spark, b1 + b2)
+    pairs = minhash_lsh_pairs(full, "doc_id", "text", threshold=0.5)
+    canon = dedup_canonical(full, pairs, "doc_id")
+    want = sorted(r["doc_id"] for r in canon.collect())
+    release(canon)
+    assert sorted([1, 2, 5]) == want
+
+
+def test_exact_replay_and_immutability(spark, index):
+    """Replayed ids dedup to nothing (idempotent re-ingest); a bridge
+    doc near-dupping TWO existing canonicals drops without retracting
+    either (published canonicals are immutable)."""
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november"
+    b = "alpha bravo charlie delta echo foxtrot golf hotel oscar papa quebec romeo sierra tango"
+    # a and b share a 8-word prefix: J < 0.5 -> both canonical
+    kept = sorted(r["doc_id"] for r in index.ingest(_docs(spark, [(1, a), (2, b)])).collect())
+    assert kept == [1, 2]
+
+    # replay the same batch: nothing new survives, index unchanged
+    assert index.ingest(_docs(spark, [(1, a), (2, b)])).count() == 0
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2]
+
+    # a near-identical newcomer (one word swapped toward b's vocabulary)
+    # drops against the index; BOTH existing canonicals stay — published
+    # canonicals are immutable, never retracted or merged
+    bridge = a.replace("kilo lima", "oscar papa")
+    assert index.ingest(_docs(spark, [(3, bridge)])).count() == 0
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2]
+
+
+def test_returned_frame_survives_operator_cache_release(spark, index):
+    """The ingest result is lineage-severed (localCheckpoint): actions on
+    it long after the call — when the operator's internal caches are
+    gone — still work."""
+    import gc
+
+    out = index.ingest(_docs(spark, [(1, BASE), (2, OTHER)]))
+    gc.collect()
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}
+    assert out.count() == 2
