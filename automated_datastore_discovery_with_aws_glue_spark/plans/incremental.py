@@ -216,3 +216,20 @@ class CorpusDedupIndex:
         if not self.store.exists(DOCS):
             return self.spark.createDataFrame([], "id long")
         return self.store.read(DOCS).select("id")
+
+    def make_sink(self, out_dir: str, id_col: str = "doc_id", text_col: str = "text"):
+        """``foreachBatch`` front door: each micro-batch ingests through
+        the DURABLE index (unlike the watermark-horizon streaming gate,
+        state here never expires — the index IS the corpus) and the
+        surviving rows append to ``out_dir`` as parquet. Restart safety
+        comes from idempotent re-ingest: a replayed batch's ids are
+        already indexed and dedup to nothing — only the out_dir append
+        needs the streaming checkpoint's exactly-once bookkeeping."""
+
+        def sink(batch: DataFrame, _batch_id: int) -> None:
+            if batch.limit(1).count() == 0:
+                return
+            kept = self.ingest(batch, id_col, text_col)
+            kept.write.mode("append").parquet(out_dir)
+
+        return sink

@@ -82,3 +82,46 @@ def test_returned_frame_survives_operator_cache_release(spark, index):
     gc.collect()
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}
     assert out.count() == 2
+
+
+def test_streaming_front_door(spark, tmp_path, index):
+    """readStream -> foreachBatch(index.make_sink): cross-batch near-dups
+    drop against the DURABLE index (no watermark expiry), survivors land
+    in the output dir, and a replayed batch adds nothing."""
+    import json as _json
+    import os
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "kept")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for doc_id, text in rows:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    sink = index.make_sink(out_dir)
+
+    def run(fresh_ckpt=None):
+        stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", fresh_ckpt or ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    write_batch([(1, BASE), (2, OTHER)])
+    run()
+    write_batch([(3, BASE.replace("quick", "swift")), (4, THIRD)])
+    run()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 2, 4]  # 3 deduped against the indexed 1
+
+    # full replay with a FRESH checkpoint: idempotent re-ingest — the
+    # index swallows every already-seen id, nothing new lands
+    run(fresh_ckpt=str(tmp_path / "ckpt2"))
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert kept2 == [1, 2, 4]
