@@ -580,15 +580,31 @@ class DiscoveryEngine:
     ) -> DataFrame:
         """Read a source (schema inference). ``paths`` restricts the read
         to an explicit file list — the delta-read used by file-level
-        incremental classification; every reader here accepts a list."""
+        incremental classification and the append-only recrawl; every
+        reader here accepts a list. Explicit-file reads pin ``basePath``
+        to the source root so hive-style partition directories
+        (``key=value/``) still surface their partition COLUMNS — without
+        it a delta read would silently drop them and incremental
+        classification would diverge from a full rescan."""
         path: str | list[str] = paths if paths is not None else attrs["path"]
+        base = attrs.get("path") if paths is not None else None
+        if base and base.startswith("file:"):
+            base = base[len("file:"):]
         fmt = attrs.get("format", "csv" if source_type == "s3" else "json")
         if fmt == "csv":
-            return read_csv_source(self.spark, path, multi_line=attrs.get("multiline") == "true")
+            return read_csv_source(
+                self.spark,
+                path,
+                multi_line=attrs.get("multiline") == "true",
+                base_path=base,
+            )
         if fmt == "json":
-            return read_json_items(self.spark, path)
+            return read_json_items(self.spark, path, base_path=base)
         if fmt == "parquet":
-            return self.spark.read.parquet(*path) if isinstance(path, list) else self.spark.read.parquet(path)
+            reader = self.spark.read
+            if base:
+                reader = reader.option("basePath", base)
+            return reader.parquet(*path) if isinstance(path, list) else reader.parquet(path)
         raise ValueError(f"unsupported source format: {fmt}")
 
     # -- entry point C: classification + publish (SURVEY §3.3) -------------

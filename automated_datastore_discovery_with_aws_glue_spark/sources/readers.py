@@ -111,30 +111,41 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 
 def read_csv_source(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     *,
     multi_line: bool = False,
+    base_path: str | None = None,
 ) -> DataFrame:
     """CSV source with header + schema inference.
 
     Mirrors the reference's crawler-inferred CSV reads
     (`lambda/catalog-creator-s3/app.py:182-200`); `multiLine` covers the
     quoted-multiline fixture (`individual_details.csv`, FIXTURES.md §3).
-    """
-    return (
+    ``base_path`` (used with explicit file lists) keeps hive-style
+    partition-directory columns visible — reading files by path without
+    it would silently drop them."""
+    reader = (
         spark.read.option("header", True)
         .option("inferSchema", True)
         .option("multiLine", multi_line)
         .option("escape", '"')
-        .csv(path)
     )
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    return reader.csv(path)
 
 
-def read_json_items(spark: SparkSession, path: str) -> DataFrame:
+def read_json_items(
+    spark: SparkSession, path: str | list[str], *, base_path: str | None = None
+) -> DataFrame:
     """Key-value item source (DynamoDB-export analogue): JSON lines with
     per-record schema, merged by Spark's JSON schema inference
-    (ref: `lambda/catalog-creator-ddb/app.py:158-172`)."""
-    return spark.read.json(path)
+    (ref: `lambda/catalog-creator-ddb/app.py:158-172`). ``base_path``:
+    see :func:`read_csv_source`."""
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    return reader.json(path)
 
 
 def jdbc_scan_options(

@@ -687,3 +687,58 @@ def test_engine_on_conditional_backend_with_maintain(spark, tmp_path):
     # reads still good after the trim
     assert eng.tracker().count() == 1
     assert {r["columnName"] for r in eng.latest_findings().collect()} == {"customer_email"}
+
+
+def test_partitioned_source_incremental_classification(spark, tmp_path):
+    """Hive-partitioned sources (date=.../ dirs): the partition COLUMN
+    survives the explicit-file delta reads (basePath pinned), so the
+    append-only recrawl appends rows WITH their partition value and the
+    incremental classification still equals a full rescan — including
+    detections on the partition column itself."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import classify_columns
+
+    src = tmp_path / "partsrc"
+
+    def write_part(day, start):
+        d = src / f"batch_tag={day}"
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "part.csv", "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["contact", "note"])
+            for i in range(start, start + 20):
+                w.writerow([f"u{i}@example.com", f"note {i}"])
+
+    write_part("first", 0)
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="part_db")
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "partsrc", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    fq = "part_db.s3_partsrc"
+    assert "batch_tag" in spark.table(fq).columns  # discovered partition col
+    assert eng.classify_pending("s3", ["EMAIL", "PERSON_NAME"]) == 1
+
+    # new partition dir lands: append-only fast path keeps the column
+    write_part("second", 100)
+    report = eng.recrawl("s3")
+    assert report[0].get("appended_files") == 1, report
+    t = spark.table(fq)
+    assert t.count() == 40
+    assert t.filter("batch_tag = 'second'").count() == 20
+
+    reads = []
+    orig = eng._read_source
+    eng._read_source = lambda st, attrs, paths=None: (reads.append(paths), orig(st, attrs, paths))[1]
+    assert eng.classify_pending("s3", ["EMAIL", "PERSON_NAME"]) == 1
+    assert len([p for p in reads if p]) == 1  # delta file only
+
+    found = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in eng.latest_findings().filter("data_catalog_table = 's3_partsrc'").collect()
+    }
+    expected = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(spark.table(fq), ["EMAIL", "PERSON_NAME"], 1.0, 0.1).collect()
+    }
+    assert found == expected
+    assert "EMAIL" in found["contact"]
