@@ -127,7 +127,14 @@ class CorpusDedupIndex:
         failed batch idempotently by re-running it against the prior
         version (ids already indexed dedup to nothing... they ARE their
         own near-dups — exact re-ingest of indexed ids is therefore
-        filtered up front)."""
+        filtered up front).
+
+        Contracts: (1) ids are immutable document identities — a replayed
+        id with DIFFERENT text is treated as a replay and dropped, not a
+        correction (route corrections through a new id); (2) the batch
+        side is broadcast against the index scans, which assumes
+        batch << corpus (the delta shape) — a bulk load approaching
+        corpus size should go through the batch operators instead."""
         base = _hashed_shingle_frame(docs, id_col, text_col, self.n).persist(
             StorageLevel.MEMORY_AND_DISK
         )
