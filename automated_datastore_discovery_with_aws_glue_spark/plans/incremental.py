@@ -224,6 +224,49 @@ class CorpusDedupIndex:
             return self.spark.createDataFrame([], "id long")
         return self.store.read(DOCS).select("id")
 
+    def probe(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        """READ-ONLY near-dup lookup against the index: ``(query_id,
+        index_id, jaccard)`` for every query document whose exact
+        Jaccard against an indexed canonical clears the threshold.
+        Nothing is ingested — this is the contamination-check shape
+        ("is any of this eval set already in my training corpus?"),
+        same candidate/verify economics as :meth:`ingest`."""
+        if not self.store.exists(BUCKETS):
+            return self.spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        base = _hashed_shingle_frame(docs, id_col, text_col, self.n)
+        sigs = base.select("id", _signature_expr(F.col("hs"), self.num_hashes).alias("signature"))
+        banded = self._banded(sigs)
+        cand = (
+            self.store.read(BUCKETS).alias("o")
+            .join(F.broadcast(banded.alias("q")), ["band", "bucket"])
+            .select(F.col("q.id").alias("id_a"), F.col("o.id").alias("id_b"))
+            .distinct()
+        )
+        old_ids = cand.select(F.col("id_b").alias("id")).distinct()
+        old_side = self.store.read(DOCS).join(F.broadcast(old_ids), "id")
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        union = F.col("sz_a") + F.col("sz_b") - inter
+        num = int(round(self.threshold * 10000))
+        return (
+            cand.join(
+                base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                old_side.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")),
+                "id_b",
+            )
+            .filter(inter * 10000 >= F.lit(num) * union)
+            .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
+        )
+
+    def maintain(self, keep: int = 3) -> None:
+        """Retention: keep the last ``keep`` versions of both index
+        tables (one version lands per ingested batch)."""
+        for table in (BUCKETS, DOCS):
+            if self.store.exists(table):
+                self.store.vacuum(table, keep=keep)
+
     def make_sink(self, out_dir: str, id_col: str = "doc_id", text_col: str = "text"):
         """``foreachBatch`` front door: each micro-batch ingests through
         the DURABLE index (unlike the watermark-horizon streaming gate,

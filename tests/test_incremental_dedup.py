@@ -125,3 +125,23 @@ def test_streaming_front_door(spark, tmp_path, index):
     run(fresh_ckpt=str(tmp_path / "ckpt2"))
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert kept2 == [1, 2, 4]
+
+
+def test_probe_is_read_only_contamination_check(spark, index):
+    """probe(): near-dup lookup against the index without ingesting —
+    a reworded indexed doc matches, a fresh doc doesn't, and the index
+    is unchanged afterwards; maintain() trims versions."""
+    index.ingest(_docs(spark, [(1, BASE), (2, OTHER)]))
+    index.ingest(_docs(spark, [(5, THIRD)]))
+
+    queries = _docs(spark, [(100, BASE.replace("quick", "swift")), (101, "wholly novel words nowhere indexed")])
+    hits = {(r["id_a"], r["id_b"]) for r in index.probe(queries).collect()}
+    assert (100, 1) in hits
+    assert not [h for h in hits if h[0] == 101]
+    # read-only: canonical set unchanged
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2, 5]
+
+    # retention: versions trimmed, reads alive
+    index.maintain(keep=1)
+    assert len(index.store.versions("kept_docs")) == 1
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2, 5]
