@@ -792,11 +792,21 @@ _SIG_MAX_DUP = 0.05
 _SIG_MAX_PPL = 30.5
 
 
-def corpus_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_filter_signals(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_quality: float = _SIG_MIN_QUALITY,
+    min_cls: float = _SIG_MIN_CLS,
+    max_dup: float = _SIG_MAX_DUP,
+    max_ppl: float = _SIG_MAX_PPL,
+) -> DataFrame:
     """The combined pre-training filter recipe (C4-style heuristics +
     Gopher repetition + learned-style classifier + LM perplexity — the
     gates public pipelines apply together): one row per SURVIVING
-    document with every signal that cleared.
+    document with every signal that cleared. Thresholds are keyword
+    overrides (defaults tuned so every gate bites on the test corpus;
+    real corpora tune per-source — see ``corpus_report``).
 
     Plan shape: the three per-document signals (heuristic quality,
     classifier score, duplicate-bigram fraction) are pure projections
@@ -815,10 +825,10 @@ def corpus_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         proj.join(ppl, "doc_id")
         .filter(
-            (F.col("quality_score") >= _SIG_MIN_QUALITY)
-            & (F.col("cls_quality") >= _SIG_MIN_CLS)
-            & (F.col("dup_gram_frac") <= _SIG_MAX_DUP)
-            & (F.col("perplexity") <= _SIG_MAX_PPL)
+            (F.col("quality_score") >= min_quality)
+            & (F.col("cls_quality") >= min_cls)
+            & (F.col("dup_gram_frac") <= max_dup)
+            & (F.col("perplexity") <= max_ppl)
         )
         .orderBy("doc_id")
     )
