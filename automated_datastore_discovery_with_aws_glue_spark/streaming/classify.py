@@ -44,6 +44,8 @@ def make_classify_sink(
     up-to-now detections."""
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return  # an empty micro-batch must not burn a state version
         counts = classify_columns_counts(batch, entities, columns=columns)
         store.append(table, counts.select(*_COLS))
 
