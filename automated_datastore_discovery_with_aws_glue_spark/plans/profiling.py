@@ -126,9 +126,13 @@ def pii_classify_counts_sql() -> str:
     for name in ORACLE_ENTITIES:
         rx = ENTITY_REGISTRY[name].anchored.replace("'", "''")
         entity_rows.append(
+            # CAST to BIGINT: DuckDB sum(int) returns HUGEINT (int128) whose
+            # serialization diverges from Spark's LongType in the driver's
+            # value-hash even though the values are equal (same trap as
+            # f13_json_extract — see __spark_entry__.py).
             f"SELECT columnName, '{name}' AS entity, "
-            f"sum(CASE WHEN value IS NOT NULL AND value <> '' AND regexp_matches(value, '{rx}') THEN 1 ELSE 0 END) AS n_matched, "
-            f"sum(CASE WHEN value IS NOT NULL AND value <> '' THEN 1 ELSE 0 END) AS n_values "
+            f"CAST(sum(CASE WHEN value IS NOT NULL AND value <> '' AND regexp_matches(value, '{rx}') THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, "
+            f"CAST(sum(CASE WHEN value IS NOT NULL AND value <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_values "
             f"FROM stacked GROUP BY columnName"
         )
     body = " UNION ALL ".join(entity_rows)

@@ -1,0 +1,52 @@
+"""Guard: no oracle SQL may emit a DuckDB HUGEINT output column.
+
+DuckDB's ``sum()`` over integer inputs widens to HUGEINT (int128); the
+driver's value-hash serializes int128 differently from Spark's
+LongType even when the values are equal, so an uncast integer sum in
+an oracle silently fails the hash compare (bit r6's
+``pii_classify_counts``).  Every integer aggregate in an oracle must
+be wrapped in ``CAST(... AS BIGINT)``.  This test type-checks every
+declared oracle against DuckDB without executing the queries.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+_BANNED = {"HUGEINT", "UHUGEINT"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_oracle_has_no_hugeint_columns(con, name):
+    sql = entrymod.oracle_sql()[name]
+    rel = con.sql(sql)
+    offenders = [
+        (cn, str(ct))
+        for cn, ct in zip(rel.columns, rel.types)
+        if str(ct) in _BANNED
+    ]
+    assert not offenders, (
+        f"{name} oracle emits int128 column(s) {offenders}; wrap the "
+        f"aggregate in CAST(... AS BIGINT) so the driver hash matches "
+        f"Spark's LongType"
+    )
