@@ -274,9 +274,30 @@ def _finalize_classification(
     rows when ``use_context`` — and produces the reference-shaped
     ``(columnName, entityTypes)``."""
     keep = F.col("match_fraction") >= detection_threshold
+    has_exact = [s.name for s in specs if s.approximate and s.exact_pattern]
+    if has_exact:
+        # fold the ``<entity>!exact`` rows back onto their base row as
+        # an ``exact_fraction`` column. A re-group (not a self-join):
+        # the long frame is already aggregated to #cols x #entities
+        # rows, so this second groupBy shuffles KBs — a self-join
+        # would instead recompute the data-scale scan for both sides.
+        # The fold runs regardless of ``use_context`` — a counts table
+        # written with ``exact_forms=True`` must never surface its
+        # internal marker rows as bogus entity names.
+        is_mark = F.col("entity").endswith(_EXACT_MARK)
+        base_entity = F.when(
+            is_mark,
+            F.expr(f"substring(entity, 1, length(entity) - {len(_EXACT_MARK)})"),
+        ).otherwise(F.col("entity"))
+        long_df = (
+            long_df.groupBy("columnName", base_entity.alias("entity"))
+            .agg(
+                F.max(F.when(~is_mark, F.col("match_fraction"))).alias("match_fraction"),
+                F.max(F.when(is_mark, F.col("match_fraction"))).alias("exact_fraction"),
+            )
+        )
     if use_context:
         approx = [s.name for s in specs if s.approximate]
-        has_exact = [s.name for s in specs if s.approximate and s.exact_pattern]
         hinted = [
             f"{c}\x00{s.name}"
             for s in specs
@@ -285,23 +306,6 @@ def _finalize_classification(
             if any(h in c.lower() for h in s.context)
         ]
         if has_exact:
-            # fold the ``<entity>!exact`` rows back onto their base row as
-            # an ``exact_fraction`` column. A re-group (not a self-join):
-            # the long frame is already aggregated to #cols x #entities
-            # rows, so this second groupBy shuffles KBs — a self-join
-            # would instead recompute the data-scale scan for both sides.
-            is_mark = F.col("entity").endswith(_EXACT_MARK)
-            base_entity = F.when(
-                is_mark,
-                F.expr(f"substring(entity, 1, length(entity) - {len(_EXACT_MARK)})"),
-            ).otherwise(F.col("entity"))
-            long_df = (
-                long_df.groupBy("columnName", base_entity.alias("entity"))
-                .agg(
-                    F.max(F.when(~is_mark, F.col("match_fraction"))).alias("match_fraction"),
-                    F.max(F.when(is_mark, F.col("match_fraction"))).alias("exact_fraction"),
-                )
-            )
             exact_ok = F.coalesce(F.col("exact_fraction"), F.lit(0.0)) >= detection_threshold
         else:
             exact_ok = F.lit(False)

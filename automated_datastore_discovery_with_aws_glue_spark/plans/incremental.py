@@ -61,6 +61,7 @@ from automated_datastore_discovery_with_aws_glue_spark.state.store import Parque
 
 BUCKETS = "lsh_buckets"
 DOCS = "kept_docs"
+EMITTED = "emitted_ids"
 
 
 class CorpusDedupIndex:
@@ -200,8 +201,17 @@ class CorpusDedupIndex:
         final_keep = final_keep.persist(StorageLevel.MEMORY_AND_DISK)
         n_kept = final_keep.count()  # pins the keep set before state writes
         if n_kept:
-            self.store.append(DOCS, base_new.join(final_keep, "id").select("id", "hs", "sz"))
+            # Commit-order invariant: BUCKETS strictly BEFORE DOCS. The
+            # replay filter keys on DOCS membership, so a crash in the
+            # window between the two appends leaves BUCKETS-only rows for
+            # the batch; the replay then reprocesses those ids (not yet in
+            # DOCS) and the stale bucket rows are benign — candidate pairs
+            # they produce inner-join DOCS for shingles and drop. The
+            # reverse order (DOCS first) would make the replay skip ids
+            # whose bucket rows were never written, leaving their future
+            # near-dups permanently undetectable.
             self.store.append(BUCKETS, banded_new.join(final_keep, "id").select("band", "bucket", "id"))
+            self.store.append(DOCS, base_new.join(final_keep, "id").select("id", "hs", "sz"))
         kept_rows = docs.join(
             final_keep.withColumnRenamed("id", "__keep"),
             docs[id_col] == F.col("__keep"),
@@ -263,7 +273,7 @@ class CorpusDedupIndex:
     def maintain(self, keep: int = 3) -> None:
         """Retention: keep the last ``keep`` versions of both index
         tables (one version lands per ingested batch)."""
-        for table in (BUCKETS, DOCS):
+        for table in (BUCKETS, DOCS, EMITTED):
             if self.store.exists(table):
                 self.store.vacuum(table, keep=keep)
 
@@ -271,15 +281,36 @@ class CorpusDedupIndex:
         """``foreachBatch`` front door: each micro-batch ingests through
         the DURABLE index (unlike the watermark-horizon streaming gate,
         state here never expires — the index IS the corpus) and the
-        surviving rows append to ``out_dir`` as parquet. Restart safety
-        comes from idempotent re-ingest: a replayed batch's ids are
-        already indexed and dedup to nothing — only the out_dir append
-        needs the streaming checkpoint's exactly-once bookkeeping."""
+        surviving rows append to ``out_dir`` as parquet. Restart safety:
+        the emission set is ``batch ∩ kept_ids − emitted_ids`` —
+        canonical membership AFTER the (idempotent) ingest, minus the
+        ids already recorded as written, with ``emitted_ids`` committed
+        strictly AFTER the parquet append. A replay whose first attempt
+        indexed the rows but crashed before the append therefore still
+        emits them (they are canonical but not yet emitted), while a
+        full replay of committed batches emits nothing. The only
+        remaining window is a crash between the parquet append and the
+        ``emitted_ids`` commit, which duplicates that one batch's rows —
+        at-least-once; readers dedup on the id column."""
 
         def sink(batch: DataFrame, _batch_id: int) -> None:
             if batch.limit(1).count() == 0:
                 return
-            kept = self.ingest(batch, id_col, text_col)
-            kept.write.mode("append").parquet(out_dir)
+            self.ingest(batch, id_col, text_col)
+            pending = batch.join(
+                self.kept_ids().withColumnRenamed("id", "__keep"),
+                batch[id_col] == F.col("__keep"),
+            ).drop("__keep")
+            if self.store.exists(EMITTED):
+                pending = pending.join(
+                    self.store.read(EMITTED).withColumnRenamed("id", "__done"),
+                    pending[id_col] == F.col("__done"),
+                    "left_anti",
+                )
+            pending = pending.localCheckpoint()  # pin before the two writes
+            if pending.limit(1).count() == 0:
+                return
+            pending.write.mode("append").parquet(out_dir)
+            self.store.append(EMITTED, pending.select(F.col(id_col).alias("id")))
 
         return sink

@@ -32,6 +32,18 @@ from automated_datastore_discovery_with_aws_glue_spark.state.store import Parque
 _COLS = ("columnName", "entity", "n_matched", "n_values")
 
 
+def _applied_through(store: ParquetStateStore, table: str) -> int:
+    """Highest batch_id whose counts are already in ``table`` (-1 when
+    none). Metadata-scale scan of one long column."""
+    if not store.exists(table):
+        return -1
+    df = store.read(table)
+    if "batch_id" not in df.columns:
+        return -1  # pre-batch_id table: can't prove a replay, apply
+    row = df.agg(F.max("batch_id").alias("m")).collect()[0]
+    return -1 if row["m"] is None else int(row["m"])
+
+
 def make_classify_sink(
     store: ParquetStateStore,
     table: str,
@@ -41,13 +53,27 @@ def make_classify_sink(
 ):
     """``foreachBatch`` sink: append each micro-batch's match counts to
     ``table``. Pair with :func:`current_classification` to read the
-    up-to-now detections."""
+    up-to-now detections.
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
+    Exactly-once counts under foreachBatch's at-least-once delivery:
+    each row carries its ``batch_id``, and a batch whose id is already
+    ≤ the table's max is a replay and skips. The marker IS the count
+    rows (same single state-version append), so there is no window
+    where counts land without their id or vice versa. Micro-batch ids
+    are monotone within a checkpoint; a FRESH checkpoint restarts ids
+    at 0 and is a full re-ingest — same operator-error caveat as every
+    counts table (counts have no content identity to dedup on)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.limit(1).count() == 0:
             return  # an empty micro-batch must not burn a state version
+        if batch_id <= _applied_through(store, table):
+            return  # replayed micro-batch: counts already applied
         counts = classify_columns_counts(batch, entities, columns=columns)
-        store.append(table, counts.select(*_COLS))
+        store.append(
+            table,
+            counts.select(*_COLS).withColumn("batch_id", F.lit(batch_id).cast("long")),
+        )
 
     return sink
 
@@ -79,10 +105,14 @@ def compact_counts(store: ParquetStateStore, table: str) -> None:
     (column, entity)) — run periodically with ``store.vacuum`` to keep
     the monitoring table O(columns x entities) regardless of how many
     batches ever landed. Derivations before/after are identical
-    (summing is associative)."""
+    (summing is associative). The max applied batch_id is preserved on
+    every compacted row so a replay arriving after a compaction still
+    skips."""
+    df = store.read(table)
+    applied = _applied_through(store, table)
     summed = (
-        store.read(table)
-        .groupBy("columnName", "entity")
+        df.groupBy("columnName", "entity")
         .agg(F.sum("n_matched").alias("n_matched"), F.sum("n_values").alias("n_values"))
+        .withColumn("batch_id", F.lit(applied).cast("long"))
     )
-    store.overwrite(table, summed.select(*_COLS))
+    store.overwrite(table, summed.select(*_COLS, "batch_id"))

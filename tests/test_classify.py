@@ -426,3 +426,32 @@ def test_counts_form_merges_to_full_scan_classification(spark):
     # EMAIL at 30% clears 0.25; the unhinted dashed-SSN column clears via
     # the exact sub-form — through the counts path too
     assert got == expected == {"contact": ["EMAIL"], "ref": ["USA_SSN"]}
+
+
+def test_counts_form_without_context_never_leaks_exact_markers(spark):
+    """A counts table written with exact_forms=True (the streaming sink
+    default) derived with use_context=False must fold the internal
+    '<entity>!exact' marker rows instead of surfacing them as bogus
+    entity names."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import (
+        classification_from_counts,
+        classify_columns_counts,
+    )
+
+    # dashed SSNs in an unhinted column: the exact-form marker rows
+    # clear the threshold by construction
+    rows = [(f"{100+i:03d}-{10+i%80:02d}-{1000+i:04d}",) for i in range(20)]
+    counts = classify_columns_counts(
+        spark.createDataFrame(rows, ["ref"]), ["USA_SSN"], exact_forms=True
+    )
+    got = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classification_from_counts(
+            counts, ["USA_SSN"], 0.25, column_names=["ref"], use_context=False
+        ).collect()
+    }
+    for ents in got.values():
+        assert all("!exact" not in e for e in ents), got
+    # without the context gate the approximate entity keeps on raw
+    # fraction alone; the marker row must be folded away, not listed
+    assert got == {"ref": ["USA_SSN"]}

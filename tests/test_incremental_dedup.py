@@ -145,3 +145,59 @@ def test_probe_is_read_only_contamination_check(spark, index):
     index.maintain(keep=1)
     assert len(index.store.versions("kept_docs")) == 1
     assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2, 5]
+
+
+def test_crash_between_bucket_and_doc_appends_recovers_on_replay(spark, index, monkeypatch):
+    """Commit-order invariant (BUCKETS before DOCS): a crash in the
+    window between the two appends must NOT make the batch's near-dups
+    permanently undetectable. Simulate the crash by failing the DOCS
+    append, replay the batch, then prove a near-dup of it still drops."""
+    from automated_datastore_discovery_with_aws_glue_spark.plans import incremental as inc
+
+    index.ingest(_docs(spark, [(1, OTHER)]))  # unrelated seed
+
+    real_append = index.store.append
+
+    def crashing_append(table, df, **kw):
+        if table == inc.DOCS:
+            raise RuntimeError("simulated crash between appends")
+        return real_append(table, df, **kw)
+
+    monkeypatch.setattr(index.store, "append", crashing_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        index.ingest(_docs(spark, [(2, BASE)]))
+    monkeypatch.setattr(index.store, "append", real_append)
+
+    # BUCKETS has the orphan rows, DOCS does not -> id 2 is NOT indexed
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1]
+
+    # replay reprocesses id 2 (filter keys on DOCS), orphan bucket rows
+    # are benign (their candidate pairs drop at the DOCS shingle join)
+    kept = sorted(r["doc_id"] for r in index.ingest(_docs(spark, [(2, BASE)])).collect())
+    assert kept == [2]
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2]
+
+    # the property the ordering protects: near-dups of 2 still detected
+    assert index.ingest(_docs(spark, [(3, BASE.replace("quick", "swift"))])).count() == 0
+
+
+def test_sink_replay_recovers_rows_lost_before_append(spark, tmp_path, index):
+    """make_sink crash window: indexed but not yet written to out_dir.
+    The emitted_ids bookkeeping must re-emit those rows on replay, and a
+    second replay of the now-committed batch must add nothing."""
+    out_dir = str(tmp_path / "kept")
+    sink = index.make_sink(out_dir)
+
+    batch = _docs(spark, [(1, BASE), (2, OTHER)])
+    # simulate "crash before the parquet append": the ingest half ran...
+    index.ingest(batch)
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2]
+    # ...then the foreachBatch retries the whole batch
+    sink(batch, 0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 2]  # recovered, not lost
+
+    # replay of the fully-committed batch: exactly-once, no duplicates
+    sink(batch, 0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 2]

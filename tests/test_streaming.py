@@ -915,3 +915,48 @@ def test_streaming_incremental_classification(spark, tmp_path):
     write_batch([(f"plain tail {i}", f"n{i}") for i in range(2)])
     run()
     assert live() == batch_truth() == {"contact": ["EMAIL"]}
+
+
+def test_classify_sink_replayed_batch_applies_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch replayed after a
+    failure (same batch_id) must NOT double its counts — the summed
+    classification stays exactly equal to a one-shot batch classify of
+    what was actually ingested. Compaction preserves the replay guard."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.classify import (
+        compact_counts,
+        current_classification,
+        make_classify_sink,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    cols = ["contact"]
+    sink = make_classify_sink(store, "cnt", ["EMAIL"], columns=cols)
+
+    # 2 emails / 4 rows = 50%: doubling the email batch would flip a
+    # 0.6-threshold detection that the true corpus does not clear
+    b0 = spark.createDataFrame([(f"u{i}@ex.com",) for i in range(2)], cols)
+    b1 = spark.createDataFrame([("plain a",), ("plain b",)], cols)
+    sink(b0, 0)
+    sink(b1, 1)
+    truth = store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]
+
+    sink(b0, 0)  # replay after a simulated post-commit crash
+    sink(b1, 1)
+    again = store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]
+    assert tuple(truth) == tuple(again) == (2, 4)
+
+    got = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in current_classification(store, "cnt", ["EMAIL"], 0.6, column_names=cols).collect()
+    }
+    assert got == {}  # 50% < 60%; a double-count would wrongly flip it
+
+    compact_counts(store, "cnt")
+    sink(b1, 1)  # replay AFTER compaction still skips
+    final = store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]
+    assert tuple(final) == (2, 4)
+
+    # a genuinely new batch still lands
+    sink(spark.createDataFrame([("w@x.io",)], cols), 2)
+    assert tuple(store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]) == (3, 5)
