@@ -703,6 +703,21 @@ class DiscoveryEngine:
         "entity string, n_matched long, n_values long"
     )
 
+    @staticmethod
+    def sig_delta(listing_df: DataFrame, prior_stats: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Distributed file-signature diff: ``(kept_stats, delta)`` where
+        ``kept_stats`` is the prior stats rows whose (file, sig) is still
+        in the current listing (changed and deleted files drop out) and
+        ``delta`` is the listing rows with no matching prior signature
+        (new or changed files). Pure joins — the prior stats table is
+        never materialized on the driver, so a million-file source diffs
+        at shuffle scale, not driver-memory scale."""
+        kept_stats = prior_stats.join(listing_df, ["file", "sig"], "left_semi")
+        delta = listing_df.join(
+            prior_stats.select("file", "sig").distinct(), ["file", "sig"], "left_anti"
+        )
+        return kept_stats, delta
+
     def _classify_source_incremental(
         self,
         source_id: str,
@@ -741,25 +756,28 @@ class DiscoveryEngine:
         ehash = hashlib.sha256(
             json.dumps(sorted(s.name for s in resolve_entities(entities))).encode()
         ).hexdigest()[:8]
-        sigs = {rel: f"{size}:{mtime}:{ehash}" for rel, size, mtime in entries}
-        prior: DataFrame | None = None
-        prior_sigs: dict[str, str] = {}
+        listing_df = self.spark.createDataFrame(
+            [(rel, f"{size}:{mtime}:{ehash}") for rel, size, mtime in entries],
+            "file string, sig string",
+        )
+        kept_stats: DataFrame | None = None
         if self.store.exists(CLASSIFY_STATS):
             prior = self.store.read(CLASSIFY_STATS).filter(F.col("source_id") == source_id)
-            # control-plane collect: one row per (file) — the file count
-            # of ONE source; at larger scale flip this to a distributed
-            # anti-join on (file, sig)
-            prior_sigs = {
-                r["file"]: r["sig"] for r in prior.select("file", "sig").distinct().collect()
-            }
-        delta = sorted(f for f, sig in sigs.items() if prior_sigs.get(f) != sig)
-        kept = sorted(f for f, sig in sigs.items() if prior_sigs.get(f) == sig)
+            # distributed diff: the prior stats table never collects —
+            # only the DELTA (new/changed files) comes to the driver,
+            # because the reader needs its explicit path list
+            kept_stats, delta_df = self.sig_delta(listing_df, prior)
+            delta_rows = delta_df.collect()
+        else:
+            delta_rows = listing_df.collect()
+        sigs = {r["file"]: r["sig"] for r in delta_rows}  # delta-bounded
+        delta = sorted(sigs)
 
         table_schema = self.spark.table(fq).schema
         string_cols = [f.name for f in table_schema.fields if f.dataType.typeName() == "string"]
         parts: list[DataFrame] = []
-        if prior is not None and kept:
-            parts.append(prior.filter(F.col("file").isin(kept)).select(*self._STATS_COLS))
+        if kept_stats is not None:
+            parts.append(kept_stats.select(*self._STATS_COLS))
         if delta:
             raw = self._read_source(source_type, attrs, [os.path.join(root, f) for f in delta])
             present = set(raw.columns)
@@ -773,10 +791,16 @@ class DiscoveryEngine:
             )
             import re as _re
 
-            # input_file_name() -> source-relative path (strip scheme +
-            # root; object-store keys would come pre-relative)
+            # input_file_name() -> source-relative path. It returns a
+            # percent-encoded URI (space -> %20) while the manifest keys
+            # are raw filesystem relpaths, so DECODE before stripping
+            # the scheme + root; the +%2B pre-replace keeps literal '+'
+            # (which the URI encoder leaves bare but url_decode would
+            # otherwise turn into a space). Object-store keys would come
+            # pre-relative.
+            decoded = F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
             rel_file = F.regexp_replace(
-                F.input_file_name(), "^.*?" + _re.escape(root.rstrip("/")) + "/", ""
+                decoded, "^.*?" + _re.escape(root.rstrip("/")) + "/", ""
             )
             counts = classify_columns_counts(
                 conformed,
@@ -786,9 +810,21 @@ class DiscoveryEngine:
             )
             sig_rows = [(source_id, f, sigs[f]) for f in delta]
             sig_df = self.spark.createDataFrame(sig_rows, "source_id string, file string, sig string")
-            parts.append(
-                counts.join(F.broadcast(sig_df), "file", "inner").select(*self._STATS_COLS)
-            )
+            # LEFT join + loud failure: a counts row whose file key fails
+            # to match its listing entry means the decode/strip drifted —
+            # an inner join would silently drop that file's counts while
+            # the sentinel still records its signature, permanently
+            # under-reporting the file. localCheckpoint pins the delta
+            # scan so validation + both downstream actions run it once.
+            joined = counts.join(F.broadcast(sig_df), "file", "left").localCheckpoint()
+            bad = [r["file"] for r in joined.filter(F.col("sig").isNull()).select("file").limit(5).collect()]
+            if bad:
+                raise RuntimeError(
+                    f"incremental classify of {source_id}: count rows keyed by "
+                    f"unlisted file(s) {bad} — input_file_name() decode/strip "
+                    f"diverged from the listing keys; refusing to drop counts"
+                )
+            parts.append(joined.select(*self._STATS_COLS))
             # zero-value files (header-only, empty) still need their sig
             # recorded or they'd re-read as delta every pass
             sentinels = self.spark.createDataFrame(

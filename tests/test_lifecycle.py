@@ -742,3 +742,108 @@ def test_partitioned_source_incremental_classification(spark, tmp_path):
     }
     assert found == expected
     assert "EMAIL" in found["contact"]
+
+
+def test_incremental_classification_with_uri_escapable_filenames(spark, tmp_path):
+    """Files whose paths contain URI-escapable characters (spaces, '+'):
+    input_file_name() returns a percent-encoded URI while the listing
+    keys are raw relpaths — the per-file counts must still attribute
+    (the old inner join silently dropped them, permanently losing the
+    file's PII counts while the sentinel pinned its signature)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.classify import classify_columns
+
+    src = tmp_path / "in box"  # escapable char in the ROOT too
+
+    src.mkdir()
+
+    def write_file(name, n, p_email, q_email):
+        with open(src / name, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["col_p", "col_q"])
+            for i in range(n):
+                w.writerow(
+                    [
+                        f"p{i}@example.com" if p_email else f"plain p {i}",
+                        f"q{i}@example.com" if q_email else f"plain q {i}",
+                    ]
+                )
+
+    write_file("week 1+a.csv", 40, True, False)
+    eng = DiscoveryEngine(spark, str(tmp_path / "state"), database="uriesc_db")
+    eng.onboard_source(
+        "s3", {"path": str(src), "name": "inbox", "format": "csv"}, {"gdpr-scan": "true"}
+    )
+    eng.register_pending("s3")
+    assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
+    found = {r["columnName"]: list(r["entityTypes"]) for r in eng.latest_findings().collect()}
+    assert found == {"col_p": ["EMAIL"]}  # counts attributed, not dropped
+
+    # second pass: the escaped-name file's sig must be recognized as
+    # KEPT (no re-read), and the new escapable-name delta file's counts
+    # must MERGE — p: 40/120 < 0.5 flips off, q: 80/120 > 0.5 flips on.
+    # A dropped delta would leave {col_p: EMAIL}; a dropped kept side
+    # would give q=1.0 with p missing entirely.
+    write_file("week 2 b.csv", 80, False, True)
+    assert eng.recrawl("s3")[0]["skipped"] is False
+    read_paths = []
+    orig = eng._read_source
+    eng._read_source = lambda st, attrs, paths=None: (
+        read_paths.append(sorted(paths) if paths else paths) or orig(st, attrs, paths)
+    )
+    assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
+    assert [p for p in read_paths if p is not None] == [[str(src / "week 2 b.csv")]]
+    fq = "uriesc_db.s3_inbox"
+    found = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in eng.latest_findings().filter("data_catalog_table = 's3_inbox'").collect()
+    }
+    expected = {
+        r["columnName"]: list(r["entityTypes"])
+        for r in classify_columns(spark.table(fq), ["EMAIL"], 1.0, 0.5).collect()
+    }
+    assert found == expected == {"col_q": ["EMAIL"]}
+
+
+def test_sig_delta_is_distributed_at_million_file_scale(spark):
+    """The file-signature diff must never materialize the prior stats on
+    the driver: a synthetic million-file listing diffs against a
+    3M-row stats table as pure joins, and only the 3-file delta ever
+    collects."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.catalog.engine import DiscoveryEngine
+
+    n = 1_000_000
+    listing = spark.range(n).select(
+        F.format_string("part-%07d.csv", F.col("id")).alias("file"),
+        # files 7 and 11 changed (new sig); file n-1 deleted from the
+        # listing -> replaced by a NEW file beyond the prior range
+        F.when(F.col("id").isin(7, 11), F.lit("new-sig"))
+        .otherwise(F.lit("old-sig"))
+        .alias("sig"),
+    ).where(F.col("id") < n - 1).unionByName(
+        spark.range(1).select(
+            F.lit(f"part-{n}.csv").alias("file"), F.lit("old-sig").alias("sig")
+        )
+    )
+    prior = (
+        spark.range(n)
+        .select(
+            F.lit("src1").alias("source_id"),
+            F.format_string("part-%07d.csv", F.col("id")).alias("file"),
+            F.lit("old-sig").alias("sig"),
+        )
+        .crossJoin(spark.range(3).select(F.format_string("c%d", F.col("id")).alias("columnName")))
+        .select(
+            "source_id", "file", "sig", "columnName",
+            F.lit("EMAIL").alias("entity"),
+            F.lit(1).cast("long").alias("n_matched"),
+            F.lit(2).cast("long").alias("n_values"),
+        )
+    )
+    kept_stats, delta = DiscoveryEngine.sig_delta(listing, prior)
+    delta_rows = sorted(r["file"] for r in delta.collect())
+    assert delta_rows == ["part-0000007.csv", "part-0000011.csv", f"part-{n}.csv"]
+    # kept: every unchanged, still-listed file's stats rows — changed
+    # (2) and deleted (1) files' rows drop out: (1M - 3) files x 3 cols
+    assert kept_stats.count() == (n - 3) * 3
