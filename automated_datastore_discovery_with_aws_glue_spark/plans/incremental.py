@@ -37,12 +37,22 @@ already shipped; the batch operators remain the backfill path when a
 global re-canonicalization is actually wanted). Both properties are
 pinned in tests.
 
-Scale notes: the per-batch cost is one columnar scan of each state
-table plus candidate-bounded joins. At very large corpus scale,
-bucket-range-partition the index table so the scan prunes to the
-buckets the batch actually probes, and put the hot-bucket valve
-(``operators/hot.py``) on the stored-side join — both are layout
-changes behind this same API.
+Scale notes: the per-batch cost is bounded three ways —
+
+- ``lsh_buckets`` is hash-range-partitioned on ``pt = pmod(bucket,
+  index_partitions)``: ingest/probe collect the batch's bounded pt set
+  (≤ index_partitions values) and push it as a PartitionFilter, so the
+  stored-side scan prunes to the bucket ranges the batch actually
+  probes (decisive for small probes — streaming micro-batches,
+  eval-set contamination checks — which touch a handful of ranges of a
+  10B-doc index);
+- the hot-bucket valve (``operators/hot.py``) guards the stored-side
+  join when ``max_bucket`` is set: a degenerate index bucket
+  (boilerplate cluster) contributes one representative candidate per
+  probe instead of its full membership — O(probe), not
+  O(probe × members) — with the capped groups logged, never silent;
+- candidates-only verification: old shingles are fetched by
+  broadcasting the candidate id set against the docs table.
 """
 
 from __future__ import annotations
@@ -51,7 +61,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-from automated_datastore_discovery_with_aws_glue_spark.operators.cache import release
+from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt, release
 from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
     _hashed_shingle_frame,
     _signature_expr,
@@ -75,13 +85,55 @@ class CorpusDedupIndex:
         bands: int = 16,
         threshold: float = 0.5,
         commit_backend=None,
+        index_partitions: int = 64,
+        max_bucket: int | None = None,
     ):
         self.spark = spark
         self.store = ParquetStateStore(spark, root, commit_backend=commit_backend)
         self.n, self.num_hashes, self.bands = n, num_hashes, bands
         self.threshold = threshold
+        self.index_partitions = index_partitions
+        self.max_bucket = max_bucket
 
     # -- internals ---------------------------------------------------------
+
+    def _pt(self) -> F.Column:
+        """Partition key of a bucket row: a bounded hash range of the
+        bucket value. Derived identically on store and probe sides, so
+        a probe's pt set is computable from its own banded frame."""
+        return F.pmod(F.col("bucket"), F.lit(self.index_partitions)).cast("int")
+
+    def _pruned_stored_side(self, banded_probe: DataFrame, label: str) -> tuple[DataFrame, DataFrame | None]:
+        """Stored bucket rows relevant to ``banded_probe``, partition-
+        pruned to the probe's pt set and (when ``max_bucket`` is set)
+        valve-guarded: members of an over-cap (band, bucket) group are
+        replaced by the group's min-id representative. Returns
+        ``(stored_side, sizes)`` — ``sizes`` is the valve's persisted
+        size frame (caller unpersists after its actions), None when the
+        valve is off."""
+        pts = sorted(
+            r["pt"]
+            for r in banded_probe.select(self._pt().alias("pt")).distinct().collect()
+        )
+        stored = self.store.read(BUCKETS)
+        if not pts:
+            return stored.limit(0), None
+        stored = stored.filter(F.col("pt").isin(pts))
+        if self.max_bucket is None:
+            return stored, None
+        from automated_datastore_discovery_with_aws_glue_spark.operators.hot import split_hot_buckets
+
+        probed = stored.join(
+            F.broadcast(banded_probe.select("band", "bucket").distinct()),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        ok, hot, _stats, sizes = split_hot_buckets(
+            probed, ("band", "bucket"), self.max_bucket, label=label, policy="route"
+        )
+        reps = hot.groupBy("band", "bucket").agg(F.min("id").alias("id"))
+        cols = ["band", "bucket", "id"]
+        return ok.select(*cols).unionByName(reps.select(*cols)), sizes
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
         rows = self.num_hashes // self.bands
@@ -173,13 +225,18 @@ class CorpusDedupIndex:
             .select("id")
         )
 
+        sizes = None
         if have_index:
             # new-old candidates: BROADCAST the batch's bucket keys
-            # against the stored index (columnar scan, no index shuffle)
-            stored_buckets = self.store.read(BUCKETS)
-            keep_banded = banded_new.join(batch_keep, "id")
+            # against the stored index — partition-pruned to the pt
+            # ranges the batch probes, valve-guarded when configured
+            # (a scan of the touched ranges, never an index shuffle)
+            keep_banded = banded_new.join(batch_keep, "id").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            stored_side, sizes = self._pruned_stored_side(keep_banded, "corpus-index-ingest")
             no_cand = (
-                stored_buckets.alias("o")
+                stored_side.alias("o")
                 .join(
                     F.broadcast(keep_banded.alias("nw")),
                     ["band", "bucket"],
@@ -210,7 +267,17 @@ class CorpusDedupIndex:
             # reverse order (DOCS first) would make the replay skip ids
             # whose bucket rows were never written, leaving their future
             # near-dups permanently undetectable.
-            self.store.append(BUCKETS, banded_new.join(final_keep, "id").select("band", "bucket", "id"))
+            # repartition by pt BEFORE the partitioned write: each pt dir
+            # is then written by one task — 64 files per ingest, not
+            # tasks x 64 tiny files (small-file blowup at daily cadence)
+            self.store.append(
+                BUCKETS,
+                banded_new.join(final_keep, "id")
+                .select("band", "bucket", "id")
+                .withColumn("pt", self._pt())
+                .repartition(F.col("pt")),
+                partition_by="pt",
+            )
             self.store.append(DOCS, base_new.join(final_keep, "id").select("id", "hs", "sz"))
         kept_rows = docs.join(
             final_keep.withColumnRenamed("id", "__keep"),
@@ -225,6 +292,9 @@ class CorpusDedupIndex:
         banded.unpersist()
         if have_index:
             base_new.unpersist()
+            keep_banded.unpersist()
+            if sizes is not None:
+                sizes.unpersist()
         release(clusters)
         return out
 
@@ -245,9 +315,10 @@ class CorpusDedupIndex:
             return self.spark.createDataFrame([], "id_a long, id_b long, jaccard double")
         base = _hashed_shingle_frame(docs, id_col, text_col, self.n)
         sigs = base.select("id", _signature_expr(F.col("hs"), self.num_hashes).alias("signature"))
-        banded = self._banded(sigs)
+        banded = self._banded(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+        stored_side, sizes = self._pruned_stored_side(banded, "corpus-index-probe")
         cand = (
-            self.store.read(BUCKETS).alias("o")
+            stored_side.alias("o")
             .join(F.broadcast(banded.alias("q")), ["band", "bucket"])
             .select(F.col("q.id").alias("id_a"), F.col("o.id").alias("id_b"))
             .distinct()
@@ -257,7 +328,7 @@ class CorpusDedupIndex:
         inter = F.size(F.array_intersect("hs_a", "hs_b"))
         union = F.col("sz_a") + F.col("sz_b") - inter
         num = int(round(self.threshold * 10000))
-        return (
+        out = (
             cand.join(
                 base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")),
                 "id_a",
@@ -269,6 +340,8 @@ class CorpusDedupIndex:
             .filter(inter * 10000 >= F.lit(num) * union)
             .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
         )
+        adopt(out, banded, *( [sizes] if sizes is not None else [] ))
+        return out
 
     def maintain(self, keep: int = 3) -> None:
         """Retention: keep the last ``keep`` versions of both index
@@ -314,3 +387,98 @@ class CorpusDedupIndex:
             self.store.append(EMITTED, pending.select(F.col(id_col).alias("id")))
 
         return sink
+
+
+# -- bench entries (driver/bench contract: (spark, sf_dir) -> DataFrame) ----
+
+
+def incr_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark shape of the RECURRING dedup cost: bulk-load 90% of the
+    documents corpus into a fresh index, then ingest the remaining 10%
+    as the daily delta — the second ingest is the number that must stay
+    O(batch + candidates) as the index grows. Returns the canonical id
+    set (equal to the one-shot batch dedup of the full corpus, pinned by
+    pytest). Rows-only for the driver: the index hashes with xxhash64;
+    the md5 twin chain (dedup_minhash_lsh_md5) pins the math in-window."""
+    import shutil
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    try:
+        idx = CorpusDedupIndex(spark, root, threshold=0.5, max_bucket=200)
+        idx.ingest(docs.filter(F.col("doc_id") % 10 < 9))
+        idx.ingest(docs.filter(F.col("doc_id") % 10 >= 9))
+        # localCheckpoint: the result must outlive the temp index dir
+        return idx.kept_ids().orderBy("id").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def incr_classify_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark shape of the RECURRING classify cost: a 10-file CSV
+    source classifies in full once, then ONE new file lands and the
+    re-classify pass reads only that delta file (file-level incremental
+    classification through the real engine — sig diff, counts merge,
+    findings append). Returns the per-column entity findings of the
+    final pass."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_datastore_discovery_with_aws_glue_spark.catalog.engine import DiscoveryEngine
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    derived = events.select(
+        F.col("event_id"),
+        F.format_string("%03d-%02d-%04d", F.col("user_id"), F.col("event_id") % 100, F.col("event_id") % 10000).alias("ssn_like"),
+        F.format_string("user%d@example.com", F.col("user_id")).alias("email_like"),
+        F.col("event_type").alias("free_text"),
+        F.pmod(F.col("event_id"), F.lit(10)).cast("int").alias("part"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_incr_cls_")
+    db = f"bench_incr_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        csv_cols = ["ssn_like", "email_like", "free_text"]
+
+        def write_part(p: int, name: str) -> None:
+            part_dir = os.path.join(root, f"stage_{p}")
+            derived.filter(F.col("part") == p).select(*csv_cols).coalesce(1).write.option(
+                "header", True
+            ).mode("overwrite").csv(part_dir)
+            data = [f for f in os.listdir(part_dir) if f.endswith(".csv")]
+            shutil.move(os.path.join(part_dir, data[0]), os.path.join(src, name))
+            shutil.rmtree(part_dir, ignore_errors=True)
+
+        for p in range(9):
+            write_part(p, f"f{p}.csv")
+        eng = DiscoveryEngine(spark, os.path.join(root, "state"), database=db)
+        eng.onboard_source(
+            "s3", {"path": src, "name": "bench_src", "format": "csv"}, {"gdpr-scan": "true"}
+        )
+        eng.register_pending("s3")
+        eng.classify_pending("s3", ["USA_SSN", "EMAIL"], detection_threshold=0.1)
+        # the daily delta: one new file; recrawl re-opens, the second
+        # classify pass reads ONLY f9.csv
+        write_part(9, "f9.csv")
+        eng.recrawl("s3", reclassify=False)
+        eng.classify_pending("s3", ["USA_SSN", "EMAIL"], detection_threshold=0.1)
+        out = (
+            eng.latest_findings()
+            .select("columnName", F.to_json(F.col("entityTypes")).alias("entities"))
+            .orderBy("columnName")
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        try:
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        except Exception:
+            pass
+        shutil.rmtree(root, ignore_errors=True)

@@ -74,6 +74,11 @@ HEADLINE = [
     "doc_lm_perplexity",
     "mm_audio_decode",
     "corpus_filter_signals",
+    # r7: the RECURRING-cost paths — two-batch dedup-index ingest
+    # (bulk + delta) and file-level incremental re-classify through the
+    # real engine; regressions in the daily-delta economics show here
+    "incr_dedup_ingest",
+    "incr_classify_delta",
 ]
 
 

@@ -4,6 +4,7 @@ dedups per batch against a persisted LSH index — no history re-scan."""
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from automated_datastore_discovery_with_aws_glue_spark.plans.incremental import CorpusDedupIndex
 
@@ -201,3 +202,66 @@ def test_sink_replay_recovers_rows_lost_before_append(spark, tmp_path, index):
     sink(batch, 0)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert kept == [1, 2]
+
+
+def test_index_scan_prunes_to_probed_bucket_ranges(spark, tmp_path):
+    """The lsh_buckets table is hash-range-partitioned on pt =
+    pmod(bucket, index_partitions); a probe must reach the stored scan
+    as a planning-time PartitionFilter over its own bounded pt set —
+    not a post-scan filter over the whole index."""
+    import re
+
+    idx = CorpusDedupIndex(spark, str(tmp_path / "idx"), threshold=0.5, index_partitions=64)
+    idx.ingest(_docs(spark, [(1, BASE), (2, OTHER), (3, THIRD)]))
+
+    probe_df = idx.probe(_docs(spark, [(100, BASE.replace("quick", "swift"))]))
+    plan = probe_df._sc._jvm.PythonSQLUtils.explainString(
+        probe_df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[pt#\d+ INSET ([\d, ]+)\]", plan)
+    assert m, plan
+    # one probe doc x 16 bands -> at most 16 pt values out of 64
+    assert len(m.group(1).split(",")) <= 16
+    # and the pruned probe still finds the near-dup
+    hits = {(r["id_a"], r["id_b"]) for r in probe_df.collect()}
+    assert (100, 1) in hits
+
+
+def test_index_hot_bucket_valve_routes_to_representative(spark, tmp_path):
+    """max_bucket valve on the stored-side join: over-cap (band, bucket)
+    groups contribute ONE representative row instead of their full
+    membership (O(probe), not O(probe x members)), and on a corpus with
+    no hot buckets the valved index's canonical set is identical to the
+    unvalved one."""
+    valved = CorpusDedupIndex(
+        spark, str(tmp_path / "v"), threshold=0.5, max_bucket=0
+    )  # cap 0: EVERY stored group routes through the rep path
+    plain = CorpusDedupIndex(spark, str(tmp_path / "p"), threshold=0.5)
+
+    b1 = [(1, BASE), (2, OTHER)]
+    b2 = [(3, BASE.replace("quick", "swift")), (4, THIRD)]
+    for idx in (valved, plain):
+        idx.ingest(_docs(spark, b1))
+        idx.ingest(_docs(spark, b2))
+    assert (
+        sorted(r["id"] for r in valved.kept_ids().collect())
+        == sorted(r["id"] for r in plain.kept_ids().collect())
+        == [1, 2, 4]
+    )
+
+    # the wiring fact: with the valve engaged the stored side carries at
+    # most one row per (band, bucket) group
+    base_probe = _docs(spark, [(100, BASE)])
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+        _hashed_shingle_frame,
+        _signature_expr,
+    )
+
+    base = _hashed_shingle_frame(base_probe, "doc_id", "text", valved.n)
+    sigs = base.select("id", _signature_expr(F.col("hs"), valved.num_hashes).alias("signature"))
+    banded = valved._banded(sigs)
+    stored_side, sizes = valved._pruned_stored_side(banded, "test-valve")
+    per_group = stored_side.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+    assert per_group == 1
+    if sizes is not None:
+        sizes.unpersist()
