@@ -268,6 +268,7 @@ def make_verified_minhash_sink(
     n: int = 3,
     jaccard_threshold: float = 0.5,
     horizon_us: int = 10 * 60 * 1_000_000,
+    commit_backend=None,
 ):
     """The precision-restoring hand-off :func:`stream_minhash_dedup`
     documents: a ``foreachBatch`` sink that routes flagged
@@ -292,27 +293,50 @@ def make_verified_minhash_sink(
        The verify corpus also includes the batch's own clean docs, so
        same-batch near-dups verify too.
     4. Accepted messages append their exploded bucket rows + text to the
-       horizon store (one subdir per batch, max-event-time sidecar);
-       subdirs whose newest event time fell behind the horizon are
-       PRUNED — state is bounded by the horizon, exactly like the
-       streaming operator's own watermark state.
+       horizon store — a ``ParquetStateStore`` table at ``horizon_dir``
+       partitioned by the event-time bucket ``tb = floor(ts_us /
+       horizon_us)``; buckets whose END fell behind the horizon are
+       dropped with ``replace_partitions`` (replacement-by-nothing) —
+       state is bounded by the horizon (retention ≤ 2x horizon at
+       bucket granularity), exactly like the streaming operator's own
+       watermark state. Every store mutation commits through the
+       versioned CAS (``commit_backend``), and a losing writer RETRIES
+       against the fresh snapshot — two concurrent sinks interleave
+       safely instead of racing the prune.
     5. Every message's final verdict row lands in ``out_dir``:
        ``(doc_id, ts, fp, n_bands, n_bands_new, is_near_dup_candidate,
        verified_dup, kept)``.
 
     Driver-side work is O(messages per batch) bookkeeping; all text
-    comparison stays distributed. Production notes: the horizon store
-    here is a plain parquet directory for example clarity — swap in the
-    versioned state store for concurrent writers."""
-    import json as _json
-    import os as _os
-    import shutil as _shutil
-
+    comparison stays distributed."""
     from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import hashed_shingles as _hs
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import (
+        ConcurrentWriteError,
+        ParquetStateStore,
+    )
+
+    HORIZON = "horizon"
+    _H_SCHEMA = (
+        "doc_id bigint, ts timestamp, fp bigint, text string, "
+        "band int, bucket bigint, tb bigint"
+    )
+
+    def _with_retry(mutate) -> None:
+        """Optimistic-concurrency loop: a commit that loses the CAS
+        re-derives against the new latest version and retries (append /
+        partition-replace are both snapshot-consistent re-runs)."""
+        for attempt in range(5):
+            try:
+                return mutate()
+            except ConcurrentWriteError:
+                if attempt == 4:
+                    raise
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.limit(1).count() == 0:
             return
+        spark = batch.sparkSession
+        store = ParquetStateStore(spark, horizon_dir, commit_backend=commit_backend)
         verdicts = finalize_minhash_dedup(batch)
         info = batch.filter(F.col("band") == -1).select(
             "doc_id", "ts", "fp", "text", "buckets"
@@ -329,19 +353,12 @@ def make_verified_minhash_sink(
 
         # verify corpus: horizon store + this batch's clean docs
         corpus = explode_buckets(clean)
-        subdirs = (
-            sorted(
-                d
-                for d in _os.listdir(horizon_dir)
-                if _os.path.isdir(_os.path.join(horizon_dir, d))
+        if store.exists(HORIZON):
+            corpus = corpus.unionByName(
+                store.read(HORIZON).select(
+                    "doc_id", "ts", "fp", "text", "band", "bucket"
+                )
             )
-            if _os.path.isdir(horizon_dir)
-            else []
-        )
-        if subdirs:
-            spark = batch.sparkSession
-            stored = spark.read.parquet(*[_os.path.join(horizon_dir, d) for d in subdirs])
-            corpus = corpus.unionByName(stored)
 
         dropped_fps = None
         if cands.limit(1).count() > 0:
@@ -375,30 +392,36 @@ def make_verified_minhash_sink(
         final.drop("text", "buckets").write.mode("append").parquet(out_dir)
 
         kept_docs = final.filter(F.col("kept"))
-        stats = kept_docs.agg(
-            F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts")
-        ).collect()[0]
-        if stats["n"] > 0:
-            bdir = _os.path.join(horizon_dir, f"b{batch_id:08d}")
-            explode_buckets(kept_docs).write.mode("overwrite").parquet(bdir)
-            with open(_os.path.join(bdir, "_MAX_TS"), "w") as fh:
-                _json.dump({"max_ts_us": int(stats["max_ts"].timestamp() * 1e6)}, fh)
-        # prune: drop horizon subdirs whose NEWEST event fell behind the
-        # horizon relative to the newest event seen anywhere — bounded
-        # state, mirroring the stream operator's watermark eviction
-        max_seen = 0
-        metas = {}
-        if _os.path.isdir(horizon_dir):
-            for d in sorted(_os.listdir(horizon_dir)):
-                meta = _os.path.join(horizon_dir, d, "_MAX_TS")
-                if _os.path.isfile(meta):
-                    with open(meta) as fh:
-                        metas[d] = _json.load(fh)["max_ts_us"]
-                    max_seen = max(max_seen, metas[d])
-        cutoff = max_seen - horizon_us
-        for d, ts_us in metas.items():
-            if ts_us < cutoff:
-                _shutil.rmtree(_os.path.join(horizon_dir, d), ignore_errors=True)
+        n_kept = kept_docs.limit(1).count()
+        if n_kept:
+            rows = explode_buckets(kept_docs).withColumn(
+                "tb", F.floor(F.unix_micros("ts") / F.lit(horizon_us))
+            )
+            _with_retry(
+                lambda: store.append(HORIZON, rows, partition_by="tb")
+            )
+        # prune: drop time buckets whose END fell behind the horizon
+        # relative to the newest event seen — bounded state, mirroring
+        # the stream operator's watermark eviction; the replace commits
+        # through the CAS so concurrent sinks can't race it
+        if store.exists(HORIZON):
+            cur = store.read(HORIZON)
+            max_row = cur.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]
+            if max_row["m"] is not None:
+                cutoff = int(max_row["m"]) - horizon_us
+                expired = [
+                    r["tb"]
+                    for r in cur.select("tb").distinct().collect()
+                    if (r["tb"] + 1) * horizon_us <= cutoff
+                ]
+                if expired:
+                    empty = spark.createDataFrame([], _H_SCHEMA)
+                    _with_retry(
+                        lambda: store.replace_partitions(
+                            HORIZON, empty, partition_by="tb", values=expired
+                        )
+                    )
+                    store.vacuum(HORIZON, keep=5)
 
     return sink
 

@@ -762,16 +762,20 @@ def test_stream_minhash_verified_sink_precision(spark, tmp_path):
     assert got[3][0] is True  # band collision flagged it...
     assert got[3] == (True, False, True)  # ...but the verify saved it
 
-    # horizon store bounded: a batch far past the horizon prunes old subdirs
-    subdirs_before = {d for d in os.listdir(horizon_dir)}
-    assert len(subdirs_before) == 2  # b0 (doc1), b1 (doc3 survived)
+    # horizon store bounded: the store is a versioned state table
+    # partitioned by event-time bucket; a batch far past the horizon
+    # drops the expired buckets (replacement-by-nothing via the CAS)
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+
+    hstore = ParquetStateStore(spark, horizon_dir)
+    docs_before = {r["doc_id"] for r in hstore.read("horizon").select("doc_id").distinct().collect()}
+    assert docs_before == {1, 3}  # doc1 clean, doc3 survived the verify
     write_batch([(4, "totally new content far in the future by the pier", "2024-01-01 10:30:00")])
     run()
-    subdirs_after = {d for d in os.listdir(horizon_dir)}
-    # only the newest batch's subdir survives (b0/b1 fell behind the
-    # 10-minute horizon); batch ids are checkpoint-assigned, so assert
-    # shape not name
-    assert len(subdirs_after) == 1 and not (subdirs_after & subdirs_before), subdirs_after
+    docs_after = {r["doc_id"] for r in hstore.read("horizon").select("doc_id").distinct().collect()}
+    # only the newest doc's rows survive (docs 1/3 fell behind the
+    # 10-minute horizon)
+    assert docs_after == {4}, docs_after
     got = {
         r["doc_id"]: r["kept"] for r in spark.read.parquet(out_dir).collect()
     }
@@ -960,3 +964,59 @@ def test_classify_sink_replayed_batch_applies_once(spark, tmp_path):
     # a genuinely new batch still lands
     sink(spark.createDataFrame([("w@x.io",)], cols), 2)
     assert tuple(store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]) == (3, 5)
+
+
+def test_verified_sink_two_writers_cas_interleave(spark, tmp_path, monkeypatch):
+    """Two concurrent verified-minhash sinks share one horizon store:
+    when writer B's commit lands in the middle of writer A's append,
+    A's CAS loses, and A must RETRY against the fresh snapshot instead
+    of clobbering B's rows (or crashing). Both writers' docs end up in
+    the horizon table and both verdicts in out_dir."""
+    from datetime import datetime
+
+    from automated_datastore_discovery_with_aws_glue_spark.state import store as store_mod
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.dedup import (
+        make_verified_minhash_sink,
+    )
+
+    schema = (
+        "doc_id bigint, ts timestamp, fp bigint, n_bands int, band int, "
+        "bucket bigint, text string, buckets array<struct<band:int,bucket:bigint>>"
+    )
+
+    def mk_batch(doc_id, fp, bucket_base, text):
+        ts = datetime(2024, 1, 1, 10, 0, 0)
+        buckets = [(0, bucket_base), (1, bucket_base + 1)]
+        rows = [
+            (doc_id, ts, fp, 2, -1, fp, text, buckets),  # sentinel carries payload
+            (doc_id, ts, fp, 2, 0, bucket_base, None, None),
+            (doc_id, ts, fp, 2, 1, bucket_base + 1, None, None),
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    horizon_dir = str(tmp_path / "horizon")
+    sink_a = make_verified_minhash_sink(horizon_dir, str(tmp_path / "out_a"))
+    sink_b = make_verified_minhash_sink(horizon_dir, str(tmp_path / "out_b"))
+    batch_a = mk_batch(1, 111, 1000, "alpha bravo charlie delta echo")
+    batch_b = mk_batch(2, 222, 2000, "zulu yankee xray whiskey victor")
+
+    orig = store_mod.ParquetStateStore._commit_staged
+    state = {"raced": False}
+
+    def racing(self, table, staging, *, expect):
+        if table == "horizon" and not state["raced"]:
+            state["raced"] = True
+            sink_b(batch_b, 0)  # writer B lands first, mid-flight of A
+        return orig(self, table, staging, expect=expect)
+
+    monkeypatch.setattr(store_mod.ParquetStateStore, "_commit_staged", racing)
+    sink_a(batch_a, 0)  # loses the CAS once, retries, succeeds
+    monkeypatch.setattr(store_mod.ParquetStateStore, "_commit_staged", orig)
+
+    assert state["raced"]
+    hstore = store_mod.ParquetStateStore(spark, horizon_dir)
+    docs = {r["doc_id"] for r in hstore.read("horizon").select("doc_id").distinct().collect()}
+    assert docs == {1, 2}  # neither writer's rows were lost
+    kept_a = {r["doc_id"]: r["kept"] for r in spark.read.parquet(str(tmp_path / "out_a")).collect()}
+    kept_b = {r["doc_id"]: r["kept"] for r in spark.read.parquet(str(tmp_path / "out_b")).collect()}
+    assert kept_a == {1: True} and kept_b == {2: True}
