@@ -187,10 +187,11 @@ def decode_images(
     columnar end-to-end).
 
     Real-path kernel resolution, per item: Pillow when importable
-    (widest coverage); otherwise the vendored pure-Python baseline-PNG
-    decoder (``functions.png`` — stdlib zlib, all five scanline
-    filters) for PNG bytes, so PNG decode works UNCONDITIONALLY in this
-    environment; a non-PNG item with no Pillow raises
+    (widest coverage); otherwise the vendored pure-Python decoders —
+    baseline PNG (``functions.png`` — stdlib zlib, all five scanline
+    filters) and GIF87a/89a (``functions.gif`` — full LZW, interlace,
+    sub-rect frames) — so PNG and GIF decode work UNCONDITIONALLY in
+    this environment; a JPEG (or other) item with no Pillow raises
     ``NotImplementedError`` (a capability gap is an error, never a
     silent NULL). ``fake=True`` keeps the deterministic hash-derived
     stub (plumbing identical, DuckDB-oracle-replayable)."""
@@ -228,6 +229,7 @@ def decode_images(
                     mode=[i.mode for i in decoded],
                 )
             else:
+                from automated_datastore_discovery_with_aws_glue_spark.functions.gif import decode_gif
                 from automated_datastore_discovery_with_aws_glue_spark.functions.png import decode_png
 
                 ws: list[int | None] = []
@@ -238,13 +240,17 @@ def decode_images(
                         ws.append(None), hs.append(None), ms.append(None)
                         continue
                     b = bytes(b)
-                    if not b.startswith(b"\x89PNG"):
+                    if b.startswith(b"\x89PNG"):
+                        w, h, mode, _pixels = decode_png(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, mode, _pixels = decode_gif(b)
+                    else:
                         raise NotImplementedError(
-                            "non-PNG decode requires Pillow (not installed); "
-                            "the vendored kernel covers baseline PNG only — "
-                            "pass fake=True for the deterministic stub"
+                            "JPEG/other decode requires Pillow (not "
+                            "installed); the vendored kernels cover "
+                            "baseline PNG and GIF87a/89a — pass "
+                            "fake=True for the deterministic stub"
                         )
-                    w, h, mode, _pixels = decode_png(b)
                     ws.append(w), hs.append(h), ms.append(mode)
                 pdf = pdf.assign(
                     width=pd.array(ws, dtype="Int32"),

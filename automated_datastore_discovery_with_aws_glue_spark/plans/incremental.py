@@ -343,6 +343,57 @@ class CorpusDedupIndex:
         adopt(out, banded, *( [sizes] if sizes is not None else [] ))
         return out
 
+    def rebuild(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        """Global re-canonicalization BACKFILL — the documented bridge
+        out of the index's immutable-canonical semantics: run the batch
+        operators (``minhash_lsh_pairs`` -> ``dedup_canonical``) over
+        the FULL corpus and replace the index contents with the result.
+        Unlike :meth:`ingest`, a bridge document CAN merge previously
+        separate canonicals here (global connected components), which is
+        exactly why this is a scheduled batch job, not the ingest path —
+        you rebuild when a re-canonicalized corpus is actually wanted.
+        Overwrites land as new state versions (time travel to the
+        pre-rebuild index stays available until vacuum); :meth:`ingest`
+        and :meth:`probe` work unchanged against the rebuilt tables.
+        Returns the canonical corpus (original columns,
+        lineage-severed)."""
+        from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+            dedup_canonical,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            docs,
+            id_col,
+            text_col,
+            n=self.n,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+            on_hot="route",
+        )
+        canon = dedup_canonical(docs, pairs, id_col)
+        out = canon.localCheckpoint()
+        release(canon)
+        base = _hashed_shingle_frame(out, id_col, text_col, self.n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sigs = base.select("id", _signature_expr(F.col("hs"), self.num_hashes).alias("signature"))
+        banded = self._banded(sigs)
+        # same commit order as ingest (BUCKETS then DOCS): a crash
+        # between the overwrites leaves new BUCKETS over old DOCS —
+        # candidates against vanished ids drop at the shingle join, and
+        # re-running the rebuild converges
+        self.store.overwrite(
+            BUCKETS,
+            banded.withColumn("pt", self._pt()).repartition(F.col("pt")),
+            partition_by="pt",
+        )
+        self.store.overwrite(DOCS, base.select("id", "hs", "sz"))
+        base.unpersist()
+        return out
+
     def maintain(self, keep: int = 3) -> None:
         """Retention: keep the last ``keep`` versions of both index
         tables (one version lands per ingested batch)."""

@@ -265,3 +265,36 @@ def test_index_hot_bucket_valve_routes_to_representative(spark, tmp_path):
     assert per_group == 1
     if sizes is not None:
         sizes.unpersist()
+
+
+def test_rebuild_from_batch_canonical_probe_parity(spark, index):
+    """The global re-canonicalization bridge: rebuild the index from a
+    one-shot batch dedup_canonical pass over the full corpus. On a
+    corpus where arrival order == id order the rebuilt index must equal
+    the incrementally-built one — same canonical set, bit-equal probe()
+    results — and ingest keeps working against the rebuilt tables."""
+    b1 = [(1, BASE), (2, OTHER)]
+    b2 = [(3, BASE.replace("quick", "swift")), (4, THIRD)]
+    index.ingest(_docs(spark, b1))
+    index.ingest(_docs(spark, b2))
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2, 4]
+
+    queries = _docs(
+        spark,
+        [(100, BASE.replace("quick", "swift")), (101, "wholly novel words nowhere indexed")],
+    )
+    hits_before = {tuple(r) for r in index.probe(queries).collect()}
+    assert {h[:2] for h in hits_before} == {(100, 1)}
+
+    rebuilt = index.rebuild(_docs(spark, b1 + b2))
+    assert sorted(r["doc_id"] for r in rebuilt.collect()) == [1, 2, 4]
+    assert sorted(r["id"] for r in index.kept_ids().collect()) == [1, 2, 4]
+
+    # probe parity across the rebuild — same hits, same jaccards
+    hits_after = {tuple(r) for r in index.probe(queries).collect()}
+    assert hits_after == hits_before
+
+    # the incremental path continues against the rebuilt tables
+    assert index.ingest(_docs(spark, [(5, BASE.replace("lazy", "idle"))])).count() == 0
+    kept = sorted(r["doc_id"] for r in index.ingest(_docs(spark, [(6, "fresh unseen content entirely")])).collect())
+    assert kept == [6]
