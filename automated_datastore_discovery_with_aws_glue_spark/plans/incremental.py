@@ -418,7 +418,7 @@ class CorpusDedupIndex:
         at-least-once; readers dedup on the id column."""
 
         def sink(batch: DataFrame, _batch_id: int) -> None:
-            if batch.limit(1).count() == 0:
+            if batch.isEmpty():
                 return
             self.ingest(batch, id_col, text_col)
             pending = batch.join(
@@ -432,7 +432,7 @@ class CorpusDedupIndex:
                     "left_anti",
                 )
             pending = pending.localCheckpoint()  # pin before the two writes
-            if pending.limit(1).count() == 0:
+            if pending.isEmpty():
                 return
             pending.write.mode("append").parquet(out_dir)
             self.store.append(EMITTED, pending.select(F.col(id_col).alias("id")))

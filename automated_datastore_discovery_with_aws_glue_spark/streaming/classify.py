@@ -65,7 +65,7 @@ def make_classify_sink(
     counts table (counts have no content identity to dedup on)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        if batch.limit(1).count() == 0:
+        if batch.isEmpty():
             return  # an empty micro-batch must not burn a state version
         if batch_id <= _applied_through(store, table):
             return  # replayed micro-batch: counts already applied

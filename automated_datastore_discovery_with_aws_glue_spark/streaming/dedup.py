@@ -333,7 +333,7 @@ def make_verified_minhash_sink(
                     raise
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        if batch.limit(1).count() == 0:
+        if batch.isEmpty():
             return
         spark = batch.sparkSession
         store = ParquetStateStore(spark, horizon_dir, commit_backend=commit_backend)
@@ -361,7 +361,7 @@ def make_verified_minhash_sink(
             )
 
         dropped_fps = None
-        if cands.limit(1).count() > 0:
+        if not cands.isEmpty():
             cand_b = explode_buckets(cands)
             pairs = (
                 cand_b.alias("c")
@@ -392,8 +392,7 @@ def make_verified_minhash_sink(
         final.drop("text", "buckets").write.mode("append").parquet(out_dir)
 
         kept_docs = final.filter(F.col("kept"))
-        n_kept = kept_docs.limit(1).count()
-        if n_kept:
+        if not kept_docs.isEmpty():
             rows = explode_buckets(kept_docs).withColumn(
                 "tb", F.floor(F.unix_micros("ts") / F.lit(horizon_us))
             )
