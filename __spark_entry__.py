@@ -68,18 +68,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_jaccard": L.QUERIES["dedup_clusters_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
-        "dedup_minhash_sig": L.QUERIES["dedup_minhash_sig"],
-        "text_quality": L.QUERIES["text_quality"],
-        "lang_identify": L.QUERIES["lang_identify"],
-        "tok_regex_count": L.QUERIES["tok_regex_count"],
-        "doc_winnow_fingerprint": L.QUERIES["doc_winnow_fingerprint"],
         "knn_bruteforce": L.QUERIES["knn_bruteforce"],
         "knn_lsh": L.QUERIES["knn_lsh"],
         "emb_near_dup": L.QUERIES["emb_near_dup"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "text_repetition": L.EXTRA_QUERIES["text_repetition"],
-        "emb_canonical": L.EXTRA_QUERIES["emb_canonical"],
         # -- sessionization + multimodal + generators --
         "sess_gap_split": SS.sess_gap_split,
         "mm_binary_meta": M.QUERIES["mm_binary_meta"],
@@ -108,7 +102,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
+        # -- rotated IN for r7 (VERDICT r6 item 4): the late-landing r6
+        #    audio decode + exact-profiling oracles, and this round's
+        #    repeated-span analysis + Gopher rule set
+        "mm_audio_decode": M.QUERIES["mm_audio_decode"],
+        "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
+        "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
+        "prof_numeric_quantiles": P.prof_numeric_quantiles,
+        "prof_approx_distinct": P.prof_approx_distinct,
+        "prof_top_values": P.prof_top_values,
         # ---- driver window ends here (50 entries) ----
+        # r7 rotation casualties (multi-round green, md5-twin/bench
+        # pinned; still checked locally by tools/check_oracle.py)
+        "text_quality": L.QUERIES["text_quality"],
+        "lang_identify": L.QUERIES["lang_identify"],
+        "tok_regex_count": L.QUERIES["tok_regex_count"],
+        "doc_winnow_fingerprint": L.QUERIES["doc_winnow_fingerprint"],
+        "dedup_minhash_sig": L.QUERIES["dedup_minhash_sig"],
+        "emb_canonical": L.EXTRA_QUERIES["emb_canonical"],
         # rotated-out relational rows (3+ green rounds, pytest-pinned)
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_volume": R.q5_region_volume,
@@ -137,11 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gen_individuals pins the seeded-generator family)
         "sess_native_window": SS.sess_native_window,
         "gen_network": G.QUERIES["gen_network"],
-        "prof_approx_distinct": P.prof_approx_distinct,
-        "prof_top_values": P.prof_top_values,
         # exact-quantile variants (the in-window approx twin is the
         # 100 TB path; exact `percentile` buffers every value)
-        "prof_numeric_quantiles": P.prof_numeric_quantiles,
         "prof_approx_distinct_est": P.prof_approx_distinct_est,
         "prof_numeric_quantiles_approx_est": P.prof_numeric_quantiles_approx_est,
         # rows-only / twin-pinned variants

@@ -1011,3 +1011,104 @@ def dedup_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     keep = clusters.filter(F.col("id") == F.col("cluster_id"))
     result = df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")
     return carry(result, clusters)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document repeated-substring analysis at word-k-gram
+    granularity — the Spark-first approximation of exact substring
+    dedup over a suffix array ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022: repeated >= N-token spans
+    are memorization fuel and should be found corpus-wide, not just at
+    whole-document granularity).
+
+    Shape: every POSITIONED word k-gram of every document
+    (``posexplode`` — positions matter here, unlike the dedup
+    shingles), keyed by md5; a gram occurring more than once in the
+    CORPUS (any document, including the same one) marks its k-token
+    span; overlapping/adjacent marked spans merge per document via a
+    gaps-and-islands window (running max of span end). Output per
+    document: ``(id, n_spans, dup_tokens, n_tokens, dup_frac)`` —
+    ``dup_frac`` is the fraction of the document's tokens inside some
+    repeated span, the number a span-trim or doc-drop policy thresholds
+    on.
+
+    Scale: one shuffle on the gram hash (count), one semi-join back
+    (hash-partitioned, candidate-bounded), one per-document window.
+    Everything JVM-side; the gram payload entering the count shuffle is
+    a 32-char md5, never the text.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(normalize_text(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(words))
+        .alias("n_tokens"),
+        words.alias("_w"),
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("_w") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - k + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    repeated = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("h")
+    )
+    marked = grams.join(repeated, "h", "left_semi")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marked.withColumn("_end", F.col("pos") + k - 1)
+        .withColumn("_prev_end", F.max("_end").over(w_prev))
+        .withColumn(
+            "_new",
+            (F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end") + 1)).cast("int"),
+        )
+        .withColumn("_island", F.sum("_new").over(w_run))
+        .groupBy("id", "_island")
+        .agg(F.min("pos").alias("_s"), F.max("_end").alias("_e"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(spans, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -270,3 +270,73 @@ def classifier_score(col: Column, *, dim: int = QUALITY_DIM, seed: int = 7) -> C
     n = F.greatest(F.size(grams), F.lit(1))
     mean = total / n
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 4)
+
+
+#: the Gopher document-quality rule set (public: "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", Rae et
+#: al. 2021, Appendix A1.1) — thresholds as published
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality-filter signals, one JVM-side scan —
+    the published heuristic recipe a pretraining pipeline runs before
+    any learned scorer:
+
+    - ``n_words`` in [50, 100_000];
+    - ``mean_word_len`` in [3, 10];
+    - ``symbol_word_ratio`` (# and ellipsis occurrences per word) <= 0.1;
+    - ``bullet_line_frac`` (lines starting with a bullet) <= 0.9;
+    - ``ellipsis_line_frac`` (lines ending with an ellipsis) <= 0.3;
+    - ``alpha_word_frac`` (words containing a letter) >= 0.8;
+    - ``n_stopwords`` (distinct hits from the 8-word list) >= 2.
+
+    Emits every signal (rounded 4dp where fractional) plus ``passes``
+    so a caller can threshold differently; fractions derive from
+    integer pairs, so the DuckDB oracle reproduces them bit-for-bit.
+    """
+    raw = F.col(text_col)
+    words = tokens(raw)
+    n_words = token_count(raw)
+    lines = F.filter(F.split(raw, "\n"), lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda s: F.regexp_like(F.ltrim(s), F.lit(r"^[-*•]")))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda s: F.regexp_like(F.rtrim(s), F.lit(r"(\.\.\.|…)$")))
+    )
+    # symbol OCCURRENCES, not characters: '#' by removed-char count
+    # (1 char each), ellipses by regexp_extract_all ('...' is 3 chars)
+    n_hash = F.length(raw) - F.length(F.regexp_replace(raw, r"#", ""))
+    n_ell_occ = F.size(F.regexp_extract_all(raw, F.lit(r"\.\.\.|…"), 0))
+    n_alpha_words = F.size(F.filter(words, lambda t: F.regexp_like(t, F.lit("[a-z]"))))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    frac = lambda num, den: F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))  # noqa: E731
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        frac(
+            F.aggregate(words, F.lit(0), lambda acc, t: acc + F.length(t)), n_words
+        ).alias("mean_word_len"),
+        frac(n_hash + n_ell_occ, n_words).alias("symbol_word_ratio"),
+        frac(n_bullet, n_lines).alias("bullet_line_frac"),
+        frac(n_ellipsis, n_lines).alias("ellipsis_line_frac"),
+        frac(n_alpha_words, n_words).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return out.withColumn("passes", passes)

@@ -1892,3 +1892,141 @@ ORACLES = {
     "emb_near_dup": EMB_NEAR_DUP_SQL,
     "emb_near_dup_lsh": emb_near_dup_lsh_oracle_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# r7: cross-document repeated spans + Gopher quality rules
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_K = 5
+
+
+def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated k-gram span analysis (the Spark-first
+    approximation of suffix-array exact substring dedup — Lee et al.
+    2022); per-document span count / covered tokens / coverage
+    fraction, the signals a span-trim or doc-drop policy thresholds
+    on. See ``operators.dedup.dup_span_stats``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_span_stats(docs, "doc_id", "text", k=_DUP_SPAN_K).orderBy("id")
+
+
+CORPUS_DUP_SPANS_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens,
+               {_SQL_WORDS} AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(words[i:i+{_DUP_SPAN_K - 1}], ' ')) AS h
+        FROM tok, unnest(generate_series(1, len(words) - {_DUP_SPAN_K} + 1)) AS t(i)
+        WHERE len(words) >= {_DUP_SPAN_K}
+    ),
+    rep AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+    m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM rep)),
+    sp AS (
+        SELECT doc_id, pos, pos + {_DUP_SPAN_K} - 1 AS e,
+               max(pos + {_DUP_SPAN_K} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM m
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM sp
+    ),
+    spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           coalesce(a.n_spans, 0) AS n_spans,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           CAST(t.n_tokens AS INT) AS n_tokens,
+           CASE WHEN t.n_tokens > 0
+                THEN round(coalesce(a.dup_tokens, 0)::DOUBLE / t.n_tokens, 4)
+                ELSE 0.0 END AS dup_frac
+    FROM tok t LEFT JOIN agg a USING (doc_id)
+    ORDER BY id
+"""
+
+
+def corpus_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic quality-filter rule set (Rae et al. 2021,
+    Appendix A1.1) over the documents table — every signal plus the
+    composed pass flag, one JVM-side scan. See
+    ``operators.text.gopher_signals``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.gopher_signals(docs, "text")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+            "n_stopwords",
+            "passes",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _gopher_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in TX.GOPHER_STOPWORDS)
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_words,
+               {_SQL_WORDS} AS words,
+               list_filter(string_split(text, chr(10)), s -> trim(s) <> '') AS lines
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               CASE WHEN n_words > 0
+                    THEN round(list_sum(list_transform(words, t -> len(t)))::DOUBLE / n_words, 4)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN n_words > 0
+                    THEN round((len(text) - len(regexp_replace(text, '#', '', 'g'))
+                                + len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE / n_words, 4)
+                    ELSE 0.0 END AS symbol_word_ratio,
+               CASE WHEN len(lines) > 0
+                    THEN round(len(list_filter(lines, s -> regexp_matches(ltrim(s), '^[-*•]')))::DOUBLE / len(lines), 4)
+                    ELSE 0.0 END AS bullet_line_frac,
+               CASE WHEN len(lines) > 0
+                    THEN round(len(list_filter(lines, s -> regexp_matches(rtrim(s), '(\.\.\.|…)$')))::DOUBLE / len(lines), 4)
+                    ELSE 0.0 END AS ellipsis_line_frac,
+               CASE WHEN n_words > 0
+                    THEN round(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE / n_words, 4)
+                    ELSE 0.0 END AS alpha_word_frac,
+               CAST(len(list_filter([{stop}], s -> list_contains(words, s))) AS INT) AS n_stopwords
+        FROM base
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND (symbol_word_ratio <= 0.1)
+           AND (bullet_line_frac <= 0.9)
+           AND (ellipsis_line_frac <= 0.3)
+           AND (alpha_word_frac >= 0.8)
+           AND (n_stopwords >= 2) AS passes
+    FROM sig
+    ORDER BY doc_id
+"""
+
+
+EXTRA_QUERIES["corpus_dup_spans"] = corpus_dup_spans
+EXTRA_QUERIES["corpus_gopher_filters"] = corpus_gopher_filters
+ORACLES["corpus_dup_spans"] = CORPUS_DUP_SPANS_SQL
+ORACLES["corpus_gopher_filters"] = _gopher_sql()

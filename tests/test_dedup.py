@@ -378,3 +378,55 @@ def test_contamination_scores_hand_computed_and_paths_agree(spark):
         assert got[1][1] == 0 and got[1][2] == 0.0, fn
         assert got[2] == (6, 2, round(2 / 6, 4)), fn
         assert got[3] == (1, 0, 0.0), fn
+
+
+def test_dup_span_stats_merges_overlaps_and_counts_cross_doc(spark):
+    """Cross-document repeated k-gram spans: overlapping marked grams
+    merge into one span (gaps-and-islands), within-doc repeats count,
+    sub-k and unique docs report zero, and coverage fractions derive
+    from integer pairs."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import dup_span_stats
+
+    shared = "one two three four five six seven"  # 7 words: 5-gram spans overlap
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon"),   # 12 words, shared prefix
+            (2, "x1 x2 x3 " + shared + " y1 y2"),              # shared mid-span
+            (3, "totally different words with no phrase repeated here at all"),
+            (4, "tiny doc"),                                   # < k words
+            (5, "p q r s t p q r s t"),                        # within-doc repeat
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: (r["n_spans"], r["dup_tokens"], r["n_tokens"], r["dup_frac"])
+           for r in dup_span_stats(docs, "doc_id", "text", k=5).collect()}
+    # doc1: grams at positions 0..2 (the 7 shared words) all repeated in
+    # doc2 -> ONE merged span covering 7 tokens
+    assert got[1] == (1, 7, 12, round(7 / 12, 4))
+    assert got[2] == (1, 7, 12, round(7 / 12, 4))
+    assert got[3] == (0, 0, 10, 0.0)
+    assert got[4] == (0, 0, 2, 0.0)
+    # doc5: 'p q r s t' appears twice in the SAME doc; positions 0 and 5
+    # are adjacent spans (5 covers 5..9, 0 covers 0..4 -> merge) = all 10
+    assert got[5] == (1, 10, 10, 1.0)
+
+
+def test_gopher_signals_rules(spark):
+    """Each Gopher rule flips the pass flag on an engineered violator
+    while a plain prose doc passes."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import gopher_signals
+
+    good = ("the quick brown fox jumps over that lazy dog and then walks away to have "
+            "a rest with friends near the old bridge while water flows calmly " * 3)
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = " ".join("#tag" for _ in range(60)) + " the of and that have with to be"
+    short = "the of and"
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False and got[2]["bullet_line_frac"] == 1.0
+    assert got[3]["passes"] is False and got[3]["symbol_word_ratio"] > 0.1
+    assert got[4]["passes"] is False and got[4]["n_words"] < 50
+    assert got[1]["n_stopwords"] >= 2
