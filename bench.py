@@ -79,6 +79,9 @@ HEADLINE = [
     # real engine; regressions in the daily-delta economics show here
     "incr_dedup_ingest",
     "incr_classify_delta",
+    # r7: repeated-span analysis + Gopher rule set
+    "corpus_dup_spans",
+    "corpus_gopher_filters",
 ]
 
 
