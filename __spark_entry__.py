@@ -73,7 +73,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": L.QUERIES["emb_near_dup"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
-        "text_repetition": L.EXTRA_QUERIES["text_repetition"],
         # -- sessionization + multimodal + generators --
         "sess_gap_split": SS.sess_gap_split,
         "mm_binary_meta": M.QUERIES["mm_binary_meta"],
@@ -108,12 +107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
         "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
+        "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
         "prof_approx_distinct": P.prof_approx_distinct,
         "prof_top_values": P.prof_top_values,
         # ---- driver window ends here (50 entries) ----
         # r7 rotation casualties (multi-round green, md5-twin/bench
         # pinned; still checked locally by tools/check_oracle.py)
+        "text_repetition": L.EXTRA_QUERIES["text_repetition"],
         "text_quality": L.QUERIES["text_quality"],
         "lang_identify": L.QUERIES["lang_identify"],
         "tok_regex_count": L.QUERIES["tok_regex_count"],

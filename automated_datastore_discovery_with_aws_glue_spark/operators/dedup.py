@@ -1013,6 +1013,63 @@ def dedup_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return carry(result, clusters)
 
 
+def _span_gram_base(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared base of the repeated-span operators: ``base`` = (id,
+    n_tokens, _w normalized word array), ``grams`` = every POSITIONED
+    word k-gram keyed by md5 (pos is the 0-based gram index; the gram
+    at pos covers tokens [pos, pos+k-1])."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(normalize_text(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(words))
+        .alias("n_tokens"),
+        words.alias("_w"),
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("_w") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - k + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    return base, grams
+
+
+def _merged_spans(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of marked gram positions into disjoint
+    per-document token spans ``(id, _s, _e)`` — overlapping or adjacent
+    k-token covers collapse via a running max of span end."""
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("_end", F.col("pos") + k - 1)
+        .withColumn("_prev_end", F.max("_end").over(w_prev))
+        .withColumn(
+            "_new",
+            (F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end") + 1)).cast("int"),
+        )
+        .withColumn("_island", F.sum("_new").over(w_run))
+        .groupBy("id", "_island")
+        .agg(F.min("pos").alias("_s"), F.max("_end").alias("_e"))
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     id_col: str,
@@ -1043,26 +1100,7 @@ def dup_span_stats(
     Everything JVM-side; the gram payload entering the count shuffle is
     a 32-char md5, never the text.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.when(normalize_text(F.col(text_col)) == "", F.lit(0))
-        .otherwise(F.size(words))
-        .alias("n_tokens"),
-        words.alias("_w"),
-    )
-    grams = base.select(
-        "id",
-        F.posexplode(
-            F.when(
-                F.size("_w") >= k,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - k + 1),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i, k))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "h"),
-    )
+    base, grams = _span_gram_base(df, id_col, text_col, k)
     repeated = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1070,26 +1108,8 @@ def dup_span_stats(
         .select("h")
     )
     marked = grams.join(repeated, "h", "left_semi")
-    w_prev = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     spans = (
-        marked.withColumn("_end", F.col("pos") + k - 1)
-        .withColumn("_prev_end", F.max("_end").over(w_prev))
-        .withColumn(
-            "_new",
-            (F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end") + 1)).cast("int"),
-        )
-        .withColumn("_island", F.sum("_new").over(w_run))
-        .groupBy("id", "_island")
-        .agg(F.min("pos").alias("_s"), F.max("_end").alias("_e"))
+        _merged_spans(marked, k)
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -1110,5 +1130,81 @@ def dup_span_stats(
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """The ACTIONABLE form of :func:`dup_span_stats`: rebuild each
+    document with every non-first occurrence of a corpus-repeated
+    k-gram span REMOVED, keeping the corpus-wide first occurrence
+    (winner = min id, then min position within it — Lee et al. 2022's
+    keep-one-copy policy at k-gram granularity). Output text is the
+    NORMALIZED token stream re-joined with single spaces — the same
+    canonical form every operator in the dedup family hashes.
+
+    Returns ``(id, text_stripped, n_kept, n_removed)``; a document
+    whose every token sits inside someone else's earlier span comes
+    back empty, never dropped.
+
+    Scale: the stats operator's shuffles plus one winner aggregate
+    (metadata-scale: one row per repeated hash) and one positions
+    anti-join whose exploded side is bounded by the corpus's duplicated
+    tokens.
+    """
+    base, grams = _span_gram_base(df, id_col, text_col, k)
+    rep = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("id").alias("_wid"))
+        .filter(F.col("_n") > 1)
+        .select("h", "_wid")
+    )
+    firsts = (
+        grams.join(rep, "h")
+        .filter(F.col("id") == F.col("_wid"))
+        .groupBy("h", "_wid")
+        .agg(F.min("pos").alias("_wpos"))
+    )
+    marked = (
+        grams.join(rep.select("h"), "h", "left_semi")
+        .alias("g")
+        .join(
+            firsts.alias("f"),
+            (F.col("g.h") == F.col("f.h"))
+            & (F.col("g.id") == F.col("f._wid"))
+            & (F.col("g.pos") == F.col("f._wpos")),
+            "left_anti",
+        )
+    )
+    covered = _merged_spans(marked, k).select(
+        "id", F.explode(F.sequence("_s", "_e")).alias("pos")
+    )
+    toks = base.select(
+        "id", F.posexplode("_w").alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "tok"))).alias("_a")
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.coalesce("_a", F.array().cast("array<struct<pos:int,tok:string>>")),
+                    lambda x: x["tok"],
+                ),
+            ).alias("text_stripped"),
+            F.coalesce(F.size("_a"), F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.size("_a"), F.lit(0))).alias("n_removed"),
         )
     )

@@ -2030,3 +2030,84 @@ EXTRA_QUERIES["corpus_dup_spans"] = corpus_dup_spans
 EXTRA_QUERIES["corpus_gopher_filters"] = corpus_gopher_filters
 ORACLES["corpus_dup_spans"] = CORPUS_DUP_SPANS_SQL
 ORACLES["corpus_gopher_filters"] = _gopher_sql()
+
+
+def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable span-trim: every non-first occurrence of a
+    corpus-repeated k-gram span removed, corpus-wide first occurrence
+    kept (Lee et al. 2022's keep-one-copy policy at k-gram
+    granularity). See ``operators.dedup.strip_dup_spans``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.strip_dup_spans(docs, "doc_id", "text", k=_DUP_SPAN_K).orderBy("id")
+
+
+CORPUS_STRIP_DUP_SPANS_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_WORDS}) END AS n_tokens,
+               {_SQL_WORDS} AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(words[i:i+{_DUP_SPAN_K - 1}], ' ')) AS h
+        FROM tok, unnest(generate_series(1, len(words) - {_DUP_SPAN_K} + 1)) AS t(i)
+        WHERE len(words) >= {_DUP_SPAN_K}
+    ),
+    rep AS (SELECT h, min(doc_id) AS wid FROM g GROUP BY h HAVING count(*) > 1),
+    firsts AS (
+        SELECT g.h, r.wid, min(g.pos) AS wpos
+        FROM g JOIN rep r ON g.h = r.h AND g.doc_id = r.wid
+        GROUP BY g.h, r.wid
+    ),
+    m AS (
+        SELECT g.doc_id, g.pos FROM g
+        WHERE g.h IN (SELECT h FROM rep)
+          AND NOT EXISTS (
+              SELECT 1 FROM firsts f
+              WHERE f.h = g.h AND f.wid = g.doc_id AND f.wpos = g.pos)
+    ),
+    sp AS (
+        SELECT doc_id, pos, pos + {_DUP_SPAN_K} - 1 AS e,
+               max(pos + {_DUP_SPAN_K} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM m
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM sp
+    ),
+    spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+    covered AS (
+        SELECT doc_id, p AS pos FROM spans, unnest(generate_series(s, e)) AS u(p)
+    ),
+    toks AS (
+        SELECT doc_id, i AS pos, words[i] AS tokn
+        FROM tok, unnest(generate_series(1, len(words))) AS t(i)
+        WHERE words[i] <> ''
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tokn FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+    ),
+    agg AS (
+        SELECT doc_id,
+               array_to_string(list(tokn ORDER BY pos), ' ') AS text_stripped,
+               CAST(count(*) AS INT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           coalesce(a.text_stripped, '') AS text_stripped,
+           coalesce(a.n_kept, 0) AS n_kept,
+           CAST(t.n_tokens - coalesce(a.n_kept, 0) AS INT) AS n_removed
+    FROM tok t LEFT JOIN agg a USING (doc_id)
+    ORDER BY id
+"""
+
+EXTRA_QUERIES["corpus_strip_dup_spans"] = corpus_strip_dup_spans
+ORACLES["corpus_strip_dup_spans"] = CORPUS_STRIP_DUP_SPANS_SQL

@@ -430,3 +430,29 @@ def test_gopher_signals_rules(spark):
     assert got[3]["passes"] is False and got[3]["symbol_word_ratio"] > 0.1
     assert got[4]["passes"] is False and got[4]["n_words"] < 50
     assert got[1]["n_stopwords"] >= 2
+
+
+def test_strip_dup_spans_keeps_first_occurrence(spark):
+    """Keep-one-copy at k-gram granularity: the corpus-wide first
+    occurrence (min doc id, then min position) survives, every other
+    occurrence's merged span is removed; untouched docs round-trip as
+    their normalized token stream; a within-doc repeat keeps only its
+    first copy."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import strip_dup_spans
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, "x1 x2 " + shared + " tail1"),
+            (3, "unique words only in here nothing repeated at all"),
+            (5, "p q r s t p q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: (r["text_stripped"], r["n_kept"], r["n_removed"])
+           for r in strip_dup_spans(docs, "doc_id", "text", k=5).collect()}
+    assert got[1] == (shared + " alpha beta", 9, 0)      # winner: intact
+    assert got[2] == ("x1 x2 tail1", 3, 7)               # shared span removed
+    assert got[3][1:] == (9, 0)                          # untouched
+    assert got[5] == ("p q r s t", 5, 5)                 # within-doc: first copy kept
