@@ -189,10 +189,12 @@ def decode_images(
     Real-path kernel resolution, per item: Pillow when importable
     (widest coverage); otherwise the vendored pure-Python decoders —
     baseline PNG (``functions.png`` — stdlib zlib, all five scanline
-    filters) and GIF87a/89a (``functions.gif`` — full LZW, interlace,
-    sub-rect frames) — so PNG and GIF decode work UNCONDITIONALLY in
-    this environment; a JPEG (or other) item with no Pillow raises
-    ``NotImplementedError`` (a capability gap is an error, never a
+    filters), GIF87a/89a (``functions.gif`` — full LZW, interlace,
+    sub-rect frames) and baseline JPEG (``functions.jpeg`` — Huffman +
+    IDCT, grayscale/4:4:4/4:2:2/4:2:0, restart intervals) — so all
+    three mainstream image formats decode UNCONDITIONALLY in this
+    environment; an out-of-subset item (WEBP, progressive JPEG, ...)
+    with no Pillow raises (a capability gap is an error, never a
     silent NULL). ``fake=True`` keeps the deterministic hash-derived
     stub (plumbing identical, DuckDB-oracle-replayable)."""
     out_schema = _extended_schema(
@@ -230,6 +232,7 @@ def decode_images(
                 )
             else:
                 from automated_datastore_discovery_with_aws_glue_spark.functions.gif import decode_gif
+                from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import decode_jpeg
                 from automated_datastore_discovery_with_aws_glue_spark.functions.png import decode_png
 
                 ws: list[int | None] = []
@@ -244,12 +247,14 @@ def decode_images(
                         w, h, mode, _pixels = decode_png(b)
                     elif b[:6] in (b"GIF87a", b"GIF89a"):
                         w, h, mode, _pixels = decode_gif(b)
+                    elif b.startswith(b"\xff\xd8"):
+                        w, h, mode, _pixels = decode_jpeg(b)
                     else:
                         raise NotImplementedError(
-                            "JPEG/other decode requires Pillow (not "
+                            "decode of this format requires Pillow (not "
                             "installed); the vendored kernels cover "
-                            "baseline PNG and GIF87a/89a — pass "
-                            "fake=True for the deterministic stub"
+                            "baseline PNG, GIF87a/89a and baseline JPEG "
+                            "— pass fake=True for the deterministic stub"
                         )
                     ws.append(w), hs.append(h), ms.append(mode)
                 pdf = pdf.assign(

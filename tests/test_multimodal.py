@@ -125,8 +125,10 @@ def test_decode_images_fake_deterministic(spark, media):
 
 
 def test_decode_images_real_path_raises_without_pil(spark, media):
-    """A NON-PNG item without Pillow is a capability gap -> error, never
-    a silent NULL (PNG itself now decodes via the vendored kernel)."""
+    """An OUT-OF-SUBSET item (WEBP) without Pillow is a capability gap
+    -> error, never a silent NULL (PNG/GIF/JPEG now decode via the
+    vendored kernels); a corrupt in-subset item (truncated JPEG) is an
+    honest decode error, not a wrong answer."""
     try:
         import PIL  # noqa: F401
 
@@ -134,8 +136,11 @@ def test_decode_images_real_path_raises_without_pil(spark, media):
     except ImportError:
         pass
     with pytest.raises(Exception) as exc:
-        decode_images(media.filter("media_id = 2"), fake=False).collect()
+        decode_images(media.filter("media_id = 4"), fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+    with pytest.raises(Exception) as exc:
+        decode_images(media.filter("media_id = 2"), fake=False).collect()
+    assert "ValueError" in str(exc.value) or "JPEG" in str(exc.value)
 
 
 def test_png_codec_round_trip_all_filters_and_modes():
@@ -368,3 +373,70 @@ def test_decode_images_real_gif_without_pillow(spark):
         for r in image_dims(df.filter("content is not null")).collect()
     }
     assert dims == {1: (320, 200), 2: (12, 7)}
+
+
+def test_jpeg_codec_round_trip_variants():
+    """Vendored baseline JPEG kernel: encode/decode across the spec
+    subset — grayscale and RGB, 4:4:4 and 4:2:0 sampling, restart
+    intervals, non-multiple-of-8 dimensions. JPEG is lossy, so asserts
+    are dims-exact + bounded pixel error on smooth content (noise at
+    quality 100 reconstructs within ±1); out-of-subset inputs raise."""
+    import random as _random
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = _random.Random(5)
+
+    def smooth(w, h):
+        return bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (min(255, 40 + x * 4), min(255, 30 + y * 5), min(255, 60 + (x + y) * 2))
+        )
+
+    px = smooth(33, 31)
+    for kw in (dict(), dict(subsampling="420"), dict(subsampling="420", restart_interval=2)):
+        w, h, mode, out = decode_jpeg(encode_jpeg(33, 31, "RGB", px, quality=92, **kw))
+        assert (w, h, mode) == (33, 31, "RGB")
+        diffs = [abs(a - b) for a, b in zip(px, out)]
+        assert max(diffs) <= 8 and sum(diffs) / len(diffs) < 2.0, kw
+
+    # grayscale noise at q100: near-lossless; restart markers exercised
+    gl = bytes(rng.randrange(256) for _ in range(48 * 24))
+    w, h, mode, out = decode_jpeg(encode_jpeg(48, 24, "L", gl, quality=100, restart_interval=3))
+    assert (w, h, mode) == (48, 24, "L")
+    assert max(abs(a - b) for a, b in zip(gl, out)) <= 1
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(16, 16, "L", bytes(256))[:60])  # truncated
+    # progressive marker (SOF2) refused, never mis-decoded
+    prog = bytearray(encode_jpeg(16, 16, "L", bytes(256)))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(prog))
+
+
+def test_decode_images_real_jpeg_without_pillow(spark):
+    """All three mainstream formats now decode without Pillow: the same
+    decode_images(fake=False) call handles baseline JPEG via the
+    vendored kernel, and the dims agree with the image_dims SOF walk."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import encode_jpeg
+
+    j1 = encode_jpeg(64, 48, "RGB", bytes(64 * 48 * 3), quality=90)
+    j2 = encode_jpeg(21, 9, "L", bytes(range(189)), quality=95, subsampling="444")
+    df = spark.createDataFrame(
+        [(1, bytearray(j1)), (2, bytearray(j2)), (3, None)], "media_id long, content binary"
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["mode"])
+        for r in decode_images(df, fake=False).collect()
+    }
+    assert got == {1: (64, 48, "RGB"), 2: (21, 9, "L"), 3: (None, None, None)}
+    dims = {
+        r["media_id"]: (r["img_width"], r["img_height"])
+        for r in image_dims(df.filter("content is not null")).collect()
+    }
+    assert dims == {1: (64, 48), 2: (21, 9)}
