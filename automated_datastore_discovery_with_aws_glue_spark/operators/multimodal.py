@@ -396,3 +396,121 @@ def sample_frames(
             F.substring(c, F.col("frame_index") * every_n_bytes + 1, every_n_bytes),
         )
     )
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    hist_bins: int = 8,
+) -> DataFrame:
+    """REAL per-image pixel statistics — the non-learned feature vector
+    multimodal curation filters actually threshold on (brightness /
+    contrast / extreme-exposure gates, histogram near-dup prefilters):
+    per-channel means, luminance mean/std, and an ``hist_bins``-bin
+    luminance histogram (fractions, 4dp), decoded by the VENDORED
+    PNG/GIF/JPEG kernels (Pillow preferred when importable), Arrow-
+    batched via ``mapInPandas``. NULL cells yield NULL stats; an
+    out-of-subset format raises — a capability gap is an error, never a
+    silent NULL. Unlike :func:`extract_features` (a learned vision
+    encoder, honestly stubbed), everything here is exact pixel math."""
+    out_schema = _extended_schema(
+        df,
+        T.StructField("px_width", T.IntegerType()),
+        T.StructField("px_height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+        T.StructField("luma_hist", T.ArrayType(T.DoubleType())),
+    )
+
+    def _rgb_pixels(b: bytes) -> tuple[int, int, bytes]:
+        try:
+            import io
+
+            from PIL import Image  # pragma: no cover - PIL absent here
+
+            img = Image.open(io.BytesIO(b)).convert("RGB")
+            return img.width, img.height, img.tobytes()
+        except ImportError:
+            pass
+        from automated_datastore_discovery_with_aws_glue_spark.functions.gif import decode_gif
+        from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import decode_jpeg
+        from automated_datastore_discovery_with_aws_glue_spark.functions.png import decode_png
+
+        if b.startswith(b"\x89PNG"):
+            w, h, mode, px = decode_png(b)
+            if mode == "RGB":
+                return w, h, px
+            if mode == "L":
+                return w, h, bytes(v for p in px for v in (p, p, p))
+            if mode == "RGBA":
+                return w, h, bytes(v for i in range(0, len(px), 4) for v in px[i : i + 3])
+            if mode == "LA":
+                return w, h, bytes(v for i in range(0, len(px), 2) for v in (px[i], px[i], px[i]))
+            raise NotImplementedError(
+                f"pixel stats over palette PNG ({mode}) needs Pillow"
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, _mode, px = decode_gif(b)
+            return w, h, px
+        if b.startswith(b"\xff\xd8"):
+            w, h, mode, px = decode_jpeg(b)
+            if mode == "L":
+                return w, h, bytes(v for p in px for v in (p, p, p))
+            return w, h, px
+        raise NotImplementedError(
+            "pixel stats for this format require Pillow (not installed)"
+        )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "px_width", "px_height", "mean_r", "mean_g", "mean_b",
+                "luma_mean", "luma_std", "luma_hist",
+            )}
+            for b in pdf[content_col]:
+                if b is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                w, h, px = _rgb_pixels(bytes(b))
+                n = w * h
+                sr = sg = sb = 0
+                sl = sl2 = 0.0
+                hist = [0] * hist_bins
+                for i in range(n):
+                    r, g, bl = px[3 * i], px[3 * i + 1], px[3 * i + 2]
+                    sr += r
+                    sg += g
+                    sb += bl
+                    luma = 0.299 * r + 0.587 * g + 0.114 * bl
+                    sl += luma
+                    sl2 += luma * luma
+                    hist[min(hist_bins - 1, int(luma) * hist_bins // 256)] += 1
+                mean_l = sl / n
+                var = max(0.0, sl2 / n - mean_l * mean_l)
+                cols["px_width"].append(w)
+                cols["px_height"].append(h)
+                cols["mean_r"].append(round(sr / n, 4))
+                cols["mean_g"].append(round(sg / n, 4))
+                cols["mean_b"].append(round(sb / n, 4))
+                cols["luma_mean"].append(round(mean_l, 4))
+                cols["luma_std"].append(round(_math.sqrt(var), 4))
+                cols["luma_hist"].append([round(c / n, 4) for c in hist])
+            yield pdf.assign(
+                px_width=pd.array(cols["px_width"], dtype="Int32"),
+                px_height=pd.array(cols["px_height"], dtype="Int32"),
+                mean_r=cols["mean_r"],
+                mean_g=cols["mean_g"],
+                mean_b=cols["mean_b"],
+                luma_mean=cols["luma_mean"],
+                luma_std=cols["luma_std"],
+                luma_hist=cols["luma_hist"],
+            )
+
+    return df.mapInPandas(_stats, schema=out_schema)

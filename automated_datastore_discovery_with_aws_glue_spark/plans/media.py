@@ -219,3 +219,91 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_audio_decode": MM_AUDIO_DECODE_SQL,
 }
+
+
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel statistics through the vendored PNG/GIF decode
+    kernels, end-to-end oracle-checked: each doc derives a FLAT-COLOR
+    image (dims + RGB from doc_id arithmetic; format alternates PNG /
+    GIF by parity), a mapInPandas step ENCODES it with the vendored
+    encoders, ``image_pixel_stats`` DECODES it back and measures — and
+    DuckDB predicts every statistic from the color alone (flat image:
+    channel means are the channel values, zero contrast, the whole
+    luminance histogram in one bin). A wrong filter branch, LZW bug, or
+    luma formula drift breaks the hash."""
+    import pandas as _pd
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import image_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 7 + 3).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("r"),
+        (F.col("doc_id") * 7 % 256).cast("int").alias("g"),
+        (F.col("doc_id") * 13 % 256).cast("int").alias("b"),
+    )
+
+    def _encode(batches):
+        from automated_datastore_discovery_with_aws_glue_spark.functions.gif import encode_gif
+        from automated_datastore_discovery_with_aws_glue_spark.functions.png import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, w, h, r, g, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                if doc_id % 2 == 0:
+                    blobs.append(encode_png(int(w), int(h), "RGB", bytes((r, g, b)) * (int(w) * int(h))))
+                else:
+                    blobs.append(encode_gif(int(w), int(h), [(int(r), int(g), int(b))], bytes(int(w) * int(h))))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = docs.mapInPandas(_encode, schema="doc_id bigint, content binary")
+    return (
+        image_pixel_stats(imgs)
+        .select(
+            "doc_id", "px_width", "px_height", "mean_r", "mean_g", "mean_b",
+            "luma_mean", "luma_std", "luma_hist",
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_PIXEL_STATS_SQL = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 13 + 4 AS INT) AS w,
+               CAST(doc_id % 7 + 3 AS INT) AS h,
+               CAST(doc_id % 256 AS INT) AS r,
+               CAST(doc_id * 7 % 256 AS INT) AS g,
+               CAST(doc_id * 13 % 256 AS INT) AS b
+        FROM documents
+    ),
+    s AS (
+        -- all-DOUBLE arithmetic in the exact operand order of the
+        -- decode kernel (0.299*r + 0.587*g + 0.114*b): bit-identical
+        -- IEEE doubles before the 4dp round, and no DECIMAL outputs
+        -- (DECIMAL serializes differently from DoubleType in the
+        -- driver hash, like the HUGEINT trap)
+        SELECT doc_id, w, h, r, g, b,
+               0.299 * CAST(r AS DOUBLE) + 0.587 * CAST(g AS DOUBLE)
+                 + 0.114 * CAST(b AS DOUBLE) AS luma
+        FROM p
+    )
+    SELECT doc_id,
+           w AS px_width, h AS px_height,
+           round(CAST(r AS DOUBLE), 4) AS mean_r,
+           round(CAST(g AS DOUBLE), 4) AS mean_g,
+           round(CAST(b AS DOUBLE), 4) AS mean_b,
+           round(luma, 4) AS luma_mean,
+           CAST(0.0 AS DOUBLE) AS luma_std,
+           list_transform(generate_series(0, 7),
+               i -> CAST(CASE WHEN i = (CAST(floor(luma) AS INT) * 8) // 256
+                         THEN 1.0 ELSE 0.0 END AS DOUBLE)) AS luma_hist
+    FROM s
+    ORDER BY doc_id
+"""
+
+QUERIES["mm_pixel_stats"] = mm_pixel_stats
+ORACLES["mm_pixel_stats"] = MM_PIXEL_STATS_SQL

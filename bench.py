@@ -79,9 +79,10 @@ HEADLINE = [
     # real engine; regressions in the daily-delta economics show here
     "incr_dedup_ingest",
     "incr_classify_delta",
-    # r7: repeated-span analysis + Gopher rule set
+    # r7: repeated-span analysis + Gopher rule set + real pixel stats
     "corpus_dup_spans",
     "corpus_gopher_filters",
+    "mm_pixel_stats",
 ]
 
 

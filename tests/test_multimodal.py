@@ -440,3 +440,37 @@ def test_decode_images_real_jpeg_without_pillow(spark):
         for r in image_dims(df.filter("content is not null")).collect()
     }
     assert dims == {1: (64, 48), 2: (21, 9)}
+
+
+def test_image_pixel_stats_exact_on_known_fixtures(spark):
+    """Real pixel statistics through the vendored decode kernels: a
+    flat-color PNG gives exact channel means and zero contrast with the
+    whole histogram in one bin; a half-black/half-white GIF gives the
+    exact 50/50 histogram and known mean; NULL cells yield NULL stats."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.gif import encode_gif
+    from automated_datastore_discovery_with_aws_glue_spark.functions.png import encode_png
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import image_pixel_stats
+
+    flat = encode_png(10, 6, "RGB", bytes((200, 50, 90)) * 60)
+    bw = encode_gif(
+        8, 8, [(0, 0, 0), (255, 255, 255)],
+        bytes([0] * 32 + [1] * 32),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(bw)), (3, None)],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in image_pixel_stats(df).collect()}
+
+    r1 = got[1]
+    assert (r1["px_width"], r1["px_height"]) == (10, 6)
+    assert (r1["mean_r"], r1["mean_g"], r1["mean_b"]) == (200.0, 50.0, 90.0)
+    assert r1["luma_std"] == 0.0
+    assert sum(1 for f in r1["luma_hist"] if f > 0) == 1
+
+    r2 = got[2]
+    luma_w = 0.299 * 255 + 0.587 * 255 + 0.114 * 255  # = 255
+    assert abs(r2["luma_mean"] - luma_w / 2) < 0.01
+    assert r2["luma_hist"][0] == 0.5 and r2["luma_hist"][-1] == 0.5
+
+    assert got[3]["px_width"] is None and got[3]["luma_hist"] is None

@@ -23,6 +23,7 @@ TABLES = (
 ).split()
 
 _BANNED = {"HUGEINT", "UHUGEINT"}
+_BANNED_PREFIXES = ("DECIMAL",)
 
 
 @pytest.fixture(scope="module")
@@ -43,10 +44,10 @@ def test_oracle_has_no_hugeint_columns(con, name):
     offenders = [
         (cn, str(ct))
         for cn, ct in zip(rel.columns, rel.types)
-        if str(ct) in _BANNED
+        if str(ct) in _BANNED or str(ct).startswith(_BANNED_PREFIXES)
     ]
     assert not offenders, (
-        f"{name} oracle emits int128 column(s) {offenders}; wrap the "
-        f"aggregate in CAST(... AS BIGINT) so the driver hash matches "
-        f"Spark's LongType"
+        f"{name} oracle emits column(s) {offenders} whose serialization "
+        f"diverges from Spark's numeric types in the driver hash; CAST "
+        f"to BIGINT / DOUBLE in the oracle SQL"
     )
