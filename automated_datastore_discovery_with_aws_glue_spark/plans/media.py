@@ -235,7 +235,10 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import image_pixel_stats
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # deterministic 10% fixture slice: the query verifies the codec
+    # loop, not corpus throughput — the per-image Python encode/decode
+    # cost is real, so bound the fixture count
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 1).select(
         "doc_id",
         (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
         (F.col("doc_id") % 7 + 3).cast("int").alias("h"),
@@ -279,6 +282,7 @@ MM_PIXEL_STATS_SQL = """
                CAST(doc_id * 7 % 256 AS INT) AS g,
                CAST(doc_id * 13 % 256 AS INT) AS b
         FROM documents
+        WHERE doc_id % 10 = 1
     ),
     s AS (
         -- all-DOUBLE arithmetic in the exact operand order of the
