@@ -103,6 +103,28 @@ class CorpusDedupIndex:
         a probe's pt set is computable from its own banded frame."""
         return F.pmod(F.col("bucket"), F.lit(self.index_partitions)).cast("int")
 
+    def _doc_pt(self) -> F.Column:
+        """Partition key of a docs (shingles) row: hash range of the id.
+        The candidate old-id set computes its own pt values, so the
+        heavyweight shingle fetch prunes to the id ranges candidates
+        actually touch."""
+        return F.pmod(F.col("id"), F.lit(self.index_partitions)).cast("int")
+
+    def _pruned_old_side(self, stored_docs: DataFrame, old_ids: DataFrame) -> DataFrame:
+        """(id, hs, sz) rows of ``stored_docs`` for the candidate id set
+        — partition-pruned to the candidates' pt ranges (``old_ids``
+        must be materialized; its pt set is bounded by
+        index_partitions), then broadcast-semi-joined."""
+        if "pt" in stored_docs.columns:
+            pts = sorted(
+                r["pt"]
+                for r in old_ids.select(self._doc_pt().alias("pt")).distinct().collect()
+            )
+            if not pts:
+                return stored_docs.limit(0).select("id", "hs", "sz")
+            stored_docs = stored_docs.filter(F.col("pt").isin(pts))
+        return stored_docs.join(F.broadcast(old_ids), "id").select("id", "hs", "sz")
+
     def _pruned_stored_side(self, banded_probe: DataFrame, label: str) -> tuple[DataFrame, DataFrame | None]:
         """Stored bucket rows relevant to ``banded_probe``, partition-
         pruned to the probe's pt set and (when ``max_bucket`` is set)
@@ -245,9 +267,10 @@ class CorpusDedupIndex:
                 .distinct()
             )
             # old shingles: broadcast the candidate old-id set at the
-            # docs-table scan
+            # docs-table scan, pruned to the candidates' id ranges
+            no_cand = no_cand.persist(StorageLevel.MEMORY_AND_DISK)
             old_ids = no_cand.select(F.col("id_b").alias("id")).distinct()
-            old_side = stored_docs.join(F.broadcast(old_ids), "id")
+            old_side = self._pruned_old_side(stored_docs, old_ids)
             dup_vs_index = self._verified(no_cand, base_new, old_side).select(
                 F.col("id_a").alias("id")
             ).distinct()
@@ -278,7 +301,14 @@ class CorpusDedupIndex:
                 .repartition(F.col("pt")),
                 partition_by="pt",
             )
-            self.store.append(DOCS, base_new.join(final_keep, "id").select("id", "hs", "sz"))
+            self.store.append(
+                DOCS,
+                base_new.join(final_keep, "id")
+                .select("id", "hs", "sz")
+                .withColumn("pt", self._doc_pt())
+                .repartition(F.col("pt")),
+                partition_by="pt",
+            )
         kept_rows = docs.join(
             final_keep.withColumnRenamed("id", "__keep"),
             docs[id_col] == F.col("__keep"),
@@ -295,6 +325,7 @@ class CorpusDedupIndex:
             keep_banded.unpersist()
             if sizes is not None:
                 sizes.unpersist()
+            no_cand.unpersist()
         release(clusters)
         return out
 
@@ -323,8 +354,9 @@ class CorpusDedupIndex:
             .select(F.col("q.id").alias("id_a"), F.col("o.id").alias("id_b"))
             .distinct()
         )
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         old_ids = cand.select(F.col("id_b").alias("id")).distinct()
-        old_side = self.store.read(DOCS).join(F.broadcast(old_ids), "id")
+        old_side = self._pruned_old_side(self.store.read(DOCS), old_ids)
         inter = F.size(F.array_intersect("hs_a", "hs_b"))
         union = F.col("sz_a") + F.col("sz_b") - inter
         num = int(round(self.threshold * 10000))
@@ -340,7 +372,7 @@ class CorpusDedupIndex:
             .filter(inter * 10000 >= F.lit(num) * union)
             .select("id_a", "id_b", F.round(inter.cast("double") / union, 4).alias("jaccard"))
         )
-        adopt(out, banded, *( [sizes] if sizes is not None else [] ))
+        adopt(out, banded, cand, *( [sizes] if sizes is not None else [] ))
         return out
 
     def rebuild(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -390,7 +422,13 @@ class CorpusDedupIndex:
             banded.withColumn("pt", self._pt()).repartition(F.col("pt")),
             partition_by="pt",
         )
-        self.store.overwrite(DOCS, base.select("id", "hs", "sz"))
+        self.store.overwrite(
+            DOCS,
+            base.select("id", "hs", "sz")
+            .withColumn("pt", self._doc_pt())
+            .repartition(F.col("pt")),
+            partition_by="pt",
+        )
         base.unpersist()
         return out
 

@@ -218,10 +218,20 @@ def test_index_scan_prunes_to_probed_bucket_ranges(spark, tmp_path):
     plan = probe_df._sc._jvm.PythonSQLUtils.explainString(
         probe_df._jdf.queryExecution(), "formatted"
     )
-    m = re.search(r"PartitionFilters: \[pt#\d+ INSET ([\d, ]+)\]", plan)
-    assert m, plan
-    # one probe doc x 16 bands -> at most 16 pt values out of 64
+    # BOTH index tables prune: lsh_buckets to the probed bucket ranges
+    # (INSET of at most 16 pt values for one doc x 16 bands), kept_docs
+    # (the heavyweight shingle payload) to the candidate id ranges
+    # (equality/INSET depending on candidate count)
+    chunks = {}
+    for part in plan.split("Location: ")[1:]:
+        for table in ("lsh_buckets", "kept_docs"):
+            if table in part.split("\n", 1)[0]:
+                m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", part)
+                chunks.setdefault(table, []).append(m2.group(1) if m2 else "")
+    assert any("INSET" in f for f in chunks["lsh_buckets"]), chunks
+    m = re.search(r"INSET ([\d, ]+)", " ".join(chunks["lsh_buckets"]))
     assert len(m.group(1).split(",")) <= 16
+    assert any("pt#" in f for f in chunks["kept_docs"]), chunks
     # and the pruned probe still finds the near-dup
     hits = {(r["id_a"], r["id_b"]) for r in probe_df.collect()}
     assert (100, 1) in hits
