@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof_approx_distinct": P.prof_approx_distinct,
         "prof_top_values": P.prof_top_values,
         # ---- driver window ends here (50 entries) ----
+        # r7 additions past-window (locally oracle-checked; rotate next
+        # round): the md5-twin count-min-sketch heavy hitters
+        "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms,
         # r7 rotation casualties (multi-round green, md5-twin/bench
         # pinned; still checked locally by tools/check_oracle.py)
         "text_repetition": L.EXTRA_QUERIES["text_repetition"],
@@ -431,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_top_values": P.prof_top_values_sql(),
         "prof_histogram": P.prof_histogram_sql(),
         "pii_redact": P.pii_redact_oracle_sql(),
+        "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms_sql(),
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,

@@ -593,3 +593,81 @@ def prof_approx_distinct_sql() -> str:
         for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
     ]
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def prof_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch over the documents token
+    stream (``operators.sketch`` — md5 twin hashing, so DuckDB replays
+    the ENTIRE sketch including its collisions): the exact top-20 words
+    with their exact counts, the sketch's estimates, and the
+    over-count. ``est_n >= exact_n`` always (one-sided CMS error); a
+    width of 512 against thousands of distinct tokens forces real
+    collisions, so the over-counts are live evidence the estimate path
+    is measured, not echoed."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import cms_build, cms_query
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import tokens
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    depth, width = 4, 512
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(F.col("w") != "")
+    sketch = cms_build(words, "w", depth=depth, width=width, hash_fn="md5")
+    exact_top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(20)
+    )
+    est = cms_query(
+        sketch, exact_top.select(F.col("w").alias("v")),
+        depth=depth, width=width, hash_fn="md5",
+    )
+    return (
+        exact_top.join(est, exact_top["w"] == est["v"])
+        .select(
+            "w",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("over_n"),
+        )
+        .orderBy(F.col("exact_n").desc(), "w")
+    )
+
+
+def prof_heavy_hitters_cms_sql() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import _SQL_WORDS
+
+    return f"""
+    WITH wf AS (
+        SELECT w FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+        WHERE w <> ''
+    ),
+    cells AS (
+        SELECT t.r,
+               CAST(('0x' || substr(md5(t.r || '|' || wf.w), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM wf, range(4) t(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, bucket
+    ),
+    exact_top AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+        FROM wf GROUP BY w
+        ORDER BY exact_n DESC, w LIMIT 20
+    ),
+    q AS (
+        SELECT e.w, t.r,
+               CAST(('0x' || substr(md5(t.r || '|' || e.w), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM exact_top e, range(4) t(r)
+    ),
+    est AS (
+        SELECT q.w, min(coalesce(s.cnt, 0)) AS est_n
+        FROM q LEFT JOIN sketch s ON q.r = s.r AND q.bucket = s.bucket
+        GROUP BY q.w
+    )
+    SELECT e.w, e.exact_n, CAST(est.est_n AS BIGINT) AS est_n,
+           CAST(est.est_n - e.exact_n AS BIGINT) AS over_n
+    FROM exact_top e JOIN est USING (w)
+    ORDER BY exact_n DESC, w
+"""

@@ -61,3 +61,43 @@ def test_histogram_default_is_lazy_and_matches_bounds_path(spark, monkeypatch):
     want = [tuple(r) for r in prof_histogram(spark, SF_DIR, bounds=(lo, hi)).collect()]
     assert got == want
     assert sum(r[2] for r in got) == li.count()
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    """Count-min sketch invariants: estimates are NEVER below the true
+    count (one-sided), a narrow sketch over-counts (collisions are
+    real), and two sketches over disjoint halves MERGE into exactly the
+    whole-data sketch — the property that makes it a per-partition /
+    per-day rollup."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    rows = [(f"k{i % 50}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["v"]).withColumn("idx", F.monotonically_increasing_id())
+    kw = dict(depth=4, width=16, hash_fn="md5")  # narrow: forced collisions
+
+    sketch = cms_build(df, "v", **kw)
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    est = {
+        r["v"]: r["est_n"]
+        for r in cms_query(sketch, df.select("v").distinct(), **kw).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact), "CMS must never under-count"
+    assert any(est[v] > exact[v] for v in exact), "width 16 over 51 keys must collide"
+    # the hot key's estimate is still dominated by its own mass
+    assert est["hot"] >= 500
+
+    # merge(two halves) == sketch(whole), cell for cell
+    a = cms_build(df.filter("idx % 2 = 0"), "v", **kw)
+    b = cms_build(df.filter("idx % 2 = 1"), "v", **kw)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in cms_merge(a, b).collect()
+    }
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    assert merged == whole
