@@ -340,3 +340,19 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("n_stopwords") >= 2)
     )
     return out.withColumn("passes", passes)
+
+
+def weighted_sample_key(id_col: Column, weight_col: Column, *, seed: int = 7) -> Column:
+    """Efraimidis–Spirakis (2006) weighted-reservoir priority key: the
+    top-k rows by ``u^(1/w)`` — equivalently ``ln(u)/w``, the monotone
+    form used here — are a weighted random sample WITHOUT replacement.
+    ``u`` derives deterministically from the seeded md5 twin hash of the
+    id as an exact rational in (0, 1), so the sample is reproducible,
+    coordination-free across executors, and DuckDB-replayable. Callers
+    order DESC with an id tiebreak and must not emit the key itself
+    (ln differs across libms by an ulp; selection survives, the raw key
+    would not hash-match)."""
+    p = 1_000_000_007
+    h = md5_hash64(F.concat(F.lit(str(seed)), F.lit("|"), id_col.cast("string")))
+    u = (F.pmod(h, F.lit(p)) + 1) / F.lit(float(p + 1))
+    return F.log(u) / weight_col.cast("double")

@@ -2111,3 +2111,40 @@ CORPUS_STRIP_DUP_SPANS_SQL = rf"""
 
 EXTRA_QUERIES["corpus_strip_dup_spans"] = corpus_strip_dup_spans
 ORACLES["corpus_strip_dup_spans"] = CORPUS_STRIP_DUP_SPANS_SQL
+
+
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    priority keys — ``operators.text.weighted_sample_key``): 200
+    documents drawn with probability proportional to length
+    (``n_chars``), the shape mixture construction uses when long
+    documents should be over-represented per token rather than per doc.
+    One global top-k on the key — no RNG state, reproducible, and the
+    DuckDB oracle replays the identical selection."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import weighted_sample_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = weighted_sample_key(F.col("doc_id"), F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SAMPLE_WEIGHTED_SQL = """
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars FROM (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5('7|' || doc_id), 1, 15)) AS BIGINT)
+                   % 1000000007 + 1) / 1000000008.0) / n_chars AS k
+        FROM documents
+        ORDER BY k DESC, doc_id
+        LIMIT 200
+    )
+    ORDER BY doc_id
+"""
+
+EXTRA_QUERIES["corpus_sample_weighted"] = corpus_sample_weighted
+ORACLES["corpus_sample_weighted"] = CORPUS_SAMPLE_WEIGHTED_SQL

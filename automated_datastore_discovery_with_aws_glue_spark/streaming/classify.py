@@ -116,3 +116,44 @@ def compact_counts(store: ParquetStateStore, table: str) -> None:
         .withColumn("batch_id", F.lit(applied).cast("long"))
     )
     store.overwrite(table, summed.select(*_COLS, "batch_id"))
+
+
+def make_cms_sink(
+    store: ParquetStateStore,
+    table: str,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    hash_fn: str = "xxh",
+):
+    """``foreachBatch`` sink for ingest-time FREQUENCY monitoring: each
+    micro-batch's count-min sketch (``operators.sketch.cms_build``)
+    merges into a persisted sketch table — the same additive-rollup
+    shape as the classify counts, with the same batch_id replay guard
+    (exactly-once cells under at-least-once delivery). The stored
+    sketch stays ≤ depth x width rows forever; query it any time with
+    ``cms_query`` for "how often has this value arrived so far"."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import cms_build
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if batch_id <= _applied_through(store, table):
+            return  # replayed micro-batch: cells already merged
+        delta = cms_build(batch, value_col, depth=depth, width=width, hash_fn=hash_fn)
+        if store.exists(table):
+            prior = store.read(table).select("row", "bucket", "cnt")
+            merged = (
+                prior.unionByName(delta)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        store.overwrite(
+            table,
+            merged.withColumn("batch_id", F.lit(batch_id).cast("long")),
+        )
+
+    return sink

@@ -1020,3 +1020,35 @@ def test_verified_sink_two_writers_cas_interleave(spark, tmp_path, monkeypatch):
     kept_a = {r["doc_id"]: r["kept"] for r in spark.read.parquet(str(tmp_path / "out_a")).collect()}
     kept_b = {r["doc_id"]: r["kept"] for r in spark.read.parquet(str(tmp_path / "out_b")).collect()}
     assert kept_a == {1: True} and kept_b == {2: True}
+
+
+def test_cms_sink_streaming_frequencies_with_replay_guard(spark, tmp_path):
+    """Streaming count-min monitoring: per-batch sketches merge into a
+    bounded state table whose point queries equal (>=, one-sided) the
+    true arrival counts and exactly equal a one-shot batch sketch of
+    everything ingested; a replayed micro-batch merges nothing."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import cms_build, cms_query
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.classify import make_cms_sink
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    kw = dict(depth=4, width=64, hash_fn="md5")
+    sink = make_cms_sink(store, "freq", "v", **kw)
+
+    b0 = spark.createDataFrame([("a",)] * 30 + [("b",)] * 5, ["v"])
+    b1 = spark.createDataFrame([("a",)] * 10 + [("c",)] * 7, ["v"])
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay: must merge nothing
+
+    stored = store.read("freq").select("row", "bucket", "cnt")
+    whole = cms_build(
+        spark.createDataFrame([("a",)] * 40 + [("b",)] * 5 + [("c",)] * 7, ["v"]), "v", **kw
+    )
+    assert {tuple(r) for r in stored.collect()} == {tuple(r) for r in whole.collect()}
+
+    vals = spark.createDataFrame([("a",), ("b",), ("c",)], ["v"])
+    est = {r["v"]: r["est_n"] for r in cms_query(stored, vals, **kw).collect()}
+    assert est["a"] >= 40 and est["b"] >= 5 and est["c"] >= 7

@@ -316,3 +316,42 @@ def test_ivf_empty_and_allzero_corpus(spark):
     )
     assert len(ivf_centroids(zeros, "embedding")) == 0
     assert ivf_topk(zeros, "embedding", [1.0, 0.0, 0.0, 0.0], 5).collect() == []
+
+
+def test_weighted_sample_key_statistics_and_determinism(spark):
+    """Efraimidis–Spirakis priority sampling: reproducible, without
+    replacement, and weight-proportional — items with 50x weight must
+    dominate a top-k draw over a uniform population, while a uniform
+    weighting leaves no such bias."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import weighted_sample_key
+
+    rows = [(i, 50 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+
+    def draw(weight_col):
+        key = weighted_sample_key(F.col("id"), F.col(weight_col))
+        return [
+            r["id"]
+            for r in df.select("id", key.alias("k"))
+            .orderBy(F.col("k").desc(), "id")
+            .limit(100)
+            .collect()
+        ]
+
+    s1, s2 = draw("w"), draw("w")
+    assert s1 == s2  # seeded: bit-for-bit reproducible
+    assert len(set(s1)) == 100  # without replacement
+    heavy = sum(1 for i in s1 if i % 10 == 0)
+    # 100 heavy items at weight 50 hold ~85% of total mass; expect the
+    # sample to be heavy-dominated (loose bound, deterministic draw)
+    assert heavy >= 60, heavy
+
+    uniform = df.withColumn("u", F.lit(1))
+    key = weighted_sample_key(F.col("id"), F.col("u"))
+    su = [
+        r["id"]
+        for r in uniform.select("id", key.alias("k")).orderBy(F.col("k").desc(), "id").limit(100).collect()
+    ]
+    assert sum(1 for i in su if i % 10 == 0) <= 25  # no weight, no bias
