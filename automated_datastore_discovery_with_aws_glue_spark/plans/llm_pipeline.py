@@ -2148,3 +2148,130 @@ CORPUS_SAMPLE_WEIGHTED_SQL = """
 
 EXTRA_QUERIES["corpus_sample_weighted"] = corpus_sample_weighted
 ORACLES["corpus_sample_weighted"] = CORPUS_SAMPLE_WEIGHTED_SQL
+
+
+_LM2_BIGRAMS = 20_000
+_LM2_LAMBDA = 0.7
+
+
+def doc_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM transition perplexity with unigram
+    interpolation — one model class up from :func:`doc_lm_perplexity`
+    (the CCNet/KenLM-style signal at order 2): p(w2|w1) =
+    λ·c12/c1 + (1-λ)·p_uni(w2), the corpus's own top-B bigram table and
+    top-V unigram distribution (single add-one OOV bucket) both
+    BROADCAST. Word-salad that fools a unigram LM (common words, wrong
+    order) scores high here. Three aggregates + two broadcast joins;
+    transitions derive map-side from each doc's token array. Documents
+    with fewer than two tokens have no transitions and drop out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tc.orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB)
+    totals = tc.agg(F.sum("c").alias("t_all"))
+    vmass = vocab.agg(F.sum("c").alias("v_mass"))
+    uni = vocab.crossJoin(F.broadcast(totals)).select(
+        F.col("term").alias("w2"), (F.col("c") / F.col("t_all")).alias("p1")
+    )
+
+    def pair_frame(src: DataFrame) -> DataFrame:
+        words = TX.tokens(F.col("text"))
+        pairs = F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.struct(
+                    F.element_at(words, i).alias("w1"),
+                    F.element_at(words, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return (
+            src.select("doc_id", F.explode(pairs).alias("pp"))
+            .select("doc_id", "pp.w1", "pp.w2")
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    pairs = pair_frame(docs)
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_LM2_BIGRAMS)
+    )
+    bi = bc.join(tc.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1").select(
+        "w1", "w2", (F.col("c12") / F.col("c1")).alias("p2")
+    )
+    lam = F.lit(_LM2_LAMBDA)
+    scored = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vmass))
+        .select(
+            "doc_id",
+            F.log(
+                lam * F.coalesce(F.col("p2"), F.lit(0.0))
+                + (F.lit(1.0) - lam)
+                * F.coalesce(
+                    F.col("p1"),
+                    (F.col("t_all") - F.col("v_mass") + 1) / (F.col("t_all") + 1),
+                )
+            ).alias("ln_p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_LM_PERPLEXITY_BIGRAM_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    vocab AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT {_LM_VOCAB}),
+    totals AS (SELECT sum(c) AS t_all FROM tc),
+    vmass AS (SELECT sum(c) AS v_mass FROM vocab),
+    uni AS (SELECT v.term AS w2, v.c::DOUBLE / totals.t_all AS p1 FROM vocab v, totals),
+    w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+    pr AS (
+        SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+        FROM w, unnest(generate_series(1, len(words) - 1)) AS u(i)
+        WHERE len(words) >= 2 AND words[i] <> '' AND words[i + 1] <> ''
+    ),
+    bc AS (
+        SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2
+        ORDER BY c12 DESC, w1, w2 LIMIT {_LM2_BIGRAMS}
+    ),
+    bi AS (
+        SELECT bc.w1, bc.w2, bc.c12::DOUBLE / tc.c AS p2
+        FROM bc JOIN tc ON bc.w1 = tc.term
+    ),
+    scored AS (
+        SELECT pr.doc_id,
+               ln({_LM2_LAMBDA} * coalesce(bi.p2, 0.0)
+                  + (1.0 - {_LM2_LAMBDA}) * coalesce(
+                        uni.p1,
+                        (totals.t_all - vmass.v_mass + 1)::DOUBLE / (totals.t_all + 1)
+                    )) AS ln_p
+        FROM pr
+        LEFT JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
+        LEFT JOIN uni ON pr.w2 = uni.w2
+        CROSS JOIN totals CROSS JOIN vmass
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(exp(-avg(ln_p)), 4) AS perplexity2
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+EXTRA_QUERIES["doc_lm_perplexity_bigram"] = doc_lm_perplexity_bigram
+ORACLES["doc_lm_perplexity_bigram"] = DOC_LM_PERPLEXITY_BIGRAM_SQL

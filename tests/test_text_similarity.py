@@ -355,3 +355,45 @@ def test_weighted_sample_key_statistics_and_determinism(spark):
         for r in uniform.select("id", key.alias("k")).orderBy(F.col("k").desc(), "id").limit(100).collect()
     ]
     assert sum(1 for i in su if i % 10 == 0) <= 25  # no weight, no bias
+
+
+
+
+def test_bigram_lm_catches_word_salad_unigram_misses(spark, tmp_path, monkeypatch):
+    """The order-2 signal's reason to exist: on a corpus with a
+    consistent transition structure (chained vocabulary walks), a
+    scrambled document using the SAME unigram distribution is
+    indistinguishable to the unigram LM but lands in the far upper tail
+    of the bigram LM — its transitions are unseen."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline as L
+
+    V, DLEN, NDOCS = 500, 80, 200
+    vocab = [f"w{i:03d}" for i in range(V)]
+
+    def walk(start, stride=1):
+        return " ".join(vocab[(start + j * stride) % V] for j in range(DLEN))
+
+    rows = [(i, walk(i * 7 % V), "en", "chain", DLEN) for i in range(NDOCS)]
+    SALAD_ID = 10**9
+    rows.append((SALAD_ID, walk(3, stride=11), "en", "spike", DLEN))  # same words, unseen transitions
+    spiked_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"]).coalesce(
+        1
+    ).write.parquet(spiked_dir + "/documents.parquet")
+
+    monkeypatch.setattr(L, "_LM_VOCAB", V)  # cover the engineered vocab
+    bi = L.doc_lm_perplexity_bigram(spark, spiked_dir)
+    uni = L.doc_lm_perplexity(spark, spiked_dir)
+    bi_med, bi_p90 = bi.agg(
+        F.expr("percentile(perplexity2, 0.5)"), F.expr("percentile(perplexity2, 0.9)")
+    ).collect()[0]
+    uni_med = uni.agg(F.expr("percentile(perplexity, 0.5)")).collect()[0][0]
+    bi_salad = bi.filter(F.col("doc_id") == SALAD_ID).collect()[0]["perplexity2"]
+    uni_salad = uni.filter(F.col("doc_id") == SALAD_ID).collect()[0]["perplexity"]
+
+    # unigram fooled: same word distribution, same perplexity
+    assert abs(uni_salad - uni_med) / uni_med < 0.10, (uni_salad, uni_med)
+    # bigram not: far upper tail, with a wide margin
+    assert bi_salad > bi_p90 > 0 and bi_salad > 2 * bi_med, (bi_salad, bi_p90, bi_med)
