@@ -79,10 +79,15 @@ HEADLINE = [
     # real engine; regressions in the daily-delta economics show here
     "incr_dedup_ingest",
     "incr_classify_delta",
-    # r7: repeated-span analysis + Gopher rule set + real pixel stats
+    # r7: repeated-span analysis (+trim), Gopher rule set, real pixel
+    # stats, CMS heavy hitters, weighted sampling, order-2 LM
     "corpus_dup_spans",
+    "corpus_strip_dup_spans",
     "corpus_gopher_filters",
     "mm_pixel_stats",
+    "prof_heavy_hitters_cms",
+    "corpus_sample_weighted",
+    "doc_lm_perplexity_bigram",
 ]
 
 
