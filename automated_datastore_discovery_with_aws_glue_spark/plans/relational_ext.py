@@ -505,3 +505,85 @@ ORACLES = {
     "q22_idle_customers": Q22_SQL,
     "q15_top_supplier": Q15_SQL,
 }
+
+
+# -- r7: temporal joins (operators/temporal.py) -----------------------------
+
+
+def j_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: every event enriched with the latest per-user "rate
+    update" (a derived dimension: every 20th event publishes its value)
+    at or before the event's timestamp — the time-series enrichment
+    primitive Spark lacks natively, via the one-shuffle union +
+    carry-forward formulation (``operators.temporal.asof_join``).
+    DuckDB verifies with its NATIVE ASOF JOIN, so the whole semantics —
+    latest-not-later, equal-ts inclusion, no-match NULLs — is
+    differentially checked."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    rates = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("rate"))
+    )
+    out = asof_join(left, rates, "user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format(F.col("ts_r"), "yyyy-MM-dd HH:mm:ss").alias("rate_ts"),
+        "rate",
+    ).orderBy("event_id")
+
+
+J_ASOF_RATE_SQL = """
+    WITH rates AS (
+        SELECT user_id, ts, round(max(value), 4) AS rate
+        FROM events WHERE event_id % 20 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS rate_ts,
+           r.rate
+    FROM events e
+    ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.ts
+    ORDER BY e.event_id
+"""
+
+
+def j_range_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) JOIN: for every event, how many events of the
+    same user land strictly within the next 5 minutes — the burst /
+    follow-up-activity primitive. Bin-bucketed candidate generation
+    (``operators.temporal.range_join_count``): both sides bucket into
+    delta-wide bins and join on (key, bin±1), so candidate pairs are
+    bounded by pairs within 2·delta instead of all same-key pairs —
+    the quadratic-per-hot-key naive shape never materializes."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import range_join_count
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = range_join_count(
+        ev, ev, "user_id", a_ts="ts", b_ts="ts", delta_us=5 * 60 * 1_000_000
+    )
+    return out.select("event_id", "user_id", "n_in_range").orderBy("event_id")
+
+
+J_RANGE_BURST_SQL = """
+    SELECT a.event_id, a.user_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_in_range
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    GROUP BY a.event_id, a.user_id
+    ORDER BY a.event_id
+"""
+
+QUERIES["j_asof_rate"] = j_asof_rate
+QUERIES["j_range_burst"] = j_range_burst
+ORACLES["j_asof_rate"] = J_ASOF_RATE_SQL
+ORACLES["j_range_burst"] = J_RANGE_BURST_SQL

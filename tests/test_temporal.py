@@ -1,0 +1,118 @@
+"""Temporal join operators (operators/temporal.py): as-of join edge
+semantics and range-join bin-boundary correctness."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import asof_join, range_join_count
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_edges(spark):
+    """Equal-ts match, strictly-later right rows invisible, no-match
+    NULLs, per-key isolation, and the tolerance cutoff."""
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),  # equal-ts update matches
+            (2, "k1", _ts("2024-01-01 10:04:59")),  # latest <= wins
+            (3, "k1", _ts("2024-01-01 09:00:00")),  # before any update
+            (4, "k2", _ts("2024-01-01 11:00:00")),  # other key's updates invisible
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 10:00:00"), 1.0),
+            ("k1", _ts("2024-01-01 10:03:00"), 2.0),
+            ("k1", _ts("2024-01-01 10:05:00"), 3.0),  # later than any left
+        ],
+        ["k", "ts", "v"],
+    )
+    got = {r["id"]: (r["v"], r["ts_r"]) for r in asof_join(left, right, "k").collect()}
+    assert got[1] == (1.0, _ts("2024-01-01 10:00:00"))
+    assert got[2] == (2.0, _ts("2024-01-01 10:03:00"))
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+    # tolerance: a match older than 60s is discarded (NULL, not dropped)
+    tol = {
+        r["id"]: r["v"]
+        for r in asof_join(left, right, "k", tolerance_us=60_000_000).collect()
+    }
+    assert tol[1] == 1.0  # 0s old
+    assert tol[2] is None  # 119s old -> outside tolerance
+    assert len(tol) == 4  # left-join row count preserved
+
+
+def test_asof_join_equal_ts_right_ties_deterministic(spark):
+    """Two right rows sharing (key, ts): the greatest payload struct
+    wins, identically on every run."""
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-01 10:00:01"))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 5.0), ("k", _ts("2024-01-01 10:00:00"), 9.0)],
+        ["k", "ts", "v"],
+    )
+    for _ in range(3):
+        assert asof_join(left, right, "k").collect()[0]["v"] == 9.0
+
+
+def test_range_join_count_bin_boundaries(spark):
+    """Counts are exact across bin boundaries: a partner delta-1 later
+    in the NEXT bin is found (the bin±1 candidate rule), a partner
+    exactly at delta counts (inclusive), delta+1 does not, and
+    same-instant rows don't count (strictly after)."""
+    delta = 10_000_000  # 10s
+    rows = [
+        (1, "k", _ts("2024-01-01 10:00:09")),   # partner: id2 (+2s, in the NEXT bin)
+        (2, "k", _ts("2024-01-01 10:00:11")),   # partner: id3 (+10s EXACTLY, inclusive)
+        (3, "k", _ts("2024-01-01 10:00:21")),   # id4/5 are +11s -> outside
+        (4, "k", _ts("2024-01-01 10:00:32")),   # nothing after
+        (5, "k", _ts("2024-01-01 10:00:32")),   # same instant as 4: strictly-after excludes
+        (6, "x", _ts("2024-01-01 10:00:10")),   # other key isolated
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts"])
+    got = {
+        r["id"]: r["n_in_range"]
+        for r in range_join_count(df, df, "k", delta_us=delta).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0}
+
+
+def test_range_join_count_matches_naive(spark):
+    """The bin-bucketed count equals the naive all-pairs filter on a
+    randomized fixture — boundary-heavy timestamps included."""
+    import random
+
+    rng = random.Random(11)
+    delta = 7_000_000
+    base = _ts("2024-01-01 00:00:00")
+    from datetime import timedelta
+
+    rows = [
+        (i, f"k{rng.randrange(3)}", base + timedelta(microseconds=rng.randrange(0, 60_000_000, 1_000_000)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts"])
+    got = {
+        r["id"]: r["n_in_range"]
+        for r in range_join_count(df, df, "k", delta_us=delta).collect()
+    }
+    naive = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(
+            (F.col("b.ts") > F.col("a.ts"))
+            & (F.unix_micros("b.ts") - F.unix_micros("a.ts") <= delta)
+        )
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["id"]: r["n"] for r in naive.collect()}
+    for i in range(120):
+        assert got[i] == want.get(i, 0), i
