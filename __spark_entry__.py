@@ -72,7 +72,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": L.QUERIES["knn_lsh"],
         "emb_near_dup": L.QUERIES["emb_near_dup"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
-        "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         # -- sessionization + multimodal + generators --
         "sess_gap_split": SS.sess_gap_split,
         "mm_binary_meta": M.QUERIES["mm_binary_meta"],
@@ -83,11 +82,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    candidates (md5 twin — the whole composition oracle-checked)
         "corpus_clean": L.EXTRA_QUERIES["corpus_clean"],
         "corpus_prepare": L.EXTRA_QUERIES["corpus_prepare"],
-        "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
-        "corpus_split": L.EXTRA_QUERIES["corpus_split"],
-        "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
-        "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
-        "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "para_dedup": L.EXTRA_QUERIES["para_dedup"],
         # -- rotated IN for r6 (VERDICT r5 item 2): the late-landing r5
@@ -111,10 +105,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
         "prof_approx_distinct": P.prof_approx_distinct,
         "prof_top_values": P.prof_top_values,
-        # ---- driver window ends here (50 entries) ----
-        # r7 additions past-window (locally oracle-checked; rotate next
-        # round): the md5-twin count-min-sketch heavy hitters
+        "mm_pixel_stats": M.QUERIES["mm_pixel_stats"],
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms,
+        "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
+        "doc_lm_perplexity_bigram": L.EXTRA_QUERIES["doc_lm_perplexity_bigram"],
+        "j_asof_rate": RX.QUERIES["j_asof_rate"],
+        "j_range_burst": RX.QUERIES["j_range_burst"],
+        # ---- driver window ends here (50 entries) ----
+        # r7 rotation casualties, batch 2 (multi-round green, family-
+        # pinned; still checked locally by tools/check_oracle.py)
+        "corpus_split": L.EXTRA_QUERIES["corpus_split"],
+        "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
+        "knn_batch": L.EXTRA_QUERIES["knn_batch"],
+        "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
+        "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
+        "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
         # r7 rotation casualties (multi-round green, md5-twin/bench
         # pinned; still checked locally by tools/check_oracle.py)
         "text_repetition": L.EXTRA_QUERIES["text_repetition"],
