@@ -88,6 +88,8 @@ HEADLINE = [
     "prof_heavy_hitters_cms",
     "corpus_sample_weighted",
     "doc_lm_perplexity_bigram",
+    "j_asof_rate",
+    "j_range_burst",
 ]
 
 
