@@ -26,6 +26,8 @@ _CLEAR_GUARD = 4093  # re-emit CLEAR before next_code hits 2^12
 
 def _color_table(data: bytes, pos: int, packed: int) -> tuple[list[bytes], int]:
     n = 2 << (packed & 0x07)
+    if pos + 3 * n > len(data):
+        raise ValueError("truncated GIF color table")
     table = [data[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
     return table, pos + 3 * n
 
@@ -132,9 +134,12 @@ def _decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
             lzw.extend(data[pos + 1 : pos + 1 + n])
             pos += 1 + n
         indices = _lzw_decode(min_code_size, bytes(lzw), fw * fh)
-        if len(indices) < fw * fh:
+        if len(indices) != fw * fh:
+            # short = truncated stream; long = a final LZW entry crossed
+            # the frame boundary (corrupt) — either way, raise rather
+            # than return a wrong-shaped buffer
             raise ValueError(
-                f"GIF frame truncated: {len(indices)} of {fw * fh} pixels"
+                f"corrupt GIF frame: {len(indices)} pixels decoded, {fw * fh} expected"
             )
         if fpacked & 0x40:  # interlaced: rows arrive in 4-pass order
             rows = [indices[r * fw : (r + 1) * fw] for r in range(fh)]

@@ -38,6 +38,7 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
     let,
     md5_hash64,
     normalize_text,
+    token_count,
 )
 
 
@@ -1020,13 +1021,10 @@ def _span_gram_base(
     n_tokens, _w normalized word array), ``grams`` = every POSITIONED
     word k-gram keyed by md5 (pos is the 0-based gram index; the gram
     at pos covers tokens [pos, pos+k-1])."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
     base = df.select(
         F.col(id_col).alias("id"),
-        F.when(normalize_text(F.col(text_col)) == "", F.lit(0))
-        .otherwise(F.size(words))
-        .alias("n_tokens"),
-        words.alias("_w"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
     )
     grams = base.select(
         "id",

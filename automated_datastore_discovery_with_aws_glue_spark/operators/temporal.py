@@ -99,13 +99,23 @@ def range_join_count(
     b_ts: str = "ts",
     delta_us: int = 300_000_000,
     count_col: str = "n_in_range",
+    a_row_id: str | None = None,
 ) -> DataFrame:
     """For every ``df_a`` row: how many ``df_b`` rows of the same key
     fall in ``(a_ts, a_ts + delta_us]`` (strictly after, within delta).
-    Bin-bucketed candidates (see module docstring), exact filter, then
-    one aggregate — rows with zero matches are kept (count 0)."""
-    a = df_a.select(
-        F.struct(*[F.col(c) for c in df_a.columns]).alias("_av"),
+    Bin-bucketed candidates (see module docstring), exact predicate on
+    a LEFT join, one aggregate — every ``df_a`` row comes back exactly
+    once, zero-match rows with count 0, DUPLICATE rows preserved as
+    duplicates (each with its own count). ``a_row_id`` names a column
+    already unique per row (an event id); when omitted a synthetic id
+    is minted and the tagged frame localCheckpoint-pinned so the two
+    references to it can never re-mint different ids."""
+    if a_row_id is None:
+        a0 = df_a.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint()
+    else:
+        a0 = df_a.withColumn("_rid", F.col(a_row_id))
+    a = a0.select(
+        "_rid",
         F.col(on).alias("_k"),
         F.unix_micros(F.col(a_ts)).alias("_ta"),
     ).withColumn("_bin", F.floor(F.col("_ta") / F.lit(delta_us)))
@@ -116,16 +126,14 @@ def range_join_count(
             "_k", "_tb", F.explode(F.array(F.col("_bin0"), F.col("_bin0") - 1)).alias("_bin")
         )
     )
-    pairs = a.join(b, ["_k", "_bin"]).filter(
+    hit = (
         (F.col("_tb") > F.col("_ta")) & (F.col("_tb") - F.col("_ta") <= F.lit(delta_us))
+    ).cast("int")
+    counts = (
+        a.join(b, ["_k", "_bin"], "left")
+        .groupBy("_rid")
+        .agg(F.sum(F.coalesce(hit, F.lit(0))).alias(count_col))
     )
-    counts = pairs.groupBy("_av").agg(F.count(F.lit(1)).alias(count_col))
-    return (
-        a.select("_av")
-        .distinct()
-        .join(counts, "_av", "left")
-        .select(
-            *[F.col("_av")[c].alias(c) for c in df_a.columns],
-            F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
-        )
+    return a0.join(counts, "_rid", "left").select(
+        *df_a.columns, F.coalesce(F.col(count_col), F.lit(0)).alias(count_col)
     )

@@ -89,11 +89,46 @@ class CorpusDedupIndex:
         max_bucket: int | None = None,
     ):
         self.spark = spark
+        self.root = root
         self.store = ParquetStateStore(spark, root, commit_backend=commit_backend)
         self.n, self.num_hashes, self.bands = n, num_hashes, bands
         self.threshold = threshold
         self.index_partitions = index_partitions
         self.max_bucket = max_bucket
+        self._check_or_write_meta()
+
+    _META_KEYS = ("n", "num_hashes", "bands", "index_partitions")
+
+    def _check_or_write_meta(self) -> None:
+        """The hash layout is part of the persisted index: reopening an
+        index with different shingle/signature/partition parameters
+        would silently mis-prune (pt computed with a different modulus
+        excludes valid stored rows) or mis-band. A meta sidecar pins
+        the layout at creation; a mismatch on reopen is a loud error,
+        never a silent recall hole. (threshold and max_bucket are
+        QUERY-time knobs — storage-independent, free to vary.)"""
+        import json as _json
+        import os as _os
+
+        meta_path = _os.path.join(self.root, "index_meta.json")
+        mine = {k: getattr(self, k) for k in self._META_KEYS}
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = _json.load(fh)
+            diffs = {k: (stored.get(k), mine[k]) for k in self._META_KEYS if stored.get(k) != mine[k]}
+            if diffs:
+                raise ValueError(
+                    f"CorpusDedupIndex at {self.root} was created with "
+                    f"{ {k: v[0] for k, v in diffs.items()} } but reopened with "
+                    f"{ {k: v[1] for k, v in diffs.items()} }; the hash layout is "
+                    f"immutable — rebuild() into a fresh root to change it"
+                )
+            return
+        _os.makedirs(self.root, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(mine, fh)
+        _os.replace(tmp, meta_path)
 
     # -- internals ---------------------------------------------------------
 
@@ -140,7 +175,8 @@ class CorpusDedupIndex:
         stored = self.store.read(BUCKETS)
         if not pts:
             return stored.limit(0), None
-        stored = stored.filter(F.col("pt").isin(pts))
+        if "pt" in stored.columns:  # pre-partitioning index: full scan, no crash
+            stored = stored.filter(F.col("pt").isin(pts))
         if self.max_bucket is None:
             return stored, None
         from automated_datastore_discovery_with_aws_glue_spark.operators.hot import split_hot_buckets
@@ -218,6 +254,13 @@ class CorpusDedupIndex:
 
         have_index = self.store.exists(BUCKETS)
         if have_index:
+            if "pt" not in self.store.read(BUCKETS).columns:
+                raise ValueError(
+                    f"CorpusDedupIndex at {self.root} predates pt-partitioning: "
+                    "appending mixed layouts would leave NULL-pt rows the pruned "
+                    "scans never see (a silent recall hole). probe() remains "
+                    "supported read-only; run rebuild() to migrate the layout"
+                )
             stored_docs = self.store.read(DOCS)
             # exact replays (id already indexed) drop before anything else
             indexed_ids = stored_docs.select(F.col("id").alias("_known"))

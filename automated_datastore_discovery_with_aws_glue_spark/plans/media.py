@@ -225,7 +225,7 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel statistics through the vendored PNG/GIF decode
     kernels, end-to-end oracle-checked: each doc derives a FLAT-COLOR
     image (dims + RGB from doc_id arithmetic; format alternates PNG /
-    GIF by parity), a mapInPandas step ENCODES it with the vendored
+    GIF on the tens digit), a mapInPandas step ENCODES it with the vendored
     encoders, ``image_pixel_stats`` DECODES it back and measures — and
     DuckDB predicts every statistic from the color alone (flat image:
     channel means are the channel values, zero contrast, the whole
@@ -256,7 +256,9 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, w, h, r, g, b in zip(
                 pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
             ):
-                if doc_id % 2 == 0:
+                # the 10% slice keeps doc_id % 10 == 1 (all odd), so
+                # alternate format on the TENS digit, not parity
+                if (doc_id // 10) % 2 == 0:
                     blobs.append(encode_png(int(w), int(h), "RGB", bytes((r, g, b)) * (int(w) * int(h))))
                 else:
                     blobs.append(encode_gif(int(w), int(h), [(int(r), int(g), int(b))], bytes(int(w) * int(h))))

@@ -566,7 +566,8 @@ def j_range_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = range_join_count(
-        ev, ev, "user_id", a_ts="ts", b_ts="ts", delta_us=5 * 60 * 1_000_000
+        ev, ev, "user_id", a_ts="ts", b_ts="ts", delta_us=5 * 60 * 1_000_000,
+        a_row_id="event_id",
     )
     return out.select("event_id", "user_id", "n_in_range").orderBy("event_id")
 

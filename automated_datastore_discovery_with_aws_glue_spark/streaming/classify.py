@@ -134,7 +134,7 @@ def make_cms_sink(
     (exactly-once cells under at-least-once delivery). The stored
     sketch stays ≤ depth x width rows forever; query it any time with
     ``cms_query`` for "how often has this value arrived so far"."""
-    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import cms_build
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import cms_build, cms_merge
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -144,11 +144,7 @@ def make_cms_sink(
         delta = cms_build(batch, value_col, depth=depth, width=width, hash_fn=hash_fn)
         if store.exists(table):
             prior = store.read(table).select("row", "bucket", "cnt")
-            merged = (
-                prior.unionByName(delta)
-                .groupBy("row", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
+            merged = cms_merge(prior, delta)
         else:
             merged = delta
         store.overwrite(

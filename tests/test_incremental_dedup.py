@@ -308,3 +308,20 @@ def test_rebuild_from_batch_canonical_probe_parity(spark, index):
     assert index.ingest(_docs(spark, [(5, BASE.replace("lazy", "idle"))])).count() == 0
     kept = sorted(r["doc_id"] for r in index.ingest(_docs(spark, [(6, "fresh unseen content entirely")])).collect())
     assert kept == [6]
+
+
+def test_index_layout_params_are_pinned(spark, tmp_path):
+    """Reopening an index with different hash-layout parameters must be
+    a loud error (a different pt modulus silently excludes valid stored
+    rows — a recall hole, not a crash); query-time knobs stay free."""
+    root = str(tmp_path / "idx")
+    CorpusDedupIndex(spark, root, index_partitions=64).ingest(
+        _docs(spark, [(1, BASE)])
+    )
+    with pytest.raises(ValueError, match="hash layout is immutable"):
+        CorpusDedupIndex(spark, root, index_partitions=128)
+    with pytest.raises(ValueError, match="hash layout is immutable"):
+        CorpusDedupIndex(spark, root, bands=8)
+    # threshold / max_bucket are query-time: reopening with them differs is fine
+    idx = CorpusDedupIndex(spark, root, threshold=0.7, max_bucket=100)
+    assert sorted(r["id"] for r in idx.kept_ids().collect()) == [1]

@@ -116,3 +116,22 @@ def test_range_join_count_matches_naive(spark):
     want = {r["id"]: r["n"] for r in naive.collect()}
     for i in range(120):
         assert got[i] == want.get(i, 0), i
+
+
+def test_range_join_count_preserves_duplicate_rows(spark):
+    """Duplicate df_a rows (no unique id column) must come back as
+    duplicates, each with ITS OWN count — never collapsed/summed
+    (regression: the first formulation grouped on the full-row struct,
+    merging identical rows and inflating their counts)."""
+    rows = [
+        (None, "k", _ts("2024-01-01 10:00:00")),
+        (None, "k", _ts("2024-01-01 10:00:00")),  # bit-identical duplicate
+        (None, "k", _ts("2024-01-01 10:00:03")),
+    ]
+    df = spark.createDataFrame(rows, "junk string, k string, ts timestamp").drop("junk")
+    out = range_join_count(df, df, "k", delta_us=10_000_000).collect()
+    assert len(out) == 3  # duplicates preserved
+    counts = sorted(r["n_in_range"] for r in out)
+    # each 10:00:00 row sees ONE partner (the 10:00:03 row; the twin is
+    # same-instant, strictly-after excludes it); the 10:00:03 row sees 0
+    assert counts == [0, 1, 1]
