@@ -135,3 +135,28 @@ def test_range_join_count_preserves_duplicate_rows(spark):
     # each 10:00:00 row sees ONE partner (the 10:00:03 row; the twin is
     # same-instant, strictly-after excludes it); the 10:00:03 row sees 0
     assert counts == [0, 1, 1]
+
+
+def test_asof_join_plans_one_shuffle(spark):
+    """The formulation's reason to exist: the whole as-of join plans as
+    ONE exchange (the key hash-partitioning feeding the window) plus
+    the union — no join node, no pair materialization, regardless of
+    key skew."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 10:00:00"))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 09:00:00"), 1.0)], ["k", "ts", "v"]
+    )
+    out = asof_join(left, right, "k")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(k#" in plan  # the one shuffle IS the key partitioning
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, (node, plan)
+    assert "Window" in plan and "Union" in plan
