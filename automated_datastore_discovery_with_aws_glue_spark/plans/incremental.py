@@ -274,7 +274,11 @@ class CorpusDedupIndex:
             base_new, banded_new = base, banded
 
         # within-batch: self-join candidates -> verify -> components ->
-        # min-id canonical (the batch operators' semantics)
+        # min-id canonical (the batch operators' semantics). Fast path
+        # first: a batch with NO verified internal pairs — the common
+        # case for streaming micro-batches and daily deltas — skips the
+        # iterative connected-components entirely (several driver-side
+        # checkpoint rounds saved per ingest).
         nn_cand = (
             banded_new.alias("l")
             .join(banded_new.alias("r"), ["band", "bucket"])
@@ -282,13 +286,19 @@ class CorpusDedupIndex:
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-        nn_pairs = self._verified(nn_cand, base_new, base_new)
-        clusters = dedup_clusters(nn_pairs, base_new.select("id"))
-        batch_keep = (
-            clusters.groupBy("cluster_id")
-            .agg(F.min("id").alias("id"))
-            .select("id")
+        nn_pairs = self._verified(nn_cand, base_new, base_new).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        clusters = None
+        if nn_pairs.isEmpty():
+            batch_keep = base_new.select("id")
+        else:
+            clusters = dedup_clusters(nn_pairs, base_new.select("id"))
+            batch_keep = (
+                clusters.groupBy("cluster_id")
+                .agg(F.min("id").alias("id"))
+                .select("id")
+            )
 
         sizes = None
         if have_index:
@@ -369,7 +379,9 @@ class CorpusDedupIndex:
             if sizes is not None:
                 sizes.unpersist()
             no_cand.unpersist()
-        release(clusters)
+        nn_pairs.unpersist()
+        if clusters is not None:
+            release(clusters)
         return out
 
     def kept_ids(self) -> DataFrame:
