@@ -265,11 +265,16 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     imgs = docs.mapInPandas(_encode, schema="doc_id bigint, content binary")
+    # the 8-bin histogram is UNNESTED to scalar columns: the driver's
+    # canonicalization sorts every output column through pandas, which
+    # cannot factorize list values (r7 red row) — declared query outputs
+    # must be atomic types (tests/test_oracle_types.py enforces this)
     return (
         image_pixel_stats(imgs)
         .select(
             "doc_id", "px_width", "px_height", "mean_r", "mean_g", "mean_b",
-            "luma_mean", "luma_std", "luma_hist",
+            "luma_mean", "luma_std",
+            *[F.col("luma_hist")[i].alias(f"luma_hist_{i}") for i in range(8)],
         )
         .orderBy("doc_id")
     )
@@ -304,9 +309,14 @@ MM_PIXEL_STATS_SQL = """
            round(CAST(b AS DOUBLE), 4) AS mean_b,
            round(luma, 4) AS luma_mean,
            CAST(0.0 AS DOUBLE) AS luma_std,
-           list_transform(generate_series(0, 7),
-               i -> CAST(CASE WHEN i = (CAST(floor(luma) AS INT) * 8) // 256
-                         THEN 1.0 ELSE 0.0 END AS DOUBLE)) AS luma_hist
+           CAST(CASE WHEN 0 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_0,
+           CAST(CASE WHEN 1 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_1,
+           CAST(CASE WHEN 2 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_2,
+           CAST(CASE WHEN 3 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_3,
+           CAST(CASE WHEN 4 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_4,
+           CAST(CASE WHEN 5 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_5,
+           CAST(CASE WHEN 6 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_6,
+           CAST(CASE WHEN 7 = (CAST(floor(luma) AS INT) * 8) // 256 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS luma_hist_7
     FROM s
     ORDER BY doc_id
 """

@@ -51,3 +51,25 @@ def test_oracle_has_no_hugeint_columns(con, name):
         f"diverges from Spark's numeric types in the driver hash; CAST "
         f"to BIGINT / DOUBLE in the oracle SQL"
     )
+
+
+def test_checker_normalize_rejects_array_column():
+    """Regression for r7's ``mm_pixel_stats``: the driver canonicalizes
+    every output column through pandas ``sort_values``/``factorize``,
+    which crashes on list cells.  ``tools/check_oracle.py`` must mimic
+    that strictness so an array-emitting query fails LOCALLY."""
+    from tools.check_oracle import NonScalarColumn, normalize
+
+    with pytest.raises(NonScalarColumn, match="luma_hist"):
+        normalize([(1, [0.1, 0.9])], ["doc_id", "luma_hist"])
+    with pytest.raises(NonScalarColumn, match="tags"):
+        normalize([(1, {"k": "v"})], ["doc_id", "tags"])
+    # scalar rows (incl. timestamps/bytes) still pass untouched
+    import datetime
+
+    cols, rows = normalize(
+        [(1, "a", 0.5, b"\x00", datetime.datetime(2026, 1, 1))],
+        ["id", "s", "f", "b", "ts"],
+    )
+    assert cols == ["b", "f", "id", "s", "ts"]
+    assert len(rows) == 1

@@ -34,3 +34,17 @@ def test_no_cartesian_or_python_udf(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, f"{name} plans a Python UDF ({node})"
+    # the driver canonicalizes output through pandas sort_values, which
+    # crashes on list/dict cells (r7's mm_pixel_stats) — every declared
+    # query must emit atomic columns only
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not offenders, (
+        f"{name} emits non-atomic output column(s) {offenders}; the "
+        f"driver harness cannot canonicalize them — serialize or unnest"
+    )

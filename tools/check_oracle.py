@@ -21,6 +21,15 @@ from automated_datastore_discovery_with_aws_glue_spark.session import get_spark
 from automated_datastore_discovery_with_aws_glue_spark.sources.readers import TESTDATA_TABLES
 
 
+#: value types the DRIVER's canonicalization can handle.  The driver
+#: sorts every output column through pandas ``sort_values`` →
+#: ``factorize``, which throws ``TypeError: unhashable type`` on list /
+#: dict / ndarray cells (bit r7's ``mm_pixel_stats``: values equal,
+#: harness crash).  Mimic that strictness here so an array/map/struct
+#: output column fails LOCALLY, before the driver ever sees it.
+_SCALAR_TYPES = (type(None), bool, int, float, str, bytes)
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -28,6 +37,12 @@ def normalize(rows, cols):
         vals = []
         for i in order:
             v = row[i]
+            if not isinstance(v, _SCALAR_TYPES) and not _is_scalar_ts(v):
+                raise NonScalarColumn(
+                    f"column {cols[i]!r} holds {type(v).__name__} "
+                    f"({v!r:.60}); the driver's pandas canonicalization "
+                    f"cannot sort non-scalar cells — emit atomic columns"
+                )
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0:
@@ -38,6 +53,17 @@ def normalize(rows, cols):
         out.append(tuple(vals))
     out.sort()
     return [cols[i] for i in order], out
+
+
+class NonScalarColumn(TypeError):
+    """A declared query emitted a column the driver harness cannot sort."""
+
+
+def _is_scalar_ts(v) -> bool:
+    # datetime/date (Spark TimestampType/DateType) sort fine in pandas
+    import datetime
+
+    return isinstance(v, (datetime.date, datetime.datetime, datetime.time))
 
 
 def main() -> int:
@@ -70,6 +96,12 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
+            try:
+                normalize(s_rows, s_cols)
+            except NonScalarColumn as e:
+                print(f"FAIL {name}: non-scalar output column: {e}")
+                n_fail += 1
+                continue
             print(f"SKIP {name}: no oracle (rows-only: {len(s_rows)} rows)")
             n_skip += 1
             continue
@@ -81,8 +113,13 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        sc, sr = normalize(s_rows, s_cols)
-        dc, dr = normalize(d_rows, d_cols)
+        try:
+            sc, sr = normalize(s_rows, s_cols)
+            dc, dr = normalize(d_rows, d_cols)
+        except NonScalarColumn as e:
+            print(f"FAIL {name}: non-scalar output column: {e}")
+            n_fail += 1
+            continue
         if sc != dc:
             print(f"FAIL {name}: columns {sc} != {dc}")
             n_fail += 1
