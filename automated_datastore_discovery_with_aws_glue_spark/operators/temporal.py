@@ -39,13 +39,25 @@ def asof_join(
     right_ts: str = "ts",
     tolerance_us: int | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the latest right row of
-    the same ``on`` key with ``right_ts <= left_ts`` (ties at equal ts
-    match). Right columns (except the key) come back suffixed; left
-    rows with no match (or outside ``tolerance_us``) keep NULLs —
-    left-join semantics. Deterministic: among right rows sharing
-    (key, ts) the greatest payload struct wins."""
+    """As-of join: each left row gains ONE right row of the same ``on``
+    key, chosen by ``direction``:
+
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``
+      (ties at equal ts match; greatest payload struct wins ties).
+    - ``forward``: earliest right with ``right_ts >= left_ts``
+      (smallest payload struct wins ties).
+    - ``nearest``: whichever of the two is closer in absolute time;
+      equidistant resolves backward (pandas ``merge_asof`` rule).
+
+    Right columns (except the key) come back suffixed; left rows with
+    no match (or outside ``tolerance_us``) keep NULLs — left-join
+    semantics. All directions are the same one-shuffle union+window
+    composition: ``nearest`` adds a second sort within the already
+    key-partitioned data, never a second shuffle."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     r_payload = [c for c in right.columns if c != on]
     r_struct = F.struct(*[F.col(c) for c in r_payload])
     r_tag = right.select(
@@ -66,21 +78,53 @@ def asof_join(
     # right rows sort BEFORE left rows at equal ts (desc on _is_r), so
     # an equal-timestamp right row is visible to its left row; among
     # same-ts right rows the struct order breaks ties deterministically
-    w = (
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("_ts").asc(), F.col("_is_r").desc(), F.col("_rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)).filter(
-        F.col("_is_r") == 0
+    # forward mirror: scan ts DESC so "last non-null" is the earliest
+    # right row at-or-after the left row; _rv desc makes the SMALLEST
+    # same-ts payload win (matches ORDER BY ts, payload LIMIT 1)
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").desc(), F.col("_is_r").desc(), F.col("_rv").desc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if tolerance_us is not None:
-        in_tol = (
-            F.unix_micros(F.col("_ts"))
-            - F.unix_micros(F.col("_m")[right_ts])
-        ) <= F.lit(tolerance_us)
+
+    def _in_tol(m, signed_diff):
+        if tolerance_us is None:
+            return m
+        return F.when(m.isNotNull() & (signed_diff(m) <= F.lit(tolerance_us)), m)
+
+    back_diff = lambda m: F.unix_micros(F.col("_ts")) - F.unix_micros(m[right_ts])  # noqa: E731
+    fwd_diff = lambda m: F.unix_micros(m[right_ts]) - F.unix_micros(F.col("_ts"))  # noqa: E731
+
+    if direction == "backward":
+        carried = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w_back))
+        carried = carried.filter(F.col("_is_r") == 0).withColumn(
+            "_m", _in_tol(F.col("_m"), back_diff)
+        )
+    elif direction == "forward":
+        carried = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w_fwd))
+        carried = carried.filter(F.col("_is_r") == 0).withColumn(
+            "_m", _in_tol(F.col("_m"), fwd_diff)
+        )
+    else:  # nearest: both passes share the single key-hash shuffle
+        carried = (
+            u.withColumn("_mb", F.last("_rv", ignorenulls=True).over(w_back))
+            .withColumn("_mf", F.last("_rv", ignorenulls=True).over(w_fwd))
+            .filter(F.col("_is_r") == 0)
+        )
+        mb = _in_tol(F.col("_mb"), back_diff)
+        mf = _in_tol(F.col("_mf"), fwd_diff)
+        carried = carried.withColumn("_mb2", mb).withColumn("_mf2", mf)
+        pick_back = F.col("_mf2").isNull() | (
+            F.col("_mb2").isNotNull()
+            & (back_diff(F.col("_mb2")) <= fwd_diff(F.col("_mf2")))
+        )
         carried = carried.withColumn(
-            "_m", F.when(F.col("_m").isNotNull() & in_tol, F.col("_m"))
+            "_m", F.when(pick_back, F.col("_mb2")).otherwise(F.col("_mf2"))
         )
     out_cols = [F.col("_lv")[c].alias(c) for c in left.columns]
     out_cols += [
@@ -136,4 +180,48 @@ def range_join_count(
     )
     return a0.join(counts, "_rid", "left").select(
         *df_a.columns, F.coalesce(F.col(count_col), F.lit(0)).alias(count_col)
+    )
+
+
+def range_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    on: str,
+    *,
+    a_ts: str = "ts",
+    b_ts: str = "ts",
+    delta_us: int = 300_000_000,
+    suffix: str = "_b",
+) -> DataFrame:
+    """Pair-emitting bounded range join: every (a, b) pair of the same
+    ``on`` key with ``0 < b_ts - a_ts <= delta_us`` (b strictly after a,
+    within delta) — the shape a join-then-aggregate-something-else
+    caller needs where ``range_join_count`` only tallies. INNER
+    semantics: zero-match ``df_a`` rows are absent.
+
+    Same bin bucketing as the count form: each qualifying pair shares
+    exactly one of b's bins {bin(b), bin(b)-1} with bin(a), so every
+    pair is emitted EXACTLY once (no dedup pass) and candidates are
+    bounded by pairs within ``2*delta_us`` — never the per-key
+    quadratic of a key-equijoin-then-filter. ``df_b``'s columns come
+    back suffixed where they collide with ``df_a``'s."""
+    a = df_a.withColumn("_bin", F.floor(F.unix_micros(F.col(a_ts)) / F.lit(delta_us)))
+    b_cols = {
+        c: (c + suffix if c in df_a.columns and c != on else c)
+        for c in df_b.columns
+        if c != on
+    }
+    b = (
+        df_b.select(
+            F.col(on), *[F.col(c).alias(out) for c, out in b_cols.items()]
+        )
+        .withColumn("_bin0", F.floor(F.unix_micros(F.col(b_cols[b_ts])) / F.lit(delta_us)))
+        .withColumn("_bin", F.explode(F.array(F.col("_bin0"), F.col("_bin0") - 1)))
+        .drop("_bin0")
+    )
+    diff = F.unix_micros(F.col(b_cols[b_ts])) - F.unix_micros(F.col(a_ts))
+    return (
+        a.join(b, [on, "_bin"], "inner")
+        .filter((diff > 0) & (diff <= F.lit(delta_us)))
+        .drop("_bin")
     )

@@ -584,7 +584,140 @@ J_RANGE_BURST_SQL = """
     ORDER BY a.event_id
 """
 
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every event enriched with the EARLIEST rate
+    update at or after its timestamp — the look-ahead mirror of
+    ``j_asof_rate`` (settlement-price / next-quote semantics). Same
+    one-shuffle union + carry formulation, scanned in reverse; DuckDB
+    verifies with its native ASOF JOIN on the flipped inequality."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    rates = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("rate"))
+    )
+    out = asof_join(left, rates, "user_id", left_ts="ts", right_ts="ts", direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format(F.col("ts_r"), "yyyy-MM-dd HH:mm:ss").alias("rate_ts"),
+        "rate",
+    ).orderBy("event_id")
+
+
+J_ASOF_FORWARD_SQL = """
+    WITH rates AS (
+        SELECT user_id, ts, round(max(value), 4) AS rate
+        FROM events WHERE event_id % 20 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS rate_ts,
+           r.rate
+    FROM events e
+    ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts <= r.ts
+    ORDER BY e.event_id
+"""
+
+
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: every event enriched with the rate update
+    CLOSEST in absolute time (equidistant resolves backward — the
+    pandas ``merge_asof`` rule). Both directional passes share the one
+    key-hash shuffle (second pass is a sort within the same partition,
+    plan-asserted in tests). DuckDB verifies with a LATERAL
+    min-by-distance probe."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    rates = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("rate"))
+    )
+    out = asof_join(left, rates, "user_id", left_ts="ts", right_ts="ts", direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format(F.col("ts_r"), "yyyy-MM-dd HH:mm:ss").alias("rate_ts"),
+        "rate",
+    ).orderBy("event_id")
+
+
+J_ASOF_NEAREST_SQL = """
+    WITH rates AS (
+        SELECT user_id, ts, round(max(value), 4) AS rate
+        FROM events WHERE event_id % 20 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS rate_ts,
+           r.rate
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT r.ts, r.rate
+        FROM rates r
+        WHERE r.user_id = e.user_id
+        ORDER BY abs(epoch_us(r.ts) - epoch_us(e.ts)),
+                 CASE WHEN r.ts <= e.ts THEN 0 ELSE 1 END
+        LIMIT 1
+    ) r ON true
+    ORDER BY e.event_id
+"""
+
+
+def j_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-emitting RANGE JOIN: the actual (event, follow-up) pairs of
+    the same user within the next 2 minutes, with payloads — the shape
+    ``j_range_burst`` only tallies. Same bin-bucketed candidates
+    (every pair lands in exactly one (key, bin) bucket, bounding
+    candidates by pairs within 2·delta); DuckDB verifies with the
+    plain inequality join."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = range_join(
+        ev, ev, "user_id", a_ts="ts", b_ts="ts", delta_us=2 * 60 * 1_000_000
+    )
+    return out.select(
+        "event_id",
+        F.col("event_id_b").alias("next_event_id"),
+        "user_id",
+        (
+            (F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts"))) / F.lit(1000000.0)
+        ).alias("gap_sec"),
+    ).orderBy("event_id", "next_event_id")
+
+
+J_RANGE_PAIRS_SQL = """
+    SELECT a.event_id,
+           b.event_id AS next_event_id,
+           a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) / 1000000.0 AS gap_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 120000000
+    ORDER BY a.event_id, next_event_id
+"""
+
+
 QUERIES["j_asof_rate"] = j_asof_rate
 QUERIES["j_range_burst"] = j_range_burst
+QUERIES["j_asof_forward"] = j_asof_forward
+QUERIES["j_asof_nearest"] = j_asof_nearest
+QUERIES["j_range_pairs"] = j_range_pairs
 ORACLES["j_asof_rate"] = J_ASOF_RATE_SQL
 ORACLES["j_range_burst"] = J_RANGE_BURST_SQL
+ORACLES["j_asof_forward"] = J_ASOF_FORWARD_SQL
+ORACLES["j_asof_nearest"] = J_ASOF_NEAREST_SQL
+ORACLES["j_range_pairs"] = J_RANGE_PAIRS_SQL

@@ -160,3 +160,161 @@ def test_asof_join_plans_one_shuffle(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, (node, plan)
     assert "Window" in plan and "Union" in plan
+
+
+def test_asof_join_forward(spark):
+    """Forward direction: earliest right at-or-after; equal-ts matches;
+    earlier-only rights invisible; tolerance cuts far-future matches."""
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),  # equal-ts update matches
+            (2, "k1", _ts("2024-01-01 10:01:00")),  # earliest >= wins (10:03)
+            (3, "k1", _ts("2024-01-01 10:06:00")),  # after all updates -> NULL
+            (4, "k2", _ts("2024-01-01 09:00:00")),  # other key isolated
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 10:00:00"), 1.0),
+            ("k1", _ts("2024-01-01 10:03:00"), 2.0),
+            ("k1", _ts("2024-01-01 10:05:00"), 3.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r["id"]: (r["v"], r["ts_r"])
+        for r in asof_join(left, right, "k", direction="forward").collect()
+    }
+    assert got[1] == (1.0, _ts("2024-01-01 10:00:00"))
+    assert got[2] == (2.0, _ts("2024-01-01 10:03:00"))
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+    tol = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, "k", direction="forward", tolerance_us=60_000_000
+        ).collect()
+    }
+    assert tol[1] == 1.0  # 0s ahead
+    assert tol[2] is None  # 120s ahead -> outside tolerance
+    assert len(tol) == 4
+
+
+def test_asof_join_forward_equal_ts_ties_deterministic(spark):
+    """Forward tie rule mirrors a LATERAL ORDER BY ts, payload LIMIT 1:
+    the SMALLEST payload struct wins among same-ts rights."""
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-01 09:59:59"))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 5.0), ("k", _ts("2024-01-01 10:00:00"), 9.0)],
+        ["k", "ts", "v"],
+    )
+    for _ in range(3):
+        assert asof_join(left, right, "k", direction="forward").collect()[0]["v"] == 5.0
+
+
+def test_asof_join_nearest(spark):
+    """Nearest picks the closer side; equidistant resolves backward;
+    one-sided availability falls back to the available side; tolerance
+    applies per-side BEFORE the distance compare."""
+    left = spark.createDataFrame(
+        [
+            (1, "k", _ts("2024-01-01 10:00:10")),  # back 10s vs fwd 50s -> back
+            (2, "k", _ts("2024-01-01 10:00:50")),  # back 50s vs fwd 10s -> fwd
+            (3, "k", _ts("2024-01-01 10:00:30")),  # equidistant 30s -> backward
+            (4, "k", _ts("2024-01-01 09:00:00")),  # only forward exists
+            (5, "k", _ts("2024-01-01 12:00:00")),  # only backward exists
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 1.0), ("k", _ts("2024-01-01 10:01:00"), 2.0)],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(left, right, "k", direction="nearest").collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 1.0, 4: 1.0, 5: 2.0}
+
+    # tolerance 30s: row 4's forward match is 3600s away -> NULL; row 3
+    # keeps its exactly-30s backward match (inclusive bound)
+    tol = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, "k", direction="nearest", tolerance_us=30_000_000
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: 2.0, 3: 1.0, 4: None, 5: None}
+
+
+def test_asof_join_nearest_plans_one_shuffle(spark):
+    """nearest adds a second sort pass but must NOT add a second
+    exchange: both window directions ride the same key partitioning."""
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-01 10:00:00"))], ["id", "k", "ts"])
+    right = spark.createDataFrame([("k", _ts("2024-01-01 09:00:00"), 1.0)], ["k", "ts", "v"])
+    out = asof_join(left, right, "k", direction="nearest")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, (node, plan)
+
+
+def test_range_join_pairs_match_naive(spark):
+    """Pair emission equals the naive all-pairs filter (exactly-once per
+    qualifying pair, boundary timestamps included) on a randomized
+    fixture."""
+    import random
+    from datetime import timedelta
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import range_join
+
+    rng = random.Random(7)
+    delta = 7_000_000
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (i, f"k{rng.randrange(3)}", base + timedelta(microseconds=rng.randrange(0, 60_000_000, 1_000_000)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts"])
+    got = sorted(
+        (r["id"], r["id_b"]) for r in range_join(df, df, "k", delta_us=delta).collect()
+    )
+    naive = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(
+            (F.col("b.ts") > F.col("a.ts"))
+            & (F.unix_micros("b.ts") - F.unix_micros("a.ts") <= delta)
+        )
+        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+    )
+    want = sorted((r["x"], r["y"]) for r in naive.collect())
+    assert got == want
+    assert len(got) == len(set(got))  # exactly-once, no bin double-count
+
+
+def test_range_join_pair_boundaries(spark):
+    """Exactly-at-delta pairs emit (inclusive), delta+1 and same-instant
+    do not, cross-bin partners are found, payload columns suffix."""
+    delta = 10_000_000
+    rows = [
+        (1, "k", _ts("2024-01-01 10:00:09")),
+        (2, "k", _ts("2024-01-01 10:00:11")),   # +2s from id1, next bin
+        (3, "k", _ts("2024-01-01 10:00:21")),   # +10s EXACTLY from id2
+        (4, "k", _ts("2024-01-01 10:00:32")),   # +11s from id3 -> out
+        (5, "k", _ts("2024-01-01 10:00:32")),   # same instant as 4 -> out
+    ]
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame(rows, ["id", "k", "ts"])
+    out = range_join(df, df, "k", delta_us=delta)
+    assert {"id", "k", "ts", "id_b", "ts_b"} == set(out.columns)
+    pairs = sorted((r["id"], r["id_b"]) for r in out.collect())
+    assert pairs == [(1, 2), (2, 3)]
