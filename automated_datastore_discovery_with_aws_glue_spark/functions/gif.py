@@ -7,8 +7,11 @@ data pipeline actually meets: global/local color tables, LZW image
 data (variable code width, 12-bit max, per the public spec's
 Appendix F algorithm), interlaced and non-interlaced frames, frames
 smaller than the logical screen (pasted onto a background-filled
-canvas). Decodes the FIRST frame of an animation; anything outside the
-subset raises ``ValueError`` with the reason — never a wrong decode.
+canvas), and multi-frame animations (``decode_gif_frames``: running-
+canvas compositing with GCE delay/transparency and disposal methods
+keep/restore-background; ``decode_gif`` returns the first frame).
+Anything outside the subset raises ``ValueError`` with the reason —
+never a wrong decode.
 
 The encoder exists for fixtures/tests (round-trip evidence). It writes
 literal codes only, re-emitting CLEAR whenever the decoder's table
@@ -92,13 +95,30 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
     smaller than the screen is pasted onto a background-color canvas.
     Truncated or out-of-subset inputs raise ``ValueError`` — never a
     wrong decode."""
+    for sw, sh, mode, pixels, _delay in iter_gif_frames(data):
+        return sw, sh, mode, pixels
+    raise ValueError("GIF contains no image data")
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, int, str, bytes, int]]:
+    """Decode EVERY frame of a (possibly animated) GIF. Returns
+    ``[(width, height, "RGB", pixels, delay_cs), ...]`` in presentation
+    order: each frame is the full composited logical screen after that
+    frame renders (sub-rectangle frames paste onto the running canvas),
+    with its Graphic Control delay in centiseconds (0 when absent).
+    Disposal methods none/keep(1) and restore-background(2) and
+    transparency are honored; restore-previous(3) raises honestly."""
+    return list(iter_gif_frames(data))
+
+
+def iter_gif_frames(data: bytes):
     try:
-        return _decode_gif(data)
+        yield from _iter_gif_frames(data)
     except (struct.error, IndexError) as exc:
         raise ValueError(f"truncated GIF: {exc}") from exc
 
 
-def _decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
+def _iter_gif_frames(data: bytes):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, packed, bg_index, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -106,12 +126,25 @@ def _decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
     gct: list[bytes] | None = None
     if packed & 0x80:
         gct, pos = _color_table(data, pos, packed)
+    canvas: bytearray | None = None  # allocated lazily at first frame
+    delay_cs = 0
+    disposal = 0
+    transparent: int | None = None
+    yielded = False
     while pos < len(data):
         block = data[pos]
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image data")
+        if block == 0x3B:  # trailer
+            break
         if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            label = data[pos + 1]
             pos += 2
+            if label == 0xF9:  # Graphic Control Extension for NEXT image
+                n = data[pos]
+                if n >= 4:
+                    gpacked = data[pos + 1]
+                    delay_cs = struct.unpack("<H", data[pos + 2 : pos + 4])[0]
+                    disposal = (gpacked >> 2) & 0x7
+                    transparent = data[pos + 4] if gpacked & 0x1 else None
             while data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -133,6 +166,7 @@ def _decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
             n = data[pos]
             lzw.extend(data[pos + 1 : pos + 1 + n])
             pos += 1 + n
+        pos += 1  # the sub-block terminator
         indices = _lzw_decode(min_code_size, bytes(lzw), fw * fh)
         if len(indices) != fw * fh:
             # short = truncated stream; long = a final LZW entry crossed
@@ -147,21 +181,42 @@ def _decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
             for src_row, dst_row in enumerate(_deinterlace_rows(fh)):
                 ordered[dst_row] = rows[src_row]
             indices = bytearray(b"".join(bytes(r) for r in ordered))
-        if (left, top, fw, fh) == (0, 0, sw, sh):
-            canvas = indices
-        else:
-            if left + fw > sw or top + fh > sh:
-                raise ValueError("GIF frame rect exceeds logical screen")
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame rect exceeds logical screen")
+        if disposal == 3:
+            raise ValueError(
+                "GIF disposal method 3 (restore previous) is outside the "
+                "supported subset"
+            )
+        if canvas is None:
             canvas = bytearray([bg_index]) * (sw * sh)
+        if transparent is None and (left, top, fw, fh) == (0, 0, sw, sh):
+            canvas = bytearray(indices)
+        else:
             for r in range(fh):
                 dst = (top + r) * sw + left
-                canvas[dst : dst + fw] = indices[r * fw : (r + 1) * fw]
+                row = indices[r * fw : (r + 1) * fw]
+                if transparent is None:
+                    canvas[dst : dst + fw] = row
+                else:
+                    for c, i in enumerate(row):
+                        if i != transparent:
+                            canvas[dst + c] = i
         nc = len(palette)
         pixels = b"".join(
             palette[i] if i < nc else b"\x00\x00\x00" for i in canvas
         )
-        return sw, sh, "RGB", pixels
-    raise ValueError("GIF contains no image data")
+        yield sw, sh, "RGB", pixels, delay_cs
+        yielded = True
+        if disposal == 2:  # restore the frame rect to background
+            for r in range(fh):
+                dst = (top + r) * sw + left
+                canvas[dst : dst + fw] = bytes([bg_index]) * fw
+        delay_cs = 0
+        disposal = 0
+        transparent = None
+    if not yielded:
+        raise ValueError("GIF contains no image data")
 
 
 def _lzw_encode_literals(min_code_size: int, indices: bytes) -> bytes:
@@ -246,4 +301,47 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[tuple[int, int, int, int, bytes, int]],
+    *,
+    bg_index: int = 0,
+) -> bytes:
+    """Encode a multi-frame GIF89a animation. Each frame is
+    ``(left, top, fw, fh, indices, delay_cs)``: a sub-rectangle (or
+    full-screen) frame with its Graphic Control delay in centiseconds.
+    Disposal is "do not dispose" (1) — frames composite onto the running
+    canvas, the shape :func:`decode_gif_frames` replays."""
+    gct_bits = 1
+    while (2 << gct_bits) < len(palette) + 1 and gct_bits < 7:
+        gct_bits += 1
+    n_entries = 2 << gct_bits
+    if len(palette) > n_entries:
+        raise ValueError("palette too large for GIF (max 256)")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | gct_bits, bg_index, 0)
+    for i in range(n_entries):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    min_code_size = max(2, gct_bits + 1)
+    for left, top, fw, fh, indices, delay_cs in frames:
+        if len(indices) != fw * fh:
+            raise ValueError("indices length must equal frame w*h")
+        # GCE: disposal=1 (keep), no transparency, the frame's delay
+        out += b"\x21\xf9\x04" + bytes((0x04,)) + struct.pack("<H", delay_cs)
+        out += b"\x00\x00"  # transparent index (unused) + terminator
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out.append(min_code_size)
+        stream = _lzw_encode_literals(min_code_size, indices)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

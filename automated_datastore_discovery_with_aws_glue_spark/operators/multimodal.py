@@ -514,3 +514,75 @@ def image_pixel_stats(
             )
 
     return df.mapInPandas(_stats, schema=out_schema)
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL multi-frame sampling: decode every frame of an animated GIF
+    (vendored ``functions.gif.decode_gif_frames`` — running-canvas
+    compositing, GCE delays) and emit one row per SAMPLED frame
+    (``every_n``-stride, frame 0 always included) with its delay and
+    exact per-channel pixel means. This replaces the byte-slice stand-in
+    of :func:`sample_frames` with genuine media bytes end-to-end; it
+    fans out rows, so the output schema is (input columns minus the
+    binary) + frame columns. Out-of-subset media raises — a capability
+    gap is an error, never a silent NULL."""
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("fr_width", T.IntegerType()),
+            T.StructField("fr_height", T.IntegerType()),
+            T.StructField("fmean_r", T.DoubleType()),
+            T.StructField("fmean_g", T.DoubleType()),
+            T.StructField("fmean_b", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from automated_datastore_discovery_with_aws_glue_spark.functions.gif import decode_gif_frames
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, rec in pdf.iterrows():
+                b = rec[content_col]
+                if b is None:
+                    continue  # NULL media cell contributes no frames
+                frames = decode_gif_frames(bytes(b))
+                n = len(frames)
+                for idx in range(0, n, every_n):
+                    w, h, _mode, px, delay = frames[idx]
+                    cnt = w * h
+                    sr = sum(px[3 * i] for i in range(cnt))
+                    sg = sum(px[3 * i + 1] for i in range(cnt))
+                    sb = sum(px[3 * i + 2] for i in range(cnt))
+                    row = {k: rec[k] for k in keep_names}
+                    row.update(
+                        frame_index=idx,
+                        n_frames=n,
+                        delay_cs=delay,
+                        fr_width=w,
+                        fr_height=h,
+                        fmean_r=round(sr / cnt, 4),
+                        fmean_g=round(sg / cnt, 4),
+                        fmean_b=round(sb / cnt, 4),
+                    )
+                    rows.append(row)
+            cols = keep_names + [
+                "frame_index", "n_frames", "delay_cs", "fr_width",
+                "fr_height", "fmean_r", "fmean_g", "fmean_b",
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("frame_index", "n_frames", "delay_cs", "fr_width", "fr_height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(_sample, schema=out_schema)

@@ -323,3 +323,91 @@ MM_PIXEL_STATS_SQL = """
 
 QUERIES["mm_pixel_stats"] = mm_pixel_stats
 ORACLES["mm_pixel_stats"] = MM_PIXEL_STATS_SQL
+
+
+def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame sampling end-to-end (the r7 verdict's ask): each
+    doc derives an ANIMATED GIF (2-4 full-screen flat-color frames,
+    colors/delays/dims doc_id arithmetic), a mapInPandas step encodes it
+    with the vendored animation encoder, ``sample_gif_frames`` decodes
+    every frame back (running-canvas compositing, GCE delays) and emits
+    every 2nd frame's exact pixel means — and DuckDB predicts each
+    sampled frame's stats from the arithmetic alone. A wrong LZW stream,
+    GCE mis-parse, or compositing bug breaks the hash. Same deterministic
+    10% fixture slice policy as ``mm_pixel_stats``: codec verification,
+    not corpus throughput."""
+    import pandas as _pd
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import sample_gif_frames
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 2)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 11 + 4).cast("int").alias("w"),
+            (F.col("doc_id") % 5 + 3).cast("int").alias("h"),
+            (F.col("doc_id") % 3 + 2).cast("int").alias("nf"),
+        )
+    )
+
+    def _encode(batches):
+        from automated_datastore_discovery_with_aws_glue_spark.functions.gif import encode_gif_animation
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, w, h, nf in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["nf"]):
+                doc_id, w, h, nf = int(doc_id), int(w), int(h), int(nf)
+                palette = [
+                    (
+                        (doc_id + 17 * f) % 256,
+                        (doc_id * 5 + 29 * f) % 256,
+                        (doc_id * 11 + 43 * f) % 256,
+                    )
+                    for f in range(nf)
+                ]
+                frames = [
+                    (0, 0, w, h, bytes([f]) * (w * h), (doc_id + 7 * f) % 100 + 1)
+                    for f in range(nf)
+                ]
+                blobs.append(encode_gif_animation(w, h, palette, frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    gifs = docs.select("doc_id", "w", "h", "nf").mapInPandas(
+        _encode, schema="doc_id bigint, content binary"
+    )
+    return (
+        sample_gif_frames(gifs, "content", every_n=2)
+        .select(
+            "doc_id", "frame_index", "n_frames", "delay_cs",
+            "fr_width", "fr_height", "fmean_r", "fmean_g", "fmean_b",
+        )
+        .orderBy("doc_id", "frame_index")
+    )
+
+
+MM_GIF_FRAME_SAMPLE_SQL = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 11 + 4 AS INT) AS w,
+               CAST(doc_id % 5 + 3 AS INT) AS h,
+               CAST(doc_id % 3 + 2 AS INT) AS nf
+        FROM documents
+        WHERE doc_id % 10 = 2
+    ),
+    f AS (
+        SELECT doc_id, w, h, nf, CAST(i AS INT) AS frame_index
+        FROM p, unnest(generate_series(0, nf - 1, 2)) AS t(i)
+    )
+    SELECT doc_id, frame_index, nf AS n_frames,
+           CAST((doc_id + 7 * frame_index) % 100 + 1 AS INT) AS delay_cs,
+           w AS fr_width, h AS fr_height,
+           round(CAST((doc_id + 17 * frame_index) % 256 AS DOUBLE), 4) AS fmean_r,
+           round(CAST((doc_id * 5 + 29 * frame_index) % 256 AS DOUBLE), 4) AS fmean_g,
+           round(CAST((doc_id * 11 + 43 * frame_index) % 256 AS DOUBLE), 4) AS fmean_b
+    FROM f
+    ORDER BY doc_id, frame_index
+"""
+
+QUERIES["mm_gif_frame_sample"] = mm_gif_frame_sample
+ORACLES["mm_gif_frame_sample"] = MM_GIF_FRAME_SAMPLE_SQL

@@ -474,3 +474,126 @@ def test_image_pixel_stats_exact_on_known_fixtures(spark):
     assert r2["luma_hist"][0] == 0.5 and r2["luma_hist"][-1] == 0.5
 
     assert got[3]["px_width"] is None and got[3]["luma_hist"] is None
+
+
+def test_gif_animation_roundtrip_compositing():
+    """Multi-frame decode composites sub-rect frames onto the running
+    canvas (disposal=keep), carries per-frame GCE delays, and the
+    first-frame decode_gif stays consistent with frame 0."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = [(250, 0, 0), (0, 250, 0), (0, 0, 250)]
+    # frame0: full screen color0; frame1: 2x2 patch of color1 at (1,1);
+    # frame2: 1x3 column of color2 at (3,0)
+    frames = [
+        (0, 0, 4, 3, bytes([0]) * 12, 5),
+        (1, 1, 2, 2, bytes([1]) * 4, 10),
+        (3, 0, 1, 3, bytes([2]) * 3, 0),
+    ]
+    blob = encode_gif_animation(4, 3, pal, frames)
+    out = decode_gif_frames(blob)
+    assert len(out) == 3
+    assert [d for (_, _, _, _, d) in out] == [5, 10, 0]
+    w, h, mode, px0, _ = out[0]
+    assert (w, h, mode) == (4, 3, "RGB")
+    assert px0 == bytes(pal[0]) * 12
+    # frame1 canvas: patch rows 1-2, cols 1-2 are green, rest still red
+    _, _, _, px1, _ = out[1]
+    def at(px, x, y):
+        o = 3 * (y * 4 + x)
+        return tuple(px[o : o + 3])
+    assert at(px1, 0, 0) == pal[0] and at(px1, 1, 1) == pal[1]
+    assert at(px1, 2, 2) == pal[1] and at(px1, 3, 1) == pal[0]
+    # frame2 canvas: column x=3 blue over the frame1 canvas
+    _, _, _, px2, _ = out[2]
+    assert at(px2, 3, 0) == pal[2] and at(px2, 3, 2) == pal[2]
+    assert at(px2, 1, 1) == pal[1] and at(px2, 0, 2) == pal[0]
+    # decode_gif (first frame) consistent
+    assert decode_gif(blob)[3] == px0
+
+
+def test_gif_animation_disposal_background_and_transparency():
+    """Hand-built GCE variants: disposal=2 clears the frame rect to
+    background before the next frame; a transparent index leaves the
+    underlying canvas pixel; disposal=3 raises honestly."""
+    import struct as _s
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = [(9, 9, 9), (200, 0, 0), (0, 200, 0)]
+
+    def gce(disposal, delay, transparent=None):
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + bytes((packed,)) + _s.pack("<H", delay) + bytes(
+            (transparent or 0,)
+        ) + b"\x00"
+
+    base = encode_gif_animation(
+        3, 2, pal, [(0, 0, 3, 2, bytes([1]) * 6, 1), (0, 0, 1, 1, bytes([2]), 2)]
+    )
+    # rewrite the SECOND frame's GCE disposal from 1 (keep) to 2
+    # (restore background): locate the second 0x21F9 marker
+    first = base.index(b"\x21\xf9")
+    second = base.index(b"\x21\xf9", first + 2)
+    g2 = gce(2, 2)
+    patched = base[:second] + g2 + base[second + len(g2):]
+    frames = decode_gif_frames(patched)
+    # frame 2 shows the 1x1 green patch; disposal happens AFTER yield,
+    # so the visible canvases match disposal=keep here
+    assert frames[1][3][:3] == bytes(pal[2])
+
+    # three-frame: f2 has disposal=2, so f3's canvas shows BACKGROUND
+    # (index 0) where f2 painted and f1 underneath elsewhere
+    base3 = encode_gif_animation(
+        3, 2, pal,
+        [(0, 0, 3, 2, bytes([1]) * 6, 1), (0, 0, 1, 1, bytes([2]), 2),
+         (2, 1, 1, 1, bytes([2]), 3)],
+    )
+    first = base3.index(b"\x21\xf9")
+    second = base3.index(b"\x21\xf9", first + 2)
+    patched3 = base3[:second] + gce(2, 2) + base3[second + len(gce(2, 2)):]
+    f3 = decode_gif_frames(patched3)[2][3]
+    assert f3[:3] == bytes(pal[0])          # (0,0): f2's patch cleared to bg
+    assert f3[3:6] == bytes(pal[1])         # (1,0): f1 red survives
+    assert f3[-3:] == bytes(pal[2])         # (2,1): f3's own patch
+
+    # transparency: frame 2 full-screen index-2 with transparent=2 ->
+    # every pixel keeps frame 1's color
+    base_t = encode_gif_animation(
+        3, 2, pal, [(0, 0, 3, 2, bytes([1]) * 6, 1), (0, 0, 3, 2, bytes([2]) * 6, 2)]
+    )
+    first = base_t.index(b"\x21\xf9")
+    second = base_t.index(b"\x21\xf9", first + 2)
+    patched_t = base_t[:second] + gce(1, 2, transparent=2) + base_t[second + len(gce(1, 2, 2)):]
+    ft = decode_gif_frames(patched_t)
+    assert ft[1][3] == bytes(pal[1]) * 6
+
+    # disposal=3 (restore previous): outside the subset -> ValueError
+    patched_3 = base[:second] + gce(3, 2) + base[second + len(gce(3, 2)):]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disposal method 3"):
+        decode_gif_frames(patched_3)
+
+
+def test_sample_gif_frames_stride_and_nulls(spark):
+    """every_n stride keeps frame 0 and every n-th after; NULL media
+    cells contribute no rows; per-frame means are exact."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.gif import encode_gif_animation
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import sample_gif_frames
+
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    frames = [(0, 0, 2, 2, bytes([f]) * 4, f) for f in range(4)]
+    blob = encode_gif_animation(2, 2, pal, frames)
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, None)], "doc_id int, content binary")
+    out = sample_gif_frames(df, "content", every_n=3).collect()
+    assert [(r["doc_id"], r["frame_index"]) for r in out] == [(1, 0), (1, 3)]
+    assert out[1]["fmean_r"] == 100.0 and out[1]["delay_cs"] == 3
+    assert out[0]["n_frames"] == 4 and out[0]["fr_width"] == 2
