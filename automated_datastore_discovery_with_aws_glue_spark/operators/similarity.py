@@ -553,3 +553,112 @@ def lsh_topk(
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8_cols(vec_col: str) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization as (q, scale) columns —
+    the identical math the oracle-checked ``emb_quantize_int8`` query
+    pins (scale = amax/127; q = floor(x/scale + 0.5) clamped): the
+    storage form of :func:`write_ivf_partitioned_q8`. ``array<tinyint>``
+    on disk — genuinely 4x smaller than float32."""
+    xs = F.transform(vec_col, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    q = F.transform(
+        xs,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+        ).cast("tinyint"),
+    )
+    return q, scale
+
+
+def write_ivf_partitioned_q8(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    *,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    refine_sample: int = 32,
+) -> np.ndarray:
+    """Materialize the MEMORY-REDUCED IVF index: cell-partitioned like
+    :func:`write_ivf_partitioned`, but storing each vector int8-
+    quantized (``q`` + ``scale``) instead of at full precision — the
+    index a 100 TB embedding corpus can actually hold (4x smaller, and
+    cosine over the quantized ints is scale-free, so scoring needs no
+    dequantization). Full-precision vectors stay in primary storage;
+    :func:`ivf_topk_q8` re-ranks the few k*c candidates against them by
+    key. Returns the centroids (persist them next to the index)."""
+    cents = ivf_centroids(
+        df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    )
+    cell = F.lit(0) if len(cents) == 0 else ivf_cell_expr(vec_col, cents)
+    q, scale = quantize_int8_cols(vec_col)
+    (
+        df.select(
+            F.col(id_col),
+            q.alias("q"),
+            scale.alias("scale"),
+            cell.alias("_cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_q8(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query: list[float],
+    full_df: DataFrame,
+    k: int = 10,
+    *,
+    vec_col: str = "emb",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-tier IVF read: (1) partition-pruned scan of the n_probe
+    probed cells scoring the INT8 vectors (cosine is scale-invariant,
+    so the quantized ints score directly — no dequantize, quarter the
+    bytes through the scan); (2) the top ``k * rerank_factor``
+    candidates re-rank at FULL precision via a broadcast semi-join
+    against primary storage (``full_df``) — k*c rows, metadata scale.
+    Quantization error can only demote a candidate out of the k*c pool,
+    never corrupt a returned similarity: every emitted score is exact."""
+    qv = np.asarray(query, dtype=float)
+    probes = [int(p) for p in np.argsort(-(centroids @ qv))[:n_probe]]
+    idx = spark.read.parquet(path)
+    cands = (
+        idx.filter(F.col("_cell").isin(probes))
+        .select(
+            id_col,
+            # an all-zero vector quantizes to zeros; under ANSI mode its
+            # cosine is a divide-by-zero — guard the norm and pin such
+            # rows to the candidate-pool floor instead
+            F.when(dot(as_double(F.col("q")), as_double(F.col("q"))) == 0.0, F.lit(-2.0))
+            .otherwise(
+                cosine(as_double(F.col("q")), lit_vec([float(x) for x in query]))
+            )
+            .alias("_approx"),
+        )
+        .filter(F.col("_approx") > -2.0)  # zero vectors: no defined cosine
+        .orderBy(F.col("_approx").desc(), F.col(id_col))
+        .limit(k * rerank_factor)
+    )
+    return (
+        full_df.join(F.broadcast(cands.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(F.col(vec_col)), lit_vec([float(x) for x in query])), 4
+            ).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2416,3 +2416,31 @@ EXTRA_QUERIES["tok_pack_sequences_bpe"] = tok_pack_sequences_bpe
 ORACLES["tok_bpe_merges"] = TOK_BPE_MERGES_SQL
 ORACLES["tok_bpe_encode"] = TOK_BPE_ENCODE_SQL
 ORACLES["tok_pack_sequences_bpe"] = TOK_PACK_BPE_SQL
+
+
+def knn_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via the MEMORY-REDUCED persisted IVF index
+    (r8): vectors stored int8-quantized + cell-partitioned
+    (``write_ivf_partitioned_q8``), the probe scans n_probe/n_cells of
+    the partitions scoring quantized ints (cosine is scale-free), and
+    the top k*4 candidates re-rank at full precision against primary
+    storage — every emitted similarity is the exact cosine. Rows-only:
+    data-dependent centroids + probabilistic recall (like ``knn_ivf``);
+    the quantization math is pinned by the oracle-checked
+    ``emb_quantize_int8`` and the recall/exactness bounds by
+    tests/test_text_similarity.py."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    path = tempfile.mkdtemp(prefix="ivf_q8_")
+    cents = S.write_ivf_partitioned_q8(
+        emb, path, "embedding", id_col="vec_id", n_cells=16
+    )
+    return S.ivf_topk_q8(
+        spark, path, cents, query, emb, 10,
+        vec_col="embedding", id_col="vec_id", n_probe=4,
+    )
+
+
+EXTRA_QUERIES["knn_ivf_q8"] = knn_ivf_q8

@@ -397,3 +397,83 @@ def test_bigram_lm_catches_word_salad_unigram_misses(spark, tmp_path, monkeypatc
     assert abs(uni_salad - uni_med) / uni_med < 0.10, (uni_salad, uni_med)
     # bigram not: far upper tail, with a wide margin
     assert bi_salad > bi_p90 > 0 and bi_salad > 2 * bi_med, (bi_salad, bi_p90, bi_med)
+
+
+def test_ivf_q8_index_prunes_stores_int8_and_reranks_exact(spark, tmp_path):
+    """The memory-reduced IVF path: the persisted index stores
+    array<tinyint> (4x smaller), the probe prunes at the partition
+    level, the k*c candidate pool re-ranks at FULL precision so every
+    emitted similarity is the exact cosine, and recall vs the
+    full-precision partitioned index stays high."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_partitioned,
+        ivf_topk_q8,
+        write_ivf_partitioned,
+        write_ivf_partitioned_q8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    qpath = str(tmp_path / "ivf_q8")
+    cents = write_ivf_partitioned_q8(emb, qpath, "embedding", id_col="vec_id", n_cells=8)
+
+    idx = spark.read.parquet(qpath)
+    assert dict(idx.dtypes)["q"] == "array<tinyint>"  # genuinely int8 on disk
+
+    top = ivf_topk_q8(
+        spark, qpath, cents, query, emb, 5,
+        vec_col="embedding", id_col="vec_id", n_probe=3,
+    )
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[_cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m and len(m.group(1).split(",")) == 3, plan
+
+    got = top.collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["similarity"] - 1.0) < 1e-9
+
+    # every emitted similarity is the EXACT cosine (quantization can
+    # demote a candidate, never corrupt a score)
+    exact = {
+        r["vec_id"]: r["similarity"]
+        for r in brute_force_topk(emb, "embedding", query, 200).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["similarity"], r
+
+    # recall vs the full-precision partitioned index on the same probes
+    fpath = str(tmp_path / "ivf_fp")
+    cents_fp = write_ivf_partitioned(emb, fpath, "embedding", id_col="vec_id", n_cells=8)
+    full = ivf_topk_partitioned(
+        spark, fpath, cents_fp, query, 5, vec_col="embedding", id_col="vec_id", n_probe=3
+    ).collect()
+    overlap = {r["vec_id"] for r in got} & {r["vec_id"] for r in full}
+    assert len(overlap) >= 4, (got, full)
+
+
+def test_ivf_q8_zero_vector_never_tops_candidates(spark, tmp_path):
+    """An all-zero embedding quantizes to zeros and cosines to NaN; the
+    nanvl guard must pin it to the candidate-pool floor, not the top."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        ivf_topk_q8,
+        write_ivf_partitioned_q8,
+    )
+
+    axes = [
+        [1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = [(i, v) for i, v in enumerate(axes)] + [(99, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "zq8")
+    cents = write_ivf_partitioned_q8(df, path, "embedding", id_col="vec_id", n_cells=2)
+    got = ivf_topk_q8(
+        spark, path, cents, [1.0, 0.0, 0.0, 0.0], df, 3,
+        vec_col="embedding", id_col="vec_id", n_probe=2, rerank_factor=2,
+    ).collect()
+    assert [r["vec_id"] for r in got][:2] == [0, 1]
+    assert 99 not in {r["vec_id"] for r in got}
