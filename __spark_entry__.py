@@ -50,43 +50,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- relational parity core (SURVEY §2) --
         "q1_pricing_summary": R.q1_pricing_summary,
-        "p1_state_filter": R.p1_state_filter,
-        "p7_event_validation": R.p7_event_validation,
-        "j1_latest_per_key": R.j1_latest_per_key,
-        "a3_rollup": R.a3_rollup,
-        "w_tumbling_counts": R.w_tumbling_counts,
         # -- discovery profiling + PII classification/redaction --
         "pii_classify_derived": P.pii_classify_derived,
-        "pii_classify_counts": P.pii_classify_counts,  # NEW r6: mergeable counts form
+        "pii_classify_counts": P.pii_classify_counts,
         "pii_redact": P.pii_redact,
         "prof_column_stats": P.prof_column_stats,
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
         "prof_histogram": P.prof_histogram,
         # -- dedup / text analysis / similarity search --
-        "dedup_exact": L.QUERIES["dedup_exact"],
         "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
         "dedup_clusters_jaccard": L.QUERIES["dedup_clusters_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
-        "knn_bruteforce": L.QUERIES["knn_bruteforce"],
         "knn_lsh": L.QUERIES["knn_lsh"],
-        "emb_near_dup": L.QUERIES["emb_near_dup"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
-        # -- sessionization + multimodal + generators --
-        "sess_gap_split": SS.sess_gap_split,
-        "mm_binary_meta": M.QUERIES["mm_binary_meta"],
-        "mm_frame_sample": M.QUERIES["mm_frame_sample"],
-        "gen_individuals": G.QUERIES["gen_individuals"],
-        # -- corpus assembly / composed training-data pipelines (r4+r5);
-        #    corpus_clean & corpus_prepare now default to MinHash-LSH
-        #    candidates (md5 twin — the whole composition oracle-checked)
-        "corpus_clean": L.EXTRA_QUERIES["corpus_clean"],
+        # -- corpus assembly / composed training-data pipelines --
         "corpus_prepare": L.EXTRA_QUERIES["corpus_prepare"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "para_dedup": L.EXTRA_QUERIES["para_dedup"],
-        # -- rotated IN for r6 (VERDICT r5 item 2): the late-landing r5
-        #    oracles + this round's new work (learned-style quality
-        #    scorer, per-doc TF-IDF top-k)
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
         "doc_tfidf_topk": L.EXTRA_QUERIES["doc_tfidf_topk"],
         "doc_lm_perplexity": L.EXTRA_QUERIES["doc_lm_perplexity"],
@@ -95,9 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
-        # -- rotated IN for r7 (VERDICT r6 item 4): the late-landing r6
-        #    audio decode + exact-profiling oracles, and this round's
-        #    repeated-span analysis + Gopher rule set
+        # -- rotated IN for r7 (VERDICT r6 item 4): stay a second round
+        #    (single-round green so far; mm_pixel_stats' output shape
+        #    changed this round — the r7 red row, now scalar columns)
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
         "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
@@ -111,15 +92,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity_bigram": L.EXTRA_QUERIES["doc_lm_perplexity_bigram"],
         "j_asof_rate": RX.QUERIES["j_asof_rate"],
         "j_range_burst": RX.QUERIES["j_range_burst"],
-        # ---- driver window ends here (50 entries) ----
-        # r7 rotation casualties, batch 2 (multi-round green, family-
-        # pinned; still checked locally by tools/check_oracle.py)
+        # -- rotated IN for r8 (VERDICT r7 items 4+5+3+6): the named
+        #    past-window batch...
         "corpus_split": L.EXTRA_QUERIES["corpus_split"],
         "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
         "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
         "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
+        # -- ...and this round's new work: temporal-join directions +
+        #    pair emission, the corpus-trained BPE tokenizer (training
+        #    itself differentially checked), token-exact packing, and
+        #    real multi-frame GIF sampling
+        "j_asof_forward": RX.QUERIES["j_asof_forward"],
+        "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
+        "j_range_pairs": RX.QUERIES["j_range_pairs"],
+        "tok_bpe_merges": L.EXTRA_QUERIES["tok_bpe_merges"],
+        "tok_bpe_encode": L.EXTRA_QUERIES["tok_bpe_encode"],
+        "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
+        "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],
+        # ---- driver window ends here (50 entries) ----
+        # r8 rotation casualties (multi-round green, family-pinned by
+        # in-window twins — dedup_exact by the LSH chain + para_dedup,
+        # knn_bruteforce/emb_near_dup by their LSH twins, mm_binary_meta/
+        # mm_frame_sample by the decode family + mm_gif_frame_sample,
+        # sess_gap_split by sess_native_window's shared oracle semantics,
+        # the relational rows by pytest; ALL still checked locally by
+        # tools/check_oracle.py every round)
+        "p1_state_filter": R.p1_state_filter,
+        "p7_event_validation": R.p7_event_validation,
+        "j1_latest_per_key": R.j1_latest_per_key,
+        "a3_rollup": R.a3_rollup,
+        "w_tumbling_counts": R.w_tumbling_counts,
+        "dedup_exact": L.QUERIES["dedup_exact"],
+        "knn_bruteforce": L.QUERIES["knn_bruteforce"],
+        "emb_near_dup": L.QUERIES["emb_near_dup"],
+        "sess_gap_split": SS.sess_gap_split,
+        "mm_binary_meta": M.QUERIES["mm_binary_meta"],
+        "mm_frame_sample": M.QUERIES["mm_frame_sample"],
+        "corpus_clean": L.EXTRA_QUERIES["corpus_clean"],
+        "gen_individuals": G.QUERIES["gen_individuals"],
         # r7 rotation casualties (multi-round green, md5-twin/bench
         # pinned; still checked locally by tools/check_oracle.py)
         "text_repetition": L.EXTRA_QUERIES["text_repetition"],

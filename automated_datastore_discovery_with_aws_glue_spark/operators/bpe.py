@@ -81,17 +81,26 @@ def bpe_train(
     top_words: int = TOP_WORDS,
 ) -> list[dict]:
     """Learn up to ``n_merges`` merges from a (word, cnt) frequency
-    table. Each round: pair-count aggregate over the capped word-type
-    table, deterministic argmax (count desc, lhs asc, rhs asc), apply
-    the winning merge as a literal replace. The table is vocabulary
-    scale, so each round is a tiny job; ``localCheckpoint`` keeps the
-    lineage flat across rounds. Returns the merges in learned order
-    (fewer than ``n_merges`` if pairs exhaust)."""
-    vocab = words.orderBy(F.desc("cnt"), "word").limit(top_words)
-    seg = vocab.select("word", "cnt", _wrap(F.col("word")).alias("seg"))
+    table. The capped word-TYPE table is collected once (``top_words``
+    rows — the bounded in-memory table every BPE trainer holds; the
+    corpus itself is never collected), then each round runs the
+    pair-count aggregate + deterministic argmax (count desc, lhs asc,
+    rhs asc) DISTRIBUTED over a re-created frame and applies the
+    winning merge to the driver-resident segmentations — Python
+    ``str.replace``, the same non-overlapping left-to-right semantics
+    as the executor-side ``replace``. No caching, no lineage growth
+    (a localCheckpoint variant leaked cached RDDs into long sessions).
+    Returns the merges in learned order (fewer than ``n_merges`` if
+    pairs exhaust)."""
+    spark = words.sparkSession
+    vocab = words.orderBy(F.desc("cnt"), "word").limit(top_words).collect()
+    seg_rows = [
+        (r["word"], int(r["cnt"]), "".join(f"<{ch}>" for ch in r["word"]))
+        for r in vocab
+    ]
     merges: list[dict] = []
     for step in range(1, n_merges + 1):
-        seg = seg.localCheckpoint(eager=True)
+        seg = spark.createDataFrame(seg_rows, "word string, cnt bigint, seg string")
         best = (
             _adjacent_pairs(seg)
             .groupBy("lhs", "rhs")
@@ -112,14 +121,8 @@ def bpe_train(
                 "pair_count": int(pc),
             }
         )
-        seg = seg.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
-                F.lit(f"<{lhs}><{rhs}>"),
-                F.lit(f"<{lhs}{rhs}>"),
-            ),
-        )
+        pat, rep = f"<{lhs}><{rhs}>", f"<{lhs}{rhs}>"
+        seg_rows = [(w, c, s.replace(pat, rep)) for (w, c, s) in seg_rows]
     return merges
 
 

@@ -90,6 +90,15 @@ HEADLINE = [
     "doc_lm_perplexity_bigram",
     "j_asof_rate",
     "j_range_burst",
+    # r8: temporal-join directions + pair emission, the corpus-trained
+    # BPE tokenizer (training + encode + token-exact packing), real
+    # multi-frame GIF sampling, and the int8-quantized IVF read path
+    "j_asof_nearest",
+    "j_range_pairs",
+    "tok_bpe_encode",
+    "tok_pack_sequences_bpe",
+    "mm_gif_frame_sample",
+    "knn_ivf_q8",
 ]
 
 
