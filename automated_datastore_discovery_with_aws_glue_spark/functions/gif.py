@@ -126,7 +126,8 @@ def _iter_gif_frames(data: bytes):
     gct: list[bytes] | None = None
     if packed & 0x80:
         gct, pos = _color_table(data, pos, packed)
-    canvas: bytearray | None = None  # allocated lazily at first frame
+    canvas: bytearray | None = None  # composited RGB, lazily allocated
+    bg_rgb: bytes | None = None
     delay_cs = 0
     disposal = 0
     transparent: int | None = None
@@ -188,30 +189,53 @@ def _iter_gif_frames(data: bytes):
                 "GIF disposal method 3 (restore previous) is outside the "
                 "supported subset"
             )
+        # The canvas stores composited RGB, not indices: each frame's
+        # pixels map through ITS OWN active palette at paint time, so a
+        # later frame's local color table can never recolor pixels an
+        # earlier frame painted (index-canvas formulations have exactly
+        # that silent-wrong-decode bug with per-frame LCTs). Background
+        # is the GLOBAL table's bg_index per the spec (black without a
+        # GCT); out-of-palette indices paint black as in single-frame.
+        nc = len(palette)
+        rgb_row_cache: dict[bytes, bytes] = {}
+
+        def _rgb(row: bytes) -> bytes:
+            got = rgb_row_cache.get(row)
+            if got is None:
+                got = b"".join(
+                    palette[i] if i < nc else b"\x00\x00\x00" for i in row
+                )
+                rgb_row_cache[row] = got
+            return got
+
+        if bg_rgb is None:
+            bg_rgb = (
+                bytes(gct[bg_index])
+                if gct is not None and bg_index < len(gct)
+                else b"\x00\x00\x00"
+            )
         if canvas is None:
-            canvas = bytearray([bg_index]) * (sw * sh)
+            canvas = bytearray(bg_rgb * (sw * sh))
         if transparent is None and (left, top, fw, fh) == (0, 0, sw, sh):
-            canvas = bytearray(indices)
+            canvas = bytearray(_rgb(bytes(indices)))
         else:
             for r in range(fh):
-                dst = (top + r) * sw + left
-                row = indices[r * fw : (r + 1) * fw]
+                dst = 3 * ((top + r) * sw + left)
+                row = bytes(indices[r * fw : (r + 1) * fw])
                 if transparent is None:
-                    canvas[dst : dst + fw] = row
+                    canvas[dst : dst + 3 * fw] = _rgb(row)
                 else:
                     for c, i in enumerate(row):
                         if i != transparent:
-                            canvas[dst + c] = i
-        nc = len(palette)
-        pixels = b"".join(
-            palette[i] if i < nc else b"\x00\x00\x00" for i in canvas
-        )
-        yield sw, sh, "RGB", pixels, delay_cs
+                            canvas[dst + 3 * c : dst + 3 * c + 3] = (
+                                palette[i] if i < nc else b"\x00\x00\x00"
+                            )
+        yield sw, sh, "RGB", bytes(canvas), delay_cs
         yielded = True
         if disposal == 2:  # restore the frame rect to background
             for r in range(fh):
-                dst = (top + r) * sw + left
-                canvas[dst : dst + fw] = bytes([bg_index]) * fw
+                dst = 3 * ((top + r) * sw + left)
+                canvas[dst : dst + 3 * fw] = bg_rgb * fw
         delay_cs = 0
         disposal = 0
         transparent = None

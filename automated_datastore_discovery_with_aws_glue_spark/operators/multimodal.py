@@ -548,7 +548,7 @@ def sample_gif_frames(
     keep_names = [f.name for f in keep]
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from automated_datastore_discovery_with_aws_glue_spark.functions.gif import decode_gif_frames
+        from automated_datastore_discovery_with_aws_glue_spark.functions.gif import iter_gif_frames
 
         for pdf in batches:
             rows: list[dict] = []
@@ -556,14 +556,22 @@ def sample_gif_frames(
                 b = rec[content_col]
                 if b is None:
                     continue  # NULL media cell contributes no frames
-                frames = decode_gif_frames(bytes(b))
-                n = len(frames)
-                for idx in range(0, n, every_n):
-                    w, h, _mode, px, delay = frames[idx]
-                    cnt = w * h
-                    sr = sum(px[3 * i] for i in range(cnt))
-                    sg = sum(px[3 * i + 1] for i in range(cnt))
-                    sb = sum(px[3 * i + 2] for i in range(cnt))
+                # STREAM the frames: only the sampled frames' channel
+                # SUMS are retained (a 100-frame HD animation must never
+                # hold 100 full RGB buffers in the worker at once), and
+                # the sums are C-level strided slices, not a per-pixel
+                # Python loop
+                sampled: list[tuple] = []
+                n = 0
+                for idx, (w, h, _mode, px, delay) in enumerate(iter_gif_frames(bytes(b))):
+                    n += 1
+                    if idx % every_n == 0:
+                        cnt = w * h
+                        sampled.append(
+                            (idx, delay, w, h,
+                             sum(px[0::3]) / cnt, sum(px[1::3]) / cnt, sum(px[2::3]) / cnt)
+                        )
+                for idx, delay, w, h, mr, mg, mb in sampled:
                     row = {k: rec[k] for k in keep_names}
                     row.update(
                         frame_index=idx,
@@ -571,9 +579,9 @@ def sample_gif_frames(
                         delay_cs=delay,
                         fr_width=w,
                         fr_height=h,
-                        fmean_r=round(sr / cnt, 4),
-                        fmean_g=round(sg / cnt, 4),
-                        fmean_b=round(sb / cnt, 4),
+                        fmean_r=round(mr, 4),
+                        fmean_g=round(mg, 4),
+                        fmean_b=round(mb, 4),
                     )
                     rows.append(row)
             cols = keep_names + [

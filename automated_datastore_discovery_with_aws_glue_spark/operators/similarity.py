@@ -636,18 +636,16 @@ def ivf_topk_q8(
     idx = spark.read.parquet(path)
     cands = (
         idx.filter(F.col("_cell").isin(probes))
+        # an all-zero vector quantizes to zeros and has no defined
+        # cosine (a divide-by-zero under ANSI) — exclude it before
+        # scoring so it neither errors nor consumes a candidate slot
+        .filter(dot(as_double(F.col("q")), as_double(F.col("q"))) != 0.0)
         .select(
             id_col,
-            # an all-zero vector quantizes to zeros; under ANSI mode its
-            # cosine is a divide-by-zero — guard the norm and pin such
-            # rows to the candidate-pool floor instead
-            F.when(dot(as_double(F.col("q")), as_double(F.col("q"))) == 0.0, F.lit(-2.0))
-            .otherwise(
-                cosine(as_double(F.col("q")), lit_vec([float(x) for x in query]))
-            )
-            .alias("_approx"),
+            cosine(as_double(F.col("q")), lit_vec([float(x) for x in query])).alias(
+                "_approx"
+            ),
         )
-        .filter(F.col("_approx") > -2.0)  # zero vectors: no defined cosine
         .orderBy(F.col("_approx").desc(), F.col(id_col))
         .limit(k * rerank_factor)
     )

@@ -205,12 +205,24 @@ def range_join(
     bounded by pairs within ``2*delta_us`` — never the per-key
     quadratic of a key-equijoin-then-filter. ``df_b``'s columns come
     back suffixed where they collide with ``df_a``'s."""
-    a = df_a.withColumn("_bin", F.floor(F.unix_micros(F.col(a_ts)) / F.lit(delta_us)))
     b_cols = {
         c: (c + suffix if c in df_a.columns and c != on else c)
         for c in df_b.columns
         if c != on
     }
+    # the suffix must actually disambiguate: feeding a prior range_join
+    # output back in (it already has ts_b) would otherwise emit two
+    # identically-named columns and fail later with AMBIGUOUS_REFERENCE
+    out_names = list(df_a.columns) + list(b_cols.values())
+    dup = {n for n in out_names if out_names.count(n) > 1}
+    if dup:
+        raise ValueError(
+            f"range_join output column collision {sorted(dup)}: rename the "
+            f"inputs or pass a different suffix"
+        )
+    if "_bin" in df_a.columns or "_bin" in df_b.columns:
+        raise ValueError("range_join reserves the column name '_bin'")
+    a = df_a.withColumn("_bin", F.floor(F.unix_micros(F.col(a_ts)) / F.lit(delta_us)))
     b = (
         df_b.select(
             F.col(on), *[F.col(c).alias(out) for c, out in b_cols.items()]

@@ -2287,6 +2287,20 @@ ORACLES["doc_lm_perplexity_bigram"] = DOC_LM_PERPLEXITY_BIGRAM_SQL
 
 from automated_datastore_discovery_with_aws_glue_spark.operators import bpe as BPE  # noqa: E402
 
+#: learned merges memoized per sf_dir — training is deterministic, and
+#: three declared queries (merges / encode / packing) would otherwise
+#: each re-run the corpus word-count pass + 12 argmax rounds
+_BPE_MERGES_CACHE: dict[str, list[dict]] = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list[dict]:
+    got = _BPE_MERGES_CACHE.get(sf_dir)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents")
+        got = BPE.bpe_train(BPE.word_counts(docs))
+        _BPE_MERGES_CACHE[sf_dir] = got
+    return got
+
 
 def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table itself (step, pair, merged symbol,
@@ -2294,8 +2308,7 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny result is re-framed for the driver. DuckDB re-learns the
     same merges through the unrolled CTE oracle, differentially
     verifying every argmax round."""
-    docs = load_table(spark, sf_dir, "documents")
-    merges = BPE.bpe_train(BPE.word_counts(docs))
+    merges = _bpe_merges_for(spark, sf_dir)
     out = spark.createDataFrame(
         [
             (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
@@ -2317,7 +2330,7 @@ def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression column shows subword learning doing real work
     (chars per BPE token > 1 wherever merges fired)."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = BPE.bpe_train(BPE.word_counts(docs))
+    merges = _bpe_merges_for(spark, sf_dir)
     seg = BPE.encode_seg_expr(F.col("text"), merges)
     n_bpe = BPE.token_count_expr(seg)
     n_other = F.size(
@@ -2354,7 +2367,7 @@ def tok_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = BPE.bpe_train(BPE.word_counts(docs))
+    merges = _bpe_merges_for(spark, sf_dir)
     seg = BPE.encode_seg_expr(F.col("text"), merges)
     n_other = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit(r"[0-9]+|[^a-z0-9\s]"), 0)
@@ -2429,11 +2442,18 @@ def knn_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantization math is pinned by the oracle-checked
     ``emb_quantize_int8`` and the recall/exactness bounds by
     tests/test_text_similarity.py."""
+    import os
+    import re as _re
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    path = tempfile.mkdtemp(prefix="ivf_q8_")
+    # one FIXED scratch dir per sf_dir, overwritten on every run — a
+    # fresh mkdtemp per invocation leaked an int8 copy of the
+    # embeddings into /tmp on every bench/oracle sweep
+    path = os.path.join(
+        tempfile.gettempdir(), "ivf_q8_" + _re.sub(r"\W+", "_", sf_dir)
+    )
     cents = S.write_ivf_partitioned_q8(
         emb, path, "embedding", id_col="vec_id", n_cells=16
     )

@@ -597,3 +597,42 @@ def test_sample_gif_frames_stride_and_nulls(spark):
     assert [(r["doc_id"], r["frame_index"]) for r in out] == [(1, 0), (1, 3)]
     assert out[1]["fmean_r"] == 100.0 and out[1]["delay_cs"] == 3
     assert out[0]["n_frames"] == 4 and out[0]["fr_width"] == 2
+
+
+def test_gif_local_color_table_does_not_recolor_earlier_frames():
+    """Regression: the canvas composites RGB at paint time, so a later
+    frame's LOCAL color table must never remap pixels painted by
+    earlier frames through the global table (the index-canvas bug)."""
+    import struct as _s
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.gif import (
+        _lzw_encode_literals,
+        decode_gif_frames,
+    )
+
+    def img(left, top, fw, fh, indices, lct=None):
+        out = bytearray(b"\x2c")
+        out += _s.pack("<HHHHB", left, top, fw, fh, 0x80 if lct else 0)
+        if lct:
+            for r, g, b in lct:
+                out += bytes((r, g, b))
+        out.append(2)  # min_code_size
+        stream = _lzw_encode_literals(2, bytes(indices))
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+        return bytes(out)
+
+    gif = bytearray(b"GIF89a")
+    gif += _s.pack("<HHBBB", 2, 1, 0x80, 0, 0)  # screen 2x1, GCT 2 entries
+    gif += bytes((255, 0, 0)) + bytes((0, 255, 0))  # GCT: red, green
+    gif += img(0, 0, 2, 1, [0, 0])  # frame 0: full-screen red via GCT
+    gif += img(1, 0, 1, 1, [0], lct=[(0, 0, 255), (255, 255, 255)])  # LCT blue
+    gif += b"\x3b"
+    frames = decode_gif_frames(bytes(gif))
+    assert frames[0][3] == bytes((255, 0, 0)) * 2
+    # frame 1: left pixel STAYS red (painted by frame 0 via the GCT);
+    # right pixel is the LCT's blue
+    assert frames[1][3] == bytes((255, 0, 0)) + bytes((0, 0, 255))
