@@ -62,10 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_jaccard": L.QUERIES["dedup_clusters_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
-        "knn_lsh": L.QUERIES["knn_lsh"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         # -- corpus assembly / composed training-data pipelines --
-        "corpus_prepare": L.EXTRA_QUERIES["corpus_prepare"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "para_dedup": L.EXTRA_QUERIES["para_dedup"],
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
@@ -111,6 +109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_bpe_encode": L.EXTRA_QUERIES["tok_bpe_encode"],
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],
+        # -- r8 late additions: bloom-prefiltered decontamination (same
+        #    oracle as the exact path — the two-tier composition is
+        #    hash-checked) and the skew-salted join (result-identity
+        #    with the plain join is the checked property)
+        "corpus_decontaminate_bloom": L.EXTRA_QUERIES["corpus_decontaminate_bloom"],
+        "j_salted_skew_enrich": L.EXTRA_QUERIES["j_salted_skew_enrich"],
         # ---- driver window ends here (50 entries) ----
         # r8 rotation casualties (multi-round green, family-pinned by
         # in-window twins — dedup_exact by the LSH chain + para_dedup,
@@ -132,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": M.QUERIES["mm_frame_sample"],
         "corpus_clean": L.EXTRA_QUERIES["corpus_clean"],
         "gen_individuals": G.QUERIES["gen_individuals"],
+        "knn_lsh": L.QUERIES["knn_lsh"],
+        "corpus_prepare": L.EXTRA_QUERIES["corpus_prepare"],
         # r7 rotation casualties (multi-round green, md5-twin/bench
         # pinned; still checked locally by tools/check_oracle.py)
         "text_repetition": L.EXTRA_QUERIES["text_repetition"],

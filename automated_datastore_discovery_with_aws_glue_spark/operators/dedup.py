@@ -673,6 +673,82 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+    num_bits: int = 8_388_608,
+) -> DataFrame:
+    """:func:`decontaminate` for the regime where the benchmark's gram
+    set is too large to broadcast as an exact hash set (many benchmarks
+    x many grams at 100 TB): build a BLOOM FILTER over the benchmark
+    grams, prefilter the corpus gram scan with it, then verify ONLY the
+    flagged rows against the exact gram set with a shuffle semi-join.
+
+    The filter is a one-hash blocked Bloom built from public primitives
+    (Spark's ``bloom_filter_agg`` expression is not SQL-registered):
+    bit position = ``pmod(gh, num_bits)``, packed into 64-bit words by a
+    ``bit_or`` aggregate — at the default 2^23 bits that is a <=131072-
+    row (word, bits) table, ~1 MB broadcast however many grams it
+    summarizes. The prefilter is then a broadcast join on the word
+    index + a mask test — map-side, corpus never shuffles to be tested.
+
+    Exactness is preserved by construction: a Bloom filter has no false
+    negatives, so every truly contaminated gram survives the prefilter,
+    and the exact verify discards the false positives — the output
+    EQUALS :func:`decontaminate`'s (same oracle), while the exact
+    set's shuffle join now sees only the flagged sliver of the corpus
+    instead of every gram. Undersizing ``num_bits`` degrades the
+    prefilter's selectivity, never the answer (pinned in pytest with an
+    absurdly small filter)."""
+    if hash_fn == "md5":
+        def grams(df: DataFrame) -> DataFrame:
+            sh = word_shingles(F.col("_t"), n)
+            return (
+                spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+                .select("id", F.explode(sh).alias("g"))
+                .select("id", md5_hash64(F.col("g")).alias("gh"))
+            )
+    else:
+        def grams(df: DataFrame) -> DataFrame:
+            return _hashed_shingle_frame(df, id_col, text_col, n).select(
+                "id", F.explode("hs").alias("gh")
+            )
+
+    def bit_cols(df: DataFrame) -> DataFrame:
+        # F.shiftleft only takes a literal shift amount; the per-row
+        # shift goes through an expression
+        pos = F.pmod(F.col("gh"), F.lit(int(num_bits)))
+        return df.withColumn("_pos", pos).selectExpr(
+            "*",
+            "CAST(_pos / 64 AS BIGINT) AS _w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT)) AS _m",
+        ).drop("_pos")
+
+    bench_grams = grams(bench).select("gh").distinct()
+    bloom = (
+        bit_cols(bench_grams)
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    flagged = (
+        bit_cols(grams(train))
+        .join(F.broadcast(bloom), "_w")
+        .filter(F.col("_m").bitwiseAND(F.col("_bits")) != 0)
+        .select("id", "gh")
+    )
+    contaminated = (
+        flagged.join(bench_grams, "gh", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def contamination_scores(
     train: DataFrame,
     bench: DataFrame,

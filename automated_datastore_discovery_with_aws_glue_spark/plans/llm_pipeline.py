@@ -2464,3 +2464,69 @@ def knn_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["knn_ivf_q8"] = knn_ivf_q8
+
+
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (r8): the 100 TB regime where
+    the benchmark gram set is too large to broadcast exactly — a
+    bloom_filter_agg binary prefilters the corpus gram scan map-side
+    (no false negatives), and only the flagged sliver verifies against
+    the exact set. The output EQUALS exact decontamination by
+    construction, so it shares ``corpus_decontaminate``'s oracle —
+    the whole two-tier composition is hash-checked, not rows-only.
+    (The filter is the bit_or-aggregated bitset table of
+    ``operators.dedup.decontaminate_bloom`` — public primitives only;
+    Spark's internal bloom_filter_agg is not SQL-registered.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    return (
+        D.decontaminate_bloom(
+            train, bench, "doc_id", "text", n=3, hash_fn="md5",
+            num_bits=1_048_576,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+EXTRA_QUERIES["corpus_decontaminate_bloom"] = corpus_decontaminate_bloom
+ORACLES["corpus_decontaminate_bloom"] = CORPUS_DECONTAMINATE_SQL
+
+
+def j_salted_skew_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-flattened enrichment join (r8): events join their per-type
+    rollup on event_type — a 4-value key, the canonical hot-key shape
+    (at 100 TB one key = one straggler partition). ``salted_join``
+    widens the shuffle key to (event_type, salt in [0,8)) with the
+    rollup replicated 8x, so each hot key spreads over 8 partitions;
+    the result set is identical to the plain join by construction,
+    which is exactly what the oracle hash-checks."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.round(F.sum("value"), 2).alias("type_total"),
+    )
+    out = salted_join(
+        ev.select("event_id", "event_type"), dim, "event_type", n_salt=8
+    )
+    return out.select("event_id", "event_type", "n_type", "type_total").orderBy(
+        "event_id"
+    )
+
+
+J_SALTED_SKEW_SQL = """
+    WITH dim AS (
+        SELECT event_type, count(*) AS n_type,
+               round(sum(value), 2) AS type_total
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.n_type, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    ORDER BY e.event_id
+"""
+
+EXTRA_QUERIES["j_salted_skew_enrich"] = j_salted_skew_enrich
+ORACLES["j_salted_skew_enrich"] = J_SALTED_SKEW_SQL

@@ -99,6 +99,8 @@ HEADLINE = [
     "tok_pack_sequences_bpe",
     "mm_gif_frame_sample",
     "knn_ivf_q8",
+    "corpus_decontaminate_bloom",
+    "j_salted_skew_enrich",
 ]
 
 

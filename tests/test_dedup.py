@@ -456,3 +456,53 @@ def test_strip_dup_spans_keeps_first_occurrence(spark):
     assert got[2] == ("x1 x2 tail1", 3, 7)               # shared span removed
     assert got[3][1:] == (9, 0)                          # untouched
     assert got[5] == ("p q r s t", 5, 5)                 # within-doc: first copy kept
+
+
+def test_decontaminate_bloom_equals_exact_even_when_undersized(spark):
+    """The bloom-prefiltered path must return EXACTLY the exact path's
+    survivors (no false negatives by construction; false positives die
+    in the verify join) — including with an absurdly undersized filter
+    (64 bits for thousands of grams: near-every gram flags, the verify
+    still discards every false positive). Plan shape: the bitset
+    prefilter is a broadcast join (the corpus never shuffles to be
+    tested); the only shuffle joins touch the flagged sliver."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here"),
+         (101, "a second eval snippet with different words entirely")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated training text about spark plans"),
+            (2, "prefix words then the secret benchmark passage appears verbatim"),
+            (3, "another clean document with no overlap at all"),
+            (4, "contains a second eval snippet with padding around it"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, "doc_id", "text", n=3).collect()
+    )
+    assert exact == [1, 3]
+    for bits in (8_388_608, 64):  # well-sized and absurdly undersized
+        got = sorted(
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                train, bench, "doc_id", "text", n=3, num_bits=bits
+            ).collect()
+        )
+        assert got == exact, bits
+
+    out = decontaminate_bloom(train, bench, "doc_id", "text", n=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan  # the bitset prefilter
+    for node in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node

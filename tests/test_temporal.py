@@ -318,3 +318,59 @@ def test_range_join_pair_boundaries(spark):
     assert {"id", "k", "ts", "id_b", "ts_b"} == set(out.columns)
     pairs = sorted((r["id"], r["id_b"]) for r in out.collect())
     assert pairs == [(1, 2), (2, 3)]
+
+
+def test_salted_join_matches_plain_join_all_shapes(spark):
+    """Salting must never change the result set: inner / left /
+    left_semi / left_anti all equal their plain twins, duplicates and
+    unmatched keys included; reserved/colliding columns raise."""
+    import pytest as _pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "hot"), (2, "hot"), (3, "hot"), (3, "hot"), (4, "cold"), (5, "orphan")],
+        ["id", "k"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 10), ("hot", 11), ("cold", 20), ("unused", 30)], ["k", "v"]
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(map(tuple, salted_join(left, right, "k", n_salt=4, how=how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+
+    with _pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(left, right, "k", how="right")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(left.withColumn("_salt", F.lit(1)), right, "k")
+    with _pytest.raises(ValueError, match="non-key"):
+        salted_join(left.withColumn("v", F.lit(1)), right, "k")
+
+
+def test_salted_join_widens_the_shuffle_key(spark):
+    """The operator's reason to exist: the exchange partitions on
+    (key, _salt), so one hot key spreads across n_salt partitions.
+    Broadcast is disabled for the probe so the shuffle is visible."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(i, "hot") for i in range(100)], ["id", "k"])
+    right = spark.createDataFrame([("hot", 1)], ["k", "v"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = salted_join(left, right, "k", n_salt=8)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    # BOTH sides exchange on (key, salt): the hot key spreads over
+    # n_salt shuffle partitions (AQE may later coalesce tiny test data,
+    # so the partitioning expression — not a runtime partition count —
+    # is the property to pin)
+    assert len(re.findall(r"hashpartitioning\(k#\d+, _salt#\d+", plan)) == 2, plan
+    got = sorted(map(tuple, out.collect()))  # key-first column order
+    assert got == sorted(("hot", i, 1) for i in range(100))
