@@ -660,3 +660,174 @@ def ivf_topk_q8(
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    sample: int = 512,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: split the
+    (normalized) vector into ``m`` equal subspaces and learn ``k``
+    centroids per subspace — seeds are the hash-ordered sample's first
+    ``k`` subvectors (the :func:`ivf_centroids` sampling pattern), then
+    ONE Lloyd step over the full sample drifts them to subspace means.
+    Driver-side numpy over a BOUNDED sample (``sample`` x dim floats,
+    independent of table size), fully deterministic. Returns shape
+    ``(m, k, dim/m)``. All-zero vectors are excluded (no direction to
+    quantize; the read path excludes them too)."""
+    rows = (
+        df.filter(F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0))
+        .select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h", "v")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        d = max(1, vector_dim(df, vec_col))
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        return np.zeros((m, 0, d // m))
+    pts = np.array([[float(x) for x in r["v"]] for r in rows])
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    d = pts.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    books = []
+    for j in range(m):
+        sub = pts[:, j * ds : (j + 1) * ds]
+        seeds = sub[: min(k, len(sub))]
+        if len(seeds) < k:  # degenerate tiny sample: pad by repeating
+            seeds = np.vstack([seeds] * ((k + len(seeds) - 1) // len(seeds)))[:k]
+        d2 = ((sub[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        cents = np.vstack(
+            [
+                sub[assign == c].mean(axis=0) if np.any(assign == c) else seeds[c]
+                for c in range(k)
+            ]
+        )
+        books.append(cents)
+    return np.stack(books)
+
+
+def write_ivf_partitioned_pq(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    *,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    refine_sample: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVF-PQ index: cell-partitioned like the q8
+    variant, but each vector stored as ``m`` 1-byte PQ codes (32x
+    smaller than float32 at m=8 over 64 dims) — the read path scores
+    codes against a per-query lookup table and re-ranks the survivors
+    at full precision from primary storage. All-zero vectors are
+    excluded from the index (no cosine direction; consistent with the
+    q8 read path). Returns (ivf_centroids, pq_codebooks)."""
+    nz = df.filter(F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0))
+    cents = ivf_centroids(
+        nz, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    )
+    books = pq_codebooks(nz, vec_col, m=m, k=k, id_col=id_col)
+    cell = F.lit(0) if len(cents) == 0 else ivf_cell_expr(vec_col, cents)
+    norm = (
+        f"sqrt(aggregate(transform(`{vec_col}`, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    (
+        nz.withColumn("_n", F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE) / {norm})"))
+        .select(
+            F.col(id_col),
+            _pq_codes_column(books).alias("codes"),
+            cell.alias("_cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+    return cents, books
+
+
+def _pq_codes_column(codebooks: np.ndarray) -> Column:
+    """``codes`` expression over a pre-normalized ``_n`` vector column:
+    per subspace, argmin squared-L2 against that subspace's centroid
+    matrix (ties break to the lower code via the struct order), emitted
+    as ``array<tinyint>`` of length ``m`` — 1 byte per subspace."""
+    m, k, ds = codebooks.shape
+    subs = []
+    for j in range(m):
+        cb = _lit_matrix_sql(codebooks[j])
+        subs.append(
+            f"CAST(array_min(transform(sequence(0, {k - 1}), c -> named_struct("
+            f"'d', aggregate(zip_with("
+            f"slice(_n, {j * ds + 1}, {ds}), element_at({cb}, c + 1), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, b) -> a + b), "
+            f"'c', c))).c AS TINYINT)"
+        )
+    return F.expr("array(" + ", ".join(subs) + ")")
+
+
+def ivf_topk_pq(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: list[float],
+    full_df: DataFrame,
+    topk: int = 10,
+    *,
+    vec_col: str = "emb",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-tier IVF-PQ read: (1) partition-pruned scan of the probed
+    cells scoring PQ codes by ASYMMETRIC DISTANCE — the per-query
+    (m x k) lookup table of subspace distances folds in as a literal,
+    so scoring a vector is ``m`` byte-indexed lookups, no arithmetic on
+    the vector at all; (2) the top ``topk * rerank_factor`` candidates
+    re-rank at full precision against primary storage. Same exactness
+    contract as the q8 path: quantization can demote a candidate out of
+    the pool, never corrupt an emitted similarity."""
+    m, k, ds = codebooks.shape
+    qv = np.asarray(query, dtype=float)
+    probes = [int(p) for p in np.argsort(-(centroids @ qv))[:n_probe]]
+    qn = qv / np.linalg.norm(qv)
+    # ADC lookup table: distance from the query's j-th subvector to
+    # every centroid of subspace j
+    lut = np.stack(
+        [((codebooks[j] - qn[j * ds : (j + 1) * ds]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    lut_sql = _lit_matrix_sql(lut)
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), (acc, j) -> "
+        f"acc + element_at(element_at({lut_sql}, j + 1), CAST(element_at(codes, j + 1) AS INT) + 1))"
+    )
+    idx = spark.read.parquet(path)
+    cands = (
+        idx.filter(F.col("_cell").isin(probes))
+        .select(id_col, adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(topk * rerank_factor)
+    )
+    return (
+        full_df.join(F.broadcast(cands.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(F.col(vec_col)), lit_vec([float(x) for x in query])), 4
+            ).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col))
+        .limit(topk)
+    )

@@ -2530,3 +2530,34 @@ J_SALTED_SKEW_SQL = """
 
 EXTRA_QUERIES["j_salted_skew_enrich"] = j_salted_skew_enrich
 ORACLES["j_salted_skew_enrich"] = J_SALTED_SKEW_SQL
+
+
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via the IVF-PQ index (r8): vectors stored as
+    m=8 one-byte product-quantization codes (32x smaller than float32 —
+    the high-dim memory-reduction tier the r7 verdict named), probed
+    cells scored by asymmetric distance (a per-query (m x k) literal
+    lookup table — scoring touches only the code bytes), survivors
+    re-ranked at full precision. Rows-only like its q8/ivf siblings
+    (data-dependent codebooks + probabilistic recall); the encoding is
+    pinned against a full numpy replay and the recall/exactness bounds
+    in tests/test_text_similarity.py."""
+    import os
+    import re as _re
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    path = os.path.join(
+        tempfile.gettempdir(), "ivf_pq_" + _re.sub(r"\W+", "_", sf_dir)
+    )
+    cents, books = S.write_ivf_partitioned_pq(
+        emb, path, "embedding", id_col="vec_id", n_cells=16, m=8, k=16
+    )
+    return S.ivf_topk_pq(
+        spark, path, cents, books, query, emb, 10,
+        vec_col="embedding", id_col="vec_id", n_probe=4,
+    )
+
+
+EXTRA_QUERIES["knn_ivf_pq"] = knn_ivf_pq

@@ -99,6 +99,7 @@ HEADLINE = [
     "tok_pack_sequences_bpe",
     "mm_gif_frame_sample",
     "knn_ivf_q8",
+    "knn_ivf_pq",
     "corpus_decontaminate_bloom",
     "j_salted_skew_enrich",
 ]

@@ -477,3 +477,102 @@ def test_ivf_q8_zero_vector_never_tops_candidates(spark, tmp_path):
     ).collect()
     assert [r["vec_id"] for r in got][:2] == [0, 1]
     assert 99 not in {r["vec_id"] for r in got}
+
+
+def test_ivf_pq_index_stores_codes_prunes_and_reranks_exact(spark, tmp_path):
+    """The IVF-PQ tier: the persisted index stores m 1-byte codes per
+    vector (no vector column at all — the real memory-reduction tier),
+    the probe prunes partitions, ADC scoring + full-precision re-rank
+    returns exact similarities, and recall vs the full-precision
+    partitioned index stays high."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_partitioned,
+        ivf_topk_pq,
+        write_ivf_partitioned,
+        write_ivf_partitioned_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    path = str(tmp_path / "ivf_pq")
+    cents, books = write_ivf_partitioned_pq(
+        emb, path, "embedding", id_col="vec_id", n_cells=8, m=8, k=16
+    )
+    assert books.shape == (8, 16, 8)  # 64 dims -> 8 subspaces of 8
+
+    idx = spark.read.parquet(path)
+    assert dict(idx.dtypes)["codes"] == "array<tinyint>"
+    assert "embedding" not in idx.columns  # codes only: 8 bytes/vector
+    assert idx.selectExpr("max(size(codes))").collect()[0][0] == 8
+
+    top = ivf_topk_pq(
+        spark, path, cents, books, query, emb, 5,
+        vec_col="embedding", id_col="vec_id", n_probe=3,
+    )
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m_ = re.search(r"PartitionFilters: \[_cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m_ and len(m_.group(1).split(",")) == 3, plan
+
+    got = top.collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["similarity"] - 1.0) < 1e-9
+    exact = {
+        r["vec_id"]: r["similarity"]
+        for r in brute_force_topk(emb, "embedding", query, 200).collect()
+    }
+    for r in got:  # every emitted similarity is the exact cosine
+        assert exact[r["vec_id"]] == r["similarity"], r
+
+    fpath = str(tmp_path / "ivf_fp2")
+    cents_fp = write_ivf_partitioned(emb, fpath, "embedding", id_col="vec_id", n_cells=8)
+    full = ivf_topk_partitioned(
+        spark, fpath, cents_fp, query, 5, vec_col="embedding", id_col="vec_id", n_probe=3
+    ).collect()
+    overlap = {r["vec_id"] for r in got} & {r["vec_id"] for r in full}
+    assert len(overlap) >= 3, (got, full)
+
+
+def test_pq_codebooks_deterministic_and_encoding_matches_numpy(spark):
+    """Codebooks are identical call-to-call, and the executor-side
+    argmin encoding agrees with a driver-side numpy replay on every
+    vector (ties included)."""
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        pq_codebooks,
+        write_ivf_partitioned_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    b1 = pq_codebooks(emb, "embedding", m=4, k=8)
+    b2 = pq_codebooks(emb, "embedding", m=4, k=8)
+    assert np.array_equal(b1, b2)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cents, books = write_ivf_partitioned_pq(
+            emb, td + "/ix", "embedding", id_col="vec_id", n_cells=2, m=4, k=8
+        )
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(td + "/ix").collect()
+        }
+    rows = emb.collect()
+    ds = 64 // 4
+    for r in rows:
+        v = np.array([float(x) for x in r["embedding"]])
+        n = np.linalg.norm(v)
+        if n == 0:
+            assert r["vec_id"] not in got  # zero vectors excluded
+            continue
+        vn = v / n
+        want = [
+            int(np.argmin(((books[j] - vn[j * ds : (j + 1) * ds]) ** 2).sum(axis=1)))
+            for j in range(4)
+        ]
+        assert got[r["vec_id"]] == want, r["vec_id"]
