@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     *,
     left_ts: str = "ts",
     right_ts: str = "ts",
@@ -42,7 +42,8 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row gains ONE right row of the same ``on``
-    key, chosen by ``direction``:
+    key (a column name or a composite-key list), chosen by
+    ``direction``:
 
     - ``backward`` (default): latest right with ``right_ts <= left_ts``
       (ties at equal ts match; greatest payload struct wins ties).
@@ -58,16 +59,17 @@ def asof_join(
     key-partitioned data, never a second shuffle."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
-    r_payload = [c for c in right.columns if c != on]
+    keys = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in right.columns if c not in keys]
     r_struct = F.struct(*[F.col(c) for c in r_payload])
     r_tag = right.select(
-        F.col(on),
+        *[F.col(c) for c in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_r"),
         r_struct.alias("_rv"),
     )
     l_tag = left.select(
-        F.col(on),
+        *[F.col(c) for c in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_r"),
         F.lit(None).cast(r_tag.schema["_rv"].dataType).alias("_rv"),
@@ -79,7 +81,7 @@ def asof_join(
     # an equal-timestamp right row is visible to its left row; among
     # same-ts right rows the struct order breaks ties deterministically
     w_back = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col("_ts").asc(), F.col("_is_r").desc(), F.col("_rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -87,7 +89,7 @@ def asof_join(
     # right row at-or-after the left row; _rv desc makes the SMALLEST
     # same-ts payload win (matches ORDER BY ts, payload LIMIT 1)
     w_fwd = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col("_ts").desc(), F.col("_is_r").desc(), F.col("_rv").desc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -128,7 +130,7 @@ def asof_join(
         )
     out_cols = [F.col("_lv")[c].alias(c) for c in left.columns]
     out_cols += [
-        F.col("_m")[c].alias(c + suffix if c in left.columns or c == on else c)
+        F.col("_m")[c].alias(c + suffix if c in left.columns or c in keys else c)
         for c in r_payload
     ]
     return carried.select(*out_cols)

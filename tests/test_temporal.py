@@ -374,3 +374,43 @@ def test_salted_join_widens_the_shuffle_key(spark):
     assert len(re.findall(r"hashpartitioning\(k#\d+, _salt#\d+", plan)) == 2, plan
     got = sorted(map(tuple, out.collect()))  # key-first column order
     assert got == sorted(("hot", i, 1) for i in range(100))
+
+
+def test_asof_join_composite_key(spark):
+    """Multi-column keys: matches respect BOTH key columns (the
+    (symbol, venue) shape), in every direction, still one shuffle."""
+    left = spark.createDataFrame(
+        [
+            (1, "aapl", "N", _ts("2024-01-01 10:00:30")),
+            (2, "aapl", "Q", _ts("2024-01-01 10:00:30")),
+            (3, "msft", "N", _ts("2024-01-01 10:00:30")),
+        ],
+        ["id", "sym", "venue", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("aapl", "N", _ts("2024-01-01 10:00:00"), 1.0),
+            ("aapl", "Q", _ts("2024-01-01 10:00:10"), 2.0),
+            ("msft", "N", _ts("2024-01-01 10:01:00"), 3.0),
+        ],
+        ["sym", "venue", "ts", "px"],
+    )
+    back = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, ["sym", "venue"]).collect()
+    }
+    assert back == {1: 1.0, 2: 2.0, 3: None}
+    near = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, ["sym", "venue"], direction="nearest").collect()
+    }
+    assert near == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    out = asof_join(left, right, ["sym", "venue"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(sym#" in plan and "venue#" in plan
