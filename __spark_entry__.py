@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.operators import generate as G
+from automated_datastore_discovery_with_aws_glue_spark.plans import analytics as A
 from automated_datastore_discovery_with_aws_glue_spark.plans import incremental as INC
 from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline as L
 from automated_datastore_discovery_with_aws_glue_spark.plans import media as M
@@ -65,11 +66,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         # -- corpus assembly / composed training-data pipelines --
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
-        "para_dedup": L.EXTRA_QUERIES["para_dedup"],
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
-        "doc_tfidf_topk": L.EXTRA_QUERIES["doc_tfidf_topk"],
-        "doc_lm_perplexity": L.EXTRA_QUERIES["doc_lm_perplexity"],
-        "corpus_filter_signals": L.EXTRA_QUERIES["corpus_filter_signals"],
+        # -- r8 second-wave: per-frame audio features through the real
+        #    WAV kernel (displaced para_dedup — multi-round green,
+        #    family-pinned by the in-window corpus_dup_spans rows)
+        "mm_audio_features": M.QUERIES["mm_audio_features"],
+        # -- r8 second-wave: behavioral analytics + record linkage
+        #    (funnel / cohort retention / sorted-neighborhood ER);
+        #    displaced doc_tfidf_topk / doc_lm_perplexity /
+        #    corpus_filter_signals (multi-round green, family-pinned by
+        #    the in-window perplexity-bigram + quality-classifier rows)
+        "ev_funnel": A.QUERIES["ev_funnel"],
+        "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
+        "er_sorted_neighborhood": A.QUERIES["er_sorted_neighborhood"],
         "corpus_report": L.EXTRA_QUERIES["corpus_report"],
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
@@ -458,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_histogram": P.prof_histogram_sql(),
         "pii_redact": P.pii_redact_oracle_sql(),
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms_sql(),
+        **A.ORACLES,
         **L.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,

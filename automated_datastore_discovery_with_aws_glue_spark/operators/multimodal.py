@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -594,3 +595,91 @@ def sample_gif_frames(
             yield out
 
     return df.mapInPandas(_sample, schema=out_schema)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    content_col: str = "content",
+    *,
+    frame_len: int = 16,
+) -> DataFrame:
+    """Per-frame audio features via ``mapInPandas``: split the decoded
+    PCM stream (stdlib ``wave`` — the same unconditional kernel as
+    :func:`decode_audio`) into consecutive ``frame_len``-sample frames
+    (channel 0, FULL frames only) and emit one row per frame with
+
+    - ``rms``  — root-mean-square amplitude (4 dp; the sum of squares
+      is exact int64, so ``sqrt`` is the single correctly-rounded IEEE
+      op and the value is bit-reproducible),
+    - ``zcr``  — zero crossings between consecutive samples INSIDE the
+      frame (``s[i] * s[i-1] < 0``),
+    - ``peak`` — max absolute sample.
+
+    Fans out rows, so the output schema is (input columns minus the
+    binary) + frame columns. Non-WAV bytes raise (capability gap is an
+    error, never a silent NULL); NULL cells contribute no frames.
+    Frames are independent per row, so the kernel streams each file
+    once and retains only per-frame scalars — batch memory is
+    O(frames), never O(samples)."""
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, rec in pdf.iterrows():
+                b = rec[content_col]
+                if b is None:
+                    continue
+                b = bytes(b)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        "non-WAV audio features require an external codec "
+                        "(not installed); the stdlib kernel covers PCM WAV"
+                    )
+                with wave.open(io.BytesIO(b)) as w:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError(
+                            "frame features cover 16-bit PCM; got "
+                            f"{8 * w.getsampwidth()}-bit"
+                        )
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                mono = samples[::nch]  # channel 0
+                base = {k: rec[k] for k in keep_names}
+                for f_idx in range(len(mono) // frame_len):
+                    fr = mono[f_idx * frame_len : (f_idx + 1) * frame_len]
+                    sq = int(np.dot(fr, fr))  # exact: int64 sums
+                    rows.append(
+                        dict(
+                            base,
+                            frame_idx=f_idx,
+                            n_samples=frame_len,
+                            rms=round(math.sqrt(sq / frame_len), 4),
+                            zcr=int(np.sum(fr[1:] * fr[:-1] < 0)),
+                            peak=int(np.max(np.abs(fr))),
+                        )
+                    )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+            for c in ("frame_idx", "n_samples", "zcr", "peak"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(_features, schema=out_schema)

@@ -411,3 +411,112 @@ MM_GIF_FRAME_SAMPLE_SQL = """
 
 QUERIES["mm_gif_frame_sample"] = mm_gif_frame_sample
 ORACLES["mm_gif_frame_sample"] = MM_GIF_FRAME_SAMPLE_SQL
+
+
+def _wav_wave_content(docs: DataFrame) -> DataFrame:
+    """documents + a REAL mono 16-bit PCM WAV per row whose samples are
+    an amplitude-modulated square wave — every parameter a formula of
+    doc_id, every byte built from native expressions:
+
+    - ``n  = 64 + doc_id % 64`` samples at 8 kHz,
+    - half-period ``hp = 2 + doc_id % 5``,
+    - sample ``i``: magnitude ``A + (i % 3) * 100`` with
+      ``A = 1000 + (doc_id % 7) * 500``, sign from ``(i // hp) % 2``.
+
+    Signed samples are encoded two's-complement via ``pmod(v, 65536)``
+    before the little-endian hex fold. stdlib ``wave`` round-trips
+    these bytes (pinned in pytest), so the frame-features kernel runs a
+    genuine parser against genuine files while the DuckDB oracle
+    re-derives every sample from the same formulas."""
+    n = (F.lit(64) + F.col("doc_id") % 64).cast("bigint")
+    hp = (F.lit(2) + F.col("doc_id") % 5).cast("bigint")
+    amp = (F.lit(1000) + (F.col("doc_id") % 7) * 500).cast("bigint")
+    data_size = n * 2
+
+    def _sample(i: F.Column) -> F.Column:
+        mag = amp + (i % 3) * 100
+        return F.when((i / hp).cast("bigint") % 2 == 0, mag).otherwise(-mag)
+
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n - 1),
+            lambda i: _le_hex(F.pmod(_sample(i), F.lit(65536)), 2),
+        ),
+        "",
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),                  # 'RIFF'
+        _le_hex(F.lit(36) + data_size, 4),  # chunk size
+        F.lit("57415645"),                  # 'WAVE'
+        F.lit("666D7420"),                  # 'fmt '
+        _le_hex(F.lit(16), 4),              # fmt chunk size
+        _le_hex(F.lit(1), 2),               # PCM
+        _le_hex(F.lit(1), 2),               # mono
+        _le_hex(F.lit(8000), 4),            # sample rate
+        _le_hex(F.lit(16000), 4),           # byte rate
+        _le_hex(F.lit(2), 2),               # block align
+        _le_hex(F.lit(16), 2),              # bits per sample
+        F.lit("64617461"),                  # 'data'
+        _le_hex(data_size, 4),
+        data_hex,
+    )
+    return docs.select("doc_id", F.unhex(header_hex).alias("content"))
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame audio features end-to-end: natively synthesized
+    square-wave WAVs (`_wav_wave_content`) parsed by the stdlib
+    ``wave`` kernel and framed into 16-sample windows with RMS /
+    zero-crossing-rate / peak per frame
+    (``operators.multimodal.audio_frame_features``). The DuckDB oracle
+    regenerates every SAMPLE from the same doc_id formulas
+    (``unnest(range(n))``) and aggregates the identical features —
+    equality proves decode, framing, and the integer-exact RMS path."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import audio_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = audio_frame_features(_wav_wave_content(docs), "content", frame_len=16)
+    return out.select(
+        "doc_id", "frame_idx", "n_samples", "rms", "zcr", "peak"
+    ).orderBy("doc_id", "frame_idx")
+
+
+MM_AUDIO_FEATURES_SQL = """
+    WITH p AS (
+        SELECT doc_id,
+               64 + doc_id % 64 AS n,
+               2 + doc_id % 5 AS hp,
+               1000 + (doc_id % 7) * 500 AS amp
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i, hp, amp FROM p
+    ),
+    v AS (
+        SELECT doc_id, i, CAST(i // 16 AS INT) AS frame_idx,
+               CAST(CASE WHEN (i // hp) % 2 = 0
+                         THEN amp + (i % 3) * 100
+                         ELSE -(amp + (i % 3) * 100) END AS BIGINT) AS val
+        FROM s
+        WHERE i < (n // 16) * 16
+    ),
+    w AS (
+        SELECT doc_id, frame_idx, val,
+               CASE WHEN i % 16 <> 0
+                    THEN lag(val) OVER (PARTITION BY doc_id ORDER BY i)
+               END AS prev
+        FROM v
+    )
+    SELECT doc_id, frame_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           round(sqrt(CAST(sum(val * val) AS DOUBLE) / count(*)), 4) AS rms,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND val * prev < 0
+                         THEN 1 ELSE 0 END) AS INT) AS zcr,
+           CAST(max(abs(val)) AS INT) AS peak
+    FROM w
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+"""
+
+QUERIES["mm_audio_features"] = mm_audio_features
+ORACLES["mm_audio_features"] = MM_AUDIO_FEATURES_SQL

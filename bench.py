@@ -102,6 +102,13 @@ HEADLINE = [
     "knn_ivf_pq",
     "corpus_decontaminate_bloom",
     "j_salted_skew_enrich",
+    # r8 second wave: behavioral analytics (funnel / cohort retention),
+    # sorted-neighborhood record linkage, per-frame audio features
+    # through the real WAV kernel
+    "ev_funnel",
+    "ev_cohort_retention",
+    "er_sorted_neighborhood",
+    "mm_audio_features",
 ]
 
 

@@ -1,0 +1,149 @@
+"""Semantic edge-case tests for the behavioral / record-linkage plans
+(`plans/analytics.py`) on ENGINEERED micro-fixtures — the sf0.01 oracle
+run proves engine-vs-DuckDB equality; these prove the semantics are the
+ones a product-analytics user expects (window cutoffs, step ordering,
+cohort offsets, blocking tradeoffs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from automated_datastore_discovery_with_aws_glue_spark.plans import analytics as A
+
+T0 = dt.datetime(2024, 3, 4, 12, 0, 0)  # a Monday noon
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, user_id, event_type, ts_offset_hours)."""
+    data = [
+        (eid, T0 + dt.timedelta(hours=h), uid, et, 1.0, "{}")
+        for eid, uid, et, h in rows
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    return d
+
+
+def test_funnel_window_and_ordering(spark, tmp_path):
+    """The funnel counts a user at step k only if the step-k event falls
+    AT OR AFTER the user's step-(k-1) time and within 7 days of the
+    user's FIRST step-1 event — boundary inclusive, order strict."""
+    H = 24
+    rows = [
+        # A: view -> click -> purchase, all in window  => all 3 steps
+        (1, 1, "view", 0), (2, 1, "click", 1 * H), (3, 1, "purchase", 2 * H),
+        # B: click BEFORE the first view, none after   => step 1 only
+        (4, 2, "click", -1), (5, 2, "view", 0),
+        # C: purchase BETWEEN view and click           => steps 1-2 only
+        (6, 3, "view", 0), (7, 3, "purchase", 1 * H), (8, 3, "click", 2 * H),
+        # D: click 8 days after the first view         => step 1 only
+        (9, 4, "view", 0), (10, 4, "click", 8 * H),
+        # E: purchase exactly AT the 7-day deadline    => all 3 (inclusive)
+        (11, 5, "view", 0), (12, 5, "click", 1 * H), (13, 5, "purchase", 7 * H),
+        # F: click with NO view at all                 => no steps
+        (14, 6, "click", 0),
+        # D's second view doesn't reset the window (t1 is the FIRST view)
+        (15, 4, "view", 2 * H),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r["step_idx"]: r for r in A.ev_funnel(spark, d).collect()}
+    assert [got[i]["users"] for i in (1, 2, 3)] == [5, 3, 2]
+    assert got[1]["pct_of_first"] == 1.0
+    assert got[2]["pct_of_first"] == 0.6
+    assert got[3]["pct_of_first"] == 0.4
+    assert [got[i]["step_name"] for i in (1, 2, 3)] == ["view", "click", "purchase"]
+
+
+def test_cohort_retention_offsets_and_rates(spark, tmp_path):
+    """Cohort = Monday-truncated week of a user's FIRST event; each
+    later-week activity lands at the right integer offset and the rate
+    divides by that cohort's size (not the global user count)."""
+    W = 7 * 24
+    rows = [
+        # cohort week 0: users 1, 2
+        (1, 1, "view", 0),           # u1 active week 0
+        (2, 1, "click", 1 * W),      # u1 active week 1
+        (3, 1, "view", 3 * W),       # u1 active week 3
+        (4, 2, "view", 1),           # u2 active week 0 only
+        (5, 2, "view", 2),           # same week — no double count
+        # cohort week 1: user 3 (first event is in week 1)
+        (6, 3, "purchase", 1 * W), (7, 3, "view", 2 * W),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = {
+        (r["cohort_week"], r["week_offset"]): (r["active_users"], r["cohort_size"], r["retention_rate"])
+        for r in A.ev_cohort_retention(spark, d).collect()
+    }
+    w0 = T0.date() - dt.timedelta(days=T0.weekday())
+    w1 = w0 + dt.timedelta(days=7)
+    assert out[(str(w0), 0)] == (2, 2, 1.0)
+    assert out[(str(w0), 1)] == (1, 2, 0.5)
+    assert out[(str(w0), 3)] == (1, 2, 0.5)
+    assert (str(w0), 2) not in out          # nobody active in week 2
+    assert out[(str(w1), 0)] == (1, 1, 1.0)
+    assert out[(str(w1), 1)] == (1, 1, 1.0)
+    assert len(out) == 5
+
+
+def _write_parts(spark, tmp_path, rows):
+    """rows: (p_partkey, p_name, p_brand)."""
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string"
+    ).coalesce(1).write.parquet(d + "/part.parquet")
+    return d
+
+
+def test_er_sorted_neighborhood_blocking_semantics(spark, tmp_path):
+    """Sorted-neighborhood ER: near-identical entities in the same
+    4-char block pair up; the %7 truncation is applied; pairs are
+    bounded by the neighbor window; cross-block near-dups are NOT
+    compared (the documented blocking tradeoff)."""
+    rows = [
+        # three identical entities; key 14 (%7==0) gets last-char truncation
+        (1, "alpha widget", "B1"),
+        (2, "alpha widget", "B1"),
+        (14, "alpha widget", "B1"),
+        # same block, dist 3 from the others -> candidate but filtered
+        (3, "alphXXXidget", "B1"),
+        # cross-block near-dup of "alpha widget" (block 'Alph' != 'alph')
+        (4, "Alpha widget", "B1"),
+        # 8 identical entities (keys chosen to dodge the %7 rule):
+        # pairs limited to the 5-neighbor window
+        *[(k, "charlie gadget", "B9") for k in (50, 51, 52, 53, 55, 57, 58, 59)],
+    ]
+    d = _write_parts(spark, tmp_path, rows)
+    out = A.er_sorted_neighborhood(spark, d).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out}
+
+    # the truncated key 14 ("alpha widget B" after %7 rule) sorts first
+    # in block 'alph' and pairs with both full entities at dist 1
+    assert pairs[(14, 1)] == 1 and pairs[(14, 2)] == 1
+    assert pairs[(1, 2)] == 0
+    # dist-3 entity produced no surviving pair
+    assert not any(3 in p for p in pairs)
+    # cross-block near-dup is never compared
+    assert not any(4 in p for p in pairs)
+    # 8 identical rows sorted by key, window 5: pair kept iff the two
+    # positions are <= 5 apart
+    charlie = [(a, b) for (a, b) in pairs if a >= 50]
+    assert len(charlie) == sum(min(5, 7 - i) for i in range(8))
+    assert (50, 57) in pairs and (50, 58) not in pairs
+
+
+def test_er_candidate_join_is_equi_join(spark):
+    """The neighbor comparison must plan as a pure equi-join (hash or
+    sort-merge on (block, rn)) — no broadcast nested loop, no cartesian
+    — that's the O(rows x window) scale contract."""
+    from tests.conftest import SF_DIR
+
+    df = A.er_sorted_neighborhood(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -636,3 +636,103 @@ def test_gif_local_color_table_does_not_recolor_earlier_frames():
     # frame 1: left pixel STAYS red (painted by frame 0 via the GCT);
     # right pixel is the LCT's blue
     assert frames[1][3] == bytes((255, 0, 0)) + bytes((0, 0, 255))
+
+
+def test_audio_frame_features_exact(spark):
+    """Per-frame RMS / zero-crossing / peak computed on handwritten
+    16-bit PCM samples: exact values, channel-0 selection for stereo,
+    trailing partial frame dropped, NULL rows contribute no frames."""
+    import io
+    import wave as _wave
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import audio_frame_features
+
+    def make_wav(samples, channels=1):
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            import struct as _s
+
+            w.writeframes(b"".join(_s.pack("<h", s) for s in samples))
+        return bytearray(buf.getvalue())
+
+    mono = [100, -100, 100, -100, 50, 50, 50, 50, 7]  # 2 full frames + 1 extra
+    # stereo: channel 0 = mono above, channel 1 = junk that would change
+    # every feature if mixed in
+    stereo = []
+    for s in mono:
+        stereo += [s, 31999]
+    rows = [
+        (1, make_wav(mono)),
+        (2, make_wav(stereo, channels=2)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = audio_frame_features(df, frame_len=4).collect()
+    got = {(r["media_id"], r["frame_idx"]): (r["rms"], r["zcr"], r["peak"], r["n_samples"]) for r in out}
+    for mid in (1, 2):
+        assert got[(mid, 0)] == (100.0, 3, 100, 4)
+        assert got[(mid, 1)] == (50.0, 0, 50, 4)
+    assert len(got) == 4  # partial 9th sample dropped; NULL row absent
+
+
+def test_audio_frame_features_capability_errors(spark):
+    """Non-WAV bytes and non-16-bit WAVs raise (capability gap = error,
+    never a silent NULL)."""
+    import io
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import audio_frame_features
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04not a wav"))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception) as exc:
+        audio_frame_features(bad).collect()
+    assert "NotImplementedError" in str(exc.value) or "WAV" in str(exc.value)
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 32)
+    eight = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception) as exc:
+        audio_frame_features(eight).collect()
+    assert "16-bit" in str(exc.value) or "NotImplementedError" in str(exc.value)
+
+
+def test_wav_wave_synthesis_matches_formula(spark):
+    """The natively-synthesized square-wave WAV (`_wav_wave_content`)
+    parses with stdlib `wave` and its decoded samples equal the doc_id
+    formulas the oracle re-derives — signed values round-trip through
+    the two's-complement hex fold."""
+    import io
+    import struct as _s
+    import wave as _wave
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans.media import _wav_wave_content
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    for r in _wav_wave_content(docs).collect():
+        i = r["doc_id"]
+        n, hp, amp = 64 + i % 64, 2 + i % 5, 1000 + (i % 7) * 500
+        with _wave.open(io.BytesIO(bytes(r["content"]))) as w:
+            assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (8000, 1, 2)
+            assert w.getnframes() == n
+            raw = w.readframes(n)
+        samples = list(_s.unpack(f"<{n}h", raw))
+        expect = [
+            (amp + (j % 3) * 100) * (1 if (j // hp) % 2 == 0 else -1)
+            for j in range(n)
+        ]
+        assert samples == expect
