@@ -79,14 +79,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel": A.QUERIES["ev_funnel"],
         "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
         "er_sorted_neighborhood": A.QUERIES["er_sorted_neighborhood"],
-        "corpus_report": L.EXTRA_QUERIES["corpus_report"],
-        "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
+        # -- r8 third-wave: ER connected components + survivorship,
+        #    crawler-style schema-drift report, bigram collocations by
+        #    lift; displaced corpus_report / corpus_contamination
+        #    (multi-round green, family-pinned by the in-window
+        #    mixture-weights + decontaminate rows) and mm_audio_decode
+        #    (the WAV kernel is now pinned in-window by the stricter
+        #    mm_audio_features, which re-derives every SAMPLE)
+        "er_clusters": A.QUERIES["er_clusters"],
+        "cat_schema_drift": A.QUERIES["cat_schema_drift"],
+        "colloc_lift": A.QUERIES["colloc_lift"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
-        # -- rotated IN for r7 (VERDICT r6 item 4): stay a second round
-        #    (single-round green so far; mm_pixel_stats' output shape
-        #    changed this round — the r7 red row, now scalar columns)
-        "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
         "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
@@ -132,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sess_gap_split by sess_native_window's shared oracle semantics,
         # the relational rows by pytest; ALL still checked locally by
         # tools/check_oracle.py every round)
+        "corpus_report": L.EXTRA_QUERIES["corpus_report"],
+        "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
+        "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,
         "j1_latest_per_key": R.j1_latest_per_key,

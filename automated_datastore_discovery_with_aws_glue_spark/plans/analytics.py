@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
+from automated_datastore_discovery_with_aws_glue_spark.operators import dedup as D
+from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import (
+    TESTDATA_TABLES,
+    load_table,
+)
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 _FUNNEL_WINDOW_DAYS = 7
@@ -197,19 +203,12 @@ def _er_entities(parts: DataFrame) -> DataFrame:
     return parts.select("p_partkey", entity.alias("entity"))
 
 
-def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood entity resolution (Hernandez & Stolfo 1995)
-    over noisy name+brand part entities: sort within prefix blocks,
-    compare each record to its next ``_ER_NEIGHBORS`` neighbors, keep
-    pairs within Levenshtein distance ``_ER_MAX_DIST``.
-
-    The neighbor comparison is a pure equi-join on
-    ``(block, rank + offset)`` — candidates are ``O(rows * window)``,
-    never all-pairs, and the only shuffle is the per-block sort.
-    Reference scope: the discovery pipeline's column-level PII match
-    (src/.../glue_jobs, classification) has no record-linkage stage —
-    this is the row-level analogue a cleanup pass needs."""
-    parts = load_table(spark, sf_dir, "part")
+def _er_pairs(parts: DataFrame) -> DataFrame:
+    """Sorted-neighborhood candidate pairs surviving the distance gate:
+    ``(id_a, id_b, entity_a, entity_b, dist)``. The neighbor comparison
+    is a pure equi-join on ``(block, rank + offset)`` — candidates are
+    ``O(rows * window)``, never all-pairs, and the only shuffle is the
+    per-block sort."""
     ent = _er_entities(parts).withColumn(
         "block", F.substring("entity", 1, 4)
     )
@@ -236,8 +235,20 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("dist", F.levenshtein("entity_a", "entity_b"))
         .filter(F.col("dist") <= _ER_MAX_DIST)
         .select("id_a", "id_b", "entity_a", "entity_b", "dist")
-        .orderBy("id_a", "id_b")
     )
+
+
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernandez & Stolfo 1995)
+    over noisy name+brand part entities: sort within prefix blocks,
+    compare each record to its next ``_ER_NEIGHBORS`` neighbors, keep
+    pairs within Levenshtein distance ``_ER_MAX_DIST``.
+
+    Reference scope: the discovery pipeline's column-level PII match
+    (src/.../glue_jobs, classification) has no record-linkage stage —
+    this is the row-level analogue a cleanup pass needs."""
+    parts = load_table(spark, sf_dir, "part")
+    return _er_pairs(parts).orderBy("id_a", "id_b")
 
 
 ER_SORTED_NEIGHBORHOOD_SQL = f"""
@@ -266,14 +277,340 @@ ER_SORTED_NEIGHBORHOOD_SQL = f"""
 """
 
 
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution CLUSTERS + survivorship: connected components
+    over the sorted-neighborhood pair graph (reusing the dedup engine's
+    ``dedup_clusters`` — min-id labels, driver union-find fast path
+    under the pair cap, iterative label propagation above it), each
+    record annotated with its cluster size and the cluster's canonical
+    entity (the min-key member — a deterministic survivorship rule).
+
+    Scale: the pair graph is the SN output (O(rows * window)), the
+    component step is the same machinery the near-dup corpus dedup
+    runs at 100 TB, and the summary is one keyed aggregate + one
+    equi-join on ``cluster_id``."""
+    parts = load_table(spark, sf_dir, "part")
+    ent = _er_entities(parts)
+    pairs = _er_pairs(parts)
+    clusters = D.dedup_clusters(pairs, ent.select("p_partkey"))
+    lab_ent = ent.join(
+        clusters.withColumnRenamed("id", "p_partkey"), "p_partkey"
+    )
+    summary = lab_ent.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min_by("entity", "p_partkey").alias("canonical_entity"),
+    )
+    result = (
+        lab_ent.join(summary, "cluster_id")
+        .select(
+            "p_partkey", "entity", "cluster_id", "cluster_size", "canonical_entity"
+        )
+        .orderBy("p_partkey")
+    )
+    return C.carry(result, clusters)
+
+
+ER_CLUSTERS_SQL = f"""
+    WITH RECURSIVE e AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 7 = 0
+                    THEN substring(b, 1, length(b) - 1)
+                    ELSE b END AS entity
+        FROM (SELECT p_partkey, p_name || ' ' || p_brand AS b FROM part)
+    ),
+    t AS (
+        SELECT p_partkey, entity, substring(entity, 1, 4) AS block,
+               row_number() OVER (
+                   PARTITION BY substring(entity, 1, 4)
+                   ORDER BY entity, p_partkey) AS rn
+        FROM e
+    ),
+    p AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM t a JOIN t b
+          ON a.block = b.block
+         AND b.rn BETWEEN a.rn + 1 AND a.rn + {_ER_NEIGHBORS}
+        WHERE levenshtein(a.entity, b.entity) <= {_ER_MAX_DIST}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a
+    ),
+    lab AS (
+        SELECT e.p_partkey, e.entity,
+               CAST(coalesce(m.mn, e.p_partkey) AS BIGINT) AS cluster_id
+        FROM e
+        LEFT JOIN (SELECT a, least(a, min(b)) AS mn FROM reach GROUP BY a) m
+               ON e.p_partkey = m.a
+    ),
+    s AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+               min_by(entity, p_partkey) AS canonical_entity
+        FROM lab GROUP BY cluster_id
+    )
+    SELECT lab.p_partkey, lab.entity, lab.cluster_id,
+           s.cluster_size, s.canonical_entity
+    FROM lab JOIN s USING (cluster_id)
+    ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog schema drift — the Glue-crawler "schema change detection" shape
+# --------------------------------------------------------------------------
+
+#: Spark simpleString -> the DuckDB information_schema type name, so the
+#: engine's snapshot and the oracle's live introspection agree letter
+#: for letter. Unknown types raise (a new physical type must be mapped
+#: deliberately, never silently passed through).
+_DUCK_TYPE = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "binary": "BLOB",
+    "boolean": "BOOLEAN",
+    "array<float>": "FLOAT[]",
+    "array<double>": "DOUBLE[]",
+}
+
+
+def cat_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift between two catalog snapshots — the column-level
+    change report a recrawl emits (ref: the crawler's schema-change
+    policy, `src/lib/crawler` UPDATE_IN_DATABASE behavior): columns
+    ``added``, ``removed``, or ``type_changed`` since the previous
+    crawl.
+
+    The CURRENT snapshot is the live schema of every test table (driver
+    metadata — schemas are metadata-scale at any corpus size, so a
+    local ``createDataFrame`` is the honest shape). The PREVIOUS
+    snapshot is derived from it by a deterministic md5 formula both
+    engines replay: columns whose 60-bit key hash ≡ 0 (mod 5) are
+    missing from the previous crawl (-> added), ≡ 1 (mod 5) carried a
+    mutated type (-> type_changed), and every table had one extra
+    ``<table>_legacy_id`` column since dropped (-> removed). The drift
+    itself is one full outer join on (table, column) — the operator
+    under test; the oracle recomputes the same report from DuckDB's
+    live ``information_schema``."""
+    cur_rows = []
+    for t in TESTDATA_TABLES:
+        for f in load_table(spark, sf_dir, t).schema.fields:
+            st = f.dataType.simpleString()
+            if st not in _DUCK_TYPE:
+                raise NotImplementedError(f"unmapped physical type {st!r}")
+            cur_rows.append((t, f.name, _DUCK_TYPE[st]))
+    cur = spark.createDataFrame(
+        cur_rows, "table_name string, column_name string, data_type string"
+    )
+    h = md5_hash64(
+        F.concat(F.col("table_name"), F.lit("."), F.col("column_name"))
+    )
+    mutated = F.when(
+        h % 5 == 1,
+        F.when(F.col("data_type") != "VARCHAR", F.lit("VARCHAR")).otherwise(
+            F.lit("BIGINT")
+        ),
+    ).otherwise(F.col("data_type"))
+    prev = (
+        cur.filter(h % 5 != 0)
+        .select("table_name", "column_name", mutated.alias("data_type"))
+        .union(
+            cur.select("table_name")
+            .distinct()
+            .select(
+                "table_name",
+                F.concat(F.col("table_name"), F.lit("_legacy_id")).alias(
+                    "column_name"
+                ),
+                F.lit("BIGINT").alias("data_type"),
+            )
+        )
+    )
+    joined = prev.select(
+        "table_name", "column_name", F.col("data_type").alias("prev_type")
+    ).join(
+        cur.select(
+            "table_name", "column_name", F.col("data_type").alias("curr_type")
+        ),
+        ["table_name", "column_name"],
+        "full",
+    )
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("prev_type").isNull(), "added")
+            .when(F.col("curr_type").isNull(), "removed")
+            .when(F.col("prev_type") != F.col("curr_type"), "type_changed"),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("table_name", "column_name", "change", "prev_type", "curr_type")
+        .orderBy("table_name", "column_name")
+    )
+
+
+_SQL_TABLES_IN = ", ".join(f"'{t}'" for t in TESTDATA_TABLES)
+
+CAT_SCHEMA_DRIFT_SQL = f"""
+    WITH cur AS (
+        SELECT table_name, column_name, data_type
+        FROM information_schema.columns
+        WHERE table_name IN ({_SQL_TABLES_IN})
+    ),
+    hashed AS (
+        SELECT *,
+               CAST(('0x' || substr(md5(table_name || '.' || column_name), 1, 15))
+                    AS BIGINT) AS h
+        FROM cur
+    ),
+    prev AS (
+        SELECT table_name, column_name,
+               CASE WHEN h % 5 = 1
+                    THEN CASE WHEN data_type <> 'VARCHAR'
+                              THEN 'VARCHAR' ELSE 'BIGINT' END
+                    ELSE data_type END AS prev_type
+        FROM hashed WHERE h % 5 <> 0
+        UNION ALL
+        SELECT DISTINCT table_name, table_name || '_legacy_id', 'BIGINT'
+        FROM cur
+    ),
+    j AS (
+        SELECT table_name, column_name, p.prev_type, c.curr_type
+        FROM prev p
+        FULL OUTER JOIN (
+            SELECT table_name, column_name, data_type AS curr_type FROM cur
+        ) c USING (table_name, column_name)
+    )
+    SELECT table_name, column_name,
+           CASE WHEN prev_type IS NULL THEN 'added'
+                WHEN curr_type IS NULL THEN 'removed'
+                WHEN prev_type <> curr_type THEN 'type_changed' END AS change,
+           prev_type, curr_type
+    FROM j
+    WHERE (prev_type IS NULL OR curr_type IS NULL OR prev_type <> curr_type)
+    ORDER BY table_name, column_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram collocations by lift — corpus phrase mining
+# --------------------------------------------------------------------------
+
+_COLLOC_MIN_COUNT = 5
+_COLLOC_TOP_K = 100
+
+
+def colloc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations ranked by LIFT —
+    ``p(w1 w2) / (p(w1) p(w2))``, the exponent-free monotone twin of
+    PMI (PMI = log lift; ``ln`` is libm and not bit-portable across
+    engines, the ratio of exact integer counts is — each multiply /
+    divide is a single correctly-rounded IEEE op evaluated in the SAME
+    operand order on both sides).
+
+    Scale: two hash aggregates (token counts, bigram counts — both
+    map-side combinable), two equi-joins of the bigram table against
+    the vocabulary-sized unigram table, scalar totals broadcast as
+    1-row frames. The top-k is a global sort of the min-count
+    survivors — the collocation TYPE table, not the corpus. The token
+    frame is persisted (it feeds four branches) and its lifetime is
+    adopted onto the result."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(normalize_text(F.col("text")) != "")
+        .select(tokens(F.col("text")).alias("words"))
+        .persist()
+    )
+    uni = words.select(F.explode("words").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("nu"))
+    bg = words.filter(F.size("words") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2),"
+                " i -> struct(words[i] AS w1, words[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nb = bg.agg(F.count(F.lit(1)).alias("nb"))
+    lift = (
+        F.col("c12").cast("double")
+        * F.col("nu") / F.col("c1") / F.col("c2") * F.col("nu") / F.col("nb")
+    )
+    out = (
+        bc.filter(F.col("c12") >= _COLLOC_MIN_COUNT)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(nu)
+        .crossJoin(nb)
+        .select(
+            "w1", "w2", "c12", "c1", "c2", F.round(lift, 4).alias("lift")
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_COLLOC_TOP_K)
+    )
+    return C.adopt(out, words)
+
+
+COLLOC_LIFT_SQL = f"""
+    WITH w AS (
+        SELECT string_split(n, ' ') AS words
+        FROM (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+              FROM documents)
+        WHERE n <> ''
+    ),
+    uni AS (SELECT unnest(words) AS w FROM w),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT count(*) AS nu FROM uni),
+    bg AS (
+        SELECT words[i] AS w1, words[i + 1] AS w2
+        FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+              FROM w WHERE len(words) >= 2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    nb AS (SELECT count(*) AS nb FROM bg)
+    SELECT bc.w1, bc.w2, bc.c12,
+           uc1.c AS c1, uc2.c AS c2,
+           round(CAST(bc.c12 AS DOUBLE)
+                 * nu.nu / uc1.c / uc2.c * nu.nu / nb.nb, 4) AS lift
+    FROM bc
+    JOIN uc uc1 ON bc.w1 = uc1.w
+    JOIN uc uc2 ON bc.w2 = uc2.w, nu, nb
+    WHERE bc.c12 >= {_COLLOC_MIN_COUNT}
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_COLLOC_TOP_K}
+"""
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_cohort_retention": ev_cohort_retention,
     "er_sorted_neighborhood": er_sorted_neighborhood,
+    "er_clusters": er_clusters,
+    "cat_schema_drift": cat_schema_drift,
+    "colloc_lift": colloc_lift,
 }
 
 ORACLES = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_cohort_retention": EV_COHORT_RETENTION_SQL,
     "er_sorted_neighborhood": ER_SORTED_NEIGHBORHOOD_SQL,
+    "er_clusters": ER_CLUSTERS_SQL,
+    "cat_schema_drift": CAT_SCHEMA_DRIFT_SQL,
+    "colloc_lift": COLLOC_LIFT_SQL,
 }

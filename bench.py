@@ -109,6 +109,11 @@ HEADLINE = [
     "ev_cohort_retention",
     "er_sorted_neighborhood",
     "mm_audio_features",
+    # r8 third wave: ER components + survivorship, schema-drift report,
+    # bigram collocations by lift
+    "er_clusters",
+    "cat_schema_drift",
+    "colloc_lift",
 ]
 
 

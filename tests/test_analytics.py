@@ -147,3 +147,67 @@ def test_er_candidate_join_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_clusters_transitive_and_survivorship(spark, tmp_path):
+    """Connected components over the SN pair graph: A~B and B~C put
+    A,B,C in ONE cluster even when A-C alone exceeds the distance gate
+    (transitivity), the canonical entity is the min-key member's, and
+    unpaired records are size-1 clusters labeling themselves."""
+    rows = [
+        (1, "alpha aaaa", "Z"),   # pairs with 2 (dist 2)
+        (2, "alpha aabb", "Z"),   # pairs with 1 AND 3
+        (3, "alpha bbbb", "Z"),   # dist 4 from 1 — no direct pair
+        (9, "omega unique", "Z"),
+    ]
+    d = _write_parts(spark, tmp_path, rows)
+    out = {r["p_partkey"]: r for r in A.er_clusters(spark, d).collect()}
+    assert len(out) == 4
+    for k in (1, 2, 3):
+        assert out[k]["cluster_id"] == 1
+        assert out[k]["cluster_size"] == 3
+        assert out[k]["canonical_entity"] == "alpha aaaa Z"
+    assert out[9]["cluster_id"] == 9
+    assert out[9]["cluster_size"] == 1
+    assert out[9]["canonical_entity"] == "omega unique Z"
+
+
+def test_cat_schema_drift_change_classes(spark):
+    """The drift report over the real tables: every table contributes
+    exactly one removed legacy column; added rows have no previous
+    type; type_changed rows differ on both sides; unchanged columns
+    never leak into the report."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import TESTDATA_TABLES
+    from tests.conftest import SF_DIR
+
+    rows = A.cat_schema_drift(spark, SF_DIR).collect()
+    by_change: dict = {}
+    for r in rows:
+        by_change.setdefault(r["change"], []).append(r)
+    assert set(by_change) == {"added", "removed", "type_changed"}
+    removed = by_change["removed"]
+    assert len(removed) == len(TESTDATA_TABLES)
+    assert {r["column_name"] for r in removed} == {
+        f"{t}_legacy_id" for t in TESTDATA_TABLES
+    }
+    for r in by_change["added"]:
+        assert r["prev_type"] is None and r["curr_type"] is not None
+    for r in by_change["type_changed"]:
+        assert r["prev_type"] is not None and r["curr_type"] is not None
+        assert r["prev_type"] != r["curr_type"]
+
+
+def test_colloc_lift_exact_on_engineered_corpus(spark, tmp_path):
+    """Exact lift arithmetic: 10 copies of 'a b c d' give every
+    adjacent bigram c12=10, c1=c2=10, N_tokens=40, N_bigrams=30 ->
+    lift = 10*40/10/10*40/30 = 5.3333; non-adjacent words never pair."""
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    rows = A.colloc_lift(spark, d).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert set(got) == {("a", "b"), ("b", "c"), ("c", "d")}
+    for r in got.values():
+        assert (r["c12"], r["c1"], r["c2"]) == (10, 10, 10)
+        assert r["lift"] == 5.3333
