@@ -96,7 +96,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
         "prof_approx_distinct": P.prof_approx_distinct,
-        "prof_top_values": P.prof_top_values,
+        # -- r8 fourth-wave: DSIR importance resampling (hashed n-gram
+        #    importance weights, integer micro-nat quantization — the
+        #    whole formula DuckDB-replayed); displaced prof_top_values
+        #    (multi-round green; profiling family keeps five in-window
+        #    rows)
+        "corpus_dsir_weights": L.EXTRA_QUERIES["corpus_dsir_weights"],
         "mm_pixel_stats": M.QUERIES["mm_pixel_stats"],
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms,
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
@@ -138,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py every round)
         "corpus_report": L.EXTRA_QUERIES["corpus_report"],
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
+        "prof_top_values": P.prof_top_values,
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,

@@ -2561,3 +2561,64 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["knn_ivf_pq"] = knn_ivf_pq
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023 — hashed unigram+
+    bigram features, add-1 smoothed target/raw ratio, integer micro-nat
+    quantization; ``operators/dsir.py``) for EVERY document, target =
+    the English slice of the same corpus — the "more like my curated
+    set" selection a pretraining mixture build runs over the raw pool.
+    The oracle replays the whole thing: md5 bucket hashing, both bucket
+    count tables, the quantized log-ratio LUT, and the exact integer
+    per-document sum."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir.dsir_scores(docs, target).orderBy("doc_id")
+
+
+CORPUS_DSIR_WEIGHTS_SQL = r"""
+    WITH n AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+        WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
+    ),
+    occ AS (
+        SELECT doc_id, lang, words[i] AS gram
+        FROM n, unnest(generate_series(1, len(words))) AS t(i)
+        UNION ALL
+        SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS gram
+        FROM n, unnest(generate_series(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096 AS bucket
+        FROM occ
+    ),
+    tq AS (SELECT bucket, count(*) AS cq FROM b GROUP BY bucket),
+    tp AS (SELECT bucket, count(*) AS cp FROM b WHERE lang = 'en' GROUP BY bucket),
+    lut AS (
+        SELECT bucket,
+               CAST(round(ln((coalesce(cp, 0) + 1.0) / (coalesce(cq, 0) + 1.0))
+                          * 1000000) AS BIGINT) AS l_micro
+        FROM tp FULL OUTER JOIN tq USING (bucket)
+    ),
+    tot AS (
+        SELECT CAST(round(ln(CAST((SELECT count(*) FROM b) + 4096 AS DOUBLE)
+                             / CAST((SELECT count(*) FROM b WHERE lang = 'en') + 4096 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS k_micro
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(lut.l_micro) + count(*) * any_value(tot.k_micro) AS BIGINT) AS score_micro
+    FROM b JOIN lut USING (bucket), tot
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+"""
+
+EXTRA_QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
+ORACLES["corpus_dsir_weights"] = CORPUS_DSIR_WEIGHTS_SQL

@@ -114,6 +114,8 @@ HEADLINE = [
     "er_clusters",
     "cat_schema_drift",
     "colloc_lift",
+    # r8 fourth wave: DSIR importance resampling
+    "corpus_dsir_weights",
 ]
 
 
