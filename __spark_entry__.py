@@ -59,7 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
         "prof_histogram": P.prof_histogram,
         # -- dedup / text analysis / similarity search --
-        "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
+        # (r8 fourth-wave: dedup_ngram_jaccard rotated past-window —
+        #  multi-round green, pair machinery pinned in-window by
+        #  dedup_clusters_jaccard — for scd2_customer_history below)
         "dedup_clusters_jaccard": L.QUERIES["dedup_clusters_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
@@ -133,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    with the plain join is the checked property)
         "corpus_decontaminate_bloom": L.EXTRA_QUERIES["corpus_decontaminate_bloom"],
         "j_salted_skew_enrich": L.EXTRA_QUERIES["j_salted_skew_enrich"],
+        # -- r8 fourth-wave: SCD Type-2 dimension history (state/scd.py;
+        #    closed-history pass-through, in-batch version chains, no-op
+        #    suppression, new keys — the full chain DuckDB-replayed)
+        "scd2_customer_history": RX.QUERIES["scd2_customer_history"],
         # ---- driver window ends here (50 entries) ----
         # r8 rotation casualties (multi-round green, family-pinned by
         # in-window twins — dedup_exact by the LSH chain + para_dedup,
@@ -144,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": L.EXTRA_QUERIES["corpus_report"],
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "prof_top_values": P.prof_top_values,
+        "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,

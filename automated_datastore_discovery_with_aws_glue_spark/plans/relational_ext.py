@@ -721,3 +721,134 @@ ORACLES["j_range_burst"] = J_RANGE_BURST_SQL
 ORACLES["j_asof_forward"] = J_ASOF_FORWARD_SQL
 ORACLES["j_asof_nearest"] = J_ASOF_NEAREST_SQL
 ORACLES["j_range_pairs"] = J_RANGE_PAIRS_SQL
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (``state/scd.py scd2_apply``)
+    over a customer-segment dimension: a deterministic md5-derived
+    change batch — an in-batch NO-OP re-statement (suppressed), one or
+    two genuine segment changes per selected key (intermediate versions
+    chained in one batch), brand-new keys, plus pre-existing CLOSED
+    history rows that must pass through untouched. The oracle replays
+    the full version chain (lag-based no-op collapse, lead-based
+    valid_to/is_current) in SQL."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+    from automated_datastore_discovery_with_aws_glue_spark.state.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment")
+    )
+
+    def h(tag: str) -> F.Column:
+        return md5_hash64(F.concat(F.lit(tag + "|"), F.col("k").cast("string")))
+
+    dim = (
+        cust.select(
+            "k",
+            "segment",
+            F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .unionByName(
+            cust.filter(h("h") % 9 == 0).select(
+                "k",
+                F.lit("OLD").alias("segment"),
+                F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+                F.lit("2024-01-01").cast("timestamp").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+    )
+    changes = (
+        cust.filter(h("c") % 5 == 0)
+        .select("k", "segment", F.lit("2024-01-15").cast("timestamp").alias("ts"))
+        .unionByName(
+            cust.filter(h("a") % 4 == 0).select(
+                "k",
+                F.concat(F.lit("SEG_"), (F.col("k") % 5).cast("string")).alias(
+                    "segment"
+                ),
+                F.lit("2024-02-01").cast("timestamp").alias("ts"),
+            )
+        )
+        .unionByName(
+            cust.filter(h("b") % 6 == 0).select(
+                "k",
+                F.concat(
+                    F.lit("SEG_"), ((F.col("k") + 1) % 5).cast("string")
+                ).alias("segment"),
+                F.lit("2024-03-01").cast("timestamp").alias("ts"),
+            )
+        )
+        .unionByName(
+            cust.filter(h("d") % 25 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                F.lit("NEW").alias("segment"),
+                F.lit("2024-02-15").cast("timestamp").alias("ts"),
+            )
+        )
+    )
+    out = scd2_apply(dim, changes, "k", ["segment"])
+    return out.select(
+        F.col("k").alias("c_custkey"),
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")
+
+
+_SCD2_H = "CAST(('0x' || substr(md5('{tag}|' || k), 1, 15)) AS BIGINT)"
+
+SCD2_CUSTOMER_HISTORY_SQL = f"""
+    WITH c AS (SELECT c_custkey AS k, c_mktsegment AS segment FROM customer),
+    closed AS (
+        SELECT k, 'OLD' AS segment,
+               TIMESTAMP '2023-01-01' AS valid_from,
+               TIMESTAMP '2024-01-01' AS valid_to,
+               false AS is_current
+        FROM c WHERE {_SCD2_H.format(tag='h')} % 9 = 0
+    ),
+    chain AS (
+        SELECT k, segment, TIMESTAMP '2024-01-01' AS _ts, 0 AS _src FROM c
+        UNION ALL
+        SELECT k, segment, TIMESTAMP '2024-01-15', 1
+        FROM c WHERE {_SCD2_H.format(tag='c')} % 5 = 0
+        UNION ALL
+        SELECT k, 'SEG_' || (k % 5), TIMESTAMP '2024-02-01', 1
+        FROM c WHERE {_SCD2_H.format(tag='a')} % 4 = 0
+        UNION ALL
+        SELECT k, 'SEG_' || ((k + 1) % 5), TIMESTAMP '2024-03-01', 1
+        FROM c WHERE {_SCD2_H.format(tag='b')} % 6 = 0
+        UNION ALL
+        SELECT k + 1000000, 'NEW', TIMESTAMP '2024-02-15', 1
+        FROM c WHERE {_SCD2_H.format(tag='d')} % 25 = 0
+    ),
+    kept AS (
+        SELECT k, segment, _ts, _src,
+               lag(segment) OVER (PARTITION BY k ORDER BY _ts, _src) AS _prev
+        FROM chain
+        QUALIFY _prev IS NULL OR segment <> _prev
+    ),
+    ver AS (
+        SELECT k, segment, _ts AS valid_from,
+               lead(_ts) OVER (PARTITION BY k ORDER BY _ts, _src) AS valid_to
+        FROM kept
+    )
+    SELECT k AS c_custkey, segment,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM ver
+    UNION ALL
+    SELECT k, segment,
+           strftime(valid_from, '%Y-%m-%d'),
+           strftime(valid_to, '%Y-%m-%d'),
+           is_current
+    FROM closed
+    ORDER BY c_custkey, valid_from
+"""
+
+QUERIES["scd2_customer_history"] = scd2_customer_history
+ORACLES["scd2_customer_history"] = SCD2_CUSTOMER_HISTORY_SQL

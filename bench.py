@@ -114,8 +114,9 @@ HEADLINE = [
     "er_clusters",
     "cat_schema_drift",
     "colloc_lift",
-    # r8 fourth wave: DSIR importance resampling
+    # r8 fourth wave: DSIR importance resampling + SCD2 dimension history
     "corpus_dsir_weights",
+    "scd2_customer_history",
 ]
 
 
