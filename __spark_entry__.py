@@ -92,7 +92,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_schema_drift": A.QUERIES["cat_schema_drift"],
         "colloc_lift": A.QUERIES["colloc_lift"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
-        "mm_image_decode": M.QUERIES["mm_image_decode"],
+        # -- r8 fourth-wave: Deequ-style declarative quality suite
+        #    (completeness / compliance / uniqueness / referential
+        #    integrity, one fused scan per table); displaced
+        #    mm_image_decode (multi-round green; the decode kernels are
+        #    pinned in-window by the stricter end-to-end mm_pixel_stats
+        #    and mm_gif_frame_sample rows)
+        "dq_suite_report": P.dq_suite_report,
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
         "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
@@ -151,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "prof_top_values": P.prof_top_values,
         "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
+        "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,
         "p7_event_validation": R.p7_event_validation,
@@ -487,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_histogram": P.prof_histogram_sql(),
         "pii_redact": P.pii_redact_oracle_sql(),
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms_sql(),
+        "dq_suite_report": P.dq_suite_report_sql(),
         **A.ORACLES,
         **L.ORACLES,
         **G.ORACLES,

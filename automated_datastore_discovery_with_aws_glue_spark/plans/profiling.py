@@ -671,3 +671,118 @@ def prof_heavy_hitters_cms_sql() -> str:
     FROM exact_top e JOIN est USING (w)
     ORDER BY exact_n DESC, w
 """
+
+
+def dq_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative quality suite (`operators/constraints.py`)
+    over orders + lineitem: completeness, domain/range compliance,
+    key uniqueness (one passing PK, one deliberately failing
+    90%-threshold check on a repeating FK), and referential integrity
+    in both directions of the schema (orders->customer,
+    lineitem->orders). All scalar checks per table fold into ONE
+    aggregate over one scan; `passed` is judged on the 4dp-rounded
+    metric so the verdicts are bit-portable."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.constraints import (
+        Completeness,
+        Compliance,
+        ReferentialIntegrity,
+        Uniqueness,
+        run_checks,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o_report = run_checks(
+        orders,
+        [
+            Completeness("o_orderpriority"),
+            Compliance("o_totalprice_positive", F.col("o_totalprice") > 0),
+            Compliance(
+                "o_status_domain",
+                F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            Uniqueness(("o_orderkey",)),
+            Uniqueness(("o_custkey",), threshold=0.9),
+            ReferentialIntegrity(
+                "o_custkey", customer, ref_col="c_custkey", ref_name="customer"
+            ),
+        ],
+    ).select(F.lit("orders").alias("table_name"), "*")
+    l_report = run_checks(
+        lineitem,
+        [
+            Compliance(
+                "l_discount_range",
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+            ),
+            Uniqueness(("l_orderkey", "l_linenumber")),
+            ReferentialIntegrity(
+                "l_orderkey", orders, ref_col="o_orderkey", ref_name="orders"
+            ),
+        ],
+    ).select(F.lit("lineitem").alias("table_name"), "*")
+    return (
+        o_report.unionByName(l_report)
+        .withColumnRenamed("constraint", "constraint_name")
+        .orderBy("table_name", "constraint_name")
+    )
+
+
+def dq_suite_report_sql() -> str:
+    return """
+        SELECT * FROM (
+        SELECT 'orders' AS table_name, 'completeness(o_orderpriority)' AS constraint_name,
+               round(avg(CASE WHEN o_orderpriority IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS metric,
+               round(avg(CASE WHEN o_orderpriority IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) >= 1.0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'compliance(o_totalprice_positive)',
+               round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 4),
+               round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 4) >= 1.0
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'compliance(o_status_domain)',
+               round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 4),
+               round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 4) >= 1.0
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'uniqueness(o_orderkey)',
+               round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(n), 4),
+               round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(n), 4) >= 1.0
+        FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'orders', 'uniqueness(o_custkey)',
+               round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(n), 4),
+               round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(n), 4) >= 0.9
+        FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+        UNION ALL
+        SELECT 'orders', 'referential(o_custkey in customer.c_custkey)',
+               round(CAST((SELECT count(*) FROM orders
+                           WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+                     / (SELECT count(*) FROM orders), 4),
+               round(CAST((SELECT count(*) FROM orders
+                           WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+                     / (SELECT count(*) FROM orders), 4) >= 1.0
+        UNION ALL
+        SELECT 'lineitem', 'compliance(l_discount_range)',
+               round(avg(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1.0 ELSE 0.0 END), 4),
+               round(avg(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1.0 ELSE 0.0 END), 4) >= 1.0
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'uniqueness(l_orderkey,l_linenumber)',
+               round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(n), 4),
+               round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(n), 4) >= 1.0
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'lineitem', 'referential(l_orderkey in orders.o_orderkey)',
+               round(CAST((SELECT count(*) FROM lineitem
+                           WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS DOUBLE)
+                     / (SELECT count(*) FROM lineitem), 4),
+               round(CAST((SELECT count(*) FROM lineitem
+                           WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS DOUBLE)
+                     / (SELECT count(*) FROM lineitem), 4) >= 1.0
+        )
+        ORDER BY table_name, constraint_name
+    """

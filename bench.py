@@ -117,6 +117,7 @@ HEADLINE = [
     # r8 fourth wave: DSIR importance resampling + SCD2 dimension history
     "corpus_dsir_weights",
     "scd2_customer_history",
+    "dq_suite_report",
 ]
 
 
