@@ -63,7 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  multi-round green, pair machinery pinned in-window by
         #  dedup_clusters_jaccard — for scd2_customer_history below)
         "dedup_clusters_jaccard": L.QUERIES["dedup_clusters_jaccard"],
-        "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
+        # -- r8 fourth-wave: cross-table fuzzy join (banded-LSH linkage
+        #    of the corpus against a derived dirty feed); displaced
+        #    dedup_minhash_lsh_md5 (multi-round green — the md5
+        #    shingle/permutation formulas are shared helpers, so this
+        #    row pins the same math PLUS the two-table topology)
+        "fuzzy_join_docs": L.EXTRA_QUERIES["fuzzy_join_docs"],
         "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         # -- corpus assembly / composed training-data pipelines --
@@ -157,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination": L.EXTRA_QUERIES["corpus_contamination"],
         "prof_top_values": P.prof_top_values,
         "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
+        "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

@@ -2622,3 +2622,101 @@ CORPUS_DSIR_WEIGHTS_SQL = r"""
 
 EXTRA_QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
 ORACLES["corpus_dsir_weights"] = CORPUS_DSIR_WEIGHTS_SQL
+
+
+def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fuzzy join (`operators/fuzzy.py`): match the corpus
+    against a derived DIRTY FEED — the md5-selected half of the corpus
+    re-keyed (+500000) with the first token dropped, the classic
+    "same record, mangled text" linkage shape. Banded-LSH candidates
+    (left buckets equi-joined to right buckets, never |L|x|R|), exact
+    shingle-Jaccard verification, md5 twin so the oracle replays
+    signatures, candidates, AND verification."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.fuzzy import fuzzy_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    left = docs.filter(norm != "").select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    feed = (
+        docs.filter(
+            TX.md5_hash64(
+                F.concat(F.lit("fj|"), F.col("doc_id").cast("string"))
+            ) % 2 == 0
+        )
+        .select(
+            (F.col("doc_id") + 500000).alias("feed_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+            ).alias("feed_text"),
+        )
+        .filter(F.col("feed_text") != "")
+    )
+    pairs = fuzzy_join(
+        left, feed,
+        left_id="doc_id", right_id="feed_id",
+        left_text="text", right_text="feed_text",
+        n=3, num_hashes=16, bands=8, threshold=0.5, hash_fn="md5",
+    )
+    return C.carry(pairs.orderBy("id_l", "id_r"), pairs)
+
+
+FUZZY_JOIN_DOCS_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+        WHERE {_SQL_NORM} <> ''
+    ),
+    sl AS (
+        SELECT doc_id AS id_l, {_SQL_GRAMS3} AS sh FROM w
+    ),
+    feed AS (
+        SELECT doc_id + 500000 AS id_r,
+               list_slice(words, 2, len(words)) AS words
+        FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents)
+        WHERE CAST(('0x' || substr(md5('fj|' || doc_id), 1, 15)) AS BIGINT) % 2 = 0
+          AND len(words) >= 2
+    ),
+    sr AS (
+        SELECT id_r, {_SQL_GRAMS3} AS sh FROM feed
+    ),
+    sig_l AS (
+        SELECT id_l, i,
+               list_min(list_transform(sh,
+                   g -> CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+               )) AS mh
+        FROM sl, range(16) t(i)
+    ),
+    sig_r AS (
+        SELECT id_r, i,
+               list_min(list_transform(sh,
+                   g -> CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+               )) AS mh
+        FROM sr, range(16) t(i)
+    ),
+    banded_l AS (
+        SELECT id_l, i // 2 AS band, list(mh ORDER BY i) AS bucket
+        FROM sig_l GROUP BY id_l, i // 2
+    ),
+    banded_r AS (
+        SELECT id_r, i // 2 AS band, list(mh ORDER BY i) AS bucket
+        FROM sig_r GROUP BY id_r, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT id_l, id_r
+        FROM banded_l a JOIN banded_r b
+          ON a.band = b.band AND a.bucket = b.bucket
+    ),
+    v AS (
+        SELECT id_l, id_r,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+        FROM cand JOIN sl sa USING (id_l) JOIN sr sb USING (id_r)
+    )
+    SELECT id_l, id_r, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+    FROM v
+    WHERE inter * 10000 >= 5000 * un
+    ORDER BY id_l, id_r
+"""
+
+EXTRA_QUERIES["fuzzy_join_docs"] = fuzzy_join_docs
+ORACLES["fuzzy_join_docs"] = FUZZY_JOIN_DOCS_SQL

@@ -118,6 +118,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "scd2_customer_history",
     "dq_suite_report",
+    "fuzzy_join_docs",
 ]
 
 
