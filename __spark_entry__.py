@@ -119,7 +119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms,
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "doc_lm_perplexity_bigram": L.EXTRA_QUERIES["doc_lm_perplexity_bigram"],
-        "j_asof_rate": RX.QUERIES["j_asof_rate"],
+        # -- r8 fourth-wave: hourly gap-fill (LOCF + integer-exact
+        #    linear interpolation); displaced j_asof_rate (two rounds
+        #    green; the as-of machinery is pinned in-window by the
+        #    forward/nearest direction rows)
+        "ts_gapfill_hourly": RX.QUERIES["ts_gapfill_hourly"],
         "j_range_burst": RX.QUERIES["j_range_burst"],
         # -- rotated IN for r8 (VERDICT r7 items 4+5+3+6): the named
         #    past-window batch...
@@ -163,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prof_top_values": P.prof_top_values,
         "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
+        "j_asof_rate": RX.QUERIES["j_asof_rate"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

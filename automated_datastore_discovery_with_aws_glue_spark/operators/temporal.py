@@ -239,3 +239,116 @@ def range_join(
         .filter((diff > 0) & (diff <= F.lit(delta_us)))
         .drop("_bin")
     )
+
+
+def gapfill(
+    df: DataFrame,
+    key: str | list[str],
+    *,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str | None = None,
+    step_us: int = 3_600_000_000,
+    interp_quant: int = 100,
+) -> DataFrame:
+    """Time-series gap filling (the ``time_bucket_gapfill`` shape of
+    timeseries engines): bucket each key's observations to a regular
+    ``step_us`` grid spanning [first, last] bucket PER KEY, and fill the
+    empty buckets two ways —
+
+    - ``locf``: last observation carried forward (NULL before the first
+      observation);
+    - ``interp``: linear interpolation between the neighboring
+      observations (NULL outside them; equals ``value`` on observed
+      buckets).
+
+    A bucket with several observations keeps the FIRST by
+    ``(ts, order_col)`` — a total, engine-portable tiebreak, never a
+    sum whose float order could drift. Interpolation runs on
+    observations QUANTIZED to ``1/interp_quant`` units: the weighted
+    numerator and denominator are exact integers, and the only float
+    ops are two single divisions — bit-portable by construction (a
+    three-op float formula measurably drifts 1 ulp across engines when
+    one of them contracts multiply-add to FMA).
+
+    Shuffle shape: one aggregate to (key, bucket), a metadata-sized
+    span aggregate per key, a map-side grid explode (rows bounded by
+    span/step per key), one join of grid to observations on
+    (key, bucket), and ONE window sort per key serving both fill
+    directions. No all-pairs anything; per-key state is the span, so
+    skewed keys cost their own span only."""
+    keys = [key] if isinstance(key, str) else list(key)
+    order = order_col or ts_col
+    # integer floor-division (`div`), never float-divide-then-floor: a
+    # correctly-rounded double quotient can land on the wrong side of an
+    # integer boundary for large epochs
+    bucket = F.unix_micros(F.col(ts_col)) - F.pmod(
+        F.unix_micros(F.col(ts_col)), F.lit(step_us)
+    )
+    bucket = (bucket / F.lit(step_us)).cast("long")
+    rn = F.row_number().over(
+        Window.partitionBy(*keys, "bucket").orderBy(ts_col, order)
+    )
+    obs = (
+        df.withColumn("bucket", bucket)
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(*keys, "bucket", F.col(val_col).alias("_v"))
+    )
+    span = obs.groupBy(*keys).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        *keys, F.explode(F.sequence("_b0", "_b1")).alias("bucket")
+    )
+    g = grid.join(obs, [*keys, "bucket"], "left")
+
+    wb = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    g = g.withColumn(
+        "_vq", F.round(F.col("_v") * interp_quant).cast("bigint")
+    )
+    prev_v = F.last("_v", ignorenulls=True).over(wb)
+    prev_q = F.last("_vq", ignorenulls=True).over(wb)
+    prev_b = F.last(
+        F.when(F.col("_v").isNotNull(), F.col("bucket")), ignorenulls=True
+    ).over(wb)
+    next_q = F.first("_vq", ignorenulls=True).over(wf)
+    next_b = F.first(
+        F.when(F.col("_v").isNotNull(), F.col("bucket")), ignorenulls=True
+    ).over(wf)
+    # exact integer weighted average of the quantized neighbors, rounded
+    # to 4dp IN INTEGER SPACE (`(2x + d) div 2d`, the repo's half-up
+    # idiom): a float `round()` at an exact tie — quarter-unit rationals
+    # hit .5 at the 5th decimal constantly — is where engines disagree
+    out_scale = 10_000
+    if out_scale % interp_quant:
+        raise ValueError("interp_quant must divide 10000")
+    factor = out_scale // interp_quant
+    num = prev_q * (next_b - F.col("bucket")) + next_q * (
+        F.col("bucket") - prev_b
+    )
+    # _den is NULLed on observed rows (prev_b == next_b == bucket):
+    # ANSI `div` by zero would error even though `interp` never reads
+    # the branch there
+    den = F.when(next_b > prev_b, next_b - prev_b)
+    scaled = g.withColumn("_num", num).withColumn("_den", den)
+    g = scaled.withColumn(
+        "_interp_s",
+        F.expr(f"(_num * 2 * {factor} + _den) div (2 * _den)"),
+    )
+    interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        F.col("_interp_s") / F.lit(float(out_scale))
+    )
+    return g.select(
+        *keys,
+        (F.col("bucket") * (step_us // 1_000_000)).alias("bucket_start_epoch"),
+        F.col("_v").isNotNull().alias("observed"),
+        F.round(F.col("_v"), 4).alias("value"),
+        F.round(prev_v, 4).alias("locf"),
+        F.round(interp, 4).alias("interp"),
+    )

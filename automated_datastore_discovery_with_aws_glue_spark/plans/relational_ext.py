@@ -852,3 +852,75 @@ SCD2_CUSTOMER_HISTORY_SQL = f"""
 
 QUERIES["scd2_customer_history"] = scd2_customer_history
 ORACLES["scd2_customer_history"] = SCD2_CUSTOMER_HISTORY_SQL
+
+
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill over a 10% user slice of the event stream
+    (`operators/temporal.py gapfill`): each user's observations land on
+    an hourly grid spanning their own [first, last] bucket; empty
+    buckets carry last-observation-forward and linear interpolation.
+    The oracle replays the grid, the first-by-(ts, event_id) bucket
+    pick, both IGNORE-NULLS fills, and the fixed-operand-order
+    interpolation arithmetic."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import gapfill
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    return gapfill(
+        ev, "user_id", ts_col="ts", val_col="value", order_col="event_id"
+    ).orderBy("user_id", "bucket_start_epoch")
+
+
+TS_GAPFILL_HOURLY_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, value, event_id,
+               epoch_us(ts) // 3600000000 AS bucket
+        FROM events WHERE user_id % 10 = 0
+    ),
+    obs AS (
+        SELECT user_id, bucket, value AS v
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rn
+              FROM e)
+        WHERE rn = 1
+    ),
+    span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+             FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM span),
+    g AS (
+        SELECT grid.user_id, grid.bucket, obs.v
+        FROM grid LEFT JOIN obs USING (user_id, bucket)
+    ),
+    f AS (
+        SELECT user_id, bucket, v,
+               last_value(v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CAST(round(v * 100) AS BIGINT) IGNORE NULLS)
+                   OVER wb AS prev_q,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER wb AS prev_b,
+               first_value(CAST(round(v * 100) AS BIGINT) IGNORE NULLS)
+                   OVER wf AS next_q,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER wf AS next_b
+        FROM g
+        WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket * 3600 AS bucket_start_epoch,
+           v IS NOT NULL AS observed,
+           round(v, 4) AS value,
+           round(prev_v, 4) AS locf,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE CAST(((prev_q * (next_b - bucket)
+                                  + next_q * (bucket - prev_b)) * 200
+                                 + (next_b - prev_b))
+                                // (2 * (next_b - prev_b)) AS DOUBLE)
+                           / 10000 END, 4) AS interp
+    FROM f
+    ORDER BY user_id, bucket_start_epoch
+"""
+
+QUERIES["ts_gapfill_hourly"] = ts_gapfill_hourly
+ORACLES["ts_gapfill_hourly"] = TS_GAPFILL_HOURLY_SQL

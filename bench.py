@@ -119,6 +119,7 @@ HEADLINE = [
     "scd2_customer_history",
     "dq_suite_report",
     "fuzzy_join_docs",
+    "ts_gapfill_hourly",
 ]
 
 

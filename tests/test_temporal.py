@@ -414,3 +414,79 @@ def test_asof_join_composite_key(spark):
 
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "hashpartitioning(sym#" in plan and "venue#" in plan
+
+
+def test_gapfill_locf_interp_and_edges(spark):
+    """One user, hourly buckets 0/3 observed (10.0, 40.0), bucket 5
+    observed (100.0): gaps 1-2 interpolate linearly on the 0-3 segment,
+    gap 4 on the 3-5 segment; LOCF carries the last observation; edges
+    outside the observed span never appear (grid = [first, last])."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import gapfill
+
+    rows = [
+        (1, 7, _ts("2024-01-01 00:10:00"), 10.0),
+        (2, 7, _ts("2024-01-01 03:20:00"), 40.0),
+        (3, 7, _ts("2024-01-01 05:59:00"), 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        r["bucket_start_epoch"]: (r["observed"], r["value"], r["locf"], r["interp"])
+        for r in gapfill(df, "user_id", order_col="event_id").collect()
+    }
+    h = 3600
+    b0 = int(_ts("2024-01-01 00:00:00").timestamp()) // h * h
+    assert len(out) == 6
+    assert out[b0] == (True, 10.0, 10.0, 10.0)
+    assert out[b0 + h] == (False, None, 10.0, 20.0)
+    assert out[b0 + 2 * h] == (False, None, 10.0, 30.0)
+    assert out[b0 + 3 * h] == (True, 40.0, 40.0, 40.0)
+    assert out[b0 + 4 * h] == (False, None, 40.0, 70.0)
+    assert out[b0 + 5 * h] == (True, 100.0, 100.0, 100.0)
+
+
+def test_gapfill_first_by_ts_tiebreak_and_leading_gap(spark):
+    """Two observations in one bucket keep the FIRST by (ts, order);
+    buckets before the first observation LOCF/interp to NULL (the user
+    joined mid-grid case is per-key — another key's span is invisible)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import gapfill
+
+    rows = [
+        (2, 7, _ts("2024-01-01 00:30:00"), 99.0),   # same bucket, later ts
+        (1, 7, _ts("2024-01-01 00:10:00"), 10.0),   # kept (earlier ts)
+        (3, 7, _ts("2024-01-01 02:10:00"), 30.0),
+        (9, 8, _ts("2024-01-05 00:05:00"), 1.0),    # other key, one bucket
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    res = gapfill(df, "user_id", order_col="event_id").collect()
+    u7 = sorted(
+        [r for r in res if r["user_id"] == 7], key=lambda r: r["bucket_start_epoch"]
+    )
+    assert [r["value"] for r in u7] == [10.0, None, 30.0]
+    assert [r["interp"] for r in u7] == [10.0, 20.0, 30.0]
+    u8 = [r for r in res if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["observed"] and u8[0]["value"] == 1.0
+
+
+def test_gapfill_quarter_unit_interpolation_is_half_up(spark):
+    """A gap of 4 between 0.01 and 0.02 yields quarter-cent steps —
+    the exact-tie case float round() gets wrong across engines; the
+    integer path rounds half-up deterministically: 0.0125 -> 0.0125
+    (exact 4dp), 1/3-cent steps -> half-up at the 5th decimal."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import gapfill
+
+    rows = [
+        (1, 7, _ts("2024-01-01 00:00:00"), 0.01),
+        (2, 7, _ts("2024-01-01 02:00:00"), 0.02),  # gap of 1: interp 0.015
+        (3, 7, _ts("2024-01-01 05:00:00"), 0.03),  # gap of 2: thirds of a cent
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        r["bucket_start_epoch"]: r["interp"]
+        for r in gapfill(df, "user_id", order_col="event_id").collect()
+    }
+    h = 3600
+    b0 = min(out)
+    assert out[b0 + h] == 0.015
+    # 2 + 1/3 cents = 0.023333... -> 0.0233; 2 + 2/3 -> 0.026666... -> 0.0267
+    assert out[b0 + 3 * h] == 0.0233
+    assert out[b0 + 4 * h] == 0.0267
