@@ -106,7 +106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_suite_report": P.dq_suite_report,
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
         "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
-        "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
+        # -- r8 fourth-wave: vendored IMA-ADPCM codec checked
+        #    END-TO-END (the oracle steps the IMA recurrence in a
+        #    recursive CTE); displaced corpus_strip_dup_spans (two
+        #    rounds green; the span machinery is pinned in-window by
+        #    corpus_dup_spans)
+        "mm_audio_adpcm": M.QUERIES["mm_audio_adpcm"],
         "prof_numeric_quantiles": P.prof_numeric_quantiles,
         "prof_approx_distinct": P.prof_approx_distinct,
         # -- r8 fourth-wave: DSIR importance resampling (hashed n-gram
@@ -168,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "j_asof_rate": RX.QUERIES["j_asof_rate"],
+        "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

@@ -268,6 +268,22 @@ def decode_images(
     return df.mapInPandas(_decode, schema=out_schema)
 
 
+def _wav_format_tag(b: bytes) -> int | None:
+    """The fmt chunk's wFormatTag of a RIFF/WAVE byte string (None when
+    no fmt chunk parses) — the dispatch key between the stdlib PCM
+    kernel and the vendored IMA-ADPCM kernel (`functions/adpcm.py`)."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt " and size >= 2:
+            return struct.unpack_from("<H", b, pos + 8)[0]
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def decode_audio(
     df: DataFrame,
     content_col: str = "content",
@@ -321,6 +337,17 @@ def decode_audio(
                         "(not installed); the stdlib kernel covers PCM WAV — "
                         "pass fake=True for the deterministic stub"
                     )
+                if _wav_format_tag(b) == 0x0011:
+                    # IMA ADPCM: the stdlib wave module refuses it; the
+                    # vendored kernel decodes (mono) to 16-bit samples
+                    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+                        decode_ima_adpcm_wav,
+                    )
+
+                    r, ch, smp = decode_ima_adpcm_wav(b)
+                    rates.append(r), chans.append(ch), widths.append(2)
+                    frames.append(len(smp)), durs.append(len(smp) * 1000 // r)
+                    continue
                 with wave.open(io.BytesIO(b)) as w:
                     rates.append(w.getframerate())
                     chans.append(w.getnchannels())
@@ -651,16 +678,24 @@ def audio_frame_features(
                         "non-WAV audio features require an external codec "
                         "(not installed); the stdlib kernel covers PCM WAV"
                     )
-                with wave.open(io.BytesIO(b)) as w:
-                    if w.getsampwidth() != 2:
-                        raise NotImplementedError(
-                            "frame features cover 16-bit PCM; got "
-                            f"{8 * w.getsampwidth()}-bit"
-                        )
-                    nch = w.getnchannels()
-                    raw = w.readframes(w.getnframes())
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-                mono = samples[::nch]  # channel 0
+                if _wav_format_tag(b) == 0x0011:
+                    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+                        decode_ima_adpcm_wav,
+                    )
+
+                    _r, _ch, smp = decode_ima_adpcm_wav(b)
+                    mono = np.asarray(smp, dtype=np.int64)
+                else:
+                    with wave.open(io.BytesIO(b)) as w:
+                        if w.getsampwidth() != 2:
+                            raise NotImplementedError(
+                                "frame features cover 16-bit PCM; got "
+                                f"{8 * w.getsampwidth()}-bit"
+                            )
+                        nch = w.getnchannels()
+                        raw = w.readframes(w.getnframes())
+                    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    mono = samples[::nch]  # channel 0
                 base = {k: rec[k] for k in keep_names}
                 for f_idx in range(len(mono) // frame_len):
                     fr = mono[f_idx * frame_len : (f_idx + 1) * frame_len]

@@ -520,3 +520,133 @@ MM_AUDIO_FEATURES_SQL = """
 
 QUERIES["mm_audio_features"] = mm_audio_features
 ORACLES["mm_audio_features"] = MM_AUDIO_FEATURES_SQL
+
+
+def _adpcm_wav_content(docs: DataFrame) -> DataFrame:
+    """documents + a REAL mono IMA-ADPCM WAV (format tag 0x0011) per
+    row, every byte a native expression of doc_id:
+
+    - ``nb = 64 + (doc_id % 32) * 2`` nibbles in one block,
+    - header sample ``p0 = (doc_id % 7) * 1000 - 3000`` (two's
+      complement via pmod), initial step index ``ix0 = doc_id % 89``,
+    - nibble ``j`` = ``(doc_id + j) % 16`` (exercises every magnitude
+      bit and the sign bit), packed LOW nibble first.
+
+    The vendored kernel (`functions/adpcm.py`) parses and decodes these
+    bytes; the DuckDB oracle steps the SAME IMA recurrence (step table,
+    index table, clamps) from the same formulas in a recursive CTE —
+    so a container, nibble-order, or quantizer drift breaks the hash."""
+    nb = (F.lit(64) + (F.col("doc_id") % 32) * 2).cast("bigint")
+    p0 = ((F.col("doc_id") % 7) * 1000 - 3000).cast("bigint")
+    ix0 = (F.col("doc_id") % 89).cast("bigint")
+
+    def nib(j: F.Column) -> F.Column:
+        return (F.col("doc_id") + j) % 16
+
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), (nb / 2).cast("bigint") - 1),
+            lambda k: _le_hex(nib(2 * k) + nib(2 * k + 1) * 16, 1),
+        ),
+        "",
+    )
+    block_align = (nb / 2).cast("bigint") + 4
+    fmt_hex = F.concat(
+        _le_hex(F.lit(0x11), 2),        # wFormatTag = IMA ADPCM
+        _le_hex(F.lit(1), 2),           # mono
+        _le_hex(F.lit(8000), 4),        # sample rate
+        _le_hex(F.lit(4000), 4),        # byte rate (informational)
+        _le_hex(block_align, 2),
+        _le_hex(F.lit(4), 2),           # bits per (compressed) sample
+        _le_hex(F.lit(2), 2),           # cbSize
+        _le_hex(nb + 1, 2),             # wSamplesPerBlock
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),                       # 'RIFF'
+        _le_hex(F.lit(40) + block_align, 4),     # chunk size
+        F.lit("57415645"),                       # 'WAVE'
+        F.lit("666D7420"),                       # 'fmt '
+        _le_hex(F.lit(20), 4),
+        fmt_hex,
+        F.lit("64617461"),                       # 'data'
+        _le_hex(block_align, 4),
+        _le_hex(F.pmod(p0, F.lit(65536)), 2),    # block: predictor
+        _le_hex(ix0, 1),                         # block: step index
+        _le_hex(F.lit(0), 1),                    # block: reserved
+        data_hex,
+    )
+    return docs.select("doc_id", F.unhex(header_hex).alias("content"))
+
+
+def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame features over REAL IMA-ADPCM files end-to-end: the
+    natively synthesized compressed bitstream (`_adpcm_wav_content`) is
+    container-parsed and nibble-decoded by the vendored kernel, then
+    framed exactly like `mm_audio_features`. The oracle re-decodes
+    every sample by stepping the IMA recurrence in a RECURSIVE CTE —
+    the whole codec (quantizer table, index adaptation, clamps, nibble
+    packing order, block header) is differentially checked."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import audio_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = audio_frame_features(_adpcm_wav_content(docs), "content", frame_len=16)
+    return out.select(
+        "doc_id", "frame_idx", "n_samples", "rms", "zcr", "peak"
+    ).orderBy("doc_id", "frame_idx")
+
+
+MM_AUDIO_ADPCM_SQL = """
+    WITH RECURSIVE params AS (
+        SELECT doc_id,
+               64 + (doc_id % 32) * 2 AS nb,
+               (doc_id % 7) * 1000 - 3000 AS p0,
+               doc_id % 89 AS ix0
+        FROM documents
+    ),
+    dec(doc_id, j, pred, ix) AS (
+        SELECT doc_id, CAST(0 AS BIGINT), CAST(p0 AS BIGINT), CAST(ix0 AS BIGINT)
+        FROM params
+        UNION ALL
+        SELECT s.doc_id, s.j + 1,
+               least(greatest(CASE WHEN ((p.doc_id + s.j) % 16) >= 8
+                                   THEN s.pred - (st.step // 8
+                                        + CASE WHEN ((p.doc_id + s.j) % 16) % 2 = 1 THEN st.step // 4 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + s.j) % 16) // 2) % 2 = 1 THEN st.step // 2 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + s.j) % 16) // 4) % 2 = 1 THEN st.step ELSE 0 END)
+                                   ELSE s.pred + (st.step // 8
+                                        + CASE WHEN ((p.doc_id + s.j) % 16) % 2 = 1 THEN st.step // 4 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + s.j) % 16) // 2) % 2 = 1 THEN st.step // 2 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + s.j) % 16) // 4) % 2 = 1 THEN st.step ELSE 0 END)
+                              END, -32768), 32767),
+               least(greatest(s.ix + ([-1, -1, -1, -1, 2, 4, 6, 8])[((p.doc_id + s.j) % 16) % 8 + 1], 0), 88)
+        FROM dec s
+        JOIN params p USING (doc_id)
+        CROSS JOIN LATERAL (SELECT ([7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767])[s.ix + 1] AS step) st
+        WHERE s.j < p.nb
+    ),
+    v AS (
+        SELECT d.doc_id, d.j AS i, CAST(d.j // 16 AS INT) AS frame_idx,
+               d.pred AS val
+        FROM dec d JOIN params p USING (doc_id)
+        WHERE d.j < ((p.nb + 1) // 16) * 16
+    ),
+    w AS (
+        SELECT doc_id, frame_idx, val,
+               CASE WHEN i % 16 <> 0
+                    THEN lag(val) OVER (PARTITION BY doc_id ORDER BY i)
+               END AS prev
+        FROM v
+    )
+    SELECT doc_id, frame_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           round(sqrt(CAST(sum(val * val) AS DOUBLE) / count(*)), 4) AS rms,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND val * prev < 0
+                         THEN 1 ELSE 0 END) AS INT) AS zcr,
+           CAST(max(abs(val)) AS INT) AS peak
+    FROM w
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+"""
+
+QUERIES["mm_audio_adpcm"] = mm_audio_adpcm
+ORACLES["mm_audio_adpcm"] = MM_AUDIO_ADPCM_SQL

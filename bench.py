@@ -120,6 +120,7 @@ HEADLINE = [
     "dq_suite_report",
     "fuzzy_join_docs",
     "ts_gapfill_hourly",
+    "mm_audio_adpcm",
 ]
 
 
