@@ -122,7 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": L.EXTRA_QUERIES["corpus_dsir_weights"],
         "mm_pixel_stats": M.QUERIES["mm_pixel_stats"],
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms,
-        "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
+        # -- r8 fourth-wave: trailing-window z-score anomaly flags
+        #    (integer cross-multiplied decision); displaced
+        #    corpus_sample_weighted (two rounds green, still checked
+        #    locally every round)
+        "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "doc_lm_perplexity_bigram": L.EXTRA_QUERIES["doc_lm_perplexity_bigram"],
         # -- r8 fourth-wave: hourly gap-fill (LOCF + integer-exact
         #    linear interpolation); displaced j_asof_rate (two rounds
@@ -174,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "j_asof_rate": RX.QUERIES["j_asof_rate"],
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
+        "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

@@ -614,3 +614,115 @@ ORACLES = {
     "cat_schema_drift": CAT_SCHEMA_DRIFT_SQL,
     "colloc_lift": COLLOC_LIFT_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Trailing-window z-score anomaly detection over bucketed event series
+# --------------------------------------------------------------------------
+
+_ANOM_WINDOW = 24      # trailing buckets (current EXCLUDED)
+_ANOM_MIN_N = 12       # minimum trailing buckets before judging
+_ANOM_K = 3            # flag at |z| > 3
+
+
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type revenue series with trailing-window z-score
+    anomaly flags: bucket totals in exact integer CENTS, trailing mean/
+    variance from exact integer window sums, and the |z| > k decision by
+    INTEGER cross-multiplication —
+
+        (n*x - S)^2 > k^2 * (n*Q - S^2)
+
+    (x = current cents, S/Q = trailing sum / sum of squares, n =
+    trailing count) — so the flag can never drift across engines. The
+    reported z itself is one sqrt + one divide on exact integers
+    (each a single correctly-rounded IEEE op): z = (n*x - S) /
+    sqrt(n * (n*Q - S^2))... emitted as (n*x - S) / sqrt(n*Q - S^2),
+    the standardized trailing z. Zero-variance windows yield NULL z and
+    flag on ANY deviation.
+
+    Scale: one keyed aggregate to (event_type, bucket) — integer sums,
+    map-side combinable — then ONE window sort per event_type; series
+    length is buckets, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bucket = (
+        (F.unix_micros(F.col("ts")) - F.pmod(F.unix_micros(F.col("ts")), F.lit(3_600_000_000)))
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    series = (
+        ev.select(F.col("event_type"), bucket.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("c").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-_ANOM_WINDOW, -1)
+    )
+    n = F.count("x").over(w)
+    s = F.sum("x").over(w)
+    q = F.sum(F.col("x") * F.col("x")).over(w)
+    dev = n * F.col("x") - s
+    var_n = n * q - s * s  # n^2 * variance (exact integer, >= 0)
+    z = F.when(var_n > 0, dev.cast("double") / F.sqrt(var_n.cast("double")))
+    flagged = (
+        series.withColumn("_n", n)
+        .withColumn("_dev", dev)
+        .withColumn("_var", var_n)
+        # z BEFORE the min-count filter: a window expression evaluated
+        # after the filter would frame over the filtered series
+        .withColumn("_z", z)
+        .filter(F.col("_n") >= _ANOM_MIN_N)
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("_var") > 0,
+                F.col("_dev") * F.col("_dev")
+                > F.lit(_ANOM_K * _ANOM_K) * F.col("_var"),
+            ).otherwise(F.col("_dev") != 0),
+        )
+    )
+    return flagged.select(
+        "event_type",
+        (F.col("bucket") * 3600).alias("bucket_start_epoch"),
+        "n_events",
+        (F.col("x") / F.lit(100.0)).alias("total_value"),
+        F.round(F.col("_z"), 4).alias("zscore"),
+        "is_anomaly",
+    ).orderBy("event_type", "bucket_start_epoch")
+
+
+EV_ANOMALY_ZSCORE_SQL = f"""
+    WITH series AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY event_type, bucket
+    ),
+    win AS (
+        SELECT *,
+               count(x) OVER w AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS s,
+               CAST(sum(x * x) OVER w AS BIGINT) AS q
+        FROM series
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN {_ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket * 3600 AS bucket_start_epoch, n_events,
+           x / 100.0 AS total_value,
+           round(CASE WHEN n * q - s * s > 0
+                      THEN CAST(n * x - s AS DOUBLE)
+                           / sqrt(CAST(n * q - s * s AS DOUBLE)) END, 4) AS zscore,
+           CASE WHEN n * q - s * s > 0
+                THEN (n * x - s) * (n * x - s) > {_ANOM_K * _ANOM_K} * (n * q - s * s)
+                ELSE (n * x - s) <> 0 END AS is_anomaly
+    FROM win
+    WHERE n >= {_ANOM_MIN_N}
+    ORDER BY event_type, bucket_start_epoch
+"""
+
+QUERIES["ev_anomaly_zscore"] = ev_anomaly_zscore
+ORACLES["ev_anomaly_zscore"] = EV_ANOMALY_ZSCORE_SQL

@@ -121,6 +121,7 @@ HEADLINE = [
     "fuzzy_join_docs",
     "ts_gapfill_hourly",
     "mm_audio_adpcm",
+    "ev_anomaly_zscore",
 ]
 
 

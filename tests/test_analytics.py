@@ -211,3 +211,49 @@ def test_colloc_lift_exact_on_engineered_corpus(spark, tmp_path):
     for r in got.values():
         assert (r["c12"], r["c1"], r["c2"]) == (10, 10, 10)
         assert r["lift"] == 5.3333
+
+
+def test_ev_anomaly_zscore_flags_spike_not_baseline(spark, tmp_path):
+    """26 hourly buckets of steady value 10.00 then one 500.00 spike:
+    the spike is flagged (|z| > 3 vs the trailing 24), the steady tail
+    is not, and the first 12 buckets (warm-up) emit no rows at all.
+    A zero-variance trailing window flags ANY deviation (z NULL)."""
+    H = 1
+    rows = []
+    eid = 0
+    for h in range(26):
+        eid += 1
+        rows.append((eid, "buy", h * H, 10.0 + (h % 2) * 0.02))  # tiny wiggle
+    eid += 1
+    rows.append((eid, "buy", 26 * H, 500.0))  # the spike
+    for h in range(27, 30):
+        eid += 1
+        rows.append((eid, "buy", h * H, 10.0))
+    # a second type with CONSTANT values: zero variance -> deviation flags
+    for h in range(14):
+        eid += 1
+        rows.append((eid, "flat", h * H, 7.0))
+    eid += 1
+    rows.append((eid, "flat", 14 * H, 7.5))
+    data = [
+        (e, T0 + dt.timedelta(hours=h), 1, et, v, "{}")
+        for e, et, h, v in rows
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    out = A.ev_anomaly_zscore(spark, d).collect()
+    buy = [r for r in out if r["event_type"] == "buy"]
+    assert min(r["bucket_start_epoch"] for r in buy) >= int(
+        (T0 + dt.timedelta(hours=12)).timestamp()
+    )
+    spikes = [r for r in buy if r["is_anomaly"]]
+    assert [r["total_value"] for r in spikes] == [500.0]
+    assert spikes[0]["zscore"] > 3
+    flat = [r for r in out if r["event_type"] == "flat"]
+    anomalous_flat = [r for r in flat if r["is_anomaly"]]
+    assert [r["total_value"] for r in anomalous_flat] == [7.5]
+    assert anomalous_flat[0]["zscore"] is None  # zero-variance window
