@@ -70,7 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    row pins the same math PLUS the two-table topology)
         "fuzzy_join_docs": L.EXTRA_QUERIES["fuzzy_join_docs"],
         "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
-        "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
+        # -- r8 fourth-wave: ORC sink+source roundtrip fidelity
+        #    (hive-partitioned write, read-back, aggregate vs the
+        #    parquet original); displaced emb_near_dup_lsh (multi-
+        #    round green; embedding family keeps knn_batch +
+        #    emb_quantize_int8 in-window)
+        "src_orc_roundtrip": RX.QUERIES["src_orc_roundtrip"],
         # -- corpus assembly / composed training-data pipelines --
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
@@ -179,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_rate": RX.QUERIES["j_asof_rate"],
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
+        "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

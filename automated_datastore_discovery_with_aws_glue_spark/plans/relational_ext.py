@@ -924,3 +924,50 @@ TS_GAPFILL_HOURLY_SQL = """
 
 QUERIES["ts_gapfill_hourly"] = ts_gapfill_hourly
 ORACLES["ts_gapfill_hourly"] = TS_GAPFILL_HOURLY_SQL
+
+
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source fidelity end-to-end: orders written as
+    hive-partitioned ORC (partition column = o_orderstatus), read back,
+    and aggregated. The oracle computes the same aggregate from the
+    PARQUET original — equality proves the roundtrip preserved every
+    value, type, and partition assignment (a dropped row, a mangled
+    timestamp, or a partition-column loss all break the hash)."""
+    import os
+    import re as _re
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import orc_roundtrip
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(), "orc_rt_" + _re.sub(r"\W+", "_", sf_dir)
+    )
+    back = orc_roundtrip(spark, orders, path, partition_by="o_orderstatus")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(F.col("o_orderkey") * F.col("o_custkey")).alias("key_fold"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_order"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SRC_ORC_ROUNDTRIP_SQL = """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(sum(o_orderkey * o_custkey) AS BIGINT) AS key_fold,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+QUERIES["src_orc_roundtrip"] = src_orc_roundtrip
+ORACLES["src_orc_roundtrip"] = SRC_ORC_ROUNDTRIP_SQL

@@ -237,3 +237,23 @@ def run_sql_batch(spark: SparkSession, script: str) -> list[DataFrame]:
         if stmt:
             results.append(spark.sql(stmt))
     return results
+
+
+def orc_roundtrip(
+    spark: SparkSession, df: DataFrame, path: str, *, partition_by: str | None = None
+) -> DataFrame:
+    """Write ``df`` as ORC (Spark's built-in columnar alternative to
+    parquet — the second warehouse format a migrating user brings) and
+    read it back. Overwrite mode keeps the call idempotent per path;
+    ``partition_by`` exercises hive-partitioned layout (partition values
+    come back as the partition column — pin ``basePath`` semantics on
+    explicit-file reads, see the gotcha in `catalog/engine.py`).
+
+    Scale: ORC writes/reads are JVM-native and columnar (predicate
+    pushdown + column pruning reach the ORC reader exactly like
+    parquet); the roundtrip shape is what a format-migration job runs."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+    return spark.read.orc(path)

@@ -122,6 +122,7 @@ HEADLINE = [
     "ts_gapfill_hourly",
     "mm_audio_adpcm",
     "ev_anomaly_zscore",
+    "src_orc_roundtrip",
 ]
 
 

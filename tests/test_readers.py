@@ -200,3 +200,31 @@ def test_jdbc_scan_options_partial_partition_spec_rejected():
     # single-partition scan the contract forbids
     with pytest.raises(ValueError, match="partition"):
         jdbc_scan_options("jdbc:x://h/d", "t", num_partitions=16)
+
+
+def test_orc_roundtrip_preserves_values_types_and_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import orc_roundtrip
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.5, dt.datetime(2024, 1, 1, 12, 0, 0)),
+            (2, "B", -3.25, dt.datetime(2024, 6, 30, 23, 59, 59)),
+            (3, "A", 0.0, dt.datetime(2024, 2, 29, 0, 0, 0)),
+        ],
+        "id long, status string, amount double, ts timestamp",
+    )
+    back = orc_roundtrip(spark, df, str(tmp_path / "orc"), partition_by="status")
+    rows = {r["id"]: r for r in back.collect()}
+    assert len(rows) == 3
+    # partition column comes back with values intact
+    assert rows[1]["status"] == "A" and rows[2]["status"] == "B"
+    assert rows[2]["amount"] == -3.25
+    assert rows[2]["ts"] == dt.datetime(2024, 6, 30, 23, 59, 59)
+    # overwrite-idempotent: a second roundtrip of a SMALLER frame never
+    # leaks rows from the first write
+    back2 = orc_roundtrip(
+        spark, df.filter("id = 1"), str(tmp_path / "orc"), partition_by="status"
+    )
+    assert back2.count() == 1
