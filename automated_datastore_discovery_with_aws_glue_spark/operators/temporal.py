@@ -312,15 +312,21 @@ def gapfill(
     g = g.withColumn(
         "_vq", F.round(F.col("_v") * interp_quant).cast("bigint")
     )
-    prev_v = F.last("_v", ignorenulls=True).over(wb)
-    prev_q = F.last("_vq", ignorenulls=True).over(wb)
-    prev_b = F.last(
-        F.when(F.col("_v").isNotNull(), F.col("bucket")), ignorenulls=True
-    ).over(wb)
-    next_q = F.first("_vq", ignorenulls=True).over(wf)
-    next_b = F.first(
-        F.when(F.col("_v").isNotNull(), F.col("bucket")), ignorenulls=True
-    ).over(wf)
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket"))
+    # ALL window values in ONE projection: staged withColumns plan a
+    # separate Window operator (each with its own codegen unit) per
+    # stage — four in the first formulation; this plans two (one per
+    # frame direction) sharing a single exchange+sort
+    g = g.select(
+        *keys,
+        "bucket",
+        "_v",
+        F.last("_v", ignorenulls=True).over(wb).alias("_pv"),
+        F.last("_vq", ignorenulls=True).over(wb).alias("_pq"),
+        F.last(obs_bucket, ignorenulls=True).over(wb).alias("_pb"),
+        F.first("_vq", ignorenulls=True).over(wf).alias("_nq"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("_nb"),
+    )
     # exact integer weighted average of the quantized neighbors, rounded
     # to 4dp IN INTEGER SPACE (`(2x + d) div 2d`, the repo's half-up
     # idiom): a float `round()` at an exact tie — quarter-unit rationals
@@ -329,26 +335,25 @@ def gapfill(
     if out_scale % interp_quant:
         raise ValueError("interp_quant must divide 10000")
     factor = out_scale // interp_quant
-    num = prev_q * (next_b - F.col("bucket")) + next_q * (
-        F.col("bucket") - prev_b
-    )
     # _den is NULLed on observed rows (prev_b == next_b == bucket):
     # ANSI `div` by zero would error even though `interp` never reads
     # the branch there
-    den = F.when(next_b > prev_b, next_b - prev_b)
-    scaled = g.withColumn("_num", num).withColumn("_den", den)
-    g = scaled.withColumn(
-        "_interp_s",
-        F.expr(f"(_num * 2 * {factor} + _den) div (2 * _den)"),
+    g = g.withColumn(
+        "_num",
+        F.col("_pq") * (F.col("_nb") - F.col("bucket"))
+        + F.col("_nq") * (F.col("bucket") - F.col("_pb")),
+    ).withColumn(
+        "_den", F.when(F.col("_nb") > F.col("_pb"), F.col("_nb") - F.col("_pb"))
     )
     interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
-        F.col("_interp_s") / F.lit(float(out_scale))
+        F.expr(f"(_num * 2 * {factor} + _den) div (2 * _den)")
+        / F.lit(float(out_scale))
     )
     return g.select(
         *keys,
         (F.col("bucket") * (step_us // 1_000_000)).alias("bucket_start_epoch"),
         F.col("_v").isNotNull().alias("observed"),
         F.round(F.col("_v"), 4).alias("value"),
-        F.round(prev_v, 4).alias("locf"),
+        F.round(F.col("_pv"), 4).alias("locf"),
         F.round(interp, 4).alias("interp"),
     )
