@@ -77,7 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    emb_quantize_int8 in-window)
         "src_orc_roundtrip": RX.QUERIES["src_orc_roundtrip"],
         # -- corpus assembly / composed training-data pipelines --
-        "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
+        # -- r8 fourth-wave: top event-type trigram paths (one window
+        #    sort per user + one hash agg); displaced
+        #    corpus_mixture_weights (multi-round green; assembly
+        #    family keeps split/stratified/pack rows in-window)
+        "ev_top_paths": A.QUERIES["ev_top_paths"],
         "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
         # -- r8 second-wave: per-frame audio features through the real
         #    WAV kernel (displaced para_dedup — multi-round green,
@@ -185,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
+        "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

@@ -726,3 +726,75 @@ EV_ANOMALY_ZSCORE_SQL = f"""
 
 QUERIES["ev_anomaly_zscore"] = ev_anomaly_zscore
 ORACLES["ev_anomaly_zscore"] = EV_ANOMALY_ZSCORE_SQL
+
+
+# --------------------------------------------------------------------------
+# Path mining — top event-type trigram paths
+# --------------------------------------------------------------------------
+
+_PATH_MAX_GAP_US = 2 * 3600 * 1_000_000  # a trigram must fit in 2 hours
+_PATH_TOP_K = 20
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths: per user, order the event
+    stream by (ts, event_id) and read every CONSECUTIVE event-type
+    trigram whose first and third events are within 2 hours (a path
+    spanning a day's absence is noise, not behavior); count identical
+    paths corpus-wide.
+
+    Scale: one window sort per user (two `lead`s share it), then one
+    map-side-combinable hash aggregate over path strings — the result
+    is the path TYPE table, never event-scale. Deterministic top-k
+    (count desc, path asc)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t1 = F.unix_micros(F.col("ts"))
+    paths = (
+        ev.select(
+            "user_id",
+            "event_type",
+            t1.alias("_t"),
+            F.lead("event_type", 1).over(w).alias("_e2"),
+            F.lead("event_type", 2).over(w).alias("_e3"),
+            F.lead(t1, 2).over(w).alias("_t3"),
+        )
+        .filter(
+            F.col("_e3").isNotNull()
+            & ((F.col("_t3") - F.col("_t")) <= _PATH_MAX_GAP_US)
+        )
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("_e2"), F.col("_e3")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOP_K)
+    )
+
+
+EV_TOP_PATHS_SQL = f"""
+    WITH s AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS t,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3,
+               lead(epoch_us(ts), 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n
+    FROM s
+    WHERE e3 IS NOT NULL AND t3 - t <= {_PATH_MAX_GAP_US}
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {_PATH_TOP_K}
+"""
+
+QUERIES["ev_top_paths"] = ev_top_paths
+ORACLES["ev_top_paths"] = EV_TOP_PATHS_SQL

@@ -123,6 +123,7 @@ HEADLINE = [
     "mm_audio_adpcm",
     "ev_anomaly_zscore",
     "src_orc_roundtrip",
+    "ev_top_paths",
 ]
 
 

@@ -257,3 +257,30 @@ def test_ev_anomaly_zscore_flags_spike_not_baseline(spark, tmp_path):
     anomalous_flat = [r for r in flat if r["is_anomaly"]]
     assert [r["total_value"] for r in anomalous_flat] == [7.5]
     assert anomalous_flat[0]["zscore"] is None  # zero-variance window
+
+
+def test_ev_top_paths_order_tiebreak_and_gap(spark, tmp_path):
+    """Trigram paths read consecutive events in (ts, event_id) order;
+    same-ts events break ties on event_id; a trigram whose 1st->3rd
+    span exceeds 2 hours is excluded."""
+    H = 1
+    rows = [
+        # user 1: a>b>c (tight), then b>c>d with c->d 3h later (span ok:
+        # b..d = 3h+2m > 2h -> EXCLUDED)
+        (1, 1, "a", 0.00), (2, 1, "b", 0.01), (3, 1, "c", 0.02),
+        (4, 1, "d", 3 * H + 0.02),
+        # user 2: same-ts tie: event_id orders x before y
+        (10, 2, "w", 0.0), (11, 2, "x", 0.5), (12, 2, "y", 0.5),
+    ]
+    data = [
+        (e, T0 + dt.timedelta(hours=h), u, et, 1.0, "{}")
+        for e, u, et, h in rows
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    got = {r["path"]: r["n"] for r in A.ev_top_paths(spark, d).collect()}
+    assert got == {"a>b>c": 1, "w>x>y": 1}
