@@ -42,12 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle so the 50-row CORRECTNESS report is fully hash-checked.
     #
     # Rows-only queries sit past the window; their math is pinned
-    # in-window by oracle-backed twins (dedup_minhash_lsh / corpus_clean_xxh
-    # -> the md5-LSH chain, dedup_simhash -> dedup_simhash_sketch,
-    # doc_fingerprint -> dedup_exact/doc_winnow_fingerprint), and knn_ivf
-    # is pytest-covered (recall bound). r6 rotation: the late-landing r5
-    # oracles (corpus_report / corpus_contamination / corpus_clean_exact /
-    # mm_image_decode) and the new pii_classify_counts are IN-window.
+    # in-window by oracle-backed twins (dedup_minhash_lsh /
+    # corpus_clean_xxh -> the md5-LSH formula family, now carried
+    # in-window by fuzzy_join_docs' shared shingle/permutation helpers;
+    # dedup_simhash -> dedup_simhash_sketch; doc_fingerprint ->
+    # dedup_exact/doc_winnow_fingerprint), and knn_ivf* are
+    # pytest-covered (recall bounds).
     return {
         # -- relational parity core (SURVEY §2) --
         "q1_pricing_summary": R.q1_pricing_summary,
