@@ -128,6 +128,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    # the bench marathon runs ~76 queries in ONE long-lived JVM; size the
+    # driver for the 128 GiB harness box (env still wins) — at 8g the
+    # accumulated session state can push a late broadcast build over the
+    # driver ceiling
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
