@@ -54,7 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- discovery profiling + PII classification/redaction --
         "pii_classify_derived": P.pii_classify_derived,
         "pii_classify_counts": P.pii_classify_counts,
-        "pii_redact": P.pii_redact,
+        # -- r8 fourth-wave: incremental distinct-count rollup via
+        #    MERGEABLE HLL sketches (union of stored per-batch
+        #    sketches; exact + tolerance contract); displaced
+        #    pii_redact (multi-round green; PII family keeps the
+        #    classify-derived + counts rows in-window)
+        "incr_distinct_hll": P.incr_distinct_hll,
         "prof_column_stats": P.prof_column_stats,
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
         "prof_histogram": P.prof_histogram,
@@ -190,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
+        "pii_redact": P.pii_redact,
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,
@@ -248,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 100 TB path; exact `percentile` buffers every value)
         "prof_approx_distinct_est": P.prof_approx_distinct_est,
         "prof_numeric_quantiles_approx_est": P.prof_numeric_quantiles_approx_est,
+        "incr_distinct_hll_est": P.incr_distinct_hll_est,
         # rows-only / twin-pinned variants
         # r7: the RECURRING-cost paths as bench-visible entries — a
         # two-batch index ingest (bulk + daily delta) and a file-level
@@ -528,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": P.pii_redact_oracle_sql(),
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms_sql(),
         "dq_suite_report": P.dq_suite_report_sql(),
+        "incr_distinct_hll": P.incr_distinct_hll_sql(),
         **A.ORACLES,
         **L.ORACLES,
         **G.ORACLES,

@@ -96,3 +96,40 @@ def cms_query(
         .groupBy("v")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct-count sketches (DataSketches via Spark built-ins)
+# ---------------------------------------------------------------------------
+
+def hll_partials(
+    df: "DataFrame",
+    keys: list[str],
+    value_col: str,
+    *,
+    batch_col: str,
+    lg_k: int = 12,
+) -> "DataFrame":
+    """Per-(batch, keys) HLL sketch of ``value_col`` distincts:
+    ``(batch, keys..., sketch binary)`` via Spark's built-in
+    DataSketches ``hll_sketch_agg``. The sketch column is an opaque
+    mergeable binary — store it in the state table per ingest batch and
+    NEVER rescan history: distinct-count rollups become metadata-scale
+    unions (the same recurring-cost shape as the mergeable classify
+    counts and the CMS).
+
+    Union-of-partials equals the whole-corpus sketch EXACTLY at the
+    same ``lg_k`` (pinned in pytest), so incremental estimates never
+    drift from what a full rescan would report."""
+    return df.groupBy(batch_col, *keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_union_estimate(partials: "DataFrame", keys: list[str]) -> "DataFrame":
+    """Union stored per-batch sketches per key and estimate:
+    ``(keys..., approx_nd)``. One metadata-scale aggregate — input rows
+    are (batches x keys), never data-scale."""
+    return partials.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_nd")
+    )

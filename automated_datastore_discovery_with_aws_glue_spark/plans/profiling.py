@@ -786,3 +786,66 @@ def dq_suite_report_sql() -> str:
         )
         ORDER BY table_name, constraint_name
     """
+
+
+def _incr_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct users per event type via MERGEABLE HLL
+    sketches (`operators/sketch.py hll_partials/hll_union_estimate`):
+    the event stream is split into three deterministic ingest batches
+    (day-of-month mod 3 — both engines replay the split), each batch
+    contributes one stored sketch per event_type, and the rollup unions
+    the sketches — the recurring-cost shape where a daily distinct-user
+    report never rescans history. Emits the exact count and the
+    tolerance bit next to the estimate (same contract as
+    `approx_distinct_profile`)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import (
+        hll_partials,
+        hll_union_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_batch", F.dayofmonth("ts") % 3
+    )
+    parts = hll_partials(
+        ev, ["event_type"], "user_id", batch_col="_batch"
+    )
+    est = hll_union_estimate(parts, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_distinct",
+            "approx_nd",
+            (
+                F.abs(F.col("approx_nd") / F.col("n_distinct") - F.lit(1.0))
+                <= F.lit(0.10)
+            ).alias("approx_within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def incr_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-compared projection (estimates are engine-specific; the
+    hash-checked columns are the exact count + the relational tolerance
+    check — the `prof_approx_distinct` contract)."""
+    return _incr_distinct_frame(spark, sf_dir).drop("approx_nd")
+
+
+def incr_distinct_hll_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry exposing the raw union estimate."""
+    return _incr_distinct_frame(spark, sf_dir)
+
+
+def incr_distinct_hll_sql() -> str:
+    return """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_distinct,
+               TRUE AS approx_within_tol
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """

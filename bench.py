@@ -124,6 +124,7 @@ HEADLINE = [
     "ev_anomaly_zscore",
     "src_orc_roundtrip",
     "ev_top_paths",
+    "incr_distinct_hll",
 ]
 
 
