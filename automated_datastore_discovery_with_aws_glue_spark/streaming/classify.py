@@ -153,3 +153,71 @@ def make_cms_sink(
         )
 
     return sink
+
+
+def make_distinct_sink(
+    store: ParquetStateStore,
+    table: str,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+):
+    """``foreachBatch`` sink for ingest-time DISTINCT-count monitoring:
+    each micro-batch appends one mergeable HLL sketch per key
+    (``operators.sketch.hll_partials``) — the additive-rollup shape of
+    the classify counts with the same batch_id replay guard. State is
+    one (keys, sketch) row-set per batch, metadata-scale; read the
+    up-to-now estimate any time with :func:`current_distinct`, which
+    UNIONS the stored sketches (equal to sketching everything ingested
+    so far in one pass — `tests/test_hll.py` pins merge == whole)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import hll_partials
+
+    key_list = list(keys)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if batch_id <= _applied_through(store, table):
+            return  # replayed micro-batch: sketch already appended
+        partial = hll_partials(
+            batch.withColumn("_b", F.lit(batch_id).cast("long")),
+            key_list,
+            value_col,
+            batch_col="_b",
+            lg_k=lg_k,
+        )
+        store.append(
+            table,
+            partial.select(
+                *key_list, "hll", F.col("_b").alias("batch_id")
+            ),
+        )
+
+    return sink
+
+
+def current_distinct(
+    store: ParquetStateStore, table: str, keys: Sequence[str]
+) -> DataFrame:
+    """Up-to-now distinct estimate per key from the stored per-batch
+    sketches: ``(keys..., approx_nd)``."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.sketch import hll_union_estimate
+
+    return hll_union_estimate(store.read(table), list(keys))
+
+
+def compact_distinct(store: ParquetStateStore, table: str) -> None:
+    """Replace the per-batch sketch rows with their per-key UNION (one
+    row per key) — estimates before/after are identical (HLL union is
+    associative); the max applied batch_id is preserved so replays
+    arriving after a compaction still skip."""
+    df = store.read(table)
+    applied = _applied_through(store, table)
+    keys = [c for c in df.columns if c not in ("hll", "batch_id")]
+    merged = (
+        df.groupBy(*keys)
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .withColumn("batch_id", F.lit(applied).cast("long"))
+    )
+    store.overwrite(table, merged.select(*keys, "hll", "batch_id"))

@@ -1052,3 +1052,88 @@ def test_cms_sink_streaming_frequencies_with_replay_guard(spark, tmp_path):
     vals = spark.createDataFrame([("a",), ("b",), ("c",)], ["v"])
     est = {r["v"]: r["est_n"] for r in cms_query(stored, vals, **kw).collect()}
     assert est["a"] >= 40 and est["b"] >= 5 and est["c"] >= 7
+
+
+def test_streaming_distinct_hll_monitor(spark, tmp_path):
+    """Ingest-time distinct-user monitoring: per-batch HLL sketches
+    append to a state table (real writeStream); the up-to-now estimate
+    ALWAYS equals sketching everything ingested so far in one pass
+    (merge == whole), replayed batch_ids apply once, and compaction
+    preserves both the estimate and the replay guard."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.classify import (
+        compact_distinct,
+        current_distinct,
+        make_distinct_sink,
+    )
+
+    src, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    sink = make_distinct_sink(store, "live_nd", ["event_type"], "user")
+
+    seen: list[tuple] = []
+
+    def write_batch(rows):
+        seen.extend(rows)
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for et, u in rows:
+                fh.write(_json.dumps({"event_type": et, "user": u}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema("event_type string, user string").json(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    def live():
+        return {
+            r["event_type"]: r["approx_nd"]
+            for r in current_distinct(store, "live_nd", ["event_type"]).collect()
+        }
+
+    def whole_truth():
+        df = spark.createDataFrame(seen, "event_type string, user string")
+        return {
+            r["event_type"]: r["n"]
+            for r in df.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user", F.lit(12))
+                ).alias("n")
+            )
+            .collect()
+        }
+
+    write_batch([("view", f"u{i}") for i in range(40)] + [("buy", "u0")])
+    run()
+    assert live() == whole_truth()
+    # overlapping users in a later batch must not double-count
+    write_batch([("view", f"u{i}") for i in range(20, 60)] + [("buy", "u1")])
+    run()
+    est = live()
+    assert est == whole_truth()
+    assert est["buy"] == 2
+
+    # replayed batch_id applies once (at-least-once delivery)
+    b = spark.createDataFrame([("view", "u9999")], "event_type string, user string")
+    sink(b, 0)  # stale id: skipped
+    assert live() == whole_truth()
+
+    # compaction: one row per key, estimate unchanged, replay still skips
+    n_before = store.read("live_nd").count()
+    compact_distinct(store, "live_nd")
+    assert store.read("live_nd").count() < n_before
+    assert live() == whole_truth()
+    sink(b, 0)
+    assert live() == whole_truth()
