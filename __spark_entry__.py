@@ -87,7 +87,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    corpus_mixture_weights (multi-round green; assembly
         #    family keeps split/stratified/pack rows in-window)
         "ev_top_paths": A.QUERIES["ev_top_paths"],
-        "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
         # -- r8 second-wave: per-frame audio features through the real
         #    WAV kernel (displaced para_dedup — multi-round green,
         #    family-pinned by the in-window corpus_dup_spans rows)
@@ -110,6 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": A.QUERIES["er_clusters"],
         "cat_schema_drift": A.QUERIES["cat_schema_drift"],
         "colloc_lift": A.QUERIES["colloc_lift"],
+        # -- r8 fourth-wave: integer-quantized PageRank (every
+        #    iteration replayed exactly by the materialized-CTE
+        #    oracle); displaced text_quality_classifier (multi-round
+        #    green, still checked locally every round)
+        "graph_pagerank": A.QUERIES["graph_pagerank"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
         # -- r8 fourth-wave: Deequ-style declarative quality suite
         #    (completeness / compliance / uniqueness / referential
@@ -196,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "pii_redact": P.pii_redact,
+        "text_quality_classifier": L.EXTRA_QUERIES["text_quality_classifier"],
         "mm_image_decode": M.QUERIES["mm_image_decode"],
         "mm_audio_decode": M.QUERIES["mm_audio_decode"],
         "p1_state_filter": R.p1_state_filter,

@@ -1,0 +1,135 @@
+"""Integer-quantized PageRank — bounded-iteration graph centrality as
+DataFrame ops with BIT-PORTABLE arithmetic.
+
+Public algorithm: Page et al. 1999 with the standard dangling-mass
+redistribution. The engine twist is the house numerics rule: float
+PageRank sums contributions in hash-aggregation order (never
+reproducible across engines, barely across runs), so ranks here live in
+INTEGER mass units (``SCALE = 10^12`` total mass) and every step is
+integer arithmetic in one fixed written order —
+
+    T      = (15 * (SCALE div N)) div 100          (teleport share)
+    D_t    = dangling_mass_t div N                 (redistributed)
+    r_t(v) = T + (85 * (inflow_t(v) + D_t)) div 100
+    inflow_t(v) = sum over edges u->v of (r_{t-1}(u) div outdeg(u))
+
+Integer sums are order-independent, so a DuckDB oracle replays every
+iteration exactly (unrolled ``AS MATERIALIZED`` stages — the BPE
+training pattern). Quantization error is ~1 mass unit per div, i.e.
+1e-12 of total rank per step — far below any ranking decision.
+
+Scale shape: per iteration ONE equi-join of edges to ranks (shuffle on
+src), one hash aggregate to targets (map-side combinable), one
+metadata-scale dangling aggregate (a single scalar, collected — the
+same bounded per-round collect as BPE training). k is fixed and small;
+the edge list never materializes pairs beyond the input graph.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Rank every node of the directed graph ``edges`` (deduplicated
+    internally): ``(node, rank_mass)`` with ``rank_mass`` the integer
+    mass after ``iterations`` steps (sum over nodes ~ SCALE)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = nodes.count()
+    r0 = SCALE // n
+    teleport = (15 * (SCALE // n)) // 100
+
+    ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
+    for _ in range(iterations):
+        ranks = ranks.persist()
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        d_share = int(dangling) // n
+        inflow = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        prev = ranks
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"(85 * (coalesce(inflow, 0) + {d_share})) div 100"
+                )
+            ).cast("bigint").alias("r"),
+        )
+        prev.unpersist()
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt
+
+    return adopt(ranks.select("node", F.col("r").alias("rank_mass")), nodes, outdeg)
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, *, iterations: int = 5, top_k: int | None = None
+) -> str:
+    """Unrolled DuckDB replay of :func:`pagerank` over the edge set
+    produced by ``edges_sql`` (columns ``src, dst``; deduplicated
+    here). Every stage materialized — DuckDB inlines twice-referenced
+    CTEs and an unrolled iteration would otherwise explode."""
+    stages = [
+        f"""edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS MATERIALIZED (
+        SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS c FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST({SCALE} // (SELECT c FROM nn) AS BIGINT) AS r
+        FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        stages.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT coalesce(sum(r), 0) AS dang FROM r{i - 1}
+        WHERE node NOT IN (SELECT src FROM outdeg)),
+    r{i} AS MATERIALIZED (
+        SELECT nodes.node,
+               CAST((15 * ({SCALE} // nn.c)) // 100
+                    + (85 * (coalesce(inf.s, 0)
+                             + ((SELECT dang FROM d{i}) // nn.c))) // 100
+                    AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.deg) AS s
+                   FROM edges e
+                   JOIN r{i - 1} p ON e.src = p.node
+                   JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst) inf USING (node))"""
+        )
+    limit = ""
+    order = "ORDER BY node"
+    if top_k is not None:
+        order = f"ORDER BY rank_mass DESC, node LIMIT {top_k}"
+    return (
+        "WITH "
+        + ",\n    ".join(stages)
+        + f"""
+    SELECT node, r AS rank_mass FROM r{iterations} {order}"""
+    )

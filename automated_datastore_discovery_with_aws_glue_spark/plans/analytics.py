@@ -798,3 +798,49 @@ EV_TOP_PATHS_SQL = f"""
 
 QUERIES["ev_top_paths"] = ev_top_paths
 ORACLES["ev_top_paths"] = EV_TOP_PATHS_SQL
+
+
+# --------------------------------------------------------------------------
+# Graph centrality — integer-quantized PageRank over the supply graph
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_TOP_K = 25
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 nodes of the supplier->customer fulfillment graph by
+    integer-quantized PageRank (`operators/graph.py` — ranks in 1e-12
+    mass units, every step exact integer arithmetic, so the oracle
+    replays ALL five iterations bit-for-bit through materialized CTE
+    stages). Customers are pure sinks: the dangling-mass
+    redistribution path is exercised on every iteration, not just in
+    theory."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERS)
+    return ranks.orderBy(F.desc("rank_mass"), "node").limit(_PR_TOP_K)
+
+
+def _graph_pagerank_sql() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+
+    edges = (
+        "SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    return pagerank_oracle_sql(edges, iterations=_PR_ITERS, top_k=_PR_TOP_K)
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+ORACLES["graph_pagerank"] = _graph_pagerank_sql()

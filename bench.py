@@ -125,6 +125,7 @@ HEADLINE = [
     "src_orc_roundtrip",
     "ev_top_paths",
     "incr_distinct_hll",
+    "graph_pagerank",
 ]
 
 

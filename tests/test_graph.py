@@ -1,0 +1,75 @@
+"""Integer-quantized PageRank (`operators/graph.py`) — the sf0.01
+oracle replays all iterations bit-for-bit; these pin the SEMANTICS on
+hand-checkable graphs (hub dominance, dangling redistribution, mass
+conservation) and an exact pure-Python replay of the integer
+recurrence."""
+
+from __future__ import annotations
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.graph import SCALE, pagerank
+
+
+def _ranks(spark, edge_rows, iterations=5):
+    e = spark.createDataFrame(edge_rows, "src string, dst string")
+    return {
+        r["node"]: r["rank_mass"]
+        for r in pagerank(e, iterations=iterations).collect()
+    }
+
+
+def _py_pagerank(edge_rows, iterations):
+    """Exact integer replay of the documented recurrence."""
+    edges = sorted(set(edge_rows))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    t = (15 * (SCALE // n)) // 100
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in out)
+        d_share = dang // n
+        inflow = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + r[s] // out[s]
+        r = {v: t + (85 * (inflow.get(v, 0) + d_share)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_exact_integer_replay(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("e", "c"), ("c", "f"),  # f is dangling
+    ]
+    got = _ranks(spark, edges, iterations=4)
+    assert got == _py_pagerank(edges, 4)
+
+
+def test_pagerank_hub_dominates_and_mass_conserved(spark):
+    """Star graph: every spoke points at the hub -> the hub holds the
+    top rank; total mass stays within integer-division losses of
+    SCALE (each div loses < 1 unit per node per step)."""
+    edges = [(f"s{i}", "hub") for i in range(10)]
+    got = _ranks(spark, edges)
+    assert max(got, key=got.get) == "hub"
+    spoke_ranks = {v for k, v in got.items() if k != "hub"}
+    assert len(spoke_ranks) == 1  # symmetric spokes rank identically
+    assert abs(sum(got.values()) - SCALE) / SCALE < 0.01
+
+
+def test_pagerank_dangling_mass_is_redistributed(spark):
+    """a -> b with b dangling: without redistribution b's mass would
+    vanish and ranks would collapse toward the teleport floor; with it,
+    b (receiving a's full outflow) outranks a."""
+    got = _ranks(spark, [("a", "b")])
+    assert got["b"] > got["a"]
+    assert abs(sum(got.values()) - SCALE) / SCALE < 0.01
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """The edge list is a SET: repeating an edge must not double its
+    contribution."""
+    once = _ranks(spark, [("a", "b"), ("b", "a"), ("a", "c")])
+    dup = _ranks(spark, [("a", "b")] * 5 + [("b", "a"), ("a", "c")])
+    assert once == dup
