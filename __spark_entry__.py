@@ -98,6 +98,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the in-window perplexity-bigram + quality-classifier rows)
         "ev_funnel": A.QUERIES["ev_funnel"],
         "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
+        # -- r8 fourth-wave: first/last/linear revenue attribution in
+        #    exact integer cents (remainder to the last touch);
+        #    displaced j_range_burst (two rounds green; the range-join
+        #    binning is pinned in-window by the pair-emitting
+        #    j_range_pairs row)
+        "ev_attribution": A.QUERIES["ev_attribution"],
         "er_sorted_neighborhood": A.QUERIES["er_sorted_neighborhood"],
         # -- r8 third-wave: ER connected components + survivorship,
         #    crawler-style schema-drift report, bigram collocations by
@@ -151,7 +157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    green; the as-of machinery is pinned in-window by the
         #    forward/nearest direction rows)
         "ts_gapfill_hourly": RX.QUERIES["ts_gapfill_hourly"],
-        "j_range_burst": RX.QUERIES["j_range_burst"],
         # -- rotated IN for r8 (VERDICT r7 items 4+5+3+6): the named
         #    past-window batch...
         "corpus_split": L.EXTRA_QUERIES["corpus_split"],
@@ -195,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": L.QUERIES["dedup_ngram_jaccard"],
         "dedup_minhash_lsh_md5": L.QUERIES["dedup_minhash_lsh_md5"],
         "j_asof_rate": RX.QUERIES["j_asof_rate"],
+        "j_range_burst": RX.QUERIES["j_range_burst"],
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],

@@ -844,3 +844,139 @@ def _graph_pagerank_sql() -> str:
 
 QUERIES["graph_pagerank"] = graph_pagerank
 ORACLES["graph_pagerank"] = _graph_pagerank_sql()
+
+
+# --------------------------------------------------------------------------
+# Marketing attribution — first / last / linear touch over the event stream
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution per channel (= event_type of the touchpoint):
+    every purchase's value is credited to the user's view/click touches
+    in the 7 days up to the purchase under THREE models — first touch,
+    last touch, linear. Touchless purchases credit a ``(direct)``
+    channel in full.
+
+    Exactness: value splits happen in integer CENTS — linear share =
+    ``cents div K`` with the remainder assigned to the LAST touch
+    (deterministic rule, so every purchase's cents sum exactly and both
+    engines agree bit-for-bit; a float ``value/K`` would drift in the
+    sum order).
+
+    Scale: the touch-to-purchase join is keyed on ``user_id`` with a
+    time predicate — pair count is bounded by per-user activity in the
+    window (the bin-bucketed `operators/temporal.py range_join` is the
+    same shape pre-bounded for adversarial key skew); two windows over
+    (purchase) share one sort; final aggregate is channel-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        F.unix_micros("ts").alias("p_ts"),
+        cents.alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    pairs = purchases.join(touches, "u").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") - F.col("t_ts") <= _ATTR_WINDOW_US)
+    )
+    w = Window.partitionBy("p_id")
+    wa = w.orderBy("t_ts", "t_id")
+    wd = w.orderBy(F.desc("t_ts"), F.desc("t_id"))
+    attributed = pairs.select(
+        "p_id",
+        "channel",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.row_number().over(wa).alias("rn_first"),
+        F.row_number().over(wd).alias("rn_last"),
+    ).select(
+        "channel",
+        (
+            F.expr("cents div k")
+            + F.when(
+                F.col("rn_last") == 1,
+                F.col("cents") - F.col("k") * F.expr("cents div k"),
+            ).otherwise(F.lit(0))
+        ).alias("linear_c"),
+        F.when(F.col("rn_first") == 1, F.col("cents")).otherwise(F.lit(0)).alias("first_c"),
+        F.when(F.col("rn_last") == 1, F.col("cents")).otherwise(F.lit(0)).alias("last_c"),
+    )
+    direct = (
+        purchases.join(pairs.select("p_id").distinct(), "p_id", "left_anti")
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.col("cents").alias("linear_c"),
+            F.col("cents").alias("first_c"),
+            F.col("cents").alias("last_c"),
+        )
+    )
+    return (
+        attributed.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("linear_c") / F.lit(100.0)).alias("linear_usd"),
+            (F.sum("first_c") / F.lit(100.0)).alias("first_usd"),
+            (F.sum("last_c") / F.lit(100.0)).alias("last_usd"),
+        )
+        .orderBy("channel")
+    )
+
+
+EV_ATTRIBUTION_SQL = f"""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id AS u, epoch_us(ts) AS p_ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS t_ts,
+               event_id AS t_id
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+        SELECT p.p_id, t.channel, p.cents, t.t_ts, t.t_id
+        FROM p JOIN t ON p.u = t.u
+        WHERE t.t_ts <= p.p_ts AND p.p_ts - t.t_ts <= {_ATTR_WINDOW_US}
+    ),
+    ranked AS (
+        SELECT p_id, channel, cents,
+               count(*) OVER (PARTITION BY p_id) AS k,
+               row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn_first,
+               row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rn_last
+        FROM pairs
+    ),
+    attributed AS (
+        SELECT channel,
+               cents // k
+               + CASE WHEN rn_last = 1 THEN cents - k * (cents // k) ELSE 0 END
+                   AS linear_c,
+               CASE WHEN rn_first = 1 THEN cents ELSE 0 END AS first_c,
+               CASE WHEN rn_last = 1 THEN cents ELSE 0 END AS last_c
+        FROM ranked
+        UNION ALL
+        SELECT '(direct)', cents, cents, cents
+        FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM pairs)
+    )
+    SELECT channel,
+           count(*) AS n_rows,
+           CAST(sum(linear_c) AS BIGINT) / 100.0 AS linear_usd,
+           CAST(sum(first_c) AS BIGINT) / 100.0 AS first_usd,
+           CAST(sum(last_c) AS BIGINT) / 100.0 AS last_usd
+    FROM attributed
+    GROUP BY channel
+    ORDER BY channel
+"""
+
+QUERIES["ev_attribution"] = ev_attribution
+ORACLES["ev_attribution"] = EV_ATTRIBUTION_SQL

@@ -126,6 +126,7 @@ HEADLINE = [
     "ev_top_paths",
     "incr_distinct_hll",
     "graph_pagerank",
+    "ev_attribution",
 ]
 
 

@@ -284,3 +284,43 @@ def test_ev_top_paths_order_tiebreak_and_gap(spark, tmp_path):
     ).coalesce(1).write.parquet(d + "/events.parquet")
     got = {r["path"]: r["n"] for r in A.ev_top_paths(spark, d).collect()}
     assert got == {"a>b>c": 1, "w>x>y": 1}
+
+
+def test_ev_attribution_models_and_remainder(spark, tmp_path):
+    """One purchase of $1.00 with 3 touches: linear splits 33/33/34
+    cents (remainder to the LAST touch — cents always sum exactly);
+    first/last models credit the boundary touches in full; an
+    out-of-window touch is invisible; a touchless purchase lands on
+    (direct)."""
+    H = 24
+    rows = [
+        # user 1: view(old, outside 7d) view click -> purchase $1.00
+        (1, 1, "view", -8 * H, 1.0),
+        (2, 1, "view", -2 * H, 1.0),
+        (3, 1, "view", -1 * H, 1.0),
+        (4, 1, "click", -1, 1.0),
+        (5, 1, "purchase", 0, 1.00),
+        # user 2: no touches -> (direct) $2.50
+        (6, 2, "purchase", 0, 2.50),
+    ]
+    data = [
+        (e, T0 + dt.timedelta(hours=h), u, et, v, "{}")
+        for e, u, et, h, v in rows
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(d + "/events.parquet")
+    got = {
+        r["channel"]: (r["n_rows"], r["linear_usd"], r["first_usd"], r["last_usd"])
+        for r in A.ev_attribution(spark, d).collect()
+    }
+    # 3 in-window touches (events 2,3 view + 4 click); event 1 excluded.
+    # linear: 100 div 3 = 33 each, last (click, event 4) gets 33+1=34
+    assert got["view"] == (2, 0.66, 1.0, 0.0)   # first touch = event 2 (view)
+    assert got["click"] == (1, 0.34, 0.0, 1.0)  # last touch = event 4
+    assert got["(direct)"] == (1, 2.5, 2.5, 2.5)
+    total_linear = round(sum(v[1] for v in got.values()), 2)
+    assert total_linear == 3.5  # cents conserved exactly
