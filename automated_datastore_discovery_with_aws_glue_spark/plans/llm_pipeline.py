@@ -2720,3 +2720,26 @@ FUZZY_JOIN_DOCS_SQL = f"""
 
 EXTRA_QUERIES["fuzzy_join_docs"] = fuzzy_join_docs
 ORACLES["fuzzy_join_docs"] = FUZZY_JOIN_DOCS_SQL
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step: deterministic top-150 documents by
+    importance weight (`operators/dsir.dsir_select` — ties on doc_id),
+    target = the English slice. Declared past-window (the weight math
+    is pinned in-window by `corpus_dsir_weights`); the oracle replays
+    the selection."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = dsir.dsir_select(docs, docs.filter(F.col("lang") == "en"), 150)
+    return sel.orderBy("doc_id")
+
+
+CORPUS_DSIR_SELECT_SQL = (
+    "SELECT * FROM (SELECT doc_id, n_grams, score_micro FROM ("
+    + CORPUS_DSIR_WEIGHTS_SQL.replace("ORDER BY doc_id", "")
+    + ") ORDER BY score_micro DESC, doc_id LIMIT 150) ORDER BY doc_id"
+)
+
+EXTRA_QUERIES["corpus_dsir_select"] = corpus_dsir_select
+ORACLES["corpus_dsir_select"] = CORPUS_DSIR_SELECT_SQL
