@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "corpus_dsir_select": L.EXTRA_QUERIES["corpus_dsir_select"],
+        "w_hopping_counts": RX.QUERIES["w_hopping_counts"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "pii_redact": P.pii_redact,

@@ -971,3 +971,56 @@ SRC_ORC_ROUNDTRIP_SQL = """
 
 QUERIES["src_orc_roundtrip"] = src_orc_roundtrip
 ORACLES["src_orc_roundtrip"] = SRC_ORC_ROUNDTRIP_SQL
+
+
+def w_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute HOPPING windows sliding every 5 minutes (F.window's
+    slideDuration form — each event lands in exactly three overlapping
+    windows): per (window, event_type) counts and exact integer-cents
+    revenue. The sliding mode is the windowing shape tumbling can't
+    express (a metric smoothed at finer grain than its span); the
+    oracle replays the 3-window membership with generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0)
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("bucket_start_epoch", "event_type")
+    )
+
+
+W_HOPPING_COUNTS_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // 300000000 AS b5,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, cents,
+               unnest(generate_series(b5 - 2, b5)) * 300 AS bucket_start_epoch
+        FROM e
+    )
+    SELECT bucket_start_epoch, event_type,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS total_value
+    FROM m
+    GROUP BY bucket_start_epoch, event_type
+    ORDER BY bucket_start_epoch, event_type
+"""
+
+QUERIES["w_hopping_counts"] = w_hopping_counts
+ORACLES["w_hopping_counts"] = W_HOPPING_COUNTS_SQL

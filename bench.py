@@ -127,6 +127,7 @@ HEADLINE = [
     "incr_distinct_hll",
     "graph_pagerank",
     "ev_attribution",
+    "w_hopping_counts",
 ]
 
 
