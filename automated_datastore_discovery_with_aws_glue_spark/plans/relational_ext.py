@@ -1024,3 +1024,55 @@ W_HOPPING_COUNTS_SQL = """
 
 QUERIES["w_hopping_counts"] = w_hopping_counts
 ORACLES["w_hopping_counts"] = W_HOPPING_COUNTS_SQL
+
+
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (shuffle-free) fact-fact join via bucketed managed
+    tables (`sources/readers.py bucketed_tables`): orders and lineitem
+    are each written bucketed+sorted on their orderkey (8 buckets), so
+    once the inputs outgrow the broadcast threshold the join plans with
+    ZERO exchanges on either input — the pay-the-shuffle-once-at-write-
+    time lever for joins that repeat every day at 100 TB (plan-asserted
+    under a disabled-broadcast regime in `tests/test_readers.py`; at
+    oracle sf the planner rightly broadcasts the small side instead). The oracle
+    aggregates the parquet originals, so the bucketed write+read+join
+    must also preserve every row and value."""
+    import re as _re
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import bucketed_tables
+
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    # bucket each side on ITS OWN join key (same bucket count) — the
+    # co-location contract
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bo = bucketed_tables(
+        spark, {f"orders_{tag}": orders}, key="o_orderkey", buckets=8
+    )[f"orders_{tag}"]
+    bl = bucketed_tables(
+        spark, {f"lineitem_{tag}": li}, key="l_orderkey", buckets=8
+    )[f"lineitem_{tag}"]
+    return (
+        bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias(
+                "qty_cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SRC_BUCKETED_JOIN_SQL = """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+QUERIES["src_bucketed_join"] = src_bucketed_join
+ORACLES["src_bucketed_join"] = SRC_BUCKETED_JOIN_SQL

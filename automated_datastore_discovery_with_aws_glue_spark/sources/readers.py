@@ -257,3 +257,34 @@ def orc_roundtrip(
         w = w.partitionBy(partition_by)
     w.orc(path)
     return spark.read.orc(path)
+
+
+def bucketed_tables(
+    spark: SparkSession,
+    frames: dict[str, DataFrame],
+    key: str | list[str],
+    *,
+    buckets: int = 8,
+    prefix: str = "bkt",
+) -> dict[str, DataFrame]:
+    """Write each frame as a BUCKETED+SORTED managed table on the join
+    key and return the re-read handles. Joining two tables bucketed the
+    same way on the same key plans WITHOUT a shuffle on either side
+    (co-located join — the 100 TB lever the brief names: pre-shuffle
+    once at write time, join forever for free; plan-asserted in
+    `tests/test_readers.py`). Overwrite mode keeps the build
+    idempotent per name."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out: dict[str, DataFrame] = {}
+    for name, df in frames.items():
+        tbl = f"{prefix}_{name}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        out[name] = spark.table(tbl)
+    return out
+

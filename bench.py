@@ -128,6 +128,7 @@ HEADLINE = [
     "graph_pagerank",
     "ev_attribution",
     "w_hopping_counts",
+    "src_bucketed_join",
 ]
 
 

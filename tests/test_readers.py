@@ -228,3 +228,41 @@ def test_orc_roundtrip_preserves_values_types_and_partitions(spark, tmp_path):
         spark, df.filter("id = 1"), str(tmp_path / "orc"), partition_by="status"
     )
     assert back2.count() == 1
+
+
+def test_bucketed_join_plans_without_exchange(spark):
+    """Two tables bucketed+sorted on their join keys (same bucket
+    count) join with ZERO Exchange operators — the pre-shuffled
+    co-located join. A plain parquet join of the same data plans at
+    least one shuffle, proving the assertion has teeth."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import bucketed_tables
+
+    left = spark.range(2000).selectExpr("id AS k", "id % 7 AS a")
+    right = spark.range(2000).selectExpr("id AS k2", "id % 5 AS b")
+    bt = bucketed_tables(
+        spark,
+        {"t_bkt_left": left},
+        key="k",
+        buckets=4,
+        prefix="test",
+    )["t_bkt_left"]
+    br = bucketed_tables(
+        spark, {"t_bkt_right": right}, key="k2", buckets=4, prefix="test"
+    )["t_bkt_right"]
+    # the 100 TB regime: neither fact side fits the broadcast threshold
+    # (at threshold, the planner rightly broadcasts and IGNORES buckets
+    # — "Bucketed: false (disabled by query planner)")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bt.join(br, bt["k"] == br["k2"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 2000
+
+        plain = left.join(right, left["k"] == right["k2"])
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
