@@ -274,10 +274,21 @@ def bucketed_tables(
     once at write time, join forever for free; plan-asserted in
     `tests/test_readers.py`). Overwrite mode keeps the build
     idempotent per name."""
+    import shutil
+    from urllib.parse import urlparse
+
     keys = [key] if isinstance(key, str) else list(key)
     out: dict[str, DataFrame] = {}
     for name, df in frames.items():
         tbl = f"{prefix}_{name}"
+        # a FRESH session's in-memory catalog has forgotten the table,
+        # but the managed location under the warehouse dir survives —
+        # CREATE then trips LOCATION_ALREADY_EXISTS. Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or (
+            spark.conf.get("spark.sql.warehouse.dir")
+        )
+        shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(buckets, *keys)
