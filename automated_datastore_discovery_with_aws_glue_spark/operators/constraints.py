@@ -104,11 +104,14 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     frames: list[DataFrame] = []
 
     def _ratio_frame(name: str, metric: Column, threshold: float, src: DataFrame) -> DataFrame:
+        # empty-table semantics: a ratio over zero rows is undefined —
+        # metric NULL, passed FALSE (a gate must return a verdict, and
+        # "no rows" never vouches for quality)
         m = F.round(metric, 4)
         return src.select(
             F.lit(name).alias("constraint"),
             m.alias("metric"),
-            (m >= threshold).alias("passed"),
+            F.coalesce(m >= threshold, F.lit(False)).alias("passed"),
         )
 
     for c in checks:
@@ -147,7 +150,11 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             frames.append(
                 _ratio_frame(
                     c.name,
-                    F.col("_h") / F.col("_d"),
+                    # guard 0/0 on an empty table (ANSI divide-by-zero);
+                    # NULL metric → passed false via _ratio_frame
+                    F.when(
+                        F.col("_d") > 0, F.col("_h") / F.col("_d")
+                    ).cast("double"),
                     c.threshold,
                     n_hit.crossJoin(n_all),
                 )
@@ -168,8 +175,12 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
                             F.struct(
                                 F.lit(name).alias("constraint"),
                                 F.round(F.col(f"_m{i}"), 4).alias("metric"),
-                                (
-                                    F.round(F.col(f"_m{i}"), 4) >= thr
+                                # avg over 0 rows is NULL → passed false
+                                # (same empty-table semantics as the
+                                # ratio frames)
+                                F.coalesce(
+                                    F.round(F.col(f"_m{i}"), 4) >= thr,
+                                    F.lit(False),
                                 ).alias("passed"),
                             )
                             for i, (name, thr) in enumerate(scalar_meta)

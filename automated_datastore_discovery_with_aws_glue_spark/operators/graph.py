@@ -60,6 +60,14 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = nodes.count()
+    if n == 0:
+        # empty graph: nothing to rank — return an empty, correctly
+        # typed frame instead of dividing SCALE by zero below
+        for c in (e, nodes, outdeg):
+            c.unpersist()
+        return nodes.select(
+            "node", F.lit(None).cast("bigint").alias("rank_mass")
+        )
     r0 = SCALE // n
     teleport = (15 * (SCALE // n)) // 100
 

@@ -207,6 +207,22 @@ def range_join(
     bounded by pairs within ``2*delta_us`` — never the per-key
     quadratic of a key-equijoin-then-filter. ``df_b``'s columns come
     back suffixed where they collide with ``df_a``'s."""
+    # b's timestamp must be a real payload column: when it IS the join
+    # key it gets excluded from b_cols below and the bin expressions
+    # would die with a bare KeyError instead of a usable message
+    if b_ts == on:
+        raise ValueError(
+            f"range_join: b_ts ({b_ts!r}) cannot be the join key column "
+            f"({on!r}) — the key joins by equality, not by range"
+        )
+    if a_ts == on:
+        raise ValueError(
+            f"range_join: a_ts ({a_ts!r}) cannot be the join key column ({on!r})"
+        )
+    if a_ts not in df_a.columns:
+        raise ValueError(f"range_join: a_ts column {a_ts!r} not in df_a")
+    if b_ts not in df_b.columns:
+        raise ValueError(f"range_join: b_ts column {b_ts!r} not in df_b")
     b_cols = {
         c: (c + suffix if c in df_a.columns and c != on else c)
         for c in df_b.columns

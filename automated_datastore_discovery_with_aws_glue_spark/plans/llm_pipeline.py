@@ -2442,18 +2442,15 @@ def knn_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantization math is pinned by the oracle-checked
     ``emb_quantize_int8`` and the recall/exactness bounds by
     tests/test_text_similarity.py."""
-    import os
-    import re as _re
-    import tempfile
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    # one FIXED scratch dir per sf_dir, overwritten on every run — a
-    # fresh mkdtemp per invocation leaked an int8 copy of the
-    # embeddings into /tmp on every bench/oracle sweep
-    path = os.path.join(
-        tempfile.gettempdir(), "ivf_q8_" + _re.sub(r"\W+", "_", sf_dir)
-    )
+    # one scratch dir per (sf_dir, process), overwritten on every run —
+    # a fresh mkdtemp per invocation leaked an int8 copy of the
+    # embeddings into /tmp on every bench/oracle sweep; the PID suffix
+    # keeps concurrent sessions from clobbering each other mid-read
+    path = scratch_dir("ivf_q8_" + sf_dir)
     cents = S.write_ivf_partitioned_q8(
         emb, path, "embedding", id_col="vec_id", n_cells=16
     )
@@ -2542,15 +2539,11 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (data-dependent codebooks + probabilistic recall); the encoding is
     pinned against a full numpy replay and the recall/exactness bounds
     in tests/test_text_similarity.py."""
-    import os
-    import re as _re
-    import tempfile
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    path = os.path.join(
-        tempfile.gettempdir(), "ivf_pq_" + _re.sub(r"\W+", "_", sf_dir)
-    )
+    path = scratch_dir("ivf_pq_" + sf_dir)
     cents, books = S.write_ivf_partitioned_pq(
         emb, path, "embedding", id_col="vec_id", n_cells=16, m=8, k=16
     )

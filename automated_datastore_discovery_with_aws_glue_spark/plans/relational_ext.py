@@ -933,16 +933,13 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARQUET original — equality proves the roundtrip preserved every
     value, type, and partition assignment (a dropped row, a mangled
     timestamp, or a partition-column loss all break the hash)."""
-    import os
-    import re as _re
-    import tempfile
-
-    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import orc_roundtrip
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import (
+        orc_roundtrip,
+        scratch_dir,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.gettempdir(), "orc_rt_" + _re.sub(r"\W+", "_", sf_dir)
-    )
+    path = scratch_dir("orc_rt_" + sf_dir)
     back = orc_roundtrip(spark, orders, path, partition_by="o_orderstatus")
     return (
         back.groupBy("o_orderstatus")

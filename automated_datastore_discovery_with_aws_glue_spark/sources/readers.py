@@ -259,13 +259,28 @@ def orc_roundtrip(
     return spark.read.orc(path)
 
 
+def scratch_dir(tag: str) -> str:
+    """Per-PROCESS scratch path for side-effecting declared queries
+    (ORC roundtrip, persisted IVF indexes): fixed WITHIN a process so
+    repeated bench/oracle sweeps overwrite instead of leaking a copy
+    per run, but suffixed with the PID so two concurrent sessions on
+    one host never overwrite each other's scratch mid-read."""
+    import re
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{re.sub(r'[^A-Za-z0-9_]+', '_', tag)}_p{os.getpid()}",
+    )
+
+
 def bucketed_tables(
     spark: SparkSession,
     frames: dict[str, DataFrame],
     key: str | list[str],
     *,
     buckets: int = 8,
-    prefix: str = "bkt",
+    prefix: str | None = None,
 ) -> dict[str, DataFrame]:
     """Write each frame as a BUCKETED+SORTED managed table on the join
     key and return the re-read handles. Joining two tables bucketed the
@@ -273,10 +288,15 @@ def bucketed_tables(
     (co-located join — the 100 TB lever the brief names: pre-shuffle
     once at write time, join forever for free; plan-asserted in
     `tests/test_readers.py`). Overwrite mode keeps the build
-    idempotent per name."""
+    idempotent per name; the default prefix carries the PID so two
+    concurrent sessions sharing one warehouse dir never drop/rebuild
+    each other's tables mid-read (pass an explicit ``prefix`` to opt
+    into a shared, single-writer table name)."""
     import shutil
     from urllib.parse import urlparse
 
+    if prefix is None:
+        prefix = f"bkt_p{os.getpid()}"
     keys = [key] if isinstance(key, str) else list(key)
     out: dict[str, DataFrame] = {}
     for name, df in frames.items():

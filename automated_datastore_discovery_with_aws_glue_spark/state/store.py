@@ -216,8 +216,19 @@ class ParquetStateStore:
         """Create version 1 from a (possibly empty) DataFrame."""
         self._write_version(table, df, partition_by=partition_by)
 
-    def overwrite(self, table: str, df: DataFrame, *, partition_by: str | None = None) -> None:
-        self._write_version(table, df, partition_by=partition_by)
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: str | None = None,
+        expect: int | None = None,
+    ) -> None:
+        """Full rewrite. ``expect`` pins the version the caller derived
+        ``df`` from: a commit that would silently drop a concurrent
+        writer's version raises ``ConcurrentWriteError`` instead (the
+        read-modify-overwrite CAS — compaction's correctness hinge)."""
+        self._write_version(table, df, partition_by=partition_by, expect=expect)
 
     def append(self, table: str, df: DataFrame, *, partition_by: str | None = None) -> None:
         """Plain insert (S10) — new version = old data + batch, at O(batch) cost.

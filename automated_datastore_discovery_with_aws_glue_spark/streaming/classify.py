@@ -100,22 +100,61 @@ def current_classification(
     )
 
 
-def compact_counts(store: ParquetStateStore, table: str) -> None:
+def _max_batch(df: DataFrame) -> int:
+    """Highest batch_id IN this snapshot (-1 when none) — the compaction
+    derivations use this, not ``_applied_through``, so the preserved
+    replay marker comes from the exact pinned version being rewritten."""
+    if "batch_id" not in df.columns:
+        return -1
+    row = df.agg(F.max("batch_id").alias("m")).collect()[0]
+    return -1 if row["m"] is None else int(row["m"])
+
+
+def _summed_counts(df: DataFrame) -> DataFrame:
+    applied = _max_batch(df)
+    summed = (
+        df.groupBy("columnName", "entity")
+        .agg(F.sum("n_matched").alias("n_matched"), F.sum("n_values").alias("n_values"))
+        .withColumn("batch_id", F.lit(applied).cast("long"))
+    )
+    return summed.select(*_COLS, "batch_id")
+
+
+def compact_counts(store: ParquetStateStore, table: str, *, max_retries: int = 5) -> None:
     """Replace the per-batch count rows with their sum (one row per
     (column, entity)) — run periodically with ``store.vacuum`` to keep
     the monitoring table O(columns x entities) regardless of how many
     batches ever landed. Derivations before/after are identical
     (summing is associative). The max applied batch_id is preserved on
     every compacted row so a replay arriving after a compaction still
-    skips."""
-    df = store.read(table)
-    applied = _applied_through(store, table)
-    summed = (
-        df.groupBy("columnName", "entity")
-        .agg(F.sum("n_matched").alias("n_matched"), F.sum("n_values").alias("n_values"))
-        .withColumn("batch_id", F.lit(applied).cast("long"))
-    )
-    store.overwrite(table, summed.select(*_COLS, "batch_id"))
+    skips.
+
+    Safe to run WHILE the stream writes: the rewrite is a pinned-snapshot
+    CAS (``overwrite(expect=base)``) — a micro-batch that appends between
+    the snapshot read and the commit makes the commit lose with
+    ``ConcurrentWriteError`` and the compaction re-derives from the fresh
+    snapshot, so no batch's counts are ever dropped."""
+    _compact_cas(store, table, _summed_counts, max_retries=max_retries)
+
+
+def _compact_cas(store: ParquetStateStore, table: str, derive, *, max_retries: int) -> None:
+    """Read-modify-overwrite with optimistic concurrency: pin the version
+    the derivation reads, commit against exactly that version, retry from
+    the fresh snapshot on a lost race."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
+
+    last: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        base = store.latest_version(table)
+        snap = store.read(table, version=base)
+        try:
+            store.overwrite(table, derive(snap), expect=base)
+            return
+        except ConcurrentWriteError as exc:
+            last = exc  # a micro-batch landed mid-compaction: re-derive
+    raise ConcurrentWriteError(
+        f"{table}: compaction lost the commit race {max_retries} times"
+    ) from last
 
 
 def make_cms_sink(
@@ -207,17 +246,22 @@ def current_distinct(
     return hll_union_estimate(store.read(table), list(keys))
 
 
-def compact_distinct(store: ParquetStateStore, table: str) -> None:
+def compact_distinct(store: ParquetStateStore, table: str, *, max_retries: int = 5) -> None:
     """Replace the per-batch sketch rows with their per-key UNION (one
     row per key) — estimates before/after are identical (HLL union is
     associative); the max applied batch_id is preserved so replays
-    arriving after a compaction still skip."""
-    df = store.read(table)
-    applied = _applied_through(store, table)
-    keys = [c for c in df.columns if c not in ("hll", "batch_id")]
-    merged = (
-        df.groupBy(*keys)
-        .agg(F.hll_union_agg("hll").alias("hll"))
-        .withColumn("batch_id", F.lit(applied).cast("long"))
-    )
-    store.overwrite(table, merged.select(*keys, "hll", "batch_id"))
+    arriving after a compaction still skip. Same pinned-snapshot CAS as
+    ``compact_counts``: a micro-batch appended mid-compaction makes the
+    commit lose and the union re-derives — its sketch is never dropped."""
+
+    def derive(df: DataFrame) -> DataFrame:
+        applied = _max_batch(df)
+        keys = [c for c in df.columns if c not in ("hll", "batch_id")]
+        merged = (
+            df.groupBy(*keys)
+            .agg(F.hll_union_agg("hll").alias("hll"))
+            .withColumn("batch_id", F.lit(applied).cast("long"))
+        )
+        return merged.select(*keys, "hll", "batch_id")
+
+    _compact_cas(store, table, derive, max_retries=max_retries)

@@ -214,7 +214,28 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
-    print(json.dumps(result))
+
+    # The driver captures only the last ~2000 chars of output and parses the
+    # final JSON line; at 80+ queries the full per-query map outgrew that
+    # window (round 8's BENCH artifact was truncated mid-key, parsed: null).
+    # So: always persist the full detail to a local file, and keep the
+    # PRINTED line short — inline the per-query map only while it still fits
+    # the capture window with headroom.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_sf{sf}.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh)
+    line = json.dumps(result)
+    if len(line) > 1600:
+        short = {k: v for k, v in result.items() if k != "queries"}
+        short["n_queries"] = len(timings)
+        if errors:
+            short["n_errors"] = len(errors)
+            short.pop("errors", None)
+        short["queries_file"] = os.path.basename(detail_path)
+        line = json.dumps(short)
+    print(line)
     if errors:
         sys.exit(1)
 

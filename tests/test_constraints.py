@@ -79,3 +79,24 @@ def test_scalar_checks_fuse_into_one_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") + plan.count("Range (") == 1
     assert out.count() == 3
+
+
+def test_empty_table_still_returns_one_verdict_per_constraint(spark):
+    """Empty-table semantics: every constraint reports metric NULL +
+    passed FALSE (a ratio over zero rows is undefined and never vouches
+    for quality) — no NULL verdicts, no ANSI 0/0 error."""
+    df = spark.createDataFrame([], "id long, v int")
+    ref = spark.createDataFrame([(1,)], "k long")
+    rep = _report(
+        df,
+        [
+            Completeness("v"),
+            Compliance("pos", F.col("v") > 0),
+            Uniqueness(("id",)),
+            ReferentialIntegrity("id", ref, ref_col="k", ref_name="dim"),
+        ],
+    )
+    assert len(rep) == 4
+    for metric, passed in rep.values():
+        assert metric is None
+        assert passed is False

@@ -73,3 +73,13 @@ def test_pagerank_duplicate_edges_collapse(spark):
     once = _ranks(spark, [("a", "b"), ("b", "a"), ("a", "c")])
     dup = _ranks(spark, [("a", "b")] * 5 + [("b", "a"), ("a", "c")])
     assert once == dup
+
+
+def test_pagerank_empty_graph_returns_empty_typed_frame(spark):
+    """No nodes: return an empty (node, rank_mass) frame instead of
+    dividing SCALE by zero (and without paying extra actions)."""
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(e, iterations=3)
+    assert out.columns == ["node", "rank_mass"]
+    assert dict(out.dtypes)["rank_mass"] == "bigint"
+    assert out.count() == 0

@@ -830,3 +830,28 @@ def test_conditional_backend_threaded_race_single_winner(spark, cond_store):
     assert cond_store.latest_version("t") == 2
     ids = [r["id"] for r in cond_store.read("t").collect()]
     assert ids in (["x"], ["y"])
+
+
+def test_overwrite_expect_pins_snapshot(spark, tmp_path):
+    """overwrite(expect=v) is the read-modify-overwrite CAS: committing
+    against a snapshot another writer has already superseded raises
+    ConcurrentWriteError instead of silently dropping the newer version."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import (
+        ConcurrentWriteError,
+        ParquetStateStore,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "st"))
+    df = spark.createDataFrame([(1,)], "a long")
+    store.init("t", df)
+    base = store.latest_version("t")
+    store.append("t", spark.createDataFrame([(2,)], "a long"))
+    with pytest.raises(ConcurrentWriteError):
+        store.overwrite("t", df, expect=base)
+    # the racing append's row survived untouched
+    assert sorted(r["a"] for r in store.read("t").collect()) == [1, 2]
+    # and a correctly-pinned overwrite still commits
+    store.overwrite(
+        "t", spark.createDataFrame([(9,)], "a long"), expect=store.latest_version("t")
+    )
+    assert [r["a"] for r in store.read("t").collect()] == [9]

@@ -1137,3 +1137,40 @@ def test_streaming_distinct_hll_monitor(spark, tmp_path):
     assert live() == whole_truth()
     sink(b, 0)
     assert live() == whole_truth()
+
+
+def test_compaction_cas_preserves_racing_micro_batch(spark, tmp_path):
+    """A micro-batch that appends BETWEEN the compaction's snapshot read
+    and its overwrite commit must never be dropped: the pinned-snapshot
+    CAS loses the commit race, re-derives from the fresh snapshot, and
+    the racing batch's counts (and the replay guard) survive."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.classify import (
+        _compact_cas,
+        _summed_counts,
+        make_classify_sink,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    cols = ["contact"]
+    sink = make_classify_sink(store, "cnt", ["EMAIL"], columns=cols)
+    sink(spark.createDataFrame([(f"u{i}@ex.com",) for i in range(2)], cols), 0)
+
+    raced = {"fired": False, "derives": 0}
+    b1 = spark.createDataFrame([("plain a",), ("plain b",)], cols)
+
+    def derive(snap):
+        raced["derives"] += 1
+        if not raced["fired"]:
+            raced["fired"] = True
+            sink(b1, 1)  # the racing micro-batch lands mid-compaction
+        return _summed_counts(snap)
+
+    _compact_cas(store, "cnt", derive, max_retries=5)
+    assert raced["derives"] == 2  # lost the first commit, re-derived
+
+    total = store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]
+    assert tuple(total) == (2, 4)  # b1's 2 non-matching values survived
+    sink(b1, 1)  # replay after compaction still skips
+    again = store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]
+    assert tuple(again) == (2, 4)

@@ -490,3 +490,21 @@ def test_gapfill_quarter_unit_interpolation_is_half_up(spark):
     # 2 + 1/3 cents = 0.023333... -> 0.0233; 2 + 2/3 -> 0.026666... -> 0.0267
     assert out[b0 + 3 * h] == 0.0233
     assert out[b0 + 4 * h] == 0.0267
+
+
+def test_range_join_rejects_key_as_timestamp(spark):
+    """b_ts/a_ts colliding with the equality key must fail with a
+    descriptive ValueError up front (it used to surface as a bare
+    KeyError from the internal rename map)."""
+    import pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.temporal import range_join
+
+    a = spark.createDataFrame([("k1", _ts("2024-01-01 10:00:00"))], ["k", "ts"])
+    b = spark.createDataFrame([("k1", _ts("2024-01-01 10:01:00"))], ["k", "ts"])
+    with pytest.raises(ValueError, match="join key"):
+        range_join(a, b, "k", b_ts="k")
+    with pytest.raises(ValueError, match="join key"):
+        range_join(a, b, "k", a_ts="k")
+    with pytest.raises(ValueError, match="not in df_b"):
+        range_join(a, b, "k", b_ts="nope")
