@@ -277,6 +277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cross-batch == one-shot batch dedup; delta-only file reads)
         "incr_dedup_ingest": INC.incr_dedup_ingest,
         "incr_classify_delta": INC.incr_classify_delta,
+        # r9: the ANN recurring-cost lifecycle — bulk IVF build (k-means
+        # quantizer) + O(batch) delta ingest + partition-pruned probe.
+        # Rows-only (stateful lifecycle, data-dependent centroids); the
+        # quantizer math is pinned in-window by knn_kmeans_centroids
+        "incr_ann_ingest": INC.incr_ann_ingest,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],

@@ -419,6 +419,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     refine_sample: int = 32,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells: score only the
     vectors whose nearest centroid is among the query's n_probe nearest
@@ -428,9 +429,16 @@ def ivf_topk(
     ingest (``ivf_cell_expr``) and this becomes a partition-pruned scan
     of n_probe/n_cells of the data; here the assignment is computed
     inline. Complements hyperplane LSH: IVF adapts to the data
-    distribution (centroids come from the data), LSH is data-oblivious."""
-    cents = ivf_centroids(
-        df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    distribution (centroids come from the data), LSH is data-oblivious.
+
+    Pass ``centroids`` to reuse an already-trained quantizer (e.g. the
+    full-Lloyd :func:`kmeans_quantizer`) instead of the sampled one."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+        )
     )
     if len(cents) == 0:
         return df.select(
@@ -831,3 +839,192 @@ def ivf_topk_pq(
         .orderBy(F.col("similarity").desc(), F.col(id_col))
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (integer-quantized Lloyd) — the IVF/PQ quantizer's
+# scale path
+# ---------------------------------------------------------------------------
+#
+# The sampled one-step quantizer above (`ivf_centroids`) is memory-safe at
+# any corpus size but trains on a BOUNDED sample; at real corpus sizes the
+# cells it builds can be unbalanced. This is full Lloyd over ALL vectors,
+# in Spark's execution model:
+#
+# - assign: the same literal-matrix argmax as `ivf_cell_expr`, map-side,
+#   zero shuffle;
+# - update: posexplode + groupBy(cell, pos) sum/count — partial aggregation
+#   combines map-side, so the shuffle carries k x d partial rows per
+#   partition, never data;
+# - per round, exactly k x d aggregate rows reach the driver (metadata-
+#   scale, independent of corpus size — the BPE-training collect shape,
+#   `operators/bpe.py`).
+#
+# Everything accumulates in INTEGERS so the result is order-independent
+# and a DuckDB oracle replays every iteration bit-for-bit (the
+# `operators/graph.py` pattern): vectors are unit-normalized then floored
+# to micro-units (x/|v| * 1e6), per-cell means use truncating integer
+# division (Spark `div` == DuckDB `//` == trunc toward zero), and the
+# centroid re-normalization floor(m * 1e6 / sqrt(sum m^2)) is a
+# mul-div-floor chain with no fusable add (cross-engine FMA-safe).
+#
+# Overflow headroom at 100 TB: |component| <= 1e6, so a per-dim cell sum
+# of 1e9 members is <= 1e15, dots are <= d * 1e12, and sum(m^2) <= d * 1e12
+# — all comfortably inside BIGINT.
+
+
+def _lit_imatrix_sql(rows: list[list[int]]) -> str:
+    """A literal array-of-bigint-arrays as one SQL string (see
+    :func:`lit_vec` for why strings beat per-element Columns)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({int(c)} AS BIGINT)" for c in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def quantize_unit_micro(vec_col: str, norm_col: str) -> Column:
+    """Unit-normalize then floor to integer micro-units:
+    floor(x / |v| * 1e6) per component. Div-then-mul-then-floor — each
+    step an IEEE-determined op with no fusable multiply-add, so DuckDB
+    replays it bit-for-bit; the caller must have filtered ``norm_col``
+    > 0 (all-zero vectors have no direction and would poison the math
+    with NaN)."""
+    return F.expr(
+        f"transform(`{vec_col}`, x -> CAST(floor(CAST(x AS DOUBLE) / "
+        f"`{norm_col}` * 1000000.0) AS BIGINT))"
+    )
+
+
+def sq_norm_expr(vec_col: str) -> Column:
+    """sqrt of the left-to-right fold of squared components — transform
+    THEN aggregate, the exact shape DuckDB's list_transform + list_sum
+    folds in the same order."""
+    return F.expr(
+        f"sqrt(aggregate(transform(`{vec_col}`, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+
+
+def kmeans_cell_expr(qvec_col: str, cents: list[list[int]]) -> Column:
+    """Integer argmax assignment: cell = argmax over centroids of
+    dot(qv, c) with ties to the HIGHER cell id (struct max is
+    lexicographic on (score, cell) — the oracle replays it as
+    arg_max(cell, dot * k + cell)). Map-side, no shuffle; the centroid
+    matrix rides as one constant-folded literal."""
+    n = len(cents)
+    return F.expr(
+        f"CAST(array_max(transform(sequence(0, {n - 1}), i -> named_struct("
+        f"'s', aggregate(zip_with(`{qvec_col}`, "
+        f"element_at({_lit_imatrix_sql(cents)}, i + 1), (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (a, b) -> a + b), "
+        f"'c', i))).c AS INT)"
+    )
+
+
+def _trunc_div(s: int, cnt: int) -> int:
+    """Integer division truncating toward zero — Spark's `div`, DuckDB's
+    `//`, and Java semantics (Python's // floors, which differs on
+    negatives)."""
+    return s // cnt if s >= 0 else -((-s) // cnt)
+
+
+def kmeans_centroids_int(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    n_cells: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    hash_fn: str = "xxh",
+) -> list[list[int]]:
+    """Train ``n_cells`` centroids with ``iterations`` full Lloyd steps
+    over EVERY (non-zero) vector; returns the k x d integer micro-unit
+    centroid matrix. Seeds are the n_cells vectors of smallest
+    hash(id) — ``hash_fn='xxh'`` (production) or ``'md5'`` (the
+    DuckDB-replayable twin, `operators/text.py md5_hash64`). Empty and
+    degenerate (zero-mean) cells keep their previous centroid."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+
+    import math
+
+    h = (
+        md5_hash64(F.col(id_col).cast("string"))
+        if hash_fn == "md5"
+        else F.xxhash64(F.col(id_col))
+    )
+    base = (
+        df.withColumn("_nrm", sq_norm_expr(vec_col))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            quantize_unit_micro(vec_col, "_nrm").alias("_qv"),
+            h.alias("_h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        seeds = base.orderBy("_h", "_id").limit(n_cells).select("_qv").collect()
+        cents = [list(r["_qv"]) for r in seeds]
+        if not cents:
+            return []
+        for _ in range(iterations):
+            parts = (
+                base.select(
+                    kmeans_cell_expr("_qv", cents).alias("cell"),
+                    F.posexplode("_qv").alias("pos", "x"),
+                )
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()  # exactly k x d rows — metadata-scale
+            )
+            by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in parts:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["cnt"])
+            for c, dims in by_cell.items():
+                m = [
+                    _trunc_div(dims[j][0], dims[j][1])
+                    for j in range(len(cents[c]))
+                ]
+                ss = sum(v * v for v in m)
+                if ss == 0:
+                    continue  # degenerate cell: keep previous centroid
+                root = math.sqrt(float(ss))
+                cents[c] = [
+                    int(math.floor(float(v) * 1000000.0 / root)) for v in m
+                ]
+    finally:
+        base.unpersist()
+    return cents
+
+
+def kmeans_quantizer(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    n_cells: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    hash_fn: str = "xxh",
+) -> np.ndarray:
+    """The trained centroids as a unit-normalized float matrix — a
+    drop-in replacement for :func:`ivf_centroids` wherever a coarse
+    quantizer is consumed (`ivf_cell_expr`, the partitioned index
+    writers). Falls back to the sampled quantizer's shape contract:
+    zero rows -> (0, dim)."""
+    cents = kmeans_centroids_int(
+        df,
+        vec_col,
+        n_cells=n_cells,
+        iterations=iterations,
+        id_col=id_col,
+        hash_fn=hash_fn,
+    )
+    if not cents:
+        return np.zeros((0, max(1, vector_dim(df, vec_col))))
+    arr = np.array(cents, dtype=float) / 1_000_000.0
+    norms = np.linalg.norm(arr, axis=1, keepdims=True)
+    return arr / np.maximum(norms, 1e-300)

@@ -2736,3 +2736,114 @@ CORPUS_DSIR_SELECT_SQL = (
 
 EXTRA_QUERIES["corpus_dsir_select"] = corpus_dsir_select
 ORACLES["corpus_dsir_select"] = CORPUS_DSIR_SELECT_SQL
+
+
+def knn_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means coarse-quantizer training (r9, VERDICT r8
+    item 3): 3 full Lloyd iterations over EVERY non-zero embedding —
+    assignment is the literal-matrix integer argmax (map-side), the
+    update a posexplode + groupBy(cell, pos) sum/count whose partial
+    aggregation combines map-side, so each round shuffles k x d partial
+    rows per partition and collects exactly k x d rows
+    (`operators/similarity.py kmeans_centroids_int`). All math in
+    integer micro-units (unit-norm floor-quantized vectors, truncating
+    integer means, mul-div-floor renormalization — FMA-safe), so the
+    oracle replays all three iterations bit-for-bit, DuckDB's `//`
+    matching Spark's `div`/Java truncation. md5-seeded twin of the
+    xxhash64 production path (`kmeans_quantizer`); output = the final
+    centroid matrix unnested to atomic (cell, pos, c) rows."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids_int(
+        emb, "embedding", n_cells=8, iterations=3, id_col="vec_id", hash_fn="md5"
+    )
+    rows = [
+        (cell, pos, int(v))
+        for cell, vec in enumerate(cents)
+        for pos, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, pos int, c bigint"
+    ).orderBy("cell", "pos")
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+    """DuckDB replay of kmeans_centroids_int: every iteration unrolled
+    as MATERIALIZED CTEs (twice-referenced stages would otherwise be
+    inlined and explode, see the BPE oracle)."""
+    ctes = [
+        f"""nz AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )""",
+        f"""q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                    / nrm * 1000000.0) AS BIGINT)) AS qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM nz WHERE nrm > 0
+    )""",
+        f"""c0 AS MATERIALIZED (
+        SELECT CAST(s.cell AS INT) AS cell, CAST(t.i - 1 AS INT) AS pos,
+               CAST(s.qv[t.i] AS BIGINT) AS c
+        FROM (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, qv
+              FROM q ORDER BY h, vec_id LIMIT {k}) s,
+             unnest(generate_series(1, len(s.qv))) AS t(i)
+    )""",
+    ]
+    for n in range(1, iterations + 1):
+        p = n - 1
+        ctes.append(
+            f"""k{n} AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c{p} GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""a{n} AS MATERIALIZED (
+        SELECT vec_id, qv, arg_max(cell, dot * {k} + cell) AS cell
+        FROM (SELECT q.vec_id, q.qv, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, k{n} kk)
+        GROUP BY vec_id, qv
+    )"""
+        )
+        ctes.append(
+            f"""s{n} AS MATERIALIZED (
+        SELECT cell, CAST(t.i - 1 AS INT) AS pos,
+               CAST(sum(qv[t.i]) AS BIGINT) AS s, count(*) AS cnt
+        FROM a{n}, unnest(generate_series(1, len(qv))) AS t(i)
+        GROUP BY cell, t.i
+    )"""
+        )
+        ctes.append(
+            f"""n{n} AS MATERIALIZED (
+        SELECT cell, pos,
+               CAST(floor(CAST(m AS DOUBLE) * 1000000.0
+                    / sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS c
+        FROM (SELECT cell, pos, m,
+                     sum(m * m) OVER (PARTITION BY cell) AS ss
+              FROM (SELECT cell, pos, CAST(s // cnt AS BIGINT) AS m FROM s{n}))
+        WHERE ss > 0
+    )"""
+        )
+        ctes.append(
+            f"""c{n} AS MATERIALIZED (
+        SELECT p.cell, p.pos, CAST(COALESCE(nn.c, p.c) AS BIGINT) AS c
+        FROM c{p} p LEFT JOIN n{n} nn ON nn.cell = p.cell AND nn.pos = p.pos
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT cell, pos, c FROM c{iterations} ORDER BY cell, pos"
+    )
+
+
+KNN_KMEANS_SQL = _kmeans_sql(8, 3)
+
+EXTRA_QUERIES["knn_kmeans_centroids"] = knn_kmeans_centroids
+ORACLES["knn_kmeans_centroids"] = KNN_KMEANS_SQL

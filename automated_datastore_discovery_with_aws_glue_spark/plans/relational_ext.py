@@ -1073,3 +1073,55 @@ SRC_BUCKETED_JOIN_SQL = """
 
 QUERIES["src_bucketed_join"] = src_bucketed_join
 ORACLES["src_bucketed_join"] = SRC_BUCKETED_JOIN_SQL
+
+
+def j_stream_enrich_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval enrichment join (r9,
+    `streaming/enrich.py stream_interval_join`): every purchase event
+    joined to the same user's rate updates (every-20th-event feed)
+    whose timestamp lies in the 5 minutes at-or-before the purchase —
+    the EXACT builder the streaming pipeline runs (watermarks attach
+    only on streaming inputs), so DuckDB checking this composition plus
+    the streaming pytest checking stream==batch pins the whole path.
+    Equi-key + time-range join: SortMergeJoin on user_id with a range
+    residual, never a cartesian."""
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.enrich import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    rates = ev.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("rate")
+    )
+    out = stream_interval_join(
+        purchases, rates, "user_id", lookback_sec=300, how="inner"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("event_id_r").alias("rate_event_id"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("rate_ts"),
+        "rate",
+    ).orderBy("event_id", "rate_event_id")
+
+
+J_STREAM_ENRICH_SQL = """
+    SELECT a.event_id,
+           a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           b.event_id AS rate_event_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS rate_ts,
+           round(b.value, 4) AS rate
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts
+     AND epoch_us(a.ts) - epoch_us(b.ts) <= 300000000
+    WHERE a.event_type = 'purchase' AND b.event_id % 20 = 0
+    ORDER BY a.event_id, b.event_id
+"""
+
+QUERIES["j_stream_enrich_twin"] = j_stream_enrich_twin
+ORACLES["j_stream_enrich_twin"] = J_STREAM_ENRICH_SQL

@@ -1174,3 +1174,110 @@ def test_compaction_cas_preserves_racing_micro_batch(spark, tmp_path):
     sink(b1, 1)  # replay after compaction still skips
     again = store.read("cnt").groupBy().sum("n_matched", "n_values").collect()[0]
     assert tuple(again) == (2, 4)
+
+
+def test_stream_stream_interval_enrich_late_data_and_restart(spark, tmp_path):
+    """REAL two-stream writeStream run of stream_interval_join
+    (`streaming/enrich.py`): two file streams join on user_id with a
+    5-minute lookback; the first run's output equals the batch twin of
+    the same data (same builder, batch frames), and after a checkpoint
+    RESTART a pair arriving below the checkpointed watermark is
+    dropped (bounded state) while a fresh pair still lands."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.enrich import stream_interval_join
+
+    lsrc, rsrc = str(tmp_path / "left"), str(tmp_path / "right")
+    ckpt, outdir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    L_SCHEMA = "user_id long, ts timestamp, amount double"
+    R_SCHEMA = "user_id long, ts timestamp, rate double"
+
+    def put(src, rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for u, ts, v in rows:
+                key = "amount" if src == lsrc else "rate"
+                fh.write(_json.dumps({"user_id": u, "ts": ts, key: v}) + "\n")
+
+    def run():
+        lt = spark.readStream.schema(L_SCHEMA).json(lsrc)
+        rt = spark.readStream.schema(R_SCHEMA).json(rsrc)
+        j = stream_interval_join(
+            lt, rt, "user_id", lookback_sec=300,
+            left_watermark="10 minutes", right_watermark="10 minutes",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish in time"
+
+    def got():
+        return {
+            (r["user_id"], str(r["ts"]), str(r["ts_r"]), r["rate"])
+            for r in spark.read.schema(
+                "user_id long, ts timestamp, amount double, ts_r timestamp, rate double"
+            ).parquet(outdir).collect()
+        }
+
+    # run 1: u1's 10:00 purchase matches the 09:57 rate (3 min back);
+    # u1's 10:06 matches 10:05 but NOT 09:57 (9 min back); u2's only
+    # rate is 6 min back -> inner-join absent
+    left1 = [
+        (1, "2024-01-01 10:00:00", 5.0),
+        (1, "2024-01-01 10:06:00", 7.0),
+        (2, "2024-01-01 10:00:00", 9.0),
+    ]
+    right1 = [
+        (1, "2024-01-01 09:57:00", 1.1),
+        (1, "2024-01-01 10:05:00", 2.2),
+        (2, "2024-01-01 09:54:00", 3.3),
+    ]
+    put(lsrc, left1)
+    put(rsrc, right1)
+    run()
+
+    def batch_twin(lrows, rrows):
+        lb = spark.createDataFrame(
+            [(u, _dt(ts), v) for u, ts, v in lrows], L_SCHEMA
+        )
+        rb = spark.createDataFrame(
+            [(u, _dt(ts), v) for u, ts, v in rrows], R_SCHEMA
+        )
+        return {
+            (r["user_id"], str(r["ts"]), str(r["ts_r"]), r["rate"])
+            for r in stream_interval_join(
+                lb, rb, "user_id", lookback_sec=300
+            ).select("user_id", "ts", "ts_r", "rate").collect()
+        }
+
+    from datetime import datetime as _dtmod
+
+    def _dt(s):
+        return _dtmod.fromisoformat(s)
+
+    expect1 = batch_twin(left1, right1)
+    assert got() == expect1 and len(expect1) == 2
+
+    # run 2 (restart from checkpoint): global watermark is ~09:56
+    # (10:06 - 10 min). A pair entirely below it must be dropped;
+    # a fresh pair lands.
+    put(lsrc, [(9, "2024-01-01 09:40:00", 1.0), (1, "2024-01-01 10:10:00", 8.0)])
+    put(rsrc, [(9, "2024-01-01 09:39:30", 4.4), (1, "2024-01-01 10:08:00", 5.5)])
+    run()
+    out2 = got()
+    assert (1, "2024-01-01 10:10:00", "2024-01-01 10:08:00", 5.5) in out2
+    assert not any(u == 9 for (u, *_rest) in out2), "late pair must be dropped"
+    # the cross-RUN pair (10:10 purchase x 10:05 rate, exactly 300s
+    # back, right row still in join state) must also land — state
+    # survives the restart. Final output = the batch twin over every
+    # retained (non-late) row.
+    retained_l = left1 + [(1, "2024-01-01 10:10:00", 8.0)]
+    retained_r = right1 + [(1, "2024-01-01 10:08:00", 5.5)]
+    assert out2 == batch_twin(retained_l, retained_r)
