@@ -136,7 +136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rounds green; the span machinery is pinned in-window by
         #    corpus_dup_spans)
         "mm_audio_adpcm": M.QUERIES["mm_audio_adpcm"],
-        "prof_numeric_quantiles": P.prof_numeric_quantiles,
         "prof_approx_distinct": P.prof_approx_distinct,
         # -- r8 fourth-wave: DSIR importance resampling (hashed n-gram
         #    importance weights, integer micro-nat quantization — the
@@ -159,17 +158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill_hourly": RX.QUERIES["ts_gapfill_hourly"],
         # -- rotated IN for r8 (VERDICT r7 items 4+5+3+6): the named
         #    past-window batch...
-        "corpus_split": L.EXTRA_QUERIES["corpus_split"],
         "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
-        "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
-        "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
-        # -- ...and this round's new work: temporal-join directions +
-        #    pair emission, the corpus-trained BPE tokenizer (training
-        #    itself differentially checked), token-exact packing, and
-        #    real multi-frame GIF sampling
-        "j_asof_forward": RX.QUERIES["j_asof_forward"],
+        # -- r8 work: temporal-join directions + pair emission, the
+        #    corpus-trained BPE tokenizer (training itself
+        #    differentially checked), token-exact packing, and real
+        #    multi-frame GIF sampling
         "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "j_range_pairs": RX.QUERIES["j_range_pairs"],
         "tok_bpe_merges": L.EXTRA_QUERIES["tok_bpe_merges"],
@@ -186,7 +181,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    closed-history pass-through, in-batch version chains, no-op
         #    suppression, new keys — the full chain DuckDB-replayed)
         "scd2_customer_history": RX.QUERIES["scd2_customer_history"],
+        # -- rotated IN for r9 (VERDICT r8 items 2/3/4/5): the two r8
+        #    rows the verdict named as never driver-checked, plus this
+        #    round's new oracle-backed work — distributed k-means
+        #    quantizer training (all 3 Lloyd iterations DuckDB-replayed
+        #    in integer micro-units), the stream-stream interval-join
+        #    batch twin, and MJPEG/AVI video frame sampling through the
+        #    vendored container+JPEG kernels. Displaced (all multi-round
+        #    green, family-pinned): corpus_split (assembly family keeps
+        #    stratified sampling in-window), tok_pack_sequences (the
+        #    stricter BPE packing twin stays), corpus_decontaminate
+        #    (corpus_decontaminate_bloom shares its oracle verbatim),
+        #    j_asof_forward (as-of family keeps the nearest row),
+        #    prof_numeric_quantiles (exact `percentile` buffers every
+        #    value — the in-window approx row IS the 100 TB path)
+        "w_hopping_counts": RX.QUERIES["w_hopping_counts"],
+        "src_bucketed_join": RX.QUERIES["src_bucketed_join"],
+        "knn_kmeans_centroids": L.EXTRA_QUERIES["knn_kmeans_centroids"],
+        "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
+        "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # ---- driver window ends here (50 entries) ----
+        # r9 rotation casualties (multi-round green, family-pinned as
+        # documented above; ALL still checked locally every round)
+        "corpus_split": L.EXTRA_QUERIES["corpus_split"],
+        "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
+        "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
+        "j_asof_forward": RX.QUERIES["j_asof_forward"],
+        "prof_numeric_quantiles": P.prof_numeric_quantiles,
         # r8 rotation casualties (multi-round green, family-pinned by
         # in-window twins — dedup_exact by the LSH chain + para_dedup,
         # knn_bruteforce/emb_near_dup by their LSH twins, mm_binary_meta/
@@ -204,7 +225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_strip_dup_spans": L.EXTRA_QUERIES["corpus_strip_dup_spans"],
         "corpus_sample_weighted": L.EXTRA_QUERIES["corpus_sample_weighted"],
         "corpus_dsir_select": L.EXTRA_QUERIES["corpus_dsir_select"],
-        "w_hopping_counts": RX.QUERIES["w_hopping_counts"],
         "emb_near_dup_lsh": L.QUERIES["emb_near_dup_lsh"],
         "corpus_mixture_weights": L.EXTRA_QUERIES["corpus_mixture_weights"],
         "pii_redact": P.pii_redact,

@@ -1,19 +1,26 @@
-"""Minimal pure-Python baseline JPEG codec (stdlib only).
+"""Minimal pure-Python JPEG codec (stdlib only).
 
 Third vendored image kernel (after ``functions.png`` and
 ``functions.gif``): gives ``operators.multimodal.decode_images`` a real
-JPEG decode path without Pillow. Covers the baseline sequential DCT
-subset of the public specification (ITU-T T.81 / ISO 10918-1): 8-bit
-samples, Huffman entropy coding, grayscale and YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 sampling, restart intervals. Progressive and arithmetic
-modes raise ``ValueError`` with the reason — never a wrong decode.
+JPEG decode path without Pillow. Covers the Huffman DCT subset of the
+public specification (ITU-T T.81 / ISO 10918-1): 8-bit samples,
+BASELINE sequential (grayscale and YCbCr, 4:4:4 / 4:2:2 / 4:2:0,
+restart intervals) and — since r9 — PROGRESSIVE (SOF2: spectral
+selection, successive approximation with DC/AC refinement scans, EOB
+runs; Annex G). Lossless/extended/arithmetic modes raise ``ValueError``
+with the reason — never a wrong decode.
 
-The encoder exists for fixtures/tests (round-trip evidence): baseline
+The encoders exist for fixtures/tests (round-trip evidence): baseline
 4:4:4 (or grayscale) with the specification's Annex K example
 quantization and Huffman tables, quality-scaled per the public IJG
-formula. JPEG is lossy, so round-trip tests assert dimensions exactly
-and pixels within a tolerance (flat-color blocks reconstruct almost
-exactly; the decoder's IDCT is the spec's separable float transform).
+formula, plus a progressive encoder (``encode_jpeg_progressive``)
+whose scans carry the SAME quantized coefficients — so progressive and
+baseline encodes of one image must decode to IDENTICAL pixels, which is
+the differential property the tests pin (no tolerance hides an EOB-run
+or refinement bug). JPEG is lossy, so round-trip tests against the
+ORIGINAL pixels assert dimensions exactly and pixels within a tolerance
+(flat-color blocks reconstruct almost exactly; the decoder's IDCT is
+the spec's separable float transform).
 
 This is a correctness kernel for modest fixtures and capability
 parity, not a fast imaging library — Pillow, where importable, is
@@ -235,12 +242,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
     htabs: dict[tuple[int, int], _Huff] = {}
     restart_interval = 0
     frame = None
+    prog: dict | None = None  # progressive coefficient store
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog is not None:
+                return _progressive_finish(frame, prog, qtabs)
             raise ValueError("JPEG contains no scan data")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seglen]
@@ -262,7 +272,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 syms = list(body[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _Huff(counts, syms)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -270,9 +280,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/extended JPEG unsupported (baseline only)")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "lossless/extended/arithmetic JPEG unsupported "
+                "(baseline + progressive Huffman only)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -284,9 +297,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtabs, htabs, restart_interval
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtabs, htabs, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _prog_state(frame)
+            pos = _progressive_scan(
+                data, pos + seglen, frame, scan, htabs, restart_interval,
+                prog, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            continue
         # all other markers (APPn, COM): skip
         pos += seglen
     raise ValueError("JPEG contains no scan data")
@@ -351,15 +374,21 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                                 v = int(round(pix[yy * 8 + xx] + 128))
                                 row[ox + xx] = 0 if v < 0 else (255 if v > 255 else v)
             mcu_count += 1
-    if len(scan) == 1:
-        plane = planes[scan[0]["id"]]
+    return _planes_to_pixels(planes, scan, w, h, hmax, vmax)
+
+
+def _planes_to_pixels(planes, comps, w, h, hmax, vmax):
+    """Assemble decoded component planes into the output buffer —
+    shared by the baseline and progressive paths (grayscale pass-through
+    or chroma upsample-by-replication + JFIF YCbCr -> RGB)."""
+    if len(comps) == 1:
+        plane = planes[comps[0]["id"]]
         out = bytearray()
         for y in range(h):
             out.extend(plane[y][:w])
         return w, h, "L", bytes(out)
-    # color: upsample chroma by replication, JFIF YCbCr -> RGB
-    ids = [c["id"] for c in scan]
-    sub = {c["id"]: (hmax // c["h"], vmax // c["v"]) for c in scan}
+    ids = [c["id"] for c in comps]
+    sub = {c["id"]: (hmax // c["h"], vmax // c["v"]) for c in comps}
     yp, cbp, crp = planes[ids[0]], planes[ids[1]], planes[ids[2]]
     sb, sr = sub[ids[1]], sub[ids[2]]
     out = bytearray()
@@ -375,6 +404,228 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
             out.append(0 if g < 0 else (255 if g > 255 else g))
             out.append(0 if b < 0 else (255 if b > 255 else b))
     return w, h, "RGB", bytes(out)
+
+
+# -- progressive decoding (ITU T.81 Annex G, Huffman) ------------------------
+#
+# A progressive stream carries the SAME quantized coefficients as the
+# equivalent baseline stream, split across scans by spectral band
+# (Ss..Se) and bit plane (successive approximation, Ah/Al). Decoding
+# accumulates coefficients per block across scans; the final dequantize
+# + IDCT is shared with the baseline path. The round-trip property the
+# tests pin: progressive and baseline encodes of one image decode to
+# IDENTICAL pixels (identical coefficients), so any EOB-run or
+# refinement bug is a hard failure, not a tolerance miss.
+
+
+def _prog_state(frame) -> dict:
+    """Per-component coefficient grids, sized to the interleaved MCU
+    superset (covers both interleaved DC scans and per-component AC
+    scans)."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = {}
+    for c in frame["comps"]:
+        coefs[c["id"]] = [
+            [[0] * 64 for _ in range(mcx * c["h"])] for _ in range(mcy * c["v"])
+        ]
+    return {"coefs": coefs, "mcx": mcx, "mcy": mcy, "hmax": hmax, "vmax": vmax}
+
+
+def _comp_block_dims(frame, c, prog) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil over the
+    component's OWN sample dimensions (T.81 A.2.2), bounded by the
+    allocated MCU superset."""
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next non-stuffed, non-restart marker at/after
+    ``pos`` (end of a progressive scan's entropy segment)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG (no trailing marker)")
+
+
+def _progressive_scan(
+    data, pos, frame, scan, htabs, restart_interval, prog, ss, se, ah, al
+):
+    br = _BitReader(data, pos)
+    coefs = prog["coefs"]
+
+    def restart(state_reset):
+        m = br.align_to_marker()
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("expected restart marker")
+        state_reset()
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = {c["id"]: 0 for c in scan}
+
+        def blocks():
+            if len(scan) > 1:
+                for my in range(prog["mcy"]):
+                    for mx in range(prog["mcx"]):
+                        for c in scan:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    yield c, coefs[c["id"]][my * c["v"] + by][mx * c["h"] + bx]
+            else:
+                c = scan[0]
+                bw_, bh_ = _comp_block_dims(frame, c, prog)
+                for y in range(bh_):
+                    for x in range(bw_):
+                        yield c, coefs[c["id"]][y][x]
+
+        unit = 0
+        per_unit = (
+            sum(c["h"] * c["v"] for c in scan) if len(scan) > 1 else 1
+        )
+        n_in_unit = 0
+        for c, blk in blocks():
+            if (
+                restart_interval
+                and n_in_unit == 0
+                and unit
+                and unit % restart_interval == 0
+            ):
+                restart(lambda: preds.update({k: 0 for k in preds}))
+            if ah == 0:
+                t = br.decode_huff(htabs[(0, c["dc"])])
+                diff = _extend(br.read_bits(t), t) if t else 0
+                preds[c["id"]] += diff
+                blk[0] = preds[c["id"]] << al
+            else:
+                if br.read_bit():
+                    blk[0] |= 1 << al
+            n_in_unit += 1
+            if n_in_unit == per_unit:
+                n_in_unit = 0
+                unit += 1
+        return _next_marker(data, br.pos)
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scan[0]
+    act = htabs[(1, c["ac"])]
+    bw_, bh_ = _comp_block_dims(frame, c, prog)
+    grid = coefs[c["id"]]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for y in range(bh_):
+        for x in range(bw_):
+            if restart_interval and unit and unit % restart_interval == 0:
+                def _reset():
+                    nonlocal eobrun
+                    eobrun = 0
+
+                restart(_reset)
+            unit += 1
+            blk = grid[y][x]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode_huff(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient overflow (progressive)")
+                    blk[k] = _extend(br.read_bits(s), s) * (1 << al)
+                    k += 1
+            else:  # refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.decode_huff(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid magnitude in AC refinement scan"
+                                )
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if br.read_bit() and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        blk[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(data, br.pos)
+
+
+def _progressive_finish(frame, prog, qtabs):
+    """Dequantize + IDCT every accumulated block; assemble via the
+    shared baseline tail."""
+    coefs = prog["coefs"]
+    planes = {}
+    for c in frame["comps"]:
+        q = qtabs[c["tq"]]
+        grid = coefs[c["id"]]
+        plane = [
+            [0] * (len(grid[0]) * 8) for _ in range(len(grid) * 8)
+        ]
+        for by, row in enumerate(grid):
+            for bx, zz in enumerate(row):
+                blk = [0.0] * 64
+                for i in range(64):
+                    blk[_ZIGZAG[i]] = float(zz[i] * q[i])
+                pix = _idct_2d(blk)
+                oy, ox = by * 8, bx * 8
+                for yy in range(8):
+                    prow = plane[oy + yy]
+                    for xx in range(8):
+                        v = int(round(pix[yy * 8 + xx] + 128))
+                        prow[ox + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        planes[c["id"]] = plane
+    return _planes_to_pixels(
+        planes, frame["comps"], frame["w"], frame["h"], prog["hmax"], prog["vmax"]
+    )
 
 
 # -- encoder (fixtures) -----------------------------------------------------
@@ -450,6 +701,295 @@ def _encode_block(bw, samples, q, dc_t, ac_t, pred):
         code, ln = ac_t.codes[0x00]
         bw.write(code, ln)
     return zz[0]
+
+
+def _coef_grids(width, height, mode, pixels, quality):
+    """Quantized zigzag coefficient grids per component (4:4:4 or
+    grayscale) — the shared front half of both encoders. Returns
+    ``(grids, ql_z, qc_z, nch)`` with ``grids[ci][by][bx]`` a 64-int
+    zigzag block."""
+    nch = 1 if mode == "L" else 3
+    if len(pixels) != width * height * nch:
+        raise ValueError("pixel buffer size mismatch")
+    ql = _scale_q(_STD_LUMA_Q, quality)
+    qc = _scale_q(_STD_CHROMA_Q, quality)
+    ql_z = [ql[_ZIGZAG[i]] for i in range(64)]
+    qc_z = [qc[_ZIGZAG[i]] for i in range(64)]
+    pw = (width + 7) // 8 * 8
+    ph = (height + 7) // 8 * 8
+
+    def pad(plane):
+        for row in plane:
+            row.extend([row[-1]] * (pw - len(row)))
+        plane.extend([list(plane[-1]) for _ in range(ph - len(plane))])
+        return plane
+
+    if mode == "L":
+        planes = [pad([[pixels[y * width + x] for x in range(width)] for y in range(height)])]
+    else:
+        yp, cbp, crp = [], [], []
+        for y in range(height):
+            ry, rcb, rcr = [], [], []
+            for x in range(width):
+                r, g, b = pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                Y = 0.299 * r + 0.587 * g + 0.114 * b
+                cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+                cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+                ry.append(max(0, min(255, int(round(Y)))))
+                rcb.append(max(0, min(255, int(round(cb)))))
+                rcr.append(max(0, min(255, int(round(cr)))))
+            yp.append(ry), cbp.append(rcb), crp.append(rcr)
+        planes = [pad(yp), pad(cbp), pad(crp)]
+
+    grids = []
+    for ci in range(nch):
+        q = ql_z if ci == 0 else qc_z
+        plane = planes[ci]
+        grid = []
+        for by in range(ph // 8):
+            row = []
+            for bx in range(pw // 8):
+                samples = [
+                    plane[by * 8 + yy][bx * 8 + xx] for yy in range(8) for xx in range(8)
+                ]
+                coef = _fdct_2d([float(s) - 128.0 for s in samples])
+                row.append([int(round(coef[_ZIGZAG[i]] / q[i])) for i in range(64)])
+            grid.append(row)
+        grids.append(grid)
+    return grids, ql_z, qc_z, nch
+
+
+# a single flat canonical AC table valid for EVERY progressive AC
+# symbol (EOBn 0x00..0xE0, ZRL 0xF0, (r<<4)|s for s 1..10): all 176
+# symbols at code length 8, the all-ones code unused as required
+_PROG_AC_SYMS = sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC = ([0] * 7 + [len(_PROG_AC_SYMS)] + [0] * 8, _PROG_AC_SYMS)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al rounding toward zero
+    (T.81 G.1.2.2 — DC uses the arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _AcFirstWriter:
+    """AC first-pass scan encoder with deferred EOB runs."""
+
+    def __init__(self, bw: _BitWriter, act: _Huff):
+        self.bw, self.act = bw, act
+        self.eobrun = 0
+
+    def flush(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.act.codes[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+
+    def block(self, band: list[int]) -> None:
+        last = -1
+        for i, v in enumerate(band):
+            if v:
+                last = i
+        if last < 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush()
+            return
+        self.flush()
+        r = 0
+        for i in range(last + 1):
+            v = band[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = self.act.codes[0xF0]
+                self.bw.write(code, ln)
+                r -= 16
+            s = _category(v)
+            code, ln = self.act.codes[(r << 4) | s]
+            self.bw.write(code, ln)
+            self.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last < len(band) - 1:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush()
+
+
+class _AcRefineWriter:
+    """AC refinement scan encoder (T.81 G.1.2.3 shape: newly-nonzero
+    coefficients as run/1 + sign, correction bits buffered and emitted
+    after the next symbol or EOB run)."""
+
+    def __init__(self, bw: _BitWriter, act: _Huff, al: int):
+        self.bw, self.act, self.al = bw, act, al
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.act.codes[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def block(self, coefs: list[int]) -> None:
+        al = self.al
+        absv = [abs(v) >> al for v in coefs]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush()
+                code, ln = self.act.codes[0xF0]
+                self.bw.write(code, ln)
+                r -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            self.flush()
+            code, ln = self.act.codes[(r << 4) | 1]
+            self.bw.write(code, ln)
+            self.bw.write(1 if coefs[i] >= 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF or len(self.pending) > 900:
+                self.flush()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    mode: str,
+    pixels: bytes,
+    *,
+    quality: int = 90,
+    al_dc: int = 1,
+    al_ac: int = 1,
+    split_at: int = 6,
+) -> bytes:
+    """Encode progressive JFIF (SOF2, Huffman): spectral selection
+    (DC scan, then per-component AC bands split at ``split_at``) AND
+    successive approximation (``al_dc``/``al_ac`` bit-plane splits with
+    refinement scans). 4:4:4 / grayscale. Carries the SAME quantized
+    coefficients as :func:`encode_jpeg` at equal quality, so decoding
+    both must produce IDENTICAL pixels — the differential round-trip
+    the tests pin."""
+    if mode not in ("L", "RGB"):
+        raise ValueError("encode_jpeg_progressive supports modes L and RGB")
+    grids, ql_z, qc_z, nch = _coef_grids(width, height, mode, pixels, quality)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, tab in ([(0, ql_z)] + ([(1, qc_z)] if nch == 3 else [])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(tab)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nch, 1, 0x11, 0])
+    if nch == 3:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0, 0, _STD_DC_LUMA), (1, 0, _PROG_AC)]
+    if nch == 3:
+        tables.append((0, 1, _STD_DC_CHROMA))
+    for tc, th, (counts, syms) in tables:
+        seg = bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    dct = {0: _Huff(*_STD_DC_LUMA), 1: _Huff(*_STD_DC_CHROMA)}
+    act = _Huff(*_PROG_AC)
+
+    def sos(comps: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for cid, tdta in comps:
+            body += bytes([cid, tdta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def blocks(ci):
+        for row in grids[ci]:
+            yield from row
+
+    # scan 1: DC of all components, interleaved, top bits
+    out += sos([(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(nch)], 0, 0, 0, al_dc)
+    bw = _BitWriter()
+    preds = [0] * nch
+    for by in range(len(grids[0])):
+        for bx in range(len(grids[0][0])):
+            for ci in range(nch):
+                v = grids[ci][by][bx][0] >> al_dc  # DC: arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                dc_t = dct[0 if ci == 0 else 1]
+                code, ln = dc_t.codes[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+
+    # per component: AC first passes (two spectral bands), top bits
+    for ci in range(nch):
+        for ss, se in ((1, split_at - 1), (split_at, 63)):
+            out += sos([(ci + 1, 0x00)], ss, se, 0, al_ac)
+            bw = _BitWriter()
+            wr = _AcFirstWriter(bw, act)
+            for zz in blocks(ci):
+                wr.block([_trunc_shift(zz[k], al_ac) for k in range(ss, se + 1)])
+            wr.flush()
+            bw.flush()
+            out += bw.out
+
+    # per component: AC refinement passes down to bit 0
+    for al in range(al_ac - 1, -1, -1):
+        for ci in range(nch):
+            out += sos([(ci + 1, 0x00)], 1, 63, al + 1, al)
+            bw = _BitWriter()
+            wr = _AcRefineWriter(bw, act, al)
+            for zz in blocks(ci):
+                wr.block(zz[1:64])
+            wr.flush()
+            bw.flush()
+            out += bw.out
+
+    # DC refinement passes (no Huffman, one raw bit per block)
+    for al in range(al_dc - 1, -1, -1):
+        out += sos([(ci + 1, 0x00) for ci in range(nch)], 0, 0, al + 1, al)
+        bw = _BitWriter()
+        for by in range(len(grids[0])):
+            for bx in range(len(grids[0][0])):
+                for ci in range(nch):
+                    bw.write((grids[ci][by][bx][0] >> al) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(

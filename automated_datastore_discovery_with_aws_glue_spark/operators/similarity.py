@@ -466,6 +466,7 @@ def write_ivf_partitioned(
     id_col: str = "vec_id",
     n_cells: int = 16,
     refine_sample: int = 32,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index: assign every vector its cell id
     (map-side, no shuffle) and write the table PARTITIONED BY the cell —
@@ -477,9 +478,15 @@ def write_ivf_partitioned(
     listing n_probe directories: the cell filter in
     :func:`ivf_topk_partitioned` prunes whole partitions at planning
     time (PartitionFilters, plan-asserted in tests/test_similarity_ivf).
+    Pass ``centroids`` (e.g. from :func:`kmeans_quantizer`) to index with
+    an already-trained quantizer.
     """
-    cents = ivf_centroids(
-        df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+        )
     )
     cell = (
         F.lit(0) if len(cents) == 0 else ivf_cell_expr(vec_col, cents)
@@ -590,6 +597,7 @@ def write_ivf_partitioned_q8(
     id_col: str = "vec_id",
     n_cells: int = 16,
     refine_sample: int = 32,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the MEMORY-REDUCED IVF index: cell-partitioned like
     :func:`write_ivf_partitioned`, but storing each vector int8-
@@ -598,9 +606,14 @@ def write_ivf_partitioned_q8(
     cosine over the quantized ints is scale-free, so scoring needs no
     dequantization). Full-precision vectors stay in primary storage;
     :func:`ivf_topk_q8` re-ranks the few k*c candidates against them by
-    key. Returns the centroids (persist them next to the index)."""
-    cents = ivf_centroids(
-        df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    key. Returns the centroids (persist them next to the index).
+    ``centroids`` plugs in a pre-trained quantizer (kmeans_quantizer)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            df, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+        )
     )
     cell = F.lit(0) if len(cents) == 0 else ivf_cell_expr(vec_col, cents)
     q, scale = quantize_int8_cols(vec_col)

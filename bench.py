@@ -129,6 +129,14 @@ HEADLINE = [
     "ev_attribution",
     "w_hopping_counts",
     "src_bucketed_join",
+    # r9: distributed k-means quantizer training (3 full Lloyd passes),
+    # the stream-stream interval-join batch twin, MJPEG/AVI frame
+    # sampling through the vendored container+JPEG kernels, and the
+    # ANN recurring-cost lifecycle (IVF build + O(batch) delta ingest)
+    "knn_kmeans_centroids",
+    "j_stream_enrich_twin",
+    "mm_video_frame_sample",
+    "incr_ann_ingest",
 ]
 
 

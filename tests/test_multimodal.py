@@ -736,3 +736,156 @@ def test_wav_wave_synthesis_matches_formula(spark):
             for j in range(n)
         ]
         assert samples == expect
+
+
+def test_avi_container_roundtrip_and_loud_gaps():
+    """RIFF/AVI wrap-unwrap is byte-exact (incl. odd-size word
+    alignment); non-MJPEG handlers and non-AVI bytes raise loudly."""
+    import pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.avi import (
+        encode_avi_mjpeg,
+        iter_avi_mjpeg_frames,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import encode_jpeg
+
+    frames = [encode_jpeg(6, 5, "L", bytes([v]) * 30) for v in (10, 77, 201)]
+    avi = encode_avi_mjpeg(frames, 6, 5, fps=10)
+    assert list(iter_avi_mjpeg_frames(avi)) == frames
+
+    odd = [b"\xff\xd8" + b"x" * 7]  # odd payload exercises the pad byte
+    assert list(iter_avi_mjpeg_frames(encode_avi_mjpeg(odd, 2, 2))) == odd
+
+    with pytest.raises(NotImplementedError, match="MJPEG only"):
+        list(iter_avi_mjpeg_frames(avi.replace(b"vidsMJPG", b"vidsH264")))
+    with pytest.raises(ValueError, match="signature"):
+        list(iter_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE"))
+    with pytest.raises(ValueError):
+        list(iter_avi_mjpeg_frames(avi[:40]))  # truncated mid-header
+
+
+def test_flat_gray_jpeg_roundtrips_all_levels():
+    """The mm_video_frame_sample oracle rests on this: a flat-gray
+    frame of ANY level and ragged (non-MCU-aligned) dims decodes back
+    bit-exactly at the fixture quality (DC-only blocks)."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for v in range(0, 256, 5):
+        for w, h in ((8, 8), (13, 5), (4, 9)):
+            w2, h2, mode, px = decode_jpeg(encode_jpeg(w, h, "L", bytes([v]) * (w * h)))
+            assert (w2, h2, mode, set(px)) == (w, h, "L", {v})
+
+
+def test_sample_video_frames_operator(spark):
+    """The mapInPandas sampler: per-frame means from real container +
+    codec decode, every_n stride, NULL rows contribute nothing, and a
+    non-MJPEG stream fails the job loudly."""
+    import pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.avi import encode_avi_mjpeg
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import encode_jpeg
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import sample_video_frames
+
+    def mk(levels, w=6, h=4):
+        return encode_avi_mjpeg(
+            [encode_jpeg(w, h, "L", bytes([v]) * (w * h)) for v in levels], w, h
+        )
+
+    df = spark.createDataFrame(
+        [(1, mk([10, 20, 30, 40])), (2, mk([200])), (3, None)],
+        "vid long, content binary",
+    )
+    got = {
+        (r["vid"], r["frame_index"]): (
+            r["n_frames"], r["fr_width"], r["fr_height"],
+            r["fmean_r"], r["fmean_g"], r["fmean_b"],
+        )
+        for r in sample_video_frames(df, every_n=2).collect()
+    }
+    assert got == {
+        (1, 0): (4, 6, 4, 10.0, 10.0, 10.0),
+        (1, 2): (4, 6, 4, 30.0, 30.0, 30.0),
+        (2, 0): (1, 6, 4, 200.0, 200.0, 200.0),
+    }
+
+    bad = spark.createDataFrame(
+        [(9, mk([5]).replace(b"vidsMJPG", b"vidsXVID"))], "vid long, content binary"
+    )
+    with pytest.raises(Exception, match="not supported"):
+        sample_video_frames(bad).collect()
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """Progressive and baseline encodes carry the SAME quantized
+    coefficients, so decode must be byte-identical — any EOB-run,
+    spectral-band, or successive-approximation bug is a hard failure.
+    Sweeps gray + RGB, ragged dims, bit-plane depths, and band splits."""
+    import random
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(42)
+    for w, h, mode in ((8, 8, "L"), (13, 7, "L"), (24, 17, "L"),
+                       (8, 8, "RGB"), (13, 11, "RGB"), (21, 9, "RGB")):
+        nch = 1 if mode == "L" else 3
+        px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+        base = decode_jpeg(encode_jpeg(w, h, mode, px, quality=75))
+        for al_dc, al_ac, split in ((0, 0, 6), (1, 1, 6), (2, 3, 2), (1, 2, 32)):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    w, h, mode, px, quality=75,
+                    al_dc=al_dc, al_ac=al_ac, split_at=split,
+                )
+            )
+            assert prog == base, (w, h, mode, al_dc, al_ac, split)
+
+
+def test_progressive_jpeg_eob_run_heavy_and_flat():
+    """Flat images are the EOB-run torture case (every AC band empty
+    in every block — the deferred run spans the whole scan): flat gray
+    must round-trip EXACTLY through the progressive path too."""
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for v in (0, 77, 128, 255):
+        w, h = 64, 40  # 40 blocks -> multi-symbol EOB runs
+        got = decode_jpeg(
+            encode_jpeg_progressive(w, h, "L", bytes([v]) * (w * h), al_ac=2)
+        )
+        assert got == (w, h, "L", bytes([v]) * (w * h))
+
+
+def test_progressive_jpeg_through_decode_images_operator(spark):
+    """The mapInPandas decode path needs no changes: sniff_mime sees the
+    same JPEG signature and decode_jpeg dispatches on SOF2."""
+    import random
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import encode_jpeg_progressive
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import decode_images
+
+    rng = random.Random(7)
+    px = bytes(rng.randrange(256) for _ in range(12 * 9 * 3))
+    df = spark.createDataFrame(
+        [(1, encode_jpeg_progressive(12, 9, "RGB", px))], "id long, content binary"
+    )
+    row = decode_images(df).collect()[0]
+    assert (row["width"], row["height"], row["mode"]) == (12, 9, "RGB")
+
+
+def test_jpeg_unsupported_modes_still_loud():
+    """Lossless/arithmetic SOFs keep raising with the reason."""
+    import pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(8, 8, "L", bytes(64))
+    # rewrite SOF0 (FFC0) to SOF3 (lossless)
+    lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(lossless)

@@ -1281,3 +1281,60 @@ def test_stream_stream_interval_enrich_late_data_and_restart(spark, tmp_path):
     retained_l = left1 + [(1, "2024-01-01 10:10:00", 8.0)]
     retained_r = right1 + [(1, "2024-01-01 10:08:00", 5.5)]
     assert out2 == batch_twin(retained_l, retained_r)
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """leftOuter stream-stream: matched rows emit immediately; an
+    UNMATCHED left row emits its NULL-padded result only after the
+    watermark passes (state can prove no future match) — exercised by
+    advancing event time in a second availableNow run."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.enrich import stream_interval_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt, outdir = str(tmp_path / "c"), str(tmp_path / "o")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+
+    def put(src, key, rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for u, ts, v in rows:
+                fh.write(_json.dumps({"user_id": u, "ts": ts, key: v}) + "\n")
+
+    def run():
+        lt = spark.readStream.schema("user_id long, ts timestamp, amount double").json(lsrc)
+        rt = spark.readStream.schema("user_id long, ts timestamp, rate double").json(rsrc)
+        j = stream_interval_join(
+            lt, rt, "user_id", lookback_sec=300,
+            left_watermark="2 minutes", right_watermark="2 minutes",
+            how="leftOuter",
+        )
+        q = (
+            j.writeStream.format("parquet").outputMode("append")
+            .option("path", outdir).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    def got():
+        return {
+            (r["user_id"], str(r["ts"]), r["rate"])
+            for r in spark.read.schema(
+                "user_id long, ts timestamp, amount double, ts_r timestamp, rate double"
+            ).parquet(outdir).collect()
+        }
+
+    put(lsrc, "amount", [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-01 10:00:00", 6.0)])
+    put(rsrc, "rate", [(1, "2024-01-01 09:58:00", 1.5)])
+    run()
+    # matched pair emits in run 1; user 2 is still held (a matching
+    # right row could yet arrive within the watermark)
+    assert (1, "2024-01-01 10:00:00", 1.5) in got()
+
+    # advance both streams' event time far past the watermark horizon
+    put(lsrc, "amount", [(9, "2024-01-01 11:00:00", 1.0)])
+    put(rsrc, "rate", [(9, "2024-01-01 11:00:00", 2.0)])
+    run()
+    assert (2, "2024-01-01 10:00:00", None) in got(), got()
