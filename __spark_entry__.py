@@ -159,7 +159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated IN for r8 (VERDICT r7 items 4+5+3+6): the named
         #    past-window batch...
         "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
-        "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "emb_quantize_int8": L.EXTRA_QUERIES["emb_quantize_int8"],
         # -- r8 work: temporal-join directions + pair emission, the
         #    corpus-trained BPE tokenizer (training itself
@@ -198,11 +197,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_hopping_counts": RX.QUERIES["w_hopping_counts"],
         "src_bucketed_join": RX.QUERIES["src_bucketed_join"],
         "knn_kmeans_centroids": L.EXTRA_QUERIES["knn_kmeans_centroids"],
+        # -- r9 second wave: distributed PQ codebook training (all m
+        #    subspaces in one pass/iteration; both Lloyd iterations
+        #    DuckDB-replayed in pure integers); displaced knn_batch
+        #    (multi-round green — the kNN family keeps kmeans + the
+        #    int8-quantization row in-window)
+        "knn_pq_codebooks": L.EXTRA_QUERIES["knn_pq_codebooks"],
         "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
         "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # ---- driver window ends here (50 entries) ----
         # r9 rotation casualties (multi-round green, family-pinned as
         # documented above; ALL still checked locally every round)
+        "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "corpus_split": L.EXTRA_QUERIES["corpus_split"],
         "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
         "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],

@@ -747,6 +747,8 @@ def write_ivf_partitioned_pq(
     m: int = 8,
     k: int = 16,
     refine_sample: int = 32,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the IVF-PQ index: cell-partitioned like the q8
     variant, but each vector stored as ``m`` 1-byte PQ codes (32x
@@ -754,12 +756,22 @@ def write_ivf_partitioned_pq(
     codes against a per-query lookup table and re-ranks the survivors
     at full precision from primary storage. All-zero vectors are
     excluded from the index (no cosine direction; consistent with the
-    q8 read path). Returns (ivf_centroids, pq_codebooks)."""
+    q8 read path). Returns (ivf_centroids, pq_codebooks); pass
+    ``centroids``/``codebooks`` to index with pre-trained quantizers
+    (:func:`kmeans_quantizer` / :func:`pq_quantizer_trained`)."""
     nz = df.filter(F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0))
-    cents = ivf_centroids(
-        nz, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            nz, vec_col, n_cells=n_cells, id_col=id_col, refine_sample=refine_sample
+        )
     )
-    books = pq_codebooks(nz, vec_col, m=m, k=k, id_col=id_col)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(nz, vec_col, m=m, k=k, id_col=id_col)
+    )
     cell = F.lit(0) if len(cents) == 0 else ivf_cell_expr(vec_col, cents)
     norm = (
         f"sqrt(aggregate(transform(`{vec_col}`, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
@@ -969,8 +981,13 @@ def kmeans_centroids_int(
         if hash_fn == "md5"
         else F.xxhash64(F.col(id_col))
     )
+    # spread() BEFORE the per-row work: the assignment argmax is
+    # HOF-evaluated (interpreted lambdas, not codegen), so a single-file
+    # input that plans as one task serializes every Lloyd pass — 5-6s/
+    # iteration at sf0.1 measured, ~0.3s once spread across the cores
     base = (
-        df.withColumn("_nrm", sq_norm_expr(vec_col))
+        spread(df.select(id_col, vec_col))
+        .withColumn("_nrm", sq_norm_expr(vec_col))
         .filter(F.col("_nrm") > 0)
         .select(
             F.col(id_col).alias("_id"),
@@ -1041,3 +1058,153 @@ def kmeans_quantizer(
     arr = np.array(cents, dtype=float) / 1_000_000.0
     norms = np.linalg.norm(arr, axis=1, keepdims=True)
     return arr / np.maximum(norms, 1e-300)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PQ codebook training — the product-quantizer's scale path
+# ---------------------------------------------------------------------------
+#
+# Same architecture as kmeans_centroids_int, generalized to m independent
+# subspace quantizers trained in ONE pass per iteration: assignment is an
+# m-wide literal-tensor argmin (Euclidean, map-side), the update a single
+# posexplode + groupBy(subspace, cell, pos) sum/count — every subspace's
+# partial sums share one shuffle, and exactly m x k x (d/m) = d x k rows
+# reach the driver per round. PQ means are NOT renormalized (codebooks
+# approximate subvectors, not directions), so the update is pure integer
+# trunc-div — bit-replayable by DuckDB with zero float steps.
+
+
+def _lit_itensor_sql(books: list[list[list[int]]]) -> str:
+    """A literal bigint array-of-arrays-of-arrays (m x k x ds)."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(c)}L" for c in cent) + ")"
+                for cent in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def pq_cells_expr(qvec_col: str, books: list[list[list[int]]]) -> Column:
+    """Per-row array of m cell assignments: for each subspace j, the
+    argmin over its k centroids of the exact integer squared distance
+    (ties to the LOWER cell — struct MIN on (d2, cell); the oracle
+    replays it as arg_min(cell, d2 * k + cell))."""
+    m, k = len(books), len(books[0])
+    ds = len(books[0][0])
+    t = _lit_itensor_sql(books)
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"CAST(array_min(transform(sequence(0, {k - 1}), c -> named_struct("
+        f"'d', aggregate(zip_with(slice(`{qvec_col}`, j * {ds} + 1, {ds}), "
+        f"element_at(element_at({t}, j + 1), c + 1), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, b) -> a + b), "
+        f"'c', c))).c AS INT))"
+    )
+
+
+def pq_codebooks_int(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    hash_fn: str = "xxh",
+) -> list[list[list[int]]]:
+    """Train m x k product-quantization codebooks with ``iterations``
+    full Lloyd steps over EVERY non-zero vector (unit-norm micro-unit
+    space, like :func:`kmeans_centroids_int`). Seeds per subspace are
+    the subvectors of the k hash-smallest rows; empty cells keep their
+    previous centroid. Returns the m x k x (d/m) integer tensor."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+
+    h = (
+        md5_hash64(F.col(id_col).cast("string"))
+        if hash_fn == "md5"
+        else F.xxhash64(F.col(id_col))
+    )
+    base = (
+        spread(df.select(id_col, vec_col))
+        .withColumn("_nrm", sq_norm_expr(vec_col))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            quantize_unit_micro(vec_col, "_nrm").alias("_qv"),
+            h.alias("_h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        seed_rows = base.orderBy("_h", "_id").limit(k).select("_qv").collect()
+        if not seed_rows:
+            return []
+        d = len(seed_rows[0]["_qv"])
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        ds = d // m
+        books = [
+            [list(r["_qv"][j * ds : (j + 1) * ds]) for r in seed_rows]
+            for j in range(m)
+        ]
+        while len(books[0]) < k:  # degenerate tiny corpus: repeat seeds
+            for j in range(m):
+                books[j].append(list(books[j][len(books[j]) % len(seed_rows)]))
+        for _ in range(iterations):
+            j_col = (F.col("pos") / ds).cast("int")
+            parts = (
+                base.select(
+                    pq_cells_expr("_qv", books).alias("_cells"),
+                    F.posexplode("_qv").alias("pos", "x"),
+                )
+                .select(
+                    j_col.alias("j"),
+                    F.element_at("_cells", j_col + 1).alias("cell"),
+                    (F.col("pos") % ds).alias("spos"),
+                    "x",
+                )
+                .groupBy("j", "cell", "spos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()  # exactly d x k rows — metadata-scale
+            )
+            acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+            for r in parts:
+                acc.setdefault((r["j"], r["cell"]), {})[r["spos"]] = (r["s"], r["cnt"])
+            for (j, cell), dims in acc.items():
+                books[j][cell] = [
+                    _trunc_div(dims[p][0], dims[p][1]) for p in range(ds)
+                ]
+        return books
+    finally:
+        base.unpersist()
+
+
+def pq_quantizer_trained(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    hash_fn: str = "xxh",
+) -> np.ndarray:
+    """The trained codebooks as the float (m, k, d/m) tensor
+    :func:`write_ivf_partitioned_pq` / :func:`ivf_topk_pq` consume —
+    a drop-in replacement for the sampled :func:`pq_codebooks`."""
+    books = pq_codebooks_int(
+        df, vec_col, m=m, k=k, iterations=iterations, id_col=id_col, hash_fn=hash_fn
+    )
+    if not books:
+        d = max(1, vector_dim(df, vec_col))
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        return np.zeros((m, 0, d // m))
+    return np.array(books, dtype=float) / 1_000_000.0

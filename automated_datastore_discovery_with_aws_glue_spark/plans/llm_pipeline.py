@@ -2847,3 +2847,111 @@ KNN_KMEANS_SQL = _kmeans_sql(8, 3)
 
 EXTRA_QUERIES["knn_kmeans_centroids"] = knn_kmeans_centroids
 ORACLES["knn_kmeans_centroids"] = KNN_KMEANS_SQL
+
+
+def knn_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed product-quantization codebook training (r9, the PQ
+    sibling of ``knn_kmeans_centroids``): 2 full Lloyd iterations over
+    every non-zero embedding train all m=8 subspace quantizers in ONE
+    pass per iteration — assignment is an m-wide literal-tensor integer
+    argmin (map-side), the update a single posexplode +
+    groupBy(subspace, cell, pos) whose partial sums share one shuffle;
+    exactly d x k rows reach the driver per round
+    (`operators/similarity.py pq_codebooks_int`). PQ means are plain
+    integer trunc-divs (no renormalization — codebooks approximate
+    subvectors, not directions), so the oracle replays both iterations
+    with zero float steps. md5 twin of the xxhash64 production path
+    (`pq_quantizer_trained`)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks_int(
+        emb, "embedding", m=8, k=8, iterations=2, id_col="vec_id", hash_fn="md5"
+    )
+    rows = [
+        (j, cell, pos, int(v))
+        for j, book in enumerate(books)
+        for cell, cent in enumerate(book)
+        for pos, v in enumerate(cent)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, cell int, pos int, c bigint"
+    ).orderBy("subspace", "cell", "pos")
+
+
+def _pq_sql(m: int = 8, k: int = 8, ds: int = 8, iterations: int = 2) -> str:
+    """DuckDB replay of pq_codebooks_int (every stage MATERIALIZED)."""
+    ctes = [
+        """nz AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )""",
+        """q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                    / nrm * 1000000.0) AS BIGINT)) AS qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM nz WHERE nrm > 0
+    )""",
+        f"""c0 AS MATERIALIZED (
+        SELECT CAST(sj.j AS INT) AS j, CAST(s.cell AS INT) AS cell,
+               CAST(t.i - 1 AS INT) AS pos,
+               CAST(s.qv[sj.j * {ds} + t.i] AS BIGINT) AS c
+        FROM (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, qv
+              FROM q ORDER BY h, vec_id LIMIT {k}) s,
+             unnest(generate_series(0, {m - 1})) AS sj(j),
+             unnest(generate_series(1, {ds})) AS t(i)
+    )""",
+    ]
+    for n in range(1, iterations + 1):
+        p = n - 1
+        ctes.append(
+            f"""k{n} AS MATERIALIZED (
+        SELECT j, cell, list(c ORDER BY pos) AS cv FROM c{p} GROUP BY j, cell
+    )"""
+        )
+        ctes.append(
+            f"""a{n} AS MATERIALIZED (
+        SELECT vec_id, j, qv, arg_min(cell, d2 * {k} + cell) AS cell
+        FROM (SELECT q.vec_id, kk.j, q.qv, kk.cell,
+                     list_sum(list_transform(generate_series(1, {ds}),
+                          i -> (q.qv[kk.j * {ds} + i] - kk.cv[i])
+                             * (q.qv[kk.j * {ds} + i] - kk.cv[i]))) AS d2
+              FROM q, k{n} kk)
+        GROUP BY vec_id, j, qv
+    )"""
+        )
+        ctes.append(
+            f"""s{n} AS MATERIALIZED (
+        SELECT j, cell, CAST(t.i - 1 AS INT) AS pos,
+               CAST(sum(qv[j * {ds} + t.i]) AS BIGINT) AS s, count(*) AS cnt
+        FROM a{n}, unnest(generate_series(1, {ds})) AS t(i)
+        GROUP BY j, cell, t.i
+    )"""
+        )
+        ctes.append(
+            f"""n{n} AS MATERIALIZED (
+        SELECT j, cell, pos, CAST(s // cnt AS BIGINT) AS c FROM s{n}
+    )"""
+        )
+        ctes.append(
+            f"""c{n} AS MATERIALIZED (
+        SELECT p.j, p.cell, p.pos, CAST(COALESCE(nn.c, p.c) AS BIGINT) AS c
+        FROM c{p} p LEFT JOIN n{n} nn
+          ON nn.j = p.j AND nn.cell = p.cell AND nn.pos = p.pos
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT j AS subspace, cell, pos, c FROM c{iterations}"
+        + "\n    ORDER BY subspace, cell, pos"
+    )
+
+
+KNN_PQ_SQL = _pq_sql(8, 8, 8, 2)
+
+EXTRA_QUERIES["knn_pq_codebooks"] = knn_pq_codebooks
+ORACLES["knn_pq_codebooks"] = KNN_PQ_SQL

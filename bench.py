@@ -134,6 +134,7 @@ HEADLINE = [
     # sampling through the vendored container+JPEG kernels, and the
     # ANN recurring-cost lifecycle (IVF build + O(batch) delta ingest)
     "knn_kmeans_centroids",
+    "knn_pq_codebooks",
     "j_stream_enrich_twin",
     "mm_video_frame_sample",
     "incr_ann_ingest",

@@ -712,3 +712,80 @@ def test_kmeans_quantizer_recall_and_balance_vs_sampled(spark):
     assert km_s3 <= samp_s3  # ...without scanning more rows
     km_r2, _ = recall_and_scanned(km, km_sizes, 2)
     assert km_r2 >= 0.9  # tight-budget floor
+
+
+def test_pq_codebooks_integer_replay_and_drop_in(spark, tmp_path):
+    """pq_codebooks_int is exact integer math — a pure-Python replay of
+    the documented recurrence (shared micro quantization, per-subspace
+    Euclidean argmin with low-cell ties, trunc-div means, NO
+    renormalization) reproduces it bit-for-bit — and the trained float
+    tensor drops into the IVF-PQ write/read path with the self-hit
+    recovered exactly."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+        ivf_topk_pq,
+        kmeans_quantizer,
+        pq_codebooks_int,
+        pq_quantizer_trained,
+        write_ivf_partitioned_pq,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    m, k, ds, iters = 4, 3, 4, 2
+
+    got = pq_codebooks_int(df, "embedding", m=m, k=k, iterations=iters, hash_fn="md5")
+
+    # -- pure-Python replay --------------------------------------------------
+    def md5_64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def quant(v):
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        nrm = math.sqrt(acc)
+        return [math.floor(float(x) / nrm * 1000000.0) for x in v]
+
+    def tdiv(s, c):
+        return s // c if s >= 0 else -((-s) // c)
+
+    pts = {i: quant(v) for i, v in rows}
+    order = sorted(pts, key=lambda i: (md5_64(str(i)), i))
+    books = [[pts[i][j * ds : (j + 1) * ds] for i in order[:k]] for j in range(m)]
+    for _ in range(iters):
+        acc = {}
+        for qv in pts.values():
+            for j in range(m):
+                sub = qv[j * ds : (j + 1) * ds]
+                best = min(
+                    range(k),
+                    key=lambda c: (
+                        sum((a - b) ** 2 for a, b in zip(sub, books[j][c])), c
+                    ),
+                )
+                acc.setdefault((j, best), []).append(sub)
+        for (j, c), subs in acc.items():
+            books[j][c] = [tdiv(sum(col), len(subs)) for col in zip(*subs)]
+    assert got == books
+
+    # -- drop-in to the IVF-PQ index path ------------------------------------
+    cents = kmeans_quantizer(df, "embedding", n_cells=4, iterations=2)
+    fbooks = pq_quantizer_trained(df, "embedding", m=m, k=k, iterations=iters)
+    assert fbooks.shape == (m, k, ds)
+    path = str(tmp_path / "pq_idx")
+    write_ivf_partitioned_pq(
+        df, path, "embedding", id_col="vec_id", n_cells=4, m=m, k=k,
+        centroids=cents, codebooks=fbooks,
+    )
+    q = rows[7][1]
+    top = ivf_topk_pq(
+        spark, path, cents, fbooks, q, df, 5,
+        vec_col="embedding", id_col="vec_id", n_probe=2,
+    ).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["similarity"] - 1.0) < 1e-9
