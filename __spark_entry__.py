@@ -136,7 +136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rounds green; the span machinery is pinned in-window by
         #    corpus_dup_spans)
         "mm_audio_adpcm": M.QUERIES["mm_audio_adpcm"],
-        "prof_approx_distinct": P.prof_approx_distinct,
+        # -- r9 third wave: STEREO IMA-ADPCM (word-interleaved channels,
+        #    per-channel carried state; the oracle steps the recurrence
+        #    per (doc, channel) partition — a cross-channel state leak
+        #    breaks the hash); displaced prof_approx_distinct (multi-
+        #    round green; profiling keeps five in-window rows)
+        "mm_audio_adpcm_stereo": M.QUERIES["mm_audio_adpcm_stereo"],
         # -- r8 fourth-wave: DSIR importance resampling (hashed n-gram
         #    importance weights, integer micro-nat quantization — the
         #    whole formula DuckDB-replayed); displaced prof_top_values
@@ -209,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 rotation casualties (multi-round green, family-pinned as
         # documented above; ALL still checked locally every round)
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
+        "prof_approx_distinct": P.prof_approx_distinct,
         "corpus_split": L.EXTRA_QUERIES["corpus_split"],
         "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
         "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],

@@ -9,9 +9,14 @@ quantizer table, the 8-entry index-adaptation table, and the
 (block headers of ``predictor:int16, index:uint8, reserved``) per the
 Microsoft WAVE spec for format 17.
 
-MONO only — multi-channel IMA interleaves nibbles in 4-byte channel
-words; raising on channels != 1 keeps the capability gap an ERROR,
-never a silently wrong decode (house rule, see ``functions/jpeg.py``).
+Mono decodes a contiguous nibble stream; multi-channel (r9) follows
+the Microsoft WAVE layout for tag 17 — per-channel 4-byte block
+headers, then the data area interleaving one 4-byte word (8 samples)
+per channel, round-robin, each channel carrying its own
+(predictor, index) state across its words. Blocks whose data area is
+not a whole number of channel word groups raise (capability gap =
+ERROR, never a silently wrong decode — house rule, see
+``functions/jpeg.py``).
 
 The encoder exists to build test fixtures (same IMA reference
 quantization); round-trip equality is NOT expected — ADPCM is lossy —
@@ -49,6 +54,15 @@ def decode_nibbles(
 ) -> list[int]:
     """Expand ADPCM nibbles from a (predictor, index) seed — the IMA
     reference decoder loop."""
+    return decode_nibbles_state(nibbles, predictor, index)[0]
+
+
+def decode_nibbles_state(
+    nibbles: list[int], predictor: int, index: int
+) -> tuple[list[int], int, int]:
+    """Like :func:`decode_nibbles` but also returns the FINAL
+    (predictor, index) — multi-channel decoding carries each channel's
+    state across its interleaved 4-byte words."""
     out: list[int] = []
     for nib in nibbles:
         step = STEP_TABLE[index]
@@ -62,7 +76,7 @@ def decode_nibbles(
         predictor = _clamp16(predictor - delta if nib & 8 else predictor + delta)
         index = _clamp_index(index + INDEX_TABLE[nib & 7])
         out.append(predictor)
-    return out
+    return out, predictor, index
 
 
 def encode_samples(
@@ -102,9 +116,10 @@ def encode_samples(
 
 
 def decode_ima_adpcm_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode a mono IMA-ADPCM WAV: ``(sample_rate, n_channels,
-    samples)`` as 16-bit PCM values. Raises ``NotImplementedError`` on
-    anything but format 17 / mono (capability gap = error)."""
+    """Decode an IMA-ADPCM WAV (mono or multi-channel): returns
+    ``(sample_rate, n_channels, samples)`` as 16-bit PCM values,
+    channel-interleaved. Raises ``NotImplementedError`` on anything but
+    format 17 (capability gap = error)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE container")
     pos = 12
@@ -128,57 +143,115 @@ def decode_ima_adpcm_wav(data: bytes) -> tuple[int, int, list[int]]:
         raise NotImplementedError(
             f"WAV format tag {tag:#06x} is not IMA ADPCM (0x0011)"
         )
-    if channels != 1:
-        raise NotImplementedError(
-            "multi-channel IMA ADPCM (interleaved channel words) not implemented"
-        )
+    if channels < 1:
+        raise NotImplementedError("IMA ADPCM WAV with zero channels")
     samples: list[int] = []
     for off in range(0, len(frames) - (len(frames) % block_align), block_align):
         block = frames[off : off + block_align]
-        predictor = struct.unpack_from("<h", block, 0)[0]
-        index = _clamp_index(block[2])
-        samples.append(predictor)  # the header carries the first sample
-        nibbles: list[int] = []
-        for byte in block[4:]:
-            nibbles.append(byte & 0x0F)  # low nibble first (IMA order)
-            nibbles.append(byte >> 4)
-        samples.extend(decode_nibbles(nibbles, predictor, index))
+        if channels == 1:
+            # mono: one header, then a CONTIGUOUS nibble stream (no
+            # word-interleave constraint — the data area may be any
+            # even nibble count)
+            predictor = struct.unpack_from("<h", block, 0)[0]
+            index = _clamp_index(block[2])
+            samples.append(predictor)  # the header carries sample 0
+            nibbles: list[int] = []
+            for byte in block[4:]:
+                nibbles.append(byte & 0x0F)  # low nibble first (IMA order)
+                nibbles.append(byte >> 4)
+            samples.extend(decode_nibbles(nibbles, predictor, index))
+            continue
+        # multi-channel (r9): per-channel 4-byte headers, then the data
+        # area interleaves one 4-byte word (8 nibbles = 8 samples) PER
+        # CHANNEL, round-robin — the Microsoft WAVE layout for tag 17
+        hdr = 4 * channels
+        if (len(block) - hdr) % (4 * channels):
+            raise NotImplementedError(
+                f"IMA ADPCM block data ({len(block) - hdr} bytes) is not "
+                f"a whole number of {channels}-channel 4-byte word groups"
+            )
+        preds = [struct.unpack_from("<h", block, 4 * ch)[0] for ch in range(channels)]
+        idxs = [_clamp_index(block[4 * ch + 2]) for ch in range(channels)]
+        samples.extend(preds)  # sample 0 of every channel, interleaved
+        pos_b = hdr
+        while pos_b < len(block):
+            group: list[list[int]] = []
+            for ch in range(channels):
+                word = block[pos_b : pos_b + 4]
+                pos_b += 4
+                nibbles = []
+                for byte in word:
+                    nibbles.append(byte & 0x0F)
+                    nibbles.append(byte >> 4)
+                decoded, preds[ch], idxs[ch] = decode_nibbles_state(
+                    nibbles, preds[ch], idxs[ch]
+                )
+                group.append(decoded)
+            for k in range(8):
+                for ch in range(channels):
+                    samples.append(group[ch][k])
     return rate, channels, samples
 
 
 def encode_ima_adpcm_wav(
-    samples: list[int], sample_rate: int, *, block_samples: int = 505
+    samples: list[int], sample_rate: int, *, block_samples: int = 505, channels: int = 1
 ) -> bytes:
-    """Fixture encoder: mono 16-bit PCM -> IMA-ADPCM WAV with
-    ``block_samples`` samples per block (1 header sample + an even
-    nibble run; 505 -> the canonical 256-byte block). Trailing partial
-    blocks are zero-padded in the nibble area (decoders emit the pad —
-    callers slice to the sample count they asked for, as the tests do)."""
+    """Fixture encoder: 16-bit PCM (channel-interleaved when
+    ``channels`` > 1) -> IMA-ADPCM WAV with ``block_samples`` samples
+    PER CHANNEL per block (1 header sample + an even nibble run; 505
+    mono -> the canonical 256-byte block). Multi-channel blocks require
+    ``block_samples - 1`` divisible by 8 (whole 4-byte channel words).
+    Trailing partial blocks are zero-padded in the nibble area
+    (decoders emit the pad — callers slice to the sample count they
+    asked for, as the tests do)."""
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
     if (block_samples - 1) % 2:
         raise ValueError("block_samples - 1 must be even (2 nibbles per byte)")
-    block_align = 4 + (block_samples - 1) // 2
+    if channels > 1 and (block_samples - 1) % 8:
+        raise ValueError(
+            "multi-channel blocks need block_samples - 1 divisible by 8 "
+            "(one 4-byte word = 8 samples per channel per group)"
+        )
+    block_align = (4 + (block_samples - 1) // 2) * channels
+    chans = [samples[ch::channels] for ch in range(channels)]
+    n_per = len(chans[0])
+    if any(len(c) != n_per for c in chans):
+        raise ValueError("interleaved sample count must be a channel multiple")
     blocks = []
     i = 0
-    index = 0  # carried ACROSS blocks (each header stores the running
-    # value) — resetting per block slope-overloads fast signals right
-    # after every boundary
-    while i < len(samples):
-        chunk = samples[i : i + block_samples]
+    index = [0] * channels  # carried ACROSS blocks (each header stores
+    # the running value) — resetting per block slope-overloads fast
+    # signals right after every boundary
+    while i < n_per:
+        per_ch_nibbles: list[list[int]] = []
+        header = bytearray()
+        for ch in range(channels):
+            chunk = chans[ch][i : i + block_samples]
+            predictor = _clamp16(chunk[0])
+            block_index = index[ch]  # header stores the STARTING state
+            nibbles, _p, index[ch] = encode_samples(chunk[1:], predictor, block_index)
+            nibbles += [0] * ((block_samples - 1) - len(nibbles))
+            per_ch_nibbles.append(nibbles)
+            header += struct.pack("<hBB", predictor, block_index, 0)
         i += block_samples
-        predictor = _clamp16(chunk[0])
-        rest = chunk[1:]
-        block_index = index  # header stores the block's STARTING state
-        nibbles, _p, index = encode_samples(rest, predictor, block_index)
-        nibbles += [0] * ((block_samples - 1) - len(nibbles))
-        body = bytearray(struct.pack("<hBB", predictor, block_index, 0))
-        for j in range(0, len(nibbles), 2):
-            body.append((nibbles[j + 1] << 4) | nibbles[j])
+        body = bytearray(header)
+        if channels == 1:
+            nibbles = per_ch_nibbles[0]
+            for j in range(0, len(nibbles), 2):
+                body.append((nibbles[j + 1] << 4) | nibbles[j])
+        else:
+            for g in range(0, block_samples - 1, 8):
+                for ch in range(channels):
+                    w = per_ch_nibbles[ch][g : g + 8]
+                    for j in range(0, 8, 2):
+                        body.append((w[j + 1] << 4) | w[j])
         blocks.append(bytes(body))
     data = b"".join(blocks)
     byte_rate = sample_rate * block_align // block_samples
     fmt = struct.pack(
-        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate, block_align, 4, 2,
-        block_samples,
+        "<HHIIHHHH", 0x0011, channels, sample_rate, byte_rate, block_align,
+        4, 2, block_samples,
     )
     riff = (
         b"WAVE"

@@ -630,11 +630,13 @@ def audio_frame_features(
     content_col: str = "content",
     *,
     frame_len: int = 16,
+    channel: int = 0,
 ) -> DataFrame:
     """Per-frame audio features via ``mapInPandas``: split the decoded
     PCM stream (stdlib ``wave`` — the same unconditional kernel as
     :func:`decode_audio`) into consecutive ``frame_len``-sample frames
-    (channel 0, FULL frames only) and emit one row per frame with
+    (the selected ``channel``, FULL frames only) and emit one row per
+    frame with
 
     - ``rms``  — root-mean-square amplitude (4 dp; the sum of squares
       is exact int64, so ``sqrt`` is the single correctly-rounded IEEE
@@ -685,7 +687,11 @@ def audio_frame_features(
                     )
 
                     _r, _ch, smp = decode_ima_adpcm_wav(b)
-                    mono = np.asarray(smp, dtype=np.int64)
+                    if channel >= _ch:
+                        raise ValueError(
+                            f"channel {channel} requested from {_ch}-channel audio"
+                        )
+                    mono = np.asarray(smp, dtype=np.int64)[channel::_ch]
                 else:
                     with wave.open(io.BytesIO(b)) as w:
                         if w.getsampwidth() != 2:
@@ -695,8 +701,12 @@ def audio_frame_features(
                             )
                         nch = w.getnchannels()
                         raw = w.readframes(w.getnframes())
+                    if channel >= nch:
+                        raise ValueError(
+                            f"channel {channel} requested from {nch}-channel audio"
+                        )
                     samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-                    mono = samples[::nch]  # channel 0
+                    mono = samples[channel::nch]
                 base = {k: rec[k] for k in keep_names}
                 for f_idx in range(len(mono) // frame_len):
                     fr = mono[f_idx * frame_len : (f_idx + 1) * frame_len]

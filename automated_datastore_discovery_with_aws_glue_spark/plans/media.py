@@ -732,3 +732,163 @@ MM_VIDEO_FRAME_SAMPLE_SQL = """
 
 QUERIES["mm_video_frame_sample"] = mm_video_frame_sample
 ORACLES["mm_video_frame_sample"] = MM_VIDEO_FRAME_SAMPLE_SQL
+
+
+def _adpcm_stereo_wav_content(docs: DataFrame) -> DataFrame:
+    """documents + a REAL STEREO IMA-ADPCM WAV per row (r9): per-channel
+    4-byte block headers, then the data area interleaving one 4-byte
+    word (8 nibbles) per channel round-robin — the Microsoft WAVE
+    layout for multi-channel format 17. Every byte a native expression
+    of doc_id:
+
+    - ``nb = 64 + (doc_id % 8) * 8`` nibbles PER CHANNEL (whole words),
+    - channel seeds ``p0(ch) = ((doc_id + 11 ch) % 7) * 1000 - 3000``,
+      ``ix0(ch) = (doc_id + 29 ch) % 89``,
+    - nibble ``j`` of channel ``ch`` = ``(doc_id + 5 ch + j) % 16``.
+
+    The vendored kernel de-interleaves and decodes each channel with
+    its own carried (predictor, index) state; the oracle steps the SAME
+    recurrence per (doc, channel) partition."""
+    nb = (F.lit(64) + (F.col("doc_id") % 8) * 8).cast("bigint")
+
+    def p0(ch: int) -> F.Column:
+        return (((F.col("doc_id") + 11 * ch) % 7) * 1000 - 3000).cast("bigint")
+
+    def ix0(ch: int) -> F.Column:
+        return ((F.col("doc_id") + 29 * ch) % 89).cast("bigint")
+
+    def nib(ch: int, j: F.Column) -> F.Column:
+        return (F.col("doc_id") + 5 * ch + j) % 16
+
+    def word_hex(ch: int, g: F.Column) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), F.lit(3).cast("bigint")),
+                lambda b: _le_hex(
+                    nib(ch, g * 8 + 2 * b) + nib(ch, g * 8 + 2 * b + 1) * 16, 1
+                ),
+            ),
+            "",
+        )
+
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), (nb / 8).cast("bigint") - 1),
+            lambda g: F.concat(word_hex(0, g), word_hex(1, g)),
+        ),
+        "",
+    )
+    block_align = nb + 8  # 2 x 4-byte headers + nb/2 bytes x 2 channels
+    fmt_hex = F.concat(
+        _le_hex(F.lit(0x11), 2),        # wFormatTag = IMA ADPCM
+        _le_hex(F.lit(2), 2),           # stereo
+        _le_hex(F.lit(8000), 4),        # sample rate
+        _le_hex(F.lit(8000), 4),        # byte rate (informational)
+        _le_hex(block_align, 2),
+        _le_hex(F.lit(4), 2),           # bits per (compressed) sample
+        _le_hex(F.lit(2), 2),           # cbSize
+        _le_hex(nb + 1, 2),             # wSamplesPerBlock (per channel)
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),                       # 'RIFF'
+        _le_hex(F.lit(40) + block_align, 4),     # chunk size
+        F.lit("57415645"),                       # 'WAVE'
+        F.lit("666D7420"),                       # 'fmt '
+        _le_hex(F.lit(20), 4),
+        fmt_hex,
+        F.lit("64617461"),                       # 'data'
+        _le_hex(block_align, 4),
+        _le_hex(F.pmod(p0(0), F.lit(65536)), 2), # ch0: predictor
+        _le_hex(ix0(0), 1),                      # ch0: step index
+        _le_hex(F.lit(0), 1),
+        _le_hex(F.pmod(p0(1), F.lit(65536)), 2), # ch1: predictor
+        _le_hex(ix0(1), 1),                      # ch1: step index
+        _le_hex(F.lit(0), 1),
+        data_hex,
+    )
+    return docs.select("doc_id", F.unhex(header_hex).alias("content"))
+
+
+def mm_audio_adpcm_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame, PER-CHANNEL features over REAL STEREO IMA-ADPCM files
+    (r9 — the multi-channel layout the r8 kernel refused): the
+    natively synthesized word-interleaved bitstream is container-parsed
+    and de-interleaved by the vendored kernel (each channel carrying its
+    own (predictor, index) across its 4-byte words), then framed like
+    `mm_audio_features` per channel. The oracle steps the IMA
+    recurrence per (doc, channel) partition — word interleave order,
+    per-channel headers, and the state carry are all differentially
+    checked (a cross-channel state leak breaks the hash)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.multimodal import audio_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = _adpcm_stereo_wav_content(docs)
+    per_ch = [
+        audio_frame_features(wavs, "content", frame_len=16, channel=ch)
+        .withColumn("channel", F.lit(ch).cast("int"))
+        for ch in (0, 1)
+    ]
+    return (
+        per_ch[0].unionByName(per_ch[1])
+        .select(
+            "doc_id", "channel", "frame_idx", "n_samples", "rms", "zcr", "peak"
+        )
+        .orderBy("doc_id", "channel", "frame_idx")
+    )
+
+
+MM_AUDIO_ADPCM_STEREO_SQL = """
+    WITH RECURSIVE params AS (
+        SELECT doc_id, c.ch,
+               64 + (doc_id % 8) * 8 AS nb,
+               ((doc_id + 11 * c.ch) % 7) * 1000 - 3000 AS p0,
+               (doc_id + 29 * c.ch) % 89 AS ix0
+        FROM documents, unnest([0, 1]) AS c(ch)
+    ),
+    dec(doc_id, ch, j, pred, ix) AS (
+        SELECT doc_id, ch, CAST(0 AS BIGINT), CAST(p0 AS BIGINT), CAST(ix0 AS BIGINT)
+        FROM params
+        UNION ALL
+        SELECT s.doc_id, s.ch, s.j + 1,
+               least(greatest(CASE WHEN ((p.doc_id + 5 * p.ch + s.j) % 16) >= 8
+                                   THEN s.pred - (st.step // 8
+                                        + CASE WHEN ((p.doc_id + 5 * p.ch + s.j) % 16) % 2 = 1 THEN st.step // 4 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + 5 * p.ch + s.j) % 16) // 2) % 2 = 1 THEN st.step // 2 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + 5 * p.ch + s.j) % 16) // 4) % 2 = 1 THEN st.step ELSE 0 END)
+                                   ELSE s.pred + (st.step // 8
+                                        + CASE WHEN ((p.doc_id + 5 * p.ch + s.j) % 16) % 2 = 1 THEN st.step // 4 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + 5 * p.ch + s.j) % 16) // 2) % 2 = 1 THEN st.step // 2 ELSE 0 END
+                                        + CASE WHEN (((p.doc_id + 5 * p.ch + s.j) % 16) // 4) % 2 = 1 THEN st.step ELSE 0 END)
+                              END, -32768), 32767),
+               least(greatest(s.ix + ([-1, -1, -1, -1, 2, 4, 6, 8])[((p.doc_id + 5 * p.ch + s.j) % 16) % 8 + 1], 0), 88)
+        FROM dec s
+        JOIN params p ON p.doc_id = s.doc_id AND p.ch = s.ch
+        CROSS JOIN LATERAL (SELECT ([7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767])[s.ix + 1] AS step) st
+        WHERE s.j < p.nb
+    ),
+    v AS (
+        SELECT d.doc_id, d.ch, d.j AS i, CAST(d.j // 16 AS INT) AS frame_idx,
+               d.pred AS val
+        FROM dec d JOIN params p ON p.doc_id = d.doc_id AND p.ch = d.ch
+        WHERE d.j < ((p.nb + 1) // 16) * 16
+    ),
+    w AS (
+        SELECT doc_id, ch, frame_idx, val,
+               CASE WHEN i % 16 <> 0
+                    THEN lag(val) OVER (PARTITION BY doc_id, ch ORDER BY i)
+               END AS prev
+        FROM v
+    )
+    SELECT doc_id, CAST(ch AS INT) AS channel, frame_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           round(sqrt(CAST(sum(val * val) AS DOUBLE) / count(*)), 4) AS rms,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND val * prev < 0
+                         THEN 1 ELSE 0 END) AS INT) AS zcr,
+           CAST(max(abs(val)) AS INT) AS peak
+    FROM w
+    GROUP BY doc_id, ch, frame_idx
+    ORDER BY doc_id, channel, frame_idx
+"""
+
+QUERIES["mm_audio_adpcm_stereo"] = mm_audio_adpcm_stereo
+ORACLES["mm_audio_adpcm_stereo"] = MM_AUDIO_ADPCM_STEREO_SQL

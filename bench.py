@@ -137,6 +137,7 @@ HEADLINE = [
     "knn_pq_codebooks",
     "j_stream_enrich_twin",
     "mm_video_frame_sample",
+    "mm_audio_adpcm_stereo",
     "incr_ann_ingest",
 ]
 

@@ -124,3 +124,93 @@ def test_spark_audio_paths_dispatch_adpcm(spark):
     assert frames[0]["rms"] == round(
         m.sqrt(sum(s * s for s in fr0) / 16), 4
     )
+
+
+def test_stereo_roundtrip_decoder_matches_encoder_reconstruction():
+    """Multi-channel decode: the decoder must reproduce the encoder's
+    internal per-channel reconstruction EXACTLY (lossy vs the original,
+    exact vs the codec's own state machine), with each channel carrying
+    its own (predictor, index) across its interleaved 4-byte words."""
+    import math
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+        _clamp16,
+        decode_nibbles_state,
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+        encode_samples,
+    )
+
+    n = 200
+    left = [int(8000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(n)]
+    right = [int(5000 * math.sin(2 * math.pi * 220 * t / 8000 + 1.0)) for t in range(n)]
+    inter = [v for pair in zip(left, right) for v in pair]
+    wav = encode_ima_adpcm_wav(inter, 8000, block_samples=65, channels=2)
+    rate, ch, out = decode_ima_adpcm_wav(wav)
+    assert (rate, ch) == (8000, 2)
+
+    def reference(sig):
+        idx, recon, i = 0, [], 0
+        while i < len(sig):
+            chunk = sig[i : i + 65]
+            i += 65
+            pred = _clamp16(chunk[0])
+            nibs, _, nxt = encode_samples(chunk[1:], pred, idx)
+            nibs += [0] * (64 - len(nibs))
+            recon.append(pred)
+            recon.extend(decode_nibbles_state(nibs, pred, idx)[0])
+            idx = nxt
+        return recon
+
+    l_ref, r_ref = reference(left), reference(right)
+    assert out[0::2][: len(l_ref)] == l_ref
+    assert out[1::2][: len(r_ref)] == r_ref
+
+
+def test_stereo_channels_are_independent():
+    """A cross-channel state leak is the classic stereo-ADPCM bug: a
+    LOUD left channel must not disturb a silent right channel (decodes
+    to tiny adaptation noise only), and mono behavior is unchanged."""
+    import math
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    n = 128
+    loud = [int(30000 * math.sin(2 * math.pi * 1000 * t / 8000)) for t in range(n)]
+    silent = [0] * n
+    inter = [v for pair in zip(loud, silent) for v in pair]
+    _, ch, out = decode_ima_adpcm_wav(
+        encode_ima_adpcm_wav(inter, 8000, block_samples=65, channels=2)
+    )
+    assert ch == 2
+    assert max(abs(v) for v in out[1::2]) <= 16  # adaptation noise only
+    assert max(abs(v) for v in out[0::2]) > 20000
+
+    # mono path byte-for-byte unchanged by the channels parameter default
+    m1 = encode_ima_adpcm_wav(loud, 8000, block_samples=65)
+    m2 = encode_ima_adpcm_wav(loud, 8000, block_samples=65, channels=1)
+    assert m1 == m2
+
+
+def test_stereo_encoder_validation_and_partial_word_error():
+    import pytest
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    with pytest.raises(ValueError, match="divisible by 8"):
+        encode_ima_adpcm_wav([0, 0, 0, 0], 8000, block_samples=3, channels=2)
+    # a stereo block whose data area breaks word-group alignment raises
+    wav = bytearray(encode_ima_adpcm_wav([0] * 36, 8000, block_samples=9, channels=2))
+    # fmt block_align field (offset 32 in the canonical header layout)
+    import struct
+
+    ba = struct.unpack_from("<H", wav, 32)[0]
+    struct.pack_into("<H", wav, 32, ba - 2)  # no longer whole word groups
+    with pytest.raises(NotImplementedError, match="word group"):
+        decode_ima_adpcm_wav(bytes(wav))
