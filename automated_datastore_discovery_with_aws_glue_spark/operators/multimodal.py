@@ -5,13 +5,17 @@ columns with typed metadata alongside (the lakehouse pattern — content
 and metadata co-partitioned, metadata prunable without touching bytes).
 
 The Spark-side plumbing — schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partition behavior — is real and tested. The actual codec
-work (JPEG decode, audio resample, video frame extraction) requires
-media libraries that are NOT in this environment; those kernels are
-STUBBED: by default they raise ``NotImplementedError`` naming the
-missing dependency, and every operator accepts ``fake=True`` to run a
-deterministic byte-hash-driven fake so pipelines and tests exercise the
-full distributed path.
+signatures, partition behavior — is real and tested, and so are the
+codecs: with no media library in this environment, decode runs on the
+VENDORED pure-Python kernels — PNG/GIF/JPEG (baseline + progressive)
+in ``functions/{png,gif,jpeg}.py``, PCM + IMA-ADPCM (mono and
+word-interleaved multi-channel) WAV in ``functions/adpcm.py`` + stdlib
+``wave``, and MJPEG/AVI video via ``functions/avi.py`` composed with
+the JPEG kernel. Pillow is preferred where importable. Out-of-subset
+media (WEBP, lossless/arithmetic JPEG, non-MJPEG video codecs) raises
+``NotImplementedError`` naming the gap — never a silent NULL; a few
+operators also accept ``fake=True`` for a deterministic hash-derived
+stub (plumbing-only pipelines, DuckDB-replayable).
 """
 
 from __future__ import annotations
