@@ -60,7 +60,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pii_redact (multi-round green; PII family keeps the
         #    classify-derived + counts rows in-window)
         "incr_distinct_hll": P.incr_distinct_hll,
-        "prof_column_stats": P.prof_column_stats,
+        # -- r9 fourth wave: Pearson correlation matrix (all fifteen
+        #    sufficient statistics in ONE fused scan, exact integer-cent
+        #    partials); displaced prof_column_stats (multi-round green;
+        #    profiling keeps four in-window rows)
+        "prof_correlation": P.prof_correlation,
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
         "prof_histogram": P.prof_histogram,
         # -- dedup / text analysis / similarity search --
@@ -74,7 +78,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    shingle/permutation formulas are shared helpers, so this
         #    row pins the same math PLUS the two-table topology)
         "fuzzy_join_docs": L.EXTRA_QUERIES["fuzzy_join_docs"],
-        "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
+        # -- r9 fourth wave: cluster-balanced corpus selection — the
+        #    distributed-k-means training, map-side assignment, doc
+        #    join, and deterministic per-cluster sample ALL replayed by
+        #    one oracle; displaced dedup_simhash_sketch (multi-round
+        #    green — the shingle/permutation helpers stay pinned by the
+        #    in-window fuzzy_join_docs row)
+        "corpus_cluster_sample": L.EXTRA_QUERIES["corpus_cluster_sample"],
         # -- r8 fourth-wave: ORC sink+source roundtrip fidelity
         #    (hive-partitioned write, read-back, aggregate vs the
         #    parquet original); displaced emb_near_dup_lsh (multi-
@@ -129,7 +139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    and mm_gif_frame_sample rows)
         "dq_suite_report": P.dq_suite_report,
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
-        "corpus_gopher_filters": L.EXTRA_QUERIES["corpus_gopher_filters"],
+        # -- r9 fourth wave: the remaining §2.5 ranking-window surface
+        #    (ntile / percent_rank / cume_dist / lag / lead in ONE
+        #    window frame); displaced corpus_gopher_filters (multi-round
+        #    green, pytest-pinned rule set, still checked locally)
+        "w_ranking_suite": RX.QUERIES["w_ranking_suite"],
         # -- r8 fourth-wave: vendored IMA-ADPCM codec checked
         #    END-TO-END (the oracle steps the IMA recurrence in a
         #    recursive CTE); displaced corpus_strip_dup_spans (two
@@ -215,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documented above; ALL still checked locally every round)
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],
         "prof_approx_distinct": P.prof_approx_distinct,
+        "prof_column_stats": P.prof_column_stats,
+        "dedup_simhash_sketch": L.QUERIES["dedup_simhash_sketch"],
         "corpus_split": L.EXTRA_QUERIES["corpus_split"],
         "tok_pack_sequences": L.EXTRA_QUERIES["tok_pack_sequences"],
         "corpus_decontaminate": L.EXTRA_QUERIES["corpus_decontaminate"],
@@ -582,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx_sql(),
         "prof_top_values": P.prof_top_values_sql(),
         "prof_histogram": P.prof_histogram_sql(),
+        "prof_correlation": P.prof_correlation_sql(),
         "pii_redact": P.pii_redact_oracle_sql(),
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms_sql(),
         "dq_suite_report": P.dq_suite_report_sql(),

@@ -2768,10 +2768,19 @@ def knn_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell", "pos")
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_sql(
+    k: int = 8,
+    iterations: int = 3,
+    final: str | None = None,
+    extra_ctes: list[str] | None = None,
+) -> str:
     """DuckDB replay of kmeans_centroids_int: every iteration unrolled
     as MATERIALIZED CTEs (twice-referenced stages would otherwise be
-    inlined and explode, see the BPE oracle)."""
+    inlined and explode, see the BPE oracle). ``final`` overrides the
+    trailing SELECT (it sees the ``q`` frame and the last centroid
+    stage ``c{iterations}``) — consumers like the cluster-balanced
+    sampler append their own assignment + selection on top of the same
+    replayed training."""
     ctes = [
         f"""nz AS MATERIALIZED (
         SELECT vec_id, embedding,
@@ -2836,11 +2845,12 @@ def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
         FROM c{p} p LEFT JOIN n{n} nn ON nn.cell = p.cell AND nn.pos = p.pos
     )"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT cell, pos, c FROM c{iterations} ORDER BY cell, pos"
+    tail = (
+        final
+        if final is not None
+        else f"SELECT cell, pos, c FROM c{iterations} ORDER BY cell, pos"
     )
+    return "WITH " + ",\n    ".join(ctes + (extra_ctes or [])) + "\n    " + tail
 
 
 KNN_KMEANS_SQL = _kmeans_sql(8, 3)
@@ -2955,3 +2965,82 @@ KNN_PQ_SQL = _pq_sql(8, 8, 8, 2)
 
 EXTRA_QUERIES["knn_pq_codebooks"] = knn_pq_codebooks
 ORACLES["knn_pq_codebooks"] = KNN_PQ_SQL
+
+
+def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection (r9): train the distributed
+    k-means quantizer on the embeddings (4 cells, 2 full Lloyd passes —
+    the `knn_kmeans_centroids` machinery), assign EVERY vector
+    map-side, and keep a deterministic per-cluster sample of 25
+    documents (ordered by md5 hash — the seedless-random twin pattern).
+    This is the SemDeDup-adjacent curation shape: sampling per semantic
+    cluster instead of globally keeps rare regions represented when a
+    corpus is dominated by one dense mode. One shuffle beyond training
+    (the per-cell window sort); fully oracle-replayed end-to-end —
+    training, assignment, join, and selection."""
+    from pyspark.sql import Window
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = S.kmeans_centroids_int(
+        emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
+    )
+    assigned = (
+        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "vec_id",
+            S.quantize_unit_micro("embedding", "_nrm").alias("_qv"),
+        )
+        .withColumn("cell", S.kmeans_cell_expr("_qv", cents))
+        .select("vec_id", "cell")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        md5_hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        assigned.join(docs, assigned["vec_id"] == docs["doc_id"])
+        .select("cell", "doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("cell", "doc_id", "lang", "rn")
+        .orderBy("cell", "rn")
+    )
+
+
+_CLUSTER_SAMPLE_CTES = """kf AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c2 GROUP BY cell
+    ),
+    af AS MATERIALIZED (
+        SELECT vec_id, arg_max(cell, dot * 4 + cell) AS cell
+        FROM (SELECT q.vec_id, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, kf kk)
+        GROUP BY vec_id
+    ),
+    smp AS (
+        SELECT af.cell, d.doc_id, d.lang,
+               row_number() OVER (
+                   PARTITION BY af.cell
+                   ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                            d.doc_id
+               ) AS rn
+        FROM af JOIN documents d ON d.doc_id = af.vec_id
+    )"""
+
+CORPUS_CLUSTER_SAMPLE_SQL = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT CAST(cell AS INT) AS cell, doc_id, lang, CAST(rn AS INT) AS rn\n"
+        "    FROM smp WHERE rn <= 25 ORDER BY cell, rn"
+    ),
+    extra_ctes=[_CLUSTER_SAMPLE_CTES],
+)
+
+EXTRA_QUERIES["corpus_cluster_sample"] = corpus_cluster_sample
+ORACLES["corpus_cluster_sample"] = CORPUS_CLUSTER_SAMPLE_SQL

@@ -849,3 +849,103 @@ def incr_distinct_hll_sql() -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+def prof_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's four numeric measures
+    (r9 — the Deequ-style profiling signal the constraint suites lack):
+    ALL fifteen sufficient statistics (n, per-column sums and
+    sum-of-squares, six pairwise cross-sums) fold into ONE aggregate
+    over ONE scan — adding a column pair adds aggregate expressions,
+    never a pass — and the correlations derive from the single stats
+    row. Values are quantized to exact integer cents before summation
+    (order-independent BIGINT partials; at 100 TB the cross-sums stay
+    under 2^63 for ~1e9 rows at these magnitudes), so the only float
+    arithmetic is the final closed-form ratio — bit-portable and
+    rounded to 4dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    cents = {
+        c: F.round(F.col(c) * 100).cast("bigint").alias(f"_{c}") for c in cols
+    }
+    base = li.select(*cents.values())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(f"_{c}")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(f"_{c}") * F.col(f"_{c}")).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(f"_{a}") * F.col(f"_{b}")).alias(f"sp_{a}_{b}"))
+    one = base.agg(*aggs)
+    # separate projections keep every double op an isolated kernel on
+    # both engines (no fusable multiply-add chains; see the FMA gotcha)
+    nd = F.col("n").cast("double")
+    proj = [nd.alias("_nd")]
+    for c in cols:
+        proj.append((nd * F.col(f"ss_{c}").cast("double")).alias(f"_nss_{c}"))
+        proj.append(
+            (F.col(f"s_{c}").cast("double") * F.col(f"s_{c}").cast("double")).alias(f"_s2_{c}")
+        )
+    for a, b in pairs:
+        proj.append((nd * F.col(f"sp_{a}_{b}").cast("double")).alias(f"_nsp_{a}_{b}"))
+        proj.append(
+            (F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")).alias(f"_ss_{a}_{b}")
+        )
+    stats = one.select(*proj)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.round(
+                    (F.col(f"_nsp_{a}_{b}") - F.col(f"_ss_{a}_{b}"))
+                    / (
+                        F.sqrt(F.col(f"_nss_{a}") - F.col(f"_s2_{a}"))
+                        * F.sqrt(F.col(f"_nss_{b}") - F.col(f"_s2_{b}"))
+                    ),
+                    4,
+                ).alias("pearson"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        stats.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def prof_correlation_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"CAST(sum(_{c}) AS BIGINT) AS s_{c}")
+        sums.append(f"CAST(sum(_{c} * _{c}) AS BIGINT) AS ss_{c}")
+    for a, b in pairs:
+        sums.append(f"CAST(sum(_{a} * _{b}) AS BIGINT) AS sp_{a}_{b}")
+    proj = ["CAST(n AS DOUBLE) AS _nd"]
+    for c in cols:
+        proj.append(f"CAST(n AS DOUBLE) * CAST(ss_{c} AS DOUBLE) AS _nss_{c}")
+        proj.append(f"CAST(s_{c} AS DOUBLE) * CAST(s_{c} AS DOUBLE) AS _s2_{c}")
+    for a, b in pairs:
+        proj.append(f"CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) AS _nsp_{a}_{b}")
+        proj.append(f"CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) AS _ss_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        sel.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"round((_nsp_{a}_{b} - _ss_{a}_{b}) / "
+            f"(sqrt(_nss_{a} - _s2_{a}) * sqrt(_nss_{b} - _s2_{b})), 4) AS pearson "
+            f"FROM stats"
+        )
+    cents = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS _{c}" for c in cols
+    )
+    return f"""
+    WITH base AS (SELECT {cents} FROM lineitem),
+    sums AS (SELECT {', '.join(sums)} FROM base),
+    stats AS (SELECT {', '.join(proj)} FROM sums)
+    SELECT * FROM ({' UNION ALL '.join(sel)}) ORDER BY col_x, col_y
+    """

@@ -1125,3 +1125,43 @@ J_STREAM_ENRICH_SQL = """
 
 QUERIES["j_stream_enrich_twin"] = j_stream_enrich_twin
 ORACLES["j_stream_enrich_twin"] = J_STREAM_ENRICH_SQL
+
+
+def w_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.5 ranking-window surface in one plan: ntile,
+    percent_rank, cume_dist, lag and lead sharing ONE (partition,
+    order) frame — one exchange + one sort for all five expressions
+    (the staged-withColumns trap plans a Window operator per stage;
+    computing them in one select keeps a single Window node). Exact
+    rational ranks round to 4dp identically in both engines (integer
+    counts, one IEEE division)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    ).orderBy("o_orderkey")
+
+
+W_RANKING_SUITE_SQL = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    ORDER BY o_orderkey
+"""
+
+QUERIES["w_ranking_suite"] = w_ranking_suite
+ORACLES["w_ranking_suite"] = W_RANKING_SUITE_SQL

@@ -139,6 +139,11 @@ HEADLINE = [
     "mm_video_frame_sample",
     "mm_audio_adpcm_stereo",
     "incr_ann_ingest",
+    # r9 fourth wave: ranking-window suite, fused correlation matrix,
+    # cluster-balanced corpus selection (k-means composition)
+    "w_ranking_suite",
+    "prof_correlation",
+    "corpus_cluster_sample",
 ]
 
 

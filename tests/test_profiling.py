@@ -101,3 +101,34 @@ def test_cms_one_sided_error_and_merge(spark):
     }
     whole = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     assert merged == whole
+
+
+def test_prof_correlation_semantics(spark, tmp_path):
+    """Pearson pins: corr(x, x-affine) = +-1, independent-ish columns
+    land near 0, and the fused-scan query's math matches numpy on the
+    same integer-cent quantization."""
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans.profiling import prof_correlation
+
+    rng = np.random.RandomState(3)
+    q = rng.randint(1, 50, 400).astype(float)
+    price = q * 3.0 + 7.0          # corr +1 with quantity
+    disc = np.round(rng.uniform(0, 0.1, 400), 2)
+    tax = -2.0 * disc + 0.5        # corr -1 with discount
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(q, price, disc, tax)],
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    root = str(tmp_path)
+    df.write.parquet(f"{root}/lineitem.parquet")
+    got = {
+        (r["col_x"], r["col_y"]): r["pearson"]
+        for r in prof_correlation(spark, root).collect()
+    }
+    assert got[("l_quantity", "l_extendedprice")] == 1.0
+    assert got[("l_discount", "l_tax")] == -1.0
+    # numpy replay on the same cent quantization, 4dp
+    qc, dc = np.round(q * 100), np.round(disc * 100)
+    want = round(float(np.corrcoef(qc, dc)[0, 1]), 4)
+    assert abs(got[("l_quantity", "l_discount")] - want) < 2e-4
