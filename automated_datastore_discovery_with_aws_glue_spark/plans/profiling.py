@@ -858,15 +858,18 @@ def prof_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-squares, six pairwise cross-sums) fold into ONE aggregate
     over ONE scan — adding a column pair adds aggregate expressions,
     never a pass — and the correlations derive from the single stats
-    row. Values are quantized to exact integer cents before summation
-    (order-independent BIGINT partials; at 100 TB the cross-sums stay
-    under 2^63 for ~1e9 rows at these magnitudes), so the only float
-    arithmetic is the final closed-form ratio — bit-portable and
-    rounded to 4dp."""
+    row. Values are quantized to exact integer cents before summation;
+    the sums and sums-of-products accumulate in DECIMAL(38,0) (a
+    price-cents square is ~1e14, so BIGINT overflows by sf0.1 — 38
+    digits carry ~1e9-row 100 TB headroom; DuckDB's HUGEINT mirrors
+    them exactly). Every aggregate is an exact, order-independent
+    integer; the only float arithmetic is the final closed-form ratio
+    — bit-portable and rounded to 4dp."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     cents = {
-        c: F.round(F.col(c) * 100).cast("bigint").alias(f"_{c}") for c in cols
+        c: F.round(F.col(c) * 100).cast("decimal(18,0)").alias(f"_{c}")
+        for c in cols
     }
     base = li.select(*cents.values())
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -919,12 +922,13 @@ def prof_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prof_correlation_sql() -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # HUGEINT sums/products mirror Spark's DECIMAL(38,0) exactly
     sums = ["CAST(count(*) AS BIGINT) AS n"]
     for c in cols:
-        sums.append(f"CAST(sum(_{c}) AS BIGINT) AS s_{c}")
-        sums.append(f"CAST(sum(_{c} * _{c}) AS BIGINT) AS ss_{c}")
+        sums.append(f"sum(CAST(_{c} AS HUGEINT)) AS s_{c}")
+        sums.append(f"sum(CAST(_{c} AS HUGEINT) * _{c}) AS ss_{c}")
     for a, b in pairs:
-        sums.append(f"CAST(sum(_{a} * _{b}) AS BIGINT) AS sp_{a}_{b}")
+        sums.append(f"sum(CAST(_{a} AS HUGEINT) * _{b}) AS sp_{a}_{b}")
     proj = ["CAST(n AS DOUBLE) AS _nd"]
     for c in cols:
         proj.append(f"CAST(n AS DOUBLE) * CAST(ss_{c} AS DOUBLE) AS _nss_{c}")

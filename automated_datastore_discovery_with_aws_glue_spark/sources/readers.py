@@ -264,14 +264,25 @@ def scratch_dir(tag: str) -> str:
     (ORC roundtrip, persisted IVF indexes): fixed WITHIN a process so
     repeated bench/oracle sweeps overwrite instead of leaking a copy
     per run, but suffixed with the PID so two concurrent sessions on
-    one host never overwrite each other's scratch mid-read."""
+    one host never overwrite each other's scratch mid-read. Dead
+    processes' scratch for the same tag is GC'd on the way through."""
     import re
+    import shutil
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"{re.sub(r'[^A-Za-z0-9_]+', '_', tag)}_p{os.getpid()}",
-    )
+    safe = re.sub(r"[^A-Za-z0-9_]+", "_", tag)
+    root = tempfile.gettempdir()
+    for d in os.listdir(root):
+        m = re.match(rf"^{re.escape(safe)}_p(\d+)$", d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by another user
+    return os.path.join(root, f"{safe}_p{os.getpid()}")
 
 
 def bucketed_tables(
@@ -292,11 +303,30 @@ def bucketed_tables(
     concurrent sessions sharing one warehouse dir never drop/rebuild
     each other's tables mid-read (pass an explicit ``prefix`` to opt
     into a shared, single-writer table name)."""
+    import re
     import shutil
     from urllib.parse import urlparse
 
     if prefix is None:
         prefix = f"bkt_p{os.getpid()}"
+        # GC the PID-suffixed scratch of DEAD processes (each process
+        # gets fresh names for isolation; without this a long-lived
+        # warehouse dir accumulates one table set per past run)
+        wh0 = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or (
+            spark.conf.get("spark.sql.warehouse.dir")
+        )
+        if os.path.isdir(wh0):
+            for d in os.listdir(wh0):
+                m = re.match(r"^bkt_p(\d+)_", d)
+                if not m or int(m.group(1)) == os.getpid():
+                    continue
+                try:
+                    os.kill(int(m.group(1)), 0)  # raises if pid is dead
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(wh0, d), ignore_errors=True)
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                except PermissionError:
+                    pass  # live pid owned by another user: leave it
     keys = [key] if isinstance(key, str) else list(key)
     out: dict[str, DataFrame] = {}
     for name, df in frames.items():

@@ -266,3 +266,49 @@ def test_bucketed_join_plans_without_exchange(spark):
         assert "Exchange" in plain_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_tables_gc_dead_pid_scratch(spark, tmp_path):
+    """The PID-suffixed bucketed scratch of DEAD processes is GC'd on
+    the next default-prefix build (without it a long-lived warehouse
+    accumulates one table set per past run); live-process scratch and
+    explicit prefixes are untouched."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import bucketed_tables
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or spark.conf.get(
+        "spark.sql.warehouse.dir"
+    )
+    dead = os.path.join(wh, "bkt_p999999_zombie")
+    os.makedirs(dead, exist_ok=True)
+    live_marker = os.path.join(wh, f"bkt_p{os.getpid()}_keepme")
+    os.makedirs(live_marker, exist_ok=True)
+    try:
+        df = spark.createDataFrame([(1, "a")], ["k", "v"])
+        out = bucketed_tables(spark, {"t_gc": df}, key="k", buckets=2)["t_gc"]
+        assert out.count() == 1
+        assert not os.path.exists(dead), "dead-pid scratch must be GC'd"
+        assert os.path.exists(live_marker), "own-pid scratch must survive"
+    finally:
+        shutil.rmtree(live_marker, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS bkt_p{os.getpid()}_t_gc")
+        shutil.rmtree(os.path.join(wh, f"bkt_p{os.getpid()}_t_gc"), ignore_errors=True)
+
+
+def test_scratch_dir_is_per_process_and_gcs_dead_pids():
+    import os
+    import pathlib
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import scratch_dir
+
+    root = tempfile.gettempdir()
+    dead = os.path.join(root, "gcunit_tag_p999999")
+    os.makedirs(dead, exist_ok=True)
+    pathlib.Path(dead, "x").write_text("1")
+    got = scratch_dir("gcunit tag")
+    assert got.endswith(f"_p{os.getpid()}")
+    assert not os.path.exists(dead)
