@@ -134,6 +134,12 @@ def iter_avi_mjpeg_frames(data: bytes) -> Iterator[bytes]:
         raise ValueError("not an AVI file (RIFF/'AVI ' signature missing)")
     end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
     handler: bytes | None = None
+    # stream NUMBER matters (r10, ADVICE r9): strl entries are ordered,
+    # and stream N's movi chunks carry the two-digit prefix f"{N:02d}" —
+    # yielding every ##dc chunk regardless of stream would feed a second
+    # stream's non-JPEG frames to decode_jpeg
+    vids_streams: list[int] = []
+    stream_idx = 0
     movi: tuple[int, int] | None = None
     for fourcc, start, size in _iter_chunks(data, 12, end):
         if fourcc != b"LIST":
@@ -145,19 +151,29 @@ def iter_avi_mjpeg_frames(data: bytes) -> Iterator[bytes]:
                     for f3, s3, z3 in _iter_chunks(data, s2 + 4, s2 + z2):
                         if f3 == b"strh" and z3 >= 8:
                             if data[s3 : s3 + 4] == b"vids":
+                                vids_streams.append(stream_idx)
                                 handler = data[s3 + 4 : s3 + 8]
+                    stream_idx += 1
         elif ltype == b"movi":
             movi = (start + 4, start + size)
     if handler is None or movi is None:
         raise ValueError("AVI: no video stream header / movi list found")
+    if len(vids_streams) > 1:
+        raise NotImplementedError(
+            f"AVI has {len(vids_streams)} video streams (indexes "
+            f"{vids_streams}); multi-video-stream files are not supported "
+            f"— demux to single-stream MJPEG first"
+        )
     if handler not in (b"MJPG", b"mjpg"):
         raise NotImplementedError(
             f"AVI video codec {handler!r} not supported (MJPEG only — "
             f"the vendored decoder set covers baseline JPEG)"
         )
+    prefix = b"%02d" % vids_streams[0]
     for fourcc, start, size in _iter_chunks(data, movi[0], movi[1]):
-        # ##dc = compressed video, ##db = uncompressed-marked (some
-        # MJPEG writers use it anyway); audio (##wb) and rec lists are
+        # the validated video stream's ##dc (compressed) / ##db
+        # (uncompressed-marked — some MJPEG writers use it anyway)
+        # chunks only; audio (##wb), other streams, and rec lists are
         # skipped, not errors
-        if fourcc[2:4] in (b"dc", b"db"):
+        if fourcc[:2] == prefix and fourcc[2:4] in (b"dc", b"db"):
             yield data[start : start + size]

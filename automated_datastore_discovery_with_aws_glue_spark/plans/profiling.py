@@ -900,13 +900,20 @@ def prof_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(a).alias("col_x"),
                 F.lit(b).alias("col_y"),
-                F.round(
-                    (F.col(f"_nsp_{a}_{b}") - F.col(f"_ss_{a}_{b}"))
-                    / (
-                        F.sqrt(F.col(f"_nss_{a}") - F.col(f"_s2_{a}"))
-                        * F.sqrt(F.col(f"_nss_{b}") - F.col(f"_s2_{b}"))
+                # zero-variance guard (r10, ADVICE r9): a constant column
+                # makes n*ss - s^2 = 0 and the ratio 0/0 — NULL on both
+                # engines instead of an engine-specific NaN
+                F.when(
+                    (F.col(f"_nss_{a}") - F.col(f"_s2_{a}") > 0)
+                    & (F.col(f"_nss_{b}") - F.col(f"_s2_{b}") > 0),
+                    F.round(
+                        (F.col(f"_nsp_{a}_{b}") - F.col(f"_ss_{a}_{b}"))
+                        / (
+                            F.sqrt(F.col(f"_nss_{a}") - F.col(f"_s2_{a}"))
+                            * F.sqrt(F.col(f"_nss_{b}") - F.col(f"_s2_{b}"))
+                        ),
+                        4,
                     ),
-                    4,
                 ).alias("pearson"),
             )
             for a, b in pairs
@@ -940,8 +947,10 @@ def prof_correlation_sql() -> str:
     for a, b in pairs:
         sel.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
-            f"round((_nsp_{a}_{b} - _ss_{a}_{b}) / "
-            f"(sqrt(_nss_{a} - _s2_{a}) * sqrt(_nss_{b} - _s2_{b})), 4) AS pearson "
+            f"CASE WHEN (_nss_{a} - _s2_{a}) > 0 AND (_nss_{b} - _s2_{b}) > 0 "
+            f"THEN round((_nsp_{a}_{b} - _ss_{a}_{b}) / "
+            f"(sqrt(_nss_{a} - _s2_{a}) * sqrt(_nss_{b} - _s2_{b})), 4) "
+            f"ELSE NULL END AS pearson "
             f"FROM stats"
         )
     cents = ", ".join(

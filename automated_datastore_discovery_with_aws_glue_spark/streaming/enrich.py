@@ -69,7 +69,20 @@ def stream_interval_join(
     for c in right.columns:
         if c in left.columns:
             renamed[c] = c + suffix
-            r = r.withColumnRenamed(c, c + suffix)
+    # secondary-collision guard (r10, ADVICE r9): a right frame that
+    # already carries '<col>_r' NEXT TO a colliding '<col>' would end up
+    # with two identically-named columns after the rename, making every
+    # downstream select ambiguous — loud error instead
+    taken = set(left.columns) | set(right.columns)
+    for old, new in renamed.items():
+        if new in taken:
+            raise ValueError(
+                f"stream_interval_join: renaming colliding column {old!r} to "
+                f"{new!r} collides again (a column named {new!r} already "
+                f"exists); pass a different suffix="
+            )
+    for old, new in renamed.items():
+        r = r.withColumnRenamed(old, new)
     rk = renamed.get(key, key)
     rts = renamed.get(right_ts, right_ts)
     l_in = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left

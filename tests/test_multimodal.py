@@ -889,3 +889,63 @@ def test_jpeg_unsupported_modes_still_loud():
     lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(ValueError, match="unsupported"):
         decode_jpeg(lossless)
+
+
+def test_avi_multistream_guard_and_chunk_prefix_filter():
+    """r10 (ADVICE r9): movi chunks are filtered by the VALIDATED video
+    stream's two-digit prefix (a second stream's ##dc chunks never reach
+    decode_jpeg), and >1 'vids' stream is a loud capability gap."""
+    import struct
+
+    from automated_datastore_discovery_with_aws_glue_spark.functions.avi import (
+        _chunk,
+        _list,
+        iter_avi_mjpeg_frames,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.functions.jpeg import encode_jpeg
+
+    def strl(fcc_type: bytes, handler: bytes) -> bytes:
+        strh = _chunk(
+            b"strh",
+            fcc_type
+            + handler
+            + struct.pack(
+                "<IHH8I4H", 0, 0, 0, 0, 1, 10, 0, 1, 0, 0xFFFFFFFF, 0, 0, 0, 6, 5
+            ),
+        )
+        return _list(b"strl", strh + _chunk(b"strf", b"\x00" * 40))
+
+    def mk_avi(strls: list[bytes], movi_chunks: list[bytes]) -> bytes:
+        avih = _chunk(
+            b"avih",
+            struct.pack(
+                "<14I", 100000, 0, 0, 0x10, 1, 0, len(strls), 0, 6, 5, 0, 0, 0, 0
+            ),
+        )
+        hdrl = _list(b"hdrl", avih + b"".join(strls))
+        movi = _list(b"movi", b"".join(movi_chunks))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    jpg = encode_jpeg(6, 5, "L", bytes([42]) * 30)
+    vids = strl(b"vids", b"MJPG")
+    auds = strl(b"auds", b"\x00" * 4)
+
+    # video is stream 0, audio stream 1: 01wb (audio) AND an
+    # adversarial 01dc chunk are both skipped — only 00dc decodes
+    two = mk_avi(
+        [vids, auds],
+        [_chunk(b"00dc", jpg), _chunk(b"01wb", b"\x01\x02"), _chunk(b"01dc", b"NOTJPEG")],
+    )
+    assert list(iter_avi_mjpeg_frames(two)) == [jpg]
+
+    # video is stream 1 (audio first): the prefix follows the stream
+    swapped = mk_avi(
+        [auds, vids],
+        [_chunk(b"00wb", b"\x01\x02"), _chunk(b"00dc", b"NOTJPEG"), _chunk(b"01dc", jpg)],
+    )
+    assert list(iter_avi_mjpeg_frames(swapped)) == [jpg]
+
+    # two video streams: loud capability gap, never silent mis-decode
+    with pytest.raises(NotImplementedError, match="video streams"):
+        list(iter_avi_mjpeg_frames(mk_avi([vids, vids], [_chunk(b"00dc", jpg)])))

@@ -132,3 +132,25 @@ def test_prof_correlation_semantics(spark, tmp_path):
     qc, dc = np.round(q * 100), np.round(disc * 100)
     want = round(float(np.corrcoef(qc, dc)[0, 1]), 4)
     assert abs(got[("l_quantity", "l_discount")] - want) < 2e-4
+
+
+def test_prof_correlation_zero_variance_yields_null(spark, tmp_path):
+    """r10 (ADVICE r9): a constant column makes n*ss - s^2 = 0; the
+    guarded ratio returns NULL (both engines), never NaN."""
+    from automated_datastore_discovery_with_aws_glue_spark.plans.profiling import prof_correlation
+
+    rows = [(float(i % 7 + 1), 5.0, 0.01 * (i % 4), 0.02) for i in range(50)]
+    df = spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    df.write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        (r["col_x"], r["col_y"]): r["pearson"]
+        for r in prof_correlation(spark, str(tmp_path)).collect()
+    }
+    # every pair touching a constant column is NULL; the live pair isn't
+    for (a, b), v in got.items():
+        if "l_extendedprice" in (a, b) or "l_tax" in (a, b):
+            assert v is None, (a, b, v)
+    assert got[("l_quantity", "l_discount")] is not None

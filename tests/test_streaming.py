@@ -1338,3 +1338,18 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     put(rsrc, "rate", [(9, "2024-01-01 11:00:00", 2.0)])
     run()
     assert (2, "2024-01-01 10:00:00", None) in got(), got()
+
+
+def test_stream_interval_join_secondary_collision_is_loud(spark):
+    """r10 (ADVICE r9): a right frame already carrying '<col>_r' next to
+    a colliding '<col>' raises instead of producing duplicate names."""
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.enrich import stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, None)], "user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 2.0)], "user_id int, ts timestamp, ts_r double"
+    )
+    with pytest.raises(ValueError, match="collides again"):
+        stream_interval_join(left, right, "user_id")
