@@ -95,6 +95,13 @@ _STAGING_SWEEP_GRACE_S = 3600.0
 #: tombstone left by vacuum when a version dir must survive partially
 #: because retained manifests still reference files inside it
 _VACUUMED = "_VACUUMED"
+#: optional per-version table metadata (JSON), written into the staging
+#: directory BEFORE the pointer flip — atomic with the data it describes
+#: (underscore prefix = hidden to parquet readers). The ANN index keeps
+#: its applied-batch watermark and per-cell counters here, turning the
+#: exactly-once replay check into an O(1) metadata read instead of a
+#: table scan.
+_TABLE_META = "_TABLE_META"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -216,6 +223,28 @@ class ParquetStateStore:
         """Create version 1 from a (possibly empty) DataFrame."""
         self._write_version(table, df, partition_by=partition_by)
 
+    def table_meta(self, table: str, *, version: int | None = None) -> dict:
+        """The JSON metadata committed WITH a version (``meta=`` on
+        overwrite/append) — empty dict when the version carries none.
+        Because the meta file rides in the same staged directory as the
+        data files, it can never be observed out of sync with them."""
+        v = self.latest_version(table) if version is None else version
+        if v <= 0:
+            return {}
+        path = os.path.join(self._version_dir(table, v), _TABLE_META)
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    @staticmethod
+    def _write_meta(staging: str, meta: dict | None) -> None:
+        if meta is None:
+            return
+        with open(os.path.join(staging, _TABLE_META), "w") as fh:
+            json.dump(meta, fh)
+
     def overwrite(
         self,
         table: str,
@@ -223,14 +252,27 @@ class ParquetStateStore:
         *,
         partition_by: str | None = None,
         expect: int | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Full rewrite. ``expect`` pins the version the caller derived
         ``df`` from: a commit that would silently drop a concurrent
         writer's version raises ``ConcurrentWriteError`` instead (the
-        read-modify-overwrite CAS — compaction's correctness hinge)."""
-        self._write_version(table, df, partition_by=partition_by, expect=expect)
+        read-modify-overwrite CAS — compaction's correctness hinge).
+        ``meta`` commits atomically with the data (see
+        :meth:`table_meta`)."""
+        self._write_version(
+            table, df, partition_by=partition_by, expect=expect, meta=meta
+        )
 
-    def append(self, table: str, df: DataFrame, *, partition_by: str | None = None) -> None:
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: str | None = None,
+        expect: int | None = None,
+        meta: dict | None = None,
+    ) -> None:
         """Plain insert (S10) — new version = old data + batch, at O(batch) cost.
 
         Only the batch is written through Spark; the previous version's data
@@ -248,14 +290,23 @@ class ParquetStateStore:
         On a filesystem without hard links the inherit step records a
         manifest instead of copying (see module docstring) — the append
         stays O(batch) either way.
+
+        ``expect`` pins the snapshot version the caller's decision to
+        append was derived from (r10): a concurrent commit landing after
+        that read raises ``ConcurrentWriteError`` instead of silently
+        appending onto a snapshot the caller never saw — the hinge of
+        read-derive-append sequences like the ANN index's batch-id
+        watermark. ``meta`` commits atomically with the data.
         """
         if not self.exists(table):
-            self._write_version(table, df, partition_by=partition_by)
+            self._write_version(
+                table, df, partition_by=partition_by, expect=expect, meta=meta
+            )
             return
         self._check_reserved(df)
-        cur_v = self.latest_version(table)
+        cur_v = self.latest_version(table) if expect is None else expect
         cur_dir = self._version_dir(table, cur_v)
-        current = self.read(table)
+        current = self.read(table, version=cur_v)
         prev_part_cols = {
             name.split("=", 1)[0]
             for name in os.listdir(cur_dir)
@@ -273,7 +324,9 @@ class ParquetStateStore:
             # landing during the union-rewrite must lose the CAS, not be
             # silently overwritten by a result built on the old snapshot
             merged = current.unionByName(df, allowMissingColumns=True)
-            self._write_version(table, merged, partition_by=partition_by, expect=cur_v)
+            self._write_version(
+                table, merged, partition_by=partition_by, expect=cur_v, meta=meta
+            )
             return
         staging = self._staging_dir(table)
         writer = df.select(*current.columns).write.mode("overwrite")
@@ -287,6 +340,7 @@ class ParquetStateStore:
             # carries forward verbatim — manifests never chain
             inherited.extend(self._read_manifest(cur_dir))
             self._write_manifest(staging, inherited)
+            self._write_meta(staging, meta)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -683,7 +737,13 @@ class ParquetStateStore:
             )
 
     def _write_version(
-        self, table: str, df: DataFrame, *, partition_by: str | None, expect: int | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: str | None,
+        expect: int | None = None,
+        meta: dict | None = None,
     ) -> None:
         # ``expect`` pins the snapshot the caller derived ``df`` from; when
         # omitted, the version at entry is the snapshot (the Spark write
@@ -697,6 +757,7 @@ class ParquetStateStore:
             writer = writer.partitionBy(partition_by)
         try:
             writer.parquet(staging)
+            self._write_meta(staging, meta)
         except Exception:
             # failed plans (lazy guards, executor errors) must not leave
             # partial staging directories behind

@@ -119,3 +119,133 @@ def test_build_rejects_unusable_corpus(spark, tmp_path):
     ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=2)
     with pytest.raises(ValueError, match="non-zero"):
         ix.build(zeros)
+
+
+def test_ingest_monotonic_contract(spark, tmp_path):
+    """r10 (ADVICE r9): replays of APPLIED ids no-op; an UNSEEN id below
+    the watermark raises loudly instead of being dropped as a replay."""
+    df, _rows = _corpus(spark, n=60)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 30))
+    ix.ingest(df.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40)), batch_id=1)
+    ix.ingest(df.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)), batch_id=3)
+    n = ix.vectors().count()
+    ix.ingest(df.limit(5), batch_id=1)  # applied: no-op
+    ix.ingest(df.limit(5), batch_id=3)  # applied: no-op
+    assert ix.vectors().count() == n
+    with pytest.raises(ValueError, match="monotonic"):
+        ix.ingest(df.limit(5), batch_id=2)  # unseen below watermark: loud
+
+
+def test_ingest_auto_id_two_writer_race_is_cas_safe(spark, tmp_path):
+    """r10 (VERDICT r9 item 3): two concurrent auto-id ingests derive
+    their ids from CAS-pinned snapshots — the loser retries on the fresh
+    snapshot, so both batches land exactly once under DISTINCT ids."""
+    import threading
+
+    df, _rows = _corpus(spark, n=90)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 30))
+    b1 = df.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60))
+    b2 = df.filter(F.col("vec_id") >= 60)
+
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def run(batch):
+        barrier.wait()
+        try:
+            ix.ingest(batch)  # auto id
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(b,)) for b in (b1, b2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    rows = ix.vectors().select("vec_id", "batch_id").collect()
+    assert len(rows) == df.count()
+    assert len({r["vec_id"] for r in rows}) == df.count()
+    bids = {r["batch_id"] for r in rows}
+    assert bids == {0, 1, 2}  # build + two distinct auto ids
+
+
+def test_cell_balance_counters_and_rebuild_trigger(spark, tmp_path):
+    """r10 (VERDICT r9 item 2): per-cell counters fold per ingest into
+    the version metadata (exact integers, no index scan), and a skewed
+    ingest stream trips needs_rebuild(); rebuild() resets the fit."""
+    df, _rows = _corpus(spark, n=120, dim=8, seed=7)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=2)
+    ix.build(df)
+
+    # counters == ground truth, and they never read the index
+    truth = {
+        r["_cell"]: r["n"]
+        for r in ix.vectors().groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["cell"]: r["n_vecs"] for r in ix.cell_balance().collect()}
+    assert got == truth
+    assert sum(r["share_bp"] for r in ix.cell_balance().collect()) <= 10000
+
+    # a drifted stream: every new vector is (nearly) the same direction
+    # -> one cell absorbs everything and the monitor trips
+    skew = spark.createDataFrame(
+        [(1000 + i, [10.0, 0.1 * (i % 3)] + [0.0] * 6) for i in range(400)],
+        ["vec_id", "embedding"],
+    )
+    ix.ingest(skew, batch_id=1)
+    assert ix.imbalance() > 2.5
+    assert ix.needs_rebuild(threshold=2.5)
+
+    # the documented response: rebuild on the full corpus -> refreshed
+    # quantizer, counters rebuilt from the retrained assignment
+    ix.rebuild(df.unionByName(skew))
+    got2 = {r["cell"]: r["n_vecs"] for r in ix.cell_balance().collect()}
+    truth2 = {
+        r["_cell"]: r["n"]
+        for r in ix.vectors().groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got2 == truth2
+    assert not ix.needs_rebuild(threshold=2.5)
+
+
+def test_rebuild_preserves_applied_watermark(spark, tmp_path):
+    """r10: the new corpus already contains every applied batch's rows,
+    so a post-rebuild re-delivery of an old batch id must still no-op."""
+    df, _rows = _corpus(spark, n=60)
+    build_part = df.filter(F.col("vec_id") < 30)
+    batch = df.filter(F.col("vec_id") >= 30)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(build_part)
+    ix.ingest(batch, batch_id=1)
+    ix.rebuild(df)
+    n = ix.vectors().count()
+    ix.ingest(batch, batch_id=1)  # replay after rebuild: still a no-op
+    assert ix.vectors().count() == n
+
+
+def test_legacy_version_without_meta_reconciles_by_scan(spark, tmp_path):
+    """An r9-era index version (no _TABLE_META) falls back to deriving
+    the applied set / counters from the rows once; the next commit
+    persists the reconciled metadata."""
+    import os
+
+    df, _rows = _corpus(spark, n=60)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 30))
+    ix.ingest(df.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 45)), batch_id=1)
+    v = ix.store.latest_version("vectors")
+    meta_path = os.path.join(ix.store._version_dir("vectors", v), "_TABLE_META")
+    os.remove(meta_path)  # simulate a pre-r10 version
+
+    ix2 = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    n = ix2.vectors().count()
+    ix2.ingest(df.limit(5), batch_id=1)  # replay detected via the scan
+    assert ix2.vectors().count() == n
+    ix2.ingest(df.filter(F.col("vec_id") >= 45), batch_id=2)
+    assert ix2.vectors().count() == df.count()
+    # the new version persisted reconciled metadata
+    assert ix2.store.table_meta("vectors")["applied_batch_ids"] == [0, 1, 2]
+    assert ix2.cell_balance().count() >= 1

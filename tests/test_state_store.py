@@ -855,3 +855,39 @@ def test_overwrite_expect_pins_snapshot(spark, tmp_path):
         "t", spark.createDataFrame([(9,)], "a long"), expect=store.latest_version("t")
     )
     assert [r["a"] for r in store.read("t").collect()] == [9]
+
+
+def test_append_expect_and_atomic_table_meta(spark, tmp_path):
+    """r10: append(expect=) is the read-derive-append CAS, and meta=
+    commits atomically with the version (table_meta is per-version,
+    absent versions return {})."""
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import (
+        ConcurrentWriteError,
+        ParquetStateStore,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "st"))
+    store.init("t", spark.createDataFrame([(1,)], "a long"))
+    v1 = store.latest_version("t")
+    assert store.table_meta("t") == {}
+
+    store.append(
+        "t", spark.createDataFrame([(2,)], "a long"), expect=v1, meta={"w": [0, 1]}
+    )
+    assert store.table_meta("t") == {"w": [0, 1]}
+    assert store.table_meta("t", version=v1) == {}
+
+    # a stale expect loses the CAS and changes nothing
+    with pytest.raises(ConcurrentWriteError):
+        store.append("t", spark.createDataFrame([(3,)], "a long"), expect=v1)
+    assert sorted(r["a"] for r in store.read("t").collect()) == [1, 2]
+    assert store.table_meta("t") == {"w": [0, 1]}
+
+    # meta also rides the schema-drift rewrite path
+    store.append(
+        "t",
+        spark.createDataFrame([(4, "x")], "a long, b string"),
+        expect=store.latest_version("t"),
+        meta={"w": [0, 1, 2]},
+    )
+    assert store.table_meta("t") == {"w": [0, 1, 2]}
