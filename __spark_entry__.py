@@ -144,12 +144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window frame); displaced corpus_gopher_filters (multi-round
         #    green, pytest-pinned rule set, still checked locally)
         "w_ranking_suite": RX.QUERIES["w_ranking_suite"],
-        # -- r8 fourth-wave: vendored IMA-ADPCM codec checked
-        #    END-TO-END (the oracle steps the IMA recurrence in a
-        #    recursive CTE); displaced corpus_strip_dup_spans (two
-        #    rounds green; the span machinery is pinned in-window by
-        #    corpus_dup_spans)
-        "mm_audio_adpcm": M.QUERIES["mm_audio_adpcm"],
+        # -- r10 (VERDICT r9 item 1): end-to-end IVF-PQ ADC scoring —
+        #    coarse-quantizer training + PQ codebook training + probe
+        #    selection + lookup-table scoring + exact re-rank, every
+        #    stage integer and DuckDB-replayed; displaced mm_audio_adpcm
+        #    (multi-round green; the codec family keeps the STRICTLY
+        #    stronger stereo row in-window — word-interleaved channels,
+        #    per-channel carried state)
+        "knn_ivf_pq_scored": L.EXTRA_QUERIES["knn_ivf_pq_scored"],
         # -- r9 third wave: STEREO IMA-ADPCM (word-interleaved channels,
         #    per-channel carried state; the oracle steps the recurrence
         #    per (doc, channel) partition — a cross-channel state leak
@@ -186,7 +188,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "j_range_pairs": RX.QUERIES["j_range_pairs"],
         "tok_bpe_merges": L.EXTRA_QUERIES["tok_bpe_merges"],
-        "tok_bpe_encode": L.EXTRA_QUERIES["tok_bpe_encode"],
+        # -- r10 (VERDICT r9 item 2): IVF cell-occupancy / assignment-
+        #    distance drift report (exact integer counts + micro-cosine
+        #    mean dot) — the oracle-checked twin of the index's
+        #    metadata-counter cell_balance()/needs_rebuild() monitor;
+        #    displaced tok_bpe_encode (multi-round green; BPE family
+        #    keeps training in-window via tok_bpe_merges and the
+        #    encoded-count composition via tok_pack_sequences_bpe)
+        "ann_cell_balance": L.EXTRA_QUERIES["ann_cell_balance"],
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],
         # -- r8 late additions: bloom-prefiltered decontamination (same
@@ -225,6 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
         "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # ---- driver window ends here (50 entries) ----
+        # r10 rotation casualties (multi-round green, family-pinned as
+        # documented above; still checked locally every round)
+        "mm_audio_adpcm": M.QUERIES["mm_audio_adpcm"],
+        "tok_bpe_encode": L.EXTRA_QUERIES["tok_bpe_encode"],
         # r9 rotation casualties (multi-round green, family-pinned as
         # documented above; ALL still checked locally every round)
         "knn_batch": L.EXTRA_QUERIES["knn_batch"],

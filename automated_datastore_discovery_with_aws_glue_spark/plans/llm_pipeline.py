@@ -2889,23 +2889,16 @@ def knn_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subspace", "cell", "pos")
 
 
-def _pq_sql(m: int = 8, k: int = 8, ds: int = 8, iterations: int = 2) -> str:
-    """DuckDB replay of pq_codebooks_int (every stage MATERIALIZED)."""
+def _pq_ctes(
+    m: int = 8, k: int = 8, ds: int = 8, iterations: int = 2, prefix: str = ""
+) -> list[str]:
+    """The PQ-training CTE chain (c0..c{iterations} etc.), names
+    ``prefix``ed so it can ride NEXT TO the kmeans chain in one oracle
+    (both reference the shared ``q`` frame) — the composition the
+    end-to-end ADC scoring twin needs (r10)."""
+    p_ = prefix
     ctes = [
-        """nz AS MATERIALIZED (
-        SELECT vec_id, embedding,
-               sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings
-    )""",
-        """q AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
-                    / nrm * 1000000.0) AS BIGINT)) AS qv,
-               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM nz WHERE nrm > 0
-    )""",
-        f"""c0 AS MATERIALIZED (
+        f"""{p_}c0 AS MATERIALIZED (
         SELECT CAST(sj.j AS INT) AS j, CAST(s.cell AS INT) AS cell,
                CAST(t.i - 1 AS INT) AS pos,
                CAST(s.qv[sj.j * {ds} + t.i] AS BIGINT) AS c
@@ -2918,41 +2911,64 @@ def _pq_sql(m: int = 8, k: int = 8, ds: int = 8, iterations: int = 2) -> str:
     for n in range(1, iterations + 1):
         p = n - 1
         ctes.append(
-            f"""k{n} AS MATERIALIZED (
-        SELECT j, cell, list(c ORDER BY pos) AS cv FROM c{p} GROUP BY j, cell
+            f"""{p_}k{n} AS MATERIALIZED (
+        SELECT j, cell, list(c ORDER BY pos) AS cv FROM {p_}c{p} GROUP BY j, cell
     )"""
         )
         ctes.append(
-            f"""a{n} AS MATERIALIZED (
+            f"""{p_}a{n} AS MATERIALIZED (
         SELECT vec_id, j, qv, arg_min(cell, d2 * {k} + cell) AS cell
         FROM (SELECT q.vec_id, kk.j, q.qv, kk.cell,
                      list_sum(list_transform(generate_series(1, {ds}),
                           i -> (q.qv[kk.j * {ds} + i] - kk.cv[i])
                              * (q.qv[kk.j * {ds} + i] - kk.cv[i]))) AS d2
-              FROM q, k{n} kk)
+              FROM q, {p_}k{n} kk)
         GROUP BY vec_id, j, qv
     )"""
         )
         ctes.append(
-            f"""s{n} AS MATERIALIZED (
+            f"""{p_}s{n} AS MATERIALIZED (
         SELECT j, cell, CAST(t.i - 1 AS INT) AS pos,
                CAST(sum(qv[j * {ds} + t.i]) AS BIGINT) AS s, count(*) AS cnt
-        FROM a{n}, unnest(generate_series(1, {ds})) AS t(i)
+        FROM {p_}a{n}, unnest(generate_series(1, {ds})) AS t(i)
         GROUP BY j, cell, t.i
     )"""
         )
         ctes.append(
-            f"""n{n} AS MATERIALIZED (
-        SELECT j, cell, pos, CAST(s // cnt AS BIGINT) AS c FROM s{n}
+            f"""{p_}n{n} AS MATERIALIZED (
+        SELECT j, cell, pos, CAST(s // cnt AS BIGINT) AS c FROM {p_}s{n}
     )"""
         )
         ctes.append(
-            f"""c{n} AS MATERIALIZED (
+            f"""{p_}c{n} AS MATERIALIZED (
         SELECT p.j, p.cell, p.pos, CAST(COALESCE(nn.c, p.c) AS BIGINT) AS c
-        FROM c{p} p LEFT JOIN n{n} nn
+        FROM {p_}c{p} p LEFT JOIN {p_}n{n} nn
           ON nn.j = p.j AND nn.cell = p.cell AND nn.pos = p.pos
     )"""
         )
+    return ctes
+
+
+_PQ_BASE_CTES = [
+    """nz AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )""",
+    """q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                    / nrm * 1000000.0) AS BIGINT)) AS qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM nz WHERE nrm > 0
+    )""",
+]
+
+
+def _pq_sql(m: int = 8, k: int = 8, ds: int = 8, iterations: int = 2) -> str:
+    """DuckDB replay of pq_codebooks_int (every stage MATERIALIZED)."""
+    ctes = _PQ_BASE_CTES + _pq_ctes(m, k, ds, iterations)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -3044,3 +3060,261 @@ CORPUS_CLUSTER_SAMPLE_SQL = _kmeans_sql(
 
 EXTRA_QUERIES["corpus_cluster_sample"] = corpus_cluster_sample
 ORACLES["corpus_cluster_sample"] = CORPUS_CLUSTER_SAMPLE_SQL
+
+
+def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ ADC scoring (r10, VERDICT r9 item 1 — the last
+    rows-only ANN math, now oracle-replayed): train the coarse
+    quantizer (4 cells, 2 Lloyd passes) AND the m=8 PQ codebooks (2
+    passes) with md5 seeding, then for the three hash-LARGEST vectors
+    (deterministic, disjoint from the hash-smallest seeds) run the full
+    production probe pipeline — select n_probe=2 cells by integer
+    centroid dot, score every vector in the probed cells with the
+    ASYMMETRIC-DISTANCE lookup table (the per-query m x k integer table
+    is computed driver-side exactly as a PQ scorer materializes it),
+    keep the 50 ADC-best candidates (TakeOrdered, no shuffle-to-one
+    sort), and re-rank them by EXACT integer L2 to the final top-10.
+    Every number is an exact integer, so DuckDB replays training,
+    probe selection, code assignment, ADC, and re-rank bit-for-bit.
+    md5 twin of the xxhash64 production path (`ivf_topk_pq` /
+    `operators/ann.py`)."""
+    from pyspark.sql import Window
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+
+    m, kk, ds, n_cells, n_probe = 8, 8, 8, 4, 2
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids_int(
+        emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id", hash_fn="md5"
+    )
+    books = S.pq_codebooks_int(
+        emb, "embedding", m=m, k=kk, iterations=2, id_col="vec_id", hash_fn="md5"
+    )
+    base = (
+        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "vec_id",
+            S.quantize_unit_micro("embedding", "_nrm").alias("_qv"),
+            md5_hash64(F.col("vec_id").cast("string")).alias("_h"),
+        )
+    )
+    qrows = base.orderBy(F.col("_h").desc(), F.col("vec_id").desc()).limit(3).collect()
+    assigned = base.select(
+        "vec_id",
+        "_qv",
+        S.kmeans_cell_expr("_qv", cents).alias("_cell"),
+        S.pq_cells_expr("_qv", books).alias("_codes"),
+    )
+    frames = []
+    for qid, row in enumerate(qrows):
+        qv = list(row["_qv"])
+        dots = [sum(a * b for a, b in zip(qv, c)) for c in cents]
+        probes = sorted(range(len(cents)), key=lambda c: (-dots[c], c))[:n_probe]
+        # the ADC lookup table: lut[j][c] = |query_subvec_j - book[j][c]|^2
+        lut = [
+            [
+                sum((qv[j * ds + p] - books[j][c][p]) ** 2 for p in range(ds))
+                for c in range(kk)
+            ]
+            for j in range(m)
+        ]
+        adc = F.expr(
+            f"aggregate(transform(sequence(0, {m - 1}), j -> "
+            f"element_at(element_at({_lit_imatrix_sql(lut)}, j + 1), "
+            f"element_at(`_codes`, j + 1) + 1)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        qlit = "array(" + ", ".join(f"CAST({int(v)} AS BIGINT)" for v in qv) + ")"
+        exact = F.expr(
+            f"aggregate(zip_with(`_qv`, {qlit}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        frames.append(
+            assigned.filter(F.col("_cell").isin(probes))
+            .select(F.lit(qid).alias("query_id"), "vec_id", "_qv", adc.alias("adc_d2"))
+            # TakeOrderedAndProject — the 50-cut never sorts to one partition
+            .orderBy("adc_d2", "vec_id")
+            .limit(50)
+            .withColumn("exact_d2", exact)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+                ),
+            )
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "rnk", "vec_id", "adc_d2", "exact_d2")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("query_id", "rnk")
+
+
+_ADC_SCORING_CTES = """kf AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c2 GROUP BY cell
+    ),
+    pkf AS MATERIALIZED (
+        SELECT j, cell, list(c ORDER BY pos) AS cv FROM pc2 GROUP BY j, cell
+    ),
+    qry AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY h DESC, vec_id DESC) - 1 AS query_id,
+               vec_id AS q_vid, qv AS qqv
+        FROM q ORDER BY h DESC, vec_id DESC LIMIT 3
+    ),
+    probe AS MATERIALIZED (
+        SELECT query_id, cell FROM (
+            SELECT qry.query_id, kf.cell,
+                   row_number() OVER (PARTITION BY qry.query_id ORDER BY
+                       list_sum(list_transform(generate_series(1, len(qry.qqv)),
+                            i -> qry.qqv[i] * kf.cv[i])) DESC, kf.cell) AS pr
+            FROM qry, kf)
+        WHERE pr <= 2
+    ),
+    asn AS MATERIALIZED (
+        SELECT vec_id, qv, arg_max(cell, dot * 4 + cell) AS cell
+        FROM (SELECT q.vec_id, q.qv, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, kf kk)
+        GROUP BY vec_id, qv
+    ),
+    cds AS MATERIALIZED (
+        SELECT vec_id, j, arg_min(cell, d2 * 8 + cell) AS code
+        FROM (SELECT q.vec_id, kk.j, kk.cell,
+                     list_sum(list_transform(generate_series(1, 8),
+                          i -> (q.qv[kk.j * 8 + i] - kk.cv[i])
+                             * (q.qv[kk.j * 8 + i] - kk.cv[i]))) AS d2
+              FROM q, pkf kk)
+        GROUP BY vec_id, j
+    ),
+    adc AS MATERIALIZED (
+        SELECT pr.query_id, a.vec_id,
+               CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                    i -> (qy.qqv[cd.j * 8 + i] - pk.cv[i])
+                       * (qy.qqv[cd.j * 8 + i] - pk.cv[i])))) AS BIGINT) AS adc_d2
+        FROM probe pr
+        JOIN asn a ON a.cell = pr.cell
+        JOIN cds cd ON cd.vec_id = a.vec_id
+        JOIN pkf pk ON pk.j = cd.j AND pk.cell = cd.code
+        JOIN qry qy ON qy.query_id = pr.query_id
+        GROUP BY pr.query_id, a.vec_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT query_id, vec_id, adc_d2 FROM (
+            SELECT query_id, vec_id, adc_d2,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_d2, vec_id) AS rn
+            FROM adc)
+        WHERE rn <= 50
+    ),
+    rr AS MATERIALIZED (
+        SELECT c.query_id, c.vec_id, c.adc_d2,
+               CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                    i -> (qy.qqv[i] - a.qv[i]) * (qy.qqv[i] - a.qv[i]))) AS BIGINT) AS exact_d2
+        FROM cand c
+        JOIN asn a ON a.vec_id = c.vec_id
+        JOIN qry qy ON qy.query_id = c.query_id
+    )"""
+
+KNN_IVF_PQ_SCORED_SQL = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,\n"
+        "           vec_id, adc_d2, exact_d2\n"
+        "    FROM (SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY exact_d2, vec_id) AS rnk FROM rr)\n"
+        "    WHERE rnk <= 10 ORDER BY query_id, rnk"
+    ),
+    extra_ctes=_pq_ctes(8, 8, 8, 2, prefix="p") + [_ADC_SCORING_CTES],
+)
+
+EXTRA_QUERIES["knn_ivf_pq_scored"] = knn_ivf_pq_scored
+ORACLES["knn_ivf_pq_scored"] = KNN_IVF_PQ_SCORED_SQL
+
+
+def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy / assignment-distance report (r10, VERDICT r9
+    item 2 — the oracle-checked math twin of
+    `operators/ann.py IvfVectorIndex.cell_balance`, whose production
+    counters live in version metadata): train the md5 quantizer, assign
+    every non-zero vector map-side, and report per cell the exact count,
+    its share in basis points, and the mean assignment dot in
+    micro-cosine units. The per-row dot is quantized to micro-units
+    BEFORE summation (trunc-div — the DSIR integer pattern), so the sum
+    is BIGINT-safe at 1e9 rows and order-independent; imbalance
+    (max share vs 10000/k) is the documented `needs_rebuild` signal."""
+    cents = S.kmeans_centroids_int(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        n_cells=4,
+        iterations=2,
+        id_col="vec_id",
+        hash_fn="md5",
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select("vec_id", S.quantize_unit_micro("embedding", "_nrm").alias("_qv"))
+        .withColumn("_cell", S.kmeans_cell_expr("_qv", cents))
+        .withColumn(
+            "_dotq",
+            F.expr(
+                f"aggregate(zip_with(`_qv`, element_at({_lit_imatrix_sql(cents)}, "
+                f"`_cell` + 1), (x, y) -> x * y), CAST(0 AS BIGINT), "
+                f"(a, b) -> a + b) div 1000000"
+            ),
+        )
+    )
+    per = assigned.groupBy("_cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("_dotq").alias("_sdot")
+    )
+    total = per.agg(F.sum("n_vecs").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            F.col("_cell").alias("cell"),
+            "n_vecs",
+            F.expr("(n_vecs * 10000) div _total").alias("share_bp"),
+            F.expr("_sdot div n_vecs").alias("mean_cos_micro"),
+        )
+        .orderBy("cell")
+    )
+
+
+_CELL_BALANCE_CTES = """kf AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c2 GROUP BY cell
+    ),
+    asnb AS MATERIALIZED (
+        SELECT vec_id, arg_max(cell, dot * 4 + cell) AS cell,
+               arg_max(dot, dot * 4 + cell) // 1000000 AS dotq
+        FROM (SELECT q.vec_id, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, kf kk)
+        GROUP BY vec_id
+    ),
+    per AS (
+        SELECT cell, count(*) AS n_vecs, sum(dotq) AS sdot FROM asnb GROUP BY cell
+    ),
+    tot AS (SELECT sum(n_vecs) AS total FROM per)"""
+
+ANN_CELL_BALANCE_SQL = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT CAST(cell AS INT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,\n"
+        "           CAST((n_vecs * 10000) // total AS BIGINT) AS share_bp,\n"
+        "           CAST(sdot // n_vecs AS BIGINT) AS mean_cos_micro\n"
+        "    FROM per, tot ORDER BY cell"
+    ),
+    extra_ctes=[_CELL_BALANCE_CTES],
+)
+
+EXTRA_QUERIES["ann_cell_balance"] = ann_cell_balance
+ORACLES["ann_cell_balance"] = ANN_CELL_BALANCE_SQL

@@ -139,6 +139,11 @@ HEADLINE = [
     "mm_video_frame_sample",
     "mm_audio_adpcm_stereo",
     "incr_ann_ingest",
+    # r10: end-to-end IVF-PQ ADC scoring (probe + lookup-table score +
+    # exact re-rank, all oracle-replayed) and the cell-occupancy /
+    # assignment-distance drift report
+    "knn_ivf_pq_scored",
+    "ann_cell_balance",
     # r9 fourth wave: ranking-window suite, fused correlation matrix,
     # cluster-balanced corpus selection (k-means composition)
     "w_ranking_suite",

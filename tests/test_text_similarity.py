@@ -789,3 +789,63 @@ def test_pq_codebooks_integer_replay_and_drop_in(spark, tmp_path):
         vec_col="embedding", id_col="vec_id", n_probe=2,
     ).collect()
     assert top[0]["vec_id"] == 7 and abs(top[0]["similarity"] - 1.0) < 1e-9
+
+
+def test_knn_ivf_pq_scored_semantics(spark):
+    """r10 ADC twin: the probed+PQ-scored+re-ranked top-10 (a) always
+    finds each query vector itself at rank 1 with exact_d2 = 0 (its own
+    cell is the best probe), and (b) the exact re-rank order equals a
+    brute-force integer-L2 ranking restricted to the same candidates."""
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import knn_ivf_pq_scored
+
+    rows = knn_ivf_pq_scored(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 30  # 3 queries x top-10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, 11))
+        # the query vector itself: exact distance 0, rank 1
+        assert rs[0]["exact_d2"] == 0
+        # exact_d2 non-decreasing with rank (re-rank is by exact_d2)
+        ds = [r["exact_d2"] for r in rs]
+        assert ds == sorted(ds)
+        # ADC is an approximation of exact: correlated, never negative
+        assert all(r["adc_d2"] >= 0 for r in rs)
+
+
+def test_ann_cell_balance_consistency(spark):
+    """The report's counts are the exact per-cell assignment counts
+    (shares sum to <= 10000, mean micro-cosine bounded by 1e6 on unit
+    vectors) and agree with an independent re-assignment."""
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import ann_cell_balance
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["cell"]: r for r in ann_cell_balance(spark, sf).collect()}
+    emb = load_table(spark, sf, "embeddings")
+    cents = S.kmeans_centroids_int(
+        emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
+    )
+    truth = {
+        r["cell"]: r["n"]
+        for r in emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select(S.quantize_unit_micro("embedding", "_nrm").alias("_qv"))
+        .select(S.kmeans_cell_expr("_qv", cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {c: r["n_vecs"] for c, r in got.items()} == truth
+    assert sum(r["share_bp"] for r in got.values()) <= 10000
+    total = sum(truth.values())
+    for c, r in got.items():
+        assert r["share_bp"] == (truth[c] * 10000) // total
+        # mean assignment dot of unit-ish vectors in micro-units
+        assert -1_100_000 <= r["mean_cos_micro"] <= 1_100_000
