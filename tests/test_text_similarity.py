@@ -849,3 +849,49 @@ def test_ann_cell_balance_consistency(spark):
         assert r["share_bp"] == (truth[c] * 10000) // total
         # mean assignment dot of unit-ish vectors in micro-units
         assert -1_100_000 <= r["mean_cos_micro"] <= 1_100_000
+
+
+def test_cluster_sample_prefilter_below_window_and_fallback(spark, monkeypatch):
+    """r10 (VERDICT r9 item 5): the hash-threshold prefilter sits BELOW
+    the per-cell row_number window (the sort sees survivors, not the
+    corpus), and an undershooting threshold falls back to the exact
+    unfiltered answer for just the short cells."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans import llm_pipeline as L
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    baseline = [
+        (r["cell"], r["doc_id"], r["lang"], r["rn"])
+        for r in L.corpus_cluster_sample(spark, sf).collect()
+    ]
+    assert baseline and max(r[3] for r in baseline) <= 25
+
+    # plan shape: Filter(_h < threshold) is a child of (below) Window
+    docs = load_table(spark, sf, "documents")
+    assigned = spark.createDataFrame(
+        [(i, i % 4) for i in range(500)], "vec_id bigint, cell int"
+    )
+    frame = L._cluster_sample_select(assigned, docs, {c: 7 << 50 for c in range(4)}, 25)
+    plan = frame._jdf.queryExecution().optimizedPlan().toString()
+    wpos = plan.index("Window")
+    # the optimizer inlines _h: the threshold filter shows as the raw
+    # md5-conv comparison on the scan side, printed after (= below) the
+    # Window; WindowGroupLimit additionally caps the sort per cell
+    fmatch = re.search(r"Filter .*conv\(substr\(md5", plan)
+    assert fmatch and fmatch.start() > wpos, plan
+    assert "WindowGroupLimit" in plan
+
+    # forced undershoot: every cell's filter keeps (almost) nothing ->
+    # the fallback re-runs those cells unfiltered -> identical answer
+    monkeypatch.setattr(
+        L, "_cluster_sample_thresholds", lambda cnts, need: {c: 1 for c in cnts}
+    )
+    forced = [
+        (r["cell"], r["doc_id"], r["lang"], r["rn"])
+        for r in L.corpus_cluster_sample(spark, sf).collect()
+    ]
+    assert forced == baseline
