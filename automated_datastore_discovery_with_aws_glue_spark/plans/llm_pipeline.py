@@ -3208,19 +3208,24 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("adc_d2", "vec_id")
             .limit(50)
             .withColumn("exact_d2", exact)
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
-                ),
-            )
-            .filter(F.col("rnk") <= 10)
-            .select("query_id", "rnk", "vec_id", "adc_d2", "exact_d2")
+            .select("query_id", "vec_id", "adc_d2", "exact_d2")
         )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    return out.orderBy("query_id", "rnk")
+    # re-rank AFTER the union: query_id is a real (non-foldable) column
+    # here, so the window partitions properly over the <= 150 survivors
+    return (
+        out.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "vec_id", "adc_d2", "exact_d2")
+        .orderBy("query_id", "rnk")
+    )
 
 
 _ADC_SCORING_CTES = """kf AS MATERIALIZED (
