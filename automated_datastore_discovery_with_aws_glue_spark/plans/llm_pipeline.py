@@ -3014,6 +3014,9 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_centroids_int(
         emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
     )
+    # the interpreted-HOF assignment is the per-row cost: ONE pass,
+    # persisted across the counts / select / (rare) fallback actions,
+    # released before the literal return
     assigned = (
         emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
         .filter(F.col("_nrm") > 0)
@@ -3023,35 +3026,41 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cell", S.kmeans_cell_expr("_qv", cents))
         .select("vec_id", "cell")
+        .persist()
     )
-    cnts = {
-        r["cell"]: r["n"]
-        for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not cnts:
-        return spark.createDataFrame([], "cell int, doc_id bigint, lang string, rn int")
-    thresh = _cluster_sample_thresholds(cnts, need)
-    sample = _cluster_sample_select(assigned, docs, thresh, need)
-    rows = sample.collect()
-    got = {}
-    for r in rows:
-        got[r["cell"]] = got.get(r["cell"], 0) + 1
-    full = 1 << 60
-    # a filtered cell that did not fill its quota cannot prove the
-    # filter kept its 25 hash-smallest docs — re-run just those cells
-    # unfiltered (join selectivity below the margin; never seen in
-    # practice, correct when it happens)
-    short = [
-        c for c, t in thresh.items() if t < full and got.get(c, 0) < need
-    ]
-    if short:
-        fb = _cluster_sample_select(
-            assigned.filter(F.col("cell").isin(short)),
-            docs,
-            {c: full for c in short},
-            need,
-        ).collect()
-        rows = [r for r in rows if r["cell"] not in set(short)] + fb
+    try:
+        cnts = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if not cnts:
+            return spark.createDataFrame(
+                [], "cell int, doc_id bigint, lang string, rn int"
+            )
+        thresh = _cluster_sample_thresholds(cnts, need)
+        sample = _cluster_sample_select(assigned, docs, thresh, need)
+        rows = sample.collect()
+        got = {}
+        for r in rows:
+            got[r["cell"]] = got.get(r["cell"], 0) + 1
+        full = 1 << 60
+        # a filtered cell that did not fill its quota cannot prove the
+        # filter kept its 25 hash-smallest docs — re-run just those cells
+        # unfiltered (join selectivity below the margin; never seen in
+        # practice, correct when it happens)
+        short = [
+            c for c, t in thresh.items() if t < full and got.get(c, 0) < need
+        ]
+        if short:
+            fb = _cluster_sample_select(
+                assigned.filter(F.col("cell").isin(short)),
+                docs,
+                {c: full for c in short},
+                need,
+            ).collect()
+            rows = [r for r in rows if r["cell"] not in set(short)] + fb
+    finally:
+        assigned.unpersist()
     data = sorted(
         ((r["cell"], r["doc_id"], r["lang"], r["rn"]) for r in rows),
         key=lambda t: (t[0], t[3]),
@@ -3172,12 +3181,16 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qrows = base.orderBy(F.col("_h").desc(), F.col("vec_id").desc()).limit(3).collect()
+    # ONE assignment pass: the cell argmax and the m-wide code argmin
+    # are interpreted HOF lambdas (the costly step) — persist so the
+    # three per-query probes filter the materialized rows instead of
+    # re-deriving them; lifetime rides the returned frame (cache.adopt)
     assigned = base.select(
         "vec_id",
         "_qv",
         S.kmeans_cell_expr("_qv", cents).alias("_cell"),
         S.pq_cells_expr("_qv", books).alias("_codes"),
-    )
+    ).persist()
     frames = []
     for qid, row in enumerate(qrows):
         qv = list(row["_qv"])
@@ -3215,7 +3228,7 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(fr)
     # re-rank AFTER the union: query_id is a real (non-foldable) column
     # here, so the window partitions properly over the <= 150 survivors
-    return (
+    result = (
         out.withColumn(
             "rnk",
             F.row_number().over(
@@ -3226,6 +3239,7 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "vec_id", "adc_d2", "exact_d2")
         .orderBy("query_id", "rnk")
     )
+    return C.adopt(result, assigned)
 
 
 _ADC_SCORING_CTES = """kf AS MATERIALIZED (
