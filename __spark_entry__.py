@@ -197,7 +197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    encoded-count composition via tok_pack_sequences_bpe)
         "ann_cell_balance": L.EXTRA_QUERIES["ann_cell_balance"],
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
-        "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],
+        # -- r10 fourth wave: cluster-blocked cross-table embedding
+        #    similarity join (IVF-as-blocking with per-row top-2 cell
+        #    probes; exact integer dots decide) — the SemDeDup linkage
+        #    shape for vectors, next to fuzzy_join_docs' text LSH
+        #    linkage; displaced mm_gif_frame_sample (multi-round green;
+        #    media family keeps five in-window rows incl. the stricter
+        #    end-to-end mm_pixel_stats + mm_video_frame_sample)
+        "emb_ivf_join": L.EXTRA_QUERIES["emb_ivf_join"],
         # -- r8 late additions: bloom-prefiltered decontamination (same
         #    oracle as the exact path — the two-tier composition is
         #    hash-checked) and the skew-salted join (result-identity
@@ -236,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window ends here (50 entries) ----
         # r10 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
+        "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],
         "mm_audio_adpcm": M.QUERIES["mm_audio_adpcm"],
         "tok_bpe_encode": L.EXTRA_QUERIES["tok_bpe_encode"],
         # r9 rotation casualties (multi-round green, family-pinned as

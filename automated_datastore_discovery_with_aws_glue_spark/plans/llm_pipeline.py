@@ -3408,3 +3408,105 @@ ANN_CELL_BALANCE_SQL = _kmeans_sql(
 
 EXTRA_QUERIES["ann_cell_balance"] = ann_cell_balance
 ORACLES["ann_cell_balance"] = ANN_CELL_BALANCE_SQL
+
+
+def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked cross-table embedding similarity join (r10 fourth
+    wave — the SemDeDup/IVF-as-blocking shape `fuzzy_join_docs` is for
+    text): an 'incoming' vector batch (every 7th corpus vector) is
+    linked against the FULL corpus by cosine >= threshold without an
+    all-pairs product. Blocking = the md5-trained k-means cells: each
+    incoming vector probes its top-2 cells (per-row integer argsort of
+    centroid dots, ties to the lower cell), candidates are the
+    same-cell corpus vectors, and the exact integer micro-unit dot
+    decides. At 100 TB both sides ARE the partitioned IVF index
+    (`operators/ann.py`), so the join shuffles on the cell key and
+    prunes everything else; candidates are corpus/k per probe, never
+    corpus^2. Self-pairs excluded; cos_micro = dot div 1e6 (~cosine x
+    1e6, exact integer on both engines)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
+
+    threshold_micro = 150_000  # cosine >= 0.15
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids_int(
+        emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
+    )
+    n = len(cents)
+    base = (
+        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select("vec_id", S.quantize_unit_micro("embedding", "_nrm").alias("_qv"))
+        .withColumn("cell", S.kmeans_cell_expr("_qv", cents))
+        .persist()
+    )
+    mat = _lit_imatrix_sql(cents)
+    # per-row top-2 probe cells: argsort of struct(-dot, cell) ascending
+    # == (dot DESC, cell ASC) — the oracle's row_number order
+    probes = F.expr(
+        f"transform(slice(array_sort(transform(sequence(0, {n - 1}), i -> "
+        f"named_struct('negdot', -aggregate(zip_with(`_qv`, "
+        f"element_at({mat}, i + 1), (x, y) -> x * y), CAST(0 AS BIGINT), "
+        f"(a, b) -> a + b), 'c', i))), 1, 2), s -> s.c)"
+    )
+    incoming = (
+        base.filter(F.col("vec_id") % 7 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("_qv").alias("_qqv"),
+            F.explode(probes).alias("cell"),
+        )
+    )
+    pair_dot = F.expr(
+        "aggregate(zip_with(`_qqv`, `_qv`, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    result = (
+        incoming.join(base, on="cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn("_dot", pair_dot)
+        .select("qid", "vec_id", "cell", F.expr("_dot div 1000000").alias("cos_micro"))
+        .filter(F.col("cos_micro") >= threshold_micro)
+        .orderBy("qid", "vec_id", "cell")
+    )
+    return C.adopt(result, base)
+
+
+EXTRA_QUERIES["emb_ivf_join"] = emb_ivf_join
+
+_EMB_IVF_JOIN_CTES = """kf AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c2 GROUP BY cell
+    ),
+    asn AS MATERIALIZED (
+        SELECT vec_id, qv, arg_max(cell, dot * 4 + cell) AS cell
+        FROM (SELECT q.vec_id, q.qv, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, kf kk)
+        GROUP BY vec_id, qv
+    ),
+    inc AS MATERIALIZED (
+        SELECT qid, qqv, cell FROM (
+            SELECT a.vec_id AS qid, a.qv AS qqv, kf.cell,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(generate_series(1, len(a.qv)),
+                            i -> a.qv[i] * kf.cv[i])) DESC, kf.cell) AS pr
+            FROM asn a, kf WHERE a.vec_id % 7 = 0)
+        WHERE pr <= 2
+    ),
+    prs AS (
+        SELECT i.qid, a.vec_id, i.cell,
+               CAST(CAST(list_sum(list_transform(generate_series(1, len(i.qqv)),
+                    x -> i.qqv[x] * a.qv[x])) AS BIGINT) // 1000000 AS BIGINT) AS cos_micro
+        FROM inc i JOIN asn a ON a.cell = i.cell
+        WHERE i.qid <> a.vec_id
+    )"""
+
+ORACLES["emb_ivf_join"] = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT qid, vec_id, CAST(cell AS INT) AS cell, cos_micro\n"
+        "    FROM prs WHERE cos_micro >= 150000 ORDER BY qid, vec_id, cell"
+    ),
+    extra_ctes=[_EMB_IVF_JOIN_CTES],
+)

@@ -144,6 +144,7 @@ HEADLINE = [
     # assignment-distance drift report
     "knn_ivf_pq_scored",
     "ann_cell_balance",
+    "emb_ivf_join",
     # r9 fourth wave: ranking-window suite, fused correlation matrix,
     # cluster-balanced corpus selection (k-means composition)
     "w_ranking_suite",

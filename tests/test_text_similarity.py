@@ -924,3 +924,45 @@ def test_arrow_training_backend_bit_equals_hof(spark):
         emb, "embedding", m=8, k=6, iterations=2, hash_fn="md5", assign="hof"
     )
     assert pa == ph
+
+
+def test_emb_ivf_join_precision_and_dup_recall(spark, tmp_path):
+    """r10 cluster-blocked cross-table join: every emitted pair is a
+    true >= threshold pair (numpy-verified on the same quantization),
+    and EXACT duplicate vectors are always linked (identical vectors
+    share argmax cell, so blocking can never split them)."""
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import release
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import emb_ivf_join
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+    # engineered corpus: 80 random vectors; every 7th incoming id (0,
+    # 7, 14, ...) is an EXACT copy of corpus vector id+1 -> must link
+    rng = np.random.RandomState(5)
+    vecs = {}
+    for i in range(80):
+        vecs[i] = rng.standard_normal(64)
+    for i in range(0, 80, 7):
+        if i + 1 < 80:
+            vecs[i] = vecs[i + 1].copy()
+    rows = [(int(i), [float(x) for x in v]) for i, v in vecs.items()]
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    df = emb_ivf_join(spark, str(tmp_path))
+    got = [(r["qid"], r["vec_id"], r["cos_micro"]) for r in df.collect()]
+    release(df)
+    # numpy replay of the quantization + dot for precision
+    qv = {}
+    for i, v in vecs.items():
+        nrm = float(np.sqrt((v * v).sum()))
+        qv[i] = np.floor(v / nrm * 1e6).astype(np.int64)
+    for q, v, cm in got:
+        dot = int((qv[q] * qv[v]).sum())
+        assert cm == dot // 1000000 and cm >= 150_000, (q, v, cm, dot)
+    # exact duplicates must be found (cos_micro ~ 1e6 > threshold)
+    linked = {(q, v) for q, v, _ in got}
+    for i in range(0, 80, 7):
+        if i + 1 < 80:
+            assert (i, i + 1) in linked, (i, linked)
