@@ -238,7 +238,13 @@ class IvfVectorIndex:
             "cell int, pos int, c bigint",
         )
         self.store.overwrite(CENTROIDS, cent_rows)
-        assigned = self._assigned(df, cents, batch_id=0).persist()
+        # rows carry the HIGHEST surviving batch id (not 0): if this
+        # version's meta is ever lost, the row-scan fallback then
+        # reconstructs {max}, so a replayed OLD id fails LOUDLY on the
+        # monotonic check instead of silently double-ingesting
+        # (code-review r10)
+        base_bid = max(keep_applied, default=0)
+        assigned = self._assigned(df, cents, batch_id=base_bid).persist()
         try:
             counts = self._batch_cell_counts(assigned)
             # repartition on the partition column first or the write emits
@@ -247,7 +253,7 @@ class IvfVectorIndex:
                 VECTORS,
                 assigned.repartition("_cell"),
                 partition_by="_cell",
-                meta=self._meta({0} | keep_applied, counts),
+                meta=self._meta({0, base_bid} | keep_applied, counts),
             )
         finally:
             assigned.unpersist()
@@ -335,16 +341,30 @@ class IvfVectorIndex:
             rows, "cell int, n_vecs bigint, share_bp bigint"
         )
 
+    def trained_cells(self) -> int:
+        """How many cells the STORED quantizer actually has — a tiny
+        corpus can train fewer than the configured ``n_cells`` (seeds =
+        the hash-smallest vectors, capped by corpus size)."""
+        rows = (
+            self.store.read(CENTROIDS)
+            .select(F.countDistinct("cell").alias("k"))
+            .collect()
+        )
+        return int(rows[0]["k"])
+
     def imbalance(self) -> float:
-        """max cell count / ideal (total / n_cells) — 1.0 is perfectly
-        balanced; large values mean the stored quantizer no longer fits
-        the ingested distribution (probes over the fat cell degrade to
-        near-scans and its partition skews)."""
+        """max cell count / ideal (total / trained cells) — 1.0 is
+        perfectly balanced; large values mean the stored quantizer no
+        longer fits the ingested distribution (probes over the fat cell
+        degrade to near-scans and its partition skews). The denominator
+        is the TRAINED cell count, not the configured one: an index
+        trained on fewer vectors than ``n_cells`` is not skewed merely
+        for being small (code-review r10)."""
         _, counts, _ = self._snapshot_state()
         total = sum(counts.values())
         if not total:
             return 1.0
-        return max(counts.values()) * self.n_cells / total
+        return max(counts.values()) * self.trained_cells() / total
 
     def needs_rebuild(self, *, threshold: float = 3.0) -> bool:
         """True when :meth:`imbalance` exceeds ``threshold`` — the

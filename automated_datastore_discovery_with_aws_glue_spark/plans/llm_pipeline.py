@@ -2768,6 +2768,23 @@ def knn_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell", "pos")
 
 
+_QUANT_BASE_CTES = [
+    """nz AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )""",
+    """q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                    / nrm * 1000000.0) AS BIGINT)) AS qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM nz WHERE nrm > 0
+    )""",
+]
+
+
 def _kmeans_sql(
     k: int = 8,
     iterations: int = 3,
@@ -2781,20 +2798,10 @@ def _kmeans_sql(
     stage ``c{iterations}``) — consumers like the cluster-balanced
     sampler append their own assignment + selection on top of the same
     replayed training."""
-    ctes = [
-        f"""nz AS MATERIALIZED (
-        SELECT vec_id, embedding,
-               sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings
-    )""",
-        f"""q AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
-                    / nrm * 1000000.0) AS BIGINT)) AS qv,
-               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM nz WHERE nrm > 0
-    )""",
+    # nz/q are the SHARED quantization frame (one definition — a drift
+    # between the kmeans and PQ oracles would silently diverge the twins;
+    # code-review r10)
+    ctes = list(_QUANT_BASE_CTES) + [
         f"""c0 AS MATERIALIZED (
         SELECT CAST(s.cell AS INT) AS cell, CAST(t.i - 1 AS INT) AS pos,
                CAST(s.qv[t.i] AS BIGINT) AS c
@@ -2949,21 +2956,7 @@ def _pq_ctes(
     return ctes
 
 
-_PQ_BASE_CTES = [
-    """nz AS MATERIALIZED (
-        SELECT vec_id, embedding,
-               sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings
-    )""",
-    """q AS MATERIALIZED (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
-                    / nrm * 1000000.0) AS BIGINT)) AS qv,
-               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM nz WHERE nrm > 0
-    )""",
-]
+_PQ_BASE_CTES = _QUANT_BASE_CTES  # one shared definition of nz/q
 
 
 def _pq_sql(m: int = 8, k: int = 8, ds: int = 8, iterations: int = 2) -> str:
@@ -3171,6 +3164,10 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S.pq_codebooks_int(
         emb, "embedding", m=m, k=kk, iterations=2, id_col="vec_id", hash_fn="md5"
     )
+    if not cents or not books:  # empty / all-zero corpus: nothing to score
+        return spark.createDataFrame(
+            [], "query_id int, rnk int, vec_id bigint, adc_d2 bigint, exact_d2 bigint"
+        )
     base = (
         emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
         .filter(F.col("_nrm") > 0)
@@ -3344,6 +3341,10 @@ def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         hash_fn="md5",
     )
+    if not cents:  # empty / all-zero corpus: no cells to report
+        return spark.createDataFrame(
+            [], "cell int, n_vecs bigint, share_bp bigint, mean_cos_micro bigint"
+        )
     from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3431,6 +3432,10 @@ def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_centroids_int(
         emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
     )
+    if not cents:  # empty / all-zero corpus: no blocks, no pairs
+        return spark.createDataFrame(
+            [], "qid bigint, vec_id bigint, cell int, cos_micro bigint"
+        )
     n = len(cents)
     base = (
         emb.withColumn("_nrm", S.sq_norm_expr("embedding"))

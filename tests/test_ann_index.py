@@ -249,3 +249,44 @@ def test_legacy_version_without_meta_reconciles_by_scan(spark, tmp_path):
     # the new version persisted reconciled metadata
     assert ix2.store.table_meta("vectors")["applied_batch_ids"] == [0, 1, 2]
     assert ix2.cell_balance().count() >= 1
+
+
+def test_imbalance_uses_trained_cell_count(spark, tmp_path):
+    """code-review r10: an index trained on fewer non-zero vectors than
+    the configured n_cells is not 'skewed' merely for being small —
+    imbalance divides by the TRAINED cell count."""
+    rows = [(i, [1.0 * (i == j) for j in range(8)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=16, iterations=1)
+    ix.build(df)  # only 4 seeds exist -> 4 trained cells
+    assert ix.trained_cells() <= 4
+    assert ix.imbalance() <= 2.0  # one orthogonal vector per cell
+    assert not ix.needs_rebuild(threshold=3.0)
+
+
+def test_rebuild_rows_carry_watermark_bid(spark, tmp_path):
+    """code-review r10: rebuild() writes its rows under the HIGHEST
+    surviving batch id, so even the meta-less row-scan fallback keeps
+    a replayed old id from silently double-ingesting (it trips the
+    monotonic check loudly instead)."""
+    import os
+
+    df, _rows = _corpus(spark, n=60)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 30))
+    ix.ingest(df.filter(F.col("vec_id") >= 30), batch_id=2)
+    ix.rebuild(df)
+    bids = {r["batch_id"] for r in ix.vectors().select("batch_id").distinct().collect()}
+    assert bids == {2}
+    # meta intact: replay still a clean no-op
+    n = ix.vectors().count()
+    ix.ingest(df.limit(5), batch_id=2)
+    assert ix.vectors().count() == n
+    # meta lost (pathological double failure): the fallback raises
+    # loudly on the old id instead of double-ingesting
+    v = ix.store.latest_version("vectors")
+    os.remove(os.path.join(ix.store._version_dir("vectors", v), "_TABLE_META"))
+    ix2 = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    with pytest.raises(ValueError, match="monotonic"):
+        ix2.ingest(df.limit(5), batch_id=1)
+    assert ix2.vectors().count() == n

@@ -966,3 +966,21 @@ def test_emb_ivf_join_precision_and_dup_recall(spark, tmp_path):
     for i in range(0, 80, 7):
         if i + 1 < 80:
             assert (i, i + 1) in linked, (i, linked)
+
+
+def test_r10_queries_empty_corpus_guards(spark, tmp_path):
+    """code-review r10: an empty embeddings table returns an empty,
+    correctly-typed frame from every r10 query (the
+    corpus_cluster_sample contract), never an IndexError."""
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import (
+        ann_cell_balance,
+        emb_ivf_join,
+        knn_ivf_pq_scored,
+    )
+
+    spark.createDataFrame([], "vec_id bigint, embedding array<double>").write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    assert knn_ivf_pq_scored(spark, str(tmp_path)).count() == 0
+    assert ann_cell_balance(spark, str(tmp_path)).count() == 0
+    assert emb_ivf_join(spark, str(tmp_path)).count() == 0
