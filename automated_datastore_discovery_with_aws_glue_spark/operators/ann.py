@@ -324,6 +324,37 @@ class IvfVectorIndex:
     def vectors(self) -> DataFrame:
         return self.store.read(VECTORS)
 
+    def compact(self, *, max_retries: int = 5) -> None:
+        """Rewrite the vectors table in place to consolidate the
+        per-ingest file fragments (every append lands ~one file per
+        touched cell, so a thousand ingests mean a thousand files per
+        cell directory — correct but scan-degrading). One repartitioned
+        rewrite per call; the applied-batch watermark and cell counters
+        carry over verbatim, and the overwrite CAS (`expect=`) makes
+        compaction safe against a concurrent ingest — the loser retries
+        on the fresh snapshot (the `streaming/classify.py _compact_cas`
+        recipe). ``vacuum()`` on the store afterwards trims the old
+        versions when desired."""
+        for _ in range(max_retries):
+            applied, counts, v = self._snapshot_state()
+            if v == 0:
+                return
+            snap = self.store.read(VECTORS, version=v)
+            try:
+                self.store.overwrite(
+                    VECTORS,
+                    snap.repartition("_cell"),
+                    partition_by="_cell",
+                    expect=v,
+                    meta=self._meta(applied, counts),
+                )
+                return
+            except ConcurrentWriteError:
+                continue  # an ingest landed mid-rewrite; retry on its snapshot
+        raise ConcurrentWriteError(
+            f"IvfVectorIndex.compact: lost the commit race {max_retries} times"
+        )
+
     # -- drift monitor (r10, VERDICT r9 item 2) --------------------------
 
     def cell_balance(self) -> DataFrame:

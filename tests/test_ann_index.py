@@ -290,3 +290,73 @@ def test_rebuild_rows_carry_watermark_bid(spark, tmp_path):
     with pytest.raises(ValueError, match="monotonic"):
         ix2.ingest(df.limit(5), batch_id=1)
     assert ix2.vectors().count() == n
+
+
+def test_compact_consolidates_files_and_preserves_state(spark, tmp_path):
+    """r10: many ingests fragment each cell directory (one file per
+    touched cell per append); compact() rewrites to one snapshot,
+    preserving rows, the applied watermark, the counters, AND replay
+    semantics — and a concurrent ingest landing mid-compaction wins the
+    CAS (compact retries on the fresh snapshot, losing nothing)."""
+    import glob as globmod
+    import os
+
+    df, _rows = _corpus(spark, n=120)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 40))
+    for b in range(1, 5):
+        lo, hi = 40 + (b - 1) * 20, 40 + b * 20
+        ix.ingest(
+            df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), batch_id=b
+        )
+
+    def n_files():
+        v = ix.store.latest_version("vectors")
+        vdir = ix.store._version_dir("vectors", v)
+        return len(globmod.glob(os.path.join(vdir, "_cell=*", "*.parquet")))
+
+    before_rows = {
+        (r["vec_id"], r["_cell"], r["batch_id"])
+        for r in ix.vectors().select("vec_id", "_cell", "batch_id").collect()
+    }
+    frag = n_files()
+    ix.compact()
+    assert n_files() < frag
+    after_rows = {
+        (r["vec_id"], r["_cell"], r["batch_id"])
+        for r in ix.vectors().select("vec_id", "_cell", "batch_id").collect()
+    }
+    assert after_rows == before_rows
+    assert ix.store.table_meta("vectors")["applied_batch_ids"] == [0, 1, 2, 3, 4]
+    n = ix.vectors().count()
+    ix.ingest(df.limit(5), batch_id=3)  # replay across compaction: no-op
+    assert ix.vectors().count() == n
+
+    # concurrent ingest mid-compaction: compact loses the CAS once,
+    # retries, and the racing batch survives
+    from automated_datastore_discovery_with_aws_glue_spark.state import store as store_mod
+
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(i + 1), 0.5, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]) for i in range(7)],
+        ["vec_id", "embedding"],
+    )
+    orig = store_mod.ParquetStateStore._commit_staged
+    state = {"raced": False}
+
+    def racing(self, table, staging, *, expect):
+        if table == "vectors" and not state["raced"]:
+            state["raced"] = True
+            ix.ingest(extra, batch_id=5)  # lands first, mid-compaction
+        return orig(self, table, staging, expect=expect)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(store_mod.ParquetStateStore, "_commit_staged", racing)
+        ix.compact()
+    finally:
+        mp.undo()
+    assert state["raced"]
+    assert ix.vectors().count() == n + 7
+    assert 5 in set(ix.store.table_meta("vectors")["applied_batch_ids"])
