@@ -3427,10 +3427,18 @@ def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6, exact integer on both engines)."""
     from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
 
-    threshold_micro = 150_000  # cosine >= 0.15
+    threshold_micro = 250_000  # cosine >= 0.25
     emb = load_table(spark, sf_dir, "embeddings")
+    # IVF's contract is BOUNDED cell size: candidates per probe are
+    # corpus/k, so k must scale with the corpus or the join degrades
+    # toward quadratic (measured: fixed k=4 at sf1 = 59 s of pair
+    # scoring; adaptive k -> ~bounded ~500-vector cells). The DuckDB
+    # twin pins the k=4 instance the oracle-gate scales produce
+    # (<= 2000 vectors); larger corpora change only the blocking
+    # granularity, never the pair math.
+    n_cells = min(64, max(4, emb.count() // 500))
     cents = S.kmeans_centroids_int(
-        emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
+        emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id", hash_fn="md5"
     )
     if not cents:  # empty / all-zero corpus: no blocks, no pairs
         return spark.createDataFrame(
@@ -3511,7 +3519,7 @@ ORACLES["emb_ivf_join"] = _kmeans_sql(
     2,
     final=(
         "SELECT qid, vec_id, CAST(cell AS INT) AS cell, cos_micro\n"
-        "    FROM prs WHERE cos_micro >= 150000 ORDER BY qid, vec_id, cell"
+        "    FROM prs WHERE cos_micro >= 250000 ORDER BY qid, vec_id, cell"
     ),
     extra_ctes=[_EMB_IVF_JOIN_CTES],
 )

@@ -960,7 +960,7 @@ def test_emb_ivf_join_precision_and_dup_recall(spark, tmp_path):
         qv[i] = np.floor(v / nrm * 1e6).astype(np.int64)
     for q, v, cm in got:
         dot = int((qv[q] * qv[v]).sum())
-        assert cm == dot // 1000000 and cm >= 150_000, (q, v, cm, dot)
+        assert cm == dot // 1000000 and cm >= 250_000, (q, v, cm, dot)
     # exact duplicates must be found (cos_micro ~ 1e6 > threshold)
     linked = {(q, v) for q, v, _ in got}
     for i in range(0, 80, 7):
