@@ -54,11 +54,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
+    _lit_imatrix_sql,
     as_double,
     cosine,
     kmeans_cell_expr,
     kmeans_centroids_int,
     lit_vec,
+    pq_cells_expr,
+    pq_codebooks_int,
     quantize_unit_micro,
     sq_norm_expr,
 )
@@ -69,10 +72,11 @@ from automated_datastore_discovery_with_aws_glue_spark.state.store import (
 
 VECTORS = "vectors"
 CENTROIDS = "centroids"
+CODEBOOKS = "codebooks"
 
 
 class IvfVectorIndex:
-    _META_KEYS = ("n_cells", "vec_col", "id_col")
+    _META_KEYS = ("n_cells", "vec_col", "id_col", "pq_m", "pq_k")
 
     def __init__(
         self,
@@ -84,8 +88,17 @@ class IvfVectorIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         hash_fn: str = "xxh",
+        pq_m: int | None = None,
+        pq_k: int = 16,
         commit_backend=None,
     ):
+        """``pq_m`` (r10) enables the PQ storage tier: build() also
+        trains m x pq_k codebooks, every stored row carries its m
+        subspace codes, and ``topk(mode='adc')`` scores candidates with
+        the per-query lookup table (m integer lookups per vector, no
+        arithmetic on the vector) before the exact re-rank. The PQ
+        layout is part of the persisted index (meta-guarded like
+        n_cells)."""
         self.spark = spark
         self.root = root
         self.n_cells = n_cells
@@ -93,6 +106,8 @@ class IvfVectorIndex:
         self.vec_col = vec_col
         self.id_col = id_col
         self.hash_fn = hash_fn
+        self.pq_m = pq_m
+        self.pq_k = pq_k
         self.store = ParquetStateStore(spark, root, commit_backend=commit_backend)
         self._check_or_write_meta()
 
@@ -107,9 +122,17 @@ class IvfVectorIndex:
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 stored = json.load(fh)
+            # pq_k only matters when the PQ tier exists; a legacy (or
+            # plain-exact) index has pq_m None on both sides and any
+            # pq_k default is irrelevant to its layout
+            relevant = [
+                k
+                for k in self._META_KEYS
+                if k != "pq_k" or stored.get("pq_m") is not None or mine["pq_m"] is not None
+            ]
             diffs = {
                 k: (stored.get(k), mine[k])
-                for k in self._META_KEYS
+                for k in relevant
                 if stored.get(k) != mine[k]
             }
             if diffs:
@@ -144,16 +167,38 @@ class IvfVectorIndex:
         norms = np.linalg.norm(arr, axis=1, keepdims=True)
         return arr / np.maximum(norms, 1e-300)
 
-    def _assigned(self, df: DataFrame, cents: list[list[int]], batch_id: int) -> DataFrame:
-        """(id, vec, batch_id, _cell) with the integer argmax assignment;
-        zero-norm vectors (no direction — excluded from training) land
-        deterministically in the LAST cell (all dots zero, struct-max
-        tie goes high) without ever dividing by their zero norm."""
+    def codebooks_int(self) -> list[list[list[int]]]:
+        """The stored PQ codebooks as the m x k x (d/m) integer tensor."""
+        rows = self.store.read(CODEBOOKS).collect()
+        acc: dict[int, dict[int, dict[int, int]]] = {}
+        for r in rows:
+            acc.setdefault(r["j"], {}).setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        return [
+            [
+                [acc[j][cell][p] for p in sorted(acc[j][cell])]
+                for cell in sorted(acc[j])
+            ]
+            for j in sorted(acc)
+        ]
+
+    def _assigned(
+        self,
+        df: DataFrame,
+        cents: list[list[int]],
+        batch_id: int,
+        books: list[list[list[int]]] | None = None,
+    ) -> DataFrame:
+        """(id, vec, batch_id, _cell[, _codes]) with the integer argmax
+        assignment; zero-norm vectors (no direction — excluded from
+        training) land deterministically in the LAST cell (all dots
+        zero, struct-max tie goes high) without ever dividing by their
+        zero norm. With a PQ tier, ``_codes`` carries the m subspace
+        codes (integer argmin against the stored codebooks)."""
         zeros = F.expr(f"transform(`{self.vec_col}`, x -> CAST(0 AS BIGINT))")
         qv = F.when(
             F.col("_nrm") > 0, quantize_unit_micro(self.vec_col, "_nrm")
         ).otherwise(zeros)
-        return (
+        out = (
             df.select(
                 F.col(self.id_col),
                 F.col(self.vec_col),
@@ -162,8 +207,13 @@ class IvfVectorIndex:
             )
             .withColumn("_qv", qv)
             .withColumn("_cell", kmeans_cell_expr("_qv", cents))
-            .drop("_qv", "_nrm")
         )
+        if books is not None:
+            out = out.withColumn("_codes", pq_cells_expr("_qv", books))
+        return out.drop("_qv", "_nrm")
+
+    def _books(self) -> list[list[list[int]]] | None:
+        return self.codebooks_int() if self.pq_m else None
 
     def _snapshot_state(self) -> tuple[set[int], dict[int, int], int]:
         """(applied batch ids, per-cell counts, snapshot version) from
@@ -238,13 +288,39 @@ class IvfVectorIndex:
             "cell int, pos int, c bigint",
         )
         self.store.overwrite(CENTROIDS, cent_rows)
+        books = None
+        if self.pq_m:
+            books = pq_codebooks_int(
+                df,
+                self.vec_col,
+                m=self.pq_m,
+                k=self.pq_k,
+                iterations=self.iterations,
+                id_col=self.id_col,
+                hash_fn=self.hash_fn,
+            )
+            if not books:
+                raise ValueError(
+                    "IvfVectorIndex.build: corpus has no non-zero vectors "
+                    "to train PQ codebooks on"
+                )
+            book_rows = self.spark.createDataFrame(
+                [
+                    (j, cell, pos, int(v))
+                    for j, book in enumerate(books)
+                    for cell, cent in enumerate(book)
+                    for pos, v in enumerate(cent)
+                ],
+                "j int, cell int, pos int, c bigint",
+            )
+            self.store.overwrite(CODEBOOKS, book_rows)
         # rows carry the HIGHEST surviving batch id (not 0): if this
         # version's meta is ever lost, the row-scan fallback then
         # reconstructs {max}, so a replayed OLD id fails LOUDLY on the
         # monotonic check instead of silently double-ingesting
         # (code-review r10)
         base_bid = max(keep_applied, default=0)
-        assigned = self._assigned(df, cents, batch_id=base_bid).persist()
+        assigned = self._assigned(df, cents, batch_id=base_bid, books=books).persist()
         try:
             counts = self._batch_cell_counts(assigned)
             # repartition on the partition column first or the write emits
@@ -299,7 +375,9 @@ class IvfVectorIndex:
                         f"batch must not be silently dropped as a replay"
                     )
             cents = self.centroids_int()
-            assigned = self._assigned(df, cents, batch_id=bid).persist()
+            assigned = self._assigned(
+                df, cents, batch_id=bid, books=self._books()
+            ).persist()
             try:
                 batch_counts = self._batch_cell_counts(assigned)
                 merged = dict(counts)
@@ -406,19 +484,67 @@ class IvfVectorIndex:
         return self.imbalance() > threshold
 
     def topk(
-        self, query: list[float], k: int = 10, *, n_probe: int = 4
+        self,
+        query: list[float],
+        k: int = 10,
+        *,
+        n_probe: int = 4,
+        mode: str = "exact",
+        rerank_factor: int = 4,
     ) -> DataFrame:
         """Partition-pruned approximate top-k: ``_cell IN (probes)`` is
         a PartitionFilter, so only the probed cell directories are
         listed. Zero-norm stored vectors are excluded from scoring
         (cosine with no direction is undefined — and an ANSI
-        divide-by-zero)."""
+        divide-by-zero).
+
+        ``mode='exact'`` scores every probed vector at full precision.
+        ``mode='adc'`` (r10, needs ``pq_m``) scores the probed cells
+        with the per-query ASYMMETRIC-DISTANCE lookup table instead —
+        m integer lookups per vector against the stored codes, no
+        arithmetic on the vector — keeps the ``k * rerank_factor``
+        ADC-best, and re-ranks only those at full precision (the
+        `knn_ivf_pq_scored` math against the persisted index). Same
+        exactness contract as the q8 tier: quantization can demote a
+        candidate out of the pool, never corrupt an emitted
+        similarity."""
         cents = self.quantizer()
         qv = np.asarray(query, dtype=float)
         probes = [int(p) for p in np.argsort(-(cents @ qv))[: n_probe]]
+        probed = self.vectors().filter(F.col("_cell").isin(probes))
+        if mode == "adc":
+            if not self.pq_m:
+                raise ValueError(
+                    "topk(mode='adc') needs a PQ tier — open the index "
+                    "with pq_m set (and rebuild if it was built without)"
+                )
+            books = self.codebooks_int()
+            m, ds = len(books), len(books[0][0])
+            qn = qv / max(float(np.linalg.norm(qv)), 1e-300)
+            qi = np.floor(qn * 1_000_000.0).astype(np.int64)
+            lut = [
+                [
+                    int(((qi[j * ds : (j + 1) * ds] - np.array(c, dtype=np.int64)) ** 2).sum())
+                    for c in books[j]
+                ]
+                for j in range(m)
+            ]
+            adc = F.expr(
+                f"aggregate(transform(sequence(0, {m - 1}), j -> "
+                f"element_at(element_at({_lit_imatrix_sql(lut)}, j + 1), "
+                f"element_at(`_codes`, j + 1) + 1)), CAST(0 AS BIGINT), "
+                f"(a, b) -> a + b)"
+            )
+            cand_ids = (
+                probed.select(self.id_col, adc.alias("_adc"))
+                .orderBy(F.col("_adc").asc(), F.col(self.id_col))
+                .limit(k * rerank_factor)
+            )
+            probed = probed.join(F.broadcast(cand_ids.select(self.id_col)), self.id_col)
+        elif mode != "exact":
+            raise ValueError(f"topk: unknown mode {mode!r} (exact | adc)")
         return (
-            self.vectors()
-            .filter(F.col("_cell").isin(probes))
+            probed
             .withColumn("_nrm", sq_norm_expr(self.vec_col))
             .filter(F.col("_nrm") > 0)
             .select(

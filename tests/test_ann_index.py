@@ -360,3 +360,59 @@ def test_compact_consolidates_files_and_preserves_state(spark, tmp_path):
     assert state["raced"]
     assert ix.vectors().count() == n + 7
     assert 5 in set(ix.store.table_meta("vectors")["applied_batch_ids"])
+
+
+def test_pq_tier_codes_and_adc_topk(spark, tmp_path):
+    """r10 PQ storage tier: stored rows carry subspace codes (ingest
+    assigns with the STORED codebooks — build-then-ingest equals
+    one-shot, codes included), topk(mode='adc') scores probed cells by
+    lookup table then re-ranks exactly (self at rank 1; strong overlap
+    with the exact probe), and the PQ layout is meta-guarded."""
+    import re
+
+    df, rows = _corpus(spark, n=200, dim=8)
+    ix = IvfVectorIndex(
+        spark, str(tmp_path / "a"), n_cells=4, iterations=1, pq_m=4, pq_k=8
+    )
+    ix.build(df.filter(F.col("vec_id") < 150))
+    ix.ingest(df.filter(F.col("vec_id") >= 150), batch_id=1)
+
+    one = IvfVectorIndex(
+        spark, str(tmp_path / "b"), n_cells=4, iterations=1, pq_m=4, pq_k=8
+    )
+    one.build(df.filter(F.col("vec_id") < 150))
+    one.ingest(df.filter(F.col("vec_id") >= 150), batch_id=1)
+    assert ix.codebooks_int() == one.codebooks_int()
+
+    def content(i):
+        return {
+            (r["vec_id"], r["_cell"], tuple(r["_codes"]))
+            for r in i.vectors().select("vec_id", "_cell", "_codes").collect()
+        }
+
+    assert content(ix) == content(one)
+
+    q = rows[11][1]
+    adc = ix.topk(q, 5, n_probe=2, mode="adc")
+    plan = adc._sc._jvm.PythonSQLUtils.explainString(
+        adc._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PartitionFilters: \[.*_cell#\d+ (IN|INSET)", plan), plan
+    got = [r["vec_id"] for r in adc.collect()]
+    assert got[0] == 11  # self: ADC distance ~0, exact re-rank confirms
+    exact = {r["vec_id"] for r in ix.topk(q, 5, n_probe=2).collect()}
+    assert len(exact & set(got)) >= 3
+
+    # similarity values are EXACT (re-ranked), never ADC estimates
+    sims = {r["vec_id"]: r["similarity"] for r in adc.collect()}
+    assert abs(sims[11] - 1.0) < 1e-9
+
+    # guards: adc without a PQ tier; layout immutability
+    plain = IvfVectorIndex(spark, str(tmp_path / "c"), n_cells=4, iterations=1)
+    plain.build(df.filter(F.col("vec_id") < 50))
+    with pytest.raises(ValueError, match="pq_m"):
+        plain.topk(q, 5, mode="adc")
+    with pytest.raises(ValueError, match="immutable"):
+        IvfVectorIndex(spark, str(tmp_path / "a"), n_cells=4, pq_m=2, pq_k=8)
+    # reopening the PQ index with matching layout is fine
+    IvfVectorIndex(spark, str(tmp_path / "a"), n_cells=4, pq_m=4, pq_k=8)

@@ -1420,3 +1420,56 @@ def test_streaming_ann_ingest_restart_and_replay_equals_batch(spark, tmp_path):
         }
 
     assert content(one) == content(ix)
+
+
+def test_streaming_ann_drift_monitor_trips_and_rebuild_clears(spark, tmp_path):
+    """r10: the closed loop — a drifting stream ingested via
+    foreachBatch trips needs_rebuild() (metadata counters only), the
+    operator response (rebuild on the full corpus) clears it, and the
+    stream keeps ingesting exactly-once afterwards."""
+    import numpy as np
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.ann import IvfVectorIndex
+
+    rng = np.random.RandomState(23)
+    spread_rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=2)
+    ix.build(spark.createDataFrame(spread_rows, schema))
+    assert not ix.needs_rebuild(threshold=2.5)
+
+    # drifted stream: one dominant direction floods one cell
+    drift_rows = [
+        (1000 + i, [8.0, 0.05 * (i % 5)] + [0.0] * 6) for i in range(300)
+    ]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(drift_rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    tripped = []
+
+    def sink(batch, bid):
+        ix.ingest(batch, batch_id=int(bid) + 1)
+        if ix.needs_rebuild(threshold=2.5):
+            tripped.append(int(bid))
+
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert tripped, "drifting stream must trip the monitor"
+
+    # operator response: rebuild on everything ingested so far
+    ix.rebuild(ix.vectors().select("vec_id", "embedding"))
+    assert not ix.needs_rebuild(threshold=2.5)
+    n = ix.vectors().count()
+    assert n == 380
+    # the stream's replay guard survives the rebuild (watermark kept)
+    ix.ingest(spark.createDataFrame(drift_rows, schema), batch_id=1)
+    assert ix.vectors().count() == n
