@@ -63,6 +63,7 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.similarity impo
     pq_cells_expr,
     pq_codebooks_int,
     quantize_unit_micro,
+    quantized_training_base,
     sq_norm_expr,
 )
 from automated_datastore_discovery_with_aws_glue_spark.state.store import (
@@ -215,15 +216,17 @@ class IvfVectorIndex:
     def _books(self) -> list[list[list[int]]] | None:
         return self.codebooks_int() if self.pq_m else None
 
-    def _snapshot_state(self) -> tuple[set[int], dict[int, int], int]:
+    def _snapshot_state(
+        self, *, version: int | None = None
+    ) -> tuple[set[int], dict[int, int], int]:
         """(applied batch ids, per-cell counts, snapshot version) from
-        the latest version's atomic ``_TABLE_META`` — an O(1) metadata
-        read on the recurring path. A legacy version without meta (r9
-        index) reconciles once from the rows themselves (column-pruned
-        scans); the next commit persists the result."""
+        the version's atomic ``_TABLE_META`` (latest when unspecified) —
+        an O(1) metadata read on the recurring path. A legacy version
+        without meta (r9 index) reconciles once from the rows themselves
+        (column-pruned scans); the next commit persists the result."""
         if not self.store.exists(VECTORS):
             return set(), {}, 0
-        v = self.store.latest_version(VECTORS)
+        v = self.store.latest_version(VECTORS) if version is None else version
         meta = self.store.table_meta(VECTORS, version=v)
         if "applied_batch_ids" in meta:
             return (
@@ -267,18 +270,45 @@ class IvfVectorIndex:
         the initial index. Errors on an empty/all-zero corpus — an index
         with no quantizer cannot assign future ingests."""
         keep_applied = _keep_applied or set()
-        cents = kmeans_centroids_int(
-            df,
-            self.vec_col,
-            n_cells=self.n_cells,
-            iterations=self.iterations,
-            id_col=self.id_col,
-            hash_fn=self.hash_fn,
-        )
-        if not cents:
-            raise ValueError(
-                "IvfVectorIndex.build: corpus has no non-zero vectors to train on"
+        # one corpus preparation (spread + norm-filter + quantize) shared
+        # by BOTH trainers — the dominant prep cost is paid once per
+        # build/rebuild (code-review r10)
+        tbase = quantized_training_base(
+            df, self.vec_col, self.id_col, self.hash_fn
+        ).persist()
+        try:
+            cents = kmeans_centroids_int(
+                df,
+                self.vec_col,
+                n_cells=self.n_cells,
+                iterations=self.iterations,
+                id_col=self.id_col,
+                hash_fn=self.hash_fn,
+                base=tbase,
             )
+            if not cents:
+                raise ValueError(
+                    "IvfVectorIndex.build: corpus has no non-zero vectors to train on"
+                )
+            books = None
+            if self.pq_m:
+                books = pq_codebooks_int(
+                    df,
+                    self.vec_col,
+                    m=self.pq_m,
+                    k=self.pq_k,
+                    iterations=self.iterations,
+                    id_col=self.id_col,
+                    hash_fn=self.hash_fn,
+                    base=tbase,
+                )
+                if not books:
+                    raise ValueError(
+                        "IvfVectorIndex.build: corpus has no non-zero vectors "
+                        "to train PQ codebooks on"
+                    )
+        finally:
+            tbase.unpersist()
         cent_rows = self.spark.createDataFrame(
             [
                 (cell, pos, int(v))
@@ -288,22 +318,7 @@ class IvfVectorIndex:
             "cell int, pos int, c bigint",
         )
         self.store.overwrite(CENTROIDS, cent_rows)
-        books = None
-        if self.pq_m:
-            books = pq_codebooks_int(
-                df,
-                self.vec_col,
-                m=self.pq_m,
-                k=self.pq_k,
-                iterations=self.iterations,
-                id_col=self.id_col,
-                hash_fn=self.hash_fn,
-            )
-            if not books:
-                raise ValueError(
-                    "IvfVectorIndex.build: corpus has no non-zero vectors "
-                    "to train PQ codebooks on"
-                )
+        if books is not None:
             book_rows = self.spark.createDataFrame(
                 [
                     (j, cell, pos, int(v))
@@ -407,30 +422,31 @@ class IvfVectorIndex:
         per-ingest file fragments (every append lands ~one file per
         touched cell, so a thousand ingests mean a thousand files per
         cell directory — correct but scan-degrading). One repartitioned
-        rewrite per call; the applied-batch watermark and cell counters
-        carry over verbatim, and the overwrite CAS (`expect=`) makes
-        compaction safe against a concurrent ingest — the loser retries
-        on the fresh snapshot (the `streaming/classify.py _compact_cas`
-        recipe). ``vacuum()`` on the store afterwards trims the old
+        rewrite per call via the shared read-pin-overwrite CAS recipe
+        (`streaming/classify.py _compact_cas`): the applied-batch
+        watermark and cell counters are re-derived from the SAME pinned
+        snapshot and carry over verbatim, and a concurrent ingest
+        landing mid-rewrite wins the CAS — compact retries on its
+        snapshot. ``vacuum()`` on the store afterwards trims the old
         versions when desired."""
-        for _ in range(max_retries):
-            applied, counts, v = self._snapshot_state()
-            if v == 0:
-                return
-            snap = self.store.read(VECTORS, version=v)
-            try:
-                self.store.overwrite(
-                    VECTORS,
-                    snap.repartition("_cell"),
-                    partition_by="_cell",
-                    expect=v,
-                    meta=self._meta(applied, counts),
-                )
-                return
-            except ConcurrentWriteError:
-                continue  # an ingest landed mid-rewrite; retry on its snapshot
-        raise ConcurrentWriteError(
-            f"IvfVectorIndex.compact: lost the commit race {max_retries} times"
+        from automated_datastore_discovery_with_aws_glue_spark.streaming.classify import _compact_cas
+
+        if not self.store.exists(VECTORS):
+            return
+
+        def kwargs(version: int) -> dict:
+            applied, counts, _ = self._snapshot_state(version=version)
+            return {
+                "partition_by": "_cell",
+                "meta": self._meta(applied, counts),
+            }
+
+        _compact_cas(
+            self.store,
+            VECTORS,
+            lambda snap: snap.repartition("_cell"),
+            max_retries=max_retries,
+            write_kwargs=kwargs,
         )
 
     # -- drift monitor (r10, VERDICT r9 item 2) --------------------------
@@ -515,8 +531,9 @@ class IvfVectorIndex:
         if mode == "adc":
             if not self.pq_m:
                 raise ValueError(
-                    "topk(mode='adc') needs a PQ tier — open the index "
-                    "with pq_m set (and rebuild if it was built without)"
+                    "topk(mode='adc') needs a PQ tier — this index was built "
+                    "without pq_m; rebuild() into a FRESH root opened with "
+                    "pq_m set (the cell/PQ layout is immutable per root)"
                 )
             books = self.codebooks_int()
             m, ds = len(books), len(books[0][0])
@@ -535,8 +552,13 @@ class IvfVectorIndex:
                 f"element_at(`_codes`, j + 1) + 1)), CAST(0 AS BIGINT), "
                 f"(a, b) -> a + b)"
             )
+            # zero-norm rows are stored but never scored; exclude them
+            # BEFORE the rerank cut or they occupy candidate slots that
+            # the later norm filter then discards (code-review r10)
             cand_ids = (
-                probed.select(self.id_col, adc.alias("_adc"))
+                probed.withColumn("_n0", sq_norm_expr(self.vec_col))
+                .filter(F.col("_n0") > 0)
+                .select(self.id_col, adc.alias("_adc"))
                 .orderBy(F.col("_adc").asc(), F.col(self.id_col))
                 .limit(k * rerank_factor)
             )

@@ -1051,6 +1051,35 @@ def _pq_partials_arrow(
     )
 
 
+def quantized_training_base(
+    df: DataFrame, vec_col: str, id_col: str = "vec_id", hash_fn: str = "xxh"
+) -> DataFrame:
+    """The (_id, _qv, _h) frame BOTH quantizer trainers consume:
+    spread (the HOF/Arrow per-row work must not serialize on a
+    single-file input), unit-norm micro-quantize, hash for seeding.
+    Extracted (code-review r10) so a build that trains centroids AND
+    codebooks prepares the corpus once — pass it as ``base=`` to
+    :func:`kmeans_centroids_int` / :func:`pq_codebooks_int` (the caller
+    then owns persist/unpersist)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+
+    h = (
+        md5_hash64(F.col(id_col).cast("string"))
+        if hash_fn == "md5"
+        else F.xxhash64(F.col(id_col))
+    )
+    return (
+        spread(df.select(id_col, vec_col))
+        .withColumn("_nrm", sq_norm_expr(vec_col))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            quantize_unit_micro(vec_col, "_nrm").alias("_qv"),
+            h.alias("_h"),
+        )
+    )
+
+
 def kmeans_centroids_int(
     df: DataFrame,
     vec_col: str,
@@ -1060,6 +1089,7 @@ def kmeans_centroids_int(
     id_col: str = "vec_id",
     hash_fn: str = "xxh",
     assign: str = "arrow",
+    base: DataFrame | None = None,
 ) -> list[list[int]]:
     """Train ``n_cells`` centroids with ``iterations`` full Lloyd steps
     over EVERY (non-zero) vector; returns the k x d integer micro-unit
@@ -1072,30 +1102,13 @@ def kmeans_centroids_int(
     to the expression path, differential-pinned) or ``'hof'`` (the
     native higher-order-function expression — interpreted per row,
     kept as the differential reference)."""
-    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
-
     import math
 
-    h = (
-        md5_hash64(F.col(id_col).cast("string"))
-        if hash_fn == "md5"
-        else F.xxhash64(F.col(id_col))
-    )
-    # spread() BEFORE the per-row work: the assignment argmax is
-    # HOF-evaluated (interpreted lambdas, not codegen), so a single-file
-    # input that plans as one task serializes every Lloyd pass — 5-6s/
-    # iteration at sf0.1 measured, ~0.3s once spread across the cores
-    base = (
-        spread(df.select(id_col, vec_col))
-        .withColumn("_nrm", sq_norm_expr(vec_col))
-        .filter(F.col("_nrm") > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            quantize_unit_micro(vec_col, "_nrm").alias("_qv"),
-            h.alias("_h"),
+    own_base = base is None
+    if own_base:
+        base = quantized_training_base(df, vec_col, id_col, hash_fn).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     try:
         seeds = base.orderBy("_h", "_id").limit(n_cells).select("_qv").collect()
         cents = [list(r["_qv"]) for r in seeds]
@@ -1130,7 +1143,8 @@ def kmeans_centroids_int(
                     int(math.floor(float(v) * 1000000.0 / root)) for v in m
                 ]
     finally:
-        base.unpersist()
+        if own_base:
+            base.unpersist()
     return cents
 
 
@@ -1222,6 +1236,7 @@ def pq_codebooks_int(
     id_col: str = "vec_id",
     hash_fn: str = "xxh",
     assign: str = "arrow",
+    base: DataFrame | None = None,
 ) -> list[list[list[int]]]:
     """Train m x k product-quantization codebooks with ``iterations``
     full Lloyd steps over EVERY non-zero vector (unit-norm micro-unit
@@ -1230,24 +1245,11 @@ def pq_codebooks_int(
     previous centroid. Returns the m x k x (d/m) integer tensor.
     ``assign`` as in :func:`kmeans_centroids_int`: ``'arrow'`` partial
     sums (default) or the ``'hof'`` expression reference."""
-    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
-
-    h = (
-        md5_hash64(F.col(id_col).cast("string"))
-        if hash_fn == "md5"
-        else F.xxhash64(F.col(id_col))
-    )
-    base = (
-        spread(df.select(id_col, vec_col))
-        .withColumn("_nrm", sq_norm_expr(vec_col))
-        .filter(F.col("_nrm") > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            quantize_unit_micro(vec_col, "_nrm").alias("_qv"),
-            h.alias("_h"),
+    own_base = base is None
+    if own_base:
+        base = quantized_training_base(df, vec_col, id_col, hash_fn).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     try:
         seed_rows = base.orderBy("_h", "_id").limit(k).select("_qv").collect()
         if not seed_rows:
@@ -1292,7 +1294,8 @@ def pq_codebooks_int(
                 ]
         return books
     finally:
-        base.unpersist()
+        if own_base:
+            base.unpersist()
 
 
 def pq_quantizer_trained(

@@ -3411,6 +3411,13 @@ EXTRA_QUERIES["ann_cell_balance"] = ann_cell_balance
 ORACLES["ann_cell_balance"] = ANN_CELL_BALANCE_SQL
 
 
+def _emb_join_cells(n_vectors: int) -> int:
+    """emb_ivf_join's adaptive block count: ~500-vector cells, floor 4
+    (the oracle's k), cap 64 (diminishing blocking returns vs training
+    cost). ONE definition shared with the gate tripwire test."""
+    return min(64, max(4, n_vectors // 500))
+
+
 def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-blocked cross-table embedding similarity join (r10 fourth
     wave — the SemDeDup/IVF-as-blocking shape `fuzzy_join_docs` is for
@@ -3434,9 +3441,12 @@ def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # toward quadratic (measured: fixed k=4 at sf1 = 59 s of pair
     # scoring; adaptive k -> ~bounded ~500-vector cells). The DuckDB
     # twin pins the k=4 instance the oracle-gate scales produce
-    # (<= 2000 vectors); larger corpora change only the blocking
-    # granularity, never the pair math.
-    n_cells = min(64, max(4, emb.count() // 500))
+    # (<= 2000 vectors — tripwired by
+    # tests/test_text_similarity.py test_emb_ivf_join_oracle_k_tripwire
+    # so a grown testdata fails LOUDLY here, not as a hash mismatch);
+    # larger corpora change only the blocking granularity, never the
+    # pair math.
+    n_cells = _emb_join_cells(emb.count())
     cents = S.kmeans_centroids_int(
         emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id", hash_fn="md5"
     )

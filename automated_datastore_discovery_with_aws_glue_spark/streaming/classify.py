@@ -137,18 +137,29 @@ def compact_counts(store: ParquetStateStore, table: str, *, max_retries: int = 5
     _compact_cas(store, table, _summed_counts, max_retries=max_retries)
 
 
-def _compact_cas(store: ParquetStateStore, table: str, derive, *, max_retries: int) -> None:
+def _compact_cas(
+    store: ParquetStateStore,
+    table: str,
+    derive,
+    *,
+    max_retries: int,
+    write_kwargs=None,
+) -> None:
     """Read-modify-overwrite with optimistic concurrency: pin the version
     the derivation reads, commit against exactly that version, retry from
-    the fresh snapshot on a lost race."""
+    the fresh snapshot on a lost race. ``write_kwargs(version)`` (r10)
+    lets the caller derive per-attempt overwrite options — partition
+    layout, version metadata — from the SAME pinned snapshot (the ANN
+    index's compaction carries its watermark/counters this way)."""
     from automated_datastore_discovery_with_aws_glue_spark.state.store import ConcurrentWriteError
 
     last: ConcurrentWriteError | None = None
     for _ in range(max_retries):
         base = store.latest_version(table)
         snap = store.read(table, version=base)
+        kw = write_kwargs(base) if write_kwargs is not None else {}
         try:
-            store.overwrite(table, derive(snap), expect=base)
+            store.overwrite(table, derive(snap), expect=base, **kw)
             return
         except ConcurrentWriteError as exc:
             last = exc  # a micro-batch landed mid-compaction: re-derive

@@ -984,3 +984,23 @@ def test_r10_queries_empty_corpus_guards(spark, tmp_path):
     assert knn_ivf_pq_scored(spark, str(tmp_path)).count() == 0
     assert ann_cell_balance(spark, str(tmp_path)).count() == 0
     assert emb_ivf_join(spark, str(tmp_path)).count() == 0
+
+
+def test_emb_ivf_join_oracle_k_tripwire():
+    """code-review r10: emb_ivf_join's Spark side scales its block
+    count while its DuckDB oracle is the fixed k=4 instance. This
+    tripwire fails LOUDLY (here, not as a driver hash mismatch) if any
+    oracle-gate embeddings table grows past the k=4 regime."""
+    import duckdb
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import _emb_join_cells
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            f"select count(*) from '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert _emb_join_cells(n) == 4, (
+            f"{sf} has {n} embeddings -> {_emb_join_cells(n)} cells; the "
+            f"emb_ivf_join oracle is built for k=4 — parameterize the "
+            f"oracle (or re-pin the gate scales) before accepting this"
+        )
