@@ -152,9 +152,28 @@ class IvfVectorIndex:
 
     # -- internals -----------------------------------------------------
 
+    def _quantizer_versions(self) -> dict:
+        """Which CENTROIDS/CODEBOOKS store versions the CURRENT vectors
+        were assigned with — from the VECTORS version's atomic
+        ``_TABLE_META`` (r11, ADVICE r10): build() commits the quantizer
+        tables first and the vectors LAST, with the pin riding the same
+        pointer flip as the rows, so a reader can never pair new
+        codebooks with stale stored ``_codes``/``_cell`` assignments
+        (the crash/concurrent-reader window between the three commits is
+        closed by time-traveling to the pinned versions). Empty dict =
+        legacy index or no vectors yet -> latest quantizer tables."""
+        if not self.store.exists(VECTORS):
+            return {}
+        return self.store.table_meta(VECTORS).get("quantizer_versions", {})
+
     def centroids_int(self) -> list[list[int]]:
-        """The stored quantizer as the k x d integer matrix."""
-        rows = self.store.read(CENTROIDS).orderBy("cell", "pos").collect()
+        """The stored quantizer as the k x d integer matrix — the
+        version the current vectors were ASSIGNED with, not whatever a
+        concurrent rebuild may have staged since."""
+        qv = self._quantizer_versions().get("centroids")
+        rows = (
+            self.store.read(CENTROIDS, version=qv).orderBy("cell", "pos").collect()
+        )
         cents: dict[int, dict[int, int]] = {}
         for r in rows:
             cents.setdefault(r["cell"], {})[r["pos"]] = r["c"]
@@ -169,8 +188,10 @@ class IvfVectorIndex:
         return arr / np.maximum(norms, 1e-300)
 
     def codebooks_int(self) -> list[list[list[int]]]:
-        """The stored PQ codebooks as the m x k x (d/m) integer tensor."""
-        rows = self.store.read(CODEBOOKS).collect()
+        """The stored PQ codebooks as the m x k x (d/m) integer tensor —
+        version-pinned like :meth:`centroids_int`."""
+        qv = self._quantizer_versions().get("codebooks")
+        rows = self.store.read(CODEBOOKS, version=qv).collect()
         acc: dict[int, dict[int, dict[int, int]]] = {}
         for r in rows:
             acc.setdefault(r["j"], {}).setdefault(r["cell"], {})[r["pos"]] = r["c"]
@@ -186,7 +207,7 @@ class IvfVectorIndex:
         self,
         df: DataFrame,
         cents: list[list[int]],
-        batch_id: int,
+        batch_id: int | None,
         books: list[list[list[int]]] | None = None,
     ) -> DataFrame:
         """(id, vec, batch_id, _cell[, _codes]) with the integer argmax
@@ -194,16 +215,23 @@ class IvfVectorIndex:
         training) land deterministically in the LAST cell (all dots
         zero, struct-max tie goes high) without ever dividing by their
         zero norm. With a PQ tier, ``_codes`` carries the m subspace
-        codes (integer argmin against the stored codebooks)."""
+        codes (integer argmin against the stored codebooks).
+        ``batch_id=None`` keeps the batch ids already on ``df``'s rows
+        (build()'s late-batch fold-in on a lost commit race)."""
         zeros = F.expr(f"transform(`{self.vec_col}`, x -> CAST(0 AS BIGINT))")
         qv = F.when(
             F.col("_nrm") > 0, quantize_unit_micro(self.vec_col, "_nrm")
         ).otherwise(zeros)
+        bid = (
+            F.col("batch_id").cast("long")
+            if batch_id is None
+            else F.lit(batch_id).cast("long")
+        )
         out = (
             df.select(
                 F.col(self.id_col),
                 F.col(self.vec_col),
-                F.lit(batch_id).cast("long").alias("batch_id"),
+                bid.alias("batch_id"),
                 sq_norm_expr(self.vec_col).alias("_nrm"),
             )
             .withColumn("_qv", qv)
@@ -218,14 +246,17 @@ class IvfVectorIndex:
 
     def _snapshot_state(
         self, *, version: int | None = None
-    ) -> tuple[set[int], dict[int, int], int]:
-        """(applied batch ids, per-cell counts, snapshot version) from
-        the version's atomic ``_TABLE_META`` (latest when unspecified) —
-        an O(1) metadata read on the recurring path. A legacy version
-        without meta (r9 index) reconciles once from the rows themselves
-        (column-pruned scans); the next commit persists the result."""
+    ) -> tuple[set[int], dict[int, int], int, dict]:
+        """(applied batch ids, per-cell counts, snapshot version, full
+        meta dict) from the version's atomic ``_TABLE_META`` (latest
+        when unspecified) — an O(1) metadata read on the recurring path.
+        The full dict rides along so commit paths carry forward keys
+        they don't own (quantizer version pins, drift history). A legacy
+        version without meta (r9 index) reconciles once from the rows
+        themselves (column-pruned scans); the next commit persists the
+        result."""
         if not self.store.exists(VECTORS):
-            return set(), {}, 0
+            return set(), {}, 0, {}
         v = self.store.latest_version(VECTORS) if version is None else version
         meta = self.store.table_meta(VECTORS, version=v)
         if "applied_batch_ids" in meta:
@@ -233,6 +264,7 @@ class IvfVectorIndex:
                 {int(b) for b in meta["applied_batch_ids"]},
                 {int(c): int(n) for c, n in meta.get("cell_counts", {}).items()},
                 v,
+                meta,
             )
         snap = self.store.read(VECTORS, version=v)
         ids = {
@@ -243,11 +275,11 @@ class IvfVectorIndex:
             int(r["_cell"]): int(r["n"])
             for r in snap.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        return ids, counts, v
+        return ids, counts, v, meta
 
     def _applied_through(self) -> int:
         """Highest applied batch id (-1 before any build/ingest)."""
-        ids, _, _ = self._snapshot_state()
+        ids, _, _, _ = self._snapshot_state()
         return max(ids, default=-1)
 
     @staticmethod
@@ -257,19 +289,53 @@ class IvfVectorIndex:
             for r in assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
         }
 
-    def _meta(self, ids: set[int], counts: dict[int, int]) -> dict:
-        return {
-            "applied_batch_ids": sorted(ids),
-            "cell_counts": {str(c): n for c, n in sorted(counts.items())},
-        }
+    def _meta(
+        self,
+        ids: set[int],
+        counts: dict[int, int],
+        *,
+        base: dict | None = None,
+        **extra,
+    ) -> dict:
+        """The version meta a commit writes: starts from ``base`` (the
+        snapshot's meta, so keys owned by OTHER writers — quantizer
+        version pins, drift history — carry forward), then overwrites
+        the keys this commit owns."""
+        m = dict(base or {})
+        m["applied_batch_ids"] = sorted(ids)
+        m["cell_counts"] = {str(c): n for c, n in sorted(counts.items())}
+        m.update(extra)
+        return m
 
     # -- API -----------------------------------------------------------
 
-    def build(self, df: DataFrame, *, _keep_applied: set[int] | None = None) -> None:
+    def build(
+        self,
+        df: DataFrame,
+        *,
+        _keep_applied: set[int] | None = None,
+        max_retries: int = 5,
+    ) -> None:
         """Train the quantizer over ``df`` (distributed Lloyd) and write
         the initial index. Errors on an empty/all-zero corpus — an index
-        with no quantizer cannot assign future ingests."""
+        with no quantizer cannot assign future ingests.
+
+        Commit protocol (r11, ADVICE r10): CENTROIDS and CODEBOOKS
+        commit first as new store versions; the VECTORS overwrite
+        commits LAST, carrying the exact quantizer versions it assigned
+        with inside its atomic ``_TABLE_META`` and CAS-pinned to the
+        VECTORS snapshot observed at entry. Readers resolve the
+        quantizer through that pin (:meth:`_quantizer_versions`), so no
+        crash or interleaving can pair new codebooks with stale stored
+        assignments. An ingest that commits mid-build loses nothing:
+        the lost CAS folds the late batches in — their rows re-assigned
+        with the NEW quantizer, their ids and the watermark preserved."""
         keep_applied = _keep_applied or set()
+        v0 = (
+            self.store.latest_version(VECTORS)
+            if self.store.exists(VECTORS)
+            else 0
+        )
         # one corpus preparation (spread + norm-filter + quantize) shared
         # by BOTH trainers — the dominant prep cost is paid once per
         # build/rebuild (code-review r10)
@@ -318,6 +384,7 @@ class IvfVectorIndex:
             "cell int, pos int, c bigint",
         )
         self.store.overwrite(CENTROIDS, cent_rows)
+        qver = {"centroids": self.store.latest_version(CENTROIDS)}
         if books is not None:
             book_rows = self.spark.createDataFrame(
                 [
@@ -329,25 +396,54 @@ class IvfVectorIndex:
                 "j int, cell int, pos int, c bigint",
             )
             self.store.overwrite(CODEBOOKS, book_rows)
+            qver["codebooks"] = self.store.latest_version(CODEBOOKS)
         # rows carry the HIGHEST surviving batch id (not 0): if this
         # version's meta is ever lost, the row-scan fallback then
         # reconstructs {max}, so a replayed OLD id fails LOUDLY on the
         # monotonic check instead of silently double-ingesting
         # (code-review r10)
         base_bid = max(keep_applied, default=0)
-        assigned = self._assigned(df, cents, batch_id=base_bid, books=books).persist()
-        try:
-            counts = self._batch_cell_counts(assigned)
-            # repartition on the partition column first or the write emits
-            # tasks x cells tiny files (store gotcha)
-            self.store.overwrite(
-                VECTORS,
-                assigned.repartition("_cell"),
-                partition_by="_cell",
-                meta=self._meta({0, base_bid} | keep_applied, counts),
-            )
-        finally:
-            assigned.unpersist()
+        applied = {0, base_bid} | keep_applied
+        assigned = self._assigned(df, cents, batch_id=base_bid, books=books)
+        expect = v0
+        for _ in range(max_retries):
+            work = assigned.persist()
+            try:
+                counts = self._batch_cell_counts(work)
+                # repartition on the partition column first or the write
+                # emits tasks x cells tiny files (store gotcha)
+                self.store.overwrite(
+                    VECTORS,
+                    work.repartition("_cell"),
+                    partition_by="_cell",
+                    expect=expect,
+                    meta=self._meta(applied, counts, quantizer_versions=qver),
+                )
+                return
+            except ConcurrentWriteError:
+                # an ingest landed mid-build: fold its batches in —
+                # re-assign their rows with the NEW quantizer so the
+                # overwrite drops neither rows nor watermark ids
+                late_applied, _, v_new, _ = self._snapshot_state()
+                late_ids = late_applied - applied
+                if late_ids:
+                    late = (
+                        self.store.read(VECTORS, version=v_new)
+                        .filter(
+                            F.col("batch_id").isin([int(b) for b in late_ids])
+                        )
+                        .select(self.id_col, self.vec_col, "batch_id")
+                    )
+                    assigned = assigned.unionByName(
+                        self._assigned(late, cents, batch_id=None, books=books)
+                    )
+                    applied = applied | late_ids
+                expect = v_new
+            finally:
+                work.unpersist()
+        raise ConcurrentWriteError(
+            f"IvfVectorIndex.build: lost the commit race {max_retries} times"
+        )
 
     def rebuild(self, df: DataFrame) -> None:
         """Backfill bridge: retrain on the given corpus and rewrite —
@@ -355,8 +451,12 @@ class IvfVectorIndex:
         their scan; the pointer flip is atomic). The applied-batch-id
         watermark SURVIVES the rebuild: the new corpus already contains
         every applied batch's rows, so a post-rebuild re-delivery of an
-        old batch id must still no-op."""
-        applied, _, _ = self._snapshot_state()
+        old batch id must still no-op. Concurrent ingests are safe: the
+        VECTORS overwrite is CAS-pinned inside :meth:`build`, and a
+        batch landing mid-rebuild is folded in on the retry (re-assigned
+        with the new quantizer) instead of silently dropped (ADVICE
+        r10)."""
+        applied, _, _, _ = self._snapshot_state()
         self.build(df, _keep_applied=applied)
 
     def ingest(
@@ -374,10 +474,13 @@ class IvfVectorIndex:
         writer's commit loses the CAS and retries on the fresh snapshot
         instead of double-assigning the id (VERDICT r9 item 3)."""
         for _ in range(max_retries):
-            applied, counts, v = self._snapshot_state()
+            applied, counts, v, snap_meta = self._snapshot_state()
             mx = max(applied, default=-1)
             if batch_id is None:
-                bid = mx + 1
+                # batch 0 is reserved for build()'s base corpus: an
+                # ingest racing the FIRST build must not collide with
+                # it (build's fold-in distinguishes late batches by id)
+                bid = mx + 1 if applied else 1
             else:
                 bid = int(batch_id)
                 if bid in applied:
@@ -403,7 +506,7 @@ class IvfVectorIndex:
                     assigned.repartition("_cell"),
                     partition_by="_cell",
                     expect=v,
-                    meta=self._meta(applied | {bid}, merged),
+                    meta=self._meta(applied | {bid}, merged, base=snap_meta),
                 )
                 return
             except ConcurrentWriteError:
@@ -435,10 +538,10 @@ class IvfVectorIndex:
             return
 
         def kwargs(version: int) -> dict:
-            applied, counts, _ = self._snapshot_state(version=version)
+            applied, counts, _, snap_meta = self._snapshot_state(version=version)
             return {
                 "partition_by": "_cell",
-                "meta": self._meta(applied, counts),
+                "meta": self._meta(applied, counts, base=snap_meta),
             }
 
         _compact_cas(
@@ -456,7 +559,7 @@ class IvfVectorIndex:
         counters — (cell, n_vecs, share_bp) where share_bp is the cell's
         exact share in basis points (n * 10000 div total). Reads ZERO
         index data: the counters fold per ingest into ``_TABLE_META``."""
-        _, counts, _ = self._snapshot_state()
+        _, counts, _, _ = self._snapshot_state()
         total = sum(counts.values())
         rows = [
             (c, n, (n * 10000) // total if total else 0)
@@ -470,8 +573,9 @@ class IvfVectorIndex:
         """How many cells the STORED quantizer actually has — a tiny
         corpus can train fewer than the configured ``n_cells`` (seeds =
         the hash-smallest vectors, capped by corpus size)."""
+        qv = self._quantizer_versions().get("centroids")
         rows = (
-            self.store.read(CENTROIDS)
+            self.store.read(CENTROIDS, version=qv)
             .select(F.countDistinct("cell").alias("k"))
             .collect()
         )
@@ -485,7 +589,7 @@ class IvfVectorIndex:
         is the TRAINED cell count, not the configured one: an index
         trained on fewer vectors than ``n_cells`` is not skewed merely
         for being small (code-review r10)."""
-        _, counts, _ = self._snapshot_state()
+        _, counts, _, _ = self._snapshot_state()
         total = sum(counts.values())
         if not total:
             return 1.0

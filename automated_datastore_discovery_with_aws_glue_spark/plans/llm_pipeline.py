@@ -3067,8 +3067,10 @@ def _cluster_sample_thresholds(cnts: dict[int, int], need: int) -> dict[int, int
     the margin keeps everything (threshold = 2^60 = the hash range)."""
     full = 1 << 60
     margin = need * 5 + 60
+    # exact integer arithmetic (ADVICE r10): float division loses the
+    # low ~7 bits of a 2^60-scale threshold to the 53-bit mantissa
     return {
-        c: (full if n <= margin else int(full * margin / n) + 1)
+        c: (full if n <= margin else full * margin // n + 1)
         for c, n in cnts.items()
     }
 
@@ -3446,19 +3448,30 @@ def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a grown testdata fails LOUDLY here, not as a hash mismatch);
     # larger corpora change only the blocking granularity, never the
     # pair math.
-    n_cells = _emb_join_cells(emb.count())
+    #
+    # The sizing count rides the SAME persisted training base the
+    # trainer consumes (ADVICE r10): one scan sizes the cells over
+    # exactly the rows that participate (zero-norm vectors excluded),
+    # instead of a second full-table count that included them.
+    tbase = S.quantized_training_base(emb, "embedding", "vec_id", "md5").persist()
+    n_cells = _emb_join_cells(tbase.count())
     cents = S.kmeans_centroids_int(
-        emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id", hash_fn="md5"
+        emb,
+        "embedding",
+        n_cells=n_cells,
+        iterations=2,
+        id_col="vec_id",
+        hash_fn="md5",
+        base=tbase,
     )
     if not cents:  # empty / all-zero corpus: no blocks, no pairs
+        tbase.unpersist()
         return spark.createDataFrame(
             [], "qid bigint, vec_id bigint, cell int, cos_micro bigint"
         )
     n = len(cents)
     base = (
-        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
-        .filter(F.col("_nrm") > 0)
-        .select("vec_id", S.quantize_unit_micro("embedding", "_nrm").alias("_qv"))
+        tbase.select(F.col("_id").alias("vec_id"), "_qv")
         .withColumn("cell", S.kmeans_cell_expr("_qv", cents))
         .persist()
     )
@@ -3491,7 +3504,7 @@ def emb_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_micro") >= threshold_micro)
         .orderBy("qid", "vec_id", "cell")
     )
-    return C.adopt(result, base)
+    return C.adopt(result, base, tbase)
 
 
 EXTRA_QUERIES["emb_ivf_join"] = emb_ivf_join

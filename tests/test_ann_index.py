@@ -362,6 +362,103 @@ def test_compact_consolidates_files_and_preserves_state(spark, tmp_path):
     assert 5 in set(ix.store.table_meta("vectors")["applied_batch_ids"])
 
 
+def test_quantizer_pinned_to_vectors_version(spark, tmp_path):
+    """r11 (ADVICE r10): the VECTORS meta pins the exact CENTROIDS /
+    CODEBOOKS store versions the rows were assigned with, so a crashed
+    (or in-flight) rebuild that committed new quantizer tables but not
+    the vectors can never pair new codebooks with stale stored
+    assignments — readers time-travel to the pinned versions."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.ann import CENTROIDS, CODEBOOKS
+
+    df, rows = _corpus(spark, n=120, dim=8)
+    ix = IvfVectorIndex(
+        spark, str(tmp_path / "ix"), n_cells=4, iterations=1, pq_m=4, pq_k=8
+    )
+    ix.build(df)
+    meta = ix.store.table_meta("vectors")
+    assert meta["quantizer_versions"]["centroids"] == ix.store.latest_version(CENTROIDS)
+    assert meta["quantizer_versions"]["codebooks"] == ix.store.latest_version(CODEBOOKS)
+    c1, b1 = ix.centroids_int(), ix.codebooks_int()
+
+    # simulate a build that died between the quantizer commits and the
+    # vectors commit: NEW centroid/codebook versions exist on disk but
+    # the vectors still reference the old ones
+    bogus = spark.createDataFrame(
+        [(c, p, 999_999) for c in range(4) for p in range(8)],
+        "cell int, pos int, c bigint",
+    )
+    ix.store.overwrite(CENTROIDS, bogus)
+    ix.store.overwrite(
+        CODEBOOKS,
+        spark.createDataFrame(
+            [(j, c, p, 999_999) for j in range(4) for c in range(8) for p in range(2)],
+            "j int, cell int, pos int, c bigint",
+        ),
+    )
+    assert ix.centroids_int() == c1  # pinned, not latest
+    assert ix.codebooks_int() == b1
+    # probes and ingests keep assigning with the CONSISTENT quantizer
+    ix.ingest(df.limit(5).withColumn("vec_id", F.col("vec_id") + 5000), batch_id=1)
+    assert ix.centroids_int() == c1
+    assert ix.topk(rows[3][1], 3, n_probe=2).count() == 3
+
+
+def test_build_cas_folds_in_racing_ingest(spark, tmp_path):
+    """r11 (ADVICE r10): an ingest that commits between rebuild()'s
+    snapshot read and its VECTORS overwrite is NOT dropped — the lost
+    CAS folds the late batch in, re-assigned with the new quantizer,
+    rows and watermark id intact."""
+    from automated_datastore_discovery_with_aws_glue_spark.state import store as store_mod
+
+    df, _rows = _corpus(spark, n=90)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 60))
+    ix.ingest(df.filter(F.col("vec_id") >= 60), batch_id=1)
+
+    late = spark.createDataFrame(
+        [(2000 + i, [float(i + 1), 1.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0]) for i in range(9)],
+        ["vec_id", "embedding"],
+    )
+    orig = store_mod.ParquetStateStore._commit_staged
+    state = {"raced": False}
+
+    def racing(self, table, staging, *, expect):
+        # fire exactly once, on the rebuild's vectors OVERWRITE (the
+        # ingest itself recurses here for its own commit)
+        if table == "vectors" and not state["raced"]:
+            state["raced"] = True
+            ix.ingest(late, batch_id=2)  # lands first, mid-rebuild
+        return orig(self, table, staging, expect=expect)
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(store_mod.ParquetStateStore, "_commit_staged", racing)
+        ix.rebuild(df)
+    finally:
+        mp.undo()
+    assert state["raced"]
+    got = {r["vec_id"] for r in ix.vectors().select("vec_id").collect()}
+    assert {2000 + i for i in range(9)} <= got  # late rows survived
+    assert len(got) == df.count() + 9
+    applied = set(ix.store.table_meta("vectors")["applied_batch_ids"])
+    assert 2 in applied  # watermark survived
+    n = ix.vectors().count()
+    ix.ingest(late, batch_id=2)  # replay after the folded rebuild: no-op
+    assert ix.vectors().count() == n
+    # the folded rows were RE-ASSIGNED with the rebuild's quantizer: the
+    # fresh handle's stored assignment matches a from-scratch assignment
+    cents = ix.centroids_int()
+    expect_cells = {
+        r["vec_id"]: r["_cell"]
+        for r in ix._assigned(late, cents, batch_id=2).select("vec_id", "_cell").collect()
+    }
+    stored_cells = {
+        r["vec_id"]: r["_cell"]
+        for r in ix.vectors().filter(F.col("vec_id") >= 2000).select("vec_id", "_cell").collect()
+    }
+    assert stored_cells == expect_cells
+
+
 def test_pq_tier_codes_and_adc_topk(spark, tmp_path):
     """r10 PQ storage tier: stored rows carry subspace codes (ingest
     assigns with the STORED codebooks — build-then-ingest equals
