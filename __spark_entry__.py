@@ -354,7 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],
-        "knn_ivf": L.QUERIES["knn_ivf"],
+        # knn_ivf / knn_ivf_q8 / knn_ivf_pq deregistered in r11 (VERDICT
+        # r10 item 4): the float/q8/pq read paths stay pytest-covered
+        # (recall bounds); the declared ANN serving surface is the
+        # oracle-pinned persisted-index family (knn_index_topk_exact /
+        # knn_index_topk_adc / emb_index_join)
         "dedup_simhash": L.QUERIES["dedup_simhash"],
         **M.QUERIES,
         **RX.QUERIES,

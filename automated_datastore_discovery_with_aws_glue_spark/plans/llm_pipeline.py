@@ -1276,7 +1276,10 @@ QUERIES = {
     "doc_winnow_fingerprint": doc_winnow_fingerprint,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
-    "knn_ivf": knn_ivf,
+    # knn_ivf deregistered in r11 (VERDICT r10 item 4): the float
+    # xxhash IVF path stays pytest-covered (test_ivf_topk_*); the
+    # DECLARED serving surface is the oracle-pinned persisted-index
+    # family (knn_index_topk_exact / knn_index_topk_adc / emb_index_join)
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
 }
@@ -2460,7 +2463,9 @@ def knn_ivf_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRA_QUERIES["knn_ivf_q8"] = knn_ivf_q8
+# deregistered in r11 (VERDICT r10 item 4): the q8 read path stays
+# pytest-covered (test_ivf_topk_q8_*); the declared quantized-serving
+# surface is the oracle-pinned knn_index_topk_adc / knn_index_topk_exact
 
 
 def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,7 +2558,9 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRA_QUERIES["knn_ivf_pq"] = knn_ivf_pq
+# deregistered in r11 (VERDICT r10 item 4): the PQ read path stays
+# pytest-covered (test_pq_tier_codes_and_adc_topk and the ivf_topk_pq
+# recall tests); the declared ADC surface is knn_index_topk_adc
 
 
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3147,18 +3154,17 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid dot, score every vector in the probed cells with the
     ASYMMETRIC-DISTANCE lookup table (the per-query m x k integer table
     is computed driver-side exactly as a PQ scorer materializes it),
-    keep the 50 ADC-best candidates (TakeOrdered, no shuffle-to-one
-    sort), and re-rank them by EXACT integer L2 to the final top-10.
+    keep the 50 ADC-best candidates, and re-rank them by EXACT integer
+    L2 to the final top-10 — all as ONE batch plan (r11).
     Every number is an exact integer, so DuckDB replays training,
     probe selection, code assignment, ADC, and re-rank bit-for-bit.
     md5 twin of the xxhash64 production path (`ivf_topk_pq` /
     `operators/ann.py`)."""
     from pyspark.sql import Window
 
-    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
     from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
 
-    m, kk, ds, n_cells, n_probe = 8, 8, 8, 4, 2
+    m, kk, n_cells, n_probe = 8, 8, 4, 2
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.kmeans_centroids_int(
         emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id", hash_fn="md5"
@@ -3179,56 +3185,59 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_hash64(F.col("vec_id").cast("string")).alias("_h"),
         )
     )
-    qrows = base.orderBy(F.col("_h").desc(), F.col("vec_id").desc()).limit(3).collect()
     # ONE assignment pass: the cell argmax and the m-wide code argmin
     # are interpreted HOF lambdas (the costly step) — persist so the
-    # three per-query probes filter the materialized rows instead of
-    # re-deriving them; lifetime rides the returned frame (cache.adopt)
+    # probe joins filter the materialized rows instead of re-deriving
+    # them; lifetime rides the returned frame (cache.adopt)
     assigned = base.select(
         "vec_id",
         "_qv",
         S.kmeans_cell_expr("_qv", cents).alias("_cell"),
         S.pq_cells_expr("_qv", books).alias("_codes"),
     ).persist()
-    frames = []
-    for qid, row in enumerate(qrows):
-        qv = list(row["_qv"])
-        dots = [sum(a * b for a, b in zip(qv, c)) for c in cents]
-        probes = sorted(range(len(cents)), key=lambda c: (-dots[c], c))[:n_probe]
-        # the ADC lookup table: lut[j][c] = |query_subvec_j - book[j][c]|^2
-        lut = [
-            [
-                sum((qv[j * ds + p] - books[j][c][p]) ** 2 for p in range(ds))
-                for c in range(kk)
-            ]
-            for j in range(m)
-        ]
-        adc = F.expr(
-            f"aggregate(transform(sequence(0, {m - 1}), j -> "
-            f"element_at(element_at({_lit_imatrix_sql(lut)}, j + 1), "
-            f"element_at(`_codes`, j + 1) + 1)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    # r11 (VERDICT r10 item 6): the three per-query driver-built
+    # subplans collapse into ONE batch plan — probe selection, the ADC
+    # lookup table, scoring, the 50-cut, and the exact re-rank are all
+    # columns/windows of a single job (the `topk_batch` shape); result
+    # and oracle unchanged. LUT rides the 3-row query frame, computed
+    # once per query; per candidate the score is m integer lookups.
+    qbase = (
+        base.orderBy(F.col("_h").desc(), F.col("vec_id").desc())
+        .limit(3)
+        .withColumn(
+            "query_id",
+            F.row_number().over(
+                Window.orderBy(F.col("_h").desc(), F.col("vec_id").desc())
+            )
+            - 1,
         )
-        qlit = "array(" + ", ".join(f"CAST({int(v)} AS BIGINT)" for v in qv) + ")"
-        exact = F.expr(
-            f"aggregate(zip_with(`_qv`, {qlit}, (x, y) -> (x - y) * (x - y)), "
-            f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+        .select("query_id", F.col("_qv").alias("_qqv"))
+        .withColumn("_lut", S.adc_lut_expr("_qqv", books))
+    )
+    qdf = qbase.withColumn(
+        "_cell", F.explode(S.probe_cells_expr("_qqv", cents, n_probe))
+    )
+    w1 = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    surv = (
+        qdf.join(assigned.select("vec_id", "_cell", "_codes"), "_cell")
+        .select(
+            "query_id",
+            "vec_id",
+            S.adc_from_lut_expr("_lut", "_codes", m).alias("adc_d2"),
         )
-        frames.append(
-            assigned.filter(F.col("_cell").isin(probes))
-            .select(F.lit(qid).alias("query_id"), "vec_id", "_qv", adc.alias("adc_d2"))
-            # TakeOrderedAndProject — the 50-cut never sorts to one partition
-            .orderBy("adc_d2", "vec_id")
-            .limit(50)
-            .withColumn("exact_d2", exact)
-            .select("query_id", "vec_id", "adc_d2", "exact_d2")
-        )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    # re-rank AFTER the union: query_id is a real (non-foldable) column
-    # here, so the window partitions properly over the <= 150 survivors
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 50)
+        .drop("_rn")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(`_qqv`, `_qv`, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
     result = (
-        out.withColumn(
+        surv.join(qbase.select("query_id", "_qqv"), "query_id")
+        .join(assigned.select("vec_id", "_qv"), "vec_id")
+        .select("query_id", "vec_id", "adc_d2", exact.alias("exact_d2"))
+        .withColumn(
             "rnk",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
@@ -3543,6 +3552,214 @@ ORACLES["emb_ivf_join"] = _kmeans_sql(
     final=(
         "SELECT qid, vec_id, CAST(cell AS INT) AS cell, cos_micro\n"
         "    FROM prs WHERE cos_micro >= 250000 ORDER BY qid, vec_id, cell"
+    ),
+    extra_ctes=[_EMB_IVF_JOIN_CTES],
+)
+
+
+def _md5_query_frame(emb: DataFrame, n: int = 3) -> DataFrame:
+    """(query_id, embedding): the n md5-hash-LARGEST non-zero vectors
+    (deterministic, disjoint from the hash-smallest training seeds),
+    query_id = 0..n-1 in that order — the shared query batch of the
+    persisted-index twins."""
+    from pyspark.sql import Window
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
+
+    base = (
+        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "vec_id",
+            "embedding",
+            md5_hash64(F.col("vec_id").cast("string")).alias("_h"),
+        )
+    )
+    order = [F.col("_h").desc(), F.col("vec_id").desc()]
+    return (
+        base.orderBy(*order)
+        .limit(n)
+        .withColumn("query_id", F.row_number().over(Window.orderBy(*order)) - 1)
+        .select("query_id", "embedding")
+    )
+
+
+def knn_index_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index batch ADC serving twin (r11, VERDICT r10 items
+    1+4): build a REAL `IvfVectorIndex` (md5 seeding, PQ tier) in
+    scratch from the embeddings table, then run the production
+    `topk_batch(mode='adc')` — stored-centroid assignment, top-2 probes
+    as a PartitionFilter, per-query lookup-table scoring against the
+    STORED codes, 50-cut, exact integer re-rank — for the three
+    hash-largest vectors, all as ONE batch plan. Bit-for-bit the
+    `knn_ivf_pq_scored` math, but through the persisted store tables
+    and `operators/ann.py`'s own serving code, so the DuckDB oracle is
+    shared verbatim — this closes the last gap between the oracle-
+    pinned math and the production serving shape."""
+    import shutil
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.ann import IvfVectorIndex
+
+    schema = "query_id int, rnk int, vec_id bigint, adc_d2 bigint, exact_d2 bigint"
+    emb = load_table(spark, sf_dir, "embeddings")
+    qframe = _md5_query_frame(emb, 3)
+    if qframe.count() == 0:  # empty / all-zero corpus: nothing to probe
+        return spark.createDataFrame([], schema)
+    root = tempfile.mkdtemp(prefix="q_ann_ix_adc_")
+    try:
+        ix = IvfVectorIndex(
+            spark, root, n_cells=4, iterations=2, hash_fn="md5", pq_m=8, pq_k=8
+        )
+        ix.build(emb)
+        rows = ix.topk_batch(
+            qframe, 10, n_probe=2, mode="adc", rerank_factor=5
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["query_id"], r["rnk"], r["vec_id"], r["adc_d2"], r["exact_d2"])
+            for r in rows
+        ],
+        schema,
+    )
+
+
+EXTRA_QUERIES["knn_index_topk_adc"] = knn_index_topk_adc
+# the persisted-index path replays the knn_ivf_pq_scored math exactly —
+# one oracle pins both the plan-level twin and the production code path
+ORACLES["knn_index_topk_adc"] = KNN_IVF_PQ_SCORED_SQL
+
+
+def knn_index_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index batch EXACT top-k twin (r11): same scratch-index
+    lifecycle as `knn_index_topk_adc` but without the PQ tier —
+    `topk_batch(mode='exact')` ranks the probed candidates by the exact
+    integer dot (DESC, ties to the lower vec_id) and emits cos_micro =
+    dot div 1e6. Oracle replays training, stored-centroid assignment,
+    probe selection, and ranking bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.ann import IvfVectorIndex
+
+    schema = "query_id int, rnk int, vec_id bigint, cos_micro bigint"
+    emb = load_table(spark, sf_dir, "embeddings")
+    qframe = _md5_query_frame(emb, 3)
+    if qframe.count() == 0:
+        return spark.createDataFrame([], schema)
+    root = tempfile.mkdtemp(prefix="q_ann_ix_exact_")
+    try:
+        ix = IvfVectorIndex(spark, root, n_cells=4, iterations=2, hash_fn="md5")
+        ix.build(emb)
+        rows = ix.topk_batch(qframe, 10, n_probe=2, mode="exact").collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["query_id"], r["rnk"], r["vec_id"], r["cos_micro"]) for r in rows],
+        schema,
+    )
+
+
+_KNN_INDEX_EXACT_CTES = """kf AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c2 GROUP BY cell
+    ),
+    qry AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY h DESC, vec_id DESC) - 1 AS query_id,
+               vec_id AS q_vid, qv AS qqv
+        FROM q ORDER BY h DESC, vec_id DESC LIMIT 3
+    ),
+    probe AS MATERIALIZED (
+        SELECT query_id, cell FROM (
+            SELECT qry.query_id, kf.cell,
+                   row_number() OVER (PARTITION BY qry.query_id ORDER BY
+                       list_sum(list_transform(generate_series(1, len(qry.qqv)),
+                            i -> qry.qqv[i] * kf.cv[i])) DESC, kf.cell) AS pr
+            FROM qry, kf)
+        WHERE pr <= 2
+    ),
+    asn AS MATERIALIZED (
+        SELECT vec_id, qv, arg_max(cell, dot * 4 + cell) AS cell
+        FROM (SELECT q.vec_id, q.qv, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, kf kk)
+        GROUP BY vec_id, qv
+    ),
+    dots AS MATERIALIZED (
+        SELECT pr.query_id, a.vec_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                    i -> qy.qqv[i] * a.qv[i])) AS BIGINT) AS dot
+        FROM probe pr
+        JOIN asn a ON a.cell = pr.cell
+        JOIN qry qy ON qy.query_id = pr.query_id
+    )"""
+
+KNN_INDEX_TOPK_EXACT_SQL = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,\n"
+        "           vec_id, CAST(dot // 1000000 AS BIGINT) AS cos_micro\n"
+        "    FROM (SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "              ORDER BY dot DESC, vec_id) AS rnk FROM dots)\n"
+        "    WHERE rnk <= 10 ORDER BY query_id, rnk"
+    ),
+    extra_ctes=[_KNN_INDEX_EXACT_CTES],
+)
+
+EXTRA_QUERIES["knn_index_topk_exact"] = knn_index_topk_exact
+ORACLES["knn_index_topk_exact"] = KNN_INDEX_TOPK_EXACT_SQL
+
+
+def emb_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of `emb_ivf_join` (r11, VERDICT r10 item 1): the
+    threshold similarity join rides a PERSISTED `IvfVectorIndex` —
+    stored centroids assign the incoming batch (no per-call
+    retraining), the probe set prunes partitions, exact integer dots
+    decide. Incoming = every 7th corpus vector against the full stored
+    corpus, cosine >= 0.25, self-pairs excluded. Same pair math as the
+    plan-level twin (the adaptive cell count is the index's n_cells
+    here; both resolve to k=4 at oracle-gate scales — the
+    `test_emb_ivf_join_oracle_k_tripwire` guard covers this row too)."""
+    import shutil
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.operators.ann import IvfVectorIndex
+
+    schema = "query_id bigint, vec_id bigint, cell int, cos_micro bigint"
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_nz = emb.filter(S.sq_norm_expr("embedding") > 0).count()
+    if n_nz == 0:
+        return spark.createDataFrame([], schema)
+    root = tempfile.mkdtemp(prefix="q_ann_ix_join_")
+    try:
+        ix = IvfVectorIndex(
+            spark, root, n_cells=_emb_join_cells(n_nz), iterations=2, hash_fn="md5"
+        )
+        ix.build(emb)
+        incoming = emb.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = ix.similarity_join(
+            incoming, threshold_micro=250_000, n_probe=2, exclude_self=True
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["query_id"], r["vec_id"], r["cell"], r["cos_micro"]) for r in rows],
+        schema,
+    )
+
+
+EXTRA_QUERIES["emb_index_join"] = emb_index_join
+ORACLES["emb_index_join"] = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT qid AS query_id, vec_id, CAST(cell AS INT) AS cell, cos_micro\n"
+        "    FROM prs WHERE cos_micro >= 250000 ORDER BY query_id, vec_id, cell"
     ),
     extra_ctes=[_EMB_IVF_JOIN_CTES],
 )

@@ -98,8 +98,11 @@ HEADLINE = [
     "tok_bpe_encode",
     "tok_pack_sequences_bpe",
     "mm_gif_frame_sample",
-    "knn_ivf_q8",
-    "knn_ivf_pq",
+    # r11: the persisted-index serving family replaces the rows-only
+    # knn_ivf_q8/knn_ivf_pq bench rows (VERDICT r10 items 1/4/6)
+    "knn_index_topk_exact",
+    "knn_index_topk_adc",
+    "emb_index_join",
     "corpus_decontaminate_bloom",
     "j_salted_skew_enrich",
     # r8 second wave: behavioral analytics (funnel / cohort retention),
