@@ -242,6 +242,21 @@ class IvfVectorIndex:
         )
         if books is not None:
             out = out.withColumn("_codes", pq_cells_expr("_qv", books))
+        # the batch's assignment quality, per row: dot(vector, its
+        # centroid) in micro-cosine units (the DSIR integer pattern —
+        # quantize BEFORE summation so the fold is exact and
+        # order-independent), NULL for zero-norm rows (no direction —
+        # they must not dilute the drift mean). Aggregated by
+        # _batch_stats into the metadata drift history, then dropped
+        # before the write (stored schema unchanged).
+        dotq = F.expr(
+            f"aggregate(zip_with(`_qv`, element_at({_lit_imatrix_sql(cents)}, "
+            f"`_cell` + 1), (x, y) -> x * y), CAST(0 AS BIGINT), "
+            f"(a, b) -> a + b) div 1000000"
+        )
+        out = out.withColumn(
+            "_dotq", F.when(F.col("_nrm") > 0, dotq).otherwise(F.lit(None))
+        )
         return out.drop("_qv", "_nrm")
 
     def _books(self) -> list[list[list[int]]] | None:
@@ -286,11 +301,19 @@ class IvfVectorIndex:
         return max(ids, default=-1)
 
     @staticmethod
-    def _batch_cell_counts(assigned: DataFrame) -> dict[int, int]:
-        return {
-            int(r["_cell"]): int(r["n"])
-            for r in assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+    def _batch_stats(assigned: DataFrame) -> tuple[dict[int, int], int, int]:
+        """(per-cell counts, non-zero rows, sum of micro-cosine
+        assignment dots) in ONE aggregate over the persisted batch —
+        the counters and the drift sample share the pass."""
+        rows = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_dotq").alias("nz"),
+            F.sum("_dotq").alias("s"),
+        ).collect()
+        counts = {int(r["_cell"]): int(r["n"]) for r in rows}
+        nz = sum(int(r["nz"]) for r in rows)
+        sdot = sum(int(r["s"]) for r in rows if r["s"] is not None)
+        return counts, nz, sdot
 
     def _meta(
         self,
@@ -412,15 +435,23 @@ class IvfVectorIndex:
         for _ in range(max_retries):
             work = assigned.persist()
             try:
-                counts = self._batch_cell_counts(work)
+                counts, nz, sdot = self._batch_stats(work)
                 # repartition on the partition column first or the write
                 # emits tasks x cells tiny files (store gotcha)
                 self.store.overwrite(
                     VECTORS,
-                    work.repartition("_cell"),
+                    work.drop("_dotq").repartition("_cell"),
                     partition_by="_cell",
                     expect=expect,
-                    meta=self._meta(applied, counts, quantizer_versions=qver),
+                    meta=self._meta(
+                        applied,
+                        counts,
+                        quantizer_versions=qver,
+                        # the build entry is the drift BASELINE: how well
+                        # the fresh quantizer fits its own training corpus
+                        drift_history=[[base_bid, nz, sdot]],
+                        appends_since_rewrite=0,
+                    ),
                 )
                 return
             except ConcurrentWriteError:
@@ -500,16 +531,32 @@ class IvfVectorIndex:
                 df, cents, batch_id=bid, books=self._books()
             ).persist()
             try:
-                batch_counts = self._batch_cell_counts(assigned)
+                batch_counts, nz, sdot = self._batch_stats(assigned)
                 merged = dict(counts)
                 for c, n in batch_counts.items():
                     merged[c] = merged.get(c, 0) + n
+                history = list(snap_meta.get("drift_history", []))
+                history.append([bid, nz, sdot])
                 self.store.append(
                     VECTORS,
-                    assigned.repartition("_cell"),
+                    assigned.drop("_dotq").repartition("_cell"),
                     partition_by="_cell",
                     expect=v,
-                    meta=self._meta(applied | {bid}, merged, base=snap_meta),
+                    meta=self._meta(
+                        applied | {bid},
+                        merged,
+                        base=snap_meta,
+                        # bounded history (O(1) metadata on the recurring
+                        # path): the baseline build entry is ALWAYS kept,
+                        # the tail keeps the most recent batches
+                        drift_history=history[:1] + history[1:][-511:],
+                        # each append lands ~one file per touched cell;
+                        # maintain() compacts once this passes its bound
+                        appends_since_rewrite=int(
+                            snap_meta.get("appends_since_rewrite", 0)
+                        )
+                        + 1,
+                    ),
                 )
                 return
             except ConcurrentWriteError:
@@ -544,7 +591,9 @@ class IvfVectorIndex:
             applied, counts, _, snap_meta = self._snapshot_state(version=version)
             return {
                 "partition_by": "_cell",
-                "meta": self._meta(applied, counts, base=snap_meta),
+                "meta": self._meta(
+                    applied, counts, base=snap_meta, appends_since_rewrite=0
+                ),
             }
 
         _compact_cas(
@@ -554,6 +603,48 @@ class IvfVectorIndex:
             max_retries=max_retries,
             write_kwargs=kwargs,
         )
+
+    def maintain(
+        self,
+        *,
+        compact_after: int = 32,
+        vacuum_keep: int = 2,
+        rebuild_threshold: float = 3.0,
+        drift_drop_micro: int = 100_000,
+    ) -> dict:
+        """One scheduled housekeeping pass (r11, VERDICT r10 item 5) —
+        the documented policy wiring for long-running streaming ingest:
+
+        - **compact** when ``appends_since_rewrite`` (an O(1) metadata
+          counter) has reached ``compact_after`` — each append lands
+          ~one file per touched cell, so a thousand unchecked ingests
+          mean a thousand files per cell directory; the bound keeps the
+          steady-state file count per cell at O(compact_after).
+        - **vacuum** old versions down to ``vacuum_keep`` (hard links
+          keep shared data alive; keep >= 2 so a reader pinned on the
+          previous version finishes its scan — and the quantizer pin of
+          a just-superseded build stays resolvable).
+        - **report** (never auto-run) whether :meth:`needs_rebuild`
+          trips — retraining is a policy decision with a training cost;
+          the operator schedules it, the report tells them when.
+
+        Returns {'compacted', 'vacuumed', 'needs_rebuild'}. Watermark,
+        counters, and drift history survive every step (same pinned-
+        snapshot meta carry as :meth:`compact`)."""
+        if not self.store.exists(VECTORS):
+            return {"compacted": False, "vacuumed": False, "needs_rebuild": False}
+        _, _, _, meta = self._snapshot_state()
+        compacted = int(meta.get("appends_since_rewrite", 0)) >= compact_after
+        if compacted:
+            self.compact()
+        self.store.vacuum(VECTORS, keep=vacuum_keep)
+        return {
+            "compacted": compacted,
+            "vacuumed": True,
+            "needs_rebuild": self.needs_rebuild(
+                threshold=rebuild_threshold, drift_drop_micro=drift_drop_micro
+            ),
+        }
 
     # -- drift monitor (r10, VERDICT r9 item 2) --------------------------
 
@@ -598,13 +689,61 @@ class IvfVectorIndex:
             return 1.0
         return max(counts.values()) * self.trained_cells() / total
 
-    def needs_rebuild(self, *, threshold: float = 3.0) -> bool:
-        """True when :meth:`imbalance` exceeds ``threshold`` — the
-        documented trigger for :meth:`rebuild` (the reference's
-        drift-then-recrawl loop, `lambda/catalog-creator-s3/
-        app.py:196-198`). 3.0 = the hottest cell holds 3x its fair
-        share, i.e. the worst probe reads 3x the expected fraction."""
-        return self.imbalance() > threshold
+    def assignment_drift(self) -> DataFrame:
+        """Per-batch assignment-quality history from the metadata drift
+        samples (r11, VERDICT r10 item 3): (batch_id, n_vecs,
+        mean_cos_micro) where mean_cos_micro is the batch's mean
+        dot(vector, assigned centroid) in micro-cosine units over its
+        non-zero rows. The first row is the BUILD baseline (how well
+        the quantizer fits its own training corpus); a falling tail
+        with flat cell counters is exactly the drift the counters
+        cannot see — balanced cells, degrading probe recall. Reads
+        ZERO index data."""
+        from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _trunc_div
+
+        _, _, _, meta = self._snapshot_state()
+        rows = [
+            (int(b), int(nz), _trunc_div(int(s), int(nz)))
+            for b, nz, s in meta.get("drift_history", [])
+            if int(nz) > 0
+        ]
+        return self.spark.createDataFrame(
+            rows, "batch_id bigint, n_vecs bigint, mean_cos_micro bigint"
+        )
+
+    def drift_drop(self) -> int:
+        """How far the LATEST ingest's mean assignment cosine has
+        fallen below the build baseline, in micro-cosine units (0 when
+        fewer than two usable samples, or when fit improved)."""
+        from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _trunc_div
+
+        _, _, _, meta = self._snapshot_state()
+        means = [
+            _trunc_div(int(s), int(nz))
+            for _, nz, s in meta.get("drift_history", [])
+            if int(nz) > 0
+        ]
+        if len(means) < 2:
+            return 0
+        return max(0, means[0] - means[-1])
+
+    def needs_rebuild(
+        self, *, threshold: float = 3.0, drift_drop_micro: int = 100_000
+    ) -> bool:
+        """True when :meth:`imbalance` exceeds ``threshold`` OR the
+        latest batch's mean assignment cosine has dropped more than
+        ``drift_drop_micro`` (default 0.1 cosine) below the build
+        baseline (:meth:`drift_drop`) — the documented triggers for
+        :meth:`rebuild` (the reference's drift-then-recrawl loop,
+        `lambda/catalog-creator-s3/app.py:196-198`). 3.0 = the hottest
+        cell holds 3x its fair share, i.e. the worst probe reads 3x the
+        expected fraction; the trend trigger catches rotation drift
+        that keeps cells balanced while recall decays (r11, VERDICT
+        r10 item 3)."""
+        return (
+            self.imbalance() > threshold
+            or self.drift_drop() > drift_drop_micro
+        )
 
     # -- batch serving (r11, VERDICT r10 items 1/4/6) --------------------
 

@@ -55,6 +55,98 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.md5(col.cast("binary")).substr(1, 15), 16, 10).cast("bigint")
 
 
+# -- HTML -> text extraction (r11, VERDICT r10 item 2) -----------------
+#
+# The most common missing ingest stage of a pretraining pipeline: raw
+# markup (CommonCrawl-shape) arrives BEFORE the corpus operators that
+# all start from clean text. This is a regex extractor, not an HTML
+# parser — the documented trade for staying a pure JVM-side expression
+# (whole-stage codegen, zero Python) that DuckDB replays verbatim.
+# Known limits (each pytest-pinned): attribute values containing '>'
+# truncate that tag early; only the common NAMED entities below are
+# decoded (numeric &#NN; forms pass through literally); anchors split
+# across block boundaries lose their link-density contribution.
+
+#: entity -> replacement, in DECODE ORDER: '&amp;' must be LAST so
+#: double-encoded text ('&amp;lt;') decodes to the literal entity
+#: ('&lt;'), never to '<'
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: tags whose open OR close ends a text block (replaced by newline)
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article"
+    "|header|footer|nav|blockquote|pre|form|hr|title"
+)
+_HTML_BLOCK_RE = rf"(?i)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>.*?</a\s*>"
+_HTML_TAG_RE = r"<[^>]*>"
+
+
+def _html_block_text(block: Column) -> Column:
+    """One block's visible text: strip tags, decode the named entities
+    (in HTML_ENTITIES order), collapse whitespace."""
+    t = F.regexp_replace(block, _HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, _WS, " "))
+
+
+def _word_count(t: Column) -> Column:
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def html_blocks(col: Column) -> Column:
+    """The markup split into candidate text blocks: comments, script
+    and style elements removed (content included — they are never
+    visible text), source newlines normalized to spaces (in HTML they
+    are plain whitespace — a pretty-printed paragraph spanning many
+    source lines is ONE block), then block-level tag boundaries become
+    newlines."""
+    cleaned = F.regexp_replace(col, _HTML_COMMENT_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _HTML_SCRIPT_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _HTML_STYLE_RE, " ")
+    cleaned = F.regexp_replace(cleaned, "[\n\r]", " ")
+    return F.split(F.regexp_replace(cleaned, _HTML_BLOCK_RE, "\n"), "\n")
+
+
+def html_extract(
+    col: Column, *, min_words: int = 3, max_link_bp: int = 5000
+) -> Column:
+    """Markup -> clean text: per block, keep it when it has at least
+    ``min_words`` words AND its link density (characters contributed by
+    anchor elements vs all visible characters) is at most
+    ``max_link_bp`` basis points — the boilerplate rule that drops
+    navs/footers (anchor-dominated) and stray fragments while keeping
+    body prose. Decision by integer cross-multiplication, no division.
+    Kept blocks are entity-decoded, whitespace-normalized, and joined
+    with newlines. Pure native expressions — the DuckDB oracle
+    (`corpus_html_extract`) replays every regex and the keep rule
+    verbatim."""
+
+    def keep(b: Column) -> Column:
+        t_all = _html_block_text(b)
+        t_noa = _html_block_text(F.regexp_replace(b, _HTML_ANCHOR_RE, " "))
+        link_chars = F.length(t_all) - F.length(t_noa)
+        return (_word_count(t_all) >= F.lit(min_words)) & (
+            link_chars * F.lit(10000) <= F.lit(max_link_bp) * F.length(t_all)
+        )
+
+    return F.array_join(
+        F.transform(F.filter(html_blocks(col), keep), _html_block_text), "\n"
+    )
+
+
 def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     vocab = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))

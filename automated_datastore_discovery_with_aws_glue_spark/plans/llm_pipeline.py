@@ -3763,3 +3763,227 @@ ORACLES["emb_index_join"] = _kmeans_sql(
     ),
     extra_ctes=[_EMB_IVF_JOIN_CTES],
 )
+
+
+# -- HTML -> text extraction (r11, VERDICT r10 item 2) ------------------
+#
+# The synthetic wrapper turns every corpus document into a realistic
+# markup page (head/style/script, a comment containing tags, a
+# link-dense nav, a heading with a double-encoded entity, the body
+# text, a too-short fragment, and a prose footer with one inline link)
+# — engineered so each extraction rule does real work: script/style/
+# comment content must vanish, the nav must fall to the LINK-DENSITY
+# rule (it has enough words), 'Too short' to the word-count rule, and
+# the entities must decode in the documented order. The SAME literal
+# fragments build the page on both engines.
+_HTML_WRAP_A = "<html><head><title>Doc "
+_HTML_WRAP_B = (
+    "</title><style>body { color: #fff; }</style>"
+    '<script type="text/javascript">var x = 1 < 2; // <p>not text</p></script>'
+    "</head><body><!-- hidden <p>comment</p> block -->"
+    '<nav><a href="/">Home page link</a> <a href="/about">About us page</a></nav>'
+    "<h1>Document &amp; title "
+)
+_HTML_WRAP_C = " heading</h1><p>"
+_HTML_WRAP_D = (
+    "</p><p>Too short</p><div>Trailing &quot;boilerplate&quot; prose block with "
+    '<a href="/x">one inline link</a> kept.</div></body></html>'
+)
+
+
+def corpus_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> clean-text ingest stage (r11, VERDICT r10 item 2):
+    synthesize a markup page around every corpus document (shared
+    literal fragments, both engines), run `operators/text.py
+    html_extract` — comment/script/style removal, block splitting,
+    word-count + link-density keep rules (integer cross-multiplied),
+    named-entity decoding, whitespace normalization — and report the
+    kept-block count, word count, and the extracted text per document.
+    Pure native expressions (regexp_replace / HOF lambdas), zero
+    Python; DuckDB replays every regex and rule verbatim."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit(_HTML_WRAP_A),
+        did,
+        F.lit(_HTML_WRAP_B),
+        did,
+        F.lit(_HTML_WRAP_C),
+        F.col("text"),
+        F.lit(_HTML_WRAP_D),
+    )
+    out = docs.select("doc_id", html_extract(raw).alias("extracted"))
+    return out.select(
+        "doc_id",
+        F.when(F.col("extracted") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("extracted"), "\n")))
+        .cast("int")
+        .alias("n_blocks"),
+        F.when(F.col("extracted") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("extracted"), r"\s+")))
+        .cast("int")
+        .alias("n_words"),
+        "extracted",
+    ).orderBy("doc_id")
+
+
+def _html_extract_sql() -> str:
+    """The DuckDB replay of `html_extract` over the same synthetic
+    pages: blocks exploded to rows (no nested lambdas needed), the
+    entity chain, keep rules, and ordered re-aggregation."""
+    ent_chain = "regexp_replace({src}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        ent_chain = "replace(" + ent_chain + ", '" + ent + "', '" + ch + "')"
+    block_text = (
+        "trim(regexp_replace(" + ent_chain + ", '\\s+', ' ', 'g'))"
+    )
+    t_all = block_text.format(src="b")
+    t_noa = block_text.format(
+        src="regexp_replace(b, '(?is)<a\\b[^>]*>.*?</a\\s*>', ' ', 'g')"
+    )
+    wrap = (
+        "concat('" + _HTML_WRAP_A + "', CAST(doc_id AS VARCHAR), '"
+        + _HTML_WRAP_B.replace("'", "''") + "', CAST(doc_id AS VARCHAR), '"
+        + _HTML_WRAP_C + "', text, '" + _HTML_WRAP_D.replace("'", "''") + "')"
+    )
+    return (
+        "WITH cln AS MATERIALIZED (\n"
+        "    SELECT doc_id,\n"
+        "           regexp_replace(regexp_replace(regexp_replace(regexp_replace(" + wrap + ",\n"
+        "               '(?s)<!--.*?-->', ' ', 'g'),\n"
+        "               '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),\n"
+        "               '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),\n"
+        "               '[\\n\\r]', ' ', 'g') AS raw\n"
+        "    FROM documents\n"
+        "),\n"
+        "blk AS MATERIALIZED (\n"
+        "    SELECT doc_id, string_split(regexp_replace(raw,\n"
+        "        '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody"
+        "|section|article|header|footer|nav|blockquote|pre|form|hr|title)"
+        "\\b[^>]*>', chr(10), 'g'), chr(10)) AS bs\n"
+        "    FROM cln\n"
+        "),\n"
+        "bx AS MATERIALIZED (\n"
+        "    SELECT doc_id, t.i AS bi, bs[t.i] AS b\n"
+        "    FROM blk, unnest(generate_series(1, len(bs))) AS t(i)\n"
+        "),\n"
+        "bt AS MATERIALIZED (\n"
+        "    SELECT doc_id, bi, " + t_all + " AS t_all, " + t_noa + " AS t_noa\n"
+        "    FROM bx\n"
+        "),\n"
+        "keepb AS MATERIALIZED (\n"
+        "    SELECT doc_id, bi, t_all FROM bt\n"
+        "    WHERE (CASE WHEN t_all = '' THEN 0\n"
+        "                ELSE len(string_split(t_all, ' ')) END) >= 3\n"
+        "      AND (length(t_all) - length(t_noa)) * 10000 <= 5000 * length(t_all)\n"
+        "),\n"
+        "agg AS MATERIALIZED (\n"
+        "    SELECT doc_id, array_to_string(list(t_all ORDER BY bi), chr(10)) AS extracted\n"
+        "    FROM keepb GROUP BY doc_id\n"
+        ")\n"
+        "SELECT d.doc_id,\n"
+        "       CAST(CASE WHEN coalesce(a.extracted, '') = '' THEN 0\n"
+        "                 ELSE len(string_split(a.extracted, chr(10))) END AS INT) AS n_blocks,\n"
+        "       CAST(CASE WHEN coalesce(a.extracted, '') = '' THEN 0\n"
+        "                 ELSE len(regexp_split_to_array(a.extracted, '\\s+')) END AS INT) AS n_words,\n"
+        "       coalesce(a.extracted, '') AS extracted\n"
+        "FROM documents d LEFT JOIN agg a USING (doc_id)\n"
+        "ORDER BY d.doc_id"
+    )
+
+
+EXTRA_QUERIES["corpus_html_extract"] = corpus_html_extract
+ORACLES["corpus_html_extract"] = _html_extract_sql()
+
+
+def ann_drift_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of the index's drift-history math (r11, VERDICT r10
+    item 3 — `operators/ann.py assignment_drift`/`drift_drop`, whose
+    production samples fold into ``_TABLE_META`` per ingest): train the
+    md5 quantizer, assign every vector, slice the corpus into synthetic
+    ingest batches (vec_id mod 3), and report each batch's non-zero row
+    count and mean assignment dot in micro-cosine units — the per-row
+    dot quantized BEFORE summation (trunc-div, the DSIR integer
+    pattern), mean = sum div count, exactly the trend-trigger number
+    `needs_rebuild(drift_drop_micro=)` compares."""
+    cents = S.kmeans_centroids_int(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        n_cells=4,
+        iterations=2,
+        id_col="vec_id",
+        hash_fn="md5",
+    )
+    if not cents:  # empty / all-zero corpus: no batches to report
+        return spark.createDataFrame(
+            [], "batch_id bigint, n_vecs bigint, mean_cos_micro bigint"
+        )
+    from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
+        .filter(F.col("_nrm") > 0)
+        .select("vec_id", S.quantize_unit_micro("embedding", "_nrm").alias("_qv"))
+        .withColumn("_cell", S.kmeans_cell_expr("_qv", cents))
+        .select(
+            (F.col("vec_id") % 3).alias("batch_id"),
+            F.expr(
+                f"aggregate(zip_with(`_qv`, element_at({_lit_imatrix_sql(cents)}, "
+                f"`_cell` + 1), (x, y) -> x * y), CAST(0 AS BIGINT), "
+                f"(a, b) -> a + b) div 1000000"
+            ).alias("_dotq"),
+        )
+    )
+    return (
+        assigned.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("_dotq").alias("_s"))
+        .select(
+            "batch_id", "n_vecs", F.expr("_s div n_vecs").alias("mean_cos_micro")
+        )
+        .orderBy("batch_id")
+    )
+
+
+_DRIFT_TWIN_CTES = """kf AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY pos) AS cv FROM c2 GROUP BY cell
+    ),
+    asnd AS MATERIALIZED (
+        SELECT vec_id, arg_max(cell, dot * 4 + cell) AS cell,
+               arg_max(dot, dot * 4 + cell) // 1000000 AS dotq
+        FROM (SELECT q.vec_id, kk.cell,
+                     list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] * kk.cv[i])) AS dot
+              FROM q, kf kk)
+        GROUP BY vec_id
+    ),
+    perb AS (
+        SELECT vec_id % 3 AS batch_id, count(*) AS n_vecs,
+               CAST(sum(dotq) AS BIGINT) AS s
+        FROM asnd GROUP BY 1
+    )"""
+
+ANN_DRIFT_TWIN_SQL = _kmeans_sql(
+    4,
+    2,
+    final=(
+        "SELECT CAST(batch_id AS BIGINT) AS batch_id,\n"
+        "           CAST(n_vecs AS BIGINT) AS n_vecs,\n"
+        "           CAST(s // n_vecs AS BIGINT) AS mean_cos_micro\n"
+        "    FROM perb ORDER BY batch_id"
+    ),
+    extra_ctes=[_DRIFT_TWIN_CTES],
+)
+
+EXTRA_QUERIES["ann_drift_twin"] = ann_drift_twin
+ORACLES["ann_drift_twin"] = ANN_DRIFT_TWIN_SQL

@@ -475,6 +475,122 @@ def test_topk_batch_adc_and_similarity_join(spark, tmp_path):
             if cm >= 200_000:
                 expect.add((qid, vid, cm))
     assert got == expect
+
+
+def test_drift_trend_trips_on_balanced_rotation(spark, tmp_path):
+    """r11 (VERDICT r10 item 3): a drifting stream that stays
+    CELL-BALANCED (flat counters — invisible to the imbalance monitor)
+    but rotates away from the trained directions trips the TREND
+    trigger: the per-batch mean assignment cosine in the metadata drift
+    history falls below the build baseline. rebuild() resets the
+    baseline."""
+    import math
+
+    # training corpus: tight clusters on 4 orthogonal axes -> 4 cells,
+    # mean assignment cosine ~1.0. Axes are assigned by xxhash64 RANK
+    # (round-robin), so the 4 hash-smallest rows — the quantizer's
+    # seeds — cover all 4 axes and Lloyd converges to one cell per
+    # axis (unseeded, two seeds can land on one axis and merge
+    # clusters, legitimately lowering the baseline).
+    hs = (
+        spark.createDataFrame([(i,) for i in range(200)], "vec_id long")
+        .select("vec_id", F.xxhash64("vec_id").alias("h"))
+        .collect()
+    )
+    order = [r["vec_id"] for r in sorted(hs, key=lambda r: (r["h"], r["vec_id"]))]
+    axis_of = {vid: rank % 4 for rank, vid in enumerate(order)}
+    rows = []
+    for i in range(200):
+        axis = axis_of[i]
+        v = [0.0] * 8
+        v[axis] = 10.0
+        v[(axis + 4) % 8] = 0.01 * (i % 5)  # tiny jitter
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=2)
+    ix.build(df)
+    assert ix.drift_drop() == 0
+    assert not ix.needs_rebuild()
+
+    # drifted batches: every vector sits BETWEEN two trained axes
+    # (45 degrees -> assignment cosine ~0.707), spread evenly so the
+    # cells stay balanced
+    s = 10.0 / math.sqrt(2.0)
+    drifted = []
+    for i in range(200):
+        a, b = i % 4, (i + 1) % 4
+        v = [0.0] * 8
+        v[a], v[b] = s, s
+        drifted.append((1000 + i, v))
+    ix.ingest(spark.createDataFrame(drifted, ["vec_id", "embedding"]), batch_id=1)
+
+    # counters stay flat: the occupancy monitor sees nothing
+    assert ix.imbalance() < 2.0
+    # the trend monitor sees the rotation
+    hist = {
+        r["batch_id"]: r["mean_cos_micro"] for r in ix.assignment_drift().collect()
+    }
+    assert hist[0] > 950_000  # build baseline ~1.0
+    assert hist[1] < 800_000  # drifted batch ~0.707
+    assert ix.drift_drop() > 150_000
+    assert ix.needs_rebuild()  # default drift_drop_micro=100_000
+    assert not ix.needs_rebuild(drift_drop_micro=500_000)
+
+    # the documented response resets the baseline: after retraining on
+    # the full corpus the latest fit IS the baseline fit again
+    ix.rebuild(
+        df.unionByName(spark.createDataFrame(drifted, ["vec_id", "embedding"]))
+    )
+    assert ix.drift_drop() == 0
+    assert not ix.needs_rebuild()
+    # history survives compaction (meta carry)
+    ix.compact()
+    assert ix.assignment_drift().count() >= 1
+
+
+def test_maintain_bounds_files_and_preserves_state(spark, tmp_path):
+    """r11 (VERDICT r10 item 5): N small ingests then maintain() with a
+    compact bound yields a bounded per-cell file count with watermark,
+    counters, and drift history intact; below the bound maintain() only
+    vacuums."""
+    import glob as globmod
+    import os
+
+    df, _rows = _corpus(spark, n=120)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df.filter(F.col("vec_id") < 40))
+    for b in range(1, 6):
+        lo, hi = 40 + (b - 1) * 16, 40 + b * 16
+        ix.ingest(
+            df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), batch_id=b
+        )
+
+    def n_files():
+        v = ix.store.latest_version("vectors")
+        vdir = ix.store._version_dir("vectors", v)
+        return len(globmod.glob(os.path.join(vdir, "_cell=*", "*.parquet")))
+
+    frag = n_files()
+    # below the bound: no compaction, vacuum only
+    rep = ix.maintain(compact_after=50)
+    assert rep == {"compacted": False, "vacuumed": True, "needs_rebuild": False}
+    assert n_files() == frag
+    # at the bound: compaction fires, file count drops, state intact
+    rep = ix.maintain(compact_after=5)
+    assert rep["compacted"] and not rep["needs_rebuild"]
+    assert n_files() < frag
+    assert ix.store.table_meta("vectors")["applied_batch_ids"] == [0, 1, 2, 3, 4, 5]
+    assert ix.store.table_meta("vectors")["appends_since_rewrite"] == 0
+    assert ix.vectors().count() == 120  # ids 0..119 (the zero vector, id 120, is outside every batch)
+    assert ix.assignment_drift().count() == 6  # build + 5 ingests
+    n = ix.vectors().count()
+    ix.ingest(df.limit(5), batch_id=3)  # replay across maintain: no-op
+    assert ix.vectors().count() == n
+    # vacuum trimmed old versions (keep=2); hard links keep data alive
+    assert len(ix.store.versions("vectors")) <= 2
+
+
+def test_quantizer_pinned_to_vectors_version(spark, tmp_path):
     """r11 (ADVICE r10): the VECTORS meta pins the exact CENTROIDS /
     CODEBOOKS store versions the rows were assigned with, so a crashed
     (or in-flight) rebuild that committed new quantizer tables but not
