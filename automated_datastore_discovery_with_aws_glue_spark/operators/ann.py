@@ -155,9 +155,9 @@ class IvfVectorIndex:
 
     # -- internals -----------------------------------------------------
 
-    def _quantizer_versions(self) -> dict:
-        """Which CENTROIDS/CODEBOOKS store versions the CURRENT vectors
-        were assigned with — from the VECTORS version's atomic
+    def _quantizer_versions(self, *, vectors_version: int | None = None) -> dict:
+        """Which CENTROIDS/CODEBOOKS store versions the given (default:
+        latest) vectors version was assigned with — from its atomic
         ``_TABLE_META`` (r11, ADVICE r10): build() commits the quantizer
         tables first and the vectors LAST, with the pin riding the same
         pointer flip as the rows, so a reader can never pair new
@@ -167,13 +167,29 @@ class IvfVectorIndex:
         legacy index or no vectors yet -> latest quantizer tables."""
         if not self.store.exists(VECTORS):
             return {}
-        return self.store.table_meta(VECTORS).get("quantizer_versions", {})
+        return self.store.table_meta(VECTORS, version=vectors_version).get(
+            "quantizer_versions", {}
+        )
 
-    def centroids_int(self) -> list[list[int]]:
+    def _read_snapshot_version(self) -> int | None:
+        """The single VECTORS version a query pins at entry — its rows,
+        centroids, and codebooks all resolve from this one snapshot, so
+        a rebuild committing mid-plan cannot mix epochs."""
+        return (
+            self.store.latest_version(VECTORS)
+            if self.store.exists(VECTORS)
+            else None
+        )
+
+    def centroids_int(
+        self, *, vectors_version: int | None = None
+    ) -> list[list[int]]:
         """The stored quantizer as the k x d integer matrix — the
-        version the current vectors were ASSIGNED with, not whatever a
-        concurrent rebuild may have staged since."""
-        qv = self._quantizer_versions().get("centroids")
+        version the given vectors snapshot was ASSIGNED with, not
+        whatever a concurrent rebuild may have staged since."""
+        qv = self._quantizer_versions(vectors_version=vectors_version).get(
+            "centroids"
+        )
         rows = (
             self.store.read(CENTROIDS, version=qv).orderBy("cell", "pos").collect()
         )
@@ -184,16 +200,23 @@ class IvfVectorIndex:
             [cents[c][p] for p in sorted(cents[c])] for c in sorted(cents)
         ]
 
-    def quantizer(self) -> np.ndarray:
+    def quantizer(self, *, vectors_version: int | None = None) -> np.ndarray:
         """Float unit-norm view of the stored centroids (probe scoring)."""
-        arr = np.array(self.centroids_int(), dtype=float) / 1_000_000.0
+        arr = (
+            np.array(self.centroids_int(vectors_version=vectors_version), dtype=float)
+            / 1_000_000.0
+        )
         norms = np.linalg.norm(arr, axis=1, keepdims=True)
         return arr / np.maximum(norms, 1e-300)
 
-    def codebooks_int(self) -> list[list[list[int]]]:
+    def codebooks_int(
+        self, *, vectors_version: int | None = None
+    ) -> list[list[list[int]]]:
         """The stored PQ codebooks as the m x k x (d/m) integer tensor —
         version-pinned like :meth:`centroids_int`."""
-        qv = self._quantizer_versions().get("codebooks")
+        qv = self._quantizer_versions(vectors_version=vectors_version).get(
+            "codebooks"
+        )
         rows = self.store.read(CODEBOOKS, version=qv).collect()
         acc: dict[int, dict[int, dict[int, int]]] = {}
         for r in rows:
@@ -762,13 +785,19 @@ class IvfVectorIndex:
             )
         )
 
-    def _probed_candidates(self, cells: list[int], *, with_codes: bool) -> DataFrame:
+    def _probed_candidates(
+        self,
+        cells: list[int],
+        *,
+        with_codes: bool,
+        version: int | None = None,
+    ) -> DataFrame:
         """The stored vectors of the probed cells, quantized for
         scoring. ``_cell IN (cells)`` is a PartitionFilter — only the
         probed cell directories are listed. Zero-norm stored rows are
         excluded (never scored, exactly like :meth:`topk`)."""
         nz = (
-            self.vectors()
+            self.store.read(VECTORS, version=version)
             .filter(F.col("_cell").isin(cells))
             .withColumn("_vnrm", sq_norm_expr(self.vec_col))
             .filter(F.col("_vnrm") > 0)
@@ -791,15 +820,18 @@ class IvfVectorIndex:
         query_vec_col: str | None,
         with_codes: bool,
         books: list[list[list[int]]] | None = None,
+        version: int | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Shared batch plumbing: (persisted qbase, exploded qdf,
-        pruned candidates). Probe selection is a map-side column
-        (`probe_cells_expr` — stored centroids as a literal matrix);
-        the DISTINCT probed cells (<= n_cells ints, one small action)
-        keep the index read a PartitionFilter. With ``books``, the
-        per-query ADC lookup table rides the persisted qbase so it is
-        computed once per query, not once per probe."""
-        cents = self.centroids_int()
+        pruned candidates) — all resolved from ONE pinned VECTORS
+        snapshot (``version``), so a rebuild committing mid-plan cannot
+        pair one epoch's centroids with another's rows. Probe selection
+        is a map-side column (`probe_cells_expr` — stored centroids as
+        a literal matrix); the DISTINCT probed cells (<= n_cells ints,
+        one small action) keep the index read a PartitionFilter. With
+        ``books``, the per-query ADC lookup table rides the persisted
+        qbase so it is computed once per query, not once per probe."""
+        cents = self.centroids_int(vectors_version=version)
         qbase = self._query_base(
             queries, query_id_col, query_vec_col or self.vec_col
         )
@@ -810,7 +842,9 @@ class IvfVectorIndex:
             "cell", F.explode(probe_cells_expr("_qqv", cents, n_probe))
         )
         cells = sorted(r["cell"] for r in qdf.select("cell").distinct().collect())
-        cand = self._probed_candidates(cells or [-1], with_codes=with_codes)
+        cand = self._probed_candidates(
+            cells or [-1], with_codes=with_codes, version=version
+        )
         return qbase, qdf, cand
 
     def topk_batch(
@@ -850,6 +884,7 @@ class IvfVectorIndex:
 
         from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
 
+        v = self._read_snapshot_version()
         if mode == "adc":
             if not self.pq_m:
                 raise ValueError(
@@ -857,7 +892,7 @@ class IvfVectorIndex:
                     "built without pq_m; rebuild() into a FRESH root opened "
                     "with pq_m set (the cell/PQ layout is immutable per root)"
                 )
-            books = self.codebooks_int()
+            books = self.codebooks_int(vectors_version=v)
             qbase, qdf, cand = self._probe_join(
                 queries,
                 n_probe=n_probe,
@@ -865,6 +900,7 @@ class IvfVectorIndex:
                 query_vec_col=query_vec_col,
                 with_codes=True,
                 books=books,
+                version=v,
             )
             w1 = Window.partitionBy("_qid").orderBy(
                 F.col("adc_d2").asc(), F.col(self.id_col)
@@ -912,6 +948,7 @@ class IvfVectorIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             with_codes=False,
+            version=v,
         )
         dot = F.expr(
             "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> x * y), "
@@ -960,6 +997,7 @@ class IvfVectorIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             with_codes=False,
+            version=self._read_snapshot_version(),
         )
         dot = F.expr(
             "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> x * y), "
@@ -1006,10 +1044,13 @@ class IvfVectorIndex:
         exactness contract as the q8 tier: quantization can demote a
         candidate out of the pool, never corrupt an emitted
         similarity."""
-        cents = self.quantizer()
+        v = self._read_snapshot_version()
+        cents = self.quantizer(vectors_version=v)
         qv = np.asarray(query, dtype=float)
         probes = [int(p) for p in np.argsort(-(cents @ qv))[: n_probe]]
-        probed = self.vectors().filter(F.col("_cell").isin(probes))
+        probed = self.store.read(VECTORS, version=v).filter(
+            F.col("_cell").isin(probes)
+        )
         if mode == "adc":
             if not self.pq_m:
                 raise ValueError(
@@ -1017,7 +1058,7 @@ class IvfVectorIndex:
                     "without pq_m; rebuild() into a FRESH root opened with "
                     "pq_m set (the cell/PQ layout is immutable per root)"
                 )
-            books = self.codebooks_int()
+            books = self.codebooks_int(vectors_version=v)
             m, ds = len(books), len(books[0][0])
             qn = qv / max(float(np.linalg.norm(qv)), 1e-300)
             qi = np.floor(qn * 1_000_000.0).astype(np.int64)

@@ -154,9 +154,11 @@ HEADLINE = [
     "prof_correlation",
     "corpus_cluster_sample",
     # r11: HTML -> clean-text ingest stage (regex extraction + keep
-    # rules, the whole pipeline oracle-replayed); the persisted-index
-    # serving rows ride earlier in the list (knn_index_*, emb_index_join)
+    # rules, the whole pipeline oracle-replayed) and the drift-history
+    # math twin; the persisted-index serving rows ride earlier in the
+    # list (knn_index_*, emb_index_join)
     "corpus_html_extract",
+    "ann_drift_twin",
 ]
 
 
