@@ -25,6 +25,7 @@ from automated_datastore_discovery_with_aws_glue_spark.plans import profiling as
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational as R
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational_deep as RD
 from automated_datastore_discovery_with_aws_glue_spark.plans import relational_ext as RX
+from automated_datastore_discovery_with_aws_glue_spark.plans import web_pipeline as WB
 from automated_datastore_discovery_with_aws_glue_spark.streaming import sessionize as SS
 
 
@@ -110,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    corpus_filter_signals (multi-round green, family-pinned by
         #    the in-window perplexity-bigram + quality-classifier rows)
         "ev_funnel": A.QUERIES["ev_funnel"],
-        "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
         # -- r8 fourth-wave: first/last/linear revenue attribution in
         #    exact integer cents (remainder to the last touch);
         #    displaced j_range_burst (two rounds green; the range-join
@@ -180,9 +180,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    green; the as-of machinery is pinned in-window by the
         #    forward/nearest direction rows)
         "ts_gapfill_hourly": RX.QUERIES["ts_gapfill_hourly"],
-        # -- rotated IN for r8 (VERDICT r7 items 4+5+3+6): the named
-        #    past-window batch...
-        "corpus_sample_stratified": L.EXTRA_QUERIES["corpus_sample_stratified"],
+        # -- r11 second wave: the URL/web-ingest layer (the stage BEFORE
+        #    html_extract in a CommonCrawl-shape pipeline) — URL
+        #    canonicalization + eTLD+1 + exact-dup rank, then the
+        #    dedup -> blocklist -> per-domain-cap mix gate (two-phase
+        #    plan: only over-cap HEAD domains reach the ranking window;
+        #    the fixture skews ~56% of the corpus onto one domain so
+        #    both branches execute), plus cp1252-mojibake/control-char
+        #    encoding repair whose SQL replace chain is GENERATED from
+        #    the same Python pair table. Displaced
+        #    corpus_sample_stratified (multi-round green; assembly
+        #    family keeps corpus_cluster_sample in-window),
+        #    ev_cohort_retention (multi-round green; analytics keeps
+        #    funnel/attribution/anomaly/pagerank in-window), and
+        #    w_hopping_counts (multi-round green; window family keeps
+        #    w_ranking_suite in-window)
+        "corpus_url_normalize": WB.QUERIES["corpus_url_normalize"],
+        "corpus_domain_cap": WB.QUERIES["corpus_domain_cap"],
+        "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],
         # -- r11 (VERDICT r10 items 1+4): the production batch serving
         #    path through a PERSISTED IvfVectorIndex — store build,
         #    stored-centroid assignment, PartitionFilter probes, exact
@@ -239,7 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    j_asof_forward (as-of family keeps the nearest row),
         #    prof_numeric_quantiles (exact `percentile` buffers every
         #    value — the in-window approx row IS the 100 TB path)
-        "w_hopping_counts": RX.QUERIES["w_hopping_counts"],
         "src_bucketed_join": RX.QUERIES["src_bucketed_join"],
         # -- r11 (VERDICT r10 items 1+4+6): index-backed BATCH top-k
         #    through the persisted store — one join-shaped plan for the
@@ -260,10 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window ends here (50 entries) ----
         # r11 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round —
-        # ev_top_paths listed explicitly because A.QUERIES is not
-        # spread below; the others ride the **L.EXTRA_QUERIES /
-        # **RX.QUERIES spreads)
+        # ev_top_paths / ev_cohort_retention listed explicitly because
+        # A.QUERIES is not spread below; the others ride the
+        # **L.EXTRA_QUERIES / **RX.QUERIES spreads)
         "ev_top_paths": A.QUERIES["ev_top_paths"],
+        "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
         # r10 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],
@@ -653,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "incr_distinct_hll": P.incr_distinct_hll_sql(),
         **A.ORACLES,
         **L.ORACLES,
+        **WB.ORACLES,
         **G.ORACLES,
         "sess_gap_split": SS.SESS_GAP_SPLIT_SQL,
         "sess_native_window": SS.SESS_NATIVE_WINDOW_SQL_TEMPLATE.format(

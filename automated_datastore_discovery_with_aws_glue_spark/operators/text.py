@@ -448,3 +448,60 @@ def weighted_sample_key(id_col: Column, weight_col: Column, *, seed: int = 7) ->
     h = md5_hash64(F.concat(F.lit(str(seed)), F.lit("|"), id_col.cast("string")))
     u = (F.pmod(h, F.lit(p)) + 1) / F.lit(float(p + 1))
     return F.log(u) / weight_col.cast("double")
+
+
+# -- encoding repair (r11 beyond-parity surface) ------------------------
+#
+# Web-crawl text routinely arrives double-decoded (UTF-8 bytes read as
+# Latin-1/cp1252 -> "Ã©cole", "â€™") and sprinkled with stray C0 control
+# bytes. Dolma/OSCAR-style cleaning repairs the common sequences and
+# strips the control characters BEFORE any hashing or quality scoring,
+# otherwise duplicates with different corruption fingerprints never
+# merge. This is a finite replacement table for the high-frequency
+# cp1252 mojibake, not a general transcoder — the documented trade for
+# a pure JVM-side replace chain the DuckDB oracle replays verbatim.
+
+#: mojibake -> intended text, in REPLACE ORDER: three-byte 'â€¢'-family
+#: sequences first (they share the 'â€' prefix with the two-char pairs),
+#: then the two-char 'Ã?' pairs, then lone NBSP artifacts. Order is part
+#: of the contract and is shared with the SQL twin.
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
+    ("â€™", "'"),
+    ("â€˜", "'"),
+    ("â€œ", '"'),
+    ("â€\x9d", '"'),
+    ("â€“", "-"),
+    ("â€”", "-"),
+    ("â€¦", "..."),
+    ("â€¢", "*"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¤", "ä"),
+    ("Ã¶", "ö"),
+    ("Ã¼", "ü"),
+    ("Ã±", "ñ"),
+    ("Ã§", "ç"),
+    ("Ã ", "à"),
+    ("Â\xa0", " "),
+    ("Â ", " "),
+)
+
+#: C0 controls (minus tab/newline/CR, normalized separately) + DEL
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Apply :data:`MOJIBAKE_PAIRS` in order (plain ``replace``, no
+    regex — the sequences are literal)."""
+    for bad, good in MOJIBAKE_PAIRS:
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def fix_encoding(col: Column) -> Column:
+    """Mojibake repair + control-character stripping + whitespace
+    collapse (case is PRESERVED — this runs before, not instead of,
+    :func:`normalize_text`)."""
+    repaired = fix_mojibake(col)
+    no_ctrl = F.regexp_replace(repaired, CONTROL_CHAR_RE, " ")
+    return F.trim(F.regexp_replace(no_ctrl, _WS, " "))

@@ -1,0 +1,201 @@
+"""URL / web-ingest operators (r11 beyond-parity surface).
+
+The stage a web-scale pretraining pipeline runs BEFORE text cleaning:
+URL canonicalization (RefinedWeb/FineWeb-style), exact URL dedup,
+domain blocklisting, and per-domain document caps so head domains don't
+dominate the mix.
+
+All pure JVM-side expressions (regexp_extract / higher-order filters) —
+no Python UDFs, so every operator rides whole-stage codegen. Every
+regex and rule is shared verbatim with the DuckDB oracles in
+``plans/llm_pipeline.py``.
+
+Documented limits (each pytest-pinned):
+- the parser expects absolute ``scheme://`` URLs; userinfo
+  (``user:pass@host``) is treated as part of the authority and is NOT
+  stripped;
+- percent-encoding is preserved as-is (no decode/re-encode pass);
+- :func:`registered_domain` uses a small embedded two-part-suffix list,
+  not the full public-suffix registry — the documented trade for a
+  pure-expression operator with no lookup table join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from automated_datastore_discovery_with_aws_glue_spark.operators.text import let
+
+#: second-level public suffixes the naive eTLD+1 splitter recognises —
+#: ``host = a.b.<one of these>`` yields registered domain ``b.<suffix>``
+TWO_PART_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz", "com.sg",
+)
+
+#: query parameters dropped during normalization: pure click/campaign
+#: trackers that never change the resource identity
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+
+#: RFC-3986-shaped splitter: scheme :// authority path ?query #fragment
+URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+
+
+def url_scheme(col: Column) -> Column:
+    return F.lower(F.regexp_extract(col, URL_PARTS_RE, 1))
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased authority with a leading ``www.`` stripped; default
+    ports (``:80`` for http, ``:443`` for https) removed, any other
+    explicit port kept."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(col, URL_PARTS_RE, 2)), r"^www\.", ""
+    )
+    scheme = url_scheme(col)
+    return F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+
+
+def url_path(col: Column) -> Column:
+    """Canonical path: trailing slashes collapsed away, the empty path
+    normalized to ``/`` (``http://h`` and ``http://h/`` are the same
+    resource)."""
+    p = F.regexp_replace(F.regexp_extract(col, URL_PARTS_RE, 3), "/+$", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_query_kept(col: Column) -> Column:
+    """The query string with empty and tracking parameters removed,
+    original parameter ORDER preserved (param order can be semantic;
+    sorting would over-merge)."""
+    q = F.regexp_extract(col, URL_PARTS_RE, 4)
+    return F.array_join(
+        F.filter(
+            F.split(q, "&"),
+            lambda t: (t != "") & ~t.rlike(TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+
+
+def url_normalize(col: Column) -> Column:
+    """Canonical URL: lowercased scheme and host, ``www.`` and default
+    ports stripped, trailing path slashes collapsed, tracking params
+    dropped (order of the survivors preserved), fragment dropped.
+    Unparseable values (no ``scheme://``) normalize to NULL so they can
+    be routed to a quarantine branch instead of silently passing.
+
+    ``col`` is :func:`operators.text.let`-bound: the normalized form
+    references its input ~8 times (scheme twice, host, path, query,
+    parse gate), and when the input is itself a wide expression (a
+    synthesized or concatenated URL) naive inlining multiplies that
+    tree past Janino's 64 KB method limit — the same blowup lang_id
+    documents."""
+
+    def body(u: Column) -> Column:
+        q = url_query_kept(u)
+        norm = F.concat(
+            url_scheme(u),
+            F.lit("://"),
+            url_host(u),
+            url_path(u),
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+        return F.when(u.rlike(URL_PARTS_RE), norm)
+
+    return let(col, body)
+
+
+def registered_domain(host: Column) -> Column:
+    """Naive eTLD+1: the last two host labels, or the last three when
+    the last two form a known second-level suffix (:data:`TWO_PART_SUFFIXES`).
+    A bare label (no dot) is returned unchanged. Ports, if present,
+    must be stripped by the caller (:func:`url_host` already does).
+
+    Both the host and its label array are let-bound — the rule
+    references the labels four times, and the host is usually the
+    (wide) :func:`url_host` expression."""
+    suffixes = F.array(*[F.lit(s) for s in TWO_PART_SUFFIXES])
+
+    def over_parts(h: Column, parts: Column) -> Column:
+        n = F.size(parts)
+        # greatest() guards keep slice starts >= 1 on short hosts — CASE
+        # arms are row-lazy, but an invalid literal start would still
+        # fail analysis-time folding on a 1-label host
+        last2 = F.array_join(F.slice(parts, F.greatest(F.lit(1), n - 1), 2), ".")
+        return (
+            F.when(n <= 2, h)
+            .when(
+                F.array_contains(suffixes, last2) & (n >= 3),
+                F.array_join(F.slice(parts, F.greatest(F.lit(1), n - 2), 3), "."),
+            )
+            .otherwise(last2)
+        )
+
+    return let(
+        host, lambda h: let(F.split(h, r"\."), lambda parts: over_parts(h, parts))
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str, url_col: str, *, keep_order: tuple[str, ...] = ()
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED URL: one row per canonical URL
+    (lowest ``keep_order + id`` wins), with the duplicate count. One
+    shuffle on the canonical URL — a high-cardinality, skew-free key at
+    any corpus size."""
+    norm = url_normalize(F.col(url_col)).alias("url_norm")
+    w = Window.partitionBy("url_norm").orderBy(
+        *[F.col(c) for c in keep_order], F.col(id_col)
+    )
+    return (
+        df.select("*", norm)
+        .filter(F.col("url_norm").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("url_norm")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    *,
+    order: list[Column] | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, best-first by ``order``
+    (default: the input's ``quality`` column descending, then ``id``).
+
+    Two-phase so the ranking window only ever sees over-cap domains:
+    an aggregate pass counts rows per domain (map-side combinable);
+    under-cap domains — the overwhelming majority of a web corpus —
+    bypass the sort entirely, and only rows of over-cap HEAD domains
+    flow through ``row_number``. Both phases shuffle on the domain key,
+    so at 1000 executors the cap is a per-key local sort of the few
+    hot domains, never a corpus-wide ranking."""
+    if order is None:
+        order = [F.col("quality").desc(), F.col("id")]
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dn"))
+    joined = df.join(counts, domain_col)
+    under = joined.filter(F.col("_dn") <= cap).drop("_dn")
+    over = (
+        joined.filter(F.col("_dn") > cap)
+        .drop("_dn")
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(domain_col).orderBy(*order))
+        )
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(over)

@@ -1,0 +1,332 @@
+"""Web-ingest queries (r11 beyond-parity): URL canonicalization, exact
+URL dedup + domain blocklist + per-domain caps, and encoding repair —
+the stages a web-scale pretraining pipeline runs BEFORE the clean-text
+corpus operators, over the driver testdata with DuckDB oracle twins.
+
+The documents table has no URL column, so each query synthesizes a
+deterministic messy URL (or corrupted text) around every document from
+shared literal fragments — the exact pattern `corpus_html_extract`
+uses for markup. Every regex, replacement pair, and rule is shared
+verbatim (or generated from the same Python constant) between the
+Spark expressions in ``operators/web.py`` / ``operators/text.py`` and
+the SQL strings below.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from automated_datastore_discovery_with_aws_glue_spark.operators import text as TX
+from automated_datastore_discovery_with_aws_glue_spark.operators import web as W
+from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+
+# -- shared synthetic-URL fixture -------------------------------------------
+#
+# domain id: skewed on purpose — domain0 takes ~56% of the corpus
+# (doc_id % 16 in 0..8), domains 1-7 split the rest — so the per-domain
+# cap exercises BOTH branches of the two-phase plan at sf0.01: domain0
+# flows through the ranking window, the tail domains bypass it.
+# path id:   doc_id % 200
+# arm:       (doc_id div 25) % 5 — arms 0-3 are one canonical http URL
+#            wearing four different disguises (www, case + explicit
+#            default port, tracking params, fragment); arm 4 is an
+#            https subdomain on a two-part public suffix with a KEPT
+#            query. Docs 200 apart share (domain, path) but land in
+#            different arms, so exact-dup groups span arms.
+
+_ARMS: tuple[tuple[str, str, str], ...] = (
+    ("http://www.domain", ".com/p/", ""),
+    ("HTTP://Domain", ".COM:80/p/", "/"),
+    ("http://domain", ".com/p/", "?utm_source=feed&utm_campaign=x"),
+    ("http://www.domain", ".com:80/p/", "?gclid=g1&ref=tw#frag"),
+    ("https://blog.domain", ".co.uk:443/q/", "?x=1&x=2&fbclid=f"),
+)
+
+#: registered domains removed before the cap (adult/spam blocklist shape)
+_BLOCKLIST: tuple[str, ...] = ("domain3.com", "domain5.co.uk")
+
+_DOMAIN_CAP = 40
+
+
+def _raw_url() -> F.Column:
+    did = F.col("doc_id")
+    dom = (
+        F.when(did % 16 < 9, F.lit(0)).otherwise(did % 16 - 8).cast("string")
+    )
+    g = (did % 200).cast("string")
+    arm = F.expr("(doc_id div 25) % 5")
+    chain = None
+    for i, (pre, mid, suf) in enumerate(_ARMS):
+        branch = F.concat(F.lit(pre), dom, F.lit(mid), g, F.lit(suf))
+        chain = F.when(arm == i, branch) if chain is None else chain.when(arm == i, branch)
+    return chain
+
+
+def _sql_raw_url() -> str:
+    arms = []
+    for i, (pre, mid, suf) in enumerate(_ARMS):
+        arms.append(
+            f"WHEN {i} THEN '{pre}' || dom || '{mid}' || (doc_id % 200) || '{suf}'"
+        )
+    return (
+        "CASE (doc_id // 25) % 5 " + " ".join(arms) + " END"
+    )
+
+
+_SQL_DOM = "CASE WHEN doc_id % 16 < 9 THEN 0 ELSE doc_id % 16 - 8 END"
+
+_TRACK_RE_SQL = W.TRACKING_PARAM_RE
+_URL_RE_SQL = W.URL_PARTS_RE
+
+
+def _sql_url_ctes() -> str:
+    """CTE chain documents -> (doc_id, n_chars, url_norm, host, domain):
+    the SQL replay of url_normalize + registered_domain over the shared
+    fixture."""
+    sufs = ", ".join(f"'{s}'" for s in W.TWO_PART_SUFFIXES)
+    return f"""u AS MATERIALIZED (
+        SELECT doc_id, n_chars, {_sql_raw_url()} AS url
+        FROM (SELECT doc_id, n_chars, {_SQL_DOM} AS dom FROM documents)
+    ),
+    px AS (
+        SELECT doc_id, n_chars,
+               lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS sch,
+               regexp_replace(lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+                              '^www\\.', '') AS h0,
+               regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3), '/+$', '') AS p0,
+               coalesce(regexp_extract(url, '{_URL_RE_SQL}', 4), '') AS q0
+        FROM u
+    ),
+    nx AS (
+        SELECT doc_id, n_chars, sch,
+               CASE WHEN sch = 'http' AND ends_with(h0, ':80')
+                         THEN substr(h0, 1, length(h0) - 3)
+                    WHEN sch = 'https' AND ends_with(h0, ':443')
+                         THEN substr(h0, 1, length(h0) - 4)
+                    ELSE h0 END AS host,
+               CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+               coalesce(array_to_string(list_filter(string_split(q0, '&'),
+                   t -> t <> '' AND NOT regexp_matches(t, '{_TRACK_RE_SQL}')), '&'),
+                   '') AS q
+        FROM px
+    ),
+    nn AS MATERIALIZED (
+        SELECT doc_id, n_chars,
+               sch || '://' || host || path ||
+               CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+               host,
+               CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                    WHEN list_contains([{sufs}],
+                         array_to_string(string_split(host, '.')[-2:], '.'))
+                         AND len(string_split(host, '.')) >= 3
+                    THEN array_to_string(string_split(host, '.')[-3:], '.')
+                    ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+        FROM nx
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_url_normalize — canonical URL + exact-dup rank per document
+# ---------------------------------------------------------------------------
+
+def corpus_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r11): synthesize a messy URL per document
+    (five shared-literal arms: www, case + explicit default port,
+    tracking params, fragment, https subdomain on a two-part suffix),
+    run ``operators/web.url_normalize`` + ``registered_domain``, and
+    rank exact duplicates on the canonical form. Pure map-side
+    expressions plus ONE shuffle on the canonical URL — a
+    high-cardinality, skew-free key at any corpus size. DuckDB replays
+    every regex and the suffix rule verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    base = docs.select(
+        "doc_id",
+        W.url_normalize(raw).alias("url_norm"),
+        W.registered_domain(W.url_host(raw)).alias("domain"),
+    )
+    return (
+        base.withColumn(
+            "dup_rank",
+            F.row_number().over(Window.partitionBy("url_norm").orderBy("doc_id")),
+        )
+        .withColumn(
+            "dup_count", F.count(F.lit(1)).over(Window.partitionBy("url_norm"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_URL_NORMALIZE_SQL = (
+    "WITH " + _sql_url_ctes() + """
+    SELECT doc_id, url_norm, domain,
+           CAST(row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS INT)
+               AS dup_rank,
+           CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS dup_count
+    FROM nn
+    ORDER BY doc_id"""
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_cap — URL dedup -> blocklist -> per-domain top-N
+# ---------------------------------------------------------------------------
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-mix gate (r11): exact-dedup on the canonical URL
+    (lowest doc wins), drop blocklisted registered domains, then keep at
+    most 40 documents per domain, best-first by length then id
+    (``operators/web.domain_cap`` — the two-phase plan whose ranking
+    window only ever sees over-cap HEAD domains; the skewed fixture
+    sends ~56% of the corpus to domain0 so both branches execute).
+    Per-domain summary out; DuckDB replays dedup, blocklist, and cap
+    with the same tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", "n_chars", _raw_url().alias("url"))
+    dd = W.url_dedup(with_url, "doc_id", "url").withColumn(
+        "domain", W.registered_domain(W.url_host(F.col("url")))
+    )
+    kept = dd.filter(~F.col("domain").isin(*_BLOCKLIST))
+    capped = W.domain_cap(
+        kept, "domain", _DOMAIN_CAP, order=[F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    pre = kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_unique"))
+    post = capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return pre.join(post, "domain").orderBy("domain")
+
+
+CORPUS_DOMAIN_CAP_SQL = (
+    "WITH " + _sql_url_ctes() + f""",
+    dd AS MATERIALIZED (
+        SELECT doc_id, n_chars, url_norm, domain FROM nn
+        QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+    ),
+    kept AS MATERIALIZED (
+        SELECT * FROM dd
+        WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
+    ),
+    cap AS (
+        SELECT * FROM kept
+        QUALIFY row_number() OVER (PARTITION BY domain
+                                   ORDER BY n_chars DESC, doc_id) <= {_DOMAIN_CAP}
+    ),
+    pre AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_unique FROM kept GROUP BY 1),
+    post AS (
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+               min(doc_id) AS first_doc
+        FROM cap GROUP BY 1
+    )
+    SELECT pre.domain, n_unique, n_kept, kept_chars, first_doc
+    FROM pre JOIN post ON pre.domain = post.domain
+    ORDER BY pre.domain"""
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_fix_encoding — mojibake repair + control-char strip
+# ---------------------------------------------------------------------------
+
+#: cp1252-mojibake prefix injected by arm 0 (em-dash, curly quotes,
+#: accented letters, ellipsis, NBSP artifact) — shared literal
+_MOJI_PREFIX = "CafÃ© â€” â€œrÃ©sumÃ©â€\x9d â€™nâ€™ â€¦ Ã¼ber Ã§a Â\xa0 "
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_fix_chain(src: str) -> tuple[str, str]:
+    """(mojibake-repaired, fully-fixed) SQL expressions generated from
+    the SAME :data:`operators.text.MOJIBAKE_PAIRS` constant the Spark
+    chain uses — a drift in either table is impossible by construction."""
+    moji = src
+    for bad, good in TX.MOJIBAKE_PAIRS:
+        moji = f"replace({moji}, '{_sql_quote(bad)}', '{_sql_quote(good)}')"
+    no_ctrl = f"regexp_replace({moji}, '{TX.CONTROL_CHAR_RE}', ' ', 'g')"
+    fixed = f"trim(regexp_replace({no_ctrl}, '\\s+', ' ', 'g'))"
+    return moji, fixed
+
+
+def corpus_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (r11): corrupt each document deterministically
+    (arm 0: cp1252 mojibake prefix; arm 1: C0 control bytes + NBSP
+    artifact spliced mid-text; arm 2: untouched), run
+    ``operators/text.fix_encoding`` — the ordered MOJIBAKE_PAIRS
+    replace chain, control-char strip, whitespace collapse — and report
+    per-document repair stats plus the md5 of the repaired text. Pure
+    JVM replace/regexp projections, zero shuffles before the final
+    sort; the DuckDB chain is GENERATED from the same pair table."""
+    docs = load_table(spark, sf_dir, "documents")
+    arm = F.col("doc_id") % 3
+    corrupted = (
+        F.when(arm == 0, F.concat(F.lit(_MOJI_PREFIX), F.col("text")))
+        .when(
+            arm == 1,
+            F.concat(
+                F.expr("substring(text, 1, 40)"),
+                F.expr("char(7)"),
+                F.expr("char(27)"),
+                F.lit("Â "),
+                F.expr("substring(text, 41)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    moji = TX.fix_mojibake(corrupted)
+    fixed = TX.fix_encoding(corrupted)
+    return docs.select(
+        "doc_id",
+        (fixed != corrupted).alias("changed"),
+        (
+            F.length(moji)
+            - F.length(F.regexp_replace(moji, TX.CONTROL_CHAR_RE, ""))
+        ).cast("int").alias("n_ctrl"),
+        F.length(corrupted).cast("int").alias("len_before"),
+        F.length(fixed).cast("int").alias("len_after"),
+        F.md5(fixed.cast("binary")).alias("fixed_fp"),
+    ).orderBy("doc_id")
+
+
+def _fix_encoding_sql() -> str:
+    moji, fixed = _sql_fix_chain("corrupted")
+    return f"""
+    WITH c AS MATERIALIZED (
+        SELECT doc_id,
+               CASE doc_id % 3
+                    WHEN 0 THEN '{_sql_quote(_MOJI_PREFIX)}' || text
+                    WHEN 1 THEN substr(text, 1, 40) || chr(7) || chr(27)
+                                || 'Â ' || substr(text, 41)
+                    ELSE text END AS corrupted
+        FROM documents
+    ),
+    fx AS (
+        SELECT doc_id, corrupted, {fixed} AS fixed, {moji} AS moji FROM c
+    )
+    SELECT doc_id,
+           fixed <> corrupted AS changed,
+           CAST(length(moji) - length(regexp_replace(moji,
+                '{TX.CONTROL_CHAR_RE}', '', 'g')) AS INT) AS n_ctrl,
+           CAST(length(corrupted) AS INT) AS len_before,
+           CAST(length(fixed) AS INT) AS len_after,
+           md5(fixed) AS fixed_fp
+    FROM fx
+    ORDER BY doc_id"""
+
+
+QUERIES = {
+    "corpus_url_normalize": corpus_url_normalize,
+    "corpus_domain_cap": corpus_domain_cap,
+    "corpus_fix_encoding": corpus_fix_encoding,
+}
+
+ORACLES = {
+    "corpus_url_normalize": CORPUS_URL_NORMALIZE_SQL,
+    "corpus_domain_cap": CORPUS_DOMAIN_CAP_SQL,
+    "corpus_fix_encoding": _fix_encoding_sql(),
+}

@@ -159,6 +159,12 @@ HEADLINE = [
     # list (knn_index_*, emb_index_join)
     "corpus_html_extract",
     "ann_drift_twin",
+    # r11 second wave: the URL/web-ingest layer (canonicalization +
+    # eTLD+1 + dup rank; dedup -> blocklist -> two-phase domain cap)
+    # and cp1252 encoding repair
+    "corpus_url_normalize",
+    "corpus_domain_cap",
+    "corpus_fix_encoding",
 ]
 
 

@@ -1,0 +1,161 @@
+"""URL / web-ingest operators (`operators/web.py`, r11) and encoding
+repair (`operators/text.py fix_encoding`): golden normalization cases,
+eTLD+1 rules, URL dedup, the two-phase domain cap, and the mojibake
+replace chain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automated_datastore_discovery_with_aws_glue_spark.operators import web as W
+from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+    fix_encoding,
+    fix_mojibake,
+)
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(url,)], ["u"])
+    return df.select(W.url_normalize(F.col("u")).alias("n")).collect()[0]["n"]
+
+
+def _dom(spark, host):
+    df = spark.createDataFrame([(host,)], ["h"])
+    return df.select(W.registered_domain(F.col("h")).alias("d")).collect()[0]["d"]
+
+
+def _fix(spark, text):
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(fix_encoding(F.col("t")).alias("f")).collect()[0]["f"]
+
+
+# -- url_normalize ------------------------------------------------------
+
+
+def test_normalize_case_www_default_port(spark):
+    assert (
+        _norm(spark, "HTTP://WWW.Example.COM:80/Path/To")
+        == "http://example.com/Path/To"
+    )
+
+
+def test_normalize_https_443_stripped_http_443_kept(spark):
+    assert _norm(spark, "https://a.com:443/x") == "https://a.com/x"
+    # :443 on http is NOT the default port — kept
+    assert _norm(spark, "http://a.com:443/x") == "http://a.com:443/x"
+    assert _norm(spark, "http://a.com:8080/x") == "http://a.com:8080/x"
+
+
+def test_normalize_path_rules(spark):
+    assert _norm(spark, "http://a.com") == "http://a.com/"
+    assert _norm(spark, "http://a.com/") == "http://a.com/"
+    assert _norm(spark, "http://a.com/p/") == "http://a.com/p"
+    assert _norm(spark, "http://a.com/p///") == "http://a.com/p"
+
+
+def test_normalize_drops_tracking_params_keeps_order(spark):
+    u = "http://a.com/p?utm_source=x&b=2&gclid=g&a=1&fbclid=f&ref=t"
+    assert _norm(spark, u) == "http://a.com/p?b=2&a=1"
+
+
+def test_normalize_all_params_dropped_removes_question_mark(spark):
+    assert _norm(spark, "http://a.com/p?utm_source=x&utm_medium=y") == "http://a.com/p"
+    assert _norm(spark, "http://a.com/p?") == "http://a.com/p"
+
+
+def test_normalize_drops_fragment(spark):
+    assert _norm(spark, "http://a.com/p?id=1#section-2") == "http://a.com/p?id=1"
+
+
+def test_normalize_unparseable_is_null(spark):
+    assert _norm(spark, "not a url") is None
+    assert _norm(spark, "example.com/p") is None  # no scheme
+
+
+def test_normalize_keeps_userinfo_and_percent_encoding(spark):
+    # documented limits: userinfo passes through; %-escapes untouched
+    assert _norm(spark, "http://u:p@a.com/x%20y") == "http://u:p@a.com/x%20y"
+
+
+# -- registered_domain --------------------------------------------------
+
+
+def test_registered_domain_rules(spark):
+    assert _dom(spark, "localhost") == "localhost"
+    assert _dom(spark, "example.com") == "example.com"
+    assert _dom(spark, "a.b.example.com") == "example.com"
+    assert _dom(spark, "blog.example.co.uk") == "example.co.uk"
+    assert _dom(spark, "a.b.example.co.uk") == "example.co.uk"
+    # a bare two-part suffix has no registrable label — returned whole
+    assert _dom(spark, "co.uk") == "co.uk"
+
+
+# -- url_dedup ----------------------------------------------------------
+
+
+def test_url_dedup_keeps_lowest_id_and_counts(spark):
+    rows = [
+        (1, "http://www.A.com/p/"),
+        (2, "http://a.com/p?utm_source=z"),
+        (3, "https://a.com/p"),
+        (4, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = {r["id"]: r for r in W.url_dedup(df, "id", "url").collect()}
+    assert set(out) == {1, 3}  # 2 is a dup of 1; 4 unparseable -> dropped
+    assert out[1]["url_norm"] == "http://a.com/p"
+    assert out[1]["dup_count"] == 2
+    assert out[3]["dup_count"] == 1
+
+
+# -- domain_cap ---------------------------------------------------------
+
+
+def test_domain_cap_two_phase_matches_plain_window(spark):
+    rows = [(i, "big.com" if i < 30 else f"small{i % 3}.com", i * 7 % 13) for i in range(45)]
+    df = spark.createDataFrame(rows, ["id", "domain", "quality"])
+    capped = W.domain_cap(df, "domain", 5).collect()
+    by_dom: dict[str, list] = {}
+    for r in capped:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert len(by_dom["big.com"]) == 5
+    # best-first: the kept big.com rows are the top-5 by (quality desc, id)
+    expect = sorted(
+        [r for r in rows if r[1] == "big.com"], key=lambda r: (-r[2], r[0])
+    )[:5]
+    assert sorted(r["id"] for r in by_dom["big.com"]) == sorted(r[0] for r in expect)
+    # under-cap domains pass through whole
+    for d in ("small0.com", "small1.com", "small2.com"):
+        assert len(by_dom[d]) == len([r for r in rows if r[1] == d])
+
+
+# -- fix_encoding -------------------------------------------------------
+
+
+def test_fix_mojibake_pairs_and_order(spark):
+    assert _fix(spark, "CafÃ© â€” itâ€™s â€œfineâ€\x9d") == "Café - it's \"fine\""
+    # three-char sequences decode before the shared 'Ã ' pair can split them
+    assert _fix(spark, "waitâ€¦ Ã  la") == "wait... à la"
+
+
+def test_fix_encoding_strips_control_chars_and_collapses_ws(spark):
+    assert _fix(spark, "a\x07b\x1b  c\x00") == "a b c"
+
+
+def test_fix_encoding_nbsp_artifact(spark):
+    assert _fix(spark, "oneÂ two") == "one two"
+
+
+def test_fix_encoding_clean_text_unchanged(spark):
+    assert _fix(spark, "already clean text") == "already clean text"
+
+
+def test_fix_encoding_idempotent(spark):
+    once = _fix(spark, "CafÃ© â€” a\x07b Â\xa0 end")
+    assert _fix(spark, once) == once
+
+
+def test_fix_mojibake_preserves_case_and_real_unicode(spark):
+    df = spark.createDataFrame([("Déjà Vu â€” OK",)], ["t"])
+    out = df.select(fix_mojibake(F.col("t")).alias("f")).collect()[0]["f"]
+    assert out == "Déjà Vu - OK"
