@@ -116,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced j_range_burst (two rounds green; the range-join
         #    binning is pinned in-window by the pair-emitting
         #    j_range_pairs row)
-        "ev_attribution": A.QUERIES["ev_attribution"],
         "er_sorted_neighborhood": A.QUERIES["er_sorted_neighborhood"],
         # -- r8 third-wave: ER connected components + survivorship,
         #    crawler-style schema-drift report, bigram collocations by
@@ -198,6 +197,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_normalize": WB.QUERIES["corpus_url_normalize"],
         "corpus_domain_cap": WB.QUERIES["corpus_domain_cap"],
         "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],
+        # -- r11 second wave, composition row: repair-BEFORE-hash dedup —
+        #    three corruption disguises of each document collapse to ONE
+        #    fingerprint after fix_encoding (and provably not before:
+        #    the oracle checks the distinct raw-fingerprint count too).
+        #    Displaced ev_attribution (multi-round green; analytics
+        #    keeps funnel/anomaly/pagerank/colloc/ER in-window)
+        "corpus_dedup_encoding": WB.QUERIES["corpus_dedup_encoding"],
         # -- r11 (VERDICT r10 items 1+4): the production batch serving
         #    path through a PERSISTED IvfVectorIndex — store build,
         #    stored-centroid assignment, PartitionFilter probes, exact
@@ -279,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # **L.EXTRA_QUERIES / **RX.QUERIES spreads)
         "ev_top_paths": A.QUERIES["ev_top_paths"],
         "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
+        "ev_attribution": A.QUERIES["ev_attribution"],
         # r10 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],

@@ -330,3 +330,87 @@ ORACLES = {
     "corpus_domain_cap": CORPUS_DOMAIN_CAP_SQL,
     "corpus_fix_encoding": _fix_encoding_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_encoding — repair BEFORE hashing, or duplicates never merge
+# ---------------------------------------------------------------------------
+
+#: three corruption disguises of the SAME logical prefix: pure mojibake,
+#: mojibake + spliced control bytes, mojibake with NBSP-artifact
+#: spacing. fix_encoding maps all three to one repaired form.
+_ENC_VARIANTS: tuple[str, ...] = (
+    "CafÃ© â€” ",
+    "CafÃ©\x07 â€”\x1b ",
+    "CafÃ©Â\xa0â€”Â ",
+)
+
+
+def corpus_dedup_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-normalized dedup (r11): the reason ``fix_encoding`` runs
+    BEFORE any fingerprinting — duplicates with different corruption
+    fingerprints never merge. Each document fans out into three feed
+    rows wearing a different disguise of the same prefix (mojibake /
+    control bytes / NBSP artifacts); hashing the RAW text yields three
+    distinct fingerprints per document, hashing the repaired text
+    collapses them to one. Per repaired-fingerprint group: variant
+    count, distinct raw-fingerprint count, representative feed id.
+    The fan-out is an explode (map-side); ONE shuffle on the repaired
+    fingerprint. DuckDB replays the corruption, the generated repair
+    chain, and both hashes."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.array(*[F.lit(v) for v in _ENC_VARIANTS])).alias(
+            "variant", "prefix"
+        ),
+    ).select(
+        (F.col("doc_id") * 3 + F.col("variant")).alias("feed_id"),
+        F.concat(F.col("prefix"), F.col("text")).alias("corrupted"),
+    )
+    return (
+        feed.select(
+            "feed_id",
+            fingerprint(F.col("corrupted")).alias("fp_raw"),
+            fingerprint(TX.fix_encoding(F.col("corrupted"))).alias("fp_fixed"),
+        )
+        .groupBy("fp_fixed")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("fp_raw").alias("n_raw_forms"),
+            F.min("feed_id").alias("representative_id"),
+        )
+        .orderBy("representative_id")
+    )
+
+
+def _dedup_encoding_sql() -> str:
+    _, fixed = _sql_fix_chain("corrupted")
+    variants = ", ".join(f"'{_sql_quote(v)}'" for v in _ENC_VARIANTS)
+    fp = "md5(trim(regexp_replace(lower({src}), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH feed AS MATERIALIZED (
+        SELECT doc_id * 3 + (t.i - 1) AS feed_id,
+               ([{variants}])[t.i] || text AS corrupted
+        FROM documents, unnest(generate_series(1, 3)) AS t(i)
+    ),
+    fps AS (
+        SELECT feed_id,
+               {fp.format(src="corrupted")} AS fp_raw,
+               {fp.format(src=fixed)} AS fp_fixed
+        FROM feed
+    )
+    SELECT fp_fixed,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_forms,
+           min(feed_id) AS representative_id
+    FROM fps
+    GROUP BY fp_fixed
+    ORDER BY representative_id"""
+
+
+QUERIES["corpus_dedup_encoding"] = corpus_dedup_encoding
+ORACLES["corpus_dedup_encoding"] = _dedup_encoding_sql()

@@ -165,6 +165,7 @@ HEADLINE = [
     "corpus_url_normalize",
     "corpus_domain_cap",
     "corpus_fix_encoding",
+    "corpus_dedup_encoding",
 ]
 
 

@@ -159,3 +159,20 @@ def test_fix_mojibake_preserves_case_and_real_unicode(spark):
     df = spark.createDataFrame([("Déjà Vu â€” OK",)], ["t"])
     out = df.select(fix_mojibake(F.col("t")).alias("f")).collect()[0]["f"]
     assert out == "Déjà Vu - OK"
+
+
+def test_fix_encoding_merges_corruption_variants(spark):
+    # the corpus_dedup_encoding property at unit scale: three disguises
+    # of one logical text -> three raw fingerprints, ONE repaired one
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+        fingerprint,
+    )
+
+    variants = ["CafÃ© â€” body", "CafÃ©\x07 â€”\x1b body", "CafÃ©Â\xa0â€”Â body"]
+    df = spark.createDataFrame([(v,) for v in variants], ["t"])
+    out = df.select(
+        fingerprint(F.col("t")).alias("raw"),
+        fingerprint(fix_encoding(F.col("t"))).alias("fixed"),
+    ).collect()
+    assert len({r["raw"] for r in out}) == 3
+    assert len({r["fixed"] for r in out}) == 1
