@@ -67,7 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    profiling keeps four in-window rows)
         "prof_correlation": P.prof_correlation,
         "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
-        "prof_histogram": P.prof_histogram,
+        # (r11 second wave: prof_histogram rotated past-window —
+        #  multi-round green; profiling keeps correlation + approx
+        #  quantiles + heavy hitters + dq_suite in-window — for the
+        #  corpus_ingest_web composition row below)
         # -- dedup / text analysis / similarity search --
         # (r8 fourth-wave: dedup_ngram_jaccard rotated past-window —
         #  multi-round green, pair machinery pinned in-window by
@@ -204,6 +207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    Displaced ev_attribution (multi-round green; analytics
         #    keeps funnel/anomaly/pagerank/colloc/ER in-window)
         "corpus_dedup_encoding": WB.QUERIES["corpus_dedup_encoding"],
+        # -- r11 second wave, capstone composition: the whole web-ingest
+        #    pipeline as ONE plan — corrupt -> repair -> token-count
+        #    quality gate -> URL canonicalization -> exact URL dedup ->
+        #    blocklist -> two-phase domain cap -> per-domain stats;
+        #    stage ORDER is the checked contract (repair before gate,
+        #    dedup after gate). Displaced prof_histogram (see above)
+        "corpus_ingest_web": WB.QUERIES["corpus_ingest_web"],
         # -- r11 (VERDICT r10 items 1+4): the production batch serving
         #    path through a PERSISTED IvfVectorIndex — store build,
         #    stored-centroid assignment, PartitionFilter probes, exact
@@ -286,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_top_paths": A.QUERIES["ev_top_paths"],
         "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
         "ev_attribution": A.QUERIES["ev_attribution"],
+        "prof_histogram": P.prof_histogram,
         # r10 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],

@@ -253,6 +253,42 @@ def _sql_fix_chain(src: str) -> tuple[str, str]:
     return moji, fixed
 
 
+#: the corruption fixture's SQL twin — byte-identical literals to
+#: :func:`_corrupted_text` (same _MOJI_PREFIX constant, same NBSP
+#: artifact), shared by `corpus_fix_encoding` and `corpus_ingest_web`
+#: the arm-1 NBSP artifact ("\xc2\xa0" double-decoded): A-circumflex + NBSP
+_NBSP_ARTIFACT = "Â "
+
+_SQL_CORRUPTED = (
+    "CASE doc_id % 3 "
+    f"WHEN 0 THEN '{_sql_quote(_MOJI_PREFIX)}' || text "
+    "WHEN 1 THEN substr(text, 1, 40) || chr(7) || chr(27) "
+    f"|| '{_sql_quote(_NBSP_ARTIFACT)}' || substr(text, 41) "
+    "ELSE text END"
+)
+
+
+def _corrupted_text() -> F.Column:
+    """The shared corruption fixture: arm 0 (doc_id % 3) prepends the
+    cp1252 mojibake prefix, arm 1 splices C0 control bytes + an NBSP
+    artifact mid-text, arm 2 passes the document through untouched."""
+    arm = F.col("doc_id") % 3
+    return (
+        F.when(arm == 0, F.concat(F.lit(_MOJI_PREFIX), F.col("text")))
+        .when(
+            arm == 1,
+            F.concat(
+                F.expr("substring(text, 1, 40)"),
+                F.expr("char(7)"),
+                F.expr("char(27)"),
+                F.lit(_NBSP_ARTIFACT),
+                F.expr("substring(text, 41)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
 def corpus_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding repair (r11): corrupt each document deterministically
     (arm 0: cp1252 mojibake prefix; arm 1: C0 control bytes + NBSP
@@ -263,21 +299,7 @@ def corpus_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM replace/regexp projections, zero shuffles before the final
     sort; the DuckDB chain is GENERATED from the same pair table."""
     docs = load_table(spark, sf_dir, "documents")
-    arm = F.col("doc_id") % 3
-    corrupted = (
-        F.when(arm == 0, F.concat(F.lit(_MOJI_PREFIX), F.col("text")))
-        .when(
-            arm == 1,
-            F.concat(
-                F.expr("substring(text, 1, 40)"),
-                F.expr("char(7)"),
-                F.expr("char(27)"),
-                F.lit("Â "),
-                F.expr("substring(text, 41)"),
-            ),
-        )
-        .otherwise(F.col("text"))
-    )
+    corrupted = _corrupted_text()
     moji = TX.fix_mojibake(corrupted)
     fixed = TX.fix_encoding(corrupted)
     return docs.select(
@@ -297,13 +319,7 @@ def _fix_encoding_sql() -> str:
     moji, fixed = _sql_fix_chain("corrupted")
     return f"""
     WITH c AS MATERIALIZED (
-        SELECT doc_id,
-               CASE doc_id % 3
-                    WHEN 0 THEN '{_sql_quote(_MOJI_PREFIX)}' || text
-                    WHEN 1 THEN substr(text, 1, 40) || chr(7) || chr(27)
-                                || 'Â ' || substr(text, 41)
-                    ELSE text END AS corrupted
-        FROM documents
+        SELECT doc_id, {_SQL_CORRUPTED} AS corrupted FROM documents
     ),
     fx AS (
         SELECT doc_id, corrupted, {fixed} AS fixed, {moji} AS moji FROM c
@@ -414,3 +430,93 @@ def _dedup_encoding_sql() -> str:
 
 QUERIES["corpus_dedup_encoding"] = corpus_dedup_encoding
 ORACLES["corpus_dedup_encoding"] = _dedup_encoding_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_ingest_web — the composed web-ingest pipeline in ONE plan
+# ---------------------------------------------------------------------------
+
+_INGEST_MIN_TOKENS = 40
+
+
+def corpus_ingest_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-ingest pipeline (r11): corrupt -> repair
+    (``fix_encoding``) -> token-count quality gate -> URL
+    canonicalization -> exact URL dedup -> domain blocklist ->
+    two-phase per-domain cap -> per-domain corpus stats, all as ONE
+    declarative plan (the `corpus_prepare` composition pattern for the
+    web layer). Stage order matters and is part of the contract: repair
+    runs BEFORE the gate (corruption inflates token counts), dedup runs
+    AFTER the gate (a below-quality canonical copy must not shadow a
+    passing one). Shuffles: one on the canonical URL (dedup), two on
+    the domain (cap counts + cap window over the over-cap subset),
+    one for the final aggregate — everything upstream is map-side.
+    Every stage's fragment is shared verbatim with the standalone
+    queries' oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        _raw_url().alias("url"),
+        TX.token_count(TX.fix_encoding(_corrupted_text())).alias("n_tokens"),
+    )
+    quality = staged.filter(F.col("n_tokens") >= _INGEST_MIN_TOKENS)
+    dd = W.url_dedup(quality, "doc_id", "url").withColumn(
+        "domain", W.registered_domain(W.url_host(F.col("url")))
+    )
+    kept = dd.filter(~F.col("domain").isin(*_BLOCKLIST))
+    capped = W.domain_cap(
+        kept, "domain", _DOMAIN_CAP, order=[F.col("n_tokens").desc(), F.col("doc_id")]
+    )
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _ingest_web_sql() -> str:
+    _, fixed = _sql_fix_chain("corrupted")
+    norm = f"trim(regexp_replace(lower({fixed}), '\\s+', ' ', 'g'))"
+    blocklist = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+    return (
+        "WITH " + _sql_url_ctes() + f""",
+    c AS MATERIALIZED (
+        SELECT doc_id, {_SQL_CORRUPTED} AS corrupted FROM documents
+    ),
+    t AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN {norm} = '' THEN 0
+                    ELSE len(string_split({norm}, ' ')) END AS n_tokens
+        FROM c
+    ),
+    q AS (SELECT * FROM t WHERE n_tokens >= {_INGEST_MIN_TOKENS}),
+    qq AS MATERIALIZED (
+        SELECT q.doc_id, q.n_tokens, nn.url_norm, nn.domain
+        FROM q JOIN nn ON q.doc_id = nn.doc_id
+    ),
+    dd AS (
+        SELECT * FROM qq
+        QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+    ),
+    kept AS (SELECT * FROM dd WHERE domain NOT IN ({blocklist})),
+    cap AS (
+        SELECT * FROM kept
+        QUALIFY row_number() OVER (PARTITION BY domain
+                                   ORDER BY n_tokens DESC, doc_id) <= {_DOMAIN_CAP}
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc
+    FROM cap
+    GROUP BY domain
+    ORDER BY domain"""
+    )
+
+
+QUERIES["corpus_ingest_web"] = corpus_ingest_web
+ORACLES["corpus_ingest_web"] = _ingest_web_sql()

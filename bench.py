@@ -166,6 +166,7 @@ HEADLINE = [
     "corpus_domain_cap",
     "corpus_fix_encoding",
     "corpus_dedup_encoding",
+    "corpus_ingest_web",
 ]
 
 
