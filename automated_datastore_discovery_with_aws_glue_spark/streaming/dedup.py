@@ -4,7 +4,9 @@ ingest-time cleaning of a document feed:
 - :func:`stream_exact_dedup` — exact (fingerprint) dedup;
 - :func:`stream_segment_dedup` — C4-style paragraph dedup;
 - :func:`stream_minhash_dedup` — NEAR-dup (MinHash-LSH) detection, the
-  stream half of the batch ``minhash_lsh_pairs`` candidate rule.
+  stream half of the batch ``minhash_lsh_pairs`` candidate rule;
+- :func:`stream_url_dedup` — canonical-URL dedup for a crawl frontier /
+  page feed, the stream twin of ``operators.web.url_dedup``.
 
 ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
 event-time watermark passes the key's first sighting plus the delay, so
@@ -42,6 +44,32 @@ def stream_exact_dedup(
         docs.withColumn("fp", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, dedup_horizon)
         .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def stream_url_dedup(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    dedup_horizon: str = "10 minutes",
+) -> DataFrame:
+    """Emit only the first sighting of each CANONICAL URL within the
+    dedup horizon — the crawl-frontier twin of
+    ``operators.web.url_dedup``: two raw URLs that normalize to the
+    same canonical form (case, www, default port, tracking params,
+    fragment, trailing slash) are one page, and re-crawls inside the
+    horizon are suppressed with state bounded by the watermark instead
+    of growing with the frontier. Unparseable URLs normalize to NULL
+    and are dropped (route the raw feed to a quarantine sink before
+    this stage to keep them)."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.web import url_normalize
+
+    return (
+        pages.withColumn("url_norm", url_normalize(F.col(url_col)))
+        .filter(F.col("url_norm").isNotNull())
+        .withWatermark(ts_col, dedup_horizon)
+        .dropDuplicatesWithinWatermark(["url_norm"])
     )
 
 

@@ -176,3 +176,56 @@ def test_fix_encoding_merges_corruption_variants(spark):
     ).collect()
     assert len({r["raw"] for r in out}) == 3
     assert len({r["fixed"] for r in out}) == 1
+
+
+def test_stream_url_dedup_first_sighting_wins(spark, tmp_path):
+    """Crawl-frontier dedup: raw URLs that canonicalize to the same
+    page emit once across micro-batches (bounded watermark state);
+    unparseable URLs are dropped; re-crawls within the horizon are
+    suppressed on restart from the checkpoint."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.dedup import (
+        stream_url_dedup,
+    )
+
+    src, ckpt = str(tmp_path / "pages"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for pid, url, ts in rows:
+                fh.write(_json.dumps({"page_id": pid, "url": url, "ts": ts}) + "\n")
+
+    write_batch(
+        [
+            (1, "http://www.A.com/p/", "2024-01-01 10:00:00"),
+            (2, "HTTP://a.com:80/p?utm_source=z", "2024-01-01 10:00:30"),  # dup of 1
+            (3, "https://a.com/p", "2024-01-01 10:01:00"),  # https != http
+            (4, "not a url", "2024-01-01 10:01:10"),  # quarantined
+        ]
+    )
+    stream = spark.readStream.schema("page_id bigint, url string, ts timestamp").json(src)
+    out: list[int] = []
+
+    def run():
+        q = (
+            stream_url_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda b, _: out.extend(r["page_id"] for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    run()
+    assert sorted(out) == [1, 3]
+
+    # restart: a re-crawl of page 1 within the horizon stays suppressed
+    write_batch([(5, "http://a.com/p", "2024-01-01 10:02:00"), (6, "http://b.com/", "2024-01-01 10:02:30")])
+    run()
+    assert sorted(out) == [1, 3, 6]
