@@ -458,7 +458,30 @@ class IvfVectorIndex:
         for _ in range(max_retries):
             work = assigned.persist()
             try:
-                counts, nz, sdot = self._batch_stats(work)
+                # stats PER BATCH ID: training rows are stamped base_bid,
+                # a lost-CAS fold-in keeps the late batches' own ids — so
+                # the drift BASELINE stays "how well the fresh quantizer
+                # fits its own training corpus" and each folded batch
+                # gets its own history entry instead of silently
+                # depressing the baseline mean (code-review r11)
+                per_batch = work.groupBy("_cell", "batch_id").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count("_dotq").alias("nz"),
+                    F.sum("_dotq").alias("s"),
+                ).collect()
+                counts: dict[int, int] = {}
+                stats: dict[int, list[int]] = {}
+                for r in per_batch:
+                    counts[int(r["_cell"])] = (
+                        counts.get(int(r["_cell"]), 0) + int(r["n"])
+                    )
+                    ent = stats.setdefault(int(r["batch_id"]), [0, 0])
+                    ent[0] += int(r["nz"])
+                    ent[1] += int(r["s"]) if r["s"] is not None else 0
+                history = [[b, *stats[b]] for b in sorted(stats)]
+                # baseline (base_bid) first — late folded batches follow
+                # in id order, exactly as if they had ingested after it
+                history.sort(key=lambda e: (e[0] != base_bid, e[0]))
                 # repartition on the partition column first or the write
                 # emits tasks x cells tiny files (store gotcha)
                 self.store.overwrite(
@@ -470,9 +493,7 @@ class IvfVectorIndex:
                         applied,
                         counts,
                         quantizer_versions=qver,
-                        # the build entry is the drift BASELINE: how well
-                        # the fresh quantizer fits its own training corpus
-                        drift_history=[[base_bid, nz, sdot]],
+                        drift_history=history,
                         appends_since_rewrite=0,
                     ),
                 )

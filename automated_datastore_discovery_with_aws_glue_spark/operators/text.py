@@ -132,18 +132,33 @@ def html_extract(
     Kept blocks are entity-decoded, whitespace-normalized, and joined
     with newlines. Pure native expressions — the DuckDB oracle
     (`corpus_html_extract`) replays every regex and the keep rule
-    verbatim."""
+    verbatim.
 
-    def keep(b: Column) -> Column:
-        t_all = _html_block_text(b)
-        t_noa = _html_block_text(F.regexp_replace(b, _HTML_ANCHOR_RE, " "))
-        link_chars = F.length(t_all) - F.length(t_noa)
-        return (_word_count(t_all) >= F.lit(min_words)) & (
-            link_chars * F.lit(10000) <= F.lit(max_link_bp) * F.length(t_all)
+    Each block maps to a (t_all, t_noa) struct FIRST, so the
+    tag-strip + entity-decode + collapse chain runs once per variant
+    per block; filtering raw blocks and re-deriving the text in the
+    output transform would run the dominant regex work three times."""
+
+    def texts(b: Column) -> Column:
+        return F.struct(
+            _html_block_text(b).alias("t_all"),
+            _html_block_text(F.regexp_replace(b, _HTML_ANCHOR_RE, " ")).alias(
+                "t_noa"
+            ),
+        )
+
+    def keep(p: Column) -> Column:
+        link_chars = F.length(p["t_all"]) - F.length(p["t_noa"])
+        return (_word_count(p["t_all"]) >= F.lit(min_words)) & (
+            link_chars * F.lit(10000) <= F.lit(max_link_bp) * F.length(p["t_all"])
         )
 
     return F.array_join(
-        F.transform(F.filter(html_blocks(col), keep), _html_block_text), "\n"
+        F.transform(
+            F.filter(F.transform(html_blocks(col), texts), keep),
+            lambda p: p["t_all"],
+        ),
+        "\n",
     )
 
 
@@ -481,6 +496,10 @@ MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
     ("Ã¼", "ü"),
     ("Ã±", "ñ"),
     ("Ã§", "ç"),
+    # the true cp1252 artifact for 'à' is Ã + NBSP (UTF-8 0xC3 0xA0 read
+    # as cp1252); the Ã + space form appears after downstream
+    # NBSP->space folding — repair both, NBSP form first
+    ("Ã\xa0", "à"),
     ("Ã ", "à"),
     ("Â\xa0", " "),
     ("Â ", " "),

@@ -12,8 +12,8 @@ regex and rule is shared verbatim with the DuckDB oracles in
 
 Documented limits (each pytest-pinned):
 - the parser expects absolute ``scheme://`` URLs; userinfo
-  (``user:pass@host``) is treated as part of the authority and is NOT
-  stripped;
+  (``user:pass@``) is STRIPPED from the host — a blocklist keyed on
+  the raw authority would be bypassable with ``trusted.com@evil.com``;
 - percent-encoding is preserved as-is (no decode/re-encode pass);
 - :func:`registered_domain` uses a small embedded two-part-suffix list,
   not the full public-suffix registry — the documented trade for a
@@ -37,8 +37,9 @@ TWO_PART_SUFFIXES: tuple[str, ...] = (
 )
 
 #: query parameters dropped during normalization: pure click/campaign
-#: trackers that never change the resource identity
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+#: trackers that never change the resource identity — with or without
+#: a value ('?fbclid' alone must also normalize away)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
 
 #: RFC-3986-shaped splitter: scheme :// authority path ?query #fragment
 URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
@@ -49,11 +50,16 @@ def url_scheme(col: Column) -> Column:
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased authority with a leading ``www.`` stripped; default
-    ports (``:80`` for http, ``:443`` for https) removed, any other
-    explicit port kept."""
+    """Lowercased HOST of the authority: userinfo (everything up to the
+    last ``@``) stripped FIRST — a blocklist or per-domain cap keyed on
+    the authority would otherwise be bypassable with an attacker-chosen
+    ``trusted.com@evil.com`` prefix — then a leading ``www.`` stripped;
+    default ports (``:80`` for http, ``:443`` for https) removed, any
+    other explicit port kept."""
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(col, URL_PARTS_RE, 2)), r"^www\.", ""
+        F.regexp_replace(F.lower(F.regexp_extract(col, URL_PARTS_RE, 2)), "^.*@", ""),
+        r"^www\.",
+        "",
     )
     scheme = url_scheme(col)
     return F.when(

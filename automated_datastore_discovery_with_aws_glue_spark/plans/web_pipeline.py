@@ -92,8 +92,9 @@ def _sql_url_ctes() -> str:
     px AS (
         SELECT doc_id, n_chars,
                lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS sch,
-               regexp_replace(lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
-                              '^www\\.', '') AS h0,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+                   '^.*@', ''), '^www\\.', '') AS h0,
                regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3), '/+$', '') AS p0,
                coalesce(regexp_extract(url, '{_URL_RE_SQL}', 4), '') AS q0
         FROM u
@@ -299,20 +300,37 @@ def corpus_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM replace/regexp projections, zero shuffles before the final
     sort; the DuckDB chain is GENERATED from the same pair table."""
     docs = load_table(spark, sf_dir, "documents")
-    corrupted = _corrupted_text()
-    moji = TX.fix_mojibake(corrupted)
-    fixed = TX.fix_encoding(corrupted)
-    return docs.select(
-        "doc_id",
-        (fixed != corrupted).alias("changed"),
-        (
-            F.length(moji)
-            - F.length(F.regexp_replace(moji, TX.CONTROL_CHAR_RE, ""))
-        ).cast("int").alias("n_ctrl"),
-        F.length(corrupted).cast("int").alias("len_before"),
-        F.length(fixed).cast("int").alias("len_after"),
-        F.md5(fixed.cast("binary")).alias("fixed_fp"),
-    ).orderBy("doc_id")
+
+    # corrupted -> moji -> fixed are each let-bound (operators/text.let):
+    # the stats below reference them 2-3 times apiece, and naively each
+    # reference re-inlines the whole 19-replace + 2-regexp chain — ~5x
+    # the per-row string work (the url_normalize docstring's blowup)
+    def stats(corrupted: F.Column) -> F.Column:
+        def over_moji(moji: F.Column) -> F.Column:
+            def over_fixed(fixed: F.Column) -> F.Column:
+                return F.struct(
+                    (fixed != corrupted).alias("changed"),
+                    (
+                        F.length(moji)
+                        - F.length(F.regexp_replace(moji, TX.CONTROL_CHAR_RE, ""))
+                    ).cast("int").alias("n_ctrl"),
+                    F.length(corrupted).cast("int").alias("len_before"),
+                    F.length(fixed).cast("int").alias("len_after"),
+                    F.md5(fixed.cast("binary")).alias("fixed_fp"),
+                )
+
+            no_ctrl = F.regexp_replace(moji, TX.CONTROL_CHAR_RE, " ")
+            return TX.let(
+                F.trim(F.regexp_replace(no_ctrl, r"\s+", " ")), over_fixed
+            )
+
+        return TX.let(TX.fix_mojibake(corrupted), over_moji)
+
+    return (
+        docs.select("doc_id", TX.let(_corrupted_text(), stats).alias("s"))
+        .select("doc_id", "s.*")
+        .orderBy("doc_id")
+    )
 
 
 def _fix_encoding_sql() -> str:

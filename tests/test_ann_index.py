@@ -685,6 +685,13 @@ def test_build_cas_folds_in_racing_ingest(spark, tmp_path):
         for r in ix.vectors().filter(F.col("vec_id") >= 2000).select("vec_id", "_cell").collect()
     }
     assert stored_cells == expect_cells
+    # the drift BASELINE covers only the training corpus; the folded
+    # batch gets its OWN history entry instead of depressing the
+    # baseline mean (code-review r11)
+    hist = ix.store.table_meta("vectors")["drift_history"]
+    assert [e[0] for e in hist] == [1, 2]  # baseline bid first, then late
+    assert hist[0][1] == 90  # training rows only
+    assert hist[1][1] == 9  # the folded batch, separately sampled
 
 
 def test_pq_tier_codes_and_adc_topk(spark, tmp_path):

@@ -72,9 +72,22 @@ def test_normalize_unparseable_is_null(spark):
     assert _norm(spark, "example.com/p") is None  # no scheme
 
 
-def test_normalize_keeps_userinfo_and_percent_encoding(spark):
-    # documented limits: userinfo passes through; %-escapes untouched
-    assert _norm(spark, "http://u:p@a.com/x%20y") == "http://u:p@a.com/x%20y"
+def test_normalize_strips_userinfo_keeps_percent_encoding(spark):
+    # userinfo stripped (blocklist-bypass hardening); %-escapes untouched
+    assert _norm(spark, "http://u:p@a.com/x%20y") == "http://a.com/x%20y"
+    # the attacker-chosen 'trusted@blocked' authority keys on the REAL host
+    assert _dom(spark, "a.com") == "a.com"
+    assert (
+        _norm(spark, "http://trusted.com@blocked.com/x") == "http://blocked.com/x"
+    )
+
+
+def test_normalize_drops_valueless_tracking_params(spark):
+    assert _norm(spark, "http://a.com/p?fbclid&id=1&utm_source") == "http://a.com/p?id=1"
+    # a non-tracking valueless param is kept
+    assert _norm(spark, "http://a.com/p?flag") == "http://a.com/p?flag"
+    # 'ref' must match whole-name only: 'referrer=x' is NOT a tracker
+    assert _norm(spark, "http://a.com/p?referrer=x") == "http://a.com/p?referrer=x"
 
 
 # -- registered_domain --------------------------------------------------
@@ -136,6 +149,8 @@ def test_fix_mojibake_pairs_and_order(spark):
     assert _fix(spark, "CafÃ© â€” itâ€™s â€œfineâ€\x9d") == "Café - it's \"fine\""
     # three-char sequences decode before the shared 'Ã ' pair can split them
     assert _fix(spark, "waitâ€¦ Ã  la") == "wait... à la"
+    # the TRUE cp1252 artifact for 'à' is Ã + NBSP (0xC3 0xA0 double-decoded)
+    assert _fix(spark, "Ã\xa0 la carte") == "à la carte"
 
 
 def test_fix_encoding_strips_control_chars_and_collapses_ws(spark):
