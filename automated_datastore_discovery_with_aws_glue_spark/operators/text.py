@@ -63,20 +63,41 @@ def md5_hash64(col: Column) -> Column:
 # parser — the documented trade for staying a pure JVM-side expression
 # (whole-stage codegen, zero Python) that DuckDB replays verbatim.
 # Known limits (each pytest-pinned): attribute values containing '>'
-# truncate that tag early; only the common NAMED entities below are
-# decoded (numeric &#NN; forms pass through literally); anchors split
-# across block boundaries lose their link-density contribution.
+# truncate that tag early; only the common NAMED entities and the
+# high-frequency NUMERIC forms below are decoded (other &#NN; codes
+# pass through literally); anchors split across block boundaries lose
+# their link-density contribution.
 
 #: entity -> replacement, in DECODE ORDER: '&amp;' must be LAST so
 #: double-encoded text ('&amp;lt;') decodes to the literal entity
-#: ('&lt;'), never to '<'
+#: ('&lt;'), never to '<'. The numeric rows are the high-frequency
+#: codes real markup uses for punctuation (quote/apostrophe forms,
+#: dashes, ellipsis, NBSP) — both decimal and the named twin decode to
+#: the same character, so dedup fingerprints agree across encodings.
 HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
+    ("&#34;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&#160;", " "),
     ("&nbsp;", " "),
+    ("&#8216;", "‘"),
+    ("&#8217;", "’"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&#8211;", "–"),
+    ("&#8212;", "—"),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&#8230;", "…"),
+    ("&hellip;", "…"),
+    ("&#38;", "&"),
     ("&amp;", "&"),
 )
 

@@ -110,3 +110,28 @@ def test_case_insensitive_tags_and_whitespace_normalization(spark):
         "Upper case tags and ragged whitespace collapse.",
         "Another kept heading block",
     ]
+
+
+def test_numeric_entities_decode_like_named_twins(spark):
+    # decimal forms and their named twins land on the SAME character, so
+    # dedup fingerprints agree across encodings (r11 entity-table widening)
+    raw = (
+        "<p>&#8220;smart&#8221; &ldquo;smart&rdquo; quotes here</p>"
+        "<p>dash &#8211; and &#8212; meet &ndash; and &mdash; today</p>"
+        "<p>ellipsis&#8230; ellipsis&hellip; apostrophe&#8217;s test</p>"
+        "<p>nbsp&#160;and&nbsp;amp &#38; &amp; done now</p>"
+    )
+    out = _extract(spark, raw)
+    assert out.split("\n") == [
+        "“smart” “smart” quotes here",
+        "dash – and — meet – and — today",
+        "ellipsis… ellipsis… apostrophe’s test",
+        "nbsp and amp & & done now",
+    ]
+
+
+def test_unknown_numeric_entities_pass_through(spark):
+    # still a documented limit: arbitrary codes are NOT computed
+    assert _extract(spark, "<p>code &#12345; stays put here</p>") == (
+        "code &#12345; stays put here"
+    )
