@@ -129,7 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    mm_audio_features, which re-derives every SAMPLE)
         "er_clusters": A.QUERIES["er_clusters"],
         "cat_schema_drift": A.QUERIES["cat_schema_drift"],
-        "colloc_lift": A.QUERIES["colloc_lift"],
+        # (r11 second wave: colloc_lift rotated past-window — multi-
+        #  round green; text analytics keeps perplexity-bigram + DSIR +
+        #  tok rows in-window — for the robots.txt gate below)
+        "corpus_robots_filter": WB.QUERIES["corpus_robots_filter"],
         # -- r8 fourth-wave: integer-quantized PageRank (every
         #    iteration replayed exactly by the materialized-CTE
         #    oracle); displaced text_quality_classifier (multi-round
@@ -297,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cohort_retention": A.QUERIES["ev_cohort_retention"],
         "ev_attribution": A.QUERIES["ev_attribution"],
         "prof_histogram": P.prof_histogram,
+        "colloc_lift": A.QUERIES["colloc_lift"],
         # r10 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],

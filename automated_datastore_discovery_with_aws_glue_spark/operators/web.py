@@ -205,3 +205,103 @@ def domain_cap(
         .drop("_rn")
     )
     return under.unionByName(over)
+
+
+# -- robots.txt (r11): parse + longest-match filter ---------------------
+#
+# The crawl-politeness stage between frontier dedup and fetching. This
+# is the documented SUBSET real pipelines overwhelmingly hit: the
+# wildcard agent group ('User-agent: *'), Allow/Disallow directives,
+# comment stripping, PREFIX matching with longest-match precedence and
+# allow-wins-ties (the Google REP semantics). Path wildcards ('*', '$')
+# and Crawl-delay are NOT interpreted — their directives match as
+# literal prefixes; a pipeline needing them should pre-expand. All pure
+# native expressions; rule tables are per-host and tiny, so the match
+# join BROADCASTS the parsed rules.
+
+_ROBOTS_UA_RE = r"(?i)^user-agent\s*:"
+_ROBOTS_DIRECTIVE_RE = r"(?i)^(allow|disallow)\s*:(.*)$"
+
+
+def robots_rules(
+    df: DataFrame, key_col: str, robots_col: str
+) -> DataFrame:
+    """Parse ``robots.txt`` bodies into ``(key, rule, prefix)`` rows for
+    the wildcard agent group: lines split, comments stripped, agent
+    groups delimited by runs of ``User-agent:`` lines (consecutive UA
+    lines share one group), and Allow/Disallow directives kept from
+    every group whose agent set includes ``*``. An EMPTY Disallow
+    ("Disallow:") means allow-everything and yields no rule. One
+    window per key over the (tiny) line list — never data-scale."""
+    lines = df.select(
+        key_col,
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("_i", "_raw"),
+    )
+    cleaned = lines.select(
+        key_col,
+        "_i",
+        F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_ln"),
+    ).filter(F.col("_ln") != "")
+    w = Window.partitionBy(key_col).orderBy("_i")
+    marked = cleaned.withColumn("_ua", F.col("_ln").rlike(_ROBOTS_UA_RE))
+    grouped = marked.withColumn(
+        "_grp",
+        F.sum(
+            (F.col("_ua") & ~F.lag("_ua", 1, False).over(w)).cast("int")
+        ).over(w),
+    )
+    agent = F.trim(F.regexp_extract("_ln", _ROBOTS_UA_RE + r"(.*)$", 1))
+    star = (
+        grouped.filter(F.col("_ua"))
+        .groupBy(key_col, "_grp")
+        .agg(F.max((agent == "*").cast("int")).alias("_star"))
+        .filter(F.col("_star") == 1)
+        .select(key_col, "_grp")
+    )
+    rule = F.lower(F.regexp_extract("_ln", _ROBOTS_DIRECTIVE_RE, 1))
+    prefix = F.trim(F.regexp_extract("_ln", _ROBOTS_DIRECTIVE_RE, 2))
+    return (
+        grouped.filter(~F.col("_ua"))
+        .select(key_col, "_grp", rule.alias("rule"), prefix.alias("prefix"))
+        .filter(F.col("rule") != "")
+        .join(star, [key_col, "_grp"])
+        .filter(F.col("prefix") != "")
+        .select(key_col, "rule", "prefix")
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    *,
+    id_col: str,
+    key_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-page robots verdict: join the (broadcast) rule table on the
+    host, keep rules whose prefix the path starts with, and decide by
+    the REP precedence — longest prefix wins, allow wins length ties,
+    no matching rule means allowed. Adds ``allowed`` (boolean) and
+    ``matched_prefix`` (the winning prefix, NULL when no rule matched).
+    One broadcast join + one aggregate — the per-page winner is
+    ``max(struct(len, is_allow, prefix))``, no window over page rows."""
+    j = pages.join(F.broadcast(rules), key_col, "left").filter(
+        F.col(path_col).startswith(F.col("prefix"))
+    )
+    best = j.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("prefix").alias("p"),
+            )
+        ).alias("_b")
+    )
+    return (
+        pages.join(best, id_col, "left")
+        .withColumn(
+            "allowed", F.coalesce(F.col("_b.a") == 1, F.lit(True))
+        )
+        .withColumn("matched_prefix", F.col("_b.p"))
+        .drop("_b")
+    )

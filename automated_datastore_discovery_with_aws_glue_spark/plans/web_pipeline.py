@@ -116,7 +116,7 @@ def _sql_url_ctes() -> str:
         SELECT doc_id, n_chars,
                sch || '://' || host || path ||
                CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
-               host,
+               host, path,
                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
                     WHEN list_contains([{sufs}],
                          array_to_string(string_split(host, '.')[-2:], '.'))
@@ -538,3 +538,141 @@ def _ingest_web_sql() -> str:
 
 QUERIES["corpus_ingest_web"] = corpus_ingest_web
 ORACLES["corpus_ingest_web"] = _ingest_web_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_robots_filter — robots.txt parse + longest-match verdict
+# ---------------------------------------------------------------------------
+
+#: per-host robots.txt fixture arms (shared literals; chosen so every
+#: parser rule does real work): full star group with overlapping
+#: prefixes, an empty-Disallow allow-all, a deny-all, a no-star-group
+#: file, and a consecutive-UA-lines group with a comment
+_ROBOTS_COM_ARMS: tuple[str, ...] = (
+    # overlapping prefixes + an equal-length allow/disallow pair on
+    # /p/2 (the allow-wins-ties REP rule decides)
+    "User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /p/3\n"
+    "Allow: /p/2\nDisallow: /p/2\n",
+    "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
+    "User-agent: *\nDisallow: /\n",
+    "User-agent: bot\nDisallow: /\n",
+)
+_ROBOTS_UK = (
+    "User-agent: googlebot\nUser-agent: *\n"
+    "Disallow: /q/1\nAllow: /q/15\n# blanket comment\n"
+)
+
+
+def _robots_text(host: F.Column) -> F.Column:
+    d4 = F.regexp_extract(host, r"domain(\d+)", 1).cast("int") % 4
+    com = (
+        F.when(d4 == 0, F.lit(_ROBOTS_COM_ARMS[0]))
+        .when(d4 == 1, F.lit(_ROBOTS_COM_ARMS[1]))
+        .when(d4 == 2, F.lit(_ROBOTS_COM_ARMS[2]))
+        .otherwise(F.lit(_ROBOTS_COM_ARMS[3]))
+    )
+    return F.when(host.endswith(".co.uk"), F.lit(_ROBOTS_UK)).otherwise(com)
+
+
+def corpus_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (r11): synthesize a robots file per fixture host
+    (five arms: overlapping Allow/Disallow prefixes, empty-Disallow
+    allow-all, deny-all, no-star-group, consecutive-UA-lines group with
+    comments), parse with ``operators/web.robots_rules`` (wildcard
+    agent group, comment stripping, group delimiting), and decide every
+    page with ``robots_filter`` — longest prefix wins, allow wins
+    ties, no match allows. The rule table is per-host and tiny, so the
+    verdict is ONE broadcast join + one aggregate over pages — no
+    page-scale window, the 100 TB shape. DuckDB replays the line
+    split, grouping windows, star-group selection, and precedence."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    pages = docs.select(
+        "doc_id",
+        W.url_host(raw).alias("host"),
+        W.url_path(raw).alias("path"),
+    )
+    robots = pages.select("host").distinct().withColumn(
+        "robots", _robots_text(F.col("host"))
+    )
+    rules = W.robots_rules(robots, "host", "robots")
+    out = W.robots_filter(pages, rules, id_col="doc_id")
+    return out.select(
+        "doc_id", "host", "path", "allowed", "matched_prefix"
+    ).orderBy("doc_id")
+
+
+def _robots_filter_sql() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+    arms = " ".join(
+        f"WHEN {i} THEN '{q(a)}'" for i, a in enumerate(_ROBOTS_COM_ARMS[:3])
+    )
+    ua_re = r"(?i)^user-agent\s*:"
+    dir_re = r"(?i)^(allow|disallow)\s*:(.*)$"
+    return (
+        "WITH " + _sql_url_ctes() + f""",
+    rb AS (SELECT DISTINCT host FROM nn),
+    rt AS MATERIALIZED (
+        SELECT host,
+               CASE WHEN host LIKE '%.co.uk' THEN '{q(_ROBOTS_UK)}'
+                    ELSE CASE (CAST(regexp_extract(host, 'domain(\\d+)', 1) AS INT) % 4)
+                         {arms}
+                         ELSE '{q(_ROBOTS_COM_ARMS[3])}' END
+               END AS robots
+        FROM rb
+    ),
+    lx AS (
+        SELECT host, t.i AS i,
+               trim(regexp_replace(string_split(robots, chr(10))[t.i], '#.*$', '')) AS ln
+        FROM rt, unnest(generate_series(1, len(string_split(robots, chr(10))))) AS t(i)
+    ),
+    mk AS (
+        SELECT host, i, ln, regexp_matches(ln, '{ua_re}') AS ua
+        FROM lx WHERE ln <> ''
+    ),
+    pk AS (
+        SELECT *,
+               coalesce(lag(ua) OVER (PARTITION BY host ORDER BY i), FALSE)
+                   AS prev_ua
+        FROM mk
+    ),
+    gr AS (
+        SELECT *,
+               SUM(CASE WHEN ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY i) AS grp
+        FROM pk
+    ),
+    sg AS (
+        SELECT host, grp FROM gr WHERE ua GROUP BY host, grp
+        HAVING max(CASE WHEN trim(regexp_extract(ln, '{ua_re}(.*)$', 1)) = '*'
+                        THEN 1 ELSE 0 END) = 1
+    ),
+    rl AS (
+        SELECT g.host,
+               lower(regexp_extract(ln, '{dir_re}', 1)) AS rule,
+               trim(regexp_extract(ln, '{dir_re}', 2)) AS prefix
+        FROM gr g JOIN sg USING (host, grp)
+        WHERE NOT ua AND regexp_matches(ln, '{dir_re}')
+    ),
+    rl2 AS (SELECT * FROM rl WHERE prefix <> ''),
+    mt AS (
+        SELECT p.doc_id, r.rule, r.prefix
+        FROM nn p JOIN rl2 r ON p.host = r.host AND starts_with(p.path, r.prefix)
+    ),
+    bst AS (
+        SELECT doc_id, rule, prefix FROM mt
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY length(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
+    )
+    SELECT n.doc_id, n.host, n.path,
+           coalesce(b.rule = 'allow', TRUE) AS allowed,
+           b.prefix AS matched_prefix
+    FROM nn n LEFT JOIN bst b USING (doc_id)
+    ORDER BY n.doc_id"""
+    )
+
+
+QUERIES["corpus_robots_filter"] = corpus_robots_filter
+ORACLES["corpus_robots_filter"] = _robots_filter_sql()

@@ -167,6 +167,7 @@ HEADLINE = [
     "corpus_fix_encoding",
     "corpus_dedup_encoding",
     "corpus_ingest_web",
+    "corpus_robots_filter",
 ]
 
 

@@ -244,3 +244,66 @@ def test_stream_url_dedup_first_sighting_wins(spark, tmp_path):
     write_batch([(5, "http://a.com/p", "2024-01-01 10:02:00"), (6, "http://b.com/", "2024-01-01 10:02:30")])
     run()
     assert sorted(out) == [1, 3, 6]
+
+
+# -- robots.txt ---------------------------------------------------------
+
+
+def _rules(spark, robots):
+    df = spark.createDataFrame([("h", robots)], ["host", "robots"])
+    return {
+        (r["rule"], r["prefix"])
+        for r in W.robots_rules(df, "host", "robots").collect()
+    }
+
+
+def test_robots_rules_star_group_and_comments(spark):
+    txt = (
+        "# crawl policy\nUser-agent: bot\nDisallow: /private\n\n"
+        "User-agent: *\nDisallow: /p/1  # inline comment\nAllow: /p/12\n"
+    )
+    assert _rules(spark, txt) == {("disallow", "/p/1"), ("allow", "/p/12")}
+
+
+def test_robots_rules_consecutive_ua_lines_share_group(spark):
+    txt = "User-agent: googlebot\nUser-agent: *\nDisallow: /x\n"
+    assert _rules(spark, txt) == {("disallow", "/x")}
+
+
+def test_robots_rules_no_star_group_or_empty_disallow(spark):
+    assert _rules(spark, "User-agent: bot\nDisallow: /\n") == set()
+    # empty Disallow in the star group = allow-everything, no rule
+    assert _rules(spark, "User-agent: *\nDisallow:\n") == set()
+
+
+def test_robots_filter_precedence(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "h", "/p/1/deep"),   # /p/1 disallow wins (only match)
+            (2, "h", "/p/12/x"),     # longer allow beats /p/1
+            (3, "h", "/p/2"),        # equal-length tie -> allow wins
+            (4, "h", "/other"),      # no match -> allowed
+            (5, "g", "/p/1"),        # host without rules -> allowed
+        ],
+        ["id", "host", "path"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/p/1"),
+            ("h", "allow", "/p/12"),
+            ("h", "allow", "/p/2"),
+            ("h", "disallow", "/p/2"),
+        ],
+        ["host", "rule", "prefix"],
+    )
+    out = {
+        r["id"]: (r["allowed"], r["matched_prefix"])
+        for r in W.robots_filter(pages, rules, id_col="id").collect()
+    }
+    assert out == {
+        1: (False, "/p/1"),
+        2: (True, "/p/12"),
+        3: (True, "/p/2"),
+        4: (True, None),
+        5: (True, None),
+    }
