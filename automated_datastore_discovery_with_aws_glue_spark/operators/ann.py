@@ -478,7 +478,7 @@ class IvfVectorIndex:
                     ent = stats.setdefault(int(r["batch_id"]), [0, 0])
                     ent[0] += int(r["nz"])
                     ent[1] += int(r["s"]) if r["s"] is not None else 0
-                history = [[b, *stats[b]] for b in sorted(stats)]
+                history = [[b, *stats[b]] for b in stats]
                 # baseline (base_bid) first — late folded batches follow
                 # in id order, exactly as if they had ingested after it
                 history.sort(key=lambda e: (e[0] != base_bid, e[0]))

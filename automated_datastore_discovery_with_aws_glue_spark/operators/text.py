@@ -68,12 +68,17 @@ def md5_hash64(col: Column) -> Column:
 # pass through literally); anchors split across block boundaries lose
 # their link-density contribution.
 
-#: entity -> replacement, in DECODE ORDER: '&amp;' must be LAST so
-#: double-encoded text ('&amp;lt;') decodes to the literal entity
-#: ('&lt;'), never to '<'. The numeric rows are the high-frequency
-#: codes real markup uses for punctuation (quote/apostrophe forms,
-#: dashes, ellipsis, NBSP) — both decimal and the named twin decode to
-#: the same character, so dedup fingerprints agree across encodings.
+#: entity -> replacement, in DECODE ORDER; the ampersand family is NOT
+#: in this table — '&amp;' and '&#38;' decode together in ONE regex
+#: pass (:data:`AMP_DECODE_RE`) AFTER it, because with two literal
+#: passes whichever ran second would re-decode ampersands the first
+#: produced ('&#38;amp;' must yield the literal '&amp;', and
+#: '&amp;#38;' the literal '&#38;' — a regex pass never rescans its
+#: own replacement, so both double-encoded forms decode exactly one
+#: level). The numeric rows are the high-frequency codes real markup
+#: uses for punctuation (quote/apostrophe forms, dashes, ellipsis,
+#: NBSP) — both decimal and the named twin decode to the same
+#: character, so dedup fingerprints agree across encodings.
 HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -97,9 +102,10 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&mdash;", "—"),
     ("&#8230;", "…"),
     ("&hellip;", "…"),
-    ("&#38;", "&"),
-    ("&amp;", "&"),
 )
+
+#: the ampersand family, decoded LAST in one non-rescanning regex pass
+AMP_DECODE_RE = "&(?:amp|#38);"
 
 #: tags whose open OR close ends a text block (replaced by newline)
 _HTML_BLOCK_TAGS = (
@@ -120,6 +126,7 @@ def _html_block_text(block: Column) -> Column:
     t = F.regexp_replace(block, _HTML_TAG_RE, " ")
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, AMP_DECODE_RE, "&")
     return F.trim(F.regexp_replace(t, _WS, " "))
 
 

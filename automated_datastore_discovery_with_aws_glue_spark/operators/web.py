@@ -79,6 +79,16 @@ def url_path(col: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+def url_raw_path(col: Column) -> Column:
+    """The FETCH-TIME path: as written in the URL, only the empty path
+    normalized to ``/``. Robots matching must use this form — a
+    directory rule like ``Disallow: /admin/`` matches ``/admin/`` but
+    not the canonical ``/admin``, so matching against
+    :func:`url_path`'s collapsed form would under-block."""
+    p = F.regexp_extract(col, URL_PARTS_RE, 3)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
 def url_query_kept(col: Column) -> Column:
     """The query string with empty and tracking parameters removed,
     original parameter ORDER preserved (param order can be semantic;
@@ -284,8 +294,12 @@ def robots_filter(
     no matching rule means allowed. Adds ``allowed`` (boolean) and
     ``matched_prefix`` (the winning prefix, NULL when no rule matched).
     One broadcast join + one aggregate — the per-page winner is
-    ``max(struct(len, is_allow, prefix))``, no window over page rows."""
-    j = pages.join(F.broadcast(rules), key_col, "left").filter(
+    ``max(struct(len, is_allow, prefix))``, no window over page rows.
+
+    ``path_col`` must be the RAW fetch path (:func:`url_raw_path`),
+    not the canonical one: a directory rule ``Disallow: /admin/``
+    matches ``/admin/`` but not the slash-collapsed ``/admin``."""
+    j = pages.join(F.broadcast(rules), key_col).filter(
         F.col(path_col).startswith(F.col("prefix"))
     )
     best = j.groupBy(id_col).agg(

@@ -3833,16 +3833,24 @@ def _html_extract_sql() -> str:
     """The DuckDB replay of `html_extract` over the same synthetic
     pages: blocks exploded to rows (no nested lambdas needed), the
     entity chain, keep rules, and ordered re-aggregation."""
-    from automated_datastore_discovery_with_aws_glue_spark.operators.text import HTML_ENTITIES
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
+        AMP_DECODE_RE,
+        HTML_ENTITIES,
+    )
 
     # the chain is GENERATED from the operator's own entity table —
-    # extending HTML_ENTITIES extends this twin automatically
+    # extending HTML_ENTITIES extends this twin automatically; the
+    # ampersand family decodes last in one non-rescanning regex pass
+    # (the operator's double-encoding contract)
     ent_chain = "regexp_replace({src}, '<[^>]*>', ' ', 'g')"
     for ent, ch in HTML_ENTITIES:
         ent_chain = (
             "replace(" + ent_chain + ", '" + ent.replace("'", "''")
             + "', '" + ch.replace("'", "''") + "')"
         )
+    ent_chain = (
+        "regexp_replace(" + ent_chain + ", '" + AMP_DECODE_RE + "', '&', 'g')"
+    )
     block_text = (
         "trim(regexp_replace(" + ent_chain + ", '\\s+', ' ', 'g'))"
     )

@@ -96,6 +96,7 @@ def _sql_url_ctes() -> str:
                    lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
                    '^.*@', ''), '^www\\.', '') AS h0,
                regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3), '/+$', '') AS p0,
+               regexp_extract(url, '{_URL_RE_SQL}', 3) AS pr0,
                coalesce(regexp_extract(url, '{_URL_RE_SQL}', 4), '') AS q0
         FROM u
     ),
@@ -107,6 +108,7 @@ def _sql_url_ctes() -> str:
                          THEN substr(h0, 1, length(h0) - 4)
                     ELSE h0 END AS host,
                CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+               CASE WHEN pr0 = '' THEN '/' ELSE pr0 END AS rpath,
                coalesce(array_to_string(list_filter(string_split(q0, '&'),
                    t -> t <> '' AND NOT regexp_matches(t, '{_TRACK_RE_SQL}')), '&'),
                    '') AS q
@@ -116,7 +118,7 @@ def _sql_url_ctes() -> str:
         SELECT doc_id, n_chars,
                sch || '://' || host || path ||
                CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
-               host, path,
+               host, path, rpath,
                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
                     WHEN list_contains([{sufs}],
                          array_to_string(string_split(host, '.')[-2:], '.'))
@@ -550,9 +552,10 @@ ORACLES["corpus_ingest_web"] = _ingest_web_sql()
 #: file, and a consecutive-UA-lines group with a comment
 _ROBOTS_COM_ARMS: tuple[str, ...] = (
     # overlapping prefixes + an equal-length allow/disallow pair on
-    # /p/2 (the allow-wins-ties REP rule decides)
+    # /p/2 (the allow-wins-ties REP rule decides) + a DIRECTORY rule
+    # (trailing slash — matches only the raw '/p/4/' form)
     "User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /p/3\n"
-    "Allow: /p/2\nDisallow: /p/2\n",
+    "Allow: /p/2\nDisallow: /p/2\nDisallow: /p/4/\n",
     "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
     "User-agent: *\nDisallow: /\n",
     "User-agent: bot\nDisallow: /\n",
@@ -587,10 +590,12 @@ def corpus_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, grouping windows, star-group selection, and precedence."""
     docs = load_table(spark, sf_dir, "documents")
     raw = _raw_url()
+    # robots decisions happen at FETCH time, before canonicalization —
+    # the raw path keeps trailing slashes so directory rules match
     pages = docs.select(
         "doc_id",
         W.url_host(raw).alias("host"),
-        W.url_path(raw).alias("path"),
+        W.url_raw_path(raw).alias("path"),
     )
     robots = pages.select("host").distinct().withColumn(
         "robots", _robots_text(F.col("host"))
@@ -617,7 +622,7 @@ def _robots_filter_sql() -> str:
     rt AS MATERIALIZED (
         SELECT host,
                CASE WHEN host LIKE '%.co.uk' THEN '{q(_ROBOTS_UK)}'
-                    ELSE CASE (CAST(regexp_extract(host, 'domain(\\d+)', 1) AS INT) % 4)
+                    ELSE CASE (TRY_CAST(regexp_extract(host, 'domain(\\d+)', 1) AS INT) % 4)
                          {arms}
                          ELSE '{q(_ROBOTS_COM_ARMS[3])}' END
                END AS robots
@@ -659,14 +664,14 @@ def _robots_filter_sql() -> str:
     rl2 AS (SELECT * FROM rl WHERE prefix <> ''),
     mt AS (
         SELECT p.doc_id, r.rule, r.prefix
-        FROM nn p JOIN rl2 r ON p.host = r.host AND starts_with(p.path, r.prefix)
+        FROM nn p JOIN rl2 r ON p.host = r.host AND starts_with(p.rpath, r.prefix)
     ),
     bst AS (
         SELECT doc_id, rule, prefix FROM mt
         QUALIFY row_number() OVER (PARTITION BY doc_id
             ORDER BY length(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
     )
-    SELECT n.doc_id, n.host, n.path,
+    SELECT n.doc_id, n.host, n.rpath AS path,
            coalesce(b.rule = 'allow', TRUE) AS allowed,
            b.prefix AS matched_prefix
     FROM nn n LEFT JOIN bst b USING (doc_id)

@@ -135,3 +135,11 @@ def test_unknown_numeric_entities_pass_through(spark):
     assert _extract(spark, "<p>code &#12345; stays put here</p>") == (
         "code &#12345; stays put here"
     )
+
+
+def test_double_encoded_ampersand_family_decodes_one_level(spark):
+    # '&amp;#38;' is the LITERAL text '&#38;' one level up; '&#38;amp;'
+    # is the literal '&amp;' — the single-pass regex never rescans its
+    # replacement, so neither over-decodes (code-review r11)
+    raw = "<p>literal one &amp;#38; literal two &#38;amp; and &amp;lt; stay</p>"
+    assert _extract(spark, raw) == "literal one &#38; literal two &amp; and &lt; stay"

@@ -307,3 +307,28 @@ def test_robots_filter_precedence(spark):
         4: (True, None),
         5: (True, None),
     }
+
+
+def test_robots_directory_rule_needs_raw_path(spark):
+    # 'Disallow: /admin/' blocks '/admin/' and '/admin/x' but NOT the
+    # slash-collapsed '/admin' — robots match the raw fetch path
+    pages = spark.createDataFrame(
+        [(1, "h", "/admin/"), (2, "h", "/admin/x"), (3, "h", "/admin")],
+        ["id", "host", "path"],
+    )
+    rules = spark.createDataFrame(
+        [("h", "disallow", "/admin/")], ["host", "rule", "prefix"]
+    )
+    out = {
+        r["id"]: r["allowed"]
+        for r in W.robots_filter(pages, rules, id_col="id").collect()
+    }
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_url_raw_path_keeps_trailing_slash(spark):
+    df = spark.createDataFrame([("http://a.com/p/",), ("http://a.com",)], ["u"])
+    got = [
+        r["p"] for r in df.select(W.url_raw_path(F.col("u")).alias("p")).collect()
+    ]
+    assert got == ["/p/", "/"]
