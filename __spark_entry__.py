@@ -119,7 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced j_range_burst (two rounds green; the range-join
         #    binning is pinned in-window by the pair-emitting
         #    j_range_pairs row)
-        "er_sorted_neighborhood": A.QUERIES["er_sorted_neighborhood"],
+        # (r11 second wave: er_sorted_neighborhood rotated past-window —
+        #  multi-round green; ER keeps er_clusters (components +
+        #  survivorship) in-window — for sitemap frontier discovery)
+        "corpus_sitemap_discovery": WB.QUERIES["corpus_sitemap_discovery"],
         # -- r8 third-wave: ER connected components + survivorship,
         #    crawler-style schema-drift report, bigram collocations by
         #    lift; displaced corpus_report / corpus_contamination
@@ -301,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution": A.QUERIES["ev_attribution"],
         "prof_histogram": P.prof_histogram,
         "colloc_lift": A.QUERIES["colloc_lift"],
+        "er_sorted_neighborhood": A.QUERIES["er_sorted_neighborhood"],
         # r10 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "mm_gif_frame_sample": M.QUERIES["mm_gif_frame_sample"],

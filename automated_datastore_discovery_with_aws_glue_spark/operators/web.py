@@ -319,3 +319,42 @@ def robots_filter(
         .withColumn("matched_prefix", F.col("_b.p"))
         .drop("_b")
     )
+
+
+# -- sitemap.xml (r11): <loc> extraction for frontier discovery ---------
+
+#: lazy, case-insensitive <loc> element matcher; surrounding whitespace
+#: inside the element is consumed by the \s* guards
+SITEMAP_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+
+#: XML's predefined entities minus the ampersand family (which decodes
+#: LAST in one non-rescanning pass — operators.text.AMP_DECODE_RE, the
+#: same one-level contract html_extract uses)
+XML_URL_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+)
+
+
+def xml_unescape_url(col: Column) -> Column:
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import AMP_DECODE_RE
+
+    for ent, ch in XML_URL_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return F.regexp_replace(col, AMP_DECODE_RE, "&")
+
+
+def sitemap_locs(col: Column) -> Column:
+    """The ``<loc>`` URLs of a sitemap.xml body, XML-unescaped, in
+    document order — the discovery half of the crawl frontier (robots
+    points at sitemaps; sitemaps enumerate URLs the crawler has not
+    seen). A regex extractor, not an XML parser (the html_extract
+    trade): CDATA sections and sitemap-index nesting are not
+    interpreted — their loc contents still match when they are plain
+    ``<loc>`` elements."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(SITEMAP_LOC_RE), F.lit(1)),
+        xml_unescape_url,
+    )

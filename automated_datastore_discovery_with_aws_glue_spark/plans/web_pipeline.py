@@ -681,3 +681,165 @@ def _robots_filter_sql() -> str:
 
 QUERIES["corpus_robots_filter"] = corpus_robots_filter
 ORACLES["corpus_robots_filter"] = _robots_filter_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_sitemap_discovery — sitemap <loc> extraction -> frontier delta
+# ---------------------------------------------------------------------------
+
+#: sitemap.xml fixture fragments (host spliced in twice): whitespace
+#: inside <loc>, an XML-escaped &amp; in a query URL, a www. variant
+#: that must normalize onto the host, an OFF-host loc, an UPPERCASE
+#: <LOC>, and an explicit :443 on https
+_SM_COM: tuple[str, str, str] = (
+    '<?xml version="1.0"?>\n<urlset>\n  <url><loc> http://',
+    "/p/7?a=1&amp;b=2 </loc><lastmod>2024-01-01</lastmod></url>\n"
+    "  <url><loc>http://www.",
+    "/p/0</loc></url>\n"
+    "  <url><loc>https://evil.example/offsite</loc></url>\n</urlset>",
+)
+_SM_UK: tuple[str, str, str] = (
+    "<urlset><url><loc>https://",
+    "/q/3?x=1&amp;utm_source=s</loc></url><url><LOC>https://",
+    ":443/q/150</LOC></url></urlset>",
+)
+
+
+def _sitemap_text(host: F.Column) -> F.Column:
+    com = F.concat(
+        F.lit(_SM_COM[0]), host, F.lit(_SM_COM[1]), host, F.lit(_SM_COM[2])
+    )
+    uk = F.concat(
+        F.lit(_SM_UK[0]), host, F.lit(_SM_UK[1]), host, F.lit(_SM_UK[2])
+    )
+    return F.when(host.endswith(".co.uk"), uk).otherwise(com)
+
+
+def corpus_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven frontier discovery (r11): synthesize a
+    sitemap.xml per fixture host (whitespace-padded / XML-escaped /
+    www-variant / off-host / UPPERCASE-tag / explicit-:443 locs),
+    extract the ``<loc>`` URLs with ``operators/web.sitemap_locs``,
+    canonicalize each, and classify against the already-crawled
+    canonical set: on-host or not, already known, or NEW (the next
+    crawl wave). Per-host summary + the deterministic first new URL.
+    Rule-of-scale: sitemaps are per-host metadata (tiny); the only
+    data-scale touch is the semi-join against the crawled set on the
+    canonical URL — high-cardinality, skew-free. DuckDB replays the
+    loc regex, the XML unescape (amp family one-pass), normalization,
+    and the set classification."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    crawled = docs.select(W.url_normalize(raw).alias("url_norm")).distinct()
+    hosts = docs.select(W.url_host(raw).alias("host")).distinct()
+    locs = hosts.withColumn("sitemap", _sitemap_text(F.col("host"))).select(
+        "host",
+        F.posexplode(W.sitemap_locs(F.col("sitemap"))).alias("loc_idx", "loc"),
+    )
+    x = locs.select(
+        "host",
+        W.url_normalize(F.col("loc")).alias("url_norm"),
+        (W.url_host(F.col("loc")) == F.col("host")).alias("on_host"),
+    )
+    marked = x.join(
+        crawled.withColumn("_k", F.lit(1)), "url_norm", "left"
+    ).withColumn("known", F.col("_k").isNotNull() & F.col("on_host"))
+    new_cond = F.col("on_host") & ~F.col("known") & F.col("url_norm").isNotNull()
+    return (
+        marked.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_locs"),
+            F.sum(F.col("on_host").cast("bigint")).alias("n_onhost"),
+            F.sum(F.col("known").cast("bigint")).alias("n_known"),
+            F.sum(new_cond.cast("bigint")).alias("n_new"),
+            F.min(F.when(new_cond, F.col("url_norm"))).alias("first_new"),
+        )
+        .orderBy("host")
+    )
+
+
+def _sql_url_host_expr(u: str) -> str:
+    sch = f"lower(regexp_extract({u}, '{_URL_RE_SQL}', 1))"
+    h0 = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({u}, "
+        f"'{_URL_RE_SQL}', 2)), '^.*@', ''), '^www\\.', '')"
+    )
+    return (
+        f"CASE WHEN {sch} = 'http' AND ends_with({h0}, ':80') "
+        f"THEN substr({h0}, 1, length({h0}) - 3) "
+        f"WHEN {sch} = 'https' AND ends_with({h0}, ':443') "
+        f"THEN substr({h0}, 1, length({h0}) - 4) ELSE {h0} END"
+    )
+
+
+def _sql_url_norm_expr(u: str) -> str:
+    sch = f"lower(regexp_extract({u}, '{_URL_RE_SQL}', 1))"
+    host = _sql_url_host_expr(u)
+    p0 = f"regexp_replace(regexp_extract({u}, '{_URL_RE_SQL}', 3), '/+$', '')"
+    path = f"CASE WHEN {p0} = '' THEN '/' ELSE {p0} END"
+    q0 = f"coalesce(regexp_extract({u}, '{_URL_RE_SQL}', 4), '')"
+    qq = (
+        f"coalesce(array_to_string(list_filter(string_split({q0}, '&'), "
+        f"t -> t <> '' AND NOT regexp_matches(t, '{_TRACK_RE_SQL}')), '&'), '')"
+    )
+    return (
+        f"CASE WHEN regexp_matches({u}, '{_URL_RE_SQL}') THEN "
+        f"{sch} || '://' || {host} || {path} || "
+        f"CASE WHEN {qq} = '' THEN '' ELSE '?' || {qq} END END"
+    )
+
+
+def _sitemap_discovery_sql() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+    com = f"'{q(_SM_COM[0])}' || host || '{q(_SM_COM[1])}' || host || '{q(_SM_COM[2])}'"
+    uk = f"'{q(_SM_UK[0])}' || host || '{q(_SM_UK[1])}' || host || '{q(_SM_UK[2])}'"
+    unesc = "loc0"
+    for ent, ch in W.XML_URL_ENTITIES:
+        unesc = f"replace({unesc}, '{ent}', '{q(ch)}')"
+    unesc = f"regexp_replace({unesc}, '&(?:amp|#38);', '&', 'g')"
+    loc_re = W.SITEMAP_LOC_RE
+    return (
+        "WITH " + _sql_url_ctes() + f""",
+    hs AS (SELECT DISTINCT host FROM nn),
+    crawled AS MATERIALIZED (SELECT DISTINCT url_norm FROM nn),
+    sm AS (
+        SELECT host,
+               CASE WHEN host LIKE '%.co.uk' THEN {uk} ELSE {com} END AS sitemap
+        FROM hs
+    ),
+    lr AS (
+        SELECT host, regexp_extract_all(sitemap, '{loc_re}', 1) AS locs FROM sm
+    ),
+    lx AS (
+        SELECT host, t.i AS loc_idx, locs[t.i] AS loc0
+        FROM lr, unnest(generate_series(1, len(locs))) AS t(i)
+    ),
+    ux AS (SELECT host, loc_idx, {unesc} AS loc FROM lx),
+    xx AS MATERIALIZED (
+        SELECT host, {_sql_url_norm_expr("loc")} AS url_norm,
+               {_sql_url_host_expr("loc")} = host AS on_host
+        FROM ux
+    ),
+    mk AS (
+        SELECT x.host, x.url_norm, x.on_host,
+               (c.url_norm IS NOT NULL AND x.on_host) AS known
+        FROM xx x LEFT JOIN crawled c ON x.url_norm = c.url_norm
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_locs,
+           CAST(sum(CASE WHEN on_host THEN 1 ELSE 0 END) AS BIGINT) AS n_onhost,
+           CAST(sum(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+           CAST(sum(CASE WHEN on_host AND NOT known AND url_norm IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           min(CASE WHEN on_host AND NOT known AND url_norm IS NOT NULL
+                    THEN url_norm END) AS first_new
+    FROM mk
+    GROUP BY host
+    ORDER BY host"""
+    )
+
+
+QUERIES["corpus_sitemap_discovery"] = corpus_sitemap_discovery
+ORACLES["corpus_sitemap_discovery"] = _sitemap_discovery_sql()

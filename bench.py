@@ -168,6 +168,7 @@ HEADLINE = [
     "corpus_dedup_encoding",
     "corpus_ingest_web",
     "corpus_robots_filter",
+    "corpus_sitemap_discovery",
 ]
 
 

@@ -332,3 +332,33 @@ def test_url_raw_path_keeps_trailing_slash(spark):
         r["p"] for r in df.select(W.url_raw_path(F.col("u")).alias("p")).collect()
     ]
     assert got == ["/p/", "/"]
+
+
+# -- sitemap ------------------------------------------------------------
+
+
+def test_sitemap_locs_extraction_and_unescape(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>  http://a.com/p?x=1&amp;y=2  </loc></url>"
+        "<url><LOC>https://b.com/z</LOC></url>"
+        "<url><loc>http://c.com/&amp;amp;literal</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], ["s"])
+    locs = df.select(W.sitemap_locs(F.col("s")).alias("l")).collect()[0]["l"]
+    # whitespace trimmed, &amp; decoded ONE level (the '&amp;amp;' loc
+    # keeps its literal '&amp;'), uppercase tag matched
+    assert locs == [
+        "http://a.com/p?x=1&y=2",
+        "https://b.com/z",
+        "http://c.com/&amp;literal",
+    ]
+
+
+def test_sitemap_locs_empty_and_malformed(spark):
+    df = spark.createDataFrame(
+        [("no sitemap here",), ("<urlset><url></url></urlset>",)], ["s"]
+    )
+    got = [r["l"] for r in df.select(W.sitemap_locs(F.col("s")).alias("l")).collect()]
+    assert got == [[], []]
