@@ -533,8 +533,12 @@ MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = (
     ("Â ", " "),
 )
 
-#: C0 controls (minus tab/newline/CR, normalized separately) + DEL
-CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+#: C0 controls (minus tab/newline/CR, normalized separately) + DEL +
+#: the C1 range U+0080-U+009F — exactly where latin1-misdecoded crawl
+#: bytes land, so C1-polluted duplicate variants fingerprint together.
+#: Stripping runs AFTER the mojibake replace chain, so multi-byte pairs
+#: containing C1 code points (the 'â€\\x9d' curly quote) match first.
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
 
 
 def fix_mojibake(col: Column) -> Column:

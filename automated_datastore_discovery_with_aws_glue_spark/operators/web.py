@@ -38,8 +38,13 @@ TWO_PART_SUFFIXES: tuple[str, ...] = (
 
 #: query parameters dropped during normalization: pure click/campaign
 #: trackers that never change the resource identity — with or without
-#: a value ('?fbclid' alone must also normalize away)
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
+#: a value ('?fbclid' alone must also normalize away). Case-insensitive
+#: ('?UTM_SOURCE=x' is the same tracker): host/scheme are case-folded,
+#: so case-variant tracker URLs must dedup with their clean twins too.
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
+
+#: trailing explicit port of an authority ('host:8080' -> 'host')
+PORT_RE = r":\d+$"
 
 #: RFC-3986-shaped splitter: scheme :// authority path ?query #fragment
 URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
@@ -134,12 +139,17 @@ def url_normalize(col: Column) -> Column:
 def registered_domain(host: Column) -> Column:
     """Naive eTLD+1: the last two host labels, or the last three when
     the last two form a known second-level suffix (:data:`TWO_PART_SUFFIXES`).
-    A bare label (no dot) is returned unchanged. Ports, if present,
-    must be stripped by the caller (:func:`url_host` already does).
+    A bare label (no dot) is returned unchanged. A trailing explicit
+    port is stripped FIRST (:func:`url_host` only removes the scheme's
+    DEFAULT port, so 'blocked.com:8080' must still key the blocklist
+    as 'blocked.com', and 'blog.example.co.uk:8443' must not defeat
+    the two-part-suffix check). For the table-backed longest-match
+    form see :func:`registered_domain_join`.
 
     Both the host and its label array are let-bound — the rule
     references the labels four times, and the host is usually the
     (wide) :func:`url_host` expression."""
+    host = F.regexp_replace(host, PORT_RE, "")
     suffixes = F.array(*[F.lit(s) for s in TWO_PART_SUFFIXES])
 
     def over_parts(h: Column, parts: Column) -> Column:
@@ -199,11 +209,19 @@ def domain_cap(
     bypass the sort entirely, and only rows of over-cap HEAD domains
     flow through ``row_number``. Both phases shuffle on the domain key,
     so at 1000 executors the cap is a per-key local sort of the few
-    hot domains, never a corpus-wide ranking."""
+    hot domains, never a corpus-wide ranking.
+
+    The operator is TOTAL: rows with a NULL domain form one group and
+    are capped like any other domain (the count join is null-safe —
+    a plain equi-join would silently drop them)."""
     if order is None:
         order = [F.col("quality").desc(), F.col("id")]
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dn"))
-    joined = df.join(counts, domain_col)
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("_dn")
+    ).withColumnRenamed(domain_col, "_dk")
+    joined = df.join(
+        counts, F.col(domain_col).eqNullSafe(F.col("_dk"))
+    ).drop("_dk")
     under = joined.filter(F.col("_dn") <= cap).drop("_dn")
     over = (
         joined.filter(F.col("_dn") > cap)

@@ -90,6 +90,15 @@ def test_normalize_drops_valueless_tracking_params(spark):
     assert _norm(spark, "http://a.com/p?referrer=x") == "http://a.com/p?referrer=x"
 
 
+def test_normalize_tracking_params_case_insensitive(spark):
+    # scheme/host are case-folded, so case-variant trackers must drop too
+    assert (
+        _norm(spark, "http://a.com/p?UTM_SOURCE=x&FBCLID=y&id=1")
+        == "http://a.com/p?id=1"
+    )
+    assert _norm(spark, "http://a.com/p?Ref=tw&GCLID") == "http://a.com/p"
+
+
 # -- registered_domain --------------------------------------------------
 
 
@@ -101,6 +110,15 @@ def test_registered_domain_rules(spark):
     assert _dom(spark, "a.b.example.co.uk") == "example.co.uk"
     # a bare two-part suffix has no registrable label — returned whole
     assert _dom(spark, "co.uk") == "co.uk"
+
+
+def test_registered_domain_strips_explicit_ports(spark):
+    # url_host only removes the scheme's DEFAULT port — a blocklist
+    # keyed on registered_domain must not be bypassable with ':8080',
+    # and a port must not defeat the two-part-suffix check
+    assert _dom(spark, "blocked.com:8080") == "blocked.com"
+    assert _dom(spark, "blog.example.co.uk:8443") == "example.co.uk"
+    assert _dom(spark, "localhost:3000") == "localhost"
 
 
 # -- url_dedup ----------------------------------------------------------
@@ -142,6 +160,19 @@ def test_domain_cap_two_phase_matches_plain_window(spark):
         assert len(by_dom[d]) == len([r for r in rows if r[1] == d])
 
 
+def test_domain_cap_null_domains_form_one_capped_group(spark):
+    # the operator is total: NULL-domain rows are neither dropped nor
+    # exempt — they cap as one group (null-safe count join)
+    rows = [(i, None if i < 9 else "a.com", i) for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, domain string, quality int")
+    out = W.domain_cap(df, "domain", 5).collect()
+    nulls = [r for r in out if r["domain"] is None]
+    assert len(nulls) == 5
+    # best-first within the NULL group: top-5 by quality desc
+    assert sorted(r["id"] for r in nulls) == [4, 5, 6, 7, 8]
+    assert len([r for r in out if r["domain"] == "a.com"]) == 3
+
+
 # -- fix_encoding -------------------------------------------------------
 
 
@@ -155,6 +186,14 @@ def test_fix_mojibake_pairs_and_order(spark):
 
 def test_fix_encoding_strips_control_chars_and_collapses_ws(spark):
     assert _fix(spark, "a\x07b\x1b  c\x00") == "a b c"
+
+
+def test_fix_encoding_strips_c1_controls(spark):
+    # U+0080-U+009F — where latin1-misdecoded crawl bytes land; without
+    # this, C1-polluted duplicate variants fingerprint apart
+    assert _fix(spark, "a\x85b\x90 c\x9f") == "a b c"
+    # \x9d PRECEDED by 'â€' is the mojibake curly quote — pair wins
+    assert _fix(spark, "â€\x9dquoted") == '"quoted'
 
 
 def test_fix_encoding_nbsp_artifact(spark):
