@@ -104,10 +104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    analytics family keeps funnel/cohort/attribution/anomaly
         #    in-window)
         "ann_drift_twin": L.EXTRA_QUERIES["ann_drift_twin"],
-        # -- r8 second-wave: per-frame audio features through the real
-        #    WAV kernel (displaced para_dedup — multi-round green,
-        #    family-pinned by the in-window corpus_dup_spans rows)
-        "mm_audio_features": M.QUERIES["mm_audio_features"],
+        # -- r12 (VERDICT r11 item 4): WARC-shape crawl-container
+        #    roundtrip — documents framed as Content-Length-delimited
+        #    records, concatenated per container, scanned BACK by the
+        #    vendored offset parser (sources/warc.py, mapInPandas) and
+        #    fed through html_extract; the multi-byte payload salt
+        #    makes byte-vs-char length a checked property. Displaced
+        #    mm_audio_features (multi-round green; media keeps
+        #    mm_pixel_stats / mm_video_frame_sample / adpcm_stereo
+        #    in-window, and the WAV kernel stays pytest-pinned)
+        "src_warc_extract": WB.QUERIES["src_warc_extract"],
         # -- r8 second-wave: behavioral analytics + record linkage
         #    (funnel / cohort retention / sorted-neighborhood ER);
         #    displaced doc_tfidf_topk / doc_lm_perplexity /
@@ -131,7 +137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (the WAV kernel is now pinned in-window by the stricter
         #    mm_audio_features, which re-derives every SAMPLE)
         "er_clusters": A.QUERIES["er_clusters"],
-        "cat_schema_drift": A.QUERIES["cat_schema_drift"],
+        # -- r12 (VERDICT r11 item 3): registrable domains via the
+        #    bundled public-suffix table — longest-suffix broadcast
+        #    join (2- and 3-label depths), private hosting suffixes,
+        #    bare-suffix and port edge cases; the suffix lists in the
+        #    oracle are GENERATED from the same Python tuple. Displaced
+        #    cat_schema_drift (multi-round green; still checked locally
+        #    every round)
+        "corpus_psl_domains": WB.QUERIES["corpus_psl_domains"],
         # (r11 second wave: colloc_lift rotated past-window — multi-
         #  round green; text analytics keeps perplexity-bigram + DSIR +
         #  tok rows in-window — for the robots.txt gate below)
@@ -294,6 +307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
         "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # ---- driver window ends here (50 entries) ----
+        # r12 rotation casualties (multi-round green, family-pinned as
+        # documented above; still checked locally every round)
+        "cat_schema_drift": A.QUERIES["cat_schema_drift"],
+        "mm_audio_features": M.QUERIES["mm_audio_features"],
         # r11 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round —
         # ev_top_paths / ev_cohort_retention listed explicitly because

@@ -842,16 +842,34 @@ class IvfVectorIndex:
         with_codes: bool,
         books: list[list[list[int]]] | None = None,
         version: int | None = None,
+        probe_cells: str = "auto",
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Shared batch plumbing: (persisted qbase, exploded qdf,
         pruned candidates) — all resolved from ONE pinned VECTORS
         snapshot (``version``), so a rebuild committing mid-plan cannot
         pair one epoch's centroids with another's rows. Probe selection
         is a map-side column (`probe_cells_expr` — stored centroids as
-        a literal matrix); the DISTINCT probed cells (<= n_cells ints,
-        one small action) keep the index read a PartitionFilter. With
-        ``books``, the per-query ADC lookup table rides the persisted
-        qbase so it is computed once per query, not once per probe."""
+        a literal matrix); the probed-cell PartitionFilter comes from
+        ``probe_cells`` (r12, VERDICT r11 item 7):
+
+        - ``'collect'`` — the DISTINCT probed cells (<= n_cells ints,
+          one small action): tightest pruning, right when a few
+          clustered queries probe a sliver of a large index;
+        - ``'all'`` — the trained cell list already known driver-side
+          (0..n_cells-1, ZERO extra actions): the filter keeps its
+          plan shape but prunes nothing — right when a diverse batch
+          would cover most cells anyway, making the collect pure
+          overhead;
+        - ``'auto'`` (default) — ``'all'`` when ``8 * n_probe >=
+          n_cells`` (each query already probes >= 1/8 of the index, so
+          a handful of diverse queries saturate the cell set; the
+          verdict either way is identical because the join on ``cell``
+          restricts candidates to probed cells — the filter is purely
+          a scan hint), else ``'collect'``.
+
+        With ``books``, the per-query ADC lookup table rides the
+        persisted qbase so it is computed once per query, not once per
+        probe."""
         cents = self.centroids_int(vectors_version=version)
         qbase = self._query_base(
             queries, query_id_col, query_vec_col or self.vec_col
@@ -862,7 +880,16 @@ class IvfVectorIndex:
         qdf = qbase.withColumn(
             "cell", F.explode(probe_cells_expr("_qqv", cents, n_probe))
         )
-        cells = sorted(r["cell"] for r in qdf.select("cell").distinct().collect())
+        if probe_cells not in ("auto", "collect", "all"):
+            raise ValueError(
+                f"probe_cells: unknown mode {probe_cells!r} (auto | collect | all)"
+            )
+        if probe_cells == "all" or (
+            probe_cells == "auto" and 8 * n_probe >= len(cents)
+        ):
+            cells = list(range(len(cents)))
+        else:
+            cells = sorted(r["cell"] for r in qdf.select("cell").distinct().collect())
         cand = self._probed_candidates(
             cells or [-1], with_codes=with_codes, version=version
         )
@@ -878,6 +905,7 @@ class IvfVectorIndex:
         rerank_factor: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str | None = None,
+        probe_cells: str = "auto",
     ) -> DataFrame:
         """Index-backed BATCH top-k (r11, VERDICT r10 item 1): one
         join-shaped plan links an entire query DataFrame against the
@@ -900,7 +928,11 @@ class IvfVectorIndex:
         `knn_ivf_pq_scored` math as one batch plan. Every number is an
         exact integer, so DuckDB replays training, assignment, probes,
         ADC, and re-rank bit-for-bit (`knn_index_topk_adc` /
-        `knn_index_topk_exact`). Zero-norm queries return no rows."""
+        `knn_index_topk_exact`). Zero-norm queries return no rows.
+        ``probe_cells`` picks how the PartitionFilter cell list is
+        derived (see :meth:`_probe_join`): the default ``'auto'`` drops
+        the per-call distinct-collect action whenever the batch would
+        saturate the cell set anyway."""
         from pyspark.sql import Window
 
         from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
@@ -922,6 +954,7 @@ class IvfVectorIndex:
                 with_codes=True,
                 books=books,
                 version=v,
+                probe_cells=probe_cells,
             )
             w1 = Window.partitionBy("_qid").orderBy(
                 F.col("adc_d2").asc(), F.col(self.id_col)
@@ -970,6 +1003,7 @@ class IvfVectorIndex:
             query_vec_col=query_vec_col,
             with_codes=False,
             version=v,
+            probe_cells=probe_cells,
         )
         dot = F.expr(
             "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> x * y), "
@@ -1002,6 +1036,8 @@ class IvfVectorIndex:
         query_id_col: str = "query_id",
         query_vec_col: str | None = None,
         exclude_self: bool = False,
+        ordered: bool = False,
+        probe_cells: str = "auto",
     ) -> DataFrame:
         """Index-backed batch THRESHOLD join (r11): every (incoming,
         stored) pair with cosine >= threshold_micro/1e6, blocked by the
@@ -1009,7 +1045,15 @@ class IvfVectorIndex:
         plan twin, riding the persisted centroids instead of retraining
         per call. Emits (query_id, id, cell, cos_micro), exact integer
         dots deciding. ``exclude_self`` drops query_id == id pairs
-        (both sides drawn from the same id space)."""
+        (both sides drawn from the same id space).
+
+        ``ordered=False`` (the default; r12, VERDICT r11 item 1) skips
+        the final global sort: the pair set grows with corpus
+        duplication, so ordering a pair-linear output is a corpus-scale
+        exchange that exists only for presentation — downstream
+        consumers (threshold filters, cluster builders) don't need it.
+        The oracle twin passes ``ordered=True`` to keep its
+        deterministic replay order."""
         from automated_datastore_discovery_with_aws_glue_spark.operators import cache as C
 
         qbase, qdf, cand = self._probe_join(
@@ -1019,6 +1063,7 @@ class IvfVectorIndex:
             query_vec_col=query_vec_col,
             with_codes=False,
             version=self._read_snapshot_version(),
+            probe_cells=probe_cells,
         )
         dot = F.expr(
             "aggregate(zip_with(`_qqv`, `_vqv`, (x, y) -> x * y), "
@@ -1036,8 +1081,9 @@ class IvfVectorIndex:
                 F.expr("`_dot` div 1000000").alias("cos_micro"),
             )
             .filter(F.col("cos_micro") >= threshold_micro)
-            .orderBy(query_id_col, self.id_col, "cell")
         )
+        if ordered:
+            out = out.orderBy(query_id_col, self.id_col, "cell")
         return C.adopt(out, qbase)
 
     def topk(

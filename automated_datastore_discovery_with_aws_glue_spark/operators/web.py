@@ -14,10 +14,16 @@ Documented limits (each pytest-pinned):
 - the parser expects absolute ``scheme://`` URLs; userinfo
   (``user:pass@``) is STRIPPED from the host — a blocklist keyed on
   the raw authority would be bypassable with ``trusted.com@evil.com``;
-- percent-encoding is preserved as-is (no decode/re-encode pass);
-- :func:`registered_domain` uses a small embedded two-part-suffix list,
-  not the full public-suffix registry — the documented trade for a
-  pure-expression operator with no lookup table join.
+- percent-encoding is normalized RFC-3986-style by
+  :func:`pct_normalize` (unreserved escapes decoded, remaining hex
+  uppercased, invalid sequences quarantined to NULL) — but only inside
+  :func:`url_normalize`; the fetch-time accessors (:func:`url_host`,
+  :func:`url_raw_path`, :func:`url_raw_target`) stay byte-faithful to
+  the URL as written, because robots matching and fetching happen
+  BEFORE canonicalization;
+- :func:`registered_domain` uses a small embedded two-part-suffix list;
+  :func:`registered_domain_join` is the table-backed longest-match
+  form for real public-suffix coverage.
 """
 
 from __future__ import annotations
@@ -94,6 +100,66 @@ def url_raw_path(col: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+def url_raw_target(col: Column) -> Column:
+    """The FETCH-TIME match target for robots rules: the raw path plus
+    ``?query`` when a query is present (REP rules are matched against
+    path-and-query — ``Disallow: /*?sessionid=`` must be able to see
+    the query), both exactly as written in the URL."""
+    q = F.regexp_extract(col, URL_PARTS_RE, 4)
+    return F.when(q == "", url_raw_path(col)).otherwise(
+        F.concat(url_raw_path(col), F.lit("?"), q)
+    )
+
+
+#: one RFC-3986 percent-escape (two hex digits, either case)
+PCT_ESCAPE_RE = r"%[0-9A-Fa-f]{2}"
+
+
+def pct_normalize(col: Column) -> Column:
+    """RFC-3986 percent-encoding normalization (section 6.2.2.2):
+    escapes of UNRESERVED characters (ALPHA / DIGIT / ``-._~``) are
+    decoded — ``%41`` is ``A``, ``%7e`` is ``~`` — and the hex of every
+    remaining escape is uppercased (``%2f`` -> ``%2F``), so equivalent
+    URLs stop being distinct frontier keys. Escapes of RESERVED
+    characters are NOT decoded (``%2F`` is data, ``/`` is structure).
+    A ``%`` not followed by two hex digits makes the whole value NULL
+    — the same quarantine route unparseable URLs take.
+
+    Pure higher-order expressions: split on ``%``, transform each
+    segment (the two-hex prefix decides decode/uppercase), re-join.
+    The no-``%`` fast path keeps the common case a single ``contains``
+    — CASE arms are row-lazy, so clean URLs never pay for the split."""
+
+    def body(u: Column) -> Column:
+        def seg(s: Column) -> Column:
+            hex2 = F.substring(s, 1, 2)
+            code = F.conv(hex2, 16, 10).cast("int")
+            unreserved = (
+                ((code >= 65) & (code <= 90))
+                | ((code >= 97) & (code <= 122))
+                | ((code >= 48) & (code <= 57))
+                | code.isin(45, 46, 95, 126)
+            )
+            return F.concat(
+                F.when(unreserved, F.char(code)).otherwise(
+                    F.concat(F.lit("%"), F.upper(hex2))
+                ),
+                s.substr(F.lit(3), F.length(s)),
+            )
+
+        parts = F.split(u, "%")
+        decoded = F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(F.slice(parts, 2, F.size(parts) - 1), seg), ""
+            ),
+        )
+        valid = ~F.regexp_replace(u, PCT_ESCAPE_RE, "").contains("%")
+        return F.when(~u.contains("%"), u).when(valid, decoded)
+
+    return let(col, body)
+
+
 def url_query_kept(col: Column) -> Column:
     """The query string with empty and tracking parameters removed,
     original parameter ORDER preserved (param order can be semantic;
@@ -109,16 +175,22 @@ def url_query_kept(col: Column) -> Column:
 
 
 def url_normalize(col: Column) -> Column:
-    """Canonical URL: lowercased scheme and host, ``www.`` and default
-    ports stripped, trailing path slashes collapsed, tracking params
-    dropped (order of the survivors preserved), fragment dropped.
-    Unparseable values (no ``scheme://``) normalize to NULL so they can
-    be routed to a quarantine branch instead of silently passing.
+    """Canonical URL: percent-encoding normalized FIRST
+    (:func:`pct_normalize` — decoding an unreserved escape can never
+    create a delimiter, so it is safe before parsing, and it must run
+    before the tracking-param filter so an escape-disguised tracker
+    name like ``%66bclid`` still drops), then lowercased scheme and
+    host, ``www.`` and default ports stripped, trailing path slashes
+    collapsed, tracking params dropped (order of the survivors
+    preserved), fragment dropped. Unparseable values (no
+    ``scheme://``) and invalid percent-sequences normalize to NULL so
+    they can be routed to a quarantine branch instead of silently
+    passing.
 
-    ``col`` is :func:`operators.text.let`-bound: the normalized form
-    references its input ~8 times (scheme twice, host, path, query,
-    parse gate), and when the input is itself a wide expression (a
-    synthesized or concatenated URL) naive inlining multiplies that
+    The decoded form is :func:`operators.text.let`-bound: the
+    normalized form references it ~8 times (scheme twice, host, path,
+    query, parse gate), and when the input is itself a wide expression
+    (a synthesized or concatenated URL) naive inlining multiplies that
     tree past Janino's 64 KB method limit — the same blowup lang_id
     documents."""
 
@@ -133,7 +205,7 @@ def url_normalize(col: Column) -> Column:
         )
         return F.when(u.rlike(URL_PARTS_RE), norm)
 
-    return let(col, body)
+    return let(pct_normalize(col), body)
 
 
 def registered_domain(host: Column) -> Column:
@@ -170,6 +242,67 @@ def registered_domain(host: Column) -> Column:
     return let(
         host, lambda h: let(F.split(h, r"\."), lambda parts: over_parts(h, parts))
     )
+
+
+def registered_domain_join(
+    df: DataFrame,
+    host: Column | str,
+    *,
+    out: str = "domain",
+    suffixes: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Table-backed eTLD+1 (r12): longest-suffix match against a
+    public-suffix table (default: the bundled
+    :data:`functions.psl.PUBLIC_SUFFIXES` — a few hundred exact rules;
+    pass the full registry as ``suffixes`` to widen coverage without
+    changing the plan). Adds ``out`` = the registrable domain of
+    ``host``: the matched suffix plus one label, the whole host when it
+    has no label beyond the suffix (a bare suffix has no registrable
+    part), the last two labels when nothing matches (single-label-TLD
+    default), NULL for a NULL host. A trailing explicit port is
+    stripped first, like :func:`registered_domain`.
+
+    Plan shape: one LEFT BROADCAST join per distinct suffix depth in
+    the table (two for the bundled 2/3-label rules) on the host's
+    last-``d``-labels key — all map-side, zero shuffles, so the rule
+    table can grow to the full ~10k-row registry for free. Deeper
+    match wins (``a.blogspot.co.uk`` keys on ``blogspot.co.uk``, not
+    ``co.uk``). Wildcard/exception registry rules are out of scope
+    (documented in ``functions/psl.py``)."""
+    if suffixes is None:
+        from automated_datastore_discovery_with_aws_glue_spark.functions.psl import (
+            PUBLIC_SUFFIXES as suffixes,
+        )
+    spark = df.sparkSession
+    hcol = host if isinstance(host, Column) else F.col(host)
+    depths = sorted({s.count(".") + 1 for s in suffixes})
+    work = df.withColumn("_rdj_h", F.regexp_replace(hcol, PORT_RE, ""))
+    work = work.withColumn("_rdj_p", F.split(F.col("_rdj_h"), r"\."))
+    n = F.size("_rdj_p")
+    for d in depths:
+        last_d = F.array_join(
+            F.slice(F.col("_rdj_p"), n - (d - 1), F.lit(d)), "."
+        )
+        work = work.withColumn(f"_rdj_l{d}", F.when(n >= d, last_d))
+        tbl = spark.createDataFrame(
+            [(s,) for s in suffixes if s.count(".") + 1 == d],
+            f"_rdj_s{d} string",
+        )
+        work = work.join(
+            F.broadcast(tbl),
+            F.col(f"_rdj_l{d}") == F.col(f"_rdj_s{d}"),
+            "left",
+        )
+    depth = F.lit(1)
+    for d in depths:  # ascending, so the DEEPEST match ends up winning
+        depth = F.when(F.col(f"_rdj_s{d}").isNotNull(), F.lit(d)).otherwise(depth)
+    dom = F.when(n <= depth, F.col("_rdj_h")).otherwise(
+        F.array_join(F.slice(F.col("_rdj_p"), n - depth, depth + F.lit(1)), ".")
+    )
+    drop = ["_rdj_h", "_rdj_p"] + [
+        c for d in depths for c in (f"_rdj_l{d}", f"_rdj_s{d}")
+    ]
+    return work.withColumn(out, dom).drop(*drop)
 
 
 def url_dedup(
@@ -235,20 +368,47 @@ def domain_cap(
     return under.unionByName(over)
 
 
-# -- robots.txt (r11): parse + longest-match filter ---------------------
+# -- robots.txt (r11; r12 adds REP path wildcards) ----------------------
 #
-# The crawl-politeness stage between frontier dedup and fetching. This
-# is the documented SUBSET real pipelines overwhelmingly hit: the
+# The crawl-politeness stage between frontier dedup and fetching: the
 # wildcard agent group ('User-agent: *'), Allow/Disallow directives,
-# comment stripping, PREFIX matching with longest-match precedence and
-# allow-wins-ties (the Google REP semantics). Path wildcards ('*', '$')
-# and Crawl-delay are NOT interpreted — their directives match as
-# literal prefixes; a pipeline needing them should pre-expand. All pure
-# native expressions; rule tables are per-host and tiny, so the match
-# join BROADCASTS the parsed rules.
+# comment stripping, and RFC-9309 matching — '*' in a directive path
+# matches any span, a trailing '$' anchors the end, everything else is
+# a literal prefix; precedence is most-octets-in-the-rule with allow
+# winning ties. Rules are matched against the raw path-and-query
+# (:func:`url_raw_target`), so 'Disallow: /*?sessionid=' works.
+# Crawl-delay is NOT interpreted (a scheduler concern, not a filter).
+# All pure native expressions; rule tables are per-host and tiny, so
+# the match join BROADCASTS the parsed rules; literal rules (the
+# overwhelming majority) keep the codegen'd prefix compare and only
+# wildcard rules pay for a regex.
 
 _ROBOTS_UA_RE = r"(?i)^user-agent\s*:"
 _ROBOTS_DIRECTIVE_RE = r"(?i)^(allow|disallow)\s*:(.*)$"
+
+#: regex metacharacters escaped when compiling a REP rule path —
+#: everything EXCEPT '*' (REP any-span, handled after escaping) ;
+#: '$' is escaped here and the TRAILING one un-escaped back into an
+#: end anchor (mid-rule '$' is literal data per the REP)
+REP_SPECIALS_CLASS = r"([.^$+?(){}\[\]|\\])"
+
+
+def rep_pattern(prefix: Column) -> Column:
+    """Compile a REP rule path to an anchored regex (shared semantics
+    with the DuckDB twin, which applies the same three rewrites):
+    escape regex metacharacters, turn ``*`` into ``.*``, and turn a
+    TRAILING ``$`` (escaped to ``\\$`` by step one) back into the end
+    anchor. No trailing ``$`` means prefix semantics — the pattern is
+    anchored at ``^`` only."""
+    esc = F.regexp_replace(prefix, REP_SPECIALS_CLASS, r"\\$1")
+    pat = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), F.regexp_replace(pat, r"\\\$$", r"\$"))
+
+
+def rep_is_wildcard(prefix: Column) -> Column:
+    """True when the rule path needs the regex matcher ('*' anywhere
+    or a trailing '$'); literal prefixes take the startswith path."""
+    return prefix.contains("*") | prefix.endswith("$")
 
 
 def robots_rules(
@@ -307,18 +467,29 @@ def robots_filter(
     path_col: str = "path",
 ) -> DataFrame:
     """Per-page robots verdict: join the (broadcast) rule table on the
-    host, keep rules whose prefix the path starts with, and decide by
-    the REP precedence — longest prefix wins, allow wins length ties,
-    no matching rule means allowed. Adds ``allowed`` (boolean) and
-    ``matched_prefix`` (the winning prefix, NULL when no rule matched).
-    One broadcast join + one aggregate — the per-page winner is
-    ``max(struct(len, is_allow, prefix))``, no window over page rows.
+    host, keep rules the target matches — literal rules by the
+    codegen'd ``startswith``, wildcard/anchored rules (``*`` / trailing
+    ``$``) by their compiled :func:`rep_pattern` regex — and decide by
+    the REP precedence: the rule with the most octets wins, allow wins
+    length ties, no matching rule means allowed. Adds ``allowed``
+    (boolean) and ``matched_prefix`` (the winning rule path as written,
+    NULL when no rule matched). One broadcast join + one aggregate —
+    the per-page winner is ``max(struct(len, is_allow, prefix))``, no
+    window over page rows.
 
-    ``path_col`` must be the RAW fetch path (:func:`url_raw_path`),
-    not the canonical one: a directory rule ``Disallow: /admin/``
-    matches ``/admin/`` but not the slash-collapsed ``/admin``."""
+    ``path_col`` must be the RAW fetch target (:func:`url_raw_target`
+    — raw path plus ``?query``), not the canonical form: a directory
+    rule ``Disallow: /admin/`` matches ``/admin/`` but not the
+    slash-collapsed ``/admin``, and query rules must see the query."""
+    rules = rules.select(
+        "*",
+        rep_is_wildcard(F.col("prefix")).alias("_wild"),
+        rep_pattern(F.col("prefix")).alias("_pat"),
+    )
     j = pages.join(F.broadcast(rules), key_col).filter(
-        F.col(path_col).startswith(F.col("prefix"))
+        F.when(
+            F.col("_wild"), F.regexp_like(F.col(path_col), F.col("_pat"))
+        ).otherwise(F.col(path_col).startswith(F.col("prefix")))
     )
     best = j.groupBy(id_col).agg(
         F.max(

@@ -3742,8 +3742,11 @@ def emb_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming = emb.filter(F.col("vec_id") % 7 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
+        # ordered=True: the twin keeps the deterministic presentation
+        # order; the production default skips that corpus-scale sort
         rows = ix.similarity_join(
-            incoming, threshold_micro=250_000, n_probe=2, exclude_self=True
+            incoming, threshold_micro=250_000, n_probe=2, exclude_self=True,
+            ordered=True,
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3829,10 +3832,27 @@ def corpus_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _html_extract_sql() -> str:
-    """The DuckDB replay of `html_extract` over the same synthetic
-    pages: blocks exploded to rows (no nested lambdas needed), the
-    entity chain, keep rules, and ordered re-aggregation."""
+def html_sql_wrap_expr(extra_salt: str = "") -> str:
+    """The synthetic-page SQL expression over a (doc_id, text) row —
+    shared with `src_warc_extract`, whose WARC payloads wrap the same
+    page around ``extra_salt || text``."""
+    return (
+        "concat('" + _HTML_WRAP_A + "', CAST(doc_id AS VARCHAR), '"
+        + _HTML_WRAP_B.replace("'", "''") + "', CAST(doc_id AS VARCHAR), '"
+        + _HTML_WRAP_C + "', "
+        + (f"'{extra_salt}' || " if extra_salt else "")
+        + "text, '" + _HTML_WRAP_D.replace("'", "''") + "')"
+    )
+
+
+def html_sql_chain(page_expr: str, source: str = "documents") -> str:
+    """The DuckDB replay of `operators/text.html_extract` as a CTE
+    chain ``cln -> blk -> bx -> bt -> keepb -> agg`` over ``page_expr``
+    (an expression over ``source`` rows keyed by doc_id): blocks
+    exploded to rows (no nested lambdas needed), the entity chain,
+    keep rules, and ordered re-aggregation; ``agg`` ends as
+    (doc_id, extracted). Shared by `corpus_html_extract` and the
+    WARC-container roundtrip `src_warc_extract`."""
     from automated_datastore_discovery_with_aws_glue_spark.operators.text import (
         AMP_DECODE_RE,
         HTML_ENTITIES,
@@ -3858,20 +3878,15 @@ def _html_extract_sql() -> str:
     t_noa = block_text.format(
         src="regexp_replace(b, '(?is)<a\\b[^>]*>.*?</a\\s*>', ' ', 'g')"
     )
-    wrap = (
-        "concat('" + _HTML_WRAP_A + "', CAST(doc_id AS VARCHAR), '"
-        + _HTML_WRAP_B.replace("'", "''") + "', CAST(doc_id AS VARCHAR), '"
-        + _HTML_WRAP_C + "', text, '" + _HTML_WRAP_D.replace("'", "''") + "')"
-    )
     return (
-        "WITH cln AS MATERIALIZED (\n"
+        "cln AS MATERIALIZED (\n"
         "    SELECT doc_id,\n"
-        "           regexp_replace(regexp_replace(regexp_replace(regexp_replace(" + wrap + ",\n"
+        "           regexp_replace(regexp_replace(regexp_replace(regexp_replace(" + page_expr + ",\n"
         "               '(?s)<!--.*?-->', ' ', 'g'),\n"
         "               '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),\n"
         "               '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),\n"
         "               '[\\n\\r]', ' ', 'g') AS raw\n"
-        "    FROM documents\n"
+        "    FROM " + source + "\n"
         "),\n"
         "blk AS MATERIALIZED (\n"
         "    SELECT doc_id, string_split(regexp_replace(raw,\n"
@@ -3897,7 +3912,15 @@ def _html_extract_sql() -> str:
         "agg AS MATERIALIZED (\n"
         "    SELECT doc_id, array_to_string(list(t_all ORDER BY bi), chr(10)) AS extracted\n"
         "    FROM keepb GROUP BY doc_id\n"
-        ")\n"
+        ")"
+    )
+
+
+def _html_extract_sql() -> str:
+    return (
+        "WITH "
+        + html_sql_chain(html_sql_wrap_expr())
+        + "\n"
         "SELECT d.doc_id,\n"
         "       CAST(CASE WHEN coalesce(a.extracted, '') = '' THEN 0\n"
         "                 ELSE len(string_split(a.extracted, chr(10))) END AS INT) AS n_blocks,\n"

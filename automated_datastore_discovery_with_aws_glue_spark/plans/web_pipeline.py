@@ -28,19 +28,28 @@ from automated_datastore_discovery_with_aws_glue_spark.sources.readers import lo
 # cap exercises BOTH branches of the two-phase plan at sf0.01: domain0
 # flows through the ranking window, the tail domains bypass it.
 # path id:   doc_id % 200
-# arm:       (doc_id div 25) % 5 — arms 0-3 are one canonical http URL
-#            wearing four different disguises (www, case + explicit
-#            default port, tracking params, fragment); arm 4 is an
-#            https subdomain on a two-part public suffix with a KEPT
-#            query. Docs 200 apart share (domain, path) but land in
-#            different arms, so exact-dup groups span arms.
+# arm:       (doc_id div 25) % 9. Arms 0/2 and 1/3 are each ONE
+#            canonical URL wearing different disguises; docs 400 apart
+#            share (domain, path) and land 7 arms apart (gcd(7,9)=1),
+#            so at sf0.01 the in-window dup groups pair arm 2 with
+#            arm 0 (percent-encoded path vs plain) and arm 3 with
+#            arm 1 (plain tracker vs escape-disguised '%66bclid') —
+#            the r12 percent-normalization is load-bearing for the
+#            driver's hash compare, not just pytest. Arm 7 pins hex
+#            UPPERCASING of kept reserved escapes ('%2f' -> '%2F');
+#            arm 8 is an INVALID escape ('%zz') that must quarantine
+#            to a NULL canonical URL and drop out of frontier dedup.
 
 _ARMS: tuple[tuple[str, str, str], ...] = (
+    ("http://www.domain", ".com/%70/", ""),
+    ("https://blog.domain", ".co.uk/q/", "?x=1&x=2&%66bclid=f"),
     ("http://www.domain", ".com/p/", ""),
+    ("https://blog.domain", ".co.uk:443/q/", "?x=1&x=2&fbclid=f"),
     ("HTTP://Domain", ".COM:80/p/", "/"),
     ("http://domain", ".com/p/", "?utm_source=feed&utm_campaign=x"),
     ("http://www.domain", ".com:80/p/", "?gclid=g1&ref=tw#frag"),
-    ("https://blog.domain", ".co.uk:443/q/", "?x=1&x=2&fbclid=f"),
+    ("http://www.domain", ".com/p/", "?y=%2fv"),
+    ("http://domain", ".com/p/", "?bad=%zz"),
 )
 
 #: registered domains removed before the cap (adult/spam blocklist shape)
@@ -55,7 +64,7 @@ def _raw_url() -> F.Column:
         F.when(did % 16 < 9, F.lit(0)).otherwise(did % 16 - 8).cast("string")
     )
     g = (did % 200).cast("string")
-    arm = F.expr("(doc_id div 25) % 5")
+    arm = F.expr(f"(doc_id div 25) % {len(_ARMS)}")
     chain = None
     for i, (pre, mid, suf) in enumerate(_ARMS):
         branch = F.concat(F.lit(pre), dom, F.lit(mid), g, F.lit(suf))
@@ -70,7 +79,7 @@ def _sql_raw_url() -> str:
             f"WHEN {i} THEN '{pre}' || dom || '{mid}' || (doc_id % 200) || '{suf}'"
         )
     return (
-        "CASE (doc_id // 25) % 5 " + " ".join(arms) + " END"
+        f"CASE (doc_id // 25) % {len(_ARMS)} " + " ".join(arms) + " END"
     )
 
 
@@ -80,25 +89,86 @@ _TRACK_RE_SQL = W.TRACKING_PARAM_RE
 _URL_RE_SQL = W.URL_PARTS_RE
 
 
+def _sql_pct_normalize(u: str) -> str:
+    """DuckDB replay of ``operators/web.pct_normalize``: decode
+    unreserved escapes, uppercase the rest, NULL on an invalid
+    sequence, fast path when there is no '%' at all."""
+    code = "CAST('0x' || substr(s, 1, 2) AS INT)"
+    seg = (
+        f"CASE WHEN ({code} BETWEEN 65 AND 90) OR ({code} BETWEEN 97 AND 122) "
+        f"OR ({code} BETWEEN 48 AND 57) OR {code} IN (45, 46, 95, 126) "
+        f"THEN chr({code}) ELSE '%' || upper(substr(s, 1, 2)) END || substr(s, 3)"
+    )
+    return (
+        f"CASE WHEN NOT contains({u}, '%') THEN {u} "
+        f"WHEN contains(regexp_replace({u}, '{W.PCT_ESCAPE_RE}', '', 'g'), '%') "
+        f"THEN NULL "
+        f"ELSE string_split({u}, '%')[1] || array_to_string("
+        f"list_transform(string_split({u}, '%')[2:], s -> {seg}), '') END"
+    )
+
+
+#: DuckDB replay of the PSL longest-suffix join
+#: (operators/web.registered_domain_join): the suffix lists are
+#: GENERATED from the same functions/psl.PUBLIC_SUFFIXES tuple
+def _sql_psl_ctes() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.functions.psl import PUBLIC_SUFFIXES
+
+    s2 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 1)
+    s3 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 2)
+    return (
+        f"psl2 AS (SELECT unnest([{s2}]) AS sfx2),\n"
+        f"    psl3 AS (SELECT unnest([{s3}]) AS sfx3)"
+    )
+
+
+#: the registrable-domain SELECT fragment over a port-stripped host
+#: expression 'hp' joined to psl2/psl3 (aliases s2/s3)
+_SQL_PSL_DOMAIN = """CASE
+    WHEN len(string_split(hp, '.')) <=
+         (CASE WHEN s3.sfx3 IS NOT NULL THEN 3
+               WHEN s2.sfx2 IS NOT NULL THEN 2 ELSE 1 END) THEN hp
+    WHEN s3.sfx3 IS NOT NULL
+         THEN array_to_string(string_split(hp, '.')[-4:], '.')
+    WHEN s2.sfx2 IS NOT NULL
+         THEN array_to_string(string_split(hp, '.')[-3:], '.')
+    ELSE array_to_string(string_split(hp, '.')[-2:], '.') END"""
+
+_SQL_PSL_JOIN = """LEFT JOIN psl2 s2
+        ON array_to_string(string_split(hp, '.')[-2:], '.') = s2.sfx2
+    LEFT JOIN psl3 s3
+        ON array_to_string(string_split(hp, '.')[-3:], '.') = s3.sfx3"""
+
+
 def _sql_url_ctes() -> str:
-    """CTE chain documents -> (doc_id, n_chars, url_norm, host, domain):
-    the SQL replay of url_normalize + registered_domain over the shared
-    fixture."""
-    sufs = ", ".join(f"'{s}'" for s in W.TWO_PART_SUFFIXES)
-    return f"""u AS MATERIALIZED (
+    """CTE chain documents -> nn(doc_id, n_chars, url_norm, host,
+    rpath, rtarget, domain): the SQL replay of pct_normalize +
+    url_normalize over the DECODED url, the fetch-time host/path/target
+    over the RAW url, and registered_domain_join (PSL longest-suffix)
+    over the raw host — exactly the split the Spark operators make."""
+    return f"""{_sql_psl_ctes()},
+    u AS MATERIALIZED (
         SELECT doc_id, n_chars, {_sql_raw_url()} AS url
         FROM (SELECT doc_id, n_chars, {_SQL_DOM} AS dom FROM documents)
     ),
+    updd AS (
+        SELECT doc_id, n_chars, url, {_sql_pct_normalize("url")} AS urld FROM u
+    ),
     px AS (
         SELECT doc_id, n_chars,
-               lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS sch,
+               lower(regexp_extract(urld, '{_URL_RE_SQL}', 1)) AS sch,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(urld, '{_URL_RE_SQL}', 2)),
+                   '^.*@', ''), '^www\\.', '') AS h0,
+               regexp_replace(regexp_extract(urld, '{_URL_RE_SQL}', 3), '/+$', '') AS p0,
+               coalesce(regexp_extract(urld, '{_URL_RE_SQL}', 4), '') AS q0,
+               lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS rsch,
                regexp_replace(regexp_replace(
                    lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
-                   '^.*@', ''), '^www\\.', '') AS h0,
-               regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3), '/+$', '') AS p0,
+                   '^.*@', ''), '^www\\.', '') AS rh0,
                regexp_extract(url, '{_URL_RE_SQL}', 3) AS pr0,
-               coalesce(regexp_extract(url, '{_URL_RE_SQL}', 4), '') AS q0
-        FROM u
+               coalesce(regexp_extract(url, '{_URL_RE_SQL}', 4), '') AS rq0
+        FROM updd
     ),
     nx AS (
         SELECT doc_id, n_chars, sch,
@@ -106,26 +176,36 @@ def _sql_url_ctes() -> str:
                          THEN substr(h0, 1, length(h0) - 3)
                     WHEN sch = 'https' AND ends_with(h0, ':443')
                          THEN substr(h0, 1, length(h0) - 4)
-                    ELSE h0 END AS host,
+                    ELSE h0 END AS host_n,
                CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+               CASE WHEN rsch = 'http' AND ends_with(rh0, ':80')
+                         THEN substr(rh0, 1, length(rh0) - 3)
+                    WHEN rsch = 'https' AND ends_with(rh0, ':443')
+                         THEN substr(rh0, 1, length(rh0) - 4)
+                    ELSE rh0 END AS host,
                CASE WHEN pr0 = '' THEN '/' ELSE pr0 END AS rpath,
+               rq0,
                coalesce(array_to_string(list_filter(string_split(q0, '&'),
                    t -> t <> '' AND NOT regexp_matches(t, '{_TRACK_RE_SQL}')), '&'),
                    '') AS q
         FROM px
     ),
-    nn AS MATERIALIZED (
+    nb AS (
         SELECT doc_id, n_chars,
-               sch || '://' || host || path ||
+               sch || '://' || host_n || path ||
                CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
-               host, path, rpath,
-               CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-                    WHEN list_contains([{sufs}],
-                         array_to_string(string_split(host, '.')[-2:], '.'))
-                         AND len(string_split(host, '.')) >= 3
-                    THEN array_to_string(string_split(host, '.')[-3:], '.')
-                    ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+               host,
+               regexp_replace(host, ':\\d+$', '') AS hp,
+               rpath,
+               CASE WHEN rq0 = '' THEN rpath
+                    ELSE rpath || '?' || rq0 END AS rtarget
         FROM nx
+    ),
+    nn AS MATERIALIZED (
+        SELECT doc_id, n_chars, url_norm, host, rpath, rtarget,
+               {_SQL_PSL_DOMAIN} AS domain
+        FROM nb
+        {_SQL_PSL_JOIN}
     )"""
 
 
@@ -134,21 +214,29 @@ def _sql_url_ctes() -> str:
 # ---------------------------------------------------------------------------
 
 def corpus_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization (r11): synthesize a messy URL per document
-    (five shared-literal arms: www, case + explicit default port,
-    tracking params, fragment, https subdomain on a two-part suffix),
-    run ``operators/web.url_normalize`` + ``registered_domain``, and
-    rank exact duplicates on the canonical form. Pure map-side
-    expressions plus ONE shuffle on the canonical URL — a
-    high-cardinality, skew-free key at any corpus size. DuckDB replays
-    every regex and the suffix rule verbatim."""
+    """URL canonicalization (r11; r12 adds percent-normalization and
+    the PSL-join domain): synthesize a messy URL per document (nine
+    shared-literal arms — www, case + explicit default port, tracking
+    params, fragment, an https subdomain on a two-part suffix, a
+    percent-encoded path disguise '%70' of the plain URL, an
+    escape-disguised tracker '%66bclid', a lowercase reserved escape
+    '%2f' that must uppercase, and an INVALID '%zz' that must
+    quarantine to NULL), run ``operators/web.url_normalize`` (with
+    ``pct_normalize`` inside) + ``registered_domain_join``, and rank
+    exact duplicates on the canonical form — the percent-encoded
+    disguises must land in the same dup group as their clean twins.
+    Pure map-side expressions + two broadcast suffix joins + ONE
+    shuffle on the canonical URL — a high-cardinality, skew-free key
+    at any corpus size. DuckDB replays every regex, the decode pass,
+    and the suffix join verbatim."""
     docs = load_table(spark, sf_dir, "documents")
     raw = _raw_url()
     base = docs.select(
         "doc_id",
         W.url_normalize(raw).alias("url_norm"),
-        W.registered_domain(W.url_host(raw)).alias("domain"),
+        W.url_host(raw).alias("_host"),
     )
+    base = W.registered_domain_join(base, "_host").drop("_host")
     return (
         base.withColumn(
             "dup_rank",
@@ -187,8 +275,8 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same tiebreaks."""
     docs = load_table(spark, sf_dir, "documents")
     with_url = docs.select("doc_id", "n_chars", _raw_url().alias("url"))
-    dd = W.url_dedup(with_url, "doc_id", "url").withColumn(
-        "domain", W.registered_domain(W.url_host(F.col("url")))
+    dd = W.registered_domain_join(
+        W.url_dedup(with_url, "doc_id", "url"), W.url_host(F.col("url"))
     )
     kept = dd.filter(~F.col("domain").isin(*_BLOCKLIST))
     capped = W.domain_cap(
@@ -207,6 +295,7 @@ CORPUS_DOMAIN_CAP_SQL = (
     "WITH " + _sql_url_ctes() + f""",
     dd AS MATERIALIZED (
         SELECT doc_id, n_chars, url_norm, domain FROM nn
+        WHERE url_norm IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
     ),
     kept AS MATERIALIZED (
@@ -480,8 +569,8 @@ def corpus_ingest_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(TX.fix_encoding(_corrupted_text())).alias("n_tokens"),
     )
     quality = staged.filter(F.col("n_tokens") >= _INGEST_MIN_TOKENS)
-    dd = W.url_dedup(quality, "doc_id", "url").withColumn(
-        "domain", W.registered_domain(W.url_host(F.col("url")))
+    dd = W.registered_domain_join(
+        W.url_dedup(quality, "doc_id", "url"), W.url_host(F.col("url"))
     )
     kept = dd.filter(~F.col("domain").isin(*_BLOCKLIST))
     capped = W.domain_cap(
@@ -520,6 +609,7 @@ def _ingest_web_sql() -> str:
     ),
     dd AS (
         SELECT * FROM qq
+        WHERE url_norm IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
     ),
     kept AS (SELECT * FROM dd WHERE domain NOT IN ({blocklist})),
@@ -548,21 +638,31 @@ ORACLES["corpus_ingest_web"] = _ingest_web_sql()
 
 #: per-host robots.txt fixture arms (shared literals; chosen so every
 #: parser rule does real work): full star group with overlapping
-#: prefixes, an empty-Disallow allow-all, a deny-all, a no-star-group
-#: file, and a consecutive-UA-lines group with a comment
+#: prefixes AND REP wildcards, an empty-Disallow allow-all, a deny-all,
+#: a no-star-group file, and a consecutive-UA-lines group with a comment
 _ROBOTS_COM_ARMS: tuple[str, ...] = (
     # overlapping prefixes + an equal-length allow/disallow pair on
     # /p/2 (the allow-wins-ties REP rule decides) + a DIRECTORY rule
-    # (trailing slash — matches only the raw '/p/4/' form)
+    # (trailing slash — matches only the raw '/p/4/' form) + r12 REP
+    # wildcards: a query rule ('/*?gclid=' out-lengths every prefix
+    # rule on the gclid arm), an END-ANCHORED allow ('/p/13$' frees
+    # exactly /p/13 — not /p/13/ and not /p/13?...), and a mid-path
+    # any-span ('/p/9*9' takes /p/99 with or without a trailing slash)
     "User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /p/3\n"
-    "Allow: /p/2\nDisallow: /p/2\nDisallow: /p/4/\n",
+    "Allow: /p/2\nDisallow: /p/2\nDisallow: /p/4/\n"
+    "Disallow: /*?gclid=\nAllow: /p/13$\nDisallow: /p/9*9\n",
     "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
     "User-agent: *\nDisallow: /\n",
     "User-agent: bot\nDisallow: /\n",
 )
+#: anchored-wildcard precedence ladder: '/q/1' (4, disallow) loses to
+#: '/q/1*f$' (7, allow) which loses to '/q/11*f$' (8, disallow) —
+#: three verdict classes across the /q/1xx pages, decided by rule
+#: OCTET COUNT per RFC 9309, not by literal-prefix length
 _ROBOTS_UK = (
     "User-agent: googlebot\nUser-agent: *\n"
     "Disallow: /q/1\nAllow: /q/15\n# blanket comment\n"
+    "Allow: /q/1*f$\nDisallow: /q/11*f$\n"
 )
 
 
@@ -578,32 +678,35 @@ def _robots_text(host: F.Column) -> F.Column:
 
 
 def corpus_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt gate (r11): synthesize a robots file per fixture host
-    (five arms: overlapping Allow/Disallow prefixes, empty-Disallow
-    allow-all, deny-all, no-star-group, consecutive-UA-lines group with
-    comments), parse with ``operators/web.robots_rules`` (wildcard
-    agent group, comment stripping, group delimiting), and decide every
-    page with ``robots_filter`` — longest prefix wins, allow wins
-    ties, no match allows. The rule table is per-host and tiny, so the
-    verdict is ONE broadcast join + one aggregate over pages — no
-    page-scale window, the 100 TB shape. DuckDB replays the line
-    split, grouping windows, star-group selection, and precedence."""
+    """robots.txt gate (r11; r12 adds RFC-9309 path wildcards):
+    synthesize a robots file per fixture host (overlapping
+    Allow/Disallow prefixes, a '/*?gclid=' query wildcard, a '/p/13$'
+    end anchor, a '/p/9*9' mid-path any-span, an anchored-wildcard
+    precedence ladder on the UK hosts, empty-Disallow allow-all,
+    deny-all, no-star-group, consecutive-UA-lines group with comments),
+    parse with ``operators/web.robots_rules``, and decide every page
+    with ``robots_filter`` against the RAW path-and-query target —
+    most rule octets win, allow wins ties, no match allows. The rule
+    table is per-host and tiny, so the verdict is ONE broadcast join +
+    one aggregate over pages — no page-scale window, the 100 TB shape.
+    DuckDB replays the line split, grouping windows, star-group
+    selection, the rule-to-regex compile, and precedence."""
     docs = load_table(spark, sf_dir, "documents")
     raw = _raw_url()
     # robots decisions happen at FETCH time, before canonicalization —
-    # the raw path keeps trailing slashes so directory rules match
+    # the raw target keeps trailing slashes and the query as written
     pages = docs.select(
         "doc_id",
         W.url_host(raw).alias("host"),
-        W.url_raw_path(raw).alias("path"),
+        W.url_raw_target(raw).alias("target"),
     )
     robots = pages.select("host").distinct().withColumn(
         "robots", _robots_text(F.col("host"))
     )
     rules = W.robots_rules(robots, "host", "robots")
-    out = W.robots_filter(pages, rules, id_col="doc_id")
+    out = W.robots_filter(pages, rules, id_col="doc_id", path_col="target")
     return out.select(
-        "doc_id", "host", "path", "allowed", "matched_prefix"
+        "doc_id", "host", "target", "allowed", "matched_prefix"
     ).orderBy("doc_id")
 
 
@@ -661,17 +764,27 @@ def _robots_filter_sql() -> str:
         FROM gr g JOIN sg USING (host, grp)
         WHERE NOT ua AND regexp_matches(ln, '{dir_re}')
     ),
-    rl2 AS (SELECT * FROM rl WHERE prefix <> ''),
+    rl2 AS (
+        SELECT *,
+               (contains(prefix, '*') OR ends_with(prefix, '$')) AS wild,
+               '^' || regexp_replace(regexp_replace(regexp_replace(prefix,
+                   '{W.REP_SPECIALS_CLASS}', '\\\\\\1', 'g'),
+                   '\\*', '.*', 'g'),
+                   '\\\\\\$$', '$') AS pat
+        FROM rl WHERE prefix <> ''
+    ),
     mt AS (
         SELECT p.doc_id, r.rule, r.prefix
-        FROM nn p JOIN rl2 r ON p.host = r.host AND starts_with(p.rpath, r.prefix)
+        FROM nn p JOIN rl2 r ON p.host = r.host AND
+             (CASE WHEN r.wild THEN regexp_matches(p.rtarget, r.pat)
+                   ELSE starts_with(p.rtarget, r.prefix) END)
     ),
     bst AS (
         SELECT doc_id, rule, prefix FROM mt
         QUALIFY row_number() OVER (PARTITION BY doc_id
             ORDER BY length(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
     )
-    SELECT n.doc_id, n.host, n.rpath AS path,
+    SELECT n.doc_id, n.host, n.rtarget AS target,
            coalesce(b.rule = 'allow', TRUE) AS allowed,
            b.prefix AS matched_prefix
     FROM nn n LEFT JOIN bst b USING (doc_id)
@@ -772,7 +885,10 @@ def _sql_url_host_expr(u: str) -> str:
     )
 
 
-def _sql_url_norm_expr(u: str) -> str:
+def _sql_url_norm_core(u: str) -> str:
+    """url_normalize's post-decode core over an ALREADY pct-normalized
+    expression ``u`` (NULL propagates through the parse gate, so an
+    invalid-escape NULL stays NULL)."""
     sch = f"lower(regexp_extract({u}, '{_URL_RE_SQL}', 1))"
     host = _sql_url_host_expr(u)
     p0 = f"regexp_replace(regexp_extract({u}, '{_URL_RE_SQL}', 3), '/+$', '')"
@@ -817,10 +933,15 @@ def _sitemap_discovery_sql() -> str:
         FROM lr, unnest(generate_series(1, len(locs))) AS t(i)
     ),
     ux AS (SELECT host, loc_idx, {unesc} AS loc FROM lx),
-    xx AS MATERIALIZED (
-        SELECT host, {_sql_url_norm_expr("loc")} AS url_norm,
-               {_sql_url_host_expr("loc")} = host AS on_host
+    uxd AS (
+        SELECT host, loc_idx, loc,
+               {_sql_pct_normalize("loc")} AS locd
         FROM ux
+    ),
+    xx AS MATERIALIZED (
+        SELECT host, {_sql_url_norm_core("locd")} AS url_norm,
+               {_sql_url_host_expr("loc")} = host AS on_host
+        FROM uxd
     ),
     mk AS (
         SELECT x.host, x.url_norm, x.on_host,
@@ -843,3 +964,229 @@ def _sitemap_discovery_sql() -> str:
 
 QUERIES["corpus_sitemap_discovery"] = corpus_sitemap_discovery
 ORACLES["corpus_sitemap_discovery"] = _sitemap_discovery_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_psl_domains — PSL longest-suffix registrable domains (r12)
+# ---------------------------------------------------------------------------
+
+#: host templates exercising every registered_domain_join branch:
+#: 2-label ccTLD suffixes (com.ar, co.za), a private suffix
+#: (github.io, blogspot.com), a 3-label suffix (k12.ca.us), a deep
+#: subdomain, a bare label, the single-label-TLD default, an explicit
+#: port, and a BARE suffix with no registrable part. '{n}' is the
+#: per-document salt (doc_id % 7) so domains repeat across docs.
+_PSL_HOSTS: tuple[str, ...] = (
+    "a{n}.example{n}.com.ar",
+    "shop{n}.co.za",
+    "x.y.proj{n}.github.io",
+    "deep.blog.example{n}.co.uk",
+    "host{n}",
+    "example{n}.com",
+    "sub.example{n}.org:8443",
+    "school{n}.k12.ca.us",
+    "cdn.files{n}.blogspot.com",
+    "k12.ca.us",
+)
+
+
+def _psl_host() -> F.Column:
+    n = (F.col("doc_id") % 7).cast("string")
+    arm = F.col("doc_id") % len(_PSL_HOSTS)
+    chain = None
+    for i, tpl in enumerate(_PSL_HOSTS):
+        parts = tpl.split("{n}")
+        pieces: list[F.Column] = []
+        for j, p in enumerate(parts):
+            if j:
+                pieces.append(n)
+            if p:
+                pieces.append(F.lit(p))
+        branch = F.concat(*pieces)
+        chain = F.when(arm == i, branch) if chain is None else chain.when(arm == i, branch)
+    return chain
+
+
+def _sql_psl_host() -> str:
+    arms = []
+    for i, tpl in enumerate(_PSL_HOSTS):
+        parts = tpl.split("{n}")
+        pieces = []
+        for j, p in enumerate(parts):
+            if j:
+                pieces.append("(doc_id % 7)")
+            if p:
+                pieces.append(f"'{p}'")
+        arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
+    return f"CASE (doc_id % {len(_PSL_HOSTS)}) " + " ".join(arms) + " END"
+
+
+def corpus_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain extraction against the bundled public-suffix
+    table (r12): synthesize a host per document from ten templates
+    (2-label and 3-label suffixes, private hosting suffixes, deep
+    subdomains, a bare label, an explicit port, a bare suffix with no
+    registrable part) and key each with
+    ``operators/web.registered_domain_join`` — the longest-suffix
+    broadcast join that replaces the embedded two-part list for real
+    corpora. Plan: map-side synthesis + two broadcast hash joins
+    (one per suffix depth), zero shuffles before the final sort.
+    DuckDB replays the suffix lists (generated from the SAME
+    functions/psl.PUBLIC_SUFFIXES tuple) and the longest-match rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select("doc_id", _psl_host().alias("host"))
+    return W.registered_domain_join(hosts, "host").orderBy("doc_id")
+
+
+def _psl_domains_sql() -> str:
+    return f"""
+    WITH {_sql_psl_ctes()},
+    h AS (SELECT doc_id, {_sql_psl_host()} AS host FROM documents),
+    hx AS (
+        SELECT doc_id, host,
+               regexp_replace(host, ':\\d+$', '') AS hp
+        FROM h
+    )
+    SELECT doc_id, host, {_SQL_PSL_DOMAIN} AS domain
+    FROM hx
+    {_SQL_PSL_JOIN}
+    ORDER BY doc_id"""
+
+
+QUERIES["corpus_psl_domains"] = corpus_psl_domains
+ORACLES["corpus_psl_domains"] = _psl_domains_sql()
+
+
+# ---------------------------------------------------------------------------
+# src_warc_extract — WARC-shape container roundtrip -> clean text (r12)
+# ---------------------------------------------------------------------------
+
+#: multi-byte salt inside every WARC payload: forces Content-Length
+#: (BYTES) != len(payload) (CHARS), so the oracle catches a parser that
+#: counts characters — ONE Python constant feeds both engines (the
+#: non-ASCII-literal discipline fix_encoding documents)
+_WARC_SALT = "Café—漢字 "
+
+_WARC_CONTAINERS = 20
+
+
+def src_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-container ingest (r12, VERDICT r11 item 4): wrap every
+    document in the shared synthetic HTML page (salted with multi-byte
+    text), frame each page as a WARC record (version line, headers,
+    Content-Length in BYTES, CRLF terminator), concatenate 1/20th of
+    the corpus per container IN doc_id ORDER, then scan the containers
+    back with ``sources/warc.warc_records`` (offset arithmetic driven
+    by Content-Length — mapInPandas, the one honest use of the Python
+    slow path) and feed each recovered payload through
+    ``operators/text.html_extract``. The roundtrip is the check: a
+    parser that mis-slices a single byte shifts every later record and
+    breaks the per-document fingerprints. DuckDB computes the expected
+    records directly from the documents table (same shared literals)
+    and replays the html chain."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import html_extract
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import (
+        _HTML_WRAP_A,
+        _HTML_WRAP_B,
+        _HTML_WRAP_C,
+        _HTML_WRAP_D,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit(_HTML_WRAP_A), did, F.lit(_HTML_WRAP_B), did,
+        F.lit(_HTML_WRAP_C), F.lit(_WARC_SALT), F.col("text"),
+        F.lit(_HTML_WRAP_D),
+    )
+
+    def rec_over(p: F.Column) -> F.Column:
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: urn:doc:"),
+            did,
+            F.lit("\r\nContent-Length: "),
+            F.octet_length(p).cast("string"),
+            F.lit("\r\n\r\n"),
+            p,
+            F.lit("\r\n\r\n"),
+        )
+
+    per = docs.select(
+        (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
+        "doc_id",
+        TX.let(page, rec_over).alias("rec"),
+    )
+    containers = per.groupBy("cid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ),
+            "",
+        ).alias("container")
+    )
+    recs = warc_records(
+        containers.select("cid", F.encode("container", "utf-8").alias("wdata")),
+        "wdata",
+    )
+    x = recs.select(
+        F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "rec_idx",
+        "warc_type",
+        "content_length",
+        html_extract(F.col("payload")).alias("_x"),
+        "valid",
+    )
+    return x.select(
+        "doc_id",
+        "rec_idx",
+        "warc_type",
+        "content_length",
+        F.when(F.col("_x") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_x"), r"\s+")))
+        .cast("int")
+        .alias("n_words"),
+        F.md5(F.col("_x").cast("binary")).alias("extracted_fp"),
+        "valid",
+    ).orderBy("doc_id")
+
+
+def _warc_extract_sql() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import (
+        html_sql_chain,
+        html_sql_wrap_expr,
+    )
+
+    wrap = html_sql_wrap_expr(extra_salt=_WARC_SALT)
+    return (
+        f"""
+    WITH p AS MATERIALIZED (
+        SELECT doc_id, doc_id % {_WARC_CONTAINERS} AS cid, {wrap} AS page
+        FROM documents
+    ),
+    r AS MATERIALIZED (
+        SELECT doc_id, cid,
+               CAST(strlen(page) AS BIGINT) AS content_length,
+               CAST(row_number() OVER (PARTITION BY cid ORDER BY doc_id)
+                    AS INT) - 1 AS rec_idx
+        FROM p
+    ),
+    """
+        + html_sql_chain(wrap)
+        + """
+    SELECT r.doc_id, r.rec_idx, 'response' AS warc_type, r.content_length,
+           CAST(CASE WHEN coalesce(a.extracted, '') = '' THEN 0
+                     ELSE len(regexp_split_to_array(a.extracted, '\\s+'))
+                END AS INT) AS n_words,
+           md5(coalesce(a.extracted, '')) AS extracted_fp,
+           TRUE AS valid
+    FROM r LEFT JOIN agg a USING (doc_id)
+    ORDER BY r.doc_id"""
+    )
+
+
+QUERIES["src_warc_extract"] = src_warc_extract
+ORACLES["src_warc_extract"] = _warc_extract_sql()

@@ -169,6 +169,10 @@ HEADLINE = [
     "corpus_ingest_web",
     "corpus_robots_filter",
     "corpus_sitemap_discovery",
+    # r12: PSL registrable domains (broadcast longest-suffix join) and
+    # the WARC container roundtrip (offset parse -> html_extract)
+    "corpus_psl_domains",
+    "src_warc_extract",
 ]
 
 

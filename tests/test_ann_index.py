@@ -748,3 +748,63 @@ def test_pq_tier_codes_and_adc_topk(spark, tmp_path):
         IvfVectorIndex(spark, str(tmp_path / "a"), n_cells=4, pq_m=2, pq_k=8)
     # reopening the PQ index with matching layout is fine
     IvfVectorIndex(spark, str(tmp_path / "a"), n_cells=4, pq_m=4, pq_k=8)
+
+
+def test_similarity_join_production_skips_presentation_sort(spark, tmp_path):
+    """r12 (VERDICT r11 item 1): the pair output is corpus-linear, so
+    the production form must not end in a GLOBAL sort (ordered=False
+    default); ordered=True keeps the oracle twin's deterministic order.
+    Result SETS are identical either way."""
+    df, rows = _corpus(spark, n=120, dim=8, seed=7)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=1)
+    ix.build(df)
+    incoming = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows if r[0] % 11 == 0], ["query_id", "embedding"]
+    )
+    prod = ix.similarity_join(incoming, threshold_micro=200_000, n_probe=2)
+    plan = prod._sc._jvm.PythonSQLUtils.explainString(
+        prod._jdf.queryExecution(), "formatted"
+    )
+    # \bSort\b: the plain Sort node, not SortMergeJoin/SortAggregate
+    assert not re.search(r"\(\d+\) Sort\b", plan), plan
+    ordered = ix.similarity_join(
+        incoming, threshold_micro=200_000, n_probe=2, ordered=True
+    )
+    oplan = ordered._sc._jvm.PythonSQLUtils.explainString(
+        ordered._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"\(\d+\) Sort\b", oplan), oplan
+    key = lambda r: (r["query_id"], r["vec_id"], r["cell"], r["cos_micro"])
+    assert sorted(map(key, prod.collect())) == sorted(map(key, ordered.collect()))
+
+
+def test_topk_batch_probe_cells_modes_agree(spark, tmp_path):
+    """r12 (VERDICT r11 item 7): 'all' derives the PartitionFilter from
+    the trained cell list (zero extra actions) and must rank identically
+    to 'collect' — the cell join already restricts candidates, the
+    filter is only a scan hint. 'auto' picks 'all' here (8*n_probe >=
+    n_cells) and still shows a PartitionFilter in the plan."""
+    import re as _re
+
+    df, rows = _corpus(spark, n=140, dim=8, seed=3)
+    ix = IvfVectorIndex(spark, str(tmp_path / "ix"), n_cells=4, iterations=2)
+    ix.build(df)
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (2, 9, 33)], ["query_id", "embedding"]
+    )
+    out_auto = ix.topk_batch(queries, 5, n_probe=2)
+    plan = out_auto._sc._jvm.PythonSQLUtils.explainString(
+        out_auto._jdf.queryExecution(), "formatted"
+    )
+    assert _re.search(r"PartitionFilters: \[.*_cell#\d+ (IN|INSET)", plan), plan
+    key = lambda r: (r["query_id"], r["rnk"], r["vec_id"], r["cos_micro"])
+    got_auto = sorted(map(key, out_auto.collect()))
+    got_collect = sorted(
+        map(key, ix.topk_batch(queries, 5, n_probe=2, probe_cells="collect").collect())
+    )
+    got_all = sorted(
+        map(key, ix.topk_batch(queries, 5, n_probe=2, probe_cells="all").collect())
+    )
+    assert got_auto == got_collect == got_all
+    with pytest.raises(ValueError, match="probe_cells"):
+        ix.topk_batch(queries, 5, probe_cells="bogus").collect()

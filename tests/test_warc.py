@@ -1,0 +1,87 @@
+"""WARC-shape container source (`sources/warc.py`, r12): byte-offset
+record scanning, Content-Length byte math on multi-byte payloads, and
+LOUD malformed-record handling (error row + stop, no resync)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_warc, warc_records
+
+
+def _rec(uri: str, payload: str, *, clen: int | None = None, headers: str = "") -> bytes:
+    body = payload.encode("utf-8")
+    n = len(body) if clen is None else clen
+    return (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"{headers}Content-Length: {n}\r\n\r\n"
+    ).encode("utf-8") + body + b"\r\n\r\n"
+
+
+def test_parse_warc_multi_record_and_byte_lengths():
+    # the second payload contains CRLFCRLF and a fake version line —
+    # only Content-Length arithmetic survives that; the third is
+    # multi-byte (bytes != chars)
+    payloads = ["plain text", "tricky\r\n\r\nWARC/1.0\r\nnot a record", "Café—漢字"]
+    data = b"".join(_rec(f"urn:doc:{i}", p) for i, p in enumerate(payloads))
+    recs = parse_warc(data)
+    assert [r["valid"] for r in recs] == [True, True, True]
+    assert [r["payload"] for r in recs] == payloads
+    assert [r["rec_idx"] for r in recs] == [0, 1, 2]
+    assert [r["target_uri"] for r in recs] == [f"urn:doc:{i}" for i in range(3)]
+    assert recs[2]["content_length"] == len(payloads[2].encode("utf-8"))
+    assert recs[2]["content_length"] != len(payloads[2])
+    assert all(r["warc_type"] == "response" and r["warc_version"] == "1.0" for r in recs)
+
+
+def test_parse_warc_malformed_is_loud_and_stops():
+    good = _rec("urn:doc:0", "ok")
+    # truncated payload: Content-Length overruns the container
+    recs = parse_warc(good + _rec("urn:doc:1", "short", clen=9999))
+    assert [r["valid"] for r in recs] == [True, False]
+    assert "truncated" in recs[1]["error"]
+    # non-numeric Content-Length
+    bad_len = b"WARC/1.0\r\nContent-Length: abc\r\n\r\nx\r\n\r\n"
+    recs = parse_warc(good + bad_len)
+    assert [r["valid"] for r in recs] == [True, False]
+    assert "Content-Length" in recs[1]["error"]
+    # wrong length -> terminator check fails (off-by-one mis-slice)
+    recs = parse_warc(_rec("urn:doc:0", "abcdef", clen=5))
+    assert recs[0]["valid"] is False and "terminator" in recs[0]["error"]
+    # garbage between records: stop, do NOT resync onto the later record
+    recs = parse_warc(good + b"GARBAGE" + good)
+    assert [r["valid"] for r in recs] == [True, False]
+    assert "WARC/" in recs[1]["error"]
+    # malformed header line
+    recs = parse_warc(b"WARC/1.0\r\nno-colon-here\r\n\r\n")
+    assert recs[0]["valid"] is False and "header" in recs[0]["error"]
+    # invalid utf-8 payload
+    raw = b"WARC/1.0\r\nContent-Length: 2\r\n\r\n\xff\xfe\r\n\r\n"
+    recs = parse_warc(raw)
+    assert recs[0]["valid"] is False and "utf-8" in recs[0]["error"]
+    # empty container -> no records
+    assert parse_warc(b"") == []
+
+
+def test_warc_records_spark_passthrough_and_null(spark):
+    rows = [
+        (1, bytearray(_rec("urn:doc:10", "hello world") + _rec("urn:doc:11", "zwei"))),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "cid int, wdata binary")
+    got = warc_records(df, "wdata").collect()
+    by_cid = {}
+    for r in got:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert [r["payload"] for r in sorted(by_cid[1], key=lambda r: r["rec_idx"])] == [
+        "hello world",
+        "zwei",
+    ]
+    assert by_cid[2][0]["valid"] is False and "NULL" in by_cid[2][0]["error"]
+    # string containers are encoded before scanning
+    sdf = spark.createDataFrame(
+        [(3, _rec("urn:doc:12", "Café—漢字").decode("utf-8"))], "cid int, wdata string"
+    )
+    [r] = warc_records(sdf, "wdata").collect()
+    assert r["valid"] and r["payload"] == "Café—漢字"
+    assert r["content_length"] == len("Café—漢字".encode("utf-8"))

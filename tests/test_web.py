@@ -72,14 +72,49 @@ def test_normalize_unparseable_is_null(spark):
     assert _norm(spark, "example.com/p") is None  # no scheme
 
 
-def test_normalize_strips_userinfo_keeps_percent_encoding(spark):
-    # userinfo stripped (blocklist-bypass hardening); %-escapes untouched
+def test_normalize_strips_userinfo(spark):
+    # userinfo stripped (blocklist-bypass hardening); a reserved escape
+    # like %20 is NOT decoded (only its hex case normalizes)
     assert _norm(spark, "http://u:p@a.com/x%20y") == "http://a.com/x%20y"
     # the attacker-chosen 'trusted@blocked' authority keys on the REAL host
     assert _dom(spark, "a.com") == "a.com"
     assert (
         _norm(spark, "http://trusted.com@blocked.com/x") == "http://blocked.com/x"
     )
+
+
+# -- percent-encoding normalization (r12) --------------------------------
+
+
+def test_pct_unreserved_escapes_decode(spark):
+    # %41='A' (then host-lowercased), %7e='~', %70='p', %31='1'
+    assert _norm(spark, "http://a.com/%70/%317") == "http://a.com/p/17"
+    assert _norm(spark, "http://a.com/%7e%41x") == "http://a.com/~Ax"
+
+
+def test_pct_reserved_escapes_keep_but_uppercase(spark):
+    # %2f is an ENCODED slash — data, not structure; only hex case folds
+    assert _norm(spark, "http://a.com/p?y=%2fv") == "http://a.com/p?y=%2Fv"
+    # %25 (the escape of '%') must survive undecoded and idempotently
+    assert _norm(spark, "http://a.com/p%25100") == "http://a.com/p%25100"
+
+
+def test_pct_decode_runs_before_tracking_filter(spark):
+    # an escape-disguised tracker name must still drop
+    assert _norm(spark, "http://a.com/p?%66bclid=f&id=1") == "http://a.com/p?id=1"
+
+
+def test_pct_invalid_sequence_quarantines_to_null(spark):
+    assert _norm(spark, "http://a.com/p?bad=%zz") is None
+    assert _norm(spark, "http://a.com/100%") is None
+    assert _norm(spark, "http://a.com/%4") is None
+
+
+def test_pct_disguised_urls_dedup_with_clean_twins(spark):
+    rows = [(1, "http://a.com/p/9"), (2, "http://www.a.com/%70/9")]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = W.url_dedup(df, "id", "url").collect()
+    assert len(out) == 1 and out[0]["dup_count"] == 2
 
 
 def test_normalize_drops_valueless_tracking_params(spark):
@@ -110,6 +145,40 @@ def test_registered_domain_rules(spark):
     assert _dom(spark, "a.b.example.co.uk") == "example.co.uk"
     # a bare two-part suffix has no registrable label — returned whole
     assert _dom(spark, "co.uk") == "co.uk"
+
+
+def test_registered_domain_join_psl_rules(spark):
+    # the table-backed longest-match form: ccTLD second-level suffixes,
+    # a 3-label suffix, private hosting suffixes, deep subdomains,
+    # bare labels, explicit ports, bare suffixes, NULL totality
+    cases = {
+        "a.example.com.ar": "example.com.ar",
+        "shop.co.za": "shop.co.za",
+        "x.y.proj.github.io": "proj.github.io",
+        "deep.blog.example.co.uk": "example.co.uk",
+        "b.blogspot.co.uk": "b.blogspot.co.uk",  # 3-label private suffix
+        "localhost": "localhost",
+        "example.com": "example.com",
+        "sub.example.org:8443": "example.org",
+        "school.k12.ca.us": "school.k12.ca.us",
+        "k12.ca.us": "k12.ca.us",  # bare suffix: no registrable part
+        "co.za": "co.za",
+        None: None,
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    out = {r["h"]: r["domain"] for r in W.registered_domain_join(df, "h").collect()}
+    assert out == cases
+
+
+def test_registered_domain_join_custom_table_and_plan(spark):
+    # a user-supplied registry slice; deeper match must win
+    df = spark.createDataFrame([("a.b.x.example",), ("y.example",)], "h string")
+    out = W.registered_domain_join(df, "h", suffixes=("example", "x.example"))
+    got = {r["h"]: r["domain"] for r in out.collect()}
+    assert got == {"a.b.x.example": "b.x.example", "y.example": "y.example"}
+    # zero shuffles: broadcast joins only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_registered_domain_strips_explicit_ports(spark):
@@ -348,6 +417,80 @@ def test_robots_filter_precedence(spark):
     }
 
 
+def test_robots_rep_wildcards_and_anchor(spark):
+    # RFC 9309 path wildcards: '*' = any span, trailing '$' = anchor,
+    # precedence by rule OCTET COUNT (wildcards included), allow wins
+    # ties; rules see the raw path-and-query target
+    pages = spark.createDataFrame(
+        [
+            (1, "h", "/p/13?gclid=g1"),   # query wildcard beats /p/1
+            (2, "h", "/p/13"),            # anchored allow frees exactly this
+            (3, "h", "/p/13/"),           # anchor fails -> /p/1 blocks
+            (4, "h", "/p/99"),            # mid-path any-span
+            (5, "h", "/p/9"),             # '*' must match >= 0 BUT needs the 9
+            (6, "h", "/x?a=1&sessionid=7"),  # the classic session-id rule
+        ],
+        ["id", "host", "target"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/p/1"),
+            ("h", "allow", "/p/13$"),
+            ("h", "disallow", "/*?gclid="),
+            ("h", "disallow", "/p/9*9"),
+            ("h", "disallow", "/*?*sessionid="),
+        ],
+        ["host", "rule", "prefix"],
+    )
+    out = {
+        r["id"]: (r["allowed"], r["matched_prefix"])
+        for r in W.robots_filter(
+            pages, rules, id_col="id", path_col="target"
+        ).collect()
+    }
+    assert out == {
+        1: (False, "/*?gclid="),
+        2: (True, "/p/13$"),
+        3: (False, "/p/1"),
+        4: (False, "/p/9*9"),
+        5: (True, None),
+        6: (False, "/*?*sessionid="),
+    }
+
+
+def test_rep_pattern_compile_goldens(spark):
+    df = spark.createDataFrame(
+        [("/*?gclid=",), ("/p/13$",), ("/p/9*9",), ("/a.b$",), ("/p/1",)],
+        ["p"],
+    )
+    got = {
+        r["p"]: (r["pat"], r["w"])
+        for r in df.select(
+            "p",
+            W.rep_pattern(F.col("p")).alias("pat"),
+            W.rep_is_wildcard(F.col("p")).alias("w"),
+        ).collect()
+    }
+    assert got == {
+        "/*?gclid=": ("^/.*\\?gclid=", True),
+        "/p/13$": ("^/p/13$", True),
+        "/p/9*9": ("^/p/9.*9", True),
+        "/a.b$": ("^/a\\.b$", True),  # the '.' is escaped, the '$' anchors
+        "/p/1": ("^/p/1", False),
+    }
+
+
+def test_url_raw_target_includes_query(spark):
+    rows = [
+        ("http://a.com/p/?x=1#frag",),
+        ("http://a.com/p",),
+        ("http://a.com?y=2",),
+    ]
+    df = spark.createDataFrame(rows, ["u"])
+    got = [r["t"] for r in df.select(W.url_raw_target(F.col("u")).alias("t")).collect()]
+    assert got == ["/p/?x=1", "/p", "/?y=2"]
+
+
 def test_robots_directory_rule_needs_raw_path(spark):
     # 'Disallow: /admin/' blocks '/admin/' and '/admin/x' but NOT the
     # slash-collapsed '/admin' — robots match the raw fetch path
@@ -401,3 +544,89 @@ def test_sitemap_locs_empty_and_malformed(spark):
     )
     got = [r["l"] for r in df.select(W.sitemap_locs(F.col("s")).alias("l")).collect()]
     assert got == [[], []]
+
+
+def test_web_ingest_stream_composition(spark, tmp_path):
+    """r12 (VERDICT r11 item 5): the foreachBatch web-ingest twin —
+    repair -> token gate -> canonical frontier dedup -> robots gate
+    (wildcards included) -> MERGE commit; checkpoint restart keeps
+    in-horizon re-crawls suppressed and the MERGE key suppresses them
+    forever."""
+    import json as _json
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.web_ingest import (
+        web_ingest_stream,
+    )
+
+    src, ckpt = str(tmp_path / "pages"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    store = ParquetStateStore(spark, str(tmp_path / "store"))
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/admin/"), ("a.com", "disallow", "/*?gclid=")],
+        ["host", "rule", "prefix"],
+    )
+    long = "one two three four five"
+
+    def write_batch(rows):
+        with open(f"{src}/b{len(os.listdir(src))}.json", "w") as fh:
+            for pid, url, text, ts in rows:
+                fh.write(
+                    _json.dumps({"page_id": pid, "url": url, "text": text, "ts": ts})
+                    + "\n"
+                )
+
+    def run():
+        q = web_ingest_stream(
+            spark.readStream.schema(
+                "page_id bigint, url string, text string, ts timestamp"
+            ).json(src),
+            rules,
+            store,
+            "frontier",
+            ckpt,
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    write_batch(
+        [
+            (1, "http://a.com/p/9", long, "2024-01-01 10:00:00"),
+            # pct disguise of page 1's canonical -> frontier dedup
+            (2, "http://www.a.com/%70/9?utm_source=z", long, "2024-01-01 10:00:10"),
+            # robots: literal directory rule
+            (3, "http://a.com/admin/x", long, "2024-01-01 10:00:20"),
+            # robots: REP query wildcard
+            (4, "http://a.com/q?gclid=g1", long, "2024-01-01 10:00:30"),
+            # below the token gate
+            (5, "http://a.com/r", "tiny", "2024-01-01 10:00:40"),
+            # unparseable -> NULL-quarantined at the dedup stage
+            (6, "not a url", long, "2024-01-01 10:00:50"),
+            # mojibake text: repair runs BEFORE the gate (and is stored)
+            (7, "http://b.com/ok", "CafÃ© â€” body text here", "2024-01-01 10:01:00"),
+        ]
+    )
+    run()
+    rows = {r["page_id"]: r for r in store.read("frontier").collect()}
+    assert set(rows) == {1, 7}
+    assert rows[1]["url_norm"] == "http://a.com/p/9"
+    assert rows[7]["clean_text"] == "Café - body text here"
+
+    # restart from the checkpoint: the in-horizon re-crawl of page 1
+    # stays suppressed by watermark state; a brand-new URL lands
+    write_batch(
+        [
+            (8, "http://a.com/p/9?fbclid=x", long, "2024-01-01 10:02:00"),
+            (9, "http://a.com/p/10", long, "2024-01-01 10:02:10"),
+        ]
+    )
+    run()
+    rows = {r["page_id"]: r for r in store.read("frontier").collect()}
+    assert set(rows) == {1, 7, 9}
+
+    # a replayed/late duplicate AFTER the horizon re-emits from the
+    # watermark state, but the MERGE key still suppresses it forever
+    write_batch([(10, "http://a.com/p/9", long, "2024-01-01 11:00:00")])
+    run()
+    rows = {r["page_id"]: r for r in store.read("frontier").collect()}
+    assert set(rows) == {1, 7, 9}
