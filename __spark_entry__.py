@@ -196,11 +196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    locally every round)
         "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "doc_lm_perplexity_bigram": L.EXTRA_QUERIES["doc_lm_perplexity_bigram"],
-        # -- r8 fourth-wave: hourly gap-fill (LOCF + integer-exact
-        #    linear interpolation); displaced j_asof_rate (two rounds
-        #    green; the as-of machinery is pinned in-window by the
-        #    forward/nearest direction rows)
-        "ts_gapfill_hourly": RX.QUERIES["ts_gapfill_hourly"],
+        # -- r12: robots.txt directive extraction — star-group rule
+        #    count, GROUP-scoped Crawl-delay (the no-star-group arm
+        #    must stay NULL), group-independent Sitemap: URLs
+        #    canonicalized with an on-host flag — the robots layer
+        #    feeding the sitemap-discovery layer. Displaced
+        #    ts_gapfill_hourly (multi-round green; temporal family
+        #    keeps j_asof_nearest / j_range_pairs / scd2 in-window)
+        "corpus_robots_directives": WB.QUERIES["corpus_robots_directives"],
         # -- r11 second wave: the URL/web-ingest layer (the stage BEFORE
         #    html_extract in a CommonCrawl-shape pipeline) — URL
         #    canonicalization + eTLD+1 + exact-dup rank, then the
@@ -311,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documented above; still checked locally every round)
         "cat_schema_drift": A.QUERIES["cat_schema_drift"],
         "mm_audio_features": M.QUERIES["mm_audio_features"],
+        "ts_gapfill_hourly": RX.QUERIES["ts_gapfill_hourly"],
         # r11 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round —
         # ev_top_paths / ev_cohort_retention listed explicitly because

@@ -9,14 +9,15 @@ plus the common "private" hosting suffixes (``github.io``,
 and must therefore count as separate registrable domains for
 blocklists and per-domain caps.
 
-Documented subset (pytest-pinned): EXACT rules only — the registry's
-wildcard (``*.ck``) and exception (``!www.ck``) rules are not
-interpreted; a host under one falls back to the longest exact match
-(usually the bare TLD -> last-two-labels). Swap in the full registry
-by passing your own DataFrame to
-``operators.web.registered_domain_join`` — the operator is a
-broadcast longest-suffix join, so table size is a broadcast-size
-question, not a plan-shape one.
+All three registry rule forms are interpreted (r12): EXACT rules,
+WILDCARD rules (``*.ck`` — every single label under ``ck`` is a
+public suffix), and EXCEPTION rules (``!www.ck`` — carved back OUT of
+a wildcard: ``www.ck`` is itself a registrable domain). Exceptions
+beat wildcards beat shorter exact matches, per the registry's
+published algorithm. Swap in the full registry by passing your own
+rule tuple to ``operators.web.registered_domain_join`` — the operator
+is one broadcast join per rule form and depth, so table size is a
+broadcast-size question, not a plan-shape one.
 
 Single-label TLDs are deliberately ABSENT: with no deeper match the
 operator already defaults to the last two labels, which is exactly
@@ -130,4 +131,9 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
     "fastly.net", "cloudfront.net", "azurewebsites.net", "cloudapp.net",
     "dreamhosters.com", "duckdns.org", "dyndns.org", "no-ip.org",
     "repl.co", "glitch.me", "codeberg.page", "deno.dev", "workers.dev",
+    # -- wildcard rules: any single label under these is a suffix
+    "*.bd", "*.ck", "*.er", "*.fk", "*.kh", "*.mm", "*.pg",
+    "*.sch.uk",
+    # -- exception rules: carved back out of the wildcards above
+    "!www.ck",
 )

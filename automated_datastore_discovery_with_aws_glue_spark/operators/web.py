@@ -244,6 +244,36 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+def psl_rule_tables(
+    suffixes: tuple[str, ...],
+) -> tuple[dict[int, list[str]], dict[int, list[str]], dict[int, list[str]]]:
+    """Partition registry rules by form, keyed by EFFECTIVE suffix
+    depth (shared by the Spark operator and the generated DuckDB
+    twins, so both engines parse the rule syntax exactly once, here):
+
+    - exact ``co.uk`` -> depth 2, join key = last-2-labels;
+    - wildcard ``*.ck`` -> depth 2 (the ``*`` consumes one label),
+      join key = last-1-labels (= the literal rest), valid only when
+      the host has >= depth labels;
+    - exception ``!www.ck`` -> stored at its own label count (2), and
+      a match forces depth = count - 1 (the carved-out name is itself
+      a registrable domain), beating every other rule per the
+      registry's published algorithm."""
+    exact: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    for s in suffixes:
+        if s.startswith("!"):
+            name = s[1:]
+            exc.setdefault(name.count(".") + 1, []).append(name)
+        elif s.startswith("*."):
+            rest = s[2:]
+            wild.setdefault(rest.count(".") + 2, []).append(rest)
+        else:
+            exact.setdefault(s.count(".") + 1, []).append(s)
+    return exact, wild, exc
+
+
 def registered_domain_join(
     df: DataFrame,
     host: Column | str,
@@ -253,55 +283,82 @@ def registered_domain_join(
 ) -> DataFrame:
     """Table-backed eTLD+1 (r12): longest-suffix match against a
     public-suffix table (default: the bundled
-    :data:`functions.psl.PUBLIC_SUFFIXES` — a few hundred exact rules;
-    pass the full registry as ``suffixes`` to widen coverage without
-    changing the plan). Adds ``out`` = the registrable domain of
-    ``host``: the matched suffix plus one label, the whole host when it
-    has no label beyond the suffix (a bare suffix has no registrable
-    part), the last two labels when nothing matches (single-label-TLD
-    default), NULL for a NULL host. A trailing explicit port is
-    stripped first, like :func:`registered_domain`.
+    :data:`functions.psl.PUBLIC_SUFFIXES`; pass the full registry as
+    ``suffixes`` to widen coverage without changing the plan). All
+    three registry rule forms are interpreted: EXACT rules, WILDCARD
+    rules (``*.ck`` — every single label under ``ck`` is a suffix, so
+    ``x.ck`` has no registrable part and ``a.x.ck`` registers as
+    itself), and EXCEPTION rules (``!www.ck`` — carved back out, so
+    ``www.ck`` and every host under it registers as ``www.ck``).
+    Exceptions beat everything; otherwise the DEEPEST matching rule
+    wins; no match defaults to the last two labels (the registry's
+    implicit ``*`` rule). Adds ``out`` = the registrable domain: the
+    winning suffix plus one label, the whole host when nothing lies
+    beyond the suffix, NULL for a NULL host. A trailing explicit port
+    is stripped first, like :func:`registered_domain`.
 
-    Plan shape: one LEFT BROADCAST join per distinct suffix depth in
-    the table (two for the bundled 2/3-label rules) on the host's
-    last-``d``-labels key — all map-side, zero shuffles, so the rule
-    table can grow to the full ~10k-row registry for free. Deeper
-    match wins (``a.blogspot.co.uk`` keys on ``blogspot.co.uk``, not
-    ``co.uk``). Wildcard/exception registry rules are out of scope
-    (documented in ``functions/psl.py``)."""
+    Plan shape: one LEFT BROADCAST join per (rule form, depth) — five
+    for the bundled table — on the host's trailing-labels key, all
+    map-side, zero shuffles, so the rule table can grow to the full
+    ~10k-row registry for free."""
     if suffixes is None:
         from automated_datastore_discovery_with_aws_glue_spark.functions.psl import (
             PUBLIC_SUFFIXES as suffixes,
         )
+    exact, wild, exc = psl_rule_tables(suffixes)
     spark = df.sparkSession
     hcol = host if isinstance(host, Column) else F.col(host)
-    depths = sorted({s.count(".") + 1 for s in suffixes})
+    label_depths = sorted(
+        set(exact) | {d - 1 for d in wild} | set(exc)
+    )
     work = df.withColumn("_rdj_h", F.regexp_replace(hcol, PORT_RE, ""))
     work = work.withColumn("_rdj_p", F.split(F.col("_rdj_h"), r"\."))
     n = F.size("_rdj_p")
-    for d in depths:
+    for d in label_depths:
         last_d = F.array_join(
             F.slice(F.col("_rdj_p"), n - (d - 1), F.lit(d)), "."
         )
         work = work.withColumn(f"_rdj_l{d}", F.when(n >= d, last_d))
-        tbl = spark.createDataFrame(
-            [(s,) for s in suffixes if s.count(".") + 1 == d],
-            f"_rdj_s{d} string",
-        )
+
+    def bjoin(values: list[str], colname: str, key_depth: int) -> None:
+        nonlocal work
+        tbl = spark.createDataFrame([(v,) for v in values], f"{colname} string")
         work = work.join(
             F.broadcast(tbl),
-            F.col(f"_rdj_l{d}") == F.col(f"_rdj_s{d}"),
+            F.col(f"_rdj_l{key_depth}") == F.col(colname),
             "left",
         )
+
+    for d, vals in sorted(exact.items()):
+        bjoin(vals, f"_rdj_s{d}", d)
+    for d, vals in sorted(wild.items()):
+        bjoin(vals, f"_rdj_w{d}", d - 1)
+    for d, vals in sorted(exc.items()):
+        bjoin(vals, f"_rdj_e{d}", d)
     depth = F.lit(1)
-    for d in depths:  # ascending, so the DEEPEST match ends up winning
-        depth = F.when(F.col(f"_rdj_s{d}").isNotNull(), F.lit(d)).otherwise(depth)
+    for d in sorted(set(exact) | set(wild)):  # ascending: deepest wins
+        cond = None
+        if d in exact:
+            cond = F.col(f"_rdj_s{d}").isNotNull()
+        if d in wild:
+            # the * must consume a REAL label: 'ck' alone is not *.ck
+            wcond = F.col(f"_rdj_w{d}").isNotNull() & (n >= d)
+            cond = wcond if cond is None else (cond | wcond)
+        depth = F.when(cond, F.lit(d)).otherwise(depth)
+    for d in sorted(exc):  # exceptions override every other form
+        depth = F.when(
+            F.col(f"_rdj_e{d}").isNotNull(), F.lit(d - 1)
+        ).otherwise(depth)
     dom = F.when(n <= depth, F.col("_rdj_h")).otherwise(
         F.array_join(F.slice(F.col("_rdj_p"), n - depth, depth + F.lit(1)), ".")
     )
-    drop = ["_rdj_h", "_rdj_p"] + [
-        c for d in depths for c in (f"_rdj_l{d}", f"_rdj_s{d}")
-    ]
+    drop = (
+        ["_rdj_h", "_rdj_p"]
+        + [f"_rdj_l{d}" for d in label_depths]
+        + [f"_rdj_s{d}" for d in exact]
+        + [f"_rdj_w{d}" for d in wild]
+        + [f"_rdj_e{d}" for d in exc]
+    )
     return work.withColumn(out, dom).drop(*drop)
 
 
@@ -411,25 +468,38 @@ def rep_is_wildcard(prefix: Column) -> Column:
     return prefix.contains("*") | prefix.endswith("$")
 
 
-def robots_rules(
-    df: DataFrame, key_col: str, robots_col: str
-) -> DataFrame:
-    """Parse ``robots.txt`` bodies into ``(key, rule, prefix)`` rows for
-    the wildcard agent group: lines split, comments stripped, agent
-    groups delimited by runs of ``User-agent:`` lines (consecutive UA
-    lines share one group), and Allow/Disallow directives kept from
-    every group whose agent set includes ``*``. An EMPTY Disallow
-    ("Disallow:") means allow-everything and yields no rule. One
-    window per key over the (tiny) line list — never data-scale."""
+#: group-independent Sitemap directive (per the REP it applies to the
+#: whole file, wherever it appears) — case-insensitive like the rest
+_ROBOTS_SITEMAP_RE = r"(?i)^sitemap\s*:(.*)$"
+#: Crawl-delay is GROUP-scoped (de-facto extension): only the wildcard
+#: group's value binds a generic crawler
+_ROBOTS_DELAY_RE = r"(?i)^crawl-delay\s*:(.*)$"
+
+
+def _robots_lines(df: DataFrame, key_col: str, robots_col: str) -> DataFrame:
+    """``(key, _i, _ln)`` — split lines, comments stripped, blanks
+    dropped, document order preserved."""
     lines = df.select(
         key_col,
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("_i", "_raw"),
     )
-    cleaned = lines.select(
+    return lines.select(
         key_col,
         "_i",
         F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_ln"),
     ).filter(F.col("_ln") != "")
+
+
+def _robots_star_lines(
+    df: DataFrame, key_col: str, robots_col: str
+) -> DataFrame:
+    """The NON-UA lines belonging to wildcard agent groups: agent
+    groups delimited by runs of ``User-agent:`` lines (consecutive UA
+    lines share one group), kept when the group's agent set includes
+    ``*``. One window per key over the (tiny) line list — never
+    data-scale. Shared by :func:`robots_rules` and
+    :func:`robots_crawl_delay`."""
+    cleaned = _robots_lines(df, key_col, robots_col)
     w = Window.partitionBy(key_col).orderBy("_i")
     marked = cleaned.withColumn("_ua", F.col("_ln").rlike(_ROBOTS_UA_RE))
     grouped = marked.withColumn(
@@ -446,15 +516,69 @@ def robots_rules(
         .filter(F.col("_star") == 1)
         .select(key_col, "_grp")
     )
+    return (
+        grouped.filter(~F.col("_ua"))
+        .join(star, [key_col, "_grp"])
+        .select(key_col, "_i", "_ln")
+    )
+
+
+def robots_rules(
+    df: DataFrame, key_col: str, robots_col: str
+) -> DataFrame:
+    """Parse ``robots.txt`` bodies into ``(key, rule, prefix)`` rows
+    for the wildcard agent group (:func:`_robots_star_lines`). An
+    EMPTY Disallow ("Disallow:") means allow-everything and yields no
+    rule."""
     rule = F.lower(F.regexp_extract("_ln", _ROBOTS_DIRECTIVE_RE, 1))
     prefix = F.trim(F.regexp_extract("_ln", _ROBOTS_DIRECTIVE_RE, 2))
     return (
-        grouped.filter(~F.col("_ua"))
-        .select(key_col, "_grp", rule.alias("rule"), prefix.alias("prefix"))
+        _robots_star_lines(df, key_col, robots_col)
+        .select(key_col, rule.alias("rule"), prefix.alias("prefix"))
         .filter(F.col("rule") != "")
-        .join(star, [key_col, "_grp"])
         .filter(F.col("prefix") != "")
         .select(key_col, "rule", "prefix")
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame, key_col: str, robots_col: str
+) -> DataFrame:
+    """``(key, crawl_delay_ms)`` from the wildcard group's
+    ``Crawl-delay:`` directives — the de-facto politeness extension a
+    scheduler consumes. Seconds may be fractional; the MINIMUM across
+    duplicate lines wins (the conservative read). Unparseable values
+    are ignored; a host with no star-group delay emits no row."""
+    val = F.trim(F.regexp_extract("_ln", _ROBOTS_DELAY_RE, 1)).try_cast("double")
+    return (
+        _robots_star_lines(df, key_col, robots_col)
+        .filter(F.col("_ln").rlike(_ROBOTS_DELAY_RE))
+        .select(key_col, val.alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .groupBy(key_col)
+        .agg((F.min("_s") * 1000).cast("int").alias("crawl_delay_ms"))
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame, key_col: str, robots_col: str
+) -> DataFrame:
+    """``(key, sm_idx, sitemap_url)`` — ``Sitemap:`` directives are
+    GROUP-INDEPENDENT per the REP (they apply to the whole file
+    wherever they appear), so this scans ALL lines, not just the
+    wildcard group's; ``sm_idx`` ranks them in document order. The
+    discovery half of the crawl frontier: feed each URL's body to
+    :func:`sitemap_locs`."""
+    m = _robots_lines(df, key_col, robots_col).filter(
+        F.col("_ln").rlike(_ROBOTS_SITEMAP_RE)
+    )
+    url = F.trim(F.regexp_extract("_ln", _ROBOTS_SITEMAP_RE, 1))
+    w = Window.partitionBy(key_col).orderBy("_i")
+    return (
+        m.select(key_col, "_i", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .withColumn("sm_idx", F.row_number().over(w) - 1)
+        .select(key_col, "sm_idx", "sitemap_url")
     )
 
 

@@ -109,35 +109,61 @@ def _sql_pct_normalize(u: str) -> str:
 
 
 #: DuckDB replay of the PSL longest-suffix join
-#: (operators/web.registered_domain_join): the suffix lists are
-#: GENERATED from the same functions/psl.PUBLIC_SUFFIXES tuple
-def _sql_psl_ctes() -> str:
+#: (operators/web.registered_domain_join): rule lists, join keys, and
+#: the depth/domain CASEs are ALL generated from the same
+#: functions/psl.PUBLIC_SUFFIXES tuple through the same
+#: psl_rule_tables parser the Spark operator uses — exact, wildcard
+#: (`*.ck`), and exception (`!www.ck`) forms included.
+def _psl_sql_parts() -> tuple[str, str, str]:
     from automated_datastore_discovery_with_aws_glue_spark.functions.psl import PUBLIC_SUFFIXES
 
-    s2 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 1)
-    s3 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 2)
-    return (
-        f"psl2 AS (SELECT unnest([{s2}]) AS sfx2),\n"
-        f"    psl3 AS (SELECT unnest([{s3}]) AS sfx3)"
+    exact, wild, exc = W.psl_rule_tables(PUBLIC_SUFFIXES)
+
+    def lastk(k: int) -> str:
+        return f"array_to_string(string_split(hp, '.')[-{k}:], '.')"
+
+    def lits(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in vals)
+
+    ctes, joins = [], []
+    for d, vals in sorted(exact.items()):
+        ctes.append(f"psl_s{d} AS (SELECT unnest([{lits(vals)}]) AS s{d})")
+        joins.append(f"LEFT JOIN psl_s{d} ON {lastk(d)} = s{d}")
+    for d, vals in sorted(wild.items()):
+        ctes.append(f"psl_w{d} AS (SELECT unnest([{lits(vals)}]) AS w{d})")
+        joins.append(f"LEFT JOIN psl_w{d} ON {lastk(d - 1)} = w{d}")
+    for d, vals in sorted(exc.items()):
+        ctes.append(f"psl_e{d} AS (SELECT unnest([{lits(vals)}]) AS e{d})")
+        joins.append(f"LEFT JOIN psl_e{d} ON {lastk(d)} = e{d}")
+    nl = "len(string_split(hp, '.'))"
+    arms = [f"WHEN e{d} IS NOT NULL THEN {d - 1}" for d in sorted(exc, reverse=True)]
+    for d in sorted(set(exact) | set(wild), reverse=True):
+        conds = []
+        if d in exact:
+            conds.append(f"s{d} IS NOT NULL")
+        if d in wild:
+            conds.append(f"(w{d} IS NOT NULL AND {nl} >= {d})")
+        arms.append(f"WHEN {' OR '.join(conds)} THEN {d}")
+    depth = "CASE " + " ".join(arms) + " ELSE 1 END"
+    dvals = sorted(
+        ({d - 1 for d in exc} | set(exact) | set(wild)) - {1}, reverse=True
     )
+    dom_arms = "\n         ".join(
+        f"WHEN ({depth}) = {v} THEN {lastk(v + 1)}" for v in dvals
+    )
+    domain = (
+        f"CASE WHEN {nl} <= ({depth}) THEN hp\n"
+        f"         {dom_arms}\n"
+        f"         ELSE {lastk(2)} END"
+    )
+    return ",\n    ".join(ctes), "\n    ".join(joins), domain
 
 
-#: the registrable-domain SELECT fragment over a port-stripped host
-#: expression 'hp' joined to psl2/psl3 (aliases s2/s3)
-_SQL_PSL_DOMAIN = """CASE
-    WHEN len(string_split(hp, '.')) <=
-         (CASE WHEN s3.sfx3 IS NOT NULL THEN 3
-               WHEN s2.sfx2 IS NOT NULL THEN 2 ELSE 1 END) THEN hp
-    WHEN s3.sfx3 IS NOT NULL
-         THEN array_to_string(string_split(hp, '.')[-4:], '.')
-    WHEN s2.sfx2 IS NOT NULL
-         THEN array_to_string(string_split(hp, '.')[-3:], '.')
-    ELSE array_to_string(string_split(hp, '.')[-2:], '.') END"""
+_SQL_PSL_CTES, _SQL_PSL_JOIN, _SQL_PSL_DOMAIN = _psl_sql_parts()
 
-_SQL_PSL_JOIN = """LEFT JOIN psl2 s2
-        ON array_to_string(string_split(hp, '.')[-2:], '.') = s2.sfx2
-    LEFT JOIN psl3 s3
-        ON array_to_string(string_split(hp, '.')[-3:], '.') = s3.sfx3"""
+
+def _sql_psl_ctes() -> str:
+    return _SQL_PSL_CTES
 
 
 def _sql_url_ctes() -> str:
@@ -666,6 +692,22 @@ _ROBOTS_UK = (
 )
 
 
+#: r12 directive block appended to every .com robots file: a
+#: fractional Crawl-delay, an ON-HOST Sitemap (host spliced in), and
+#: an off-host one with a lowercase directive name (case-insensitivity
+#: pin). Appended at FILE END, so it lands in the LAST agent group —
+#: the star group on arms 0-2, the bot-only group on arm 3, which is
+#: exactly the group-scoping property robots_crawl_delay must honor
+#: (arm-3 hosts get NO wildcard delay). Sitemap directives are
+#: group-INDEPENDENT, so all .com hosts report both.
+_ROBOTS_EXTRA_COM: tuple[str, str] = (
+    "Crawl-delay: 1.5\nSitemap: http://",
+    "/sitemap.xml\nsitemap: https://maps.example/idx.xml\n",
+)
+#: UK hosts: a whole-seconds delay, no sitemaps
+_ROBOTS_EXTRA_UK = "crawl-delay: 2\n"
+
+
 def _robots_text(host: F.Column) -> F.Column:
     d4 = F.regexp_extract(host, r"domain(\d+)", 1).cast("int") % 4
     com = (
@@ -674,7 +716,12 @@ def _robots_text(host: F.Column) -> F.Column:
         .when(d4 == 2, F.lit(_ROBOTS_COM_ARMS[2]))
         .otherwise(F.lit(_ROBOTS_COM_ARMS[3]))
     )
-    return F.when(host.endswith(".co.uk"), F.lit(_ROBOTS_UK)).otherwise(com)
+    com = F.concat(
+        com, F.lit(_ROBOTS_EXTRA_COM[0]), host, F.lit(_ROBOTS_EXTRA_COM[1])
+    )
+    return F.when(
+        host.endswith(".co.uk"), F.lit(_ROBOTS_UK + _ROBOTS_EXTRA_UK)
+    ).otherwise(com)
 
 
 def corpus_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,24 +757,29 @@ def corpus_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _robots_filter_sql() -> str:
-    def q(s: str) -> str:
-        return s.replace("'", "''").replace("\n", "' || chr(10) || '")
+def _sql_quote_nl(s: str) -> str:
+    return s.replace("'", "''").replace("\n", "' || chr(10) || '")
 
+
+def _sql_robots_group_ctes() -> str:
+    """The shared robots CTE chain rb -> rt -> lx -> mk -> pk -> gr ->
+    sg (fixture text incl. the r12 directive extras, line split,
+    comment strip, UA grouping windows, star-group selection) — used
+    by both the filter twin and the directives twin."""
+    q = _sql_quote_nl
     arms = " ".join(
         f"WHEN {i} THEN '{q(a)}'" for i, a in enumerate(_ROBOTS_COM_ARMS[:3])
     )
     ua_re = r"(?i)^user-agent\s*:"
-    dir_re = r"(?i)^(allow|disallow)\s*:(.*)$"
-    return (
-        "WITH " + _sql_url_ctes() + f""",
-    rb AS (SELECT DISTINCT host FROM nn),
+    return f"""rb AS (SELECT DISTINCT host FROM nn),
     rt AS MATERIALIZED (
         SELECT host,
-               CASE WHEN host LIKE '%.co.uk' THEN '{q(_ROBOTS_UK)}'
-                    ELSE CASE (TRY_CAST(regexp_extract(host, 'domain(\\d+)', 1) AS INT) % 4)
+               CASE WHEN host LIKE '%.co.uk' THEN '{q(_ROBOTS_UK + _ROBOTS_EXTRA_UK)}'
+                    ELSE (CASE (TRY_CAST(regexp_extract(host, 'domain(\\d+)', 1) AS INT) % 4)
                          {arms}
-                         ELSE '{q(_ROBOTS_COM_ARMS[3])}' END
+                         ELSE '{q(_ROBOTS_COM_ARMS[3])}' END)
+                         || '{q(_ROBOTS_EXTRA_COM[0])}' || host
+                         || '{q(_ROBOTS_EXTRA_COM[1])}'
                END AS robots
         FROM rb
     ),
@@ -756,7 +808,13 @@ def _robots_filter_sql() -> str:
         SELECT host, grp FROM gr WHERE ua GROUP BY host, grp
         HAVING max(CASE WHEN trim(regexp_extract(ln, '{ua_re}(.*)$', 1)) = '*'
                         THEN 1 ELSE 0 END) = 1
-    ),
+    )"""
+
+
+def _robots_filter_sql() -> str:
+    dir_re = r"(?i)^(allow|disallow)\s*:(.*)$"
+    return (
+        "WITH " + _sql_url_ctes() + ",\n    " + _sql_robots_group_ctes() + f""",
     rl AS (
         SELECT g.host,
                lower(regexp_extract(ln, '{dir_re}', 1)) AS rule,
@@ -974,8 +1032,12 @@ ORACLES["corpus_sitemap_discovery"] = _sitemap_discovery_sql()
 #: 2-label ccTLD suffixes (com.ar, co.za), a private suffix
 #: (github.io, blogspot.com), a 3-label suffix (k12.ca.us), a deep
 #: subdomain, a bare label, the single-label-TLD default, an explicit
-#: port, and a BARE suffix with no registrable part. '{n}' is the
-#: per-document salt (doc_id % 7) so domains repeat across docs.
+#: port, a BARE suffix with no registrable part, and (r12) the
+#: registry's WILDCARD and EXCEPTION forms: `*.ck` hosts at every
+#: depth (bare wildcard suffix / registrable / subdomain), the
+#: `!www.ck` carve-out with and without a subdomain, and the 3-label
+#: wildcard `*.sch.uk`. '{n}' is the per-document salt (doc_id % 7)
+#: so domains repeat across docs.
 _PSL_HOSTS: tuple[str, ...] = (
     "a{n}.example{n}.com.ar",
     "shop{n}.co.za",
@@ -987,6 +1049,11 @@ _PSL_HOSTS: tuple[str, ...] = (
     "school{n}.k12.ca.us",
     "cdn.files{n}.blogspot.com",
     "k12.ca.us",
+    "x{n}.ck",
+    "a.x{n}.ck",
+    "www.ck",
+    "media.www.ck",
+    "pupils.x{n}.sch.uk",
 )
 
 
@@ -1190,3 +1257,121 @@ def _warc_extract_sql() -> str:
 
 QUERIES["src_warc_extract"] = src_warc_extract
 ORACLES["src_warc_extract"] = _warc_extract_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_robots_directives — Sitemap: + Crawl-delay: extraction (r12)
+# ---------------------------------------------------------------------------
+
+def corpus_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt directive extraction (r12): per fixture host, the
+    wildcard-group rule count, the star-group ``Crawl-delay`` (de-facto
+    politeness extension — GROUP-scoped, so the no-star-group arm must
+    report NULL even though its file carries a delay line), and the
+    group-INDEPENDENT ``Sitemap:`` URLs (canonicalized; first one in
+    document order, with an on-host flag) — the link that lets the
+    robots layer FEED the sitemap-discovery layer. All per-host
+    metadata: windows run over robots LINES, the output is one row per
+    host. DuckDB replays the grouping chain, the directive regexes,
+    the fractional-seconds -> ms math, and the canonicalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    hosts = docs.select(W.url_host(raw).alias("host")).distinct()
+    robots = hosts.withColumn("robots", _robots_text(F.col("host")))
+    nr = W.robots_rules(robots, "host", "robots").groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_rules")
+    )
+    delay = W.robots_crawl_delay(robots, "host", "robots")
+    sm = W.robots_sitemaps(robots, "host", "robots")
+    smx = sm.select(
+        "host",
+        F.struct(
+            F.col("sm_idx"),
+            W.url_normalize(F.col("sitemap_url")).alias("u"),
+            (W.url_host(F.col("sitemap_url")) == F.col("host")).alias("oh"),
+        ).alias("_s"),
+    )
+    sm_agg = smx.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_sitemaps"),
+        F.min("_s").alias("_first"),
+    )
+    return (
+        hosts.join(nr, "host", "left")
+        .join(delay, "host", "left")
+        .join(sm_agg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_rules", F.lit(0).cast("bigint")).alias("n_rules"),
+            "crawl_delay_ms",
+            F.coalesce("n_sitemaps", F.lit(0).cast("bigint")).alias("n_sitemaps"),
+            F.col("_first.u").alias("first_sitemap"),
+            F.col("_first.oh").alias("sm_on_host"),
+        )
+        .orderBy("host")
+    )
+
+
+def _robots_directives_sql() -> str:
+    dir_re = r"(?i)^(allow|disallow)\s*:(.*)$"
+    delay_re = r"(?i)^crawl-delay\s*:(.*)$"
+    sm_re = r"(?i)^sitemap\s*:(.*)$"
+    dval = f"TRY_CAST(trim(regexp_extract(ln, '{delay_re}', 1)) AS DOUBLE)"
+    return (
+        "WITH " + _sql_url_ctes() + ",\n    " + _sql_robots_group_ctes() + f""",
+    starln AS (
+        SELECT g.host, g.i, g.ln FROM gr g JOIN sg USING (host, grp)
+        WHERE NOT ua
+    ),
+    nr AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_rules FROM starln
+        WHERE regexp_matches(ln, '{dir_re}')
+          AND trim(regexp_extract(ln, '{dir_re}', 2)) <> ''
+        GROUP BY host
+    ),
+    dl AS (
+        SELECT host, CAST(min({dval}) * 1000 AS INT) AS crawl_delay_ms
+        FROM starln
+        WHERE regexp_matches(ln, '{delay_re}') AND {dval} IS NOT NULL
+        GROUP BY host
+    ),
+    sm AS (
+        SELECT host, i, trim(regexp_extract(ln, '{sm_re}', 1)) AS su
+        FROM mk WHERE regexp_matches(ln, '{sm_re}')
+    ),
+    sm2 AS (
+        SELECT host, su,
+               CAST(row_number() OVER (PARTITION BY host ORDER BY i) AS INT)
+                   - 1 AS sm_idx
+        FROM sm WHERE su <> ''
+    ),
+    smd AS (
+        SELECT host, sm_idx, su, {_sql_pct_normalize("su")} AS sud FROM sm2
+    ),
+    smx AS (
+        SELECT host, sm_idx,
+               {_sql_url_norm_core("sud")} AS u,
+               {_sql_url_host_expr("su")} = host AS oh
+        FROM smd
+    ),
+    sma AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_sitemaps,
+               arg_min(u, sm_idx) AS first_sitemap,
+               arg_min(oh, sm_idx) AS sm_on_host
+        FROM smx GROUP BY host
+    )
+    SELECT h.host,
+           coalesce(nr.n_rules, 0) AS n_rules,
+           dl.crawl_delay_ms,
+           coalesce(sma.n_sitemaps, 0) AS n_sitemaps,
+           sma.first_sitemap,
+           sma.sm_on_host
+    FROM rb h
+    LEFT JOIN nr USING (host)
+    LEFT JOIN dl USING (host)
+    LEFT JOIN sma USING (host)
+    ORDER BY h.host"""
+    )
+
+
+QUERIES["corpus_robots_directives"] = corpus_robots_directives
+ORACLES["corpus_robots_directives"] = _robots_directives_sql()

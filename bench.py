@@ -169,10 +169,12 @@ HEADLINE = [
     "corpus_ingest_web",
     "corpus_robots_filter",
     "corpus_sitemap_discovery",
-    # r12: PSL registrable domains (broadcast longest-suffix join) and
-    # the WARC container roundtrip (offset parse -> html_extract)
+    # r12: PSL registrable domains (broadcast longest-suffix join),
+    # the WARC container roundtrip (offset parse -> html_extract), and
+    # robots.txt directive extraction (Crawl-delay + Sitemap links)
     "corpus_psl_domains",
     "src_warc_extract",
+    "corpus_robots_directives",
 ]
 
 

@@ -163,6 +163,17 @@ def test_registered_domain_join_psl_rules(spark):
         "school.k12.ca.us": "school.k12.ca.us",
         "k12.ca.us": "k12.ca.us",  # bare suffix: no registrable part
         "co.za": "co.za",
+        # wildcard rule *.ck: any single label under ck is a suffix
+        "ck": "ck",  # the * must consume a real label
+        "x.ck": "x.ck",  # bare wildcard suffix: no registrable part
+        "a.x.ck": "a.x.ck",
+        "deep.a.x.ck": "a.x.ck",
+        # exception rule !www.ck: carved back out of the wildcard
+        "www.ck": "www.ck",
+        "media.www.ck": "www.ck",
+        # 3-label wildcard *.sch.uk (beats the exact 2-label sch.uk)
+        "x.sch.uk": "x.sch.uk",
+        "pupils.x.sch.uk": "pupils.x.sch.uk",
         None: None,
     }
     df = spark.createDataFrame([(h,) for h in cases], "h string")
@@ -630,3 +641,42 @@ def test_web_ingest_stream_composition(spark, tmp_path):
     run()
     rows = {r["page_id"]: r for r in store.read("frontier").collect()}
     assert set(rows) == {1, 7, 9}
+
+
+def test_robots_crawl_delay_group_scoped_and_min(spark):
+    # group-scoped: only the star group's delay binds; minimum wins
+    # across duplicates; unparseable values ignored; fractional -> ms
+    txt = (
+        "User-agent: bot\nCrawl-delay: 9\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\nCrawl-delay: 1.5\n"
+        "Crawl-delay: soon\n"
+    )
+    df = spark.createDataFrame([("h", txt), ("g", "User-agent: bot\nCrawl-delay: 9\n")], ["host", "robots"])
+    from automated_datastore_discovery_with_aws_glue_spark.operators.web import robots_crawl_delay
+
+    got = {r["host"]: r["crawl_delay_ms"] for r in robots_crawl_delay(df, "host", "robots").collect()}
+    # 'g' has no star group -> no row at all
+    assert got == {"h": 1500}
+
+
+def test_robots_sitemaps_group_independent_ordered(spark):
+    # Sitemap: lines apply file-wide (even inside a non-star group),
+    # case-insensitive directive name, comments stripped, doc order
+    txt = (
+        "User-agent: bot\nSitemap: http://a.com/s1.xml\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: http://a.com/s2.xml  # mirror\n"
+        "SITEMAP: https://cdn.example/s3.xml\nSitemap:\n"
+    )
+    df = spark.createDataFrame([("h", txt)], ["host", "robots"])
+    from automated_datastore_discovery_with_aws_glue_spark.operators.web import robots_sitemaps
+
+    got = [
+        (r["sm_idx"], r["sitemap_url"])
+        for r in robots_sitemaps(df, "host", "robots").orderBy("sm_idx").collect()
+    ]
+    assert got == [
+        (0, "http://a.com/s1.xml"),
+        (1, "http://a.com/s2.xml"),
+        (2, "https://cdn.example/s3.xml"),
+    ]
