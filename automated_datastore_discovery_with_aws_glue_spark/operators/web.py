@@ -604,16 +604,31 @@ def robots_filter(
     ``path_col`` must be the RAW fetch target (:func:`url_raw_target`
     — raw path plus ``?query``), not the canonical form: a directory
     rule ``Disallow: /admin/`` matches ``/admin/`` but not the
-    slash-collapsed ``/admin``, and query rules must see the query."""
+    slash-collapsed ``/admin``, and query rules must see the query.
+
+    Matching itself happens in PERCENT-NORMALIZED space (r12, the REP
+    convention Google's matcher documents): both the rule path and the
+    target run through :func:`pct_normalize` first, so ``Disallow:
+    /p/`` blocks a ``/%70/x`` fetch and ``%7E``/``%7e`` agree — while
+    reserved escapes like ``%2F`` stay escapes on BOTH sides and keep
+    not matching a literal ``/``. Invalid escapes fall back to the raw
+    bytes (robots must still decide something for a garbled URL).
+    Precedence octets and ``matched_prefix`` use the rule AS WRITTEN."""
+    decoded_pfx = F.coalesce(pct_normalize(F.col("prefix")), F.col("prefix"))
     rules = rules.select(
         "*",
         rep_is_wildcard(F.col("prefix")).alias("_wild"),
-        rep_pattern(F.col("prefix")).alias("_pat"),
+        rep_pattern(decoded_pfx).alias("_pat"),
+        decoded_pfx.alias("_pfx"),
     )
-    j = pages.join(F.broadcast(rules), key_col).filter(
+    pages_d = pages.withColumn(
+        "_rf_tgt",
+        F.coalesce(pct_normalize(F.col(path_col)), F.col(path_col)),
+    )
+    j = pages_d.join(F.broadcast(rules), key_col).filter(
         F.when(
-            F.col("_wild"), F.regexp_like(F.col(path_col), F.col("_pat"))
-        ).otherwise(F.col(path_col).startswith(F.col("prefix")))
+            F.col("_wild"), F.regexp_like(F.col("_rf_tgt"), F.col("_pat"))
+        ).otherwise(F.col("_rf_tgt").startswith(F.col("_pfx")))
     )
     best = j.groupBy(id_col).agg(
         F.max(

@@ -229,6 +229,7 @@ def _sql_url_ctes() -> str:
     ),
     nn AS MATERIALIZED (
         SELECT doc_id, n_chars, url_norm, host, rpath, rtarget,
+               coalesce({_sql_pct_normalize("rtarget")}, rtarget) AS rtargetd,
                {_SQL_PSL_DOMAIN} AS domain
         FROM nb
         {_SQL_PSL_JOIN}
@@ -732,12 +733,15 @@ def corpus_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedence ladder on the UK hosts, empty-Disallow allow-all,
     deny-all, no-star-group, consecutive-UA-lines group with comments),
     parse with ``operators/web.robots_rules``, and decide every page
-    with ``robots_filter`` against the RAW path-and-query target —
-    most rule octets win, allow wins ties, no match allows. The rule
-    table is per-host and tiny, so the verdict is ONE broadcast join +
-    one aggregate over pages — no page-scale window, the 100 TB shape.
+    with ``robots_filter`` against the raw path-and-query target,
+    matched in PERCENT-NORMALIZED space (the '%70'-path fixture arm
+    must hit the '/p/' rules; reserved escapes stay escapes) — most
+    rule octets win, allow wins ties, no match allows. The rule table
+    is per-host and tiny, so the verdict is ONE broadcast join + one
+    aggregate over pages — no page-scale window, the 100 TB shape.
     DuckDB replays the line split, grouping windows, star-group
-    selection, the rule-to-regex compile, and precedence."""
+    selection, the decode pass, the rule-to-regex compile, and
+    precedence."""
     docs = load_table(spark, sf_dir, "documents")
     raw = _raw_url()
     # robots decisions happen at FETCH time, before canonicalization —
@@ -822,20 +826,24 @@ def _robots_filter_sql() -> str:
         FROM gr g JOIN sg USING (host, grp)
         WHERE NOT ua AND regexp_matches(ln, '{dir_re}')
     ),
+    rl1 AS (
+        SELECT *, coalesce({_sql_pct_normalize("prefix")}, prefix) AS pfxd
+        FROM rl WHERE prefix <> ''
+    ),
     rl2 AS (
         SELECT *,
                (contains(prefix, '*') OR ends_with(prefix, '$')) AS wild,
-               '^' || regexp_replace(regexp_replace(regexp_replace(prefix,
+               '^' || regexp_replace(regexp_replace(regexp_replace(pfxd,
                    '{W.REP_SPECIALS_CLASS}', '\\\\\\1', 'g'),
                    '\\*', '.*', 'g'),
                    '\\\\\\$$', '$') AS pat
-        FROM rl WHERE prefix <> ''
+        FROM rl1
     ),
     mt AS (
         SELECT p.doc_id, r.rule, r.prefix
         FROM nn p JOIN rl2 r ON p.host = r.host AND
-             (CASE WHEN r.wild THEN regexp_matches(p.rtarget, r.pat)
-                   ELSE starts_with(p.rtarget, r.prefix) END)
+             (CASE WHEN r.wild THEN regexp_matches(p.rtargetd, r.pat)
+                   ELSE starts_with(p.rtargetd, r.pfxd) END)
     ),
     bst AS (
         SELECT doc_id, rule, prefix FROM mt

@@ -146,16 +146,103 @@ def parse_warc(data: bytes) -> list[dict]:
     return recs
 
 
-def warc_records(df: DataFrame, data_col: str) -> DataFrame:
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Split a concatenation of gzip MEMBERS into their decompressed
+    payloads — the layout real WARC archives ship (one gzip member per
+    record, so a reader can seek to a member boundary and start
+    there). ``zlib.decompressobj(wbits=47)`` stops at each member's
+    end and hands back ``unused_data``; looping that is the
+    member-boundary scan. Raises ``ValueError`` on corrupt or
+    truncated gzip bytes (the caller converts that to a loud
+    ``valid=false`` record)."""
+    import zlib
+
+    members: list[bytes] = []
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=47)
+        try:
+            out = d.decompress(rest)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member {len(members)}: {exc}") from None
+        if not d.eof:
+            raise ValueError(f"truncated gzip member {len(members)}")
+        members.append(out)
+        rest = d.unused_data
+    return members
+
+
+def parse_warc_gz(data: bytes) -> list[dict]:
+    """Scan a RECORD-GZIPPED container (one gzip member per record,
+    the compression layout the public crawl archives use): each member
+    decompresses to exactly one :func:`parse_warc`-shaped record.
+    Member boundaries come from the gzip framing itself, so a payload
+    containing ``WARC/1.0`` or CRLF runs still cannot confuse the
+    scan. Corrupt gzip framing yields one loud ``valid=false`` record
+    and stops, like every other malformation; a member holding more
+    than one record is malformed too (the convention this parser
+    enforces so members stay independently seekable)."""
+    try:
+        members = split_gzip_members(data)
+    except ValueError as exc:
+        return [
+            {
+                "rec_idx": 0,
+                "warc_version": None,
+                "warc_type": None,
+                "target_uri": None,
+                "content_length": None,
+                "payload": None,
+                "valid": False,
+                "error": str(exc),
+            }
+        ]
+    recs: list[dict] = []
+    for i, member in enumerate(members):
+        sub = parse_warc(member)
+        if len(sub) != 1:
+            recs.append(
+                {
+                    "rec_idx": i,
+                    "warc_version": None,
+                    "warc_type": None,
+                    "target_uri": None,
+                    "content_length": None,
+                    "payload": None,
+                    "valid": False,
+                    "error": f"gzip member {i} holds {len(sub)} records, expected 1",
+                }
+            )
+            break
+        rec = dict(sub[0])
+        rec["rec_idx"] = i
+        recs.append(rec)
+        if not rec["valid"]:
+            break
+    return recs
+
+
+def warc_records(
+    df: DataFrame, data_col: str, *, compression: str = "none"
+) -> DataFrame:
     """Explode each container row into its records: every column of
     ``df`` except ``data_col`` passes through; :data:`RECORD_FIELDS`
     are appended. ``data_col`` may be BINARY (the honest form) or a
-    utf-8 STRING (encoded before scanning). A NULL container yields one
-    ``valid=false`` row. Arrow-batched ``mapInPandas`` — one task per
-    container partition, the scan itself sequential per container by
+    utf-8 STRING (encoded before scanning). ``compression='gzip'``
+    scans record-gzipped containers (:func:`parse_warc_gz` — the
+    public crawl archives' member-per-record layout); ``'none'`` scans
+    plain concatenations. A NULL container yields one ``valid=false``
+    row. Arrow-batched ``mapInPandas`` — one task per container
+    partition, the scan itself sequential per container by
     construction (offsets chain through Content-Length)."""
     import pandas as pd
 
+    if compression not in ("none", "gzip"):
+        raise ValueError(
+            f"warc_records: unknown compression {compression!r} (none | gzip)"
+        )
+    parse = parse_warc_gz if compression == "gzip" else parse_warc
     passthrough = [f for f in df.schema.fields if f.name != data_col]
     names = [f.name for f in passthrough] + [f.name for f in RECORD_FIELDS]
     schema = StructType(list(passthrough) + list(RECORD_FIELDS))
@@ -181,7 +268,7 @@ def warc_records(df: DataFrame, data_col: str) -> DataFrame:
                 else:
                     if isinstance(data, str):
                         data = data.encode("utf-8")
-                    recs = parse_warc(bytes(data))
+                    recs = parse(bytes(data))
                 base = {f.name: row[f.name] for f in passthrough}
                 rows.extend({**base, **rec} for rec in recs)
             yield pd.DataFrame(rows, columns=names)

@@ -85,3 +85,60 @@ def test_warc_records_spark_passthrough_and_null(spark):
     [r] = warc_records(sdf, "wdata").collect()
     assert r["valid"] and r["payload"] == "Café—漢字"
     assert r["content_length"] == len("Café—漢字".encode("utf-8"))
+
+
+def test_parse_warc_gz_member_per_record():
+    import gzip
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_warc_gz
+
+    payloads = ["first body", "tricky\r\n\r\nWARC/1.0\r\nfake", "Café—漢字"]
+    data = b"".join(
+        gzip.compress(_rec(f"urn:doc:{i}", p)) for i, p in enumerate(payloads)
+    )
+    recs = parse_warc_gz(data)
+    assert [r["valid"] for r in recs] == [True, True, True]
+    assert [r["payload"] for r in recs] == payloads
+    assert [r["rec_idx"] for r in recs] == [0, 1, 2]
+    # empty container
+    assert parse_warc_gz(b"") == []
+
+
+def test_parse_warc_gz_malformed_is_loud():
+    import gzip
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_warc_gz
+
+    good = gzip.compress(_rec("urn:doc:0", "ok"))
+    # truncated second member
+    recs = parse_warc_gz(good + gzip.compress(_rec("urn:doc:1", "late"))[:-5])
+    assert len(recs) == 1 and recs[0]["valid"] is False
+    assert "truncated" in recs[0]["error"] or "corrupt" in recs[0]["error"]
+    # plain (uncompressed) bytes are not gzip
+    recs = parse_warc_gz(_rec("urn:doc:0", "ok"))
+    assert recs[0]["valid"] is False
+    # a member holding TWO records violates the seekable convention
+    two = gzip.compress(_rec("urn:doc:0", "a") + _rec("urn:doc:1", "b"))
+    recs = parse_warc_gz(two)
+    assert recs[0]["valid"] is False and "expected 1" in recs[0]["error"]
+    # a malformed record INSIDE a good member stops the scan
+    recs = parse_warc_gz(good + gzip.compress(b"WARC/1.0\r\nContent-Length: abc\r\n\r\nx\r\n\r\n"))
+    assert [r["valid"] for r in recs] == [True, False]
+
+
+def test_warc_records_gzip_mode(spark):
+    import gzip
+
+    rows = [
+        (1, bytearray(gzip.compress(_rec("urn:doc:1", "hello")) + gzip.compress(_rec("urn:doc:2", "zwei")))),
+    ]
+    df = spark.createDataFrame(rows, "cid int, wdata binary")
+    got = sorted(
+        (r["rec_idx"], r["payload"], r["valid"])
+        for r in warc_records(df, "wdata", compression="gzip").collect()
+    )
+    assert got == [(0, "hello", True), (1, "zwei", True)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression"):
+        warc_records(df, "wdata", compression="lz4")

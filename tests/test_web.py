@@ -680,3 +680,41 @@ def test_robots_sitemaps_group_independent_ordered(spark):
         (1, "http://a.com/s2.xml"),
         (2, "https://cdn.example/s3.xml"),
     ]
+
+
+def test_robots_filter_matches_in_percent_normalized_space(spark):
+    # rule and target both decode unreserved escapes before matching;
+    # reserved escapes (%2F) stay escapes on both sides; an invalid
+    # escape falls back to raw bytes
+    pages = spark.createDataFrame(
+        [
+            (1, "h", "/%70/1"),      # decodes to /p/1 -> blocked
+            (2, "h", "/p/12"),        # plain target vs escaped rule
+            (3, "h", "/a%2Fb"),       # encoded slash is NOT /a/b
+            (4, "h", "/a/b"),
+            (5, "h", "/%zz"),         # invalid escape -> raw match
+        ],
+        ["id", "host", "target"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/p/1"),
+            ("h", "allow", "/%70/12"),   # escaped rule, longer octets win
+            ("h", "disallow", "/a/b"),
+            ("h", "disallow", "/%zz"),
+        ],
+        ["host", "rule", "prefix"],
+    )
+    out = {
+        r["id"]: (r["allowed"], r["matched_prefix"])
+        for r in W.robots_filter(
+            pages, rules, id_col="id", path_col="target"
+        ).collect()
+    }
+    assert out == {
+        1: (False, "/p/1"),
+        2: (True, "/%70/12"),  # matched_prefix reports the rule AS WRITTEN
+        3: (True, None),       # %2F does not decode into the /a/b rule
+        4: (False, "/a/b"),
+        5: (False, "/%zz"),
+    }
