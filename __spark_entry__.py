@@ -114,6 +114,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    mm_pixel_stats / mm_video_frame_sample / adpcm_stereo
         #    in-window, and the WAV kernel stays pytest-pinned)
         "src_warc_extract": WB.QUERIES["src_warc_extract"],
+        # -- r13 (VERDICT r12 item 1): HTTP response envelopes inside
+        #    WARC response payloads — status-line/header split, charset
+        #    resolution (header param > BOM sniff > browser default)
+        #    with latin-1 / quoted-windows-1252 / raw-0x80 / BOM arms
+        #    TRANSCODED to utf-8, Content-Length byte math over
+        #    charset-dependent encodings, and the http_status == 200
+        #    ingest gate (404/301 arms surface but never extract).
+        #    Displaced mm_video_frame_sample (multi-round green; media
+        #    keeps mm_pixel_stats + mm_audio_adpcm_stereo in-window,
+        #    and the MJPEG/AVI kernels stay pytest-pinned)
+        "src_warc_http": WB.QUERIES["src_warc_http"],
         # -- r8 second-wave: behavioral analytics + record linkage
         #    (funnel / cohort retention / sorted-neighborhood ER);
         #    displaced doc_tfidf_topk / doc_lm_perplexity /
@@ -308,8 +319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_index_topk_exact": L.EXTRA_QUERIES["knn_index_topk_exact"],
         "knn_index_topk_adc": L.EXTRA_QUERIES["knn_index_topk_adc"],
         "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
-        "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # ---- driver window ends here (50 entries) ----
+        # r13 rotation casualties (multi-round green, family-pinned as
+        # documented above; still checked locally every round)
+        "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # r12 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "cat_schema_drift": A.QUERIES["cat_schema_drift"],

@@ -547,8 +547,11 @@ def robots_crawl_delay(
     """``(key, crawl_delay_ms)`` from the wildcard group's
     ``Crawl-delay:`` directives — the de-facto politeness extension a
     scheduler consumes. Seconds may be fractional; the MINIMUM across
-    duplicate lines wins (the conservative read). Unparseable values
-    are ignored; a host with no star-group delay emits no row."""
+    duplicate lines wins (the conservative read), FLOORED to whole
+    milliseconds (an explicit floor on both engines — a bare int cast
+    truncates here but rounds half-to-even in DuckDB, so a value like
+    1.9996 s would silently diverge). Unparseable values are ignored;
+    a host with no star-group delay emits no row."""
     val = F.trim(F.regexp_extract("_ln", _ROBOTS_DELAY_RE, 1)).try_cast("double")
     return (
         _robots_star_lines(df, key_col, robots_col)
@@ -556,7 +559,7 @@ def robots_crawl_delay(
         .select(key_col, val.alias("_s"))
         .filter(F.col("_s").isNotNull())
         .groupBy(key_col)
-        .agg((F.min("_s") * 1000).cast("int").alias("crawl_delay_ms"))
+        .agg(F.floor(F.min("_s") * 1000).cast("int").alias("crawl_delay_ms"))
     )
 
 
@@ -633,7 +636,10 @@ def robots_filter(
     best = j.groupBy(id_col).agg(
         F.max(
             F.struct(
-                F.length("prefix").alias("l"),
+                # RFC 9309 ranks by OCTETS of the rule as written — a
+                # raw-UTF-8 rule path must out-rank a shorter-in-bytes
+                # wildcard even when the wildcard has more CHARACTERS
+                F.octet_length("prefix").alias("l"),
                 (F.col("rule") == "allow").cast("int").alias("a"),
                 F.col("prefix").alias("p"),
             )

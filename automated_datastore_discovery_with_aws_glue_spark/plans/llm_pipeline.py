@@ -3840,7 +3840,7 @@ def html_sql_wrap_expr(extra_salt: str = "") -> str:
         "concat('" + _HTML_WRAP_A + "', CAST(doc_id AS VARCHAR), '"
         + _HTML_WRAP_B.replace("'", "''") + "', CAST(doc_id AS VARCHAR), '"
         + _HTML_WRAP_C + "', "
-        + (f"'{extra_salt}' || " if extra_salt else "")
+        + (f"'{extra_salt.replace(chr(39), chr(39) * 2)}' || " if extra_salt else "")
         + "text, '" + _HTML_WRAP_D.replace("'", "''") + "')"
     )
 

@@ -28,17 +28,20 @@ from automated_datastore_discovery_with_aws_glue_spark.sources.readers import lo
 # cap exercises BOTH branches of the two-phase plan at sf0.01: domain0
 # flows through the ranking window, the tail domains bypass it.
 # path id:   doc_id % 200
-# arm:       (doc_id div 25) % 9. Arms 0/2 and 1/3 are each ONE
-#            canonical URL wearing different disguises; docs 400 apart
-#            share (domain, path) and land 7 arms apart (gcd(7,9)=1),
-#            so at sf0.01 the in-window dup groups pair arm 2 with
-#            arm 0 (percent-encoded path vs plain) and arm 3 with
-#            arm 1 (plain tracker vs escape-disguised '%66bclid') —
-#            the r12 percent-normalization is load-bearing for the
+# arm:       (doc_id div 25) % 10. Arms {0,2,4,5,6} are ONE canonical
+#            .com URL wearing different disguises and arms {1,3} one
+#            .co.uk URL; docs 400 apart share (domain, path) and land
+#            6 arms apart, so at sf0.01 (doc_id 0..499) the in-window
+#            dup groups pair arm 0 with arm 6 — the percent-encoded
+#            path disguise '%70' against the gclid/ref/frag form, so
+#            the r12 percent-normalization stays load-bearing for the
 #            driver's hash compare, not just pytest. Arm 7 pins hex
 #            UPPERCASING of kept reserved escapes ('%2f' -> '%2F');
 #            arm 8 is an INVALID escape ('%zz') that must quarantine
-#            to a NULL canonical URL and drop out of frontier dedup.
+#            to a NULL canonical URL and drop out of frontier dedup;
+#            arm 9 (r13) is a raw-UTF-8 multi-byte path ('/€€/') whose
+#            robots rules rank differently by octets than by
+#            characters — the RFC-9309 octet-precedence pin.
 
 _ARMS: tuple[tuple[str, str, str], ...] = (
     ("http://www.domain", ".com/%70/", ""),
@@ -50,6 +53,7 @@ _ARMS: tuple[tuple[str, str, str], ...] = (
     ("http://www.domain", ".com:80/p/", "?gclid=g1&ref=tw#frag"),
     ("http://www.domain", ".com/p/", "?y=%2fv"),
     ("http://domain", ".com/p/", "?bad=%zz"),
+    ("https://blog.domain", ".co.uk/€€/", ""),
 )
 
 #: registered domains removed before the cap (adult/spam blocklist shape)
@@ -242,13 +246,14 @@ def _sql_url_ctes() -> str:
 
 def corpus_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (r11; r12 adds percent-normalization and
-    the PSL-join domain): synthesize a messy URL per document (nine
+    the PSL-join domain): synthesize a messy URL per document (ten
     shared-literal arms — www, case + explicit default port, tracking
     params, fragment, an https subdomain on a two-part suffix, a
     percent-encoded path disguise '%70' of the plain URL, an
     escape-disguised tracker '%66bclid', a lowercase reserved escape
-    '%2f' that must uppercase, and an INVALID '%zz' that must
-    quarantine to NULL), run ``operators/web.url_normalize`` (with
+    '%2f' that must uppercase, an INVALID '%zz' that must quarantine
+    to NULL, and a raw-UTF-8 multi-byte path '/€€/' for the robots
+    octet-precedence pin), run ``operators/web.url_normalize`` (with
     ``pct_normalize`` inside) + ``registered_domain_join``, and rank
     exact duplicates on the canonical form — the percent-encoded
     disguises must land in the same dup group as their clean twins.
@@ -685,11 +690,17 @@ _ROBOTS_COM_ARMS: tuple[str, ...] = (
 #: anchored-wildcard precedence ladder: '/q/1' (4, disallow) loses to
 #: '/q/1*f$' (7, allow) which loses to '/q/11*f$' (8, disallow) —
 #: three verdict classes across the /q/1xx pages, decided by rule
-#: OCTET COUNT per RFC 9309, not by literal-prefix length
+#: OCTET COUNT per RFC 9309, not by literal-prefix length. The r13
+#: multi-byte pair targets the '/€€/' arm and makes octet-vs-char
+#: ranking DIVERGE: 'Allow: /€€' is 3 chars / 7 octets while
+#: 'Disallow: /€*1' is 4 chars / 6 octets, so on a '/€€/…1…' target
+#: character ranking blocks and octet ranking (the spec) allows —
+#: an engine that counts characters hash-mismatches the oracle.
 _ROBOTS_UK = (
     "User-agent: googlebot\nUser-agent: *\n"
     "Disallow: /q/1\nAllow: /q/15\n# blanket comment\n"
     "Allow: /q/1*f$\nDisallow: /q/11*f$\n"
+    "Allow: /€€\nDisallow: /€*1\n"
 )
 
 
@@ -848,7 +859,7 @@ def _robots_filter_sql() -> str:
     bst AS (
         SELECT doc_id, rule, prefix FROM mt
         QUALIFY row_number() OVER (PARTITION BY doc_id
-            ORDER BY length(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
+            ORDER BY strlen(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
     )
     SELECT n.doc_id, n.host, n.rtarget AS target,
            coalesce(b.rule = 'allow', TRUE) AS allowed,
@@ -1268,6 +1279,266 @@ ORACLES["src_warc_extract"] = _warc_extract_sql()
 
 
 # ---------------------------------------------------------------------------
+# src_warc_http — HTTP envelopes inside WARC response payloads (r13)
+# ---------------------------------------------------------------------------
+#
+# Real `WARC-Type: response` records carry a full HTTP response message
+# as the payload; a reader that feeds the raw payload to text
+# extraction pollutes the corpus with status lines and ingests 404/301
+# bodies as content. Seven arms (doc_id % 7), each pinning one branch
+# of sources/warc.parse_http_response:
+#   0: 200, charset=utf-8 header, multi-byte salt (bytes != chars)
+#   1: 200, mixed-case 'Text/HTML; charset=ISO-8859-1', latin-1 body
+#   2: 200, QUOTED 'charset="Windows-1252"', a raw 0x80 euro byte
+#   3: 200, NO charset param, utf-8 BOM -> BOM sniff (BOM consumed)
+#   4: 200, NO Content-Type at all, cp1252 bytes -> browser default
+#   5: 404 -> must be gated OUT of ingest (error-page body)
+#   6: 301 -> gated OUT (redirect body; Location is scheduler data)
+
+#: latin-1-encodable salt (é = 0xE9, ± = 0xB1): chars == bytes
+_HTTP_SALT_L1 = "Café résumé ± "
+#: cp1252 splice: PRE + the raw byte 0x80 + POST decode to PRE€POST
+_HTTP_CP_PRE = "Café "
+_HTTP_CP_POST = "uro "
+_HTTP_CP_DECODED = _HTTP_CP_PRE + "€" + _HTTP_CP_POST
+
+_HTTP_404_BODY = "<html><body><p>Not Found error page body text</p></body></html>"
+_HTTP_301_BODY = "<html><body><p>Moved permanently stub body</p></body></html>"
+
+#: per-arm HTTP head (status line + headers + blank line) — pure-ASCII
+#: Python constants, so their BYTE length is len() at SQL-gen time
+_HTTP_HEADS: tuple[str, ...] = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=ISO-8859-1\r\n\r\n",
+    'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="Windows-1252"\r\n\r\n',
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nServer: fixture\r\n\r\n",
+    "HTTP/1.1 404 Not Found\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
+    "HTTP/1.1 301 Moved Permanently\r\nLocation: https://example.org/moved\r\n"
+    "Content-Type: text/html; charset=utf-8\r\n\r\n",
+)
+
+#: expected (status, mime, charset, charset_src) per arm — shared with
+#: the oracle generator below
+_HTTP_EXPECT: tuple[tuple[int, str | None, str, str], ...] = (
+    (200, "text/html", "utf-8", "header"),
+    (200, "text/html", "latin-1", "header"),
+    (200, "text/html", "cp1252", "header"),
+    (200, "text/html", "utf-8", "bom"),
+    (200, None, "cp1252", "default"),
+    (404, "text/html", "utf-8", "header"),
+    (301, "text/html", "utf-8", "header"),
+)
+
+
+def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response envelopes inside WARC payloads (r13, VERDICT r12
+    item 1): wrap every document page in a real HTTP message (status
+    line, headers, charset-ENCODED body bytes — latin-1 / quoted
+    windows-1252 / a raw 0x80 euro byte / a utf-8 BOM / the
+    no-Content-Type browser default), frame the messages as WARC
+    records (Content-Length = HTTP-message BYTES), scan back with
+    ``warc_records(http_envelope=True)`` — which splits the envelope,
+    resolves the charset, and TRANSCODES the body to text — and gate
+    ingest on ``http_status == 200``: the 404/301 arms surface with
+    their status but NULL extraction. The returned ``content_length``
+    pins the byte math (head bytes + charset-dependent body bytes);
+    the per-arm fingerprints pin the transcode (a latin-1 page must
+    hash identically to what the utf-8 twin of the same text would).
+    DuckDB computes the expected envelope fields and the html chain
+    directly from the documents table via the SAME shared constants."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import html_extract
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import (
+        _HTML_WRAP_A,
+        _HTML_WRAP_B,
+        _HTML_WRAP_C,
+        _HTML_WRAP_D,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    arm = F.col("doc_id") % 7
+
+    def page(salt: str) -> F.Column:
+        return F.concat(
+            F.lit(_HTML_WRAP_A), did, F.lit(_HTML_WRAP_B), did,
+            F.lit(_HTML_WRAP_C), F.lit(salt), F.col("text"),
+            F.lit(_HTML_WRAP_D),
+        )
+
+    cp_pre = F.concat(
+        F.lit(_HTML_WRAP_A), did, F.lit(_HTML_WRAP_B), did,
+        F.lit(_HTML_WRAP_C), F.lit(_HTTP_CP_PRE),
+    )
+    cp_post = F.concat(F.lit(_HTTP_CP_POST), F.col("text"), F.lit(_HTML_WRAP_D))
+    cp_body = F.concat(
+        F.encode(cp_pre, "ISO-8859-1"), F.lit(b"\x80"), F.encode(cp_post, "ISO-8859-1")
+    )
+    body = (
+        F.when(arm == 0, F.encode(page(_WARC_SALT), "UTF-8"))
+        .when(arm == 1, F.encode(page(_HTTP_SALT_L1), "ISO-8859-1"))
+        .when(arm == 2, cp_body)
+        .when(arm == 3, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(page(_WARC_SALT), "UTF-8")))
+        .when(arm == 4, cp_body)
+        .when(arm == 5, F.encode(F.lit(_HTTP_404_BODY), "UTF-8"))
+        .otherwise(F.encode(F.lit(_HTTP_301_BODY), "UTF-8"))
+    )
+    head = None
+    for i, h in enumerate(_HTTP_HEADS):
+        head = F.when(arm == i, F.lit(h)) if head is None else head.when(arm == i, F.lit(h))
+    msg = F.concat(F.encode(head, "UTF-8"), body)
+
+    def rec_over(m: F.Column) -> F.Column:
+        return F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: urn:doc:"),
+                    did,
+                    F.lit("\r\nContent-Length: "),
+                    F.length(m).cast("string"),
+                    F.lit("\r\n\r\n"),
+                ),
+                "UTF-8",
+            ),
+            m,
+            F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+        )
+
+    per = docs.select(
+        (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
+        "doc_id",
+        TX.let(msg, rec_over).alias("rec"),
+    )
+    containers = per.groupBy("cid").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("wdata")
+    )
+    recs = warc_records(containers, "wdata", http_envelope=True)
+    ingest = F.col("http_status") == 200
+    x = recs.select(
+        F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "http_status",
+        F.col("http_content_type").alias("content_type"),
+        F.col("http_charset").alias("charset"),
+        F.col("http_charset_src").alias("charset_src"),
+        "content_length",
+        ingest.alias("ingest"),
+        F.when(ingest, html_extract(F.col("payload"))).alias("_x"),
+        "valid",
+    )
+    return x.select(
+        "doc_id",
+        "http_status",
+        "content_type",
+        "charset",
+        "charset_src",
+        "content_length",
+        "ingest",
+        F.when(
+            F.col("_x").isNotNull(),
+            F.when(F.col("_x") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("_x"), r"\s+"))
+            ),
+        )
+        .cast("int")
+        .alias("n_words"),
+        F.when(F.col("_x").isNotNull(), F.md5(F.col("_x").cast("binary"))).alias(
+            "extracted_fp"
+        ),
+        "valid",
+    ).orderBy("doc_id")
+
+
+def _warc_http_sql() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.plans.llm_pipeline import (
+        html_sql_chain,
+        html_sql_wrap_expr,
+    )
+
+    q = _sql_quote
+    # the DECODED page per arm (what the charset transcode must yield);
+    # arms 5/6 are gated so their page is irrelevant — empty keeps the
+    # html chain cheap
+    salt_case = (
+        f"CASE doc_id % 7 WHEN 1 THEN '{q(_HTTP_SALT_L1)}' "
+        f"WHEN 2 THEN '{q(_HTTP_CP_DECODED)}' WHEN 4 THEN '{q(_HTTP_CP_DECODED)}' "
+        f"ELSE '{q(_WARC_SALT)}' END"
+    )
+    wrap = html_sql_wrap_expr(extra_salt="SALTEXPR").replace(
+        "'SALTEXPR'", "(" + salt_case + ")"
+    )
+    page = f"CASE WHEN doc_id % 7 IN (5, 6) THEN '' ELSE {wrap} END"
+    # content_length per arm: len(head) is a Python byte count (ASCII
+    # constants); body bytes are charset arithmetic over the decoded
+    # page — utf-8 strlen, one-byte-per-char for latin-1/cp1252, +3
+    # for the BOM arm
+    clen_arms = [
+        f"WHEN 0 THEN {len(_HTTP_HEADS[0])} + strlen(page)",
+        f"WHEN 1 THEN {len(_HTTP_HEADS[1])} + length(page)",
+        f"WHEN 2 THEN {len(_HTTP_HEADS[2])} + length(page)",
+        f"WHEN 3 THEN {len(_HTTP_HEADS[3])} + 3 + strlen(page)",
+        f"WHEN 4 THEN {len(_HTTP_HEADS[4])} + length(page)",
+        f"WHEN 5 THEN {len(_HTTP_HEADS[5]) + len(_HTTP_404_BODY)}",
+        f"WHEN 6 THEN {len(_HTTP_HEADS[6]) + len(_HTTP_301_BODY)}",
+    ]
+    clen = "CASE doc_id % 7 " + " ".join(clen_arms) + " END"
+
+    def expect_case(idx: int, fmt) -> str:
+        arms = " ".join(
+            f"WHEN {i} THEN {fmt(e[idx])}" for i, e in enumerate(_HTTP_EXPECT)
+        )
+        return f"CASE doc_id % 7 {arms} END"
+
+    status = expect_case(0, lambda v: str(v))
+    mime = expect_case(1, lambda v: "NULL" if v is None else f"'{v}'")
+    charset = expect_case(2, lambda v: f"'{v}'")
+    src = expect_case(3, lambda v: f"'{v}'")
+    return (
+        f"""
+    WITH pg AS MATERIALIZED (
+        SELECT doc_id, text, {page} AS page FROM documents
+    ),
+    env AS MATERIALIZED (
+        SELECT doc_id,
+               {status} AS http_status,
+               {mime} AS content_type,
+               {charset} AS charset,
+               {src} AS charset_src,
+               CAST({clen} AS BIGINT) AS content_length
+        FROM pg
+    ),
+    """
+        + html_sql_chain("page", source="pg")
+        + """
+    SELECT e.doc_id, e.http_status, e.content_type, e.charset,
+           e.charset_src, e.content_length,
+           (e.http_status = 200) AS ingest,
+           CAST(CASE WHEN e.http_status <> 200 THEN NULL
+                     WHEN coalesce(a.extracted, '') = '' THEN 0
+                     ELSE len(regexp_split_to_array(a.extracted, '\\s+'))
+                END AS INT) AS n_words,
+           CASE WHEN e.http_status = 200
+                THEN md5(coalesce(a.extracted, '')) END AS extracted_fp,
+           TRUE AS valid
+    FROM env e LEFT JOIN agg a USING (doc_id)
+    ORDER BY e.doc_id"""
+    )
+
+
+QUERIES["src_warc_http"] = src_warc_http
+ORACLES["src_warc_http"] = _warc_http_sql()
+
+
+# ---------------------------------------------------------------------------
 # corpus_robots_directives — Sitemap: + Crawl-delay: extraction (r12)
 # ---------------------------------------------------------------------------
 
@@ -1337,7 +1608,7 @@ def _robots_directives_sql() -> str:
         GROUP BY host
     ),
     dl AS (
-        SELECT host, CAST(min({dval}) * 1000 AS INT) AS crawl_delay_ms
+        SELECT host, CAST(floor(min({dval}) * 1000) AS INT) AS crawl_delay_ms
         FROM starln
         WHERE regexp_matches(ln, '{delay_re}') AND {dval} IS NOT NULL
         GROUP BY host

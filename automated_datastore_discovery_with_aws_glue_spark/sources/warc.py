@@ -34,6 +34,7 @@ containers to quarantine and count them.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -58,6 +59,18 @@ RECORD_FIELDS: tuple[StructField, ...] = (
     StructField("error", StringType()),
 )
 
+#: extra fields emitted with ``http_envelope=True`` (r13): real
+#: ``WARC-Type: response`` payloads carry an HTTP response message —
+#: ``HTTP/1.x <status> <reason>\\r\\nheaders\\r\\n\\r\\n<body>`` — and a
+#: reader that hands the raw payload to text extraction pollutes the
+#: corpus with status lines and ingests 404/301 bodies as content.
+HTTP_FIELDS: tuple[StructField, ...] = (
+    StructField("http_status", IntegerType()),
+    StructField("http_content_type", StringType()),
+    StructField("http_charset", StringType()),
+    StructField("http_charset_src", StringType()),
+)
+
 
 class _Malformed(Exception):
     pass
@@ -67,28 +80,136 @@ def _ascii(b: bytes) -> str:
     return b.decode("utf-8", errors="replace")
 
 
-def parse_warc(data: bytes) -> list[dict]:
+#: HTTP/1.x status line: version, 3-digit status, optional reason
+_HTTP_STATUS_RE = re.compile(rb"^HTTP/\d\.\d (\d{3})(?: .*)?$")
+#: charset parameter of a Content-Type value (token or quoted-string)
+_CHARSET_PARAM_RE = re.compile(
+    rb"""(?i);\s*charset\s*=\s*"?([A-Za-z0-9._\-]+)"?"""
+)
+
+#: IANA charset labels this reader transcodes -> Python codec. Real
+#: crawls are dominated by utf-8 / latin-1 / cp1252; anything else is
+#: a LOUD malformed record, never a silent mojibake decode.
+CHARSET_ALIASES: dict[str, str] = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "us-ascii": "ascii",
+    "ascii": "ascii",
+}
+
+#: BOM -> (codec that CONSUMES the BOM, reported charset)
+_BOMS: tuple[tuple[bytes, str, str], ...] = (
+    (b"\xef\xbb\xbf", "utf-8-sig", "utf-8"),
+    (b"\xff\xfe", "utf-16", "utf-16-le"),
+    (b"\xfe\xff", "utf-16", "utf-16-be"),
+)
+
+
+def parse_http_response(msg: bytes) -> tuple[int, str | None, str, str, str]:
+    """Split one HTTP response message into ``(status, content_type,
+    charset, charset_src, body_text)``. Charset resolution order (the
+    HTML5 / browser discipline): the ``Content-Type`` header's
+    ``charset`` parameter wins; else a BOM; else windows-1252 (what
+    browsers actually assume for legacy pages — NOT the RFC 2616
+    iso-8859-1 default, which real content ignores). ``charset_src``
+    records which branch fired (``header`` / ``bom`` / ``default``).
+    An unknown charset label, a malformed status line or header, or a
+    body that does not decode under the resolved charset raises
+    :class:`_Malformed` — the same loud quarantine route every other
+    malformation takes."""
+    sep = msg.find(b"\r\n\r\n")
+    if sep < 0:
+        raise _Malformed("HTTP message missing header terminator")
+    head, body = msg[:sep], msg[sep + 4 :]
+    lines = head.split(b"\r\n")
+    m = _HTTP_STATUS_RE.match(lines[0])
+    if not m:
+        raise _Malformed(f"malformed HTTP status line {_ascii(lines[0])!r}")
+    status = int(m.group(1))
+    ctype: bytes | None = None
+    for line in lines[1:]:
+        key, sep2, val = line.partition(b":")
+        if not sep2:
+            raise _Malformed(f"malformed HTTP header line {_ascii(line)!r}")
+        if key.strip().lower() == b"content-type":
+            ctype = val.strip()
+    mime: str | None = None
+    declared: str | None = None
+    if ctype is not None:
+        mime = _ascii(ctype.split(b";", 1)[0].strip().lower()) or None
+        cm = _CHARSET_PARAM_RE.search(ctype)
+        if cm:
+            declared = cm.group(1).decode("ascii").lower()
+    if declared is not None:
+        codec = CHARSET_ALIASES.get(declared)
+        if codec is None:
+            raise _Malformed(f"unsupported charset {declared!r}")
+        charset, src = codec, "header"
+        # a BOM under a DECLARED utf-8 is data the author meant as a
+        # signature, not text — consume it like the sniffing branch
+        if codec == "utf-8" and body.startswith(b"\xef\xbb\xbf"):
+            codec = "utf-8-sig"
+    else:
+        for bom, bom_codec, reported in _BOMS:
+            if body.startswith(bom):
+                codec, charset, src = bom_codec, reported, "bom"
+                break
+        else:
+            codec, charset, src = "cp1252", "cp1252", "default"
+    try:
+        text = body.decode(codec)
+    except (UnicodeDecodeError, ValueError) as exc:
+        raise _Malformed(f"body does not decode as {charset} ({exc})") from None
+    return status, mime, charset, src, text
+
+
+def _empty_rec(idx: int, error: str | None) -> dict:
+    """All-NULL record skeleton (both the loud-malformed row and the
+    base every valid record fills in)."""
+    return {
+        "rec_idx": idx,
+        "warc_version": None,
+        "warc_type": None,
+        "target_uri": None,
+        "content_length": None,
+        "payload": None,
+        "valid": error is None,
+        "error": error,
+        "http_status": None,
+        "http_content_type": None,
+        "http_charset": None,
+        "http_charset_src": None,
+    }
+
+
+def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
     """Scan one container into record dicts (see module docstring).
 
     Payload bytes are returned utf-8-decoded in ``payload`` (a decode
     failure is a malformed record — this engine's crawl fixtures are
     text; a binary-payload pipeline would carry the slice as bytes
     instead, same offsets). ``content_length`` is the header's BYTE
-    count — multi-byte text makes it differ from ``len(payload)``."""
+    count — multi-byte text makes it differ from ``len(payload)``.
+
+    With ``http_envelope=True``, each ``WARC-Type: response`` payload
+    is interpreted as an HTTP response message
+    (:func:`parse_http_response`): ``payload`` becomes the BODY,
+    transcoded to text by the declared/sniffed charset, and the
+    ``http_*`` keys carry status / content-type / charset so a
+    pipeline can gate on ``http_status == 200`` instead of ingesting
+    error-page bodies. Non-response records keep the plain utf-8
+    payload decode and NULL http fields."""
     recs: list[dict] = []
     pos, idx, n = 0, 0, len(data)
 
     def err(msg: str) -> dict:
-        return {
-            "rec_idx": idx,
-            "warc_version": None,
-            "warc_type": None,
-            "target_uri": None,
-            "content_length": None,
-            "payload": None,
-            "valid": False,
-            "error": f"offset {pos}: {msg}",
-        }
+        return _empty_rec(idx, f"offset {pos}: {msg}")
 
     while pos < n:
         try:
@@ -121,23 +242,36 @@ def parse_warc(data: bytes) -> list[dict]:
                 )
             if data[body_end : body_end + 4] != b"\r\n\r\n":
                 raise _Malformed("missing record terminator after payload")
-            try:
-                payload = data[body_start:body_end].decode("utf-8")
-            except UnicodeDecodeError as exc:
-                raise _Malformed(f"payload is not valid utf-8 ({exc})") from None
-            recs.append(
-                {
-                    "rec_idx": idx,
-                    "warc_version": _ascii(version),
-                    "warc_type": _ascii(headers.get(b"warc-type", b"")) or None,
-                    "target_uri": _ascii(headers.get(b"warc-target-uri", b""))
-                    or None,
-                    "content_length": clen,
-                    "payload": payload,
-                    "valid": True,
-                    "error": None,
-                }
+            raw_payload = data[body_start:body_end]
+            rec = _empty_rec(idx, None)
+            rec.update(
+                warc_version=_ascii(version),
+                warc_type=_ascii(headers.get(b"warc-type", b"")) or None,
+                target_uri=_ascii(headers.get(b"warc-target-uri", b"")) or None,
+                content_length=clen,
             )
+            if (
+                http_envelope
+                and headers.get(b"warc-type", b"").lower() == b"response"
+            ):
+                status, mime, charset, src, body_text = parse_http_response(
+                    raw_payload
+                )
+                rec.update(
+                    payload=body_text,
+                    http_status=status,
+                    http_content_type=mime,
+                    http_charset=charset,
+                    http_charset_src=src,
+                )
+            else:
+                try:
+                    rec["payload"] = raw_payload.decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise _Malformed(
+                        f"payload is not valid utf-8 ({exc})"
+                    ) from None
+            recs.append(rec)
             pos = body_end + 4
             idx += 1
         except _Malformed as exc:
@@ -173,7 +307,7 @@ def split_gzip_members(data: bytes) -> list[bytes]:
     return members
 
 
-def parse_warc_gz(data: bytes) -> list[dict]:
+def parse_warc_gz(data: bytes, *, http_envelope: bool = False) -> list[dict]:
     """Scan a RECORD-GZIPPED container (one gzip member per record,
     the compression layout the public crawl archives use): each member
     decompresses to exactly one :func:`parse_warc`-shaped record.
@@ -186,33 +320,13 @@ def parse_warc_gz(data: bytes) -> list[dict]:
     try:
         members = split_gzip_members(data)
     except ValueError as exc:
-        return [
-            {
-                "rec_idx": 0,
-                "warc_version": None,
-                "warc_type": None,
-                "target_uri": None,
-                "content_length": None,
-                "payload": None,
-                "valid": False,
-                "error": str(exc),
-            }
-        ]
+        return [_empty_rec(0, str(exc))]
     recs: list[dict] = []
     for i, member in enumerate(members):
-        sub = parse_warc(member)
+        sub = parse_warc(member, http_envelope=http_envelope)
         if len(sub) != 1:
             recs.append(
-                {
-                    "rec_idx": i,
-                    "warc_version": None,
-                    "warc_type": None,
-                    "target_uri": None,
-                    "content_length": None,
-                    "payload": None,
-                    "valid": False,
-                    "error": f"gzip member {i} holds {len(sub)} records, expected 1",
-                }
+                _empty_rec(i, f"gzip member {i} holds {len(sub)} records, expected 1")
             )
             break
         rec = dict(sub[0])
@@ -224,7 +338,11 @@ def parse_warc_gz(data: bytes) -> list[dict]:
 
 
 def warc_records(
-    df: DataFrame, data_col: str, *, compression: str = "none"
+    df: DataFrame,
+    data_col: str,
+    *,
+    compression: str = "none",
+    http_envelope: bool = False,
 ) -> DataFrame:
     """Explode each container row into its records: every column of
     ``df`` except ``data_col`` passes through; :data:`RECORD_FIELDS`
@@ -232,10 +350,14 @@ def warc_records(
     utf-8 STRING (encoded before scanning). ``compression='gzip'``
     scans record-gzipped containers (:func:`parse_warc_gz` — the
     public crawl archives' member-per-record layout); ``'none'`` scans
-    plain concatenations. A NULL container yields one ``valid=false``
-    row. Arrow-batched ``mapInPandas`` — one task per container
-    partition, the scan itself sequential per container by
-    construction (offsets chain through Content-Length)."""
+    plain concatenations. ``http_envelope=True`` additionally splits
+    each response record's HTTP message (status line + headers +
+    charset-decoded body — :func:`parse_http_response`) and appends
+    :data:`HTTP_FIELDS`, so downstream can gate on ``http_status``.
+    A NULL container yields one ``valid=false`` row. Arrow-batched
+    ``mapInPandas`` — one task per container partition, the scan
+    itself sequential per container by construction (offsets chain
+    through Content-Length)."""
     import pandas as pd
 
     if compression not in ("none", "gzip"):
@@ -243,9 +365,17 @@ def warc_records(
             f"warc_records: unknown compression {compression!r} (none | gzip)"
         )
     parse = parse_warc_gz if compression == "gzip" else parse_warc
+    out_fields = list(RECORD_FIELDS) + (list(HTTP_FIELDS) if http_envelope else [])
     passthrough = [f for f in df.schema.fields if f.name != data_col]
-    names = [f.name for f in passthrough] + [f.name for f in RECORD_FIELDS]
-    schema = StructType(list(passthrough) + list(RECORD_FIELDS))
+    reserved = {f.name for f in out_fields}
+    clash = [f.name for f in passthrough if f.name in reserved]
+    if clash:
+        raise ValueError(
+            f"warc_records: passthrough column(s) {clash} collide with "
+            f"record output fields — rename them before scanning"
+        )
+    names = [f.name for f in passthrough] + [f.name for f in out_fields]
+    schema = StructType(list(passthrough) + out_fields)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -253,24 +383,13 @@ def warc_records(
             for _, row in pdf.iterrows():
                 data = row[data_col]
                 if data is None:
-                    recs = [
-                        {
-                            "rec_idx": 0,
-                            "warc_version": None,
-                            "warc_type": None,
-                            "target_uri": None,
-                            "content_length": None,
-                            "payload": None,
-                            "valid": False,
-                            "error": "NULL container",
-                        }
-                    ]
+                    recs = [_empty_rec(0, "NULL container")]
                 else:
                     if isinstance(data, str):
                         data = data.encode("utf-8")
-                    recs = parse(bytes(data))
+                    recs = parse(bytes(data), http_envelope=http_envelope)
                 base = {f.name: row[f.name] for f in passthrough}
                 rows.extend({**base, **rec} for rec in recs)
-            yield pd.DataFrame(rows, columns=names)
+            yield pd.DataFrame(rows, columns=names)[names]
 
     return df.mapInPandas(gen, schema)

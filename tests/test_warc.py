@@ -142,3 +142,101 @@ def test_warc_records_gzip_mode(spark):
 
     with _pytest.raises(ValueError, match="compression"):
         warc_records(df, "wdata", compression="lz4")
+
+
+def test_warc_records_passthrough_collision_raises(spark):
+    # a passthrough column named like a RECORD_FIELDS output would be
+    # silently overwritten by the record dict merge — must refuse loudly
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "x", bytearray(_rec("urn:doc:1", "body")))],
+        "cid int, payload string, wdata binary",
+    )
+    with pytest.raises(ValueError, match="payload"):
+        warc_records(df, "wdata")
+
+
+def _http_rec(uri: str, head: bytes, body: bytes) -> bytes:
+    msg = head + b"\r\n\r\n" + body
+    return (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(msg)}\r\n\r\n"
+    ).encode("utf-8") + msg + b"\r\n\r\n"
+
+
+def test_parse_warc_http_envelope_charsets_and_gate_fields():
+    recs = parse_warc(
+        _http_rec("urn:a", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", "Café漢".encode("utf-8"))
+        + _http_rec("urn:b", b"HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=ISO-8859-1", b"caf\xe9")
+        + _http_rec("urn:c", b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="Windows-1252"', b"a\x80b")
+        + _http_rec("urn:d", b"HTTP/1.1 200 OK\r\nContent-Type: text/html", b"\xef\xbb\xbfbom text")
+        + _http_rec("urn:e", b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html; charset=utf-8", b"gone")
+        + _http_rec("urn:f", b"HTTP/1.1 301 Moved Permanently\r\nLocation: http://x/", b"moved \x93q\x94"),
+        http_envelope=True,
+    )
+    assert [r["valid"] for r in recs] == [True] * 6
+    assert [r["http_status"] for r in recs] == [200, 200, 200, 200, 404, 301]
+    assert [r["payload"] for r in recs] == [
+        "Café漢", "café", "a€b", "bom text", "gone", "moved “q”"
+    ]
+    assert [r["http_charset"] for r in recs] == [
+        "utf-8", "latin-1", "cp1252", "utf-8", "utf-8", "cp1252"
+    ]
+    assert [r["http_charset_src"] for r in recs] == [
+        "header", "header", "header", "bom", "header", "default"
+    ]
+    assert recs[1]["http_content_type"] == "text/html"
+    assert recs[5]["http_content_type"] is None
+    # content_length is the whole HTTP MESSAGE in bytes, not the body
+    assert recs[0]["content_length"] > len("Café漢")
+
+
+def test_parse_warc_http_envelope_malformed_is_loud():
+    # each malformation yields valid=false + stop, never a silent decode
+    cases = [
+        (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk", b"x", "charset"),
+        (b"HTP/1.1 200 OK", b"x", "status line"),
+        (b"HTTP/1.1 200 OK\r\nNoColon", b"x", "header line"),
+        (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", b"\xff\xfe", "decode"),
+        (b"HTTP/1.1 200 OK", b"\x81", "decode"),  # cp1252-undefined byte
+    ]
+    for head, body, token in cases:
+        recs = parse_warc(_http_rec("urn:x", head, body), http_envelope=True)
+        assert recs[0]["valid"] is False and token in recs[0]["error"], recs[0]
+    # an HTTP message with no header terminator at all
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 10\r\n\r\n"
+        b"0123456789\r\n\r\n"
+    )
+    recs = parse_warc(raw, http_envelope=True)
+    assert recs[0]["valid"] is False and "terminator" in recs[0]["error"]
+
+
+def test_parse_warc_http_envelope_non_response_passthrough():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"software!\r\n\r\n"
+    )
+    recs = parse_warc(info, http_envelope=True)
+    assert recs[0]["valid"] and recs[0]["payload"] == "software!"
+    assert recs[0]["http_status"] is None
+
+
+def test_warc_records_http_envelope_spark_and_gzip(spark):
+    import gzip
+
+    recs_plain = (
+        _http_rec("urn:doc:1", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1", b"caf\xe9 body"),
+        _http_rec("urn:doc:2", b"HTTP/1.1 404 Not Found", b"nope"),
+    )
+    gz = b"".join(gzip.compress(r) for r in recs_plain)
+    df = spark.createDataFrame([(1, bytearray(gz))], "cid int, wdata binary")
+    got = sorted(
+        warc_records(df, "wdata", compression="gzip", http_envelope=True).collect(),
+        key=lambda r: r["rec_idx"],
+    )
+    assert [r["http_status"] for r in got] == [200, 404]
+    assert got[0]["payload"] == "café body"
+    assert got[0]["http_charset"] == "latin-1"
+    assert got[1]["http_charset_src"] == "default"

@@ -718,3 +718,37 @@ def test_robots_filter_matches_in_percent_normalized_space(spark):
         4: (False, "/a/b"),
         5: (False, "/%zz"),
     }
+
+
+def test_robots_crawl_delay_floors_fractional_ms(spark):
+    # 1.9996 s = 1999.6 ms: an int CAST truncates in Spark but rounds
+    # half-to-even in DuckDB — the operator floors EXPLICITLY so both
+    # engines agree on 1999, never 2000
+    txt = "User-agent: *\nCrawl-delay: 1.9996\n"
+    df = spark.createDataFrame([("h", txt)], ["host", "robots"])
+    from automated_datastore_discovery_with_aws_glue_spark.operators.web import robots_crawl_delay
+
+    [r] = robots_crawl_delay(df, "host", "robots").collect()
+    assert r["crawl_delay_ms"] == 1999
+
+
+def test_robots_filter_octet_precedence_multibyte(spark):
+    # RFC 9309 ranks by OCTETS of the rule as written: 'Allow: /€€' is
+    # 3 chars / 7 octets, 'Disallow: /€*1' is 4 chars / 6 octets — on a
+    # '/€€/…1…' target character ranking blocks, octet ranking allows
+    pages = spark.createDataFrame(
+        [(1, "h", "/€€/31"), (2, "h", "/€€/25")], ["id", "host", "target"]
+    )
+    rules = spark.createDataFrame(
+        [("h", "allow", "/€€"), ("h", "disallow", "/€*1")],
+        ["host", "rule", "prefix"],
+    )
+    out = {
+        r["id"]: (r["allowed"], r["matched_prefix"])
+        for r in W.robots_filter(
+            pages, rules, id_col="id", path_col="target"
+        ).collect()
+    }
+    # page 1 matches BOTH rules; the 7-octet allow out-ranks the
+    # 6-octet wildcard disallow. page 2 matches only the allow.
+    assert out == {1: (True, "/€€"), 2: (True, "/€€")}
