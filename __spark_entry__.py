@@ -131,6 +131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    corpus_filter_signals (multi-round green, family-pinned by
         #    the in-window perplexity-bigram + quality-classifier rows)
         "ev_funnel": A.QUERIES["ev_funnel"],
+        # -- r13 (VERDICT r12 item 4): IDN/punycode host folding —
+        #    'münchen.de' / 'MÜNCHEN.DE' / 'xn--mnchen-3ya.de' collapse
+        #    to ONE canonical frontier/blocklist/PSL key; ASCII hosts
+        #    ride a codegen'd fast path, the Unicode remainder folds
+        #    once per DISTINCT host and broadcast-joins back. Displaced
+        #    j_stream_enrich_twin (multi-round green; the stream-stream
+        #    interval join stays pytest-pinned by the real writeStream
+        #    tests and the batch twin is still checked locally)
+        "corpus_idn_hosts": WB.QUERIES["corpus_idn_hosts"],
         # -- r8 fourth-wave: first/last/linear revenue attribution in
         #    exact integer cents (remainder to the last touch);
         #    displaced j_range_burst (two rounds green; the range-join
@@ -318,10 +327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the serving path)
         "knn_index_topk_exact": L.EXTRA_QUERIES["knn_index_topk_exact"],
         "knn_index_topk_adc": L.EXTRA_QUERIES["knn_index_topk_adc"],
-        "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
         # ---- driver window ends here (50 entries) ----
         # r13 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
+        "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],
         "mm_video_frame_sample": M.QUERIES["mm_video_frame_sample"],
         # r12 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)

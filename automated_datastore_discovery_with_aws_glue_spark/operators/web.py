@@ -28,6 +28,8 @@ Documented limits (each pytest-pinned):
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -362,6 +364,83 @@ def registered_domain_join(
     return work.withColumn(out, dom).drop(*drop)
 
 
+# -- IDN / punycode host folding (r13, VERDICT r12 item 4) --------------
+#
+# Unicode hosts and their punycode twins ('münchen.de' vs
+# 'xn--mnchen-3ya.de') must be ONE frontier / blocklist / cap / PSL key,
+# or a blocklist is bypassable by re-spelling the host. The canonical
+# form is the ASCII (punycode) one — ASCII hosts, including xn-- forms,
+# are already canonical and ride a pure native fast path; only the
+# Unicode remainder (a vanishing fraction of any real corpus) takes the
+# Python fold, and only once per DISTINCT host.
+
+#: split a host into (name, optional ':port' suffix)
+_HOST_PORT_RE = re.compile(r"^(.*?)((?::\d+)?)$")
+
+
+def fold_host(host: str) -> str | None:
+    """Pure-Python IDNA fold of one lowercased host: each non-ASCII
+    label is encoded to its ``xn--`` form via the stdlib IDNA-2003
+    codec (nameprep + RFC 3492 punycode — the algorithmic, public
+    transform), a trailing explicit port is preserved, and an
+    unfoldable label (empty, over 63 octets, nameprep-rejected)
+    returns ``None`` — the quarantine route unparseable URLs take.
+    Shared by the :func:`idn_fold` kernel and the oracle generator,
+    so both engines derive expectations from ONE implementation."""
+    import encodings.idna as _idna
+
+    m = _HOST_PORT_RE.match(host)
+    name, port = m.group(1).lower(), m.group(2)
+    if name.isascii():
+        return name + port
+    try:
+        labels = [
+            _idna.ToASCII(lbl).decode("ascii").lower() for lbl in name.split(".")
+        ]
+    except UnicodeError:
+        return None
+    return ".".join(labels) + port
+
+
+def idn_fold(
+    df: DataFrame, host: Column | str, *, out: str = "host_folded"
+) -> DataFrame:
+    """Add ``out`` = the canonical ASCII form of ``host`` (lowercased;
+    Unicode labels punycoded so 'münchen.de' ≡ 'xn--mnchen-3ya.de' as
+    one key; NULL for NULL or unfoldable hosts). Plan shape: ASCII
+    hosts — effectively the whole corpus — are decided by one
+    codegen'd regex and never leave the JVM; the non-ASCII remainder
+    is folded ONCE PER DISTINCT HOST by an Arrow-batched kernel
+    (:func:`fold_host`) and broadcast-joined back, so the Python cost
+    is bounded by host cardinality, not corpus size."""
+    from collections.abc import Iterator as _It
+
+    hcol = F.col(host) if isinstance(host, str) else host
+    for c in ("_if_h", "_if_f", out):
+        if c in df.columns and c != out:
+            raise ValueError(f"idn_fold: working column {c!r} already exists")
+    work = df.withColumn("_if_h", F.lower(hcol))
+    is_ascii = F.col("_if_h").rlike(r"^[\x00-\x7F]*$")
+    uni = work.filter(~is_ascii).select("_if_h").distinct()
+
+    def gen(batches: _It) -> _It:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "_if_h": pdf["_if_h"],
+                    "_if_f": [fold_host(h) for h in pdf["_if_h"]],
+                }
+            )
+
+    mapping = uni.mapInPandas(gen, "_if_h string, _if_f string")
+    res = work.join(F.broadcast(mapping), "_if_h", "left")
+    return res.withColumn(
+        out, F.when(is_ascii, F.col("_if_h")).otherwise(F.col("_if_f"))
+    ).drop("_if_h", "_if_f")
+
+
 def url_dedup(
     df: DataFrame, id_col: str, url_col: str, *, keep_order: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -685,10 +764,31 @@ def sitemap_locs(col: Column) -> Column:
     document order — the discovery half of the crawl frontier (robots
     points at sitemaps; sitemaps enumerate URLs the crawler has not
     seen). A regex extractor, not an XML parser (the html_extract
-    trade): CDATA sections and sitemap-index nesting are not
-    interpreted — their loc contents still match when they are plain
-    ``<loc>`` elements."""
+    trade): CDATA sections are not interpreted — their loc contents
+    still match when they are plain ``<loc>`` elements. Whether the
+    locs are PAGES or CHILD SITEMAPS is the file-level question
+    :func:`sitemap_kind` answers."""
     return F.transform(
         F.regexp_extract_all(col, F.lit(SITEMAP_LOC_RE), F.lit(1)),
         xml_unescape_url,
+    )
+
+
+#: root-element sniff for the two sitemap-protocol file shapes —
+#: per the protocol a file is EITHER a <sitemapindex> (children are
+#: sitemaps to fetch) or a <urlset> (children are page URLs), decided
+#: by the root element, never mixed
+SITEMAP_INDEX_RE = r"(?is)<\s*sitemapindex[\s>]"
+
+
+def sitemap_kind(col: Column) -> Column:
+    """``'index'`` when the body's root is ``<sitemapindex>`` (its
+    ``<loc>`` entries are CHILD SITEMAPS the crawler must fetch next,
+    not page URLs — treating them as pages over-classifies the
+    frontier), else ``'urlset'``. The protocol forbids mixing the two
+    shapes in one file, so a file-level sniff is the correct
+    granularity; the r13 discovery query routes each file's locs by
+    this kind."""
+    return F.when(col.rlike(SITEMAP_INDEX_RE), F.lit("index")).otherwise(
+        F.lit("urlset")
     )

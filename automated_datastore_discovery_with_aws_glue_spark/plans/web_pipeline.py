@@ -894,6 +894,18 @@ _SM_UK: tuple[str, str, str] = (
     ":443/q/150</LOC></url></urlset>",
 )
 
+#: sitemap-INDEX fixture (r13, host spliced twice): its locs are CHILD
+#: SITEMAPS to fetch — one plain child, one whitespace-padded www.
+#: variant pointing at a GZIPPED child (.xml.gz, the common real-world
+#: form; the byte path is pinned by the gunzip_text pytest) — and must
+#: NOT be classified as page URLs
+_SM_IDX: tuple[str, str, str] = (
+    '<?xml version="1.0"?>\n<sitemapindex>\n  <sitemap><loc>https://',
+    "/maps/a.xml</loc><lastmod>2024-02-02</lastmod></sitemap>\n"
+    "  <sitemap><loc> http://www.",
+    "/maps/b.xml.gz </loc></sitemap>\n</sitemapindex>",
+)
+
 
 def _sitemap_text(host: F.Column) -> F.Column:
     com = F.concat(
@@ -905,28 +917,44 @@ def _sitemap_text(host: F.Column) -> F.Column:
     return F.when(host.endswith(".co.uk"), uk).otherwise(com)
 
 
+def _sitemap_index_text(host: F.Column) -> F.Column:
+    return F.concat(
+        F.lit(_SM_IDX[0]), host, F.lit(_SM_IDX[1]), host, F.lit(_SM_IDX[2])
+    )
+
+
 def corpus_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap-driven frontier discovery (r11): synthesize a
-    sitemap.xml per fixture host (whitespace-padded / XML-escaped /
-    www-variant / off-host / UPPERCASE-tag / explicit-:443 locs),
-    extract the ``<loc>`` URLs with ``operators/web.sitemap_locs``,
-    canonicalize each, and classify against the already-crawled
-    canonical set: on-host or not, already known, or NEW (the next
-    crawl wave). Per-host summary + the deterministic first new URL.
-    Rule-of-scale: sitemaps are per-host metadata (tiny); the only
-    data-scale touch is the semi-join against the crawled set on the
-    canonical URL — high-cardinality, skew-free. DuckDB replays the
-    loc regex, the XML unescape (amp family one-pass), normalization,
-    and the set classification."""
+    """Sitemap-driven frontier discovery (r11; r13 adds the
+    sitemap-INDEX shape): each fixture host serves TWO files — a
+    ``<urlset>`` (whitespace-padded / XML-escaped / www-variant /
+    off-host / UPPERCASE-tag / explicit-:443 locs) and a
+    ``<sitemapindex>`` whose locs are CHILD SITEMAPS (one of them
+    gzipped ``.xml.gz``). ``operators/web.sitemap_kind`` routes each
+    file: urlset locs are canonicalized and classified against the
+    already-crawled canonical set (on-host / known / NEW — the next
+    crawl wave) while index locs become the child-sitemap fetch queue
+    (``n_children`` + the first child in document order) — NEVER page
+    URLs. Rule-of-scale: sitemaps are per-host metadata (tiny); the
+    only data-scale touch is the semi-join against the crawled set on
+    the canonical URL — high-cardinality, skew-free. DuckDB replays
+    the loc regex, the root-element sniff, the XML unescape,
+    normalization, and both classifications."""
     docs = load_table(spark, sf_dir, "documents")
     raw = _raw_url()
     crawled = docs.select(W.url_normalize(raw).alias("url_norm")).distinct()
     hosts = docs.select(W.url_host(raw).alias("host")).distinct()
-    locs = hosts.withColumn("sitemap", _sitemap_text(F.col("host"))).select(
+    files = hosts.select(
         "host",
+        F.explode(
+            F.array(_sitemap_text(F.col("host")), _sitemap_index_text(F.col("host")))
+        ).alias("sitemap"),
+    )
+    locs = files.select(
+        "host",
+        W.sitemap_kind(F.col("sitemap")).alias("kind"),
         F.posexplode(W.sitemap_locs(F.col("sitemap"))).alias("loc_idx", "loc"),
     )
-    x = locs.select(
+    x = locs.filter(F.col("kind") == "urlset").select(
         "host",
         W.url_normalize(F.col("loc")).alias("url_norm"),
         (W.url_host(F.col("loc")) == F.col("host")).alias("on_host"),
@@ -935,17 +963,24 @@ def corpus_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawled.withColumn("_k", F.lit(1)), "url_norm", "left"
     ).withColumn("known", F.col("_k").isNotNull() & F.col("on_host"))
     new_cond = F.col("on_host") & ~F.col("known") & F.col("url_norm").isNotNull()
-    return (
-        marked.groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_locs"),
-            F.sum(F.col("on_host").cast("bigint")).alias("n_onhost"),
-            F.sum(F.col("known").cast("bigint")).alias("n_known"),
-            F.sum(new_cond.cast("bigint")).alias("n_new"),
-            F.min(F.when(new_cond, F.col("url_norm"))).alias("first_new"),
-        )
-        .orderBy("host")
+    pages = marked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_locs"),
+        F.sum(F.col("on_host").cast("bigint")).alias("n_onhost"),
+        F.sum(F.col("known").cast("bigint")).alias("n_known"),
+        F.sum(new_cond.cast("bigint")).alias("n_new"),
+        F.min(F.when(new_cond, F.col("url_norm"))).alias("first_new"),
     )
+    children = (
+        locs.filter(F.col("kind") == "index")
+        .select("host", "loc_idx", W.url_normalize(F.col("loc")).alias("child"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.min(F.struct("loc_idx", "child")).alias("_fc"),
+        )
+        .select("host", "n_children", F.col("_fc.child").alias("first_child"))
+    )
+    return pages.join(children, "host").orderBy("host")
 
 
 def _sql_url_host_expr(u: str) -> str:
@@ -988,6 +1023,7 @@ def _sitemap_discovery_sql() -> str:
 
     com = f"'{q(_SM_COM[0])}' || host || '{q(_SM_COM[1])}' || host || '{q(_SM_COM[2])}'"
     uk = f"'{q(_SM_UK[0])}' || host || '{q(_SM_UK[1])}' || host || '{q(_SM_UK[2])}'"
+    idx = f"'{q(_SM_IDX[0])}' || host || '{q(_SM_IDX[1])}' || host || '{q(_SM_IDX[2])}'"
     unesc = "loc0"
     for ent, ch in W.XML_URL_ENTITIES:
         unesc = f"replace({unesc}, '{ent}', '{q(ch)}')"
@@ -1001,41 +1037,58 @@ def _sitemap_discovery_sql() -> str:
         SELECT host,
                CASE WHEN host LIKE '%.co.uk' THEN {uk} ELSE {com} END AS sitemap
         FROM hs
+        UNION ALL
+        SELECT host, {idx} AS sitemap FROM hs
     ),
     lr AS (
-        SELECT host, regexp_extract_all(sitemap, '{loc_re}', 1) AS locs FROM sm
+        SELECT host,
+               regexp_matches(sitemap, '{W.SITEMAP_INDEX_RE}') AS is_idx,
+               regexp_extract_all(sitemap, '{loc_re}', 1) AS locs
+        FROM sm
     ),
     lx AS (
-        SELECT host, t.i AS loc_idx, locs[t.i] AS loc0
+        SELECT host, is_idx, t.i AS loc_idx, locs[t.i] AS loc0
         FROM lr, unnest(generate_series(1, len(locs))) AS t(i)
     ),
-    ux AS (SELECT host, loc_idx, {unesc} AS loc FROM lx),
+    ux AS (SELECT host, is_idx, loc_idx, {unesc} AS loc FROM lx),
     uxd AS (
-        SELECT host, loc_idx, loc,
+        SELECT host, is_idx, loc_idx, loc,
                {_sql_pct_normalize("loc")} AS locd
         FROM ux
     ),
     xx AS MATERIALIZED (
         SELECT host, {_sql_url_norm_core("locd")} AS url_norm,
                {_sql_url_host_expr("loc")} = host AS on_host
-        FROM uxd
+        FROM uxd WHERE NOT is_idx
     ),
     mk AS (
         SELECT x.host, x.url_norm, x.on_host,
                (c.url_norm IS NOT NULL AND x.on_host) AS known
         FROM xx x LEFT JOIN crawled c ON x.url_norm = c.url_norm
+    ),
+    pg AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_locs,
+               CAST(sum(CASE WHEN on_host THEN 1 ELSE 0 END) AS BIGINT) AS n_onhost,
+               CAST(sum(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+               CAST(sum(CASE WHEN on_host AND NOT known AND url_norm IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               min(CASE WHEN on_host AND NOT known AND url_norm IS NOT NULL
+                        THEN url_norm END) AS first_new
+        FROM mk
+        GROUP BY host
+    ),
+    ch AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_children,
+               arg_min({_sql_url_norm_core("locd")}, loc_idx) AS first_child
+        FROM uxd WHERE is_idx
+        GROUP BY host
     )
-    SELECT host,
-           CAST(count(*) AS BIGINT) AS n_locs,
-           CAST(sum(CASE WHEN on_host THEN 1 ELSE 0 END) AS BIGINT) AS n_onhost,
-           CAST(sum(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
-           CAST(sum(CASE WHEN on_host AND NOT known AND url_norm IS NOT NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-           min(CASE WHEN on_host AND NOT known AND url_norm IS NOT NULL
-                    THEN url_norm END) AS first_new
-    FROM mk
-    GROUP BY host
-    ORDER BY host"""
+    SELECT pg.host, n_locs, n_onhost, n_known, n_new, first_new,
+           n_children, first_child
+    FROM pg JOIN ch ON pg.host = ch.host
+    ORDER BY pg.host"""
     )
 
 
@@ -1654,3 +1707,120 @@ def _robots_directives_sql() -> str:
 
 QUERIES["corpus_robots_directives"] = corpus_robots_directives
 ORACLES["corpus_robots_directives"] = _robots_directives_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_idn_hosts — IDN/punycode host folding to one canonical key (r13)
+# ---------------------------------------------------------------------------
+
+#: host templates (salt n = doc_id % 7 where '{n}' appears): Unicode
+#: hosts, their punycode twins, case variants, an explicit port, CJK
+#: labels, multi-label suffix interplay, and pure-ASCII fast-path rows.
+#: Arms 0/1/2 MUST collapse to one folded key (xn--mnchen-3ya.de) —
+#: that merge is what makes blocklists unbypassable by re-spelling.
+_IDN_HOSTS: tuple[str, ...] = (
+    "münchen.de",
+    "xn--mnchen-3ya.de",
+    "MÜNCHEN.DE",
+    "bücher{n}.shop.co.uk",
+    "example{n}.com",
+    "漢字{n}.jp",
+    "münchen.de:8443",
+    "café{n}.fr",
+    "plain{n}",
+)
+
+
+def _idn_host() -> F.Column:
+    n = (F.col("doc_id") % 7).cast("string")
+    arm = F.col("doc_id") % len(_IDN_HOSTS)
+    chain = None
+    for i, tpl in enumerate(_IDN_HOSTS):
+        parts = tpl.split("{n}")
+        pieces: list[F.Column] = []
+        for j, p in enumerate(parts):
+            if j:
+                pieces.append(n)
+            if p:
+                pieces.append(F.lit(p))
+        branch = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        chain = F.when(arm == i, branch) if chain is None else chain.when(arm == i, branch)
+    return chain
+
+
+def corpus_idn_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN/punycode host canonicalization (r13, VERDICT r12 item 4):
+    synthesize Unicode / punycode / case-variant / ported / CJK /
+    plain-ASCII hosts per document, fold each to the canonical ASCII
+    key with ``operators/web.idn_fold`` (ASCII rows never leave the
+    JVM; the Unicode remainder folds ONCE PER DISTINCT HOST and
+    broadcast-joins back), then key the PSL domain join and a
+    same-key count on the FOLDED form — 'münchen.de',
+    'MÜNCHEN.DE' and 'xn--mnchen-3ya.de' must land in one group, or a
+    blocklist keyed on the raw spelling is bypassable. The oracle's
+    expected folds are GENERATED from the same pure ``fold_host``
+    function the kernel runs (the shared-constant discipline), so the
+    differential pins the distributed plumbing: the fast-path
+    classification, the distinct-fold-broadcast topology, port
+    preservation, and the downstream PSL keying."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select("doc_id", _idn_host().alias("host"))
+    folded = W.idn_fold(hosts, "host", out="folded")
+    x = W.registered_domain_join(folded, "folded")
+    return (
+        x.withColumn(
+            "n_same_key",
+            F.count(F.lit(1)).over(Window.partitionBy("folded")),
+        )
+        .select("doc_id", "host", "folded", "domain", "n_same_key")
+        .orderBy("doc_id")
+    )
+
+
+def _idn_hosts_sql() -> str:
+    # raw host arms (shared _IDN_HOSTS templates, same splice as Spark)
+    raw_arms = []
+    for i, tpl in enumerate(_IDN_HOSTS):
+        parts = tpl.split("{n}")
+        pieces = []
+        for j, p in enumerate(parts):
+            if j:
+                pieces.append("(doc_id % 7)")
+            if p:
+                pieces.append(f"'{p}'")
+        raw_arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
+    raw = f"CASE (doc_id % {len(_IDN_HOSTS)}) " + " ".join(raw_arms) + " END"
+    # expected folded value per (arm, salt), computed ONCE in Python by
+    # the operator's own pure fold_host — 63 literal branches
+    fold_arms = []
+    for i, tpl in enumerate(_IDN_HOSTS):
+        if "{n}" in tpl:
+            sub = " ".join(
+                f"WHEN {n} THEN '{W.fold_host(tpl.replace(chr(123) + 'n' + chr(125), str(n)))}'"
+                for n in range(7)
+            )
+            fold_arms.append(f"WHEN {i} THEN (CASE (doc_id % 7) {sub} END)")
+        else:
+            fold_arms.append(f"WHEN {i} THEN '{W.fold_host(tpl)}'")
+    folded = f"CASE (doc_id % {len(_IDN_HOSTS)}) " + " ".join(fold_arms) + " END"
+    return f"""
+    WITH {_sql_psl_ctes()},
+    h AS (SELECT doc_id, {raw} AS host, {folded} AS folded FROM documents),
+    hx AS (
+        SELECT doc_id, host, folded,
+               regexp_replace(folded, ':\\d+$', '') AS hp
+        FROM h
+    ),
+    dj AS (
+        SELECT doc_id, host, folded, {_SQL_PSL_DOMAIN} AS domain
+        FROM hx
+        {_SQL_PSL_JOIN}
+    )
+    SELECT doc_id, host, folded, domain,
+           CAST(count(*) OVER (PARTITION BY folded) AS BIGINT) AS n_same_key
+    FROM dj
+    ORDER BY doc_id"""
+
+
+QUERIES["corpus_idn_hosts"] = corpus_idn_hosts
+ORACLES["corpus_idn_hosts"] = _idn_hosts_sql()

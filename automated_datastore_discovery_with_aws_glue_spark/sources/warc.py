@@ -307,6 +307,53 @@ def split_gzip_members(data: bytes) -> list[bytes]:
     return members
 
 
+def gunzip_text(
+    df: DataFrame, data_col: str, *, out: str = "text", error: str = "gunzip_error"
+) -> DataFrame:
+    """Decode a possibly-gzipped BINARY column to utf-8 text — the
+    ``.xml.gz`` form real sitemaps ship in: bodies starting with the
+    gzip magic (``1F 8B``) are decompressed via
+    :func:`split_gzip_members` (members concatenated — a multi-member
+    body is still one document), everything else decodes as utf-8
+    directly. Failures are LOUD per row (``out`` NULL + ``error``
+    set), never a silent skip. Arrow-batched ``mapInPandas`` like the
+    container scan — per-file parallelism, which is the only
+    parallelism a compressed body allows."""
+    import pandas as pd
+
+    for c in (out, error):
+        if c in df.columns:
+            raise ValueError(f"gunzip_text: output column {c!r} already exists")
+    passthrough = [f for f in df.schema.fields]
+    schema = StructType(
+        list(passthrough)
+        + [StructField(out, StringType()), StructField(error, StringType())]
+    )
+    names = [f.name for f in passthrough] + [out, error]
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                base = {f.name: row[f.name] for f in passthrough}
+                data = row[data_col]
+                text = err = None
+                if data is None:
+                    err = "NULL body"
+                else:
+                    raw = bytes(data) if not isinstance(data, str) else data.encode("utf-8")
+                    try:
+                        if raw[:2] == b"\x1f\x8b":
+                            raw = b"".join(split_gzip_members(raw))
+                        text = raw.decode("utf-8")
+                    except (ValueError, UnicodeDecodeError) as exc:
+                        err = str(exc)
+                rows.append({**base, out: text, error: err})
+            yield pd.DataFrame(rows, columns=names)[names]
+
+    return df.mapInPandas(gen, schema)
+
+
 def parse_warc_gz(data: bytes, *, http_envelope: bool = False) -> list[dict]:
     """Scan a RECORD-GZIPPED container (one gzip member per record,
     the compression layout the public crawl archives use): each member
