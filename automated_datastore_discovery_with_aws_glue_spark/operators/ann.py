@@ -853,19 +853,22 @@ class IvfVectorIndex:
         ``probe_cells`` (r12, VERDICT r11 item 7):
 
         - ``'collect'`` — the DISTINCT probed cells (<= n_cells ints,
-          one small action): tightest pruning, right when a few
-          clustered queries probe a sliver of a large index;
+          one small action): tightest pruning. The distinct is over a
+          BOUNDED domain, so after map-side combine the shuffle
+          carries at most n_cells values per partition — the action
+          costs one job round-trip at ANY corpus size, while the
+          pruning it buys skips whole cell partitions of the store;
         - ``'all'`` — the trained cell list already known driver-side
           (0..n_cells-1, ZERO extra actions): the filter keeps its
-          plan shape but prunes nothing — right when a diverse batch
-          would cover most cells anyway, making the collect pure
-          overhead;
-        - ``'auto'`` (default) — ``'all'`` when ``8 * n_probe >=
-          n_cells`` (each query already probes >= 1/8 of the index, so
-          a handful of diverse queries saturate the cell set; the
-          verdict either way is identical because the join on ``cell``
-          restricts candidates to probed cells — the filter is purely
-          a scan hint), else ``'collect'``.
+          plan shape but prunes nothing — only right when pruning is
+          provably impossible;
+        - ``'auto'`` (default) — ``'all'`` only when ``n_probe >=
+          n_cells`` (every query probes EVERY cell, so the collect
+          could never exclude one), else ``'collect'``. The r12
+          heuristic (``8 * n_probe >= n_cells``) measured ~1.5x SLOWER
+          on the bench fixtures: even a filter that keeps most cells
+          beats an unpruned scan's task-launch overhead, and the
+          collect's cost is bounded by the cell count, not the batch.
 
         With ``books``, the per-query ADC lookup table rides the
         persisted qbase so it is computed once per query, not once per
@@ -885,7 +888,7 @@ class IvfVectorIndex:
                 f"probe_cells: unknown mode {probe_cells!r} (auto | collect | all)"
             )
         if probe_cells == "all" or (
-            probe_cells == "auto" and 8 * n_probe >= len(cents)
+            probe_cells == "auto" and n_probe >= len(cents)
         ):
             cells = list(range(len(cents)))
         else:
