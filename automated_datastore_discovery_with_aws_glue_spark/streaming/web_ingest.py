@@ -97,3 +97,64 @@ def web_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def warc_ingest_stream(
+    containers: DataFrame,
+    rules: DataFrame,
+    store: ParquetStateStore,
+    table: str,
+    checkpoint_dir: str,
+    *,
+    data_col: str = "wdata",
+    ts_col: str = "ts",
+    min_tokens: int = 3,
+    dedup_horizon: str = "10 minutes",
+    available_now: bool = True,
+    compression: str = "none",
+):
+    """Container-in, corpus-out (r13): the stream twin of the FULL
+    WARC -> corpus path. Each micro-batch's containers are scanned by
+    ``sources/warc.warc_records(http_envelope=True)`` — record offset
+    arithmetic, HTTP status/header split, charset transcode to utf-8
+    (``mapInPandas`` composes with Structured Streaming; the scan is
+    stateless per container) — then gated on ``valid`` AND
+    ``http_status == 200`` so error and redirect bodies never become
+    corpus, the body run through ``html_extract``, and the resulting
+    page feed handed to the SAME staged pipeline as
+    :func:`web_ingest_stream` (repair -> token gate -> watermark
+    frontier dedup -> robots gate -> exactly-once MERGE). Page
+    identity is the record's ``WARC-Target-URI`` — in a crawl archive
+    that IS the fetched URL, so it also drives canonicalization,
+    robots, and the MERGE key. Malformed records and non-200 rows are
+    dropped HERE, loudly countable upstream via the same
+    ``warc_records`` frame a quarantine sink would tap."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.text import html_extract
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    recs = warc_records(
+        containers, data_col, http_envelope=True, compression=compression
+    )
+    pages = (
+        recs.filter(F.col("valid") & (F.col("http_status") == 200))
+        .select(
+            F.col("target_uri").alias("url"),
+            html_extract(F.col("payload")).alias("text"),
+            F.col(ts_col),
+        )
+        .withColumn("page_url", F.col("url"))
+    )
+    return web_ingest_stream(
+        pages,
+        rules,
+        store,
+        table,
+        checkpoint_dir,
+        id_col="page_url",
+        url_col="url",
+        text_col="text",
+        ts_col=ts_col,
+        min_tokens=min_tokens,
+        dedup_horizon=dedup_horizon,
+        available_now=available_now,
+    )

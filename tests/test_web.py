@@ -879,3 +879,83 @@ def test_psl_join_full_registry_scale_stays_broadcast_only(spark):
     # beyond it, so the whole host is returned (the bare-suffix branch)
     assert big_out["leaf.w5.zz"] == "leaf.w5.zz"
     assert big_out["sub.ex7.w7.zz"] == "ex7.w7.zz"  # exception carve-out
+
+
+def test_warc_ingest_stream_container_to_corpus(spark, tmp_path):
+    """r13: the container-in, corpus-out stream — WARC scan + HTTP
+    status/charset gate + html_extract feeding the same repair ->
+    token gate -> frontier dedup -> robots -> MERGE pipeline;
+    checkpoint restart + replay keep the exactly-once effect."""
+    import datetime as _dt
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import ParquetStateStore
+    from automated_datastore_discovery_with_aws_glue_spark.streaming.web_ingest import (
+        warc_ingest_stream,
+    )
+
+    def hrec(uri: str, head: bytes, body: bytes) -> bytes:
+        msg = head + b"\r\n\r\n" + body
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(msg)}\r\n\r\n"
+        ).encode("utf-8") + msg + b"\r\n\r\n"
+
+    ok = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+    html = "<html><body><p>one two three four five six</p></body></html>".encode()
+    src, ckpt = str(tmp_path / "containers"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    store = ParquetStateStore(spark, str(tmp_path / "store"))
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/admin/")], ["host", "rule", "prefix"]
+    )
+
+    def write_container(recs: bytes, ts: str) -> None:
+        spark.createDataFrame(
+            [(bytearray(recs), _dt.datetime.fromisoformat(ts))],
+            "wdata binary, ts timestamp",
+        ).write.mode("append").parquet(src)
+
+    def run() -> None:
+        q = warc_ingest_stream(
+            spark.readStream.schema("wdata binary, ts timestamp").parquet(src),
+            rules,
+            store,
+            "corpus",
+            ckpt,
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    write_container(
+        hrec("http://a.com/p/9", ok, html)
+        # pct/tracker disguise of the SAME canonical page -> deduped
+        + hrec("http://www.a.com/%70/9?utm_source=z", ok, html)
+        # robots directory rule blocks it
+        + hrec("http://a.com/admin/x", ok, html)
+        # the status gate: a 404 body must never become corpus
+        + hrec("http://a.com/gone", b"HTTP/1.1 404 Not Found", html)
+        # declared latin-1 -> transcoded to utf-8 before extraction
+        + hrec(
+            "http://b.com/ok",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1",
+            "<html><body><p>caf\xe9 r\xe9sum\xe9 words here too</p></body></html>".encode("latin-1"),
+        ),
+        "2024-01-01 10:00:00",
+    )
+    run()
+    rows = {r["url_norm"]: r for r in store.read("corpus").collect()}
+    assert set(rows) == {"http://a.com/p/9", "http://b.com/ok"}
+    assert rows["http://b.com/ok"]["clean_text"] == "café résumé words here too"
+
+    # restart from the checkpoint: a replayed container re-inserts
+    # nothing (MERGE key), a new page lands
+    write_container(
+        hrec("http://a.com/p/9", ok, html) + hrec("http://a.com/p/10", ok, html),
+        "2024-01-01 11:00:00",
+    )
+    run()
+    assert {r["url_norm"] for r in store.read("corpus").collect()} == {
+        "http://a.com/p/9",
+        "http://b.com/ok",
+        "http://a.com/p/10",
+    }
