@@ -30,6 +30,16 @@ a ``valid=false`` row carrying the error and the scan of that container
 stops (offsets past a corrupt length are untrusted — resyncing risks
 emitting attacker-shaped phantom records), so a pipeline can route bad
 containers to quarantine and count them.
+
+r13 adds the HTTP layer real crawls need: ``WARC-Type: response``
+payloads carry a full HTTP response message, so
+``warc_records(http_envelope=True)`` splits status line + headers +
+body (:func:`parse_http_response`), resolves the body charset
+(Content-Type param > BOM > the windows-1252 browser default),
+transcodes to utf-8, and emits :data:`HTTP_FIELDS` so ingest can gate
+on ``http_status == 200`` instead of swallowing error-page bodies.
+:func:`gunzip_text` decodes possibly-gzipped text bodies (the
+``.xml.gz`` sitemap form) through the same gzip member scanner.
 """
 
 from __future__ import annotations

@@ -175,6 +175,10 @@ HEADLINE = [
     "corpus_psl_domains",
     "src_warc_extract",
     "corpus_robots_directives",
+    # r13: HTTP envelopes inside WARC payloads (charset transcode +
+    # status gate) and IDN/punycode host folding to one canonical key
+    "src_warc_http",
+    "corpus_idn_hosts",
 ]
 
 
