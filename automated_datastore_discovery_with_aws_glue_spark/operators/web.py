@@ -374,8 +374,11 @@ def registered_domain_join(
 # Unicode remainder (a vanishing fraction of any real corpus) takes the
 # Python fold, and only once per DISTINCT host.
 
-#: split a host into (name, optional ':port' suffix)
-_HOST_PORT_RE = re.compile(r"^(.*?)((?::\d+)?)$")
+#: split a host into (name, optional ':port' suffix) — [0-9] explicitly,
+#: because Python-re \d matches Unicode digits and a fullwidth-digit
+#: "port" must NOT survive into the canonical ASCII key (it folds with
+#: the name instead, one deterministic key either way)
+_HOST_PORT_RE = re.compile(r"^(.*?)((?::[0-9]+)?)$")
 
 
 def fold_host(host: str) -> str | None:
@@ -416,9 +419,14 @@ def idn_fold(
     from collections.abc import Iterator as _It
 
     hcol = F.col(host) if isinstance(host, str) else host
-    for c in ("_if_h", "_if_f", out):
-        if c in df.columns and c != out:
+    for c in ("_if_h", "_if_f"):
+        if c in df.columns:
             raise ValueError(f"idn_fold: working column {c!r} already exists")
+    if out in df.columns or out in ("_if_h", "_if_f"):
+        raise ValueError(
+            f"idn_fold: output column {out!r} collides with an existing "
+            f"or working column — pick another name"
+        )
     work = df.withColumn("_if_h", F.lower(hcol))
     is_ascii = F.col("_if_h").rlike(r"^[\x00-\x7F]*$")
     uni = work.filter(~is_ascii).select("_if_h").distinct()

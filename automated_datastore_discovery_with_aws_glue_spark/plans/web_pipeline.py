@@ -976,7 +976,12 @@ def corpus_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_children"),
-            F.min(F.struct("loc_idx", "child")).alias("_fc"),
+            # skip NULL (quarantined) children like DuckDB's arg_min
+            # does, or a first-in-document-order unparseable loc would
+            # diverge between the engines
+            F.min(
+                F.when(F.col("child").isNotNull(), F.struct("loc_idx", "child"))
+            ).alias("_fc"),
         )
         .select("host", "n_children", F.col("_fc.child").alias("first_child"))
     )
@@ -1799,17 +1804,22 @@ def _idn_hosts_sql() -> str:
         raw_arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
     raw = f"CASE (doc_id % {len(_IDN_HOSTS)}) " + " ".join(raw_arms) + " END"
     # expected folded value per (arm, salt), computed ONCE in Python by
-    # the operator's own pure fold_host — 63 literal branches
+    # the operator's own pure fold_host — 63 literal branches; an
+    # unfoldable arm must render as SQL NULL, never the string 'None'
+    def fold_lit(h: str) -> str:
+        v = W.fold_host(h)
+        return "NULL" if v is None else f"'{v}'"
+
     fold_arms = []
     for i, tpl in enumerate(_IDN_HOSTS):
         if "{n}" in tpl:
             sub = " ".join(
-                f"WHEN {n} THEN '{W.fold_host(tpl.replace(chr(123) + 'n' + chr(125), str(n)))}'"
+                f"WHEN {n} THEN {fold_lit(tpl.replace(chr(123) + 'n' + chr(125), str(n)))}"
                 for n in range(7)
             )
             fold_arms.append(f"WHEN {i} THEN (CASE (doc_id % 7) {sub} END)")
         else:
-            fold_arms.append(f"WHEN {i} THEN '{W.fold_host(tpl)}'")
+            fold_arms.append(f"WHEN {i} THEN {fold_lit(tpl)}")
     folded = f"CASE (doc_id % {len(_IDN_HOSTS)}) " + " ".join(fold_arms) + " END"
     return f"""
     WITH {_sql_psl_ctes()},

@@ -25,11 +25,15 @@ of container files, so one task per container saturates any executor
 count; records inside one container are inherently sequential (each
 record's offset depends on the previous Content-Length).
 
-Malformed input is LOUD, not silent: the first malformed record yields
-a ``valid=false`` row carrying the error and the scan of that container
-stops (offsets past a corrupt length are untrusted — resyncing risks
-emitting attacker-shaped phantom records), so a pipeline can route bad
-containers to quarantine and count them.
+Malformed input is LOUD, not silent, at the granularity the framing
+allows: a FRAMING failure (bad version line, Content-Length,
+terminator) yields a ``valid=false`` row and stops the container scan
+— offsets past a corrupt length are untrusted, and resyncing risks
+emitting attacker-shaped phantom records — while a PAYLOAD failure
+(HTTP envelope, charset, utf-8) quarantines only its own record,
+because the next record's offset is already validated and aborting
+would silently discard every later page. Pipelines route the
+``valid=false`` rows to quarantine and count them either way.
 
 r13 adds the HTTP layer real crawls need: ``WARC-Type: response``
 payloads carry a full HTTP response message, so
@@ -260,27 +264,37 @@ def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
                 target_uri=_ascii(headers.get(b"warc-target-uri", b"")) or None,
                 content_length=clen,
             )
-            if (
-                http_envelope
-                and headers.get(b"warc-type", b"").lower() == b"response"
-            ):
-                status, mime, charset, src, body_text = parse_http_response(
-                    raw_payload
-                )
-                rec.update(
-                    payload=body_text,
-                    http_status=status,
-                    http_content_type=mime,
-                    http_charset=charset,
-                    http_charset_src=src,
-                )
-            else:
-                try:
-                    rec["payload"] = raw_payload.decode("utf-8")
-                except UnicodeDecodeError as exc:
-                    raise _Malformed(
-                        f"payload is not valid utf-8 ({exc})"
-                    ) from None
+            # PAYLOAD-level failures (HTTP envelope, charset, utf-8)
+            # quarantine THIS record only: the WARC framing and the next
+            # offset are already validated, so later records are
+            # trustworthy — aborting the container here would silently
+            # discard them (e.g. one gbk page hiding 500 good ones).
+            # Only FRAMING failures (bad version line, Content-Length,
+            # terminator) stop the scan, where offsets are untrusted.
+            try:
+                if (
+                    http_envelope
+                    and headers.get(b"warc-type", b"").lower() == b"response"
+                ):
+                    status, mime, charset, src, body_text = parse_http_response(
+                        raw_payload
+                    )
+                    rec.update(
+                        payload=body_text,
+                        http_status=status,
+                        http_content_type=mime,
+                        http_charset=charset,
+                        http_charset_src=src,
+                    )
+                else:
+                    try:
+                        rec["payload"] = raw_payload.decode("utf-8")
+                    except UnicodeDecodeError as exc:
+                        raise _Malformed(
+                            f"payload is not valid utf-8 ({exc})"
+                        ) from None
+            except _Malformed as exc:
+                rec.update(valid=False, error=f"offset {pos}: {exc}")
             recs.append(rec)
             pos = body_end + 4
             idx += 1
@@ -370,27 +384,37 @@ def parse_warc_gz(data: bytes, *, http_envelope: bool = False) -> list[dict]:
     decompresses to exactly one :func:`parse_warc`-shaped record.
     Member boundaries come from the gzip framing itself, so a payload
     containing ``WARC/1.0`` or CRLF runs still cannot confuse the
-    scan. Corrupt gzip framing yields one loud ``valid=false`` record
-    and stops, like every other malformation; a member holding more
-    than one record is malformed too (the convention this parser
-    enforces so members stay independently seekable)."""
-    try:
-        members = split_gzip_members(data)
-    except ValueError as exc:
-        return [_empty_rec(0, str(exc))]
+    scan — and a bad MEMBER (multi-record, bad WARC framing, payload
+    failure) quarantines that member alone, because the next member's
+    boundary is still trustworthy. Only corrupt/truncated gzip bytes
+    stop the scan (the boundary of everything after them is unknown);
+    members already decoded before the corruption survive."""
+    import zlib
+
     recs: list[dict] = []
-    for i, member in enumerate(members):
+    rest, i = data, 0
+    while rest:
+        d = zlib.decompressobj(wbits=47)
+        try:
+            member = d.decompress(rest)
+            member += d.flush()
+            if not d.eof:
+                raise ValueError(f"truncated gzip member {i}")
+        except (zlib.error, ValueError) as exc:
+            msg = exc if isinstance(exc, ValueError) else f"corrupt gzip member {i}: {exc}"
+            recs.append(_empty_rec(i, str(msg)))
+            break
         sub = parse_warc(member, http_envelope=http_envelope)
         if len(sub) != 1:
             recs.append(
                 _empty_rec(i, f"gzip member {i} holds {len(sub)} records, expected 1")
             )
-            break
-        rec = dict(sub[0])
-        rec["rec_idx"] = i
-        recs.append(rec)
-        if not rec["valid"]:
-            break
+        else:
+            rec = dict(sub[0])
+            rec["rec_idx"] = i
+            recs.append(rec)
+        rest = d.unused_data
+        i += 1
     return recs
 
 
@@ -446,7 +470,14 @@ def warc_records(
                         data = data.encode("utf-8")
                     recs = parse(bytes(data), http_envelope=http_envelope)
                 base = {f.name: row[f.name] for f in passthrough}
-                rows.extend({**base, **rec} for rec in recs)
+                # take ONLY the declared output fields from the record
+                # dict — it always carries the http_* keys internally,
+                # and a blind merge would clobber a passthrough column
+                # of that name when http_envelope is off
+                rows.extend(
+                    {**base, **{f.name: rec[f.name] for f in out_fields}}
+                    for rec in recs
+                )
             yield pd.DataFrame(rows, columns=names)[names]
 
     return df.mapInPandas(gen, schema)

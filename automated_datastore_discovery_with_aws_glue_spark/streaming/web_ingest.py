@@ -135,22 +135,20 @@ def warc_ingest_stream(
     recs = warc_records(
         containers, data_col, http_envelope=True, compression=compression
     )
-    pages = (
-        recs.filter(F.col("valid") & (F.col("http_status") == 200))
-        .select(
-            F.col("target_uri").alias("url"),
-            html_extract(F.col("payload")).alias("text"),
-            F.col(ts_col),
-        )
-        .withColumn("page_url", F.col("url"))
+    pages = recs.filter(F.col("valid") & (F.col("http_status") == 200)).select(
+        F.col("target_uri").alias("url"),
+        html_extract(F.col("payload")).alias("text"),
+        F.col(ts_col),
     )
+    # the URL is the page identity — no duplicated id column riding
+    # the watermark dedup state for the whole horizon
     return web_ingest_stream(
         pages,
         rules,
         store,
         table,
         checkpoint_dir,
-        id_col="page_url",
+        id_col="url",
         url_col="url",
         text_col="text",
         ts_col=ts_col,

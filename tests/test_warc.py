@@ -110,10 +110,11 @@ def test_parse_warc_gz_malformed_is_loud():
     from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_warc_gz
 
     good = gzip.compress(_rec("urn:doc:0", "ok"))
-    # truncated second member
+    # truncated second member: the good member BEFORE it survives (its
+    # boundary was already proven), the corruption itself is loud
     recs = parse_warc_gz(good + gzip.compress(_rec("urn:doc:1", "late"))[:-5])
-    assert len(recs) == 1 and recs[0]["valid"] is False
-    assert "truncated" in recs[0]["error"] or "corrupt" in recs[0]["error"]
+    assert [r["valid"] for r in recs] == [True, False]
+    assert "truncated" in recs[1]["error"] or "corrupt" in recs[1]["error"]
     # plain (uncompressed) bytes are not gzip
     recs = parse_warc_gz(_rec("urn:doc:0", "ok"))
     assert recs[0]["valid"] is False
@@ -240,3 +241,57 @@ def test_warc_records_http_envelope_spark_and_gzip(spark):
     assert got[0]["payload"] == "café body"
     assert got[0]["http_charset"] == "latin-1"
     assert got[1]["http_charset_src"] == "default"
+
+
+def test_fixture_documents_text_latin1_encodable(spark):
+    # the src_warc_http latin-1/cp1252 arms F.encode the wrapped page
+    # as ISO-8859-1; a regenerated fixture with chars > U+00FF would
+    # silently mangle three arms at once — pin the coupling LOUDLY here
+    from tests.conftest import SF_DIR
+
+    import pyspark.sql.functions as F
+
+    n = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(~F.col("text").rlike(r"^[\x00-\xFF]*$"))
+        .count()
+    )
+    assert n == 0, "documents.text gained chars outside latin-1"
+
+def test_parse_warc_http_payload_failure_quarantines_record_only():
+    # a gbk page (unsupported charset) must not hide the good records
+    # behind it — the WARC framing is validated, so the scan continues
+    recs = parse_warc(
+        _http_rec("urn:a", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk", b"x")
+        + _http_rec("urn:b", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", b"good page"),
+        http_envelope=True,
+    )
+    assert [r["valid"] for r in recs] == [False, True]
+    assert "charset" in recs[0]["error"] and recs[0]["target_uri"] == "urn:a"
+    assert recs[1]["payload"] == "good page"
+    # same record-local quarantine for a non-envelope utf-8 failure
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\n"
+        b"\xff\xfe\r\n\r\n"
+    )
+    recs = parse_warc(bad + _rec("urn:d", "fine"))
+    assert [r["valid"] for r in recs] == [False, True]
+    assert "utf-8" in recs[0]["error"] and recs[1]["payload"] == "fine"
+
+
+def test_parse_warc_gz_member_failures_do_not_hide_later_members():
+    import gzip
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_warc_gz
+
+    good1 = gzip.compress(_rec("urn:doc:0", "first"))
+    multi = gzip.compress(_rec("urn:doc:x", "a") + _rec("urn:doc:y", "b"))
+    good2 = gzip.compress(_rec("urn:doc:2", "third"))
+    recs = parse_warc_gz(good1 + multi + good2)
+    assert [r["valid"] for r in recs] == [True, False, True]
+    assert recs[2]["payload"] == "third"
+    # gzip-stream corruption still stops (boundaries unknown past it),
+    # but members BEFORE it survive
+    recs = parse_warc_gz(good1 + b"\x1f\x8b garbage")
+    assert [r["valid"] for r in recs] == [True, False]
+    assert recs[0]["payload"] == "first"
