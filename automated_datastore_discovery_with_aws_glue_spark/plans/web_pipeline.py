@@ -1256,6 +1256,12 @@ def src_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\r\n\r\n"),
         )
 
+    # FIXTURE-ONLY pattern: collect_list assembles 1/20th of the corpus
+    # into one container string — bounded here because the fixture is
+    # sf-scaled and the oracle needs byte-exact containers to replay.
+    # NEVER lift this into production code: the real ingest path reads
+    # file-per-container (`warc_records` over binary container FILES),
+    # where no row ever holds more than one record.
     per = docs.select(
         (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
         "doc_id",
