@@ -1349,7 +1349,7 @@ ORACLES["src_warc_extract"] = _warc_extract_sql()
 # Real `WARC-Type: response` records carry a full HTTP response message
 # as the payload; a reader that feeds the raw payload to text
 # extraction pollutes the corpus with status lines and ingests 404/301
-# bodies as content. Seven arms (doc_id % 7), each pinning one branch
+# bodies as content. Nine arms (doc_id % 9), each pinning one branch
 # of sources/warc.parse_http_response:
 #   0: 200, charset=utf-8 header, multi-byte salt (bytes != chars)
 #   1: 200, mixed-case 'Text/HTML; charset=ISO-8859-1', latin-1 body
@@ -1358,6 +1358,11 @@ ORACLES["src_warc_extract"] = _warc_extract_sql()
 #   4: 200, NO Content-Type at all, cp1252 bytes -> browser default
 #   5: 404 -> must be gated OUT of ingest (error-page body)
 #   6: 301 -> gated OUT (redirect body; Location is scheduler data)
+#   7: 200, Transfer-Encoding: chunked (two chunks, ASCII body so
+#      string slicing is byte-exact) -> de-chunked before decode
+#   8: 200, image/png with raw high bytes -> BINARY: payload WITHHELD
+#      from the text lane (decoding it under cp1252 would "succeed"
+#      and mint mojibake corpus text)
 
 #: latin-1-encodable salt (é = 0xE9, ± = 0xB1): chars == bytes
 _HTTP_SALT_L1 = "Café résumé ± "
@@ -1365,9 +1370,18 @@ _HTTP_SALT_L1 = "Café résumé ± "
 _HTTP_CP_PRE = "Café "
 _HTTP_CP_POST = "uro "
 _HTTP_CP_DECODED = _HTTP_CP_PRE + "€" + _HTTP_CP_POST
+#: ASCII-only salt for the chunked arm — the fixture slices the page
+#: STRING at char 16 to build two chunks, which is only byte-exact
+#: when every char is one byte
+_HTTP_SALT_CHUNK = "chunked transfer arm "
+#: first-chunk size (bytes == chars on the ASCII arm), hex "10"
+_HTTP_CHUNK1 = 16
 
 _HTTP_404_BODY = "<html><body><p>Not Found error page body text</p></body></html>"
 _HTTP_301_BODY = "<html><body><p>Moved permanently stub body</p></body></html>"
+#: PNG-ish binary body: magic + high bytes that cp1252 would happily
+#: mis-decode if the mime gate ever regressed
+_HTTP_PNG_BODY = b"\x89PNG\r\n\x1a\n" + bytes(range(0xA0, 0xC0)) * 4
 
 #: per-arm HTTP head (status line + headers + blank line) — pure-ASCII
 #: Python constants, so their BYTE length is len() at SQL-gen time
@@ -1380,11 +1394,14 @@ _HTTP_HEADS: tuple[str, ...] = (
     "HTTP/1.1 404 Not Found\r\nContent-Type: text/html; charset=utf-8\r\n\r\n",
     "HTTP/1.1 301 Moved Permanently\r\nLocation: https://example.org/moved\r\n"
     "Content-Type: text/html; charset=utf-8\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    "Transfer-Encoding: chunked\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n",
 )
 
 #: expected (status, mime, charset, charset_src) per arm — shared with
-#: the oracle generator below
-_HTTP_EXPECT: tuple[tuple[int, str | None, str, str], ...] = (
+#: the oracle generator below; None charset = binary body withheld
+_HTTP_EXPECT: tuple[tuple[int, str | None, str | None, str | None], ...] = (
     (200, "text/html", "utf-8", "header"),
     (200, "text/html", "latin-1", "header"),
     (200, "text/html", "cp1252", "header"),
@@ -1392,6 +1409,8 @@ _HTTP_EXPECT: tuple[tuple[int, str | None, str, str], ...] = (
     (200, None, "cp1252", "default"),
     (404, "text/html", "utf-8", "header"),
     (301, "text/html", "utf-8", "header"),
+    (200, "text/html", "utf-8", "header"),
+    (200, "image/png", None, None),
 )
 
 
@@ -1400,15 +1419,19 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 1): wrap every document page in a real HTTP message (status
     line, headers, charset-ENCODED body bytes — latin-1 / quoted
     windows-1252 / a raw 0x80 euro byte / a utf-8 BOM / the
-    no-Content-Type browser default), frame the messages as WARC
-    records (Content-Length = HTTP-message BYTES), scan back with
-    ``warc_records(http_envelope=True)`` — which splits the envelope,
-    resolves the charset, and TRANSCODES the body to text — and gate
-    ingest on ``http_status == 200``: the 404/301 arms surface with
-    their status but NULL extraction. The returned ``content_length``
-    pins the byte math (head bytes + charset-dependent body bytes);
-    the per-arm fingerprints pin the transcode (a latin-1 page must
-    hash identically to what the utf-8 twin of the same text would).
+    no-Content-Type browser default / a two-chunk Transfer-Encoding
+    body / a binary image/png), frame the messages as WARC records
+    (Content-Length = HTTP-message BYTES), scan back with
+    ``warc_records(http_envelope=True)`` — which de-chunks, splits the
+    envelope, resolves the charset, TRANSCODES text bodies to utf-8,
+    and WITHHOLDS binary bodies from the text lane — and gate ingest
+    on ``http_status == 200`` AND ``text_like``: the 404/301 arms
+    surface with their status but NULL extraction, the png arm
+    surfaces with its mime but NULL payload. The returned
+    ``content_length`` pins the byte math (head bytes +
+    charset/chunk-framing-dependent body bytes); the per-arm
+    fingerprints pin the transcode (a latin-1 page must hash
+    identically to what the utf-8 twin of the same text would).
     DuckDB computes the expected envelope fields and the html chain
     directly from the documents table via the SAME shared constants."""
     from automated_datastore_discovery_with_aws_glue_spark.operators.text import html_extract
@@ -1422,7 +1445,7 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
-    arm = F.col("doc_id") % 7
+    arm = F.col("doc_id") % 9
 
     def page(salt: str) -> F.Column:
         return F.concat(
@@ -1439,6 +1462,21 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp_body = F.concat(
         F.encode(cp_pre, "ISO-8859-1"), F.lit(b"\x80"), F.encode(cp_post, "ISO-8859-1")
     )
+
+    # two-chunk framing over the ASCII page (string slicing == byte
+    # slicing there): "10\r\n" + first 16 + "\r\n" + hex(rest) + ...
+    def chunked_over(p: F.Column) -> F.Column:
+        return F.concat(
+            F.lit(f"{_HTTP_CHUNK1:x}\r\n"),
+            F.substring(p, 1, _HTTP_CHUNK1),
+            F.lit("\r\n"),
+            F.lower(F.hex(F.length(p) - _HTTP_CHUNK1)),
+            F.lit("\r\n"),
+            p.substr(F.lit(_HTTP_CHUNK1 + 1), F.length(p)),
+            F.lit("\r\n0\r\n\r\n"),
+        )
+
+    chunked = TX.let(page(_HTTP_SALT_CHUNK), chunked_over)
     body = (
         F.when(arm == 0, F.encode(page(_WARC_SALT), "UTF-8"))
         .when(arm == 1, F.encode(page(_HTTP_SALT_L1), "ISO-8859-1"))
@@ -1446,7 +1484,9 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(arm == 3, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(page(_WARC_SALT), "UTF-8")))
         .when(arm == 4, cp_body)
         .when(arm == 5, F.encode(F.lit(_HTTP_404_BODY), "UTF-8"))
-        .otherwise(F.encode(F.lit(_HTTP_301_BODY), "UTF-8"))
+        .when(arm == 6, F.encode(F.lit(_HTTP_301_BODY), "UTF-8"))
+        .when(arm == 7, F.encode(chunked, "UTF-8"))
+        .otherwise(F.lit(_HTTP_PNG_BODY))
     )
     head = None
     for i, h in enumerate(_HTTP_HEADS):
@@ -1493,6 +1533,8 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wdata")
     )
     recs = warc_records(containers, "wdata", http_envelope=True)
+    # text_like: the scanner handed back a TEXT payload (binary bodies
+    # are withheld as NULL); only 200 + text reaches extraction
     ingest = F.col("http_status") == 200
     x = recs.select(
         F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
@@ -1504,7 +1546,8 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("http_charset_src").alias("charset_src"),
         "content_length",
         ingest.alias("ingest"),
-        F.when(ingest, html_extract(F.col("payload"))).alias("_x"),
+        F.col("payload").isNotNull().alias("text_like"),
+        F.when(ingest & F.col("payload").isNotNull(), html_extract(F.col("payload"))).alias("_x"),
         "valid",
     )
     return x.select(
@@ -1515,6 +1558,7 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         "charset_src",
         "content_length",
         "ingest",
+        "text_like",
         F.when(
             F.col("_x").isNotNull(),
             F.when(F.col("_x") == "", F.lit(0)).otherwise(
@@ -1537,22 +1581,26 @@ def _warc_http_sql() -> str:
     )
 
     q = _sql_quote
-    # the DECODED page per arm (what the charset transcode must yield);
-    # arms 5/6 are gated so their page is irrelevant — empty keeps the
+    # the DECODED page per arm (what the charset transcode — and for
+    # arm 7 the de-chunking — must yield); arms 5/6 are gated and arm 8
+    # is binary-withheld, so their page is irrelevant — empty keeps the
     # html chain cheap
     salt_case = (
-        f"CASE doc_id % 7 WHEN 1 THEN '{q(_HTTP_SALT_L1)}' "
+        f"CASE doc_id % 9 WHEN 1 THEN '{q(_HTTP_SALT_L1)}' "
         f"WHEN 2 THEN '{q(_HTTP_CP_DECODED)}' WHEN 4 THEN '{q(_HTTP_CP_DECODED)}' "
+        f"WHEN 7 THEN '{q(_HTTP_SALT_CHUNK)}' "
         f"ELSE '{q(_WARC_SALT)}' END"
     )
     wrap = html_sql_wrap_expr(extra_salt="SALTEXPR").replace(
         "'SALTEXPR'", "(" + salt_case + ")"
     )
-    page = f"CASE WHEN doc_id % 7 IN (5, 6) THEN '' ELSE {wrap} END"
+    page = f"CASE WHEN doc_id % 9 IN (5, 6, 8) THEN '' ELSE {wrap} END"
     # content_length per arm: len(head) is a Python byte count (ASCII
     # constants); body bytes are charset arithmetic over the decoded
     # page — utf-8 strlen, one-byte-per-char for latin-1/cp1252, +3
-    # for the BOM arm
+    # for the BOM arm, chunk framing (4 + 2 + hexlen + 2 + 2 + 5 = 15 +
+    # hexlen extra) over the ASCII page for arm 7
+    c1 = _HTTP_CHUNK1
     clen_arms = [
         f"WHEN 0 THEN {len(_HTTP_HEADS[0])} + strlen(page)",
         f"WHEN 1 THEN {len(_HTTP_HEADS[1])} + length(page)",
@@ -1561,19 +1609,26 @@ def _warc_http_sql() -> str:
         f"WHEN 4 THEN {len(_HTTP_HEADS[4])} + length(page)",
         f"WHEN 5 THEN {len(_HTTP_HEADS[5]) + len(_HTTP_404_BODY)}",
         f"WHEN 6 THEN {len(_HTTP_HEADS[6]) + len(_HTTP_301_BODY)}",
+        f"WHEN 7 THEN {len(_HTTP_HEADS[7])} + length(page) + 15 "
+        f"+ length(to_hex(length(page) - {c1}))",
+        f"WHEN 8 THEN {len(_HTTP_HEADS[8]) + len(_HTTP_PNG_BODY)}",
     ]
-    clen = "CASE doc_id % 7 " + " ".join(clen_arms) + " END"
+    clen = "CASE doc_id % 9 " + " ".join(clen_arms) + " END"
 
     def expect_case(idx: int, fmt) -> str:
         arms = " ".join(
             f"WHEN {i} THEN {fmt(e[idx])}" for i, e in enumerate(_HTTP_EXPECT)
         )
-        return f"CASE doc_id % 7 {arms} END"
+        return f"CASE doc_id % 9 {arms} END"
+
+    def str_or_null(v) -> str:
+        return "NULL" if v is None else f"'{v}'"
 
     status = expect_case(0, lambda v: str(v))
-    mime = expect_case(1, lambda v: "NULL" if v is None else f"'{v}'")
-    charset = expect_case(2, lambda v: f"'{v}'")
-    src = expect_case(3, lambda v: f"'{v}'")
+    mime = expect_case(1, str_or_null)
+    charset = expect_case(2, str_or_null)
+    src = expect_case(3, str_or_null)
+    text_like = expect_case(2, lambda v: "FALSE" if v is None else "TRUE")
     return (
         f"""
     WITH pg AS MATERIALIZED (
@@ -1585,7 +1640,8 @@ def _warc_http_sql() -> str:
                {mime} AS content_type,
                {charset} AS charset,
                {src} AS charset_src,
-               CAST({clen} AS BIGINT) AS content_length
+               CAST({clen} AS BIGINT) AS content_length,
+               {text_like} AS text_like
         FROM pg
     ),
     """
@@ -1594,11 +1650,12 @@ def _warc_http_sql() -> str:
     SELECT e.doc_id, e.http_status, e.content_type, e.charset,
            e.charset_src, e.content_length,
            (e.http_status = 200) AS ingest,
-           CAST(CASE WHEN e.http_status <> 200 THEN NULL
+           e.text_like,
+           CAST(CASE WHEN e.http_status <> 200 OR NOT e.text_like THEN NULL
                      WHEN coalesce(a.extracted, '') = '' THEN 0
                      ELSE len(regexp_split_to_array(a.extracted, '\\s+'))
                 END AS INT) AS n_words,
-           CASE WHEN e.http_status = 200
+           CASE WHEN e.http_status = 200 AND e.text_like
                 THEN md5(coalesce(a.extracted, '')) END AS extracted_fp,
            TRUE AS valid
     FROM env e LEFT JOIN agg a USING (doc_id)

@@ -124,17 +124,81 @@ _BOMS: tuple[tuple[bytes, str, str], ...] = (
     (b"\xfe\xff", "utf-16", "utf-16-be"),
 )
 
+#: non-``text/*`` mimes whose bodies are still TEXT for the corpus
+#: pipeline; every other declared mime (images, pdf, octet-stream…)
+#: is BINARY and must never be charset-decoded — cp1252 "succeeds" on
+#: almost any byte sequence, so transcoding a PNG would silently mint
+#: mojibake corpus text
+TEXT_MIMES: frozenset[str] = frozenset(
+    {
+        "application/xhtml+xml",
+        "application/xml",
+        "application/json",
+        "application/javascript",
+        "application/rss+xml",
+        "application/atom+xml",
+    }
+)
 
-def parse_http_response(msg: bytes) -> tuple[int, str | None, str, str, str]:
+#: one HTTP/1.1 chunk-size line: hex size, optional extensions
+_CHUNK_SIZE_RE = re.compile(rb"^([0-9A-Fa-f]+)(?:;.*)?$")
+
+
+def dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body: each
+    chunk is ``<hex-size>[;ext]\\r\\n<data>\\r\\n``, terminated by a
+    zero-size chunk (optional trailers ignored). Raises
+    :class:`_Malformed` on a bad size line, a truncated chunk, or a
+    missing chunk terminator — the loud per-record quarantine route."""
+    out: list[bytes] = []
+    pos, n = 0, len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise _Malformed("chunked body: unterminated chunk-size line")
+        m = _CHUNK_SIZE_RE.match(body[pos:eol])
+        if not m:
+            raise _Malformed(
+                f"chunked body: bad chunk-size line {_ascii(body[pos:eol])!r}"
+            )
+        size = int(m.group(1), 16)
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are ignored
+        end = pos + size
+        if end + 2 > n:
+            raise _Malformed("chunked body: truncated chunk data")
+        if body[end : end + 2] != b"\r\n":
+            raise _Malformed("chunked body: missing chunk terminator")
+        out.append(body[pos:end])
+        pos = end + 2
+
+
+def parse_http_response(
+    msg: bytes,
+) -> tuple[int, str | None, str | None, str | None, str | None]:
     """Split one HTTP response message into ``(status, content_type,
-    charset, charset_src, body_text)``. Charset resolution order (the
-    HTML5 / browser discipline): the ``Content-Type`` header's
-    ``charset`` parameter wins; else a BOM; else windows-1252 (what
-    browsers actually assume for legacy pages — NOT the RFC 2616
-    iso-8859-1 default, which real content ignores). ``charset_src``
-    records which branch fired (``header`` / ``bom`` / ``default``).
-    An unknown charset label, a malformed status line or header, or a
-    body that does not decode under the resolved charset raises
+    charset, charset_src, body_text)``.
+
+    Framing layers are peeled in wire order: ``Transfer-Encoding:
+    chunked`` is de-chunked first (:func:`dechunk`), then
+    ``Content-Encoding: gzip`` is decompressed (``identity`` is a
+    no-op; any other coding is loud-malformed). A declared mime
+    outside ``text/*`` and :data:`TEXT_MIMES` is BINARY: the record
+    stays valid but ``charset``/``charset_src``/``body_text`` come
+    back ``None`` — charset-decoding a PNG under the cp1252 default
+    would "succeed" and mint mojibake corpus text, the silent failure
+    this gate exists to prevent. A missing Content-Type is treated as
+    text (the legacy-server reality).
+
+    Charset resolution order for text bodies (the HTML5 / browser
+    discipline): the ``Content-Type`` header's ``charset`` parameter
+    wins; else a BOM; else windows-1252 (what browsers actually assume
+    for legacy pages — NOT the RFC 2616 iso-8859-1 default, which real
+    content ignores). ``charset_src`` records which branch fired
+    (``header`` / ``bom`` / ``default``). An unknown charset label, a
+    malformed status line or header, bad chunk framing, or a body that
+    does not decode under the resolved charset raises
     :class:`_Malformed` — the same loud quarantine route every other
     malformation takes."""
     sep = msg.find(b"\r\n\r\n")
@@ -147,12 +211,30 @@ def parse_http_response(msg: bytes) -> tuple[int, str | None, str, str, str]:
         raise _Malformed(f"malformed HTTP status line {_ascii(lines[0])!r}")
     status = int(m.group(1))
     ctype: bytes | None = None
+    te: bytes = b""
+    ce: bytes = b""
     for line in lines[1:]:
         key, sep2, val = line.partition(b":")
         if not sep2:
             raise _Malformed(f"malformed HTTP header line {_ascii(line)!r}")
-        if key.strip().lower() == b"content-type":
+        k = key.strip().lower()
+        if k == b"content-type":
             ctype = val.strip()
+        elif k == b"transfer-encoding":
+            te = val.strip().lower()
+        elif k == b"content-encoding":
+            ce = val.strip().lower()
+    if te:
+        if te != b"chunked":
+            raise _Malformed(f"unsupported transfer-encoding {_ascii(te)!r}")
+        body = dechunk(body)
+    if ce and ce != b"identity":
+        if ce != b"gzip":
+            raise _Malformed(f"unsupported content-encoding {_ascii(ce)!r}")
+        try:
+            body = b"".join(split_gzip_members(body))
+        except ValueError as exc:
+            raise _Malformed(f"content-encoding gzip: {exc}") from None
     mime: str | None = None
     declared: str | None = None
     if ctype is not None:
@@ -160,6 +242,8 @@ def parse_http_response(msg: bytes) -> tuple[int, str | None, str, str, str]:
         cm = _CHARSET_PARAM_RE.search(ctype)
         if cm:
             declared = cm.group(1).decode("ascii").lower()
+    if mime is not None and not mime.startswith("text/") and mime not in TEXT_MIMES:
+        return status, mime, None, None, None
     if declared is not None:
         codec = CHARSET_ALIASES.get(declared)
         if codec is None:

@@ -135,7 +135,14 @@ def warc_ingest_stream(
     recs = warc_records(
         containers, data_col, http_envelope=True, compression=compression
     )
-    pages = recs.filter(F.col("valid") & (F.col("http_status") == 200)).select(
+    # payload NULL = a declared-binary body the scanner WITHHELD from
+    # the text lane (image/pdf/octet-stream — transcoding those would
+    # mint mojibake); only real text reaches extraction
+    pages = recs.filter(
+        F.col("valid")
+        & (F.col("http_status") == 200)
+        & F.col("payload").isNotNull()
+    ).select(
         F.col("target_uri").alias("url"),
         html_extract(F.col("payload")).alias("text"),
         F.col(ts_col),

@@ -295,3 +295,68 @@ def test_parse_warc_gz_member_failures_do_not_hide_later_members():
     recs = parse_warc_gz(good1 + b"\x1f\x8b garbage")
     assert [r["valid"] for r in recs] == [True, False]
     assert recs[0]["payload"] == "first"
+
+
+def test_parse_warc_http_chunked_and_content_encoding():
+    import gzip
+
+    # two-chunk body, sizes in hex (mixed case), extension ignored
+    chunked = b"10;ext=1\r\n0123456789abcdef\r\n3\r\nxyz\r\n0\r\n\r\n"
+    recs = parse_warc(
+        _http_rec(
+            "urn:a",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Transfer-Encoding: chunked",
+            chunked,
+        ),
+        http_envelope=True,
+    )
+    assert recs[0]["valid"] and recs[0]["payload"] == "0123456789abcdefxyz"
+    # chunked + gzip content-encoding peel in wire order, then charset
+    gz = gzip.compress("café chunked gz".encode("utf-8"))
+    ch = hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    recs = parse_warc(
+        _http_rec(
+            "urn:b",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+            ch,
+        ),
+        http_envelope=True,
+    )
+    assert recs[0]["valid"] and recs[0]["payload"] == "café chunked gz"
+    # malformations are loud and record-local
+    for head, body, token in [
+        (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked", b"zz\r\nx\r\n0\r\n\r\n", "chunk-size"),
+        (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked", b"10\r\nshort", "truncated"),
+        (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: deflate", b"x", "transfer-encoding"),
+        (b"HTTP/1.1 200 OK\r\nContent-Encoding: br", b"x", "content-encoding"),
+        (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip", b"not gzip", "gzip"),
+    ]:
+        recs = parse_warc(
+            _http_rec("urn:x", head, body) + _http_rec("urn:ok", b"HTTP/1.1 200 OK", b"fine"),
+            http_envelope=True,
+        )
+        assert [r["valid"] for r in recs] == [False, True], token
+        assert token in recs[0]["error"], recs[0]["error"]
+
+
+def test_parse_warc_http_binary_mime_withheld_from_text_lane():
+    # an image body must NOT be charset-decoded (cp1252 would "succeed"
+    # and mint mojibake) — the record stays valid, payload is withheld
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(0xA0, 0xC0))
+    recs = parse_warc(
+        _http_rec("urn:img", b"HTTP/1.1 200 OK\r\nContent-Type: image/png", png)
+        + _http_rec("urn:txt", b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8", b"words"),
+        http_envelope=True,
+    )
+    assert recs[0]["valid"] and recs[0]["payload"] is None
+    assert recs[0]["http_content_type"] == "image/png"
+    assert recs[0]["http_charset"] is None and recs[0]["http_charset_src"] is None
+    assert recs[1]["payload"] == "words"
+    # text-like application/* mimes still decode
+    recs = parse_warc(
+        _http_rec("urn:j", b'HTTP/1.1 200 OK\r\nContent-Type: application/json; charset=utf-8', b'{"a": 1}'),
+        http_envelope=True,
+    )
+    assert recs[0]["payload"] == '{"a": 1}'
