@@ -1349,7 +1349,7 @@ ORACLES["src_warc_extract"] = _warc_extract_sql()
 # Real `WARC-Type: response` records carry a full HTTP response message
 # as the payload; a reader that feeds the raw payload to text
 # extraction pollutes the corpus with status lines and ingests 404/301
-# bodies as content. Nine arms (doc_id % 9), each pinning one branch
+# bodies as content. Ten arms (doc_id % 10), each pinning one branch
 # of sources/warc.parse_http_response:
 #   0: 200, charset=utf-8 header, multi-byte salt (bytes != chars)
 #   1: 200, mixed-case 'Text/HTML; charset=ISO-8859-1', latin-1 body
@@ -1363,6 +1363,10 @@ ORACLES["src_warc_extract"] = _warc_extract_sql()
 #   8: 200, image/png with raw high bytes -> BINARY: payload WITHHELD
 #      from the text lane (decoding it under cp1252 would "succeed"
 #      and mint mojibake corpus text)
+#   9: 200, text/html with NO charset param and NO BOM but an HTML
+#      <meta charset="UTF-8"> in the prescan window -> the meta sniff
+#      must drive the decode (the multi-byte salt would mojibake under
+#      the cp1252 default, so the fingerprint pins the branch)
 
 #: latin-1-encodable salt (é = 0xE9, ± = 0xB1): chars == bytes
 _HTTP_SALT_L1 = "Café résumé ± "
@@ -1382,6 +1386,10 @@ _HTTP_301_BODY = "<html><body><p>Moved permanently stub body</p></body></html>"
 #: PNG-ish binary body: magic + high bytes that cp1252 would happily
 #: mis-decode if the mime gate ever regressed
 _HTTP_PNG_BODY = b"\x89PNG\r\n\x1a\n" + bytes(range(0xA0, 0xC0)) * 4
+#: markup-level charset declaration (UPPERCASE label + quotes pin the
+#: case-insensitive attribute parse) prepended to the arm-9 page; the
+#: html chain strips it to an empty block, so extraction is unchanged
+_HTTP_META_TAG = '<meta charset="UTF-8">' 
 
 #: per-arm HTTP head (status line + headers + blank line) — pure-ASCII
 #: Python constants, so their BYTE length is len() at SQL-gen time
@@ -1397,6 +1405,7 @@ _HTTP_HEADS: tuple[str, ...] = (
     "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
     "Transfer-Encoding: chunked\r\n\r\n",
     "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
 )
 
 #: expected (status, mime, charset, charset_src) per arm — shared with
@@ -1411,6 +1420,7 @@ _HTTP_EXPECT: tuple[tuple[int, str | None, str | None, str | None], ...] = (
     (301, "text/html", "utf-8", "header"),
     (200, "text/html", "utf-8", "header"),
     (200, "image/png", None, None),
+    (200, "text/html", "utf-8", "meta"),
 )
 
 
@@ -1445,7 +1455,7 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
-    arm = F.col("doc_id") % 9
+    arm = F.col("doc_id") % 10
 
     def page(salt: str) -> F.Column:
         return F.concat(
@@ -1486,7 +1496,10 @@ def src_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(arm == 5, F.encode(F.lit(_HTTP_404_BODY), "UTF-8"))
         .when(arm == 6, F.encode(F.lit(_HTTP_301_BODY), "UTF-8"))
         .when(arm == 7, F.encode(chunked, "UTF-8"))
-        .otherwise(F.lit(_HTTP_PNG_BODY))
+        .when(arm == 8, F.lit(_HTTP_PNG_BODY))
+        .otherwise(
+            F.encode(F.concat(F.lit(_HTTP_META_TAG), page(_WARC_SALT)), "UTF-8")
+        )
     )
     head = None
     for i, h in enumerate(_HTTP_HEADS):
@@ -1586,7 +1599,7 @@ def _warc_http_sql() -> str:
     # is binary-withheld, so their page is irrelevant — empty keeps the
     # html chain cheap
     salt_case = (
-        f"CASE doc_id % 9 WHEN 1 THEN '{q(_HTTP_SALT_L1)}' "
+        f"CASE doc_id % 10 WHEN 1 THEN '{q(_HTTP_SALT_L1)}' "
         f"WHEN 2 THEN '{q(_HTTP_CP_DECODED)}' WHEN 4 THEN '{q(_HTTP_CP_DECODED)}' "
         f"WHEN 7 THEN '{q(_HTTP_SALT_CHUNK)}' "
         f"ELSE '{q(_WARC_SALT)}' END"
@@ -1594,7 +1607,11 @@ def _warc_http_sql() -> str:
     wrap = html_sql_wrap_expr(extra_salt="SALTEXPR").replace(
         "'SALTEXPR'", "(" + salt_case + ")"
     )
-    page = f"CASE WHEN doc_id % 9 IN (5, 6, 8) THEN '' ELSE {wrap} END"
+    page = (
+        f"CASE WHEN doc_id % 10 IN (5, 6, 8) THEN '' "
+        f"WHEN doc_id % 10 = 9 THEN '{q(_HTTP_META_TAG)}' || {wrap} "
+        f"ELSE {wrap} END"
+    )
     # content_length per arm: len(head) is a Python byte count (ASCII
     # constants); body bytes are charset arithmetic over the decoded
     # page — utf-8 strlen, one-byte-per-char for latin-1/cp1252, +3
@@ -1612,14 +1629,15 @@ def _warc_http_sql() -> str:
         f"WHEN 7 THEN {len(_HTTP_HEADS[7])} + length(page) + 15 "
         f"+ length(to_hex(length(page) - {c1}))",
         f"WHEN 8 THEN {len(_HTTP_HEADS[8]) + len(_HTTP_PNG_BODY)}",
+        f"WHEN 9 THEN {len(_HTTP_HEADS[9])} + strlen(page)",
     ]
-    clen = "CASE doc_id % 9 " + " ".join(clen_arms) + " END"
+    clen = "CASE doc_id % 10 " + " ".join(clen_arms) + " END"
 
     def expect_case(idx: int, fmt) -> str:
         arms = " ".join(
             f"WHEN {i} THEN {fmt(e[idx])}" for i, e in enumerate(_HTTP_EXPECT)
         )
-        return f"CASE doc_id % 9 {arms} END"
+        return f"CASE doc_id % 10 {arms} END"
 
     def str_or_null(v) -> str:
         return "NULL" if v is None else f"'{v}'"

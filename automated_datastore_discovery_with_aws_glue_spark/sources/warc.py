@@ -143,6 +143,15 @@ TEXT_MIMES: frozenset[str] = frozenset(
 #: one HTTP/1.1 chunk-size line: hex size, optional extensions
 _CHUNK_SIZE_RE = re.compile(rb"^([0-9A-Fa-f]+)(?:;.*)?$")
 
+#: HTML5 meta-charset prescan: covers both <meta charset=X> and
+#: <meta http-equiv="Content-Type" content="text/html; charset=X">
+#: (the 'charset=' attribute/param is the common spine of both forms)
+_META_CHARSET_RE = re.compile(
+    rb"""(?is)<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9._\-]+)"""
+)
+#: the prescan window the HTML5 spec gives user agents
+_META_PRESCAN_BYTES = 1024
+
 
 def dechunk(body: bytes) -> bytes:
     """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body: each
@@ -193,10 +202,13 @@ def parse_http_response(
 
     Charset resolution order for text bodies (the HTML5 / browser
     discipline): the ``Content-Type`` header's ``charset`` parameter
-    wins; else a BOM; else windows-1252 (what browsers actually assume
+    wins; else a BOM; else an HTML ``<meta charset>`` /
+    ``http-equiv`` declaration found in the first 1024 bytes (the
+    spec's prescan window; unknown meta labels are ignored like
+    browsers do); else windows-1252 (what browsers actually assume
     for legacy pages — NOT the RFC 2616 iso-8859-1 default, which real
     content ignores). ``charset_src`` records which branch fired
-    (``header`` / ``bom`` / ``default``). An unknown charset label, a
+    (``header`` / ``bom`` / ``meta`` / ``default``). An unknown charset label, a
     malformed status line or header, bad chunk framing, or a body that
     does not decode under the resolved charset raises
     :class:`_Malformed` — the same loud quarantine route every other
@@ -259,7 +271,23 @@ def parse_http_response(
                 codec, charset, src = bom_codec, reported, "bom"
                 break
         else:
-            codec, charset, src = "cp1252", "cp1252", "default"
+            # HTML5 meta prescan over the first 1024 bytes: pages that
+            # declare their charset only in markup must not fall to the
+            # cp1252 default (a utf-8 page would silently mojibake).
+            # An UNKNOWN meta label is ignored, not loud — that is what
+            # browsers do, and unlike the HTTP header the tag is page
+            # content, not an operator assertion.
+            mm = _META_CHARSET_RE.search(body[:_META_PRESCAN_BYTES])
+            meta_codec = (
+                CHARSET_ALIASES.get(mm.group(1).decode("ascii").lower())
+                if mm
+                else None
+            )
+            if meta_codec is not None:
+                # a BOM would have won above, so no BOM handling here
+                codec, charset, src = meta_codec, meta_codec, "meta"
+            else:
+                codec, charset, src = "cp1252", "cp1252", "default"
     try:
         text = body.decode(codec)
     except (UnicodeDecodeError, ValueError) as exc:

@@ -360,3 +360,33 @@ def test_parse_warc_http_binary_mime_withheld_from_text_lane():
         http_envelope=True,
     )
     assert recs[0]["payload"] == '{"a": 1}'
+
+
+def test_parse_warc_http_meta_charset_prescan():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    def msg(head: bytes, body: bytes) -> bytes:
+        return head + b"\r\n\r\n" + body
+
+    plain_html = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    utf8_body = '<meta charset="UTF-8"><p>Café—漢字</p>'.encode("utf-8")
+    # meta drives the decode when header has no charset and no BOM
+    assert parse_http_response(msg(plain_html, utf8_body))[2:] == (
+        "utf-8", "meta", '<meta charset="UTF-8"><p>Café—漢字</p>'
+    )
+    # the http-equiv form works through the same spine
+    he = b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">caf\xe9'
+    assert parse_http_response(msg(plain_html, he))[2:4] == ("latin-1", "meta")
+    # header charset BEATS a contradicting meta
+    hdr = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1"
+    got = parse_http_response(msg(hdr, b'<meta charset="utf-8">caf\xe9'))
+    assert got[2:4] == ("latin-1", "header") and got[4].endswith("café")
+    # a BOM BEATS meta
+    got = parse_http_response(msg(plain_html, b"\xef\xbb\xbf" + b'<meta charset="windows-1252">x'))
+    assert got[2:4] == ("utf-8", "bom")
+    # unknown meta labels are IGNORED (browser behavior), not loud
+    got = parse_http_response(msg(plain_html, b'<meta charset="gbk">plain ascii'))
+    assert got[2:4] == ("cp1252", "default")
+    # a meta tag outside the 1024-byte prescan window is not seen
+    far = b" " * 1100 + b'<meta charset="utf-8">'
+    assert parse_http_response(msg(plain_html, far))[2:4] == ("cp1252", "default")
