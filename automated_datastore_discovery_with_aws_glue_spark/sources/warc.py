@@ -145,12 +145,23 @@ _CHUNK_SIZE_RE = re.compile(rb"^([0-9A-Fa-f]+)(?:;.*)?$")
 
 #: HTML5 meta-charset prescan: covers both <meta charset=X> and
 #: <meta http-equiv="Content-Type" content="text/html; charset=X">
-#: (the 'charset=' attribute/param is the common spine of both forms)
+#: (the 'charset=' attribute/param is the common spine of both forms).
+#: The tag boundary ``[\s/]`` keeps '<metadata charset=...>' (a real
+#: XML element name) from hijacking the decode; 'charset=' inside an
+#: UNRELATED meta's content attribute can still match — the documented
+#: regex-level trade, only reachable on HTML mimes (the prescan never
+#: runs on plain text or XML, see :data:`_META_PRESCAN_MIMES`).
 _META_CHARSET_RE = re.compile(
-    rb"""(?is)<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9._\-]+)"""
+    rb"""(?is)<meta[\s/][^>]*?charset\s*=\s*["']?([A-Za-z0-9._\-]+)"""
 )
 #: the prescan window the HTML5 spec gives user agents
 _META_PRESCAN_BYTES = 1024
+#: mimes the prescan applies to — browsers prescan when PARSING HTML;
+#: a declared text/plain or XML body never consults markup (None =
+#: no Content-Type at all, where HTML is the only safe guess)
+_META_PRESCAN_MIMES: frozenset[str | None] = frozenset(
+    {None, "text/html", "application/xhtml+xml"}
+)
 
 
 def dechunk(body: bytes) -> bytes:
@@ -236,6 +247,18 @@ def parse_http_response(
             te = val.strip().lower()
         elif k == b"content-encoding":
             ce = val.strip().lower()
+    mime: str | None = None
+    declared: str | None = None
+    if ctype is not None:
+        mime = _ascii(ctype.split(b";", 1)[0].strip().lower()) or None
+        cm = _CHARSET_PARAM_RE.search(ctype)
+        if cm:
+            declared = cm.group(1).decode("ascii").lower()
+    if mime is not None and not mime.startswith("text/") and mime not in TEXT_MIMES:
+        # binary body: withheld from the text lane, so never pay for
+        # de-chunking or decompressing it (a gzip-bombed image would
+        # otherwise cost full materialization just to be discarded)
+        return status, mime, None, None, None
     if te:
         if te != b"chunked":
             raise _Malformed(f"unsupported transfer-encoding {_ascii(te)!r}")
@@ -247,15 +270,6 @@ def parse_http_response(
             body = b"".join(split_gzip_members(body))
         except ValueError as exc:
             raise _Malformed(f"content-encoding gzip: {exc}") from None
-    mime: str | None = None
-    declared: str | None = None
-    if ctype is not None:
-        mime = _ascii(ctype.split(b";", 1)[0].strip().lower()) or None
-        cm = _CHARSET_PARAM_RE.search(ctype)
-        if cm:
-            declared = cm.group(1).decode("ascii").lower()
-    if mime is not None and not mime.startswith("text/") and mime not in TEXT_MIMES:
-        return status, mime, None, None, None
     if declared is not None:
         codec = CHARSET_ALIASES.get(declared)
         if codec is None:
@@ -271,18 +285,21 @@ def parse_http_response(
                 codec, charset, src = bom_codec, reported, "bom"
                 break
         else:
-            # HTML5 meta prescan over the first 1024 bytes: pages that
-            # declare their charset only in markup must not fall to the
-            # cp1252 default (a utf-8 page would silently mojibake).
-            # An UNKNOWN meta label is ignored, not loud — that is what
-            # browsers do, and unlike the HTTP header the tag is page
-            # content, not an operator assertion.
-            mm = _META_CHARSET_RE.search(body[:_META_PRESCAN_BYTES])
-            meta_codec = (
-                CHARSET_ALIASES.get(mm.group(1).decode("ascii").lower())
-                if mm
-                else None
-            )
+            # HTML5 meta prescan over the first 1024 bytes: HTML pages
+            # that declare their charset only in markup must not fall
+            # to the cp1252 default (a utf-8 page would silently
+            # mojibake). HTML mimes only — a text/plain log line or an
+            # XML element mentioning 'charset=' must not hijack the
+            # decode. An UNKNOWN meta label is ignored, not loud —
+            # that is what browsers do, and unlike the HTTP header the
+            # tag is page content, not an operator assertion.
+            meta_codec = None
+            if mime in _META_PRESCAN_MIMES:
+                mm = _META_CHARSET_RE.search(body[:_META_PRESCAN_BYTES])
+                if mm:
+                    meta_codec = CHARSET_ALIASES.get(
+                        mm.group(1).decode("ascii").lower()
+                    )
             if meta_codec is not None:
                 # a BOM would have won above, so no BOM handling here
                 codec, charset, src = meta_codec, meta_codec, "meta"
@@ -416,31 +433,41 @@ def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
     return recs
 
 
-def split_gzip_members(data: bytes) -> list[bytes]:
-    """Split a concatenation of gzip MEMBERS into their decompressed
-    payloads — the layout real WARC archives ship (one gzip member per
-    record, so a reader can seek to a member boundary and start
-    there). ``zlib.decompressobj(wbits=47)`` stops at each member's
-    end and hands back ``unused_data``; looping that is the
+def iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield the decompressed payload of each gzip MEMBER in a
+    concatenation — the layout real WARC archives ship (one gzip
+    member per record, so a reader can seek to a member boundary and
+    start there). ``zlib.decompressobj(wbits=47)`` stops at each
+    member's end and hands back ``unused_data``; looping that is the
     member-boundary scan. Raises ``ValueError`` on corrupt or
-    truncated gzip bytes (the caller converts that to a loud
-    ``valid=false`` record)."""
+    truncated gzip bytes AT that member — members already yielded
+    before the corruption are good (their boundaries were proven by
+    the framing itself). The single home of the boundary logic:
+    :func:`split_gzip_members` and :func:`parse_warc_gz` both ride
+    it."""
     import zlib
 
-    members: list[bytes] = []
-    rest = data
+    rest, i = data, 0
     while rest:
         d = zlib.decompressobj(wbits=47)
         try:
             out = d.decompress(rest)
             out += d.flush()
         except zlib.error as exc:
-            raise ValueError(f"corrupt gzip member {len(members)}: {exc}") from None
+            raise ValueError(f"corrupt gzip member {i}: {exc}") from None
         if not d.eof:
-            raise ValueError(f"truncated gzip member {len(members)}")
-        members.append(out)
+            raise ValueError(f"truncated gzip member {i}")
+        yield out
         rest = d.unused_data
-    return members
+        i += 1
+
+
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """All members of :func:`iter_gzip_members` as a list — the
+    all-or-nothing form (any corruption raises before anything is
+    returned), right for single-document bodies like ``.xml.gz``
+    sitemaps and ``Content-Encoding: gzip`` payloads."""
+    return list(iter_gzip_members(data))
 
 
 def gunzip_text(
@@ -501,20 +528,16 @@ def parse_warc_gz(data: bytes, *, http_envelope: bool = False) -> list[dict]:
     boundary is still trustworthy. Only corrupt/truncated gzip bytes
     stop the scan (the boundary of everything after them is unknown);
     members already decoded before the corruption survive."""
-    import zlib
-
     recs: list[dict] = []
-    rest, i = data, 0
-    while rest:
-        d = zlib.decompressobj(wbits=47)
+    members = iter_gzip_members(data)
+    i = 0
+    while True:
         try:
-            member = d.decompress(rest)
-            member += d.flush()
-            if not d.eof:
-                raise ValueError(f"truncated gzip member {i}")
-        except (zlib.error, ValueError) as exc:
-            msg = exc if isinstance(exc, ValueError) else f"corrupt gzip member {i}: {exc}"
-            recs.append(_empty_rec(i, str(msg)))
+            member = next(members)
+        except StopIteration:
+            break
+        except ValueError as exc:
+            recs.append(_empty_rec(i, str(exc)))
             break
         sub = parse_warc(member, http_envelope=http_envelope)
         if len(sub) != 1:
@@ -525,7 +548,6 @@ def parse_warc_gz(data: bytes, *, http_envelope: bool = False) -> list[dict]:
             rec = dict(sub[0])
             rec["rec_idx"] = i
             recs.append(rec)
-        rest = d.unused_data
         i += 1
     return recs
 

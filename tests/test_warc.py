@@ -1,6 +1,10 @@
-"""WARC-shape container source (`sources/warc.py`, r12): byte-offset
-record scanning, Content-Length byte math on multi-byte payloads, and
-LOUD malformed-record handling (error row + stop, no resync)."""
+"""WARC-shape container source (`sources/warc.py`, r12; r13 adds the
+HTTP envelope layer): byte-offset record scanning, Content-Length byte
+math on multi-byte payloads, and LOUD malformed handling at the
+granularity the framing allows — FRAMING failures stop the container
+scan (offsets untrusted, no resync), PAYLOAD failures (HTTP envelope,
+charset, utf-8, bad gzip member) quarantine only their own record and
+the scan continues."""
 
 from __future__ import annotations
 
@@ -122,9 +126,15 @@ def test_parse_warc_gz_malformed_is_loud():
     two = gzip.compress(_rec("urn:doc:0", "a") + _rec("urn:doc:1", "b"))
     recs = parse_warc_gz(two)
     assert recs[0]["valid"] is False and "expected 1" in recs[0]["error"]
-    # a malformed record INSIDE a good member stops the scan
-    recs = parse_warc_gz(good + gzip.compress(b"WARC/1.0\r\nContent-Length: abc\r\n\r\nx\r\n\r\n"))
-    assert [r["valid"] for r in recs] == [True, False]
+    # a malformed record INSIDE a good member quarantines that member
+    # (boundaries are gzip-framed, so the scan can continue past it)
+    recs = parse_warc_gz(
+        good
+        + gzip.compress(b"WARC/1.0\r\nContent-Length: abc\r\n\r\nx\r\n\r\n")
+        + gzip.compress(_rec("urn:doc:2", "after"))
+    )
+    assert [r["valid"] for r in recs] == [True, False, True]
+    assert recs[2]["payload"] == "after"
 
 
 def test_warc_records_gzip_mode(spark):
@@ -243,20 +253,24 @@ def test_warc_records_http_envelope_spark_and_gzip(spark):
     assert got[1]["http_charset_src"] == "default"
 
 
-def test_fixture_documents_text_latin1_encodable(spark):
-    # the src_warc_http latin-1/cp1252 arms F.encode the wrapped page
-    # as ISO-8859-1; a regenerated fixture with chars > U+00FF would
-    # silently mangle three arms at once — pin the coupling LOUDLY here
+def test_fixture_documents_text_is_ascii(spark):
+    # the src_warc_http fixture couples to documents.text TWICE: the
+    # latin-1/cp1252 arms F.encode the wrapped page as ISO-8859-1
+    # (needs <= U+00FF), and the CHUNKED arm declares chunk sizes from
+    # F.length() CHARS against a utf-8-encoded body (needs pure ASCII,
+    # the stronger bound — 'é' is latin-1-encodable yet would desync
+    # the chunk framing). Pin the STRONGER invariant loudly here so a
+    # regenerated fixture fails at the cause, not in a far-off hash.
     from tests.conftest import SF_DIR
 
     import pyspark.sql.functions as F
 
     n = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .filter(~F.col("text").rlike(r"^[\x00-\xFF]*$"))
+        .filter(~F.col("text").rlike(r"^[\x00-\x7F]*$"))
         .count()
     )
-    assert n == 0, "documents.text gained chars outside latin-1"
+    assert n == 0, "documents.text gained non-ASCII chars"
 
 def test_parse_warc_http_payload_failure_quarantines_record_only():
     # a gbk page (unsupported charset) must not hide the good records
