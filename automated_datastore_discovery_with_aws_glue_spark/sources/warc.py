@@ -68,6 +68,11 @@ RECORD_FIELDS: tuple[StructField, ...] = (
     StructField("warc_type", StringType()),
     StructField("target_uri", StringType()),
     StructField("content_length", LongType()),
+    # r14: WARC-Payload-Digest as written (e.g. 'sha1:<base32>') —
+    # real archives dedup via `revisit` records pointing at an
+    # original's digest, and surfacing it enables exact dedup with
+    # ZERO payload decode, the cheapest dedup tier there is
+    StructField("payload_digest", StringType()),
     StructField("payload", StringType()),
     StructField("valid", BooleanType()),
     StructField("error", StringType()),
@@ -83,6 +88,10 @@ HTTP_FIELDS: tuple[StructField, ...] = (
     StructField("http_content_type", StringType()),
     StructField("http_charset", StringType()),
     StructField("http_charset_src", StringType()),
+    # r14: the Location header as written — 3xx targets are frontier
+    # edges exactly like sitemap locs (resolve relative forms against
+    # target_uri with operators/web.url_resolve, then canonicalize)
+    StructField("http_location", StringType()),
 )
 
 
@@ -94,16 +103,26 @@ def _ascii(b: bytes) -> str:
     return b.decode("utf-8", errors="replace")
 
 
-#: HTTP/1.x status line: version, 3-digit status, optional reason
-_HTTP_STATUS_RE = re.compile(rb"^HTTP/\d\.\d (\d{3})(?: .*)?$")
+#: HTTP status line: version, 3-digit status, optional reason. The
+#: minor version is OPTIONAL (r14): archives captured over HTTP/2 or
+#: HTTP/3 write ``HTTP/2 200 OK`` — no ``.minor`` — and a reader that
+#: requires ``HTTP/\d.\d`` wholesale-drops every such record.
+_HTTP_STATUS_RE = re.compile(rb"^HTTP/\d(?:\.\d)? (\d{3})(?: .*)?$")
 #: charset parameter of a Content-Type value (token or quoted-string)
 _CHARSET_PARAM_RE = re.compile(
     rb"""(?i);\s*charset\s*=\s*"?([A-Za-z0-9._\-]+)"?"""
 )
 
-#: IANA charset labels this reader transcodes -> Python codec. Real
-#: crawls are dominated by utf-8 / latin-1 / cp1252; anything else is
-#: a LOUD malformed record, never a silent mojibake decode.
+#: IANA charset labels this reader transcodes -> Python codec. r13
+#: shipped the cp1252 cluster; r14 folds in the families real
+#: multilingual crawls declare (CJK, the iso-8859 row, cyrillic,
+#: utf-16) — every codec here is Python stdlib, so "supported" costs
+#: nothing. Labels follow the WHATWG encoding standard where it
+#: diverges from IANA (gb2312 decodes as GBK, euc-kr as the cp949
+#: superset, shift_jis as the cp932 superset — what browsers actually
+#: do with legacy pages that declare the narrow label but serve the
+#: vendor superset). A label NOT in this table is still a LOUD
+#: malformed record, never a silent mojibake decode.
 CHARSET_ALIASES: dict[str, str] = {
     "utf-8": "utf-8",
     "utf8": "utf-8",
@@ -115,6 +134,50 @@ CHARSET_ALIASES: dict[str, str] = {
     "cp1252": "cp1252",
     "us-ascii": "ascii",
     "ascii": "ascii",
+    # -- CJK (r14): WHATWG maps the legacy label to the vendor superset
+    "gbk": "gbk",
+    "gb2312": "gbk",
+    "gb18030": "gb18030",
+    "shift_jis": "cp932",
+    "shift-jis": "cp932",
+    "sjis": "cp932",
+    "x-sjis": "cp932",
+    "ms_kanji": "cp932",
+    "euc-jp": "euc_jp",
+    "euc-kr": "cp949",
+    "ks_c_5601-1987": "cp949",
+    "big5": "big5",
+    "big5-hkscs": "big5hkscs",
+    # -- iso-8859 row + cyrillic
+    "iso-8859-2": "iso8859-2",
+    "iso8859-2": "iso8859-2",
+    "iso-8859-5": "iso8859-5",
+    "iso8859-5": "iso8859-5",
+    "iso-8859-7": "iso8859-7",
+    "iso8859-7": "iso8859-7",
+    "iso-8859-9": "iso8859-9",
+    "iso8859-9": "iso8859-9",
+    "iso-8859-15": "iso8859-15",
+    "iso8859-15": "iso8859-15",
+    "koi8-r": "koi8-r",
+    "koi8-u": "koi8-u",
+    "windows-1250": "cp1250",
+    "windows-1251": "cp1251",
+    "cp1251": "cp1251",
+    "windows-1253": "cp1253",
+    "windows-1254": "cp1254",
+    "windows-1256": "cp1256",
+    "windows-874": "cp874",
+    "tis-620": "cp874",
+    # -- utf-16: header-declared now decodes like the BOM branch
+    #    always has (the r13 asymmetry VERDICT flagged). The bare
+    #    'utf-16' label is BOM-aware and defaults little-endian
+    #    without one (the WHATWG read); the endian-explicit labels get
+    #    their matching BOM consumed in parse_http_response.
+    "utf-16": "utf-16",
+    "utf16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
 }
 
 #: BOM -> (codec that CONSUMES the BOM, reported charset)
@@ -163,6 +226,41 @@ _META_PRESCAN_MIMES: frozenset[str | None] = frozenset(
     {None, "text/html", "application/xhtml+xml"}
 )
 
+#: magic prefixes of binary formats commonly served WITHOUT a
+#: Content-Type header (r14, ADVICE r13): a response with no declared
+#: mime used to fall straight to the cp1252 default, which "succeeds"
+#: on almost any byte sequence — a header-less PNG minted mojibake
+#: corpus text, the exact silent failure the declared-binary gate
+#: documents itself as preventing. Checked together with a NUL-byte
+#: scan over the prescan window (NUL is the sharpest text/binary
+#: discriminator: no supported text charset emits it, every raster /
+#: executable / archive format does within the first KB).
+_BINARY_MAGIC: tuple[bytes, ...] = (
+    b"\x89PNG\r\n\x1a\n",  # png
+    b"GIF87a",
+    b"GIF89a",
+    b"\xff\xd8\xff",  # jpeg
+    b"%PDF-",
+    b"PK\x03\x04",  # zip family (docx/xlsx/jar…)
+    b"\x1f\x8b",  # gzip file served raw
+    b"RIFF",  # wav/avi/webp
+    b"OggS",
+    b"ID3",  # mp3 with id3 tag
+    b"\x00\x00\x01\x00",  # ico
+    b"wOFF",
+    b"wOF2",
+)
+
+
+def _sniffs_binary(body: bytes) -> bool:
+    """Cheap content sniff for UNDECLARED-mime bodies: a known binary
+    magic at offset 0, or any NUL byte inside the meta-prescan window.
+    utf-16 text DOES carry NULs — but an undeclared-mime utf-16 body
+    is saved by its BOM, which is checked BEFORE this sniff runs."""
+    if body.startswith(_BINARY_MAGIC):
+        return True
+    return b"\x00" in body[:_META_PRESCAN_BYTES]
+
 
 def dechunk(body: bytes) -> bytes:
     """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body: each
@@ -196,34 +294,53 @@ def dechunk(body: bytes) -> bytes:
 
 def parse_http_response(
     msg: bytes,
-) -> tuple[int, str | None, str | None, str | None, str | None]:
+) -> tuple[int, str | None, str | None, str | None, str | None, str | None]:
     """Split one HTTP response message into ``(status, content_type,
-    charset, charset_src, body_text)``.
+    charset, charset_src, body_text, location)``.
+
+    ``location`` is the ``Location`` header as written (utf-8-lenient
+    decoded), ``None`` when absent — the redirect-frontier half of
+    discovery: 3xx targets are crawl edges exactly like sitemap locs,
+    and a reader that drops the header discards a double-digit
+    percentage of a real crawl's out-links. It surfaces on EVERY
+    status (a 200 with a stray Location is data too) and on binary
+    records (it lives in the header block, which parsed before the
+    mime gate fired).
 
     Framing layers are peeled in wire order: ``Transfer-Encoding:
     chunked`` is de-chunked first (:func:`dechunk`), then
-    ``Content-Encoding: gzip`` is decompressed (``identity`` is a
-    no-op; any other coding is loud-malformed). A declared mime
-    outside ``text/*`` and :data:`TEXT_MIMES` is BINARY: the record
-    stays valid but ``charset``/``charset_src``/``body_text`` come
-    back ``None`` — charset-decoding a PNG under the cp1252 default
-    would "succeed" and mint mojibake corpus text, the silent failure
-    this gate exists to prevent. A missing Content-Type is treated as
-    text (the legacy-server reality).
+    ``Content-Encoding`` is decompressed — ``gzip``/``x-gzip`` via the
+    member scanner, ``deflate`` via zlib accepting BOTH the
+    RFC-correct zlib-wrapped form and the bare-deflate form
+    misconfigured servers ship (browsers try wbits=15, then -15;
+    ``identity`` is a no-op; any other coding is loud-malformed). A
+    declared mime outside ``text/*`` and :data:`TEXT_MIMES` is BINARY:
+    the record stays valid but ``charset``/``charset_src``/
+    ``body_text`` come back ``None`` — charset-decoding a PNG under
+    the cp1252 default would "succeed" and mint mojibake corpus text,
+    the silent failure this gate exists to prevent. A MISSING
+    Content-Type is treated as text only after a cheap content sniff
+    (:func:`_sniffs_binary` — known magics, NUL in the prescan
+    window); a sniffed-binary body is withheld exactly like a declared
+    one (ADVICE r13: the undeclared-PNG hole).
 
     Charset resolution order for text bodies (the HTML5 / browser
     discipline): the ``Content-Type`` header's ``charset`` parameter
-    wins; else a BOM; else an HTML ``<meta charset>`` /
-    ``http-equiv`` declaration found in the first 1024 bytes (the
-    spec's prescan window; unknown meta labels are ignored like
-    browsers do); else windows-1252 (what browsers actually assume
-    for legacy pages — NOT the RFC 2616 iso-8859-1 default, which real
-    content ignores). ``charset_src`` records which branch fired
-    (``header`` / ``bom`` / ``meta`` / ``default``). An unknown charset label, a
-    malformed status line or header, bad chunk framing, or a body that
-    does not decode under the resolved charset raises
-    :class:`_Malformed` — the same loud quarantine route every other
-    malformation takes."""
+    wins (labels per :data:`CHARSET_ALIASES`, incl. the CJK/iso-8859/
+    cyrillic/utf-16 families real multilingual crawls declare; a
+    BOM matching a declared utf-8/utf-16 is consumed as signature);
+    else a BOM; else an HTML ``<meta charset>`` / ``http-equiv``
+    declaration found in the first 1024 bytes (the spec's prescan
+    window; unknown meta labels are ignored like browsers do, and a
+    meta claiming utf-16 decodes as utf-8 — the WHATWG rule: a body
+    readable enough to find the tag is not utf-16); else windows-1252
+    (what browsers actually assume for legacy pages — NOT the RFC 2616
+    iso-8859-1 default, which real content ignores). ``charset_src``
+    records which branch fired (``header`` / ``bom`` / ``meta`` /
+    ``default``). An unknown charset label, a malformed status line or
+    header, bad chunk framing, or a body that does not decode under
+    the resolved charset raises :class:`_Malformed` — the same loud
+    quarantine route every other malformation takes."""
     sep = msg.find(b"\r\n\r\n")
     if sep < 0:
         raise _Malformed("HTTP message missing header terminator")
@@ -236,6 +353,7 @@ def parse_http_response(
     ctype: bytes | None = None
     te: bytes = b""
     ce: bytes = b""
+    location: str | None = None
     for line in lines[1:]:
         key, sep2, val = line.partition(b":")
         if not sep2:
@@ -247,6 +365,8 @@ def parse_http_response(
             te = val.strip().lower()
         elif k == b"content-encoding":
             ce = val.strip().lower()
+        elif k == b"location":
+            location = _ascii(val.strip()) or None
     mime: str | None = None
     declared: str | None = None
     if ctype is not None:
@@ -258,33 +378,65 @@ def parse_http_response(
         # binary body: withheld from the text lane, so never pay for
         # de-chunking or decompressing it (a gzip-bombed image would
         # otherwise cost full materialization just to be discarded)
-        return status, mime, None, None, None
+        return status, mime, None, None, None, location
     if te:
         if te != b"chunked":
             raise _Malformed(f"unsupported transfer-encoding {_ascii(te)!r}")
         body = dechunk(body)
     if ce and ce != b"identity":
-        if ce != b"gzip":
+        if ce in (b"gzip", b"x-gzip"):
+            try:
+                body = b"".join(split_gzip_members(body))
+            except ValueError as exc:
+                raise _Malformed(f"content-encoding gzip: {exc}") from None
+        elif ce == b"deflate":
+            import zlib
+
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    # bare deflate, no zlib wrapper — the server bug
+                    # browsers tolerate, so a polite reader does too
+                    body = zlib.decompress(body, -15)
+                except zlib.error as exc:
+                    raise _Malformed(
+                        f"content-encoding deflate: {exc}"
+                    ) from None
+        else:
             raise _Malformed(f"unsupported content-encoding {_ascii(ce)!r}")
-        try:
-            body = b"".join(split_gzip_members(body))
-        except ValueError as exc:
-            raise _Malformed(f"content-encoding gzip: {exc}") from None
     if declared is not None:
         codec = CHARSET_ALIASES.get(declared)
         if codec is None:
             raise _Malformed(f"unsupported charset {declared!r}")
         charset, src = codec, "header"
-        # a BOM under a DECLARED utf-8 is data the author meant as a
-        # signature, not text — consume it like the sniffing branch
+        # a BOM matching the DECLARED charset is data the author meant
+        # as a signature, not text — consume it like the sniffing
+        # branch. The bare utf-16 codec is BOM-aware by itself but
+        # endian-ambiguous without one: pin the no-BOM case to LE (the
+        # WHATWG read) instead of the platform's native order.
         if codec == "utf-8" and body.startswith(b"\xef\xbb\xbf"):
             codec = "utf-8-sig"
+        elif codec == "utf-16":
+            if not body.startswith((b"\xff\xfe", b"\xfe\xff")):
+                codec = "utf-16-le"
+        elif codec == "utf-16-le" and body.startswith(b"\xff\xfe"):
+            body = body[2:]
+        elif codec == "utf-16-be" and body.startswith(b"\xfe\xff"):
+            body = body[2:]
     else:
         for bom, bom_codec, reported in _BOMS:
             if body.startswith(bom):
                 codec, charset, src = bom_codec, reported, "bom"
                 break
         else:
+            # no declared mime AND no BOM: sniff before assuming text
+            # (ADVICE r13) — a header-less PNG/zip/NUL-ridden body
+            # must be withheld like a declared-binary one, not decoded
+            # "successfully" under the cp1252 default. BOM-carrying
+            # utf-16 already won above, so its NULs never reach this.
+            if mime is None and _sniffs_binary(body):
+                return status, None, None, None, None, location
             # HTML5 meta prescan over the first 1024 bytes: HTML pages
             # that declare their charset only in markup must not fall
             # to the cp1252 default (a utf-8 page would silently
@@ -300,6 +452,12 @@ def parse_http_response(
                     meta_codec = CHARSET_ALIASES.get(
                         mm.group(1).decode("ascii").lower()
                     )
+                    # the WHATWG meta rule: a tag readable enough to
+                    # find cannot be inside a utf-16 body — decode utf-8
+                    if meta_codec is not None and meta_codec.startswith(
+                        "utf-16"
+                    ):
+                        meta_codec = "utf-8"
             if meta_codec is not None:
                 # a BOM would have won above, so no BOM handling here
                 codec, charset, src = meta_codec, meta_codec, "meta"
@@ -309,7 +467,7 @@ def parse_http_response(
         text = body.decode(codec)
     except (UnicodeDecodeError, ValueError) as exc:
         raise _Malformed(f"body does not decode as {charset} ({exc})") from None
-    return status, mime, charset, src, text
+    return status, mime, charset, src, text, location
 
 
 def _empty_rec(idx: int, error: str | None) -> dict:
@@ -321,6 +479,7 @@ def _empty_rec(idx: int, error: str | None) -> dict:
         "warc_type": None,
         "target_uri": None,
         "content_length": None,
+        "payload_digest": None,
         "payload": None,
         "valid": error is None,
         "error": error,
@@ -328,6 +487,7 @@ def _empty_rec(idx: int, error: str | None) -> dict:
         "http_content_type": None,
         "http_charset": None,
         "http_charset_src": None,
+        "http_location": None,
     }
 
 
@@ -392,6 +552,8 @@ def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
                 warc_type=_ascii(headers.get(b"warc-type", b"")) or None,
                 target_uri=_ascii(headers.get(b"warc-target-uri", b"")) or None,
                 content_length=clen,
+                payload_digest=_ascii(headers.get(b"warc-payload-digest", b""))
+                or None,
             )
             # PAYLOAD-level failures (HTTP envelope, charset, utf-8)
             # quarantine THIS record only: the WARC framing and the next
@@ -405,15 +567,21 @@ def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
                     http_envelope
                     and headers.get(b"warc-type", b"").lower() == b"response"
                 ):
-                    status, mime, charset, src, body_text = parse_http_response(
-                        raw_payload
-                    )
+                    (
+                        status,
+                        mime,
+                        charset,
+                        src,
+                        body_text,
+                        location,
+                    ) = parse_http_response(raw_payload)
                     rec.update(
                         payload=body_text,
                         http_status=status,
                         http_content_type=mime,
                         http_charset=charset,
                         http_charset_src=src,
+                        http_location=location,
                     )
                 else:
                     try:

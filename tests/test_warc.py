@@ -206,7 +206,7 @@ def test_parse_warc_http_envelope_charsets_and_gate_fields():
 def test_parse_warc_http_envelope_malformed_is_loud():
     # each malformation yields valid=false + stop, never a silent decode
     cases = [
-        (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk", b"x", "charset"),
+        (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-mystery", b"x", "charset"),
         (b"HTP/1.1 200 OK", b"x", "status line"),
         (b"HTTP/1.1 200 OK\r\nNoColon", b"x", "header line"),
         (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", b"\xff\xfe", "decode"),
@@ -273,10 +273,10 @@ def test_fixture_documents_text_is_ascii(spark):
     assert n == 0, "documents.text gained non-ASCII chars"
 
 def test_parse_warc_http_payload_failure_quarantines_record_only():
-    # a gbk page (unsupported charset) must not hide the good records
-    # behind it — the WARC framing is validated, so the scan continues
+    # an unknown-charset page must not hide the good records behind
+    # it — the WARC framing is validated, so the scan continues
     recs = parse_warc(
-        _http_rec("urn:a", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk", b"x")
+        _http_rec("urn:a", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-mystery", b"x")
         + _http_rec("urn:b", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8", b"good page"),
         http_envelope=True,
     )
@@ -385,7 +385,7 @@ def test_parse_warc_http_meta_charset_prescan():
     plain_html = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
     utf8_body = '<meta charset="UTF-8"><p>Café—漢字</p>'.encode("utf-8")
     # meta drives the decode when header has no charset and no BOM
-    assert parse_http_response(msg(plain_html, utf8_body))[2:] == (
+    assert parse_http_response(msg(plain_html, utf8_body))[2:5] == (
         "utf-8", "meta", '<meta charset="UTF-8"><p>Café—漢字</p>'
     )
     # the http-equiv form works through the same spine
@@ -399,8 +399,228 @@ def test_parse_warc_http_meta_charset_prescan():
     got = parse_http_response(msg(plain_html, b"\xef\xbb\xbf" + b'<meta charset="windows-1252">x'))
     assert got[2:4] == ("utf-8", "bom")
     # unknown meta labels are IGNORED (browser behavior), not loud
-    got = parse_http_response(msg(plain_html, b'<meta charset="gbk">plain ascii'))
+    got = parse_http_response(msg(plain_html, b'<meta charset="x-mystery">plain ascii'))
     assert got[2:4] == ("cp1252", "default")
+    # a meta label claiming utf-16 decodes as utf-8 (the WHATWG rule:
+    # a tag readable enough to find is not inside a utf-16 body)
+    got = parse_http_response(msg(plain_html, '<meta charset="utf-16">Café'.encode("utf-8")))
+    assert got[2:4] == ("utf-8", "meta") and got[4].endswith("Café")
     # a meta tag outside the 1024-byte prescan window is not seen
     far = b" " * 1100 + b'<meta charset="utf-8">'
     assert parse_http_response(msg(plain_html, far))[2:4] == ("cp1252", "default")
+
+
+# -- r14: HTTP/2 status lines, Location, charset families, deflate, ----------
+# -- undeclared-binary sniff, payload digests / revisit records     ----------
+
+
+def test_parse_warc_http2_status_lines():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    # HTTP/2 and HTTP/3 captures write NO minor version — real archives
+    # contain them and a reader must not wholesale-drop those records
+    for version in (b"HTTP/2", b"HTTP/3", b"HTTP/1.1", b"HTTP/1.0"):
+        got = parse_http_response(
+            version + b" 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\nok"
+        )
+        assert got[0] == 200 and got[4] == "ok", version
+    # a reasonless status line is fine; garbage versions stay loud
+    assert parse_http_response(b"HTTP/2 404\r\n\r\n")[0] == 404
+    recs = parse_warc(_http_rec("urn:x", b"HTTP/x 200 OK", b"y"), http_envelope=True)
+    assert recs[0]["valid"] is False and "status line" in recs[0]["error"]
+
+
+def test_parse_warc_http_location_surfaced():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    # absolute, relative, and protocol-relative Location forms all
+    # surface AS WRITTEN (resolution is the frontier query's job)
+    for loc in (b"https://example.org/new", b"/moved/here", b"//cdn.example/x"):
+        got = parse_http_response(
+            b"HTTP/1.1 301 Moved Permanently\r\nLocation: " + loc
+            + b"\r\nContent-Type: text/html; charset=utf-8\r\n\r\nstub"
+        )
+        assert got[0] == 301 and got[5] == loc.decode("ascii")
+    # absent -> None; present on a 200 it still surfaces (data is data)
+    assert parse_http_response(b"HTTP/1.1 200 OK\r\n\r\nhi")[5] is None
+    got = parse_http_response(b"HTTP/1.1 200 OK\r\nLocation: /odd\r\n\r\nhi")
+    assert got[5] == "/odd"
+    # binary records keep their Location: the header block parsed
+    # before the mime gate withheld the body
+    got = parse_http_response(
+        b"HTTP/1.1 302 Found\r\nLocation: /img\r\nContent-Type: image/png\r\n\r\n\x89PNG"
+    )
+    assert got[1] == "image/png" and got[4] is None and got[5] == "/img"
+    # and it rides warc_records rows end-to-end
+    recs = parse_warc(
+        _http_rec("urn:r", b"HTTP/1.1 302 Found\r\nLocation: /next?p=1", b"go"),
+        http_envelope=True,
+    )
+    assert recs[0]["http_location"] == "/next?p=1" and recs[0]["http_status"] == 302
+
+
+def test_parse_warc_http_charset_families():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    text = "text 漢字 テスト 한글 中文 Ελληνικά Привет"
+    cases = [
+        ("shift_jis", "cp932", "text 漢字 テスト"),
+        ("gb2312", "gbk", "text 漢字 中文"),
+        ("gbk", "gbk", "text 漢字 中文"),
+        ("euc-kr", "cp949", "text 한글"),
+        ("big5", "big5", "text 中文"),
+        ("euc-jp", "euc_jp", "text 漢字 テスト"),
+        ("iso-8859-7", "iso8859-7", "text Ελληνικά"),
+        ("koi8-r", "koi8-r", "text Привет"),
+        ("windows-1251", "cp1251", "text Привет"),
+        ("iso-8859-2", "iso8859-2", "text čšž"),
+        ("iso-8859-15", "iso8859-15", "text €uro"),
+    ]
+    for label, codec, sample in cases:
+        body = sample.encode(codec)
+        got = parse_http_response(
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={label}\r\n\r\n".encode()
+            + body
+        )
+        assert got[4] == sample, (label, got[4])
+        assert got[2] == codec and got[3] == "header", label
+    # the declared byte count differs from the char count on multibyte
+    assert len("漢字".encode("cp932")) == 4 and len("漢字") == 2
+
+
+def test_parse_warc_http_utf16_header_declared():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    text = "utf16 Café 漢字"
+
+    def hdr(label: str) -> bytes:
+        return f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={label}\r\n\r\n".encode()
+
+    # endian-explicit labels, with and without their matching BOM
+    # (a matching BOM is a signature and must be CONSUMED, not kept
+    # as a U+FEFF in the corpus text)
+    assert parse_http_response(hdr("utf-16le") + text.encode("utf-16-le"))[4] == text
+    assert (
+        parse_http_response(hdr("utf-16le") + b"\xff\xfe" + text.encode("utf-16-le"))[4]
+        == text
+    )
+    assert parse_http_response(hdr("utf-16be") + text.encode("utf-16-be"))[4] == text
+    assert (
+        parse_http_response(hdr("utf-16be") + b"\xfe\xff" + text.encode("utf-16-be"))[4]
+        == text
+    )
+    # the bare label: BOM decides when present, LE assumed otherwise
+    # (the WHATWG read — NOT the platform's native order)
+    assert parse_http_response(hdr("utf-16") + b"\xfe\xff" + text.encode("utf-16-be"))[4] == text
+    assert parse_http_response(hdr("utf-16") + text.encode("utf-16-le"))[4] == text
+    # an odd byte count is loud, never a silent truncation
+    recs = parse_warc(
+        _http_rec("urn:x", b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-16le", b"a\x00b"),
+        http_envelope=True,
+    )
+    assert recs[0]["valid"] is False and "decode" in recs[0]["error"]
+
+
+def test_parse_warc_http_deflate_and_xgzip():
+    import gzip
+    import zlib
+
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    text = "deflated Café body"
+
+    def msg(ce: str, body: bytes) -> bytes:
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Encoding: {ce}\r\n\r\n"
+        ).encode() + body
+
+    # RFC-correct zlib-wrapped deflate
+    assert parse_http_response(msg("deflate", zlib.compress(text.encode())))[4] == text
+    # bare deflate (no zlib wrapper) — the server bug browsers tolerate
+    raw = zlib.compressobj(wbits=-15)
+    bare = raw.compress(text.encode()) + raw.flush()
+    assert parse_http_response(msg("deflate", bare))[4] == text
+    # x-gzip is a legacy alias of gzip
+    assert parse_http_response(msg("x-gzip", gzip.compress(text.encode())))[4] == text
+    # corrupt deflate is loud and record-local
+    recs = parse_warc(
+        _http_rec("urn:x", b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate", b"not deflate")
+        + _http_rec("urn:ok", b"HTTP/1.1 200 OK", b"fine"),
+        http_envelope=True,
+    )
+    assert [r["valid"] for r in recs] == [False, True]
+    assert "deflate" in recs[0]["error"]
+
+
+def test_parse_warc_http_undeclared_binary_sniffed():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    head = b"HTTP/1.1 200 OK\r\nServer: fixture\r\n\r\n"  # no Content-Type
+    # known magics and NUL bytes withhold the body like declared-binary
+    for body in (
+        b"\x89PNG\r\n\x1a\n" + bytes(range(0xA0, 0xC0)),
+        b"GIF89a...",
+        b"\xff\xd8\xff\xe0jpeg",
+        b"%PDF-1.7 ...",
+        b"PK\x03\x04zipzip",
+        b"plain text then a \x00 NUL",
+    ):
+        got = parse_http_response(head + body)
+        assert got[1] is None and got[4] is None and got[3] is None, body[:8]
+    # headerless TEXT still decodes under the browser default
+    got = parse_http_response(head + b"legacy caf\xe9 page")
+    assert got[4] == "legacy café page" and got[3] == "default"
+    # a BOM saves an undeclared utf-16 body from its own NULs (BOM is
+    # checked BEFORE the sniff)
+    got = parse_http_response(head + "bom text".encode("utf-16"))
+    assert got[4] == "bom text" and got[3] == "bom"
+    # a DECLARED text mime is an operator assertion: never sniffed
+    got = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=latin-1\r\n\r\nnul \x00 kept"
+    )
+    assert got[4] == "nul \x00 kept"
+
+
+def test_parse_warc_payload_digest_and_revisit():
+    # response carries WARC-Payload-Digest; a revisit record points at
+    # the SAME digest with no body — digest-keyed dedup needs no decode
+    body = "the original page body"
+    digest = "sha1:EXAMPLEDIGESTBASE32VALUE"
+    resp = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: urn:doc:0\r\n"
+        f"WARC-Payload-Digest: {digest}\r\nContent-Length: {len(body)}\r\n\r\n"
+        f"{body}\r\n\r\n"
+    ).encode()
+    revisit = (
+        f"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: urn:doc:9\r\n"
+        f"WARC-Payload-Digest: {digest}\r\nContent-Length: 0\r\n\r\n"
+        f"\r\n\r\n"
+    ).encode()
+    recs = parse_warc(resp + revisit)
+    assert [r["warc_type"] for r in recs] == ["response", "revisit"]
+    assert [r["payload_digest"] for r in recs] == [digest, digest]
+    assert recs[0]["payload"] == body and recs[1]["payload"] == ""
+    # no digest header -> NULL, and the column rides warc_records
+    recs = parse_warc(_rec("urn:plain", "x"))
+    assert recs[0]["payload_digest"] is None
+
+
+def test_warc_records_digest_and_location_columns(spark):
+    data = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u:1\r\n"
+        b"WARC-Payload-Digest: sha1:AAA\r\nContent-Length: 52\r\n\r\n"
+        b"HTTP/2 301 Moved\r\nLocation: /n\r\n\r\nredirect stub body"
+        b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: u:2\r\n"
+        b"WARC-Payload-Digest: sha1:AAA\r\nContent-Length: 0\r\n\r\n"
+        b"\r\n\r\n"
+    )
+    df = spark.createDataFrame([(1, bytearray(data))], "cid int, wdata binary")
+    got = sorted(
+        warc_records(df, "wdata", http_envelope=True).collect(),
+        key=lambda r: r["rec_idx"],
+    )
+    assert [r["payload_digest"] for r in got] == ["sha1:AAA", "sha1:AAA"]
+    assert got[0]["http_location"] == "/n" and got[0]["http_status"] == 301
+    assert got[1]["warc_type"] == "revisit" and got[1]["http_status"] is None
