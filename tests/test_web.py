@@ -809,6 +809,9 @@ def test_idn_fold_one_key_for_unicode_and_punycode(spark):
         (5, "münchen.de:8443"),      # explicit port preserved
         (6, "x" * 70 + "ü.de"),     # unfoldable label -> NULL quarantine
         (7, None),
+        (8, "example.com."),         # DNS root dot, ASCII path (r14)
+        (9, "münchen.de."),          # DNS root dot, Unicode path (r14)
+        (10, "example.com.:8080"),   # root dot BEFORE an explicit port
     ]
     df = spark.createDataFrame(rows, ["id", "host"])
     got = {r["id"]: r["folded"] for r in W.idn_fold(df, "host", out="folded").collect()}
@@ -817,6 +820,16 @@ def test_idn_fold_one_key_for_unicode_and_punycode(spark):
     assert got[4] == "example.com"
     assert got[5] == "xn--mnchen-3ya.de:8443"
     assert got[6] is None and got[7] is None
+    # the root-dot respelling folds onto the SAME key on BOTH script
+    # paths (ADVICE r13: it used to stay distinct on ASCII and
+    # quarantine on Unicode — asymmetric and bypassable)
+    assert got[8] == "example.com"
+    assert got[9] == "xn--mnchen-3ya.de"
+    assert got[10] == "example.com:8080"
+    # the pure kernel agrees (shared implementation, oracle follows)
+    assert W.fold_host("example.com.") == "example.com"
+    assert W.fold_host("münchen.de.") == "xn--mnchen-3ya.de"
+    assert W.fold_host("example.com.:8080") == "example.com:8080"
     # and the folded key actually merges a dedup group
     n = (
         W.idn_fold(df.filter(F.col("host").isNotNull()), "host", out="folded")
@@ -825,7 +838,7 @@ def test_idn_fold_one_key_for_unicode_and_punycode(spark):
         .filter(F.col("folded") == "xn--mnchen-3ya.de")
         .collect()[0]["count"]
     )
-    assert n == 3
+    assert n == 4  # rows 1/2/3 plus the root-dot row 9
 
 
 def test_psl_join_full_registry_scale_stays_broadcast_only(spark):
@@ -959,3 +972,138 @@ def test_warc_ingest_stream_container_to_corpus(spark, tmp_path):
         "http://b.com/ok",
         "http://a.com/p/10",
     }
+
+
+# -- r14: RFC 9309 user-agent group selection --------------------------------
+
+
+def _agent_rules(spark, robots, agent):
+    df = spark.createDataFrame([("h", robots)], ["host", "robots"])
+    return {
+        (r["rule"], r["prefix"])
+        for r in W.robots_rules(df, "host", "robots", agent=agent).collect()
+    }
+
+
+_UA_ROBOTS = (
+    "User-agent: googlebot-news\nDisallow: /news\n\n"
+    "User-agent: GoogleBot\nDisallow: /gb\n\n"
+    "User-agent: bingbot\nDisallow: /bing\n\n"
+    "User-agent: *\nDisallow: /generic\n\n"
+    "User-agent: googlebot\nAllow: /gb/ok\n"
+)
+
+
+def test_robots_rules_agent_specific_beats_star(spark):
+    # a token-carrying crawler must obey ITS group, not the * group
+    assert _agent_rules(spark, _UA_ROBOTS, "bingbot") == {("disallow", "/bing")}
+    # no specific group matches -> * is the fallback
+    assert _agent_rules(spark, _UA_ROBOTS, "duckbot") == {("disallow", "/generic")}
+    # agent=None keeps the generic-crawler behavior
+    df = spark.createDataFrame([("h", _UA_ROBOTS)], ["host", "robots"])
+    assert {
+        (r["rule"], r["prefix"]) for r in W.robots_rules(df, "host", "robots").collect()
+    } == {("disallow", "/generic")}
+
+
+def test_robots_rules_agent_longest_match_and_merge(spark):
+    # 'googlebot-news' matches BOTH 'googlebot-news' (14) and
+    # 'googlebot' (9): longest wins, the shorter group does NOT bind
+    assert _agent_rules(spark, _UA_ROBOTS, "googlebot-news") == {("disallow", "/news")}
+    # 'googlebot-images' matches only the 'googlebot' value — and BOTH
+    # groups carrying that value merge (RFC: same-agent groups combine)
+    assert _agent_rules(spark, _UA_ROBOTS, "googlebot-images") == {
+        ("disallow", "/gb"),
+        ("allow", "/gb/ok"),
+    }
+    # matching is case-insensitive in both directions
+    assert _agent_rules(spark, _UA_ROBOTS, "GOOGLEBOT-IMAGES") == {
+        ("disallow", "/gb"),
+        ("allow", "/gb/ok"),
+    }
+    # the robots value must be a PREFIX of the token, not vice versa:
+    # token 'google' does not match group 'googlebot'
+    assert _agent_rules(spark, _UA_ROBOTS, "google") == {("disallow", "/generic")}
+    # a '*' inside a consecutive-UA-lines group never counts as a
+    # specific match, but the group still binds via its named value
+    txt = "User-agent: foo\nUser-agent: *\nDisallow: /both\n"
+    assert _agent_rules(spark, txt, "foobot") == {("disallow", "/both")}
+    assert _agent_rules(spark, txt, "other") == {("disallow", "/both")}
+
+
+def test_robots_crawl_delay_agent_scoped(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.operators.web import robots_crawl_delay
+
+    txt = (
+        "User-agent: slowbot\nCrawl-delay: 10\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 1.5\n"
+    )
+    df = spark.createDataFrame([("h", txt)], ["host", "robots"])
+    got = {r["host"]: r["crawl_delay_ms"] for r in robots_crawl_delay(df, "host", "robots", agent="slowbot").collect()}
+    assert got == {"h": 10000}
+    got = {r["host"]: r["crawl_delay_ms"] for r in robots_crawl_delay(df, "host", "robots", agent="fastbot").collect()}
+    assert got == {"h": 1500}
+    # a host whose file names ONLY other bots gives a token crawler no
+    # delay row at all (and no rules) — allowed-by-default semantics
+    only = "User-agent: bot\nCrawl-delay: 9\nDisallow: /\n"
+    df2 = spark.createDataFrame([("h", only)], ["host", "robots"])
+    assert robots_crawl_delay(df2, "host", "robots", agent="crawler").count() == 0
+
+
+# -- r14: relative-reference resolution (the redirect frontier primitive) ----
+
+
+def test_url_resolve_rfc3986_forms(spark):
+    base = "https://ex.com/a/b/page?q=1#frag"
+    cases = [
+        # absolute passes through untouched
+        ("http://other.org/x", "http://other.org/x"),
+        # protocol-relative inherits the base scheme
+        ("//cdn.ex.com/img", "https://cdn.ex.com/img"),
+        # origin-relative
+        ("/root/p?z=2", "https://ex.com/root/p?z=2"),
+        # path-relative merges onto the base DIRECTORY
+        ("sib", "https://ex.com/a/b/sib"),
+        ("sib?z=2", "https://ex.com/a/b/sib?z=2"),
+        # dot segments collapse; popping past root is absorbed
+        ("../up", "https://ex.com/a/up"),
+        ("../../../up", "https://ex.com/up"),
+        ("./same", "https://ex.com/a/b/same"),
+        ("/x/./y/../z", "https://ex.com/x/z"),
+        # query-only replaces the base query; fragment-only is the
+        # base document without its fragment
+        ("?n=9", "https://ex.com/a/b/page?n=9"),
+        ("#sec", "https://ex.com/a/b/page?q=1"),
+        # a dotty QUERY is data, never path-collapsed
+        ("sib?path=../x", "https://ex.com/a/b/sib?path=../x"),
+    ]
+    rows = [(i, base, ref) for i, (ref, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, ["i", "base", "ref"])
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", W.url_resolve(F.col("base"), F.col("ref")).alias("out")
+        ).collect()
+    }
+    for i, (ref, want) in enumerate(cases):
+        assert got[i] == want, (ref, got[i], want)
+
+
+def test_url_resolve_quarantines_and_edge_bases(spark):
+    rows = [
+        (1, "https://ex.com", "p"),          # empty base path -> root dir
+        (2, "https://ex.com/d/", "p"),       # dir base keeps the dir
+        (3, "not a url", "/x"),              # unparseable base -> NULL
+        (4, "https://ex.com/a", None),       # NULL ref -> NULL
+        (5, "https://ex.com/a", ""),         # empty ref -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["i", "base", "ref"])
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", W.url_resolve(F.col("base"), F.col("ref")).alias("out")
+        ).collect()
+    }
+    assert got[1] == "https://ex.com/p"
+    assert got[2] == "https://ex.com/d/p"
+    assert got[3] is None and got[4] is None and got[5] is None
