@@ -1929,3 +1929,520 @@ def _idn_hosts_sql() -> str:
 
 QUERIES["corpus_idn_hosts"] = corpus_idn_hosts
 ORACLES["corpus_idn_hosts"] = _idn_hosts_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_robots_agents — RFC 9309 user-agent group selection (r14)
+# ---------------------------------------------------------------------------
+
+#: the crawler's product token (RFC 9309 §2.2.1) — lowercase on both
+#: engines; group values match when they are a case-insensitive PREFIX
+#: of this token, longest value wins, '*' only as fallback
+_AG_TOKEN = "graftbot-news"
+
+#: per-host robots fixtures where the SPECIFIC group and the '*' group
+#: DIVERGE (the r13 VERDICT's done-condition): every selection rule
+#: does real work —
+#: arm 0: three candidate groups; 'graftbot-news' (13) out-matches
+#:        'graftbot' (8), so /q/ never binds the token; a SECOND
+#:        graftbot-news group at file end merges in a crawl-delay
+#:        (RFC: same-agent groups combine)
+#: arm 1: the INVERSE divergence — '*' denies everything while the
+#:        bot group is empty-Disallow allow-all (and carries no delay,
+#:        so delay_agent stays NULL while delay_star is 4000)
+#: arm 2: a SHORT prefix ('graft') still beats '*' when it is the
+#:        only match
+#: arm 3: CASE-variant group name, REP wildcard rules, NO star group
+#:        at all — the generic crawler gets no rules, the token does
+_AG_COM_ARMS: tuple[str, ...] = (
+    "User-agent: graftbot-news\nDisallow: /p/\nAllow: /p/2\n\n"
+    "User-agent: graftbot\nDisallow: /q/\n\n"
+    "User-agent: *\nDisallow: /generic\nCrawl-delay: 1\n\n"
+    "User-agent: graftbot-news\nCrawl-delay: 2.5\n",
+    "User-agent: graftbot\nDisallow:\n\n"
+    "User-agent: *\nDisallow: /\nCrawl-delay: 4\n",
+    "User-agent: graft\nDisallow: /p/9\n\n"
+    "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n",
+    "User-agent: GRAFTBOT-NEWS\nDisallow: /*?gclid=\nDisallow: /p/\n"
+    "Allow: /p/13$\n",
+)
+#: UK hosts: a consecutive-UA-lines group naming TWO bots (binds via
+#: 'graftbot') with a fractional delay, against a rule-carrying star
+_AG_UK = (
+    "User-agent: graftbot\nUser-agent: otherbot\n"
+    "Disallow: /q/1\nAllow: /q/15\nCrawl-delay: 0.5\n\n"
+    "User-agent: *\nAllow: /q/1\nDisallow: /q/11\n"
+)
+
+
+def _agent_robots_text(host: F.Column) -> F.Column:
+    d4 = F.regexp_extract(host, r"domain(\d+)", 1).cast("int") % 4
+    com = (
+        F.when(d4 == 0, F.lit(_AG_COM_ARMS[0]))
+        .when(d4 == 1, F.lit(_AG_COM_ARMS[1]))
+        .when(d4 == 2, F.lit(_AG_COM_ARMS[2]))
+        .otherwise(F.lit(_AG_COM_ARMS[3]))
+    )
+    return F.when(host.endswith(".co.uk"), F.lit(_AG_UK)).otherwise(com)
+
+
+def corpus_robots_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 user-agent group selection (r14, VERDICT r13 item 1):
+    every fixture host names bots — the common real-crawl shape the
+    r13 engine got WRONG by always applying the ``*`` group. Each page
+    is decided twice: as a generic crawler (wildcard groups) and as
+    the ``graftbot-news`` product token (longest case-insensitive
+    prefix match; same-agent groups merged; ``*`` only when nothing
+    specific matches), through the SAME ``robots_filter`` precedence
+    (octet ranking, allow-wins-ties, percent-normalized matching) —
+    plus both selections' group-scoped ``Crawl-delay``. The fixtures
+    diverge in BOTH directions (bot stricter than star, star stricter
+    than bot, star absent entirely), so an engine that conflates the
+    two selections hash-mismatches immediately. Same 100 TB shape as
+    the r11 gate: per-host rule tables are tiny, verdicts are one
+    broadcast join + one aggregate per selection. DuckDB replays the
+    grouping windows, the prefix/longest/fallback selection, the
+    merge, and both precedence chains."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    pages = docs.select(
+        "doc_id",
+        W.url_host(raw).alias("host"),
+        W.url_raw_target(raw).alias("target"),
+    )
+    robots = pages.select("host").distinct().withColumn(
+        "robots", _agent_robots_text(F.col("host"))
+    )
+    rules_star = W.robots_rules(robots, "host", "robots")
+    rules_agent = W.robots_rules(robots, "host", "robots", agent=_AG_TOKEN)
+    vstar = W.robots_filter(
+        pages, rules_star, id_col="doc_id", path_col="target"
+    ).select(
+        "doc_id",
+        F.col("allowed").alias("allowed_star"),
+        F.col("matched_prefix").alias("m_star"),
+    )
+    vagent = W.robots_filter(
+        pages, rules_agent, id_col="doc_id", path_col="target"
+    ).select(
+        "doc_id",
+        F.col("allowed").alias("allowed_agent"),
+        F.col("matched_prefix").alias("m_agent"),
+    )
+    dstar = W.robots_crawl_delay(robots, "host", "robots").select(
+        "host", F.col("crawl_delay_ms").alias("delay_star_ms")
+    )
+    dagent = W.robots_crawl_delay(
+        robots, "host", "robots", agent=_AG_TOKEN
+    ).select("host", F.col("crawl_delay_ms").alias("delay_agent_ms"))
+    return (
+        pages.join(vstar, "doc_id")
+        .join(vagent, "doc_id")
+        .join(dstar, "host", "left")
+        .join(dagent, "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            "target",
+            "allowed_star",
+            "m_star",
+            "allowed_agent",
+            "m_agent",
+            "delay_star_ms",
+            "delay_agent_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _robots_agents_sql() -> str:
+    q = _sql_quote_nl
+    ua_re = r"(?i)^user-agent\s*:"
+    dir_re = r"(?i)^(allow|disallow)\s*:(.*)$"
+    delay_re = r"(?i)^crawl-delay\s*:(.*)$"
+    arms = " ".join(
+        f"WHEN {i} THEN '{q(a)}'" for i, a in enumerate(_AG_COM_ARMS[:3])
+    )
+    dval = f"TRY_CAST(trim(regexp_extract(ln, '{delay_re}', 1)) AS DOUBLE)"
+
+    def verdict(side: str) -> str:
+        """rule table -> compiled patterns -> page match -> best-rule
+        precedence (octets, allow wins ties) for one group selection
+        CTE ``sg{side}`` — the _robots_filter_sql chain, suffixed."""
+        return f"""rl{side} AS (
+        SELECT g.host,
+               lower(regexp_extract(ln, '{dir_re}', 1)) AS rule,
+               trim(regexp_extract(ln, '{dir_re}', 2)) AS prefix
+        FROM agr g JOIN sg{side} USING (host, grp)
+        WHERE NOT ua AND regexp_matches(ln, '{dir_re}')
+    ),
+    rl1{side} AS (
+        SELECT *, coalesce({_sql_pct_normalize("prefix")}, prefix) AS pfxd
+        FROM rl{side} WHERE prefix <> ''
+    ),
+    rl2{side} AS (
+        SELECT *,
+               (contains(prefix, '*') OR ends_with(prefix, '$')) AS wild,
+               '^' || regexp_replace(regexp_replace(regexp_replace(pfxd,
+                   '{W.REP_SPECIALS_CLASS}', '\\\\\\1', 'g'),
+                   '\\*', '.*', 'g'),
+                   '\\\\\\$$', '$') AS pat
+        FROM rl1{side}
+    ),
+    mt{side} AS (
+        SELECT p.doc_id, r.rule, r.prefix
+        FROM nn p JOIN rl2{side} r ON p.host = r.host AND
+             (CASE WHEN r.wild THEN regexp_matches(p.rtargetd, r.pat)
+                   ELSE starts_with(p.rtargetd, r.pfxd) END)
+    ),
+    bst{side} AS (
+        SELECT doc_id, rule, prefix FROM mt{side}
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY strlen(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
+    ),
+    dl{side} AS (
+        SELECT g.host,
+               CAST(floor(min({dval}) * 1000) AS INT) AS d
+        FROM agr g JOIN sg{side} USING (host, grp)
+        WHERE NOT ua AND regexp_matches(ln, '{delay_re}')
+          AND {dval} IS NOT NULL
+        GROUP BY g.host
+    )"""
+
+    return (
+        "WITH " + _sql_url_ctes() + f""",
+    arb AS (SELECT DISTINCT host FROM nn),
+    art AS MATERIALIZED (
+        SELECT host,
+               CASE WHEN host LIKE '%.co.uk' THEN '{q(_AG_UK)}'
+                    ELSE (CASE (TRY_CAST(regexp_extract(host, 'domain(\\d+)', 1) AS INT) % 4)
+                         {arms}
+                         ELSE '{q(_AG_COM_ARMS[3])}' END)
+               END AS robots
+        FROM arb
+    ),
+    alx AS (
+        SELECT host, t.i AS i,
+               trim(regexp_replace(string_split(robots, chr(10))[t.i], '#.*$', '')) AS ln
+        FROM art, unnest(generate_series(1, len(string_split(robots, chr(10))))) AS t(i)
+    ),
+    amk AS (
+        SELECT host, i, ln, regexp_matches(ln, '{ua_re}') AS ua
+        FROM alx WHERE ln <> ''
+    ),
+    apk AS (
+        SELECT *,
+               coalesce(lag(ua) OVER (PARTITION BY host ORDER BY i), FALSE)
+                   AS prev_ua
+        FROM amk
+    ),
+    agr AS (
+        SELECT *,
+               SUM(CASE WHEN ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY i) AS grp
+        FROM apk
+    ),
+    agv AS (
+        SELECT host, grp,
+               lower(trim(regexp_extract(ln, '{ua_re}(.*)$', 1))) AS v
+        FROM agr WHERE ua
+    ),
+    sgS AS (
+        SELECT host, grp FROM agv GROUP BY host, grp
+        HAVING max(CASE WHEN v = '*' THEN 1 ELSE 0 END) = 1
+    ),
+    agm AS (
+        SELECT host, grp,
+               max(CASE WHEN v <> '*' AND starts_with('{_AG_TOKEN}', v)
+                        THEN length(v) END) AS mlen,
+               max(CASE WHEN v = '*' THEN 1 ELSE 0 END) AS star
+        FROM agv GROUP BY host, grp
+    ),
+    agb AS (SELECT host, max(mlen) AS best FROM agm GROUP BY host),
+    sgA AS (
+        SELECT m.host, m.grp FROM agm m JOIN agb b USING (host)
+        WHERE CASE WHEN b.best IS NOT NULL THEN m.mlen = b.best
+                   ELSE m.star = 1 END
+    ),
+    {verdict("S")},
+    {verdict("A")}
+    SELECT n.doc_id, n.host, n.rtarget AS target,
+           coalesce(bS.rule = 'allow', TRUE) AS allowed_star,
+           bS.prefix AS m_star,
+           coalesce(bA.rule = 'allow', TRUE) AS allowed_agent,
+           bA.prefix AS m_agent,
+           dlS.d AS delay_star_ms,
+           dlA.d AS delay_agent_ms
+    FROM nn n
+    LEFT JOIN bstS bS USING (doc_id)
+    LEFT JOIN bstA bA USING (doc_id)
+    LEFT JOIN dlS ON n.host = dlS.host
+    LEFT JOIN dlA ON n.host = dlA.host
+    ORDER BY n.doc_id"""
+    )
+
+
+QUERIES["corpus_robots_agents"] = corpus_robots_agents
+ORACLES["corpus_robots_agents"] = _robots_agents_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_redirect_frontier — 3xx Location capture -> frontier delta (r14)
+# ---------------------------------------------------------------------------
+
+#: redirect arms (doc_id % 8): (status, Location form). Location is
+#: legally RELATIVE, so every RFC 3986 resolution branch gets a real
+#: arm; arms 6/7 carry NO Location and must contribute nothing to the
+#: frontier (the VERDICT's 404-arm condition). Arm 0 redirects to the
+#: record's own URL — the one target guaranteed to be in the crawled
+#: set (known=true) at every sf.
+_RF_ARMS: tuple[tuple[int, str | None], ...] = (
+    (301, "SELF"),            # absolute, on-host, already crawled
+    (302, "/moved/{g}"),      # origin-relative -> NEW frontier path
+    (301, "next-{g}"),        # path-relative, merges onto the base dir
+    (301, "../up/{g}"),       # dot segments must collapse
+    (302, "//cdn.example/x/{g}"),  # protocol-relative, OFF-host
+    (301, "?page=2"),         # query-only replaces the base query
+    (200, None),              # no redirect
+    (404, None),              # error page, no Location
+)
+_RF_BODY = "<html><body><p>redirect fixture stub body</p></body></html>"
+_RF_REASONS = {200: "OK", 301: "Moved Permanently", 302: "Found", 404: "Not Found"}
+
+
+def _rf_location() -> F.Column:
+    """The Location header value per doc (NULL on arms 6/7)."""
+    g = (F.col("doc_id") % 200).cast("string")
+    arm = F.col("doc_id") % len(_RF_ARMS)
+    chain = None
+    for i, (_, loc) in enumerate(_RF_ARMS):
+        if loc is None:
+            branch = F.lit(None).cast("string")
+        elif loc == "SELF":
+            branch = _raw_url()
+        else:
+            parts = loc.split("{g}")
+            pieces: list[F.Column] = []
+            for j, p in enumerate(parts):
+                if j:
+                    pieces.append(g)
+                if p:
+                    pieces.append(F.lit(p))
+            branch = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        chain = F.when(arm == i, branch) if chain is None else chain.when(arm == i, branch)
+    return chain
+
+
+def corpus_redirect_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-frontier discovery (r14, VERDICT r13 item 2): wrap
+    every document's fetch as a WARC response whose HTTP envelope is a
+    3xx WITH a Location header (absolute / origin-relative /
+    path-relative / dotted / protocol-relative / query-only forms), a
+    200, or a 404; scan back with ``warc_records(http_envelope=True)``
+    — which now surfaces ``http_location`` — resolve each Location
+    against the record's OWN URI (``operators/web.url_resolve``, RFC
+    3986: relative Location is legal), canonicalize, and classify the
+    target against the already-crawled canonical set exactly like
+    sitemap discovery: on-host / known / NEW. Scale shape: the WARC
+    scan is per-container mapInPandas (the documented honest Python
+    path), resolution + normalization are map-side JVM expressions,
+    and the only data-scale shuffle is the semi-join against the
+    crawled set on the canonical URL — high-cardinality, skew-free.
+    DuckDB replays the per-arm envelope, the FULL resolution algorithm
+    (branch structure + the dot-segment stack fold), normalization,
+    and the classification."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = _raw_url()
+    arm = F.col("doc_id") % len(_RF_ARMS)
+    status = None
+    for i, (st, _) in enumerate(_RF_ARMS):
+        status = F.when(arm == i, F.lit(st)) if status is None else status.when(arm == i, F.lit(st))
+    reason = None
+    for st, rs in _RF_REASONS.items():
+        reason = F.when(status == st, F.lit(rs)) if reason is None else reason.when(status == st, F.lit(rs))
+    loc = _rf_location()
+    head = F.concat(
+        F.lit("HTTP/1.1 "),
+        status.cast("string"),
+        F.lit(" "),
+        reason,
+        F.when(loc.isNotNull(), F.concat(F.lit("\r\nLocation: "), loc)).otherwise(F.lit("")),
+        F.lit("\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        F.lit(_RF_BODY),
+    )
+    msg = F.encode(head, "UTF-8")
+
+    def rec_over(m: F.Column) -> F.Column:
+        # the URI carries a '#d<doc_id>' fragment so each record maps
+        # back to its document (fragments never affect resolution: the
+        # base splitter excludes them from path and query)
+        return F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+                    raw,
+                    F.lit("#d"),
+                    did,
+                    F.lit("\r\nContent-Length: "),
+                    F.length(m).cast("string"),
+                    F.lit("\r\n\r\n"),
+                ),
+                "UTF-8",
+            ),
+            m,
+            F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+        )
+
+    # same FIXTURE-ONLY latin-1 array_join assembly as src_warc_http —
+    # linear in records, byte-faithful for the multi-byte URL arm
+    per = docs.select(
+        (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
+        "doc_id",
+        F.decode(TX.let(msg, rec_over), "ISO-8859-1").alias("rec"),
+    )
+    containers = per.groupBy("cid").agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ),
+                "",
+            ),
+            "ISO-8859-1",
+        ).alias("wdata")
+    )
+    recs = warc_records(containers, "wdata", http_envelope=True)
+    crawled = docs.select(W.url_normalize(_raw_url()).alias("frontier")).distinct()
+    x = recs.select(
+        F.regexp_extract("target_uri", r"#d(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "target_uri",
+        "http_status",
+        F.col("http_location").alias("location"),
+        W.url_resolve(F.col("target_uri"), F.col("http_location")).alias("resolved"),
+    )
+    x = x.select(
+        "*",
+        W.url_normalize(F.col("resolved")).alias("frontier"),
+        (W.url_host(F.col("resolved")) == W.url_host(F.col("target_uri"))).alias("on_host"),
+    )
+    marked = x.join(
+        crawled.withColumn("_k", F.lit(1)), "frontier", "left"
+    ).withColumn("known", F.col("frontier").isNotNull() & F.col("_k").isNotNull())
+    return marked.select(
+        "doc_id",
+        "http_status",
+        "location",
+        "resolved",
+        "frontier",
+        F.when(F.col("location").isNotNull(), F.col("on_host")).alias("on_host"),
+        F.when(F.col("location").isNotNull(), F.col("known")).alias("known"),
+    ).orderBy("doc_id")
+
+
+def _sql_dot_segments(p: str) -> str:
+    """DuckDB replay of ``operators/web.remove_dot_segments``: the same
+    segment-stack fold via ``list_reduce`` (the initial accumulator is
+    a prepended empty list; every branch returns a FRESH list — DuckDB
+    1.0's list_reduce mangles a lambda that returns the accumulator
+    expression unchanged, so the no-op case is expressed as a
+    zero-pop/zero-push concat)."""
+    fold = (
+        f"array_to_string(list_reduce(list_prepend([]::VARCHAR[], "
+        f"list_transform(string_split({p}, '/'), s -> [s])), "
+        f"(acc, x) -> list_concat("
+        f"acc[:len(acc) - CASE WHEN x[1] = '..' THEN 1 ELSE 0 END], "
+        f"CASE WHEN x[1] IN ('.', '..') THEN []::VARCHAR[] ELSE [x[1]] END"
+        f")), '/')"
+    )
+    return (
+        f"(CASE WHEN starts_with({fold}, '/') THEN {fold} "
+        f"ELSE '/' || {fold} END)"
+    )
+
+
+def _sql_url_resolve(b: str, r: str) -> str:
+    """DuckDB replay of ``operators/web.url_resolve`` — branch
+    structure, path-only dot removal, NULL quarantine, verbatim."""
+    sch = f"regexp_extract({b}, '{_URL_RE_SQL}', 1)"
+    auth = f"regexp_extract({b}, '{_URL_RE_SQL}', 2)"
+    origin = f"({sch} || '://' || {auth})"
+    bp0 = f"regexp_extract({b}, '{_URL_RE_SQL}', 3)"
+    bpath = f"(CASE WHEN {bp0} = '' THEN '/' ELSE {bp0} END)"
+    bdir = f"regexp_replace({bpath}, '[^/]*$', '')"
+    bq = f"coalesce(regexp_extract({b}, '{_URL_RE_SQL}', 4), '')"
+    rpath = f"regexp_extract({r}, '^([^?#]*)', 1)"
+    rtail = f"substr({r}, length({rpath}) + 1)"
+    return f"""(CASE WHEN {r} IS NULL OR {r} = ''
+              OR NOT regexp_matches({b}, '{_URL_RE_SQL}') THEN NULL
+         WHEN regexp_matches({r}, '{W.URI_SCHEME_RE}') THEN {r}
+         WHEN starts_with({r}, '//') THEN {sch} || ':' || {r}
+         WHEN starts_with({r}, '/')
+              THEN {origin} || {_sql_dot_segments(rpath)} || {rtail}
+         WHEN starts_with({r}, '?') THEN {origin} || {bpath} || {r}
+         WHEN starts_with({r}, '#')
+              THEN {origin} || {bpath} ||
+                   CASE WHEN {bq} = '' THEN '' ELSE '?' || {bq} END
+         ELSE {origin} || {_sql_dot_segments(f"({bdir} || {rpath})")} || {rtail}
+         END)"""
+
+
+def _redirect_frontier_sql() -> str:
+    loc_arms = []
+    for i, (_, loc) in enumerate(_RF_ARMS):
+        if loc is None:
+            loc_arms.append(f"WHEN {i} THEN NULL")
+        elif loc == "SELF":
+            loc_arms.append(f"WHEN {i} THEN url")
+        else:
+            parts = loc.split("{g}")
+            pieces = []
+            for j, p in enumerate(parts):
+                if j:
+                    pieces.append("(doc_id % 200)")
+                if p:
+                    pieces.append(f"'{p}'")
+            loc_arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
+    loc = f"CASE doc_id % {len(_RF_ARMS)} " + " ".join(loc_arms) + " END"
+    status_arms = " ".join(
+        f"WHEN {i} THEN {st}" for i, (st, _) in enumerate(_RF_ARMS)
+    )
+    status = f"CASE doc_id % {len(_RF_ARMS)} " + status_arms + " END"
+    return (
+        "WITH " + _sql_url_ctes() + f""",
+    rf AS (
+        SELECT doc_id, url, {status} AS http_status, {loc} AS location
+        FROM u
+    ),
+    rs AS MATERIALIZED (
+        SELECT doc_id, url, http_status, location,
+               {_sql_url_resolve("url", "location")} AS resolved
+        FROM rf
+    ),
+    rd AS (
+        SELECT *, {_sql_pct_normalize("resolved")} AS resolvedd FROM rs
+    ),
+    rx AS MATERIALIZED (
+        SELECT doc_id, http_status, location, resolved,
+               {_sql_url_norm_core("resolvedd")} AS frontier,
+               {_sql_url_host_expr("resolved")} = {_sql_url_host_expr("url")}
+                   AS on_host
+        FROM rd
+    ),
+    crawled AS MATERIALIZED (SELECT DISTINCT url_norm FROM nn)
+    SELECT r.doc_id, r.http_status, r.location, r.resolved, r.frontier,
+           CASE WHEN r.location IS NOT NULL THEN coalesce(r.on_host, FALSE) END
+               AS on_host,
+           CASE WHEN r.location IS NOT NULL
+                THEN (r.frontier IS NOT NULL AND c.url_norm IS NOT NULL) END
+               AS known
+    FROM rx r LEFT JOIN crawled c ON r.frontier = c.url_norm
+    ORDER BY r.doc_id"""
+    )
+
+
+QUERIES["corpus_redirect_frontier"] = corpus_redirect_frontier
+ORACLES["corpus_redirect_frontier"] = _redirect_frontier_sql()
