@@ -52,6 +52,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- relational parity core (SURVEY §2) --
         "q1_pricing_summary": R.q1_pricing_summary,
+        # -- r14 (VERDICT r13 item 1): RFC 9309 user-agent group
+        #    selection — every fixture host names bots, each page is
+        #    decided as a generic crawler AND as the graftbot-news
+        #    product token (longest prefix match, same-agent merge,
+        #    '*' fallback), with diverging verdicts in both directions
+        #    plus both group-scoped crawl delays. Displaced
+        #    ev_anomaly_zscore (multi-round green; analytics keeps
+        #    funnel / er_clusters / pagerank in-window)
+        "corpus_robots_agents": WB.QUERIES["corpus_robots_agents"],
+        # -- r14 (VERDICT r13 item 2): redirect-frontier discovery —
+        #    3xx Location headers surfaced from WARC envelopes,
+        #    resolved against the record's own URI (RFC 3986 incl.
+        #    dot-segment fold), canonicalized, classified known/new
+        #    against the crawled set; 200/404 arms contribute nothing.
+        #    Displaced j_asof_nearest (multi-round green; temporal
+        #    family keeps j_range_pairs + scd2 in-window)
+        "corpus_redirect_frontier": WB.QUERIES["corpus_redirect_frontier"],
+        # -- r14 (VERDICT r13 items 3/4/6 + ADVICE): charset families
+        #    (shift_jis/gbk/euc-kr/big5/koi8-r transcoded to utf-8 with
+        #    byte-exact Content-Length), header-declared utf-16 (BOM
+        #    consumed), deflate + x-gzip under HTTP/2 status lines, and
+        #    the undeclared-PNG sniff arm (payload withheld). Displaced
+        #    corpus_fix_encoding (multi-round green; the repair chain
+        #    stays in-window inside corpus_dedup_encoding +
+        #    corpus_ingest_web)
+        "src_warc_charsets": WB.QUERIES["src_warc_charsets"],
+        # -- r14 (VERDICT r13 item 5): WARC revisit records +
+        #    WARC-Payload-Digest — digest-keyed exact dedup with ZERO
+        #    payload decode, verified against the response bodies'
+        #    actual fingerprints. Displaced emb_ivf_join (multi-round
+        #    green; the vector-join family keeps its production form
+        #    emb_index_join + both knn_index_topk rows in-window)
+        "src_warc_revisit": WB.QUERIES["src_warc_revisit"],
+        # -- r14 (VERDICT r13 item 7): per-host politeness schedule —
+        #    robots verdict gate -> crawl-delay join -> per-host fetch
+        #    slots in exact integer ms (1500/2000/default-1000 arms).
+        #    Displaced prof_numeric_quantiles_approx (multi-round
+        #    green; profiling keeps correlation + heavy hitters +
+        #    dq_suite in-window)
+        "crawl_schedule": WB.QUERIES["crawl_schedule"],
         # -- discovery profiling + PII classification/redaction --
         "pii_classify_derived": P.pii_classify_derived,
         "pii_classify_counts": P.pii_classify_counts,
@@ -66,7 +106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    partials); displaced prof_column_stats (multi-round green;
         #    profiling keeps four in-window rows)
         "prof_correlation": P.prof_correlation,
-        "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
         # (r11 second wave: prof_histogram rotated past-window —
         #  multi-round green; profiling keeps correlation + approx
         #  quantiles + heavy hitters + dq_suite in-window — for the
@@ -210,11 +249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": L.EXTRA_QUERIES["corpus_dsir_weights"],
         "mm_pixel_stats": M.QUERIES["mm_pixel_stats"],
         "prof_heavy_hitters_cms": P.prof_heavy_hitters_cms,
-        # -- r8 fourth-wave: trailing-window z-score anomaly flags
-        #    (integer cross-multiplied decision); displaced
-        #    corpus_sample_weighted (two rounds green, still checked
-        #    locally every round)
-        "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "doc_lm_perplexity_bigram": L.EXTRA_QUERIES["doc_lm_perplexity_bigram"],
         # -- r12: robots.txt directive extraction — star-group rule
         #    count, GROUP-scoped Crawl-delay (the no-star-group arm
@@ -241,7 +275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    w_ranking_suite in-window)
         "corpus_url_normalize": WB.QUERIES["corpus_url_normalize"],
         "corpus_domain_cap": WB.QUERIES["corpus_domain_cap"],
-        "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],
         # -- r11 second wave, composition row: repair-BEFORE-hash dedup —
         #    three corruption disguises of each document collapse to ONE
         #    fingerprint after fix_encoding (and provably not before:
@@ -268,7 +301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    corpus-trained BPE tokenizer (training itself
         #    differentially checked), token-exact packing, and real
         #    multi-frame GIF sampling
-        "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "j_range_pairs": RX.QUERIES["j_range_pairs"],
         "tok_bpe_merges": L.EXTRA_QUERIES["tok_bpe_merges"],
         # -- r10 (VERDICT r9 item 2): IVF cell-occupancy / assignment-
@@ -280,14 +312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    encoded-count composition via tok_pack_sequences_bpe)
         "ann_cell_balance": L.EXTRA_QUERIES["ann_cell_balance"],
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
-        # -- r10 fourth wave: cluster-blocked cross-table embedding
-        #    similarity join (IVF-as-blocking with per-row top-2 cell
-        #    probes; exact integer dots decide) — the SemDeDup linkage
-        #    shape for vectors, next to fuzzy_join_docs' text LSH
-        #    linkage; displaced mm_gif_frame_sample (multi-round green;
-        #    media family keeps five in-window rows incl. the stricter
-        #    end-to-end mm_pixel_stats + mm_video_frame_sample)
-        "emb_ivf_join": L.EXTRA_QUERIES["emb_ivf_join"],
         # -- r8 late additions: bloom-prefiltered decontamination (same
         #    oracle as the exact path — the two-tier composition is
         #    hash-checked) and the skew-salted join (result-identity
@@ -328,6 +352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_index_topk_exact": L.EXTRA_QUERIES["knn_index_topk_exact"],
         "knn_index_topk_adc": L.EXTRA_QUERIES["knn_index_topk_adc"],
         # ---- driver window ends here (50 entries) ----
+        # r14 rotation casualties (multi-round green, family-pinned as
+        # documented above; still checked locally every round)
+        "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
+        "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
+        "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],
+        "prof_numeric_quantiles_approx": P.prof_numeric_quantiles_approx,
+        "emb_ivf_join": L.EXTRA_QUERIES["emb_ivf_join"],
         # r13 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
         "j_stream_enrich_twin": RX.QUERIES["j_stream_enrich_twin"],

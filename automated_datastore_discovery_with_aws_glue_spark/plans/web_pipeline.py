@@ -2446,3 +2446,529 @@ def _redirect_frontier_sql() -> str:
 
 QUERIES["corpus_redirect_frontier"] = corpus_redirect_frontier
 ORACLES["corpus_redirect_frontier"] = _redirect_frontier_sql()
+
+
+# ---------------------------------------------------------------------------
+# crawl_schedule — per-host politeness fetch slots over the allowed frontier
+# ---------------------------------------------------------------------------
+
+#: delay a polite crawler assumes for hosts that publish none
+_CS_DEFAULT_MS = 1000
+
+
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness schedule (r14, VERDICT r13 item 7): the
+    composition the robots layer enables — gate every page through the
+    ``robots_filter`` verdict (the r11 fixture: overlapping prefixes,
+    REP wildcards, deny-all, no-star-group arms), then assign each
+    ALLOWED fetch its slot: pages ordered per host by doc_id, ``seq``
+    the 1-based position, ``delay_ms`` the host's star-group
+    ``Crawl-delay`` (1500 on the .com directive arms, 2000 on .co.uk,
+    the 1000 default on the no-star-group arm — which has no wildcard
+    delay even though its file CARRIES a delay line, the group-scoping
+    pin), ``fetch_slot_ms = (seq-1) * delay_ms`` in exact integer
+    arithmetic. Scale shape: broadcast rule/delay joins + ONE window
+    per host key — hosts schedule independently, a mega-host
+    serializes only its own partition (inherent: its fetches are
+    sequential in real time; plan-audited in pytest). DuckDB replays
+    the verdict chain, the delay math, and the slot assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    pages = docs.select(
+        "doc_id",
+        W.url_host(raw).alias("host"),
+        W.url_raw_target(raw).alias("target"),
+    )
+    robots = pages.select("host").distinct().withColumn(
+        "robots", _robots_text(F.col("host"))
+    )
+    rules = W.robots_rules(robots, "host", "robots")
+    verdict = W.robots_filter(pages, rules, id_col="doc_id", path_col="target")
+    frontier = verdict.filter(F.col("allowed")).select("doc_id", "host", "target")
+    delays = W.robots_crawl_delay(robots, "host", "robots")
+    out = W.crawl_schedule(
+        frontier, delays, id_col="doc_id", default_delay_ms=_CS_DEFAULT_MS
+    )
+    return out.select(
+        "doc_id", "host", "target", "seq", "delay_ms", "fetch_slot_ms"
+    ).orderBy("doc_id")
+
+
+def _crawl_schedule_sql() -> str:
+    dir_re = r"(?i)^(allow|disallow)\s*:(.*)$"
+    delay_re = r"(?i)^crawl-delay\s*:(.*)$"
+    dval = f"TRY_CAST(trim(regexp_extract(ln, '{delay_re}', 1)) AS DOUBLE)"
+    return (
+        "WITH " + _sql_url_ctes() + ",\n    " + _sql_robots_group_ctes() + f""",
+    rl AS (
+        SELECT g.host,
+               lower(regexp_extract(ln, '{dir_re}', 1)) AS rule,
+               trim(regexp_extract(ln, '{dir_re}', 2)) AS prefix
+        FROM gr g JOIN sg USING (host, grp)
+        WHERE NOT ua AND regexp_matches(ln, '{dir_re}')
+    ),
+    rl1 AS (
+        SELECT *, coalesce({_sql_pct_normalize("prefix")}, prefix) AS pfxd
+        FROM rl WHERE prefix <> ''
+    ),
+    rl2 AS (
+        SELECT *,
+               (contains(prefix, '*') OR ends_with(prefix, '$')) AS wild,
+               '^' || regexp_replace(regexp_replace(regexp_replace(pfxd,
+                   '{W.REP_SPECIALS_CLASS}', '\\\\\\1', 'g'),
+                   '\\*', '.*', 'g'),
+                   '\\\\\\$$', '$') AS pat
+        FROM rl1
+    ),
+    mt AS (
+        SELECT p.doc_id, r.rule, r.prefix
+        FROM nn p JOIN rl2 r ON p.host = r.host AND
+             (CASE WHEN r.wild THEN regexp_matches(p.rtargetd, r.pat)
+                   ELSE starts_with(p.rtargetd, r.pfxd) END)
+    ),
+    bst AS (
+        SELECT doc_id, rule, prefix FROM mt
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY strlen(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
+    ),
+    alw AS (
+        SELECT n.doc_id, n.host, n.rtarget AS target
+        FROM nn n LEFT JOIN bst b USING (doc_id)
+        WHERE coalesce(b.rule = 'allow', TRUE)
+    ),
+    dl AS (
+        SELECT g.host,
+               CAST(floor(min({dval}) * 1000) AS INT) AS d
+        FROM gr g JOIN sg USING (host, grp)
+        WHERE NOT ua AND regexp_matches(ln, '{delay_re}')
+          AND {dval} IS NOT NULL
+        GROUP BY g.host
+    ),
+    sq AS (
+        SELECT a.doc_id, a.host, a.target,
+               CAST(row_number() OVER (PARTITION BY a.host ORDER BY a.doc_id)
+                    AS INT) AS seq,
+               CAST(coalesce(dl.d, {_CS_DEFAULT_MS}) AS BIGINT) AS delay_ms
+        FROM alw a LEFT JOIN dl ON a.host = dl.host
+    )
+    SELECT doc_id, host, target, seq, delay_ms,
+           CAST((seq - 1) AS BIGINT) * delay_ms AS fetch_slot_ms
+    FROM sq
+    ORDER BY doc_id"""
+    )
+
+
+QUERIES["crawl_schedule"] = crawl_schedule
+ORACLES["crawl_schedule"] = _crawl_schedule_sql()
+
+
+# ---------------------------------------------------------------------------
+# src_warc_charsets — CJK/utf-16 transcode, deflate, HTTP/2, binary sniff (r14)
+# ---------------------------------------------------------------------------
+#
+# Ten arms (doc_id % 10) pinning the r14 envelope additions end-to-end:
+#   0-4: header-declared CJK / cyrillic charsets (shift_jis -> cp932,
+#        gb2312 -> gbk, euc-kr -> cp949, big5, koi8-r) — multi-byte
+#        salts make Content-Length byte math charset-dependent, and
+#        the payload fingerprint pins the utf-8 TRANSCODE
+#   5:   header-declared utf-16le, NO BOM (2 bytes/char)
+#   6:   bare 'utf-16' label WITH a BOM (BOM consumed, never corpus text)
+#   7:   HTTP/2 status line + Content-Encoding: deflate (constant body)
+#   8:   x-gzip legacy alias (constant body)
+#   9:   NO Content-Type + PNG magic -> sniffed binary, payload WITHHELD
+
+#: (python-codec, IANA label as the fixture declares it, salt) per CJK arm
+_WC_CJK: tuple[tuple[str, str, str], ...] = (
+    ("cp932", "shift_jis", "漢字 テスト"),
+    ("gbk", "gb2312", "中文测试"),
+    ("cp949", "euc-kr", "한글 인사"),
+    ("big5", "big5", "中文測試"),
+    ("koi8-r", "koi8-r", "Привет мир"),
+)
+#: BMP-only salts for the utf-16 arms (2 bytes per char, no surrogates)
+_WC_U16_SALT = "ütf-16 漢字"
+#: page skeleton shared by both engines: PRE + doc_id + MID + salt + "] " + text
+_WC_PRE = "doc "
+_WC_MID = " ["
+_WC_POST = "] "
+
+_WC_DEFLATE_TEXT = "deflate arm constant body text"
+_WC_GZIP_TEXT = "x-gzip arm constant body text"
+
+
+def _wc_bodies() -> tuple[bytes, bytes, bytes]:
+    """The three constant bodies (deflate / x-gzip / png) — computed
+    once, shared by the fixture and the oracle generator."""
+    import gzip
+    import zlib
+
+    deflate = zlib.compress(_WC_DEFLATE_TEXT.encode("utf-8"))
+    gz = gzip.compress(_WC_GZIP_TEXT.encode("utf-8"), mtime=0)
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(0x80, 0xE0))
+    return deflate, gz, png
+
+
+#: per-arm HTTP heads (ASCII constants — byte length is len())
+_WC_HEADS: tuple[str, ...] = tuple(
+    f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset={label}\r\n\r\n"
+    for _, label, _s in _WC_CJK
+) + (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-16le\r\n\r\n",
+    'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="UTF-16"\r\n\r\n',
+    "HTTP/2 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    "Content-Encoding: deflate\r\n\r\n",
+    "HTTP/2 200\r\nContent-Type: text/html; charset=utf-8\r\n"
+    "Content-Encoding: x-gzip\r\n\r\n",
+    "HTTP/2 200 OK\r\nServer: fixture\r\n\r\n",
+)
+
+#: expected (content_type, charset, charset_src, text_like) per arm
+_WC_EXPECT: tuple[tuple[str | None, str | None, str | None, bool], ...] = tuple(
+    ("text/html", codec, "header", True) for codec, _l, _s in _WC_CJK
+) + (
+    ("text/html", "utf-16-le", "header", True),
+    ("text/html", "utf-16", "header", True),
+    ("text/html", "utf-8", "header", True),
+    ("text/html", "utf-8", "header", True),
+    (None, None, None, False),
+)
+
+
+def src_warc_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 envelope coverage (VERDICT r13 items 3/4/6 + ADVICE sniff):
+    encode each document's page under the charset families real
+    multilingual crawls declare, frame as WARC records, scan back with
+    ``warc_records(http_envelope=True)``, and pin per-arm status /
+    mime / charset / source / BYTE-exact Content-Length / utf-8
+    fingerprint. The CJK bodies are built byte-level (Spark cannot
+    encode cp932/gbk — the multi-byte salt is a Python-encoded
+    constant spliced between ASCII segments), the utf-16 arms via
+    Spark's own encoders (BOM consumed on the bare-label arm), the
+    deflate / x-gzip arms carry constant compressed bodies under
+    HTTP/2 status lines, and the undeclared-PNG arm must come back
+    payload-WITHHELD. A fingerprint equal to the one the utf-8 twin
+    of the same text would produce is the transcode proof. DuckDB
+    computes every expected field from the same shared constants."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    deflate_b, gzip_b, png_b = _wc_bodies()
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    arm = F.col("doc_id") % 10
+
+    def page(salt: str) -> F.Column:
+        return F.concat(
+            F.lit(_WC_PRE), did, F.lit(_WC_MID), F.lit(salt),
+            F.lit(_WC_POST), F.col("text"),
+        )
+
+    def cjk_body(codec: str, salt: str) -> F.Column:
+        pre = F.concat(F.lit(_WC_PRE), did, F.lit(_WC_MID))
+        post = F.concat(F.lit(_WC_POST), F.col("text"))
+        return F.concat(
+            F.encode(pre, "ISO-8859-1"),
+            F.lit(salt.encode(codec)),
+            F.encode(post, "ISO-8859-1"),
+        )
+
+    body = None
+    for i, (codec, _label, salt) in enumerate(_WC_CJK):
+        b = cjk_body(codec, salt)
+        body = F.when(arm == i, b) if body is None else body.when(arm == i, b)
+    body = (
+        body.when(arm == 5, F.encode(page(_WC_U16_SALT), "UTF-16LE"))
+        .when(arm == 6, F.encode(page(_WC_U16_SALT), "UTF-16"))
+        .when(arm == 7, F.lit(deflate_b))
+        .when(arm == 8, F.lit(gzip_b))
+        .otherwise(F.lit(png_b))
+    )
+    head = None
+    for i, h in enumerate(_WC_HEADS):
+        head = F.when(arm == i, F.lit(h)) if head is None else head.when(arm == i, F.lit(h))
+    msg = F.concat(F.encode(head, "UTF-8"), body)
+
+    def rec_over(m: F.Column) -> F.Column:
+        return F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: urn:doc:"),
+                    did,
+                    F.lit("\r\nContent-Length: "),
+                    F.length(m).cast("string"),
+                    F.lit("\r\n\r\n"),
+                ),
+                "UTF-8",
+            ),
+            m,
+            F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+        )
+
+    per = docs.select(
+        (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
+        "doc_id",
+        F.decode(TX.let(msg, rec_over), "ISO-8859-1").alias("rec"),
+    )
+    containers = per.groupBy("cid").agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ),
+                "",
+            ),
+            "ISO-8859-1",
+        ).alias("wdata")
+    )
+    recs = warc_records(containers, "wdata", http_envelope=True)
+    return recs.select(
+        F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "http_status",
+        F.col("http_content_type").alias("content_type"),
+        F.col("http_charset").alias("charset"),
+        F.col("http_charset_src").alias("charset_src"),
+        "content_length",
+        F.col("payload").isNotNull().alias("text_like"),
+        F.when(
+            F.col("payload").isNotNull(),
+            F.size(F.split(F.col("payload"), r"\s+")),
+        )
+        .cast("int")
+        .alias("n_words"),
+        F.when(
+            F.col("payload").isNotNull(), F.md5(F.col("payload").cast("binary"))
+        ).alias("payload_fp"),
+        "valid",
+    ).orderBy("doc_id")
+
+
+def _warc_charsets_sql() -> str:
+    q = _sql_quote
+    deflate_b, gzip_b, png_b = _wc_bodies()
+    # the DECODED payload per text arm (what the transcode must yield)
+    salt_case_arms = " ".join(
+        f"WHEN {i} THEN '{q(s)}'" for i, (_c, _l, s) in enumerate(_WC_CJK)
+    )
+    salt = (
+        f"CASE doc_id % 10 {salt_case_arms} "
+        f"ELSE '{q(_WC_U16_SALT)}' END"
+    )
+    page = (
+        f"'{_WC_PRE}' || doc_id || '{_WC_MID}' || ({salt}) || "
+        f"'{q(_WC_POST)}' || text"
+    )
+    # per-arm body byte count: ASCII chars count 1; the salt's byte
+    # length is a Python constant; utf-16 arms are 2 bytes/char (+2 BOM
+    # on the bare-label arm); constant arms are len() of the constant
+    clen_arms = []
+    for i, (codec, _l, s) in enumerate(_WC_CJK):
+        clen_arms.append(
+            f"WHEN {i} THEN {len(_WC_HEADS[i])} + length(page) "
+            f"- {len(s)} + {len(s.encode(codec))}"
+        )
+    clen_arms += [
+        f"WHEN 5 THEN {len(_WC_HEADS[5])} + 2 * length(page)",
+        f"WHEN 6 THEN {len(_WC_HEADS[6])} + 2 + 2 * length(page)",
+        f"WHEN 7 THEN {len(_WC_HEADS[7]) + len(deflate_b)}",
+        f"WHEN 8 THEN {len(_WC_HEADS[8]) + len(gzip_b)}",
+        f"WHEN 9 THEN {len(_WC_HEADS[9]) + len(png_b)}",
+    ]
+    clen = "CASE doc_id % 10 " + " ".join(clen_arms) + " END"
+
+    def str_or_null(v) -> str:
+        return "NULL" if v is None else f"'{v}'"
+
+    def expect_case(idx: int) -> str:
+        arms = " ".join(
+            f"WHEN {i} THEN {str_or_null(e[idx])}"
+            for i, e in enumerate(_WC_EXPECT)
+        )
+        return f"CASE doc_id % 10 {arms} END"
+
+    text_like = (
+        "CASE doc_id % 10 "
+        + " ".join(
+            f"WHEN {i} THEN {'TRUE' if e[3] else 'FALSE'}"
+            for i, e in enumerate(_WC_EXPECT)
+        )
+        + " END"
+    )
+    payload = (
+        f"CASE WHEN doc_id % 10 <= 6 THEN {page} "
+        f"WHEN doc_id % 10 = 7 THEN '{q(_WC_DEFLATE_TEXT)}' "
+        f"WHEN doc_id % 10 = 8 THEN '{q(_WC_GZIP_TEXT)}' "
+        f"ELSE NULL END"
+    )
+    return f"""
+    WITH pg AS MATERIALIZED (
+        SELECT doc_id, {page} AS page FROM documents
+    ),
+    env AS (
+        SELECT doc_id,
+               200 AS http_status,
+               {expect_case(0)} AS content_type,
+               {expect_case(1)} AS charset,
+               {expect_case(2)} AS charset_src,
+               CAST({clen} AS BIGINT) AS content_length,
+               {text_like} AS text_like,
+               {payload} AS payload
+        FROM pg JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, http_status, content_type, charset, charset_src,
+           content_length, text_like,
+           CAST(CASE WHEN payload IS NOT NULL
+                     THEN len(regexp_split_to_array(payload, '\\s+'))
+                END AS INT) AS n_words,
+           CASE WHEN payload IS NOT NULL THEN md5(payload) END AS payload_fp,
+           TRUE AS valid
+    FROM env
+    ORDER BY doc_id"""
+
+
+QUERIES["src_warc_charsets"] = src_warc_charsets
+ORACLES["src_warc_charsets"] = _warc_charsets_sql()
+
+
+# ---------------------------------------------------------------------------
+# src_warc_revisit — WARC revisit records + digest-keyed ZERO-decode dedup
+# ---------------------------------------------------------------------------
+
+#: multi-byte salt inside every shared body (bytes != chars, so the
+#: revisit records' Content-Length math stays honest)
+_RV_SALT = "—漢字 "
+_RV_PRE = "shared body of group "
+
+
+def src_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` records + ``WARC-Payload-Digest`` (r14,
+    VERDICT r13 item 5): real crawl archives dedup at WRITE time —
+    when a fetch's payload digest matches an earlier capture, the
+    archive stores a ``revisit`` record carrying the digest and NO
+    body. The fixture groups every three consecutive documents onto
+    one shared body: the group head is a full ``response`` (digest
+    header = ``md5:<hex of the body bytes>``), the other two are
+    ``revisit`` records with the same digest and Content-Length 0.
+    The query is the cheapest dedup tier there is — group by
+    ``payload_digest``, NO payload decode needed — and verifies the
+    digest against the response payload's actual fingerprint
+    (``digest_consistent``), i.e. digest dedup == text-fingerprint
+    dedup on the same corpus. One fingerprint-keyed shuffle,
+    skew-free at any scale. DuckDB derives digests, group sizes, and
+    consistency from the same shared constants."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    grp = (F.col("doc_id") - (F.col("doc_id") % 3)).cast("string")
+    body = F.concat(F.lit(_RV_PRE), grp, F.lit(" "), F.lit(_RV_SALT))
+    digest = F.concat(F.lit("md5:"), F.md5(F.encode(body, "UTF-8")))
+    is_head = F.col("doc_id") % 3 == 0
+    head_http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"),
+        body,
+    )
+    rec = F.when(
+        is_head,
+        TX.let(
+            F.encode(head_http, "UTF-8"),
+            lambda m: F.concat(
+                F.encode(
+                    F.concat(
+                        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: urn:doc:"),
+                        did,
+                        F.lit("\r\nWARC-Payload-Digest: "),
+                        digest,
+                        F.lit("\r\nContent-Length: "),
+                        F.length(m).cast("string"),
+                        F.lit("\r\n\r\n"),
+                    ),
+                    "UTF-8",
+                ),
+                m,
+                F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+            ),
+        ),
+    ).otherwise(
+        F.encode(
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: urn:doc:"),
+                did,
+                F.lit("\r\nWARC-Payload-Digest: "),
+                digest,
+                F.lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+            ),
+            "UTF-8",
+        )
+    )
+    per = docs.select(
+        (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
+        "doc_id",
+        F.decode(rec, "ISO-8859-1").alias("rec"),
+    )
+    containers = per.groupBy("cid").agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ),
+                "",
+            ),
+            "ISO-8859-1",
+        ).alias("wdata")
+    )
+    recs = warc_records(containers, "wdata", http_envelope=True)
+    # digest-keyed dedup: one shuffle on the digest, ZERO payload
+    # decode needed for the revisit side; the response side's actual
+    # body fingerprint must agree with the digest it declared
+    per_rec = recs.select(
+        "payload_digest",
+        F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        (F.col("warc_type") == "response").alias("is_resp"),
+        F.when(
+            (F.col("warc_type") == "response") & F.col("payload").isNotNull(),
+            F.md5(F.col("payload").cast("binary")) == F.regexp_replace(
+                "payload_digest", r"^md5:", ""
+            ),
+        ).alias("_ok"),
+    )
+    return (
+        per_rec.groupBy("payload_digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("is_resp").cast("bigint")).alias("n_responses"),
+            F.sum((~F.col("is_resp")).cast("bigint")).alias("n_revisits"),
+            F.min("doc_id").alias("head_doc"),
+            F.min(F.when(F.col("is_resp"), F.col("_ok"))).alias("digest_consistent"),
+        )
+        .orderBy("payload_digest")
+    )
+
+
+def _warc_revisit_sql() -> str:
+    q = _sql_quote
+    body = f"'{q(_RV_PRE)}' || (doc_id - (doc_id % 3)) || ' ' || '{q(_RV_SALT)}'"
+    return f"""
+    WITH r AS (
+        SELECT doc_id,
+               'md5:' || md5({body}) AS payload_digest,
+               (doc_id % 3 = 0) AS is_resp
+        FROM documents
+    )
+    SELECT payload_digest,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN is_resp THEN 1 ELSE 0 END) AS BIGINT) AS n_responses,
+           CAST(sum(CASE WHEN is_resp THEN 0 ELSE 1 END) AS BIGINT) AS n_revisits,
+           min(doc_id) AS head_doc,
+           TRUE AS digest_consistent
+    FROM r
+    GROUP BY payload_digest
+    ORDER BY payload_digest"""
+
+
+QUERIES["src_warc_revisit"] = src_warc_revisit
+ORACLES["src_warc_revisit"] = _warc_revisit_sql()

@@ -179,6 +179,15 @@ HEADLINE = [
     # status gate) and IDN/punycode host folding to one canonical key
     "src_warc_http",
     "corpus_idn_hosts",
+    # r14: RFC 9309 agent-group selection, redirect-frontier discovery
+    # (Location resolve -> classify), charset-family/deflate/HTTP2
+    # envelope coverage, digest-keyed zero-decode revisit dedup, and
+    # the per-host politeness schedule
+    "corpus_robots_agents",
+    "corpus_redirect_frontier",
+    "src_warc_charsets",
+    "src_warc_revisit",
+    "crawl_schedule",
 ]
 
 

@@ -1107,3 +1107,56 @@ def test_url_resolve_quarantines_and_edge_bases(spark):
     assert got[1] == "https://ex.com/p"
     assert got[2] == "https://ex.com/d/p"
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+# -- r14: per-host politeness schedule ----------------------------------------
+
+
+def test_crawl_schedule_slots_and_default(spark):
+    pages = spark.createDataFrame(
+        [(1, "a.com"), (3, "a.com"), (2, "a.com"), (10, "b.org"), (11, "c.net")],
+        ["doc_id", "host"],
+    )
+    delays = spark.createDataFrame([("a.com", 1500), ("b.org", 200)],
+                                   ["host", "crawl_delay_ms"])
+    got = {
+        r["doc_id"]: (r["seq"], r["delay_ms"], r["fetch_slot_ms"])
+        for r in W.crawl_schedule(pages, delays, id_col="doc_id").collect()
+    }
+    # per-host order is doc_id; slots are exact integer multiples
+    assert got[1] == (1, 1500, 0)
+    assert got[2] == (2, 1500, 1500)
+    assert got[3] == (3, 1500, 3000)
+    assert got[10] == (1, 200, 0)
+    # a host with no published delay gets the polite default
+    assert got[11] == (1, 1000, 0)
+    # output-column collisions are loud
+    import pytest
+
+    with pytest.raises(ValueError, match="seq"):
+        W.crawl_schedule(pages.withColumn("seq", F.lit(1)), delays, id_col="doc_id")
+
+
+def test_crawl_schedule_partitions_by_host_only(spark):
+    # one mega-host must not serialize the PLAN: the window partitions
+    # by the host key alone (mega-host rows serialize within their own
+    # partition — inherent to a per-host schedule — while every other
+    # host proceeds in parallel), and the delay join stays broadcast
+    import pyspark.sql.functions as SF
+
+    pages = spark.range(0, 10000).select(
+        SF.col("id").alias("doc_id"),
+        SF.when(SF.col("id") % 10 < 8, SF.lit("mega.com"))
+        .otherwise(SF.concat(SF.lit("h"), (SF.col("id") % 97).cast("string")))
+        .alias("host"),
+    )
+    delays = spark.createDataFrame([("mega.com", 100)], ["host", "crawl_delay_ms"])
+    out = W.crawl_schedule(pages, delays, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(host" in plan
+    # no single-partition (global) exchange anywhere in the plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # and the schedule itself is correct on the mega host
+    mega = out.filter(SF.col("host") == "mega.com").orderBy("seq").limit(3).collect()
+    assert [(r["seq"], r["fetch_slot_ms"]) for r in mega] == [(1, 0), (2, 100), (3, 200)]
