@@ -312,12 +312,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    encoded-count composition via tok_pack_sequences_bpe)
         "ann_cell_balance": L.EXTRA_QUERIES["ann_cell_balance"],
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
-        # -- r8 late additions: bloom-prefiltered decontamination (same
-        #    oracle as the exact path — the two-tier composition is
-        #    hash-checked) and the skew-salted join (result-identity
-        #    with the plain join is the checked property)
-        "corpus_decontaminate_bloom": L.EXTRA_QUERIES["corpus_decontaminate_bloom"],
-        "j_salted_skew_enrich": L.EXTRA_QUERIES["j_salted_skew_enrich"],
+        # -- r14b: recrawl planning from HTTP caching validators —
+        #    ETag / Last-Modified surfaced from WARC envelopes, strict
+        #    HTTP-date parse (unparseable dates quarantine to NULL age,
+        #    never guess), revalidation mode (if-none-match beats
+        #    if-modified-since beats unconditional) and age-bucket
+        #    priority ladders replayed by DuckDB. Displaced
+        #    corpus_decontaminate_bloom (multi-round green since r8; it
+        #    shares corpus_decontaminate's oracle verbatim and the
+        #    two-tier bloom composition stays pytest-pinned)
+        "corpus_recrawl_plan": WB.QUERIES["corpus_recrawl_plan"],
+        # -- r14b: multi-hop redirect-chain resolution — the frontier
+        #    consolidation step over the 3xx edge table (A -> B -> C
+        #    fetches as C); static 4-level unroll, list-path cycle
+        #    detection, exact-at-cap vs capped distinction, DuckDB
+        #    replaying the identical unroll. Displaced
+        #    j_salted_skew_enrich (multi-round green since r8; the
+        #    salting identity stays pytest-pinned and the join family
+        #    keeps j_range_pairs / scd2 / src_bucketed_join in-window)
+        "corpus_redirect_chains": WB.QUERIES["corpus_redirect_chains"],
         # -- r8 fourth-wave: SCD Type-2 dimension history (state/scd.py;
         #    closed-history pass-through, in-batch version chains, no-op
         #    suppression, new keys — the full chain DuckDB-replayed)
@@ -354,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window ends here (50 entries) ----
         # r14 rotation casualties (multi-round green, family-pinned as
         # documented above; still checked locally every round)
+        "corpus_decontaminate_bloom": L.EXTRA_QUERIES["corpus_decontaminate_bloom"],
+        "j_salted_skew_enrich": L.EXTRA_QUERIES["j_salted_skew_enrich"],
         "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],

@@ -795,6 +795,103 @@ def robots_crawl_delay(
     )
 
 
+def redirect_chains(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-hop redirect resolution (r14b): map every redirect SOURCE
+    to its final target by walking the ``(src, dst)`` edge table —
+    the frontier-consolidation step a crawler runs so `A -> B -> C`
+    fetches and dedups as ``C``. The walk is a STATIC unroll of
+    ``max_hops`` self-joins (real chains are short — browsers cap
+    around 20 — and a bounded unroll keeps the plan deterministic: no
+    driver-side iteration, no data-dependent plan shape). Cycle
+    detection via an accumulated path array (``A -> B -> A`` stops
+    with ``status='loop'``); a walk still unresolved after
+    ``max_hops`` reports ``'cap'``; everything else ``'ok'`` with the
+    final URL and exact hop count.
+
+    Returns one row per DISTINCT source: ``(start, final_url, n_hops,
+    status)``. Scale shape: each unroll level is one equi-join on the
+    current target — a high-cardinality, skew-free URL key — and rows
+    whose walk already terminated carry NULL keys through the
+    remaining joins (no growth, no recomputation). Shuffle count =
+    ``max_hops``, independent of data size."""
+    e = edges.select(
+        F.col(src_col).alias("_rc_s"), F.col(dst_col).alias("_rc_d")
+    ).distinct()
+    # hop 1: every distinct source starts a walk
+    cur = e.select(
+        F.col("_rc_s").alias("start"),
+        F.col("_rc_d").alias("_cur"),
+        F.lit(1).alias("n_hops"),
+        F.array(F.col("_rc_s")).alias("_path"),
+        # a self-edge is an immediate loop
+        (F.col("_rc_d") == F.col("_rc_s")).alias("_loop"),
+        F.lit(False).alias("_done"),
+    )
+    for _ in range(max_hops - 1):
+        nxt = e.withColumnRenamed("_rc_s", "_rc_cur")
+        live = ~F.col("_done") & ~F.col("_loop")
+        cur = (
+            cur.join(
+                nxt,
+                # terminated walks join on a NULL key: no match, no cost
+                F.when(live, F.col("_cur")) == F.col("_rc_cur"),
+                "left",
+            )
+            .drop("_rc_cur")
+            .select(
+                "start",
+                F.when(F.col("_rc_d").isNotNull(), F.col("_rc_d"))
+                .otherwise(F.col("_cur"))
+                .alias("_cur"),
+                F.when(F.col("_rc_d").isNotNull(), F.col("n_hops") + 1)
+                .otherwise(F.col("n_hops"))
+                .alias("n_hops"),
+                F.when(
+                    F.col("_rc_d").isNotNull(),
+                    F.array_append(F.col("_path"), F.col("_cur")),
+                )
+                .otherwise(F.col("_path"))
+                .alias("_path"),
+                (
+                    F.col("_loop")
+                    | (
+                        F.col("_rc_d").isNotNull()
+                        & (
+                            F.array_contains(F.col("_path"), F.col("_rc_d"))
+                            | (F.col("_rc_d") == F.col("_cur"))
+                        )
+                    )
+                ).alias("_loop"),
+                # no outgoing edge found while live -> walk is complete
+                (F.col("_done") | (live & F.col("_rc_d").isNull())).alias(
+                    "_done"
+                ),
+            )
+        )
+    # a walk neither done nor looped after max_hops levels hit the cap —
+    # UNLESS its current node has no outgoing edge (resolved exactly at
+    # the cap); one last membership join decides. NOT broadcast: the
+    # source set is data-scale — the key is a high-cardinality URL,
+    # the shuffle join is the honest shape.
+    last = e.select(F.col("_rc_s").alias("_cur"), F.lit(1).alias("_more")).distinct()
+    out = cur.join(last, "_cur", "left")
+    return out.select(
+        "start",
+        F.col("_cur").alias("final_url"),
+        "n_hops",
+        F.when(F.col("_loop"), F.lit("loop"))
+        .when(F.col("_done") | F.col("_more").isNull(), F.lit("ok"))
+        .otherwise(F.lit("cap"))
+        .alias("status"),
+    )
+
+
 def crawl_schedule(
     pages: DataFrame,
     delays: DataFrame,

@@ -2972,3 +2972,370 @@ def _warc_revisit_sql() -> str:
 
 QUERIES["src_warc_revisit"] = src_warc_revisit
 ORACLES["src_warc_revisit"] = _warc_revisit_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_recrawl_plan — caching validators -> revalidation schedule (r14b)
+# ---------------------------------------------------------------------------
+
+#: deterministic "now" for age math (both engines share the constant —
+#: a wall-clock now would make the oracle unreproducible)
+_RP_NOW = "2024-03-01"
+#: fixed Last-Modified constants with CORRECT weekday names (java.time
+#: parses EEE strictly — a wrong weekday is a parse failure, so the
+#: fixture uses verified full dates, never synthesized day arithmetic)
+_RP_HOT = "Tue, 20 Feb 2024 10:00:00 GMT"     # 10 days before now
+_RP_COLD = "Thu, 15 Jun 2023 08:30:00 GMT"    # 260 days before now
+_RP_WARM = "Mon, 01 Jan 2024 00:00:00 GMT"    # 60 days before now
+_RP_BAD = "yesterday-ish"                      # unparseable, loud-NULL
+#: HTTP-date formats.  Spark 3+ BANS day-of-week symbols ('E') in
+#: PARSING patterns (java.time policy), so the Spark side gates the
+#: weekday token with a regex and parses the remainder; DuckDB's
+#: ``%a`` likewise accepts any valid abbreviation without
+#: cross-checking it against the date — identical semantics: the
+#: token must be a well-formed weekday NAME, not the correct one.
+_RP_WDAY_RE = r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), "
+_RP_FMT_SPARK = "dd MMM yyyy HH:mm:ss 'GMT'"
+_RP_FMT_DUCK = "%a, %d %b %Y %H:%M:%S GMT"
+#: age thresholds (days) for the recrawl priority buckets
+_RP_HOT_DAYS = 30
+_RP_WARM_DAYS = 180
+
+#: per-arm (status, etag template or None, last-modified or None)
+_RP_ARMS: tuple[tuple[int, str | None, str | None], ...] = (
+    (200, '"v{g}-abc"', _RP_HOT),      # strong ETag + hot page
+    (200, 'W/"weak-{g}"', _RP_COLD),   # WEAK ETag + cold page
+    (200, None, _RP_WARM),             # Last-Modified only
+    (200, None, None),                 # no validators at all
+    (200, None, _RP_BAD),              # unparseable date -> lm useless
+    (404, None, None),                 # dead page, leaves the plan
+)
+
+
+def corpus_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl planning from HTTP caching validators (r14b): the
+    engine's fingerprint-skip recrawl discipline applied to the web —
+    a scheduler holding ``ETag`` / ``Last-Modified`` revalidates with
+    If-None-Match / If-Modified-Since instead of refetching bodies.
+    Each document's fetch is framed as a WARC response whose envelope
+    carries one validator combination (strong ETag + fresh date, weak
+    ETag + stale date, date-only, none, an UNPARSEABLE date that must
+    quarantine to NULL age rather than guess, and a 404 that leaves
+    the plan); the envelope scan surfaces ``http_etag`` /
+    ``http_last_modified``, the date parses under the strict HTTP-date
+    format against a FIXED reference day, and the plan assigns
+    ``revalidate`` (if-none-match > if-modified-since > unconditional;
+    ETag wins when both exist — it is the stronger validator) and an
+    age-bucket ``priority`` (hot/warm/cold; 'unknown' without a date,
+    'dead' on non-200). All map-side JVM expressions after the
+    per-container scan; DuckDB replays the arms, the strptime, the
+    age math, and both CASE ladders."""
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 200).cast("string")
+    arm = F.col("doc_id") % len(_RP_ARMS)
+    status = None
+    etag = None
+    lm = None
+    for i, (st, et, l) in enumerate(_RP_ARMS):
+        status = F.when(arm == i, F.lit(st)) if status is None else status.when(arm == i, F.lit(st))
+        if et is None:
+            e_branch = F.lit(None).cast("string")
+        else:
+            parts = et.split("{g}")
+            e_branch = F.concat(F.lit(parts[0]), g, F.lit(parts[1]))
+        etag = F.when(arm == i, e_branch) if etag is None else etag.when(arm == i, e_branch)
+        l_branch = F.lit(l).cast("string") if l is not None else F.lit(None).cast("string")
+        lm = F.when(arm == i, l_branch) if lm is None else lm.when(arm == i, l_branch)
+    reason = F.when(status == 200, F.lit("OK")).otherwise(F.lit("Not Found"))
+    head = F.concat(
+        F.lit("HTTP/1.1 "),
+        status.cast("string"),
+        F.lit(" "),
+        reason,
+        F.when(etag.isNotNull(), F.concat(F.lit("\r\nETag: "), etag)).otherwise(F.lit("")),
+        F.when(lm.isNotNull(), F.concat(F.lit("\r\nLast-Modified: "), lm)).otherwise(F.lit("")),
+        F.lit("\r\nContent-Type: text/plain; charset=utf-8\r\n\r\nrecrawl fixture body"),
+    )
+    msg = F.encode(head, "UTF-8")
+
+    def rec_over(m: F.Column) -> F.Column:
+        return F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: urn:doc:"),
+                    did,
+                    F.lit("\r\nContent-Length: "),
+                    F.length(m).cast("string"),
+                    F.lit("\r\n\r\n"),
+                ),
+                "UTF-8",
+            ),
+            m,
+            F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+        )
+
+    per = docs.select(
+        (F.col("doc_id") % _WARC_CONTAINERS).alias("cid"),
+        "doc_id",
+        F.decode(TX.let(msg, rec_over), "ISO-8859-1").alias("rec"),
+    )
+    containers = per.groupBy("cid").agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ),
+                "",
+            ),
+            "ISO-8859-1",
+        ).alias("wdata")
+    )
+    recs = warc_records(containers, "wdata", http_envelope=True)
+    parsed = F.when(
+        F.col("http_last_modified").rlike(_RP_WDAY_RE),
+        F.try_to_timestamp(
+            F.substring(F.col("http_last_modified"), 6, 1_000),
+            F.lit(_RP_FMT_SPARK),
+        ),
+    )
+    age = F.datediff(F.lit(_RP_NOW).cast("date"), parsed.cast("date"))
+    alive = F.col("http_status") == 200
+    return recs.select(
+        F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "http_status",
+        F.col("http_etag").alias("etag"),
+        F.col("http_last_modified").alias("last_modified"),
+        age.cast("int").alias("age_days"),
+        F.when(~alive, F.lit(None).cast("string"))
+        .when(F.col("http_etag").isNotNull(), F.lit("if-none-match"))
+        .when(parsed.isNotNull(), F.lit("if-modified-since"))
+        .otherwise(F.lit("unconditional"))
+        .alias("revalidate"),
+        F.when(~alive, F.lit("dead"))
+        .when(age.isNull(), F.lit("unknown"))
+        .when(age <= _RP_HOT_DAYS, F.lit("hot"))
+        .when(age <= _RP_WARM_DAYS, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("priority"),
+    ).orderBy("doc_id")
+
+
+def _recrawl_plan_sql() -> str:
+    q = _sql_quote
+    et_arms, lm_arms, st_arms = [], [], []
+    for i, (st, et, l) in enumerate(_RP_ARMS):
+        st_arms.append(f"WHEN {i} THEN {st}")
+        if et is None:
+            et_arms.append(f"WHEN {i} THEN NULL")
+        else:
+            parts = et.split("{g}")
+            et_arms.append(
+                f"WHEN {i} THEN '{q(parts[0])}' || (doc_id % 200) || '{q(parts[1])}'"
+            )
+        lm_arms.append(f"WHEN {i} THEN " + ("NULL" if l is None else f"'{q(l)}'"))
+    n = len(_RP_ARMS)
+    status = f"CASE doc_id % {n} " + " ".join(st_arms) + " END"
+    etag = f"CASE doc_id % {n} " + " ".join(et_arms) + " END"
+    lm = f"CASE doc_id % {n} " + " ".join(lm_arms) + " END"
+    return f"""
+    WITH r AS (
+        SELECT doc_id,
+               {status} AS http_status,
+               {etag} AS etag,
+               {lm} AS last_modified
+        FROM documents
+    ),
+    p AS (
+        SELECT *,
+               CAST(try_strptime(last_modified, '{_RP_FMT_DUCK}') AS DATE)
+                   AS lm_date
+        FROM r
+    ),
+    a AS (
+        SELECT *,
+               CAST(CASE WHEN lm_date IS NOT NULL
+                         THEN date_diff('day', lm_date, DATE '{_RP_NOW}')
+                    END AS INT) AS age_days
+        FROM p
+    )
+    SELECT doc_id, http_status, etag, last_modified, age_days,
+           CASE WHEN http_status <> 200 THEN NULL
+                WHEN etag IS NOT NULL THEN 'if-none-match'
+                WHEN lm_date IS NOT NULL THEN 'if-modified-since'
+                ELSE 'unconditional' END AS revalidate,
+           CASE WHEN http_status <> 200 THEN 'dead'
+                WHEN age_days IS NULL THEN 'unknown'
+                WHEN age_days <= {_RP_HOT_DAYS} THEN 'hot'
+                WHEN age_days <= {_RP_WARM_DAYS} THEN 'warm'
+                ELSE 'cold' END AS priority
+    FROM a
+    ORDER BY doc_id"""
+
+
+QUERIES["corpus_recrawl_plan"] = corpus_recrawl_plan
+ORACLES["corpus_recrawl_plan"] = _recrawl_plan_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_redirect_chains — multi-hop frontier consolidation (r14b)
+# ---------------------------------------------------------------------------
+
+#: chain-walk hop cap (shared by both engines' unrolls)
+_RC_HOPS = 4
+
+
+def corpus_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop redirect resolution (r14b): consolidate the crawl
+    frontier by walking redirect edges to their FINAL targets —
+    ``A -> B -> C`` must fetch and dedup as ``C``. The edge set
+    derives from the shared redirect fixture (each 3xx doc's canonical
+    URL -> its resolved Location) EXTENDED with deeper tiers on the
+    origin-relative arm: ``/moved/g -> /hop2/g`` for every g,
+    ``-> /hop3/g`` on even g, and two more tiers on g % 10 == 0 so the
+    walk from those starts is still unresolved at the 4-hop cap; the
+    self-redirect arm pins immediate-loop detection and the dotted arm
+    gains a back-edge (``/up/g -> start``) pinning 2-cycle detection.
+    ``operators/web.redirect_chains`` walks with a STATIC 4-level
+    unroll — bounded shuffles on high-cardinality URL keys, no
+    driver iteration — and DuckDB replays the identical unroll
+    (list-path cycle detection and the exact-at-cap distinction
+    between 'ok' and 'cap')."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _raw_url()
+    loc = _rf_location()
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % len(_RF_ARMS)).alias("_arm"),
+        (F.col("doc_id") % 200).alias("_g"),
+        W.url_normalize(raw).alias("_start"),
+        TX.let(
+            W.url_resolve(raw, loc),
+            lambda r: W.url_normalize(r),
+        ).alias("_dst"),
+    )
+    t1 = base.filter(
+        F.col("_start").isNotNull() & F.col("_dst").isNotNull()
+    ).select(F.col("_start").alias("src"), F.col("_dst").alias("dst"))
+    moved = base.filter((F.col("_arm") == 1) & F.col("_dst").isNotNull())
+    t2 = moved.select(
+        F.col("_dst").alias("src"),
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop2/")).alias("dst"),
+    )
+    t3 = moved.filter(F.col("_g") % 2 == 0).select(
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop2/")).alias("src"),
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop3/")).alias("dst"),
+    )
+    deep = moved.filter(F.col("_g") % 10 == 0)
+    t4 = deep.select(
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop3/")).alias("src"),
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop4/")).alias("dst"),
+    )
+    t5 = deep.select(
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop4/")).alias("src"),
+        F.replace(F.col("_dst"), F.lit("/moved/"), F.lit("/hop5/")).alias("dst"),
+    )
+    back = base.filter(
+        (F.col("_arm") == 3) & F.col("_start").isNotNull() & F.col("_dst").isNotNull()
+    ).select(F.col("_dst").alias("src"), F.col("_start").alias("dst"))
+    edges = t1.unionByName(t2).unionByName(t3).unionByName(t4).unionByName(t5).unionByName(back)
+    out = W.redirect_chains(edges, max_hops=_RC_HOPS)
+    return out.select("start", "final_url", "n_hops", "status").orderBy("start")
+
+
+def _redirect_chains_sql() -> str:
+    loc_arms = []
+    for i, (_, loc) in enumerate(_RF_ARMS):
+        if loc is None:
+            loc_arms.append(f"WHEN {i} THEN NULL")
+        elif loc == "SELF":
+            loc_arms.append(f"WHEN {i} THEN url")
+        else:
+            parts = loc.split("{g}")
+            pieces = []
+            for j, p in enumerate(parts):
+                if j:
+                    pieces.append("(doc_id % 200)")
+                if p:
+                    pieces.append(f"'{p}'")
+            loc_arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
+    loc = f"CASE doc_id % {len(_RF_ARMS)} " + " ".join(loc_arms) + " END"
+    # hop-level unroll shared shape: see operators/web.redirect_chains
+    hop = """h{n} AS (
+        SELECT h.start,
+               CASE WHEN e.dst IS NOT NULL THEN e.dst ELSE h.cur END AS cur,
+               CASE WHEN e.dst IS NOT NULL THEN h.n_hops + 1 ELSE h.n_hops END AS n_hops,
+               CASE WHEN e.dst IS NOT NULL THEN list_append(h.path, h.cur) ELSE h.path END AS path,
+               (h.lp OR (e.dst IS NOT NULL AND
+                   (list_contains(h.path, e.dst) OR e.dst = h.cur))) AS lp,
+               (h.done OR (NOT h.done AND NOT h.lp AND e.dst IS NULL)) AS done
+        FROM h{p} h LEFT JOIN ed e
+          ON (NOT h.done AND NOT h.lp AND h.cur = e.src)
+    )"""
+    unroll = ",\n    ".join(
+        hop.format(n=i + 2, p=i + 1) for i in range(_RC_HOPS - 1)
+    )
+    final = f"h{_RC_HOPS}"
+    return (
+        "WITH " + _sql_url_ctes() + f""",
+    rf AS (
+        SELECT doc_id, doc_id % {len(_RF_ARMS)} AS arm, doc_id % 200 AS g,
+               url, {loc} AS location
+        FROM u
+    ),
+    rs AS (
+        SELECT *, {_sql_url_resolve("url", "location")} AS resolved FROM rf
+    ),
+    rx AS MATERIALIZED (
+        SELECT doc_id, arm, g,
+               (SELECT nn.url_norm FROM nn WHERE nn.doc_id = rs.doc_id) AS start,
+               {_sql_url_norm_core(f"({_sql_pct_normalize('resolved')})")} AS dst
+        FROM rs
+    ),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT start AS src, dst FROM rx
+            WHERE start IS NOT NULL AND dst IS NOT NULL
+            UNION ALL
+            SELECT dst AS src, replace(dst, '/moved/', '/hop2/') AS dst
+            FROM rx WHERE arm = 1 AND dst IS NOT NULL
+            UNION ALL
+            SELECT replace(dst, '/moved/', '/hop2/'),
+                   replace(dst, '/moved/', '/hop3/')
+            FROM rx WHERE arm = 1 AND dst IS NOT NULL AND g % 2 = 0
+            UNION ALL
+            SELECT replace(dst, '/moved/', '/hop3/'),
+                   replace(dst, '/moved/', '/hop4/')
+            FROM rx WHERE arm = 1 AND dst IS NOT NULL AND g % 10 = 0
+            UNION ALL
+            SELECT replace(dst, '/moved/', '/hop4/'),
+                   replace(dst, '/moved/', '/hop5/')
+            FROM rx WHERE arm = 1 AND dst IS NOT NULL AND g % 10 = 0
+            UNION ALL
+            SELECT dst AS src, start AS dst
+            FROM rx WHERE arm = 3 AND start IS NOT NULL AND dst IS NOT NULL
+        )
+    ),
+    h1 AS (
+        SELECT src AS start, dst AS cur, 1 AS n_hops, [src] AS path,
+               (dst = src) AS lp, FALSE AS done
+        FROM ed
+    ),
+    {unroll},
+    mr AS (SELECT DISTINCT src FROM ed)
+    SELECT f.start, f.cur AS final_url, CAST(f.n_hops AS INT) AS n_hops,
+           CASE WHEN f.lp THEN 'loop'
+                WHEN f.done OR m.src IS NULL THEN 'ok'
+                ELSE 'cap' END AS status
+    FROM {final} f LEFT JOIN mr m ON f.cur = m.src
+    ORDER BY f.start"""
+    )
+
+
+QUERIES["corpus_redirect_chains"] = corpus_redirect_chains
+ORACLES["corpus_redirect_chains"] = _redirect_chains_sql()

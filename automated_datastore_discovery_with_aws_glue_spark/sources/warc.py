@@ -92,6 +92,12 @@ HTTP_FIELDS: tuple[StructField, ...] = (
     # edges exactly like sitemap locs (resolve relative forms against
     # target_uri with operators/web.url_resolve, then canonicalize)
     StructField("http_location", StringType()),
+    # r14b: the caching validators — a recrawl scheduler that has these
+    # can revalidate with If-None-Match / If-Modified-Since instead of
+    # refetching bodies (the engine's UPDATE_IN_DATABASE discipline
+    # applied to the web: fingerprint-skip without the fetch)
+    StructField("http_etag", StringType()),
+    StructField("http_last_modified", StringType()),
 )
 
 
@@ -294,9 +300,24 @@ def dechunk(body: bytes) -> bytes:
 
 def parse_http_response(
     msg: bytes,
-) -> tuple[int, str | None, str | None, str | None, str | None, str | None]:
+) -> tuple[
+    int,
+    str | None,
+    str | None,
+    str | None,
+    str | None,
+    str | None,
+    str | None,
+    str | None,
+]:
     """Split one HTTP response message into ``(status, content_type,
-    charset, charset_src, body_text, location)``.
+    charset, charset_src, body_text, location, etag, last_modified)``.
+
+    ``etag`` and ``last_modified`` are the caching validators as
+    written (r14b) — they surface on every status and on binary
+    records, like ``location``, so a recrawl scheduler can plan
+    If-None-Match / If-Modified-Since revalidation without refetching
+    bodies.
 
     ``location`` is the ``Location`` header as written (utf-8-lenient
     decoded), ``None`` when absent — the redirect-frontier half of
@@ -354,6 +375,8 @@ def parse_http_response(
     te: bytes = b""
     ce: bytes = b""
     location: str | None = None
+    etag: str | None = None
+    last_modified: str | None = None
     for line in lines[1:]:
         key, sep2, val = line.partition(b":")
         if not sep2:
@@ -367,6 +390,10 @@ def parse_http_response(
             ce = val.strip().lower()
         elif k == b"location":
             location = _ascii(val.strip()) or None
+        elif k == b"etag":
+            etag = _ascii(val.strip()) or None
+        elif k == b"last-modified":
+            last_modified = _ascii(val.strip()) or None
     mime: str | None = None
     declared: str | None = None
     if ctype is not None:
@@ -378,7 +405,7 @@ def parse_http_response(
         # binary body: withheld from the text lane, so never pay for
         # de-chunking or decompressing it (a gzip-bombed image would
         # otherwise cost full materialization just to be discarded)
-        return status, mime, None, None, None, location
+        return status, mime, None, None, None, location, etag, last_modified
     if te:
         if te != b"chunked":
             raise _Malformed(f"unsupported transfer-encoding {_ascii(te)!r}")
@@ -436,7 +463,7 @@ def parse_http_response(
             # "successfully" under the cp1252 default. BOM-carrying
             # utf-16 already won above, so its NULs never reach this.
             if mime is None and _sniffs_binary(body):
-                return status, None, None, None, None, location
+                return status, None, None, None, None, location, etag, last_modified
             # HTML5 meta prescan over the first 1024 bytes: HTML pages
             # that declare their charset only in markup must not fall
             # to the cp1252 default (a utf-8 page would silently
@@ -467,7 +494,7 @@ def parse_http_response(
         text = body.decode(codec)
     except (UnicodeDecodeError, ValueError) as exc:
         raise _Malformed(f"body does not decode as {charset} ({exc})") from None
-    return status, mime, charset, src, text, location
+    return status, mime, charset, src, text, location, etag, last_modified
 
 
 def _empty_rec(idx: int, error: str | None) -> dict:
@@ -488,6 +515,8 @@ def _empty_rec(idx: int, error: str | None) -> dict:
         "http_charset": None,
         "http_charset_src": None,
         "http_location": None,
+        "http_etag": None,
+        "http_last_modified": None,
     }
 
 
@@ -574,6 +603,8 @@ def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
                         src,
                         body_text,
                         location,
+                        etag,
+                        last_modified,
                     ) = parse_http_response(raw_payload)
                     rec.update(
                         payload=body_text,
@@ -582,6 +613,8 @@ def parse_warc(data: bytes, *, http_envelope: bool = False) -> list[dict]:
                         http_charset=charset,
                         http_charset_src=src,
                         http_location=location,
+                        http_etag=etag,
+                        http_last_modified=last_modified,
                     )
                 else:
                     try:

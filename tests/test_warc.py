@@ -624,3 +624,36 @@ def test_warc_records_digest_and_location_columns(spark):
     assert [r["payload_digest"] for r in got] == ["sha1:AAA", "sha1:AAA"]
     assert got[0]["http_location"] == "/n" and got[0]["http_status"] == 301
     assert got[1]["warc_type"] == "revisit" and got[1]["http_status"] is None
+
+
+def test_parse_warc_http_caching_validators():
+    from automated_datastore_discovery_with_aws_glue_spark.sources.warc import parse_http_response
+
+    got = parse_http_response(
+        b'HTTP/1.1 200 OK\r\nETag: "v1-abc"\r\n'
+        b"Last-Modified: Tue, 20 Feb 2024 10:00:00 GMT\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\nbody"
+    )
+    assert got[6] == '"v1-abc"'
+    assert got[7] == "Tue, 20 Feb 2024 10:00:00 GMT"
+    # weak ETags surface as written; absent validators are None
+    got = parse_http_response(b'HTTP/1.1 200 OK\r\nETag: W/"weak"\r\n\r\nx')
+    assert got[6] == 'W/"weak"' and got[7] is None
+    assert parse_http_response(b"HTTP/1.1 200 OK\r\n\r\nx")[6:8] == (None, None)
+    # validators survive the binary-mime gate (they live in the header
+    # block, parsed before the body is withheld)
+    got = parse_http_response(
+        b'HTTP/1.1 200 OK\r\nETag: "img9"\r\nContent-Type: image/png\r\n\r\n\x89PNG'
+    )
+    assert got[4] is None and got[6] == '"img9"'
+    # and they ride warc_records rows
+    recs = parse_warc(
+        _http_rec(
+            "urn:v",
+            b'HTTP/1.1 200 OK\r\nETag: "r7"\r\nLast-Modified: Mon, 01 Jan 2024 00:00:00 GMT',
+            b"page",
+        ),
+        http_envelope=True,
+    )
+    assert recs[0]["http_etag"] == '"r7"'
+    assert recs[0]["http_last_modified"] == "Mon, 01 Jan 2024 00:00:00 GMT"

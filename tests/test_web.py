@@ -1160,3 +1160,37 @@ def test_crawl_schedule_partitions_by_host_only(spark):
     # and the schedule itself is correct on the mega host
     mega = out.filter(SF.col("host") == "mega.com").orderBy("seq").limit(3).collect()
     assert [(r["seq"], r["fetch_slot_ms"]) for r in mega] == [(1, 0), (2, 100), (3, 200)]
+
+
+# -- r14b: multi-hop redirect resolution --------------------------------------
+
+
+def test_redirect_chains_multihop_loop_cap(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),  # 3-hop chain resolving at d
+        ("self", "self"),                      # immediate self-loop
+        ("x", "y"), ("y", "x"),                # 2-cycle
+        # 5-edge chain: from l1 the walk is still unresolved at 4 hops
+        ("l1", "l2"), ("l2", "l3"), ("l3", "l4"), ("l4", "l5"), ("l5", "l6"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["start"]: (r["final_url"], r["n_hops"], r["status"])
+        for r in W.redirect_chains(df, max_hops=4).collect()
+    }
+    assert got["a"] == ("d", 3, "ok")
+    assert got["b"] == ("d", 2, "ok")
+    assert got["c"] == ("d", 1, "ok")
+    assert got["self"] == ("self", 1, "loop")
+    # both cycle members detect the loop (x -> y -> x)
+    assert got["x"] == ("x", 2, "loop")
+    assert got["y"] == ("y", 2, "loop")
+    # l1 is still on a node WITH an outgoing edge at the cap
+    assert got["l1"] == ("l5", 4, "cap")
+    # l2 resolves EXACTLY at the cap (l6 has no outgoing edge)
+    assert got["l2"] == ("l6", 4, "ok")
+    assert got["l3"] == ("l6", 3, "ok")
+    assert got["l4"] == ("l6", 2, "ok")
+    assert got["l5"] == ("l6", 1, "ok")
+    # one row per DISTINCT source (a b c self x y l1..l5)
+    assert len(got) == 11
