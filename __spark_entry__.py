@@ -208,11 +208,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  round green; text analytics keeps perplexity-bigram + DSIR +
         #  tok rows in-window — for the robots.txt gate below)
         "corpus_robots_filter": WB.QUERIES["corpus_robots_filter"],
-        # -- r8 fourth-wave: integer-quantized PageRank (every
-        #    iteration replayed exactly by the materialized-CTE
-        #    oracle); displaced text_quality_classifier (multi-round
-        #    green, still checked locally every round)
-        "graph_pagerank": A.QUERIES["graph_pagerank"],
+        # -- r14b: host authority from the crawl's own link graph —
+        #    anchor edges (external, non-nofollow: internal and
+        #    nofollow links confer no rank) feed the SAME
+        #    integer-quantized PageRank operator and materialized-CTE
+        #    oracle generator graph_pagerank pins; a dangling CDN host
+        #    exercises mass redistribution every iteration. Displaced
+        #    graph_pagerank itself (multi-round green since r8; the
+        #    operator + oracle generator run verbatim inside this row,
+        #    and the supply-graph form stays locally checked)
+        "corpus_host_rank": WB.QUERIES["corpus_host_rank"],
         "corpus_clean_exact": L.EXTRA_QUERIES["corpus_clean_exact"],
         # -- r8 fourth-wave: Deequ-style declarative quality suite
         #    (completeness / compliance / uniqueness / referential
@@ -311,7 +316,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    keeps training in-window via tok_bpe_merges and the
         #    encoded-count composition via tok_pack_sequences_bpe)
         "ann_cell_balance": L.EXTRA_QUERIES["ann_cell_balance"],
-        "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
+        # -- r14b: in-page anchor discovery -> host-level link graph —
+        #    the third frontier channel next to sitemap locs and 3xx
+        #    Locations: <a href> extraction (double-/single-quoted,
+        #    rel=nofollow), non-fetchable-scheme gate, RFC 3986
+        #    resolution against the page URL, weighted host->host
+        #    edges. Displaced tok_pack_sequences_bpe (multi-round
+        #    green; BPE family keeps training in-window via
+        #    tok_bpe_merges and packing stays locally checked)
+        "corpus_link_graph": WB.QUERIES["corpus_link_graph"],
         # -- r14b: recrawl planning from HTTP caching validators —
         #    ETag / Last-Modified surfaced from WARC envelopes, strict
         #    HTTP-date parse (unparseable dates quarantine to NULL age,
@@ -369,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documented above; still checked locally every round)
         "corpus_decontaminate_bloom": L.EXTRA_QUERIES["corpus_decontaminate_bloom"],
         "j_salted_skew_enrich": L.EXTRA_QUERIES["j_salted_skew_enrich"],
+        "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
+        "graph_pagerank": A.QUERIES["graph_pagerank"],
         "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],

@@ -302,6 +302,50 @@ def url_resolve(base: Column, ref: Column) -> Column:
     return let(base, lambda b: let(ref, lambda r: body(b, r)))
 
 
+#: one ``<a ...>`` opening tag (the href lives in the opening tag;
+#: pages close anchors sloppily, so the CLOSE tag is never required)
+ANCHOR_TAG_RE = r"(?i)<a\s[^>]*>"
+#: href value, double- then single-quoted form (HTML allows both; an
+#: unquoted href is vanishingly rare in real markup and would need a
+#: boundary class that RE2 and java.util.regex disagree on, so it is a
+#: documented non-goal — the anchor simply extracts as empty)
+HREF_DQ_RE = r'(?i)href\s*=\s*"([^"]*)"'
+HREF_SQ_RE = r"(?i)href\s*=\s*'([^']*)'"
+#: rel attribute containing the nofollow token
+NOFOLLOW_RE = r"""(?i)rel\s*=\s*["'][^"']*nofollow"""
+#: schemes that never name a fetchable resource — anchors carrying
+#: them are dropped BEFORE resolution (a javascript: href is code, a
+#: mailto:/tel: href is an address; none belong on a crawl frontier)
+NOFETCH_SCHEME_RE = r"(?i)^(mailto|javascript|tel|data):"
+
+
+def extract_anchors(col: Column) -> Column:
+    """``array<struct<href,nofollow>>`` of the anchors in an HTML
+    column — the in-page half of frontier discovery (sitemaps and 3xx
+    Locations are the out-of-page halves): every ``<a>`` opening tag's
+    href as written (double- or single-quoted; empty when the tag has
+    no usable href) plus whether its ``rel`` carries ``nofollow``.
+    Pure JVM expressions — ``regexp_extract_all`` over the markup,
+    per-tag extracts inside a ``transform`` — so extraction rides
+    whole-stage codegen and the only cost is the regex scan the page
+    already pays for block splitting. Callers filter empties,
+    fragment-only and non-fetchable-scheme hrefs, then resolve against
+    the page URL with :func:`url_resolve` (hrefs are usually
+    relative)."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(ANCHOR_TAG_RE), 0),
+        lambda t: let(
+            F.regexp_extract(t, HREF_DQ_RE, 1),
+            lambda dq: F.struct(
+                F.when(dq != "", dq)
+                .otherwise(F.regexp_extract(t, HREF_SQ_RE, 1))
+                .alias("href"),
+                t.rlike(NOFOLLOW_RE).alias("nofollow"),
+            ),
+        ),
+    )
+
+
 def registered_domain(host: Column) -> Column:
     """Naive eTLD+1: the last two host labels, or the last three when
     the last two form a known second-level suffix (:data:`TWO_PART_SUFFIXES`).

@@ -3339,3 +3339,253 @@ def _redirect_chains_sql() -> str:
 
 QUERIES["corpus_redirect_chains"] = corpus_redirect_chains
 ORACLES["corpus_redirect_chains"] = _redirect_chains_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_link_graph — in-page anchor discovery -> host-level link graph (r14b)
+# ---------------------------------------------------------------------------
+
+#: per-arm HTML bodies ({g} = doc group, {x} = a NEIGHBOR host index) —
+#: together they pin every anchor form a crawler meets: double- and
+#: single-quoted hrefs, origin-/path-relative and dot-segment targets,
+#: protocol-relative, query-only (self-host), rel=nofollow, the
+#: non-fetchable mailto:/javascript: schemes, fragment-only, and a
+#: page with no anchors at all
+_LG_ARMS: tuple[str, ...] = (
+    '<p>intro {g}</p><a href="/local/{g}">in</a> '
+    '<a href="https://site{x}.example/abs/{g}">out</a>',
+    "<div><a href='rel/{g}.html'>deeper</a></div> "
+    '<a href="mailto:user@example.org">mail</a>',
+    '<a rel="nofollow" href="https://ads.example/{g}">spam</a> '
+    '<a href="#top">anchor</a>',
+    '<A HREF="//cdn.example/asset/{g}">cdn</A> '
+    '<a href="JAVASCRIPT:void(0)">js</a>',
+    '<a href="../up/{g}">up</a> <a href="?page=2">next</a>',
+    "<p>terminal page {g} with no outgoing links</p>",
+)
+#: fixture host fan: 7 sites, each page's "external" arm points at the
+#: NEXT site (a ring), so the host graph has both internal and
+#: cross-host edges at every sf
+_LG_HOSTS = 7
+
+
+def _lg_tpl(tpl: str, g: F.Column, x: F.Column) -> F.Column:
+    import re as _re
+
+    pieces: list[F.Column] = []
+    for part in _re.split(r"(\{[gx]\})", tpl):
+        if not part:
+            continue
+        if part == "{g}":
+            pieces.append(g)
+        elif part == "{x}":
+            pieces.append(x)
+        else:
+            pieces.append(F.lit(part))
+    return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+
+
+def corpus_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page frontier discovery -> host-level link graph (r14b): the
+    third discovery channel next to sitemap locs and 3xx Locations —
+    every page's ``<a href>`` anchors extracted
+    (``operators/web.extract_anchors``: double-/single-quoted forms,
+    rel=nofollow flag), non-fetchable targets dropped BEFORE
+    resolution (empty, fragment-only, mailto:/javascript:/tel:/data:),
+    the rest resolved against the page's own URL (RFC 3986 — hrefs
+    are usually relative) and aggregated into weighted host->host
+    edges with internal/external and nofollow accounting — the edge
+    table :func:`graph_pagerank`-shape ranking runs on.
+
+    Scale shape: extraction and resolution are map-side JVM
+    expressions riding whole-stage codegen (zero Python); the explode
+    multiplies rows by anchors-per-page (bounded, ~links-per-doc);
+    the ONLY data-scale shuffle is the final (src_host, dst_host)
+    aggregate — a host-cardinality key, partial-aggregated map-side.
+    DuckDB replays the templates, both href regexes, the nofollow
+    flag, the scheme gate, and the full resolution algorithm."""
+    edges = _lg_edge_frame(spark, sf_dir)
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(F.col("nofollow").cast("int")).cast("bigint").alias("n_nofollow"),
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            (F.col("src_host") == F.col("dst_host")).alias("internal"),
+            "n_links",
+            "n_nofollow",
+        )
+        .orderBy("src_host", "dst_host")
+    )
+
+
+def _lg_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared anchor-edge derivation: fixture pages -> extracted
+    anchors -> fetchability gate -> resolved ``(src_host, dst_host,
+    nofollow)`` rows (pre-aggregation; shared by the link-graph
+    aggregate and the host-rank composition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 200).cast("string")
+    h = (F.col("doc_id") % _LG_HOSTS).cast("string")
+    x = ((F.col("doc_id") % _LG_HOSTS + 1) % _LG_HOSTS).cast("string")
+    arm = F.col("doc_id") % len(_LG_ARMS)
+    html = None
+    for i, tpl in enumerate(_LG_ARMS):
+        branch = _lg_tpl(tpl, g, x)
+        html = F.when(arm == i, branch) if html is None else html.when(arm == i, branch)
+    page = F.concat(
+        F.lit("https://site"), h, F.lit(".example/d"),
+        (F.col("doc_id") % 200 % 10).cast("string"),
+        F.lit("/page"), g, F.lit(".html"),
+    )
+    anchors = docs.select(
+        page.alias("page_url"),
+        F.explode(W.extract_anchors(html)).alias("a"),
+    ).select(
+        "page_url",
+        F.col("a.href").alias("href"),
+        F.col("a.nofollow").alias("nofollow"),
+    )
+    fetchable = anchors.filter(
+        (F.col("href") != "")
+        & ~F.col("href").startswith("#")
+        & ~F.col("href").rlike(W.NOFETCH_SCHEME_RE)
+    )
+    return fetchable.select(
+        W.url_host(F.col("page_url")).alias("src_host"),
+        TX.let(
+            W.url_resolve(F.col("page_url"), F.col("href")),
+            lambda r: W.url_host(r),
+        ).alias("dst_host"),
+        "nofollow",
+    )
+
+
+def _lg_sql_edge_ctes() -> str:
+    """The shared DuckDB replay of :func:`_lg_edge_frame` as a CTE
+    chain ending in ``e(src_host, dst_host, nofollow)`` — used by the
+    link-graph aggregate and the host-rank composition."""
+    q = _sql_quote
+    arms = []
+    for i, tpl in enumerate(_LG_ARMS):
+        import re as _re
+
+        pieces = []
+        for part in _re.split(r"(\{[gx]\})", tpl):
+            if not part:
+                continue
+            if part == "{g}":
+                pieces.append("g")
+            elif part == "{x}":
+                pieces.append("x")
+            else:
+                pieces.append(f"'{q(part)}'")
+        arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
+    html = f"CASE doc_id % {len(_LG_ARMS)} " + " ".join(arms) + " END"
+    href = "CASE WHEN dq <> '' THEN dq ELSE sq END"
+    resolved = _sql_url_resolve("page_url", "href")
+    return f"""d AS (
+        SELECT doc_id, doc_id % 200 AS g, doc_id % {_LG_HOSTS} AS h,
+               (doc_id % {_LG_HOSTS} + 1) % {_LG_HOSTS} AS x
+        FROM documents
+    ),
+    p AS (
+        SELECT 'https://site' || h || '.example/d' || (g % 10) ||
+                   '/page' || g || '.html' AS page_url,
+               {html} AS html
+        FROM d
+    ),
+    t AS (
+        SELECT page_url,
+               unnest(regexp_extract_all(html, '{q(W.ANCHOR_TAG_RE)}', 0)) AS tag
+        FROM p
+    ),
+    a AS (
+        SELECT page_url,
+               regexp_extract(tag, '{q(W.HREF_DQ_RE)}', 1) AS dq,
+               regexp_extract(tag, '{q(W.HREF_SQ_RE)}', 1) AS sq,
+               regexp_matches(tag, '{q(W.NOFOLLOW_RE)}') AS nofollow
+        FROM t
+    ),
+    f AS (
+        SELECT page_url, {href} AS href, nofollow
+        FROM a
+        WHERE {href} <> ''
+          AND NOT starts_with({href}, '#')
+          AND NOT regexp_matches({href}, '{q(W.NOFETCH_SCHEME_RE)}')
+    ),
+    e AS (
+        SELECT {_sql_url_host_expr("page_url")} AS src_host,
+               {_sql_url_host_expr(f"({resolved})")} AS dst_host,
+               nofollow
+        FROM f
+    )"""
+
+
+def _link_graph_sql() -> str:
+    return f"""
+    WITH {_lg_sql_edge_ctes()}
+    SELECT src_host, dst_host, (src_host = dst_host) AS internal,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nofollow
+    FROM e
+    GROUP BY src_host, dst_host
+    ORDER BY src_host, dst_host"""
+
+
+QUERIES["corpus_link_graph"] = corpus_link_graph
+ORACLES["corpus_link_graph"] = _link_graph_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_host_rank — anchor edges -> integer PageRank host authority (r14b)
+# ---------------------------------------------------------------------------
+
+_HR_ITERS = 5
+
+
+def corpus_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority from the crawl's own link graph (r14b): the
+    composition the link-graph row exists for — anchor edges feed the
+    integer-quantized PageRank operator (``operators/graph.pagerank``,
+    ranks in 1e-12 mass units, every step exact integer arithmetic).
+    Web-ranking semantics applied at the edge gate: INTERNAL links
+    confer no authority (src == dst dropped) and neither do
+    ``rel=nofollow`` links — that is the attribute's entire purpose.
+    The fixture graph is a 7-site ring plus a shared CDN host with no
+    outgoing links, so the dangling-mass redistribution path runs on
+    every iteration. Scale shape: the data-scale work is the map-side
+    extraction + the DISTINCT down to host-level edges; every PageRank
+    iteration then shuffles edge-cardinality rows only (hosts, not
+    pages). DuckDB replays extraction, the edge gate, and all five
+    iterations bit-for-bit through materialized CTE stages."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.graph import pagerank
+
+    edges = (
+        _lg_edge_frame(spark, sf_dir)
+        .filter(~F.col("nofollow") & (F.col("src_host") != F.col("dst_host")))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_HR_ITERS)
+    return ranks.orderBy(F.desc("rank_mass"), "node")
+
+
+def _host_rank_sql() -> str:
+    from automated_datastore_discovery_with_aws_glue_spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+
+    edges = f"""WITH {_lg_sql_edge_ctes()}
+        SELECT src_host AS src, dst_host AS dst FROM e
+        WHERE NOT nofollow AND src_host <> dst_host"""
+    sql = pagerank_oracle_sql(edges, iterations=_HR_ITERS)
+    # total order (rank then node) so both engines cut ties identically
+    return sql.replace("ORDER BY node", "ORDER BY rank_mass DESC, node")
+
+
+QUERIES["corpus_host_rank"] = corpus_host_rank
+ORACLES["corpus_host_rank"] = _host_rank_sql()

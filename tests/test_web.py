@@ -1194,3 +1194,50 @@ def test_redirect_chains_multihop_loop_cap(spark):
     assert got["l5"] == ("l6", 1, "ok")
     # one row per DISTINCT source (a b c self x y l1..l5)
     assert len(got) == 11
+
+
+# -- r14b: in-page anchor extraction ------------------------------------------
+
+
+def test_extract_anchors_forms(spark):
+    html = (
+        '<p>x</p><a href="/dq">a</a>'
+        "<A HREF='/sq' rel='nofollow'>b</A>"
+        '<a rel="NOFOLLOW external" href="https://e.com/p">c</a>'
+        "<a name=\"no-href\">d</a>"
+        '<a href="">e</a>'
+        '<a href="#frag">f</a>'
+    )
+    df = spark.createDataFrame([(html,)], ["h"])
+    got = df.select(F.explode(W.extract_anchors(F.col("h"))).alias("a")).select(
+        "a.href", "a.nofollow"
+    ).collect()
+    assert [(r["href"], r["nofollow"]) for r in got] == [
+        ("/dq", False),
+        ("/sq", True),           # single-quoted href, single-quoted rel
+        ("https://e.com/p", True),  # nofollow as one token among several
+        ("", False),             # no href attribute -> empty
+        ("", False),             # explicitly empty href
+        ("#frag", False),        # fragment-only passes through (callers gate)
+    ]
+    # a page with no anchors extracts an empty array, not NULL
+    none = spark.createDataFrame([("<p>plain</p>",)], ["h"]).select(
+        F.size(W.extract_anchors(F.col("h"))).alias("n")
+    ).collect()
+    assert none[0]["n"] == 0
+
+
+def test_host_rank_edge_gate(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.plans.web_pipeline import corpus_host_rank
+
+    out = corpus_host_rank(spark, "/root/testdata/sf0.001").collect()
+    nodes = {r["node"] for r in out}
+    # the nofollow-only target confers/receives no rank: not a node
+    assert "ads.example" not in nodes
+    # the dangling CDN host IS ranked (it receives edges, emits none)
+    assert "cdn.example" in nodes
+    assert {f"site{i}.example" for i in range(7)} <= nodes
+    # every host links to the CDN, so the pure sink out-ranks any
+    # single ring member (which only its one predecessor feeds)
+    ranks = {r["node"]: r["rank_mass"] for r in out}
+    assert ranks["cdn.example"] > max(ranks[f"site{i}.example"] for i in range(7))
