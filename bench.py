@@ -188,6 +188,13 @@ HEADLINE = [
     "src_warc_charsets",
     "src_warc_revisit",
     "crawl_schedule",
+    # r14b: caching-validator recrawl planning, multi-hop redirect
+    # resolution, anchor-edge link graph, and host-authority PageRank
+    # over the crawl's own graph
+    "corpus_recrawl_plan",
+    "corpus_redirect_chains",
+    "corpus_link_graph",
+    "corpus_host_rank",
 ]
 
 
