@@ -226,7 +226,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pinned in-window by the stricter end-to-end mm_pixel_stats
         #    and mm_gif_frame_sample rows)
         "dq_suite_report": P.dq_suite_report,
-        "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
+        # -- r14b capstone: the crawl loop as ONE plan — anchors ->
+        #    resolution -> canonical frontier dedup (+discovery count)
+        #    -> known/new classify -> target-host robots verdict (REP
+        #    longest-rule precedence, wildcard sees the ?query tail) ->
+        #    per-host politeness schedule with exact integer fetch
+        #    slots. Displaced corpus_dup_spans (multi-round green;
+        #    span machinery stays locally checked and the dedup family
+        #    keeps clusters/fuzzy/clean_exact in-window)
+        "corpus_crawl_cycle": WB.QUERIES["corpus_crawl_cycle"],
         # -- r9 fourth wave: the remaining §2.5 ranking-window surface
         #    (ntile / percent_rank / cume_dist / lag / lead in ONE
         #    window frame); displaced corpus_gopher_filters (multi-round
@@ -384,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_salted_skew_enrich": L.EXTRA_QUERIES["j_salted_skew_enrich"],
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
         "graph_pagerank": A.QUERIES["graph_pagerank"],
+        "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
         "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],

@@ -863,10 +863,21 @@ def redirect_chains(
     current target — a high-cardinality, skew-free URL key — and rows
     whose walk already terminated carry NULL keys through the
     remaining joins (no growth, no recomputation). Shuffle count =
-    ``max_hops``, independent of data size."""
-    e = edges.select(
-        F.col(src_col).alias("_rc_s"), F.col(dst_col).alias("_rc_d")
-    ).distinct()
+    ``max_hops``, independent of data size.
+
+    The deduplicated edge table is PERSISTED: it is referenced by
+    every unroll level plus the final membership join (``max_hops+1``
+    times) — unpersisted, each level would re-run the caller's whole
+    edge-derivation subtree (measured 5x the operator's wall-clock on
+    an extraction-derived edge set), and the analyzer would re-walk
+    the full lineage per level."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt
+
+    e = (
+        edges.select(F.col(src_col).alias("_rc_s"), F.col(dst_col).alias("_rc_d"))
+        .distinct()
+        .persist()
+    )
     # hop 1: every distinct source starts a walk
     cur = e.select(
         F.col("_rc_s").alias("start"),
@@ -925,14 +936,17 @@ def redirect_chains(
     # the shuffle join is the honest shape.
     last = e.select(F.col("_rc_s").alias("_cur"), F.lit(1).alias("_more")).distinct()
     out = cur.join(last, "_cur", "left")
-    return out.select(
-        "start",
-        F.col("_cur").alias("final_url"),
-        "n_hops",
-        F.when(F.col("_loop"), F.lit("loop"))
-        .when(F.col("_done") | F.col("_more").isNull(), F.lit("ok"))
-        .otherwise(F.lit("cap"))
-        .alias("status"),
+    return adopt(
+        out.select(
+            "start",
+            F.col("_cur").alias("final_url"),
+            "n_hops",
+            F.when(F.col("_loop"), F.lit("loop"))
+            .when(F.col("_done") | F.col("_more").isNull(), F.lit("ok"))
+            .otherwise(F.lit("cap"))
+            .alias("status"),
+        ),
+        e,
     )
 
 

@@ -3244,6 +3244,12 @@ def corpus_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_arm") == 3) & F.col("_start").isNotNull() & F.col("_dst").isNotNull()
     ).select(F.col("_dst").alias("src"), F.col("_start").alias("dst"))
     edges = t1.unionByName(t2).unionByName(t3).unionByName(t4).unionByName(t5).unionByName(back)
+    # truncate lineage before the unrolled walk: every hop level (and
+    # the final membership join) references the edge table, and each
+    # reference would otherwise carry the whole resolve/normalize
+    # expression tree through analysis again (persist dedups the
+    # COMPUTE, not the analyzer cost — measured ~2x wall-clock)
+    edges = edges.localCheckpoint(eager=False)
     out = W.redirect_chains(edges, max_hops=_RC_HOPS)
     return out.select("start", "final_url", "n_hops", "status").orderBy("start")
 
@@ -3353,7 +3359,8 @@ ORACLES["corpus_redirect_chains"] = _redirect_chains_sql()
 #: page with no anchors at all
 _LG_ARMS: tuple[str, ...] = (
     '<p>intro {g}</p><a href="/local/{g}">in</a> '
-    '<a href="https://site{x}.example/abs/{g}">out</a>',
+    '<a href="https://site{x}.example/abs/{g}">out</a> '
+    '<a href="page{g}.html">self</a>',
     "<div><a href='rel/{g}.html'>deeper</a></div> "
     '<a href="mailto:user@example.org">mail</a>',
     '<a rel="nofollow" href="https://ads.example/{g}">spam</a> '
@@ -3427,20 +3434,42 @@ def _lg_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors -> fetchability gate -> resolved ``(src_host, dst_host,
     nofollow)`` rows (pre-aggregation; shared by the link-graph
     aggregate and the host-rank composition)."""
-    docs = load_table(spark, sf_dir, "documents")
+    fetchable = _lg_anchor_frame(spark, sf_dir)
+    return fetchable.select(
+        W.url_host(F.col("page_url")).alias("src_host"),
+        TX.let(
+            W.url_resolve(F.col("page_url"), F.col("href")),
+            lambda r: W.url_host(r),
+        ).alias("dst_host"),
+        "nofollow",
+    )
+
+
+def _lg_page() -> F.Column:
+    """The fixture page URL per doc — already in canonical form (https,
+    bare lowercase host, no default port / fragment / trailing slash),
+    so it doubles as the crawled-set key without re-normalizing."""
     g = (F.col("doc_id") % 200).cast("string")
     h = (F.col("doc_id") % _LG_HOSTS).cast("string")
+    return F.concat(
+        F.lit("https://site"), h, F.lit(".example/d"),
+        (F.col("doc_id") % 200 % 10).cast("string"),
+        F.lit("/page"), g, F.lit(".html"),
+    )
+
+
+def _lg_anchor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture pages -> extracted anchors -> fetchability gate:
+    ``(page_url, href, nofollow)`` rows, hrefs still as written."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 200).cast("string")
     x = ((F.col("doc_id") % _LG_HOSTS + 1) % _LG_HOSTS).cast("string")
     arm = F.col("doc_id") % len(_LG_ARMS)
     html = None
     for i, tpl in enumerate(_LG_ARMS):
         branch = _lg_tpl(tpl, g, x)
         html = F.when(arm == i, branch) if html is None else html.when(arm == i, branch)
-    page = F.concat(
-        F.lit("https://site"), h, F.lit(".example/d"),
-        (F.col("doc_id") % 200 % 10).cast("string"),
-        F.lit("/page"), g, F.lit(".html"),
-    )
+    page = _lg_page()
     anchors = docs.select(
         page.alias("page_url"),
         F.explode(W.extract_anchors(html)).alias("a"),
@@ -3449,18 +3478,10 @@ def _lg_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.href").alias("href"),
         F.col("a.nofollow").alias("nofollow"),
     )
-    fetchable = anchors.filter(
+    return anchors.filter(
         (F.col("href") != "")
         & ~F.col("href").startswith("#")
         & ~F.col("href").rlike(W.NOFETCH_SCHEME_RE)
-    )
-    return fetchable.select(
-        W.url_host(F.col("page_url")).alias("src_host"),
-        TX.let(
-            W.url_resolve(F.col("page_url"), F.col("href")),
-            lambda r: W.url_host(r),
-        ).alias("dst_host"),
-        "nofollow",
     )
 
 
@@ -3570,6 +3591,14 @@ def corpus_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("nofollow") & (F.col("src_host") != F.col("dst_host")))
         .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
     )
+    # truncate lineage before iterating: pagerank references the edge
+    # table across every round, and each round's plan would otherwise
+    # carry (and the analyzer re-walk) the WHOLE extraction/resolution
+    # expression tree — measured 6x the query's wall-clock. Host-level
+    # edges are the compact derived table iterative graph algorithms
+    # checkpoint by standard practice (executor-local here; a cluster
+    # with unreliable executors would use a reliable checkpoint dir).
+    edges = edges.localCheckpoint(eager=False)
     ranks = pagerank(edges, iterations=_HR_ITERS)
     return ranks.orderBy(F.desc("rank_mass"), "node")
 
@@ -3589,3 +3618,213 @@ def _host_rank_sql() -> str:
 
 QUERIES["corpus_host_rank"] = corpus_host_rank
 ORACLES["corpus_host_rank"] = _host_rank_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_crawl_cycle — the crawl loop as ONE plan (r14b capstone)
+# ---------------------------------------------------------------------------
+
+#: per host-class (host index % 3): the robots rule list and the
+#: Crawl-delay directive (None = the host publishes no delay). Class 0
+#: blocks the /up/ tree; class 1 blocks /local/ but carves /local/1*
+#: back out (longest-rule precedence decides per URL); class 2 blocks
+#: *.html$ by wildcard — which must NOT match an .html path carrying a
+#: ?query (the anchor sees the full fetch target)
+_CC_CLASSES: tuple[tuple[tuple[tuple[str, str], ...], str | None], ...] = (
+    ((("disallow", "/up/"),), "1.5"),
+    ((("disallow", "/local/"), ("allow", "/local/1")), None),
+    ((("disallow", "/*.html$"),), "2"),
+)
+#: the CDN host denies all crawling — its discovered asset URLs must
+#: survive to the report but never reach the schedule
+_CC_CDN = ("cdn.example", (("disallow", "/"),), None)
+_CC_DEFAULT_MS = 1000
+
+
+def _cc_robots_hosts() -> list[tuple[str, tuple[tuple[str, str], ...], str | None]]:
+    hosts = [
+        (f"site{i}.example",) + _CC_CLASSES[i % len(_CC_CLASSES)]
+        for i in range(_LG_HOSTS)
+    ]
+    hosts.append(_CC_CDN)
+    return hosts
+
+
+def _cc_robots_text(rules: tuple[tuple[str, str], ...], delay: str | None) -> str:
+    lines = ["User-agent: *"]
+    lines += [f"{r.capitalize()}: {p}" for r, p in rules]
+    if delay is not None:
+        lines.append(f"Crawl-delay: {delay}")
+    return "\n".join(lines)
+
+
+def corpus_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop as ONE plan (r14b capstone): fetched pages ->
+    anchor extraction (fetchability + nofollow gates) -> RFC 3986
+    resolution -> canonical frontier candidates, deduplicated with a
+    discovery count -> known/new classification against the crawled
+    set -> the TARGET host's robots verdict (REP longest-rule
+    precedence incl. a wildcard rule that must see the ?query tail) ->
+    per-host politeness schedule over the new allowed URLs (exact
+    integer fetch slots; hosts schedule independently). One row per
+    DISTINCT candidate URL: blocked and already-known URLs keep their
+    verdict columns and NULL schedule columns.
+
+    Scale shape: extraction/resolution map-side; dedup is one shuffle
+    on the canonical URL (high-cardinality, skew-free); the robots
+    fixture is per-host metadata built driver-side exactly like a real
+    crawler's robots cache and BROADCAST into the verdict join; the
+    known/new classify is a URL-key left join; the schedule window
+    partitions by host only. DuckDB replays extraction, resolution,
+    dedup, classification, the rule-precedence ladder, and the slot
+    math — the rule table and delays generated from the SAME Python
+    constants the Spark fixture parses via robots_rules."""
+    anchors = _lg_anchor_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        anchors.filter(~F.col("nofollow"))
+        .select(
+            TX.let(
+                W.url_resolve(F.col("page_url"), F.col("href")),
+                lambda r: W.url_normalize(r),
+            ).alias("url")
+        )
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .select("url", W.url_host(F.col("url")).alias("host"), "n_refs")
+    )
+    crawled = docs.select(_lg_page().alias("url")).distinct()
+    cand = cand.join(
+        crawled.withColumn("_known", F.lit(True)), "url", "left"
+    ).withColumn("known", F.coalesce(F.col("_known"), F.lit(False))).drop("_known")
+    robots = spark.createDataFrame(
+        [(h, _cc_robots_text(r, d)) for h, r, d in _cc_robots_hosts()],
+        "host string, robots string",
+    )
+    rules = W.robots_rules(robots, "host", "robots")
+    verdict = W.robots_filter(
+        cand.withColumn("target", W.url_raw_target(F.col("url"))),
+        rules,
+        id_col="url",
+        path_col="target",
+    ).drop("target")
+    delays = W.robots_crawl_delay(robots, "host", "robots")
+    new_allowed = verdict.filter(F.col("allowed") & ~F.col("known")).select(
+        "url", "host"
+    )
+    sched = W.crawl_schedule(
+        new_allowed, delays, id_col="url", default_delay_ms=_CC_DEFAULT_MS
+    ).select("url", "seq", "delay_ms", "fetch_slot_ms")
+    return (
+        verdict.join(sched, "url", "left")
+        .select(
+            "url", "host", "n_refs", "known", "allowed", "matched_prefix",
+            "seq", "delay_ms", "fetch_slot_ms",
+        )
+        .orderBy("url")
+    )
+
+
+def _cc_sql_pattern(prefix: str) -> str:
+    """The RE2 literal for a wildcard REP rule — generated in Python
+    from the same fixture constant the Spark side compiles via
+    rep_pattern (fixture rules are ASCII with no %-escapes, so the
+    pct-normalize step is identity here)."""
+    out = "^"
+    body = prefix
+    anchored = body.endswith("$")
+    if anchored:
+        body = body[:-1]
+    for ch in body:
+        if ch == "*":
+            out += ".*"
+        elif ch in r"\.[]{}()+?^$|":
+            out += "\\" + ch
+        else:
+            out += ch
+    return out + ("$" if anchored else "")
+
+
+def _crawl_cycle_sql() -> str:
+    q = _sql_quote
+    rule_rows = []
+    delay_rows = []
+    for host, rules, delay in _cc_robots_hosts():
+        for rule, prefix in rules:
+            wild = "TRUE" if ("*" in prefix or prefix.endswith("$")) else "FALSE"
+            rule_rows.append(
+                f"('{q(host)}', '{q(rule)}', '{q(prefix)}', {wild}, "
+                f"'{q(_cc_sql_pattern(prefix))}')"
+            )
+        if delay is not None:
+            import math as _math
+
+            ms = _math.floor(float(delay) * 1000)
+            delay_rows.append(f"('{q(host)}', {ms})")
+    rules_sql = ",\n               ".join(rule_rows)
+    delays_sql = ",\n               ".join(delay_rows)
+    resolved = _sql_url_resolve("page_url", "href")
+    url_norm = _sql_url_norm_core(f"({_sql_pct_normalize('resolvedu')})")
+    return f"""
+    WITH {_lg_sql_edge_ctes()},
+    c0 AS (
+        SELECT {resolved} AS resolvedu FROM f WHERE NOT nofollow
+    ),
+    c1 AS (
+        SELECT {url_norm} AS url FROM c0
+    ),
+    cand AS (
+        SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        FROM c1 WHERE url IS NOT NULL GROUP BY url
+    ),
+    crawled AS MATERIALIZED (SELECT DISTINCT page_url FROM p),
+    cl AS (
+        SELECT c.url, {_sql_url_host_expr("c.url")} AS host, c.n_refs,
+               (cr.page_url IS NOT NULL) AS known,
+               regexp_extract(c.url, '{_URL_RE_SQL}', 3) ||
+               CASE WHEN coalesce(regexp_extract(c.url, '{_URL_RE_SQL}', 4), '') = ''
+                    THEN '' ELSE '?' || regexp_extract(c.url, '{_URL_RE_SQL}', 4)
+               END AS target
+        FROM cand c LEFT JOIN crawled cr ON c.url = cr.page_url
+    ),
+    rules(host, rule, prefix, wild, pat) AS (
+        VALUES {rules_sql}
+    ),
+    dl(host, d) AS (
+        VALUES {delays_sql}
+    ),
+    mt AS (
+        SELECT cl.url, r.rule, r.prefix
+        FROM cl JOIN rules r ON cl.host = r.host AND
+             (CASE WHEN r.wild THEN regexp_matches(cl.target, r.pat)
+                   ELSE starts_with(cl.target, r.prefix) END)
+    ),
+    bst AS (
+        SELECT url, rule, prefix FROM mt
+        QUALIFY row_number() OVER (PARTITION BY url
+            ORDER BY strlen(prefix) DESC, (rule = 'allow') DESC, prefix DESC) = 1
+    ),
+    vd AS (
+        SELECT cl.url, cl.host, cl.n_refs, cl.known,
+               coalesce(b.rule = 'allow', TRUE) AS allowed,
+               b.prefix AS matched_prefix
+        FROM cl LEFT JOIN bst b USING (url)
+    ),
+    sched AS (
+        SELECT v.url,
+               CAST(row_number() OVER (PARTITION BY v.host ORDER BY v.url)
+                    AS INT) AS seq,
+               CAST(coalesce(dl.d, {_CC_DEFAULT_MS}) AS BIGINT) AS delay_ms
+        FROM vd v LEFT JOIN dl ON v.host = dl.host
+        WHERE v.allowed AND NOT v.known
+    )
+    SELECT v.url, v.host, v.n_refs, v.known, v.allowed, v.matched_prefix,
+           s.seq, s.delay_ms,
+           CAST((s.seq - 1) AS BIGINT) * s.delay_ms AS fetch_slot_ms
+    FROM vd v LEFT JOIN sched s USING (url)
+    ORDER BY v.url"""
+
+
+QUERIES["corpus_crawl_cycle"] = corpus_crawl_cycle
+ORACLES["corpus_crawl_cycle"] = _crawl_cycle_sql()

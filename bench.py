@@ -195,6 +195,7 @@ HEADLINE = [
     "corpus_redirect_chains",
     "corpus_link_graph",
     "corpus_host_rank",
+    "corpus_crawl_cycle",
 ]
 
 

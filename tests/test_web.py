@@ -1241,3 +1241,48 @@ def test_host_rank_edge_gate(spark):
     # single ring member (which only its one predecessor feeds)
     ranks = {r["node"]: r["rank_mass"] for r in out}
     assert ranks["cdn.example"] > max(ranks[f"site{i}.example"] for i in range(7))
+
+
+def test_crawl_cycle_gates_and_schedule(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.plans.web_pipeline import corpus_crawl_cycle
+
+    out = corpus_crawl_cycle(spark, "/root/testdata/sf0.001").collect()
+    rows = {r["url"]: r for r in out}
+    # known self-pages carry the flag and are never scheduled
+    known = [r for r in out if r["known"]]
+    assert known and all(r["seq"] is None for r in known)
+    # the CDN deny-all: discovered, reported, never scheduled
+    cdn = [r for r in out if r["host"] == "cdn.example"]
+    assert cdn and all(not r["allowed"] and r["seq"] is None for r in cdn)
+    assert all(r["matched_prefix"] == "/" for r in cdn)
+    # class-1 hosts (site1/site4): /local/1* carved back out of the
+    # /local/ block by longest-rule precedence
+    loc = [r for r in out if r["host"] == "site1.example" and "/local/" in r["url"]]
+    assert loc
+    for r in loc:
+        path1 = r["url"].split(".example")[1].startswith("/local/1")
+        assert r["allowed"] == path1
+        assert r["matched_prefix"] == ("/local/1" if path1 else "/local/")
+    # class-2 hosts (site2/site5): *.html$ blocks rel pages but must
+    # NOT match an .html target carrying a ?query
+    html_block = [
+        r for r in out if r["host"] == "site2.example" and r["url"].endswith(".html")
+        and not r["known"]
+    ]
+    assert html_block and all(not r["allowed"] for r in html_block)
+    q2 = [r for r in out if r["host"] == "site2.example" and "?page=2" in r["url"]]
+    assert q2 and all(r["allowed"] and r["seq"] is not None for r in q2)
+    # schedule math: slots are (seq-1)*delay in exact ms, per host;
+    # class-0 hosts declare 1.5s, class-1 none (default 1000), class-2 2s
+    sched = [r for r in out if r["seq"] is not None]
+    assert sched
+    for r in sched:
+        assert r["fetch_slot_ms"] == (r["seq"] - 1) * r["delay_ms"]
+        i = int(r["host"][4])
+        assert r["delay_ms"] == {0: 1500, 1: 1000, 2: 2000}[i % 3]
+    # per-host seqs are 1..n without gaps
+    from collections import defaultdict
+    byhost = defaultdict(list)
+    for r in sched:
+        byhost[r["host"]].append(r["seq"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in byhost.values())
