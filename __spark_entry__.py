@@ -248,12 +248,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stronger stereo row in-window — word-interleaved channels,
         #    per-channel carried state)
         "knn_ivf_pq_scored": L.EXTRA_QUERIES["knn_ivf_pq_scored"],
-        # -- r9 third wave: STEREO IMA-ADPCM (word-interleaved channels,
-        #    per-channel carried state; the oracle steps the recurrence
-        #    per (doc, channel) partition — a cross-channel state leak
-        #    breaks the hash); displaced prof_approx_distinct (multi-
-        #    round green; profiling keeps five in-window rows)
-        "mm_audio_adpcm_stereo": M.QUERIES["mm_audio_adpcm_stereo"],
+        # -- r14c: rel=canonical dedup — the page's self-declared
+        #    canonical URL as the dedup key (both attribute orders, a
+        #    stylesheet <link> the extractor must not fire on, relative
+        #    canonicals resolved against the page, deterministic
+        #    survivor per group). Displaced mm_audio_adpcm_stereo
+        #    (multi-round green since r9; media keeps mm_pixel_stats
+        #    in-window and the codec kernels stay pytest-pinned)
+        "corpus_canonical_dedup": WB.QUERIES["corpus_canonical_dedup"],
         # -- r8 fourth-wave: DSIR importance resampling (hashed n-gram
         #    importance weights, integer micro-nat quantization — the
         #    whole formula DuckDB-replayed); displaced prof_top_values
@@ -393,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_pack_sequences_bpe": L.EXTRA_QUERIES["tok_pack_sequences_bpe"],
         "graph_pagerank": A.QUERIES["graph_pagerank"],
         "corpus_dup_spans": L.EXTRA_QUERIES["corpus_dup_spans"],
+        "mm_audio_adpcm_stereo": M.QUERIES["mm_audio_adpcm_stereo"],
         "ev_anomaly_zscore": A.QUERIES["ev_anomaly_zscore"],
         "j_asof_nearest": RX.QUERIES["j_asof_nearest"],
         "corpus_fix_encoding": WB.QUERIES["corpus_fix_encoding"],

@@ -317,6 +317,38 @@ NOFOLLOW_RE = r"""(?i)rel\s*=\s*["'][^"']*nofollow"""
 #: them are dropped BEFORE resolution (a javascript: href is code, a
 #: mailto:/tel: href is an address; none belong on a crawl frontier)
 NOFETCH_SCHEME_RE = r"(?i)^(mailto|javascript|tel|data):"
+#: the FIRST <base href> tag's value (HTML honors only the first) —
+#: it replaces the page URL as the resolution base for every relative
+#: href on the page; may itself be relative (resolved against the
+#: page URL first)
+BASE_HREF_RE = r"""(?i)<base\s[^>]*href\s*=\s*["']([^"']*)["']"""
+#: the <link rel=canonical> href — the page's self-declared canonical
+#: URL, the dedup signal real pipelines key on (rel may precede or
+#: follow href within the tag; first tag wins)
+CANONICAL_RE = (
+    r"""(?i)<link\s(?:[^>]*\brel\s*=\s*["']canonical["'][^>]*"""
+    r"""href\s*=\s*["']([^"']*)["']|[^>]*href\s*=\s*["']([^"']*)["']"""
+    r"""[^>]*\brel\s*=\s*["']canonical["'])"""
+)
+
+
+def base_href(col: Column) -> Column:
+    """The first ``<base href>`` value in an HTML column, empty when
+    the page declares none — callers resolve it against the page URL
+    (it is legally relative) and use the result as the base for every
+    relative anchor href on the page."""
+    return F.regexp_extract(col, BASE_HREF_RE, 1)
+
+
+def canonical_href(col: Column) -> Column:
+    """The first ``<link rel="canonical">`` href in an HTML column
+    (either attribute order), empty when the page declares none."""
+    return let(
+        F.regexp_extract(col, CANONICAL_RE, 1),
+        lambda g1: F.when(g1 != "", g1).otherwise(
+            F.regexp_extract(col, CANONICAL_RE, 2)
+        ),
+    )
 
 
 def extract_anchors(col: Column) -> Column:

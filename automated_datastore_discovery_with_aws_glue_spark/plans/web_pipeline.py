@@ -3369,6 +3369,17 @@ _LG_ARMS: tuple[str, ...] = (
     '<a href="JAVASCRIPT:void(0)">js</a>',
     '<a href="../up/{g}">up</a> <a href="?page=2">next</a>',
     "<p>terminal page {g} with no outgoing links</p>",
+    # r14c: a <base href> page — the (protocol-relative) base replaces
+    # the page URL as the resolution base for EVERY relative href, so
+    # both anchors land on the mirror host (which publishes no robots
+    # file downstream — the frontier's no-robots branch)
+    '<base href="//mirror{x}.example/m/">'
+    '<a href="a/{g}">based</a> <a href="/root/{g}">rooted</a>',
+    # r14c: a hub link every eighth page carries (8 arms against 7
+    # hosts keeps arm and host indices decorrelated, gcd(8,7)=1) —
+    # ONE hub URL per target site, so these frontier URLs carry
+    # discovery counts well above 1 at every sf
+    '<a href="https://site{x}.example/hub">hub</a>',
 )
 #: fixture host fan: 7 sites, each page's "external" arm points at the
 #: NEXT site (a ring), so the host graph has both internal and
@@ -3438,7 +3449,7 @@ def _lg_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetchable.select(
         W.url_host(F.col("page_url")).alias("src_host"),
         TX.let(
-            W.url_resolve(F.col("page_url"), F.col("href")),
+            W.url_resolve(F.col("base_url"), F.col("href")),
             lambda r: W.url_host(r),
         ).alias("dst_host"),
         "nofollow",
@@ -3460,7 +3471,12 @@ def _lg_page() -> F.Column:
 
 def _lg_anchor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture pages -> extracted anchors -> fetchability gate:
-    ``(page_url, href, nofollow)`` rows, hrefs still as written."""
+    ``(page_url, base_url, href, nofollow)`` rows, hrefs still as
+    written. ``base_url`` is the page's RESOLUTION base: the first
+    ``<base href>`` value resolved against the page URL (it is legally
+    relative) when the page declares one, the page URL itself
+    otherwise — relative anchors must resolve against it, never
+    blindly against the page (r14c)."""
     docs = load_table(spark, sf_dir, "documents")
     g = (F.col("doc_id") % 200).cast("string")
     x = ((F.col("doc_id") % _LG_HOSTS + 1) % _LG_HOSTS).cast("string")
@@ -3470,11 +3486,32 @@ def _lg_anchor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         branch = _lg_tpl(tpl, g, x)
         html = F.when(arm == i, branch) if html is None else html.when(arm == i, branch)
     page = _lg_page()
-    anchors = docs.select(
+    # the html expression is a wide when-chain referenced twice (anchor
+    # extraction + base extraction) — let-bound so it evaluates once
+    pre = docs.select(
         page.alias("page_url"),
-        F.explode(W.extract_anchors(html)).alias("a"),
+        TX.let(
+            html,
+            lambda hh: F.struct(
+                W.extract_anchors(hh).alias("anchors"),
+                W.base_href(hh).alias("base"),
+            ),
+        ).alias("hx"),
     ).select(
         "page_url",
+        F.when(
+            F.col("hx.base") != "",
+            TX.let(
+                W.url_resolve(F.col("page_url"), F.col("hx.base")), lambda b: b
+            ),
+        )
+        .otherwise(F.col("page_url"))
+        .alias("base_url"),
+        F.explode(F.col("hx.anchors")).alias("a"),
+    )
+    anchors = pre.select(
+        "page_url",
+        "base_url",
         F.col("a.href").alias("href"),
         F.col("a.nofollow").alias("nofollow"),
     )
@@ -3507,7 +3544,8 @@ def _lg_sql_edge_ctes() -> str:
         arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
     html = f"CASE doc_id % {len(_LG_ARMS)} " + " ".join(arms) + " END"
     href = "CASE WHEN dq <> '' THEN dq ELSE sq END"
-    resolved = _sql_url_resolve("page_url", "href")
+    base_res = _sql_url_resolve("page_url", "b0")
+    resolved = _sql_url_resolve("base_url", "href")
     return f"""d AS (
         SELECT doc_id, doc_id % 200 AS g, doc_id % {_LG_HOSTS} AS h,
                (doc_id % {_LG_HOSTS} + 1) % {_LG_HOSTS} AS x
@@ -3519,20 +3557,30 @@ def _lg_sql_edge_ctes() -> str:
                {html} AS html
         FROM d
     ),
-    t AS (
-        SELECT page_url,
-               unnest(regexp_extract_all(html, '{q(W.ANCHOR_TAG_RE)}', 0)) AS tag
+    pb AS (
+        SELECT page_url, html,
+               regexp_extract(html, '{q(W.BASE_HREF_RE)}', 1) AS b0
         FROM p
     ),
+    pb2 AS (
+        SELECT page_url, html,
+               CASE WHEN b0 <> '' THEN {base_res} ELSE page_url END AS base_url
+        FROM pb
+    ),
+    t AS (
+        SELECT page_url, base_url,
+               unnest(regexp_extract_all(html, '{q(W.ANCHOR_TAG_RE)}', 0)) AS tag
+        FROM pb2
+    ),
     a AS (
-        SELECT page_url,
+        SELECT page_url, base_url,
                regexp_extract(tag, '{q(W.HREF_DQ_RE)}', 1) AS dq,
                regexp_extract(tag, '{q(W.HREF_SQ_RE)}', 1) AS sq,
                regexp_matches(tag, '{q(W.NOFOLLOW_RE)}') AS nofollow
         FROM t
     ),
     f AS (
-        SELECT page_url, {href} AS href, nofollow
+        SELECT page_url, base_url, {href} AS href, nofollow
         FROM a
         WHERE {href} <> ''
           AND NOT starts_with({href}, '#')
@@ -3685,7 +3733,7 @@ def corpus_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors.filter(~F.col("nofollow"))
         .select(
             TX.let(
-                W.url_resolve(F.col("page_url"), F.col("href")),
+                W.url_resolve(F.col("base_url"), F.col("href")),
                 lambda r: W.url_normalize(r),
             ).alias("url")
         )
@@ -3764,7 +3812,7 @@ def _crawl_cycle_sql() -> str:
             delay_rows.append(f"('{q(host)}', {ms})")
     rules_sql = ",\n               ".join(rule_rows)
     delays_sql = ",\n               ".join(delay_rows)
-    resolved = _sql_url_resolve("page_url", "href")
+    resolved = _sql_url_resolve("base_url", "href")
     url_norm = _sql_url_norm_core(f"({_sql_pct_normalize('resolvedu')})")
     return f"""
     WITH {_lg_sql_edge_ctes()},
@@ -3828,3 +3876,149 @@ def _crawl_cycle_sql() -> str:
 
 QUERIES["corpus_crawl_cycle"] = corpus_crawl_cycle
 ORACLES["corpus_crawl_cycle"] = _crawl_cycle_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_canonical_dedup — rel=canonical as the dedup key (r14c)
+# ---------------------------------------------------------------------------
+
+#: per-arm (doc_id % 5) head markup: a cross-host canonical SHARED by
+#: every page in a 50-wide group (the syndication shape), an
+#: origin-relative canonical, a path-relative SELF canonical, no link
+#: at all, and a stylesheet link the extractor must NOT fire on
+_CD_ARMS: tuple[str, ...] = (
+    '<head><link rel="canonical" href="https://canon.example/art/{gg}">'
+    "<title>syndicated {g}</title></head>",
+    "<head><link href='/art/{g}' rel='canonical'></head>",
+    '<head><link rel="canonical" href="page{g}.html"></head>',
+    "<head><title>no canonical {g}</title></head>",
+    '<head><link rel="stylesheet" href="/css/x.css"></head>',
+)
+
+
+def corpus_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel=canonical`` dedup (r14c): the page's self-declared
+    canonical URL is the dedup signal real web pipelines key on —
+    syndicated copies across hosts declare ONE canonical and must
+    collapse to one kept page. Extraction handles both attribute
+    orders (``operators/web.canonical_href``); the value is legally
+    relative, so it resolves against the page URL, then normalizes;
+    pages declaring no canonical (or only unrelated ``<link>`` tags —
+    the stylesheet arm pins the non-firing case) key on themselves.
+    ``keep`` = the lexicographically first page of each canonical
+    group (deterministic survivor); ``is_self`` flags pages whose
+    canonical is themselves. All map-side JVM expressions; the one
+    data-scale shuffle is the canonical-key window — high-cardinality,
+    skew-free. DuckDB replays the arms, both extraction regexes, the
+    resolution, and the survivor rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 200).cast("string")
+    gg = (F.col("doc_id") % 200 % 50).cast("string")
+    arm = F.col("doc_id") % len(_CD_ARMS)
+    html = None
+    for i, tpl in enumerate(_CD_ARMS):
+        parts = []
+        import re as _re
+
+        for part in _re.split(r"(\{gg?\})", tpl):
+            if not part:
+                continue
+            if part == "{g}":
+                parts.append(g)
+            elif part == "{gg}":
+                parts.append(gg)
+            else:
+                parts.append(F.lit(part))
+        branch = F.concat(*parts) if len(parts) > 1 else parts[0]
+        html = F.when(arm == i, branch) if html is None else html.when(arm == i, branch)
+    page = _lg_page()
+    base = docs.select(
+        page.alias("page_url"),
+        TX.let(html, lambda hh: W.canonical_href(hh)).alias("c0"),
+    )
+    resolved = base.select(
+        "page_url",
+        (F.col("c0") != "").alias("declared"),
+        F.when(
+            F.col("c0") != "",
+            TX.let(
+                W.url_resolve(F.col("page_url"), F.col("c0")),
+                lambda r: W.url_normalize(r),
+            ),
+        )
+        .otherwise(F.col("page_url"))
+        .alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        resolved.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("page_url") == F.min("page_url").over(w))
+        .select(
+            "page_url",
+            "canonical_url",
+            "declared",
+            (F.col("canonical_url") == F.col("page_url")).alias("is_self"),
+            "dup_count",
+            "keep",
+        )
+        .orderBy("page_url")
+    )
+
+
+def _canonical_dedup_sql() -> str:
+    q = _sql_quote
+    arms = []
+    for i, tpl in enumerate(_CD_ARMS):
+        import re as _re
+
+        pieces = []
+        for part in _re.split(r"(\{gg?\})", tpl):
+            if not part:
+                continue
+            if part == "{g}":
+                pieces.append("g")
+            elif part == "{gg}":
+                pieces.append("(g % 50)")
+            else:
+                pieces.append(f"'{q(part)}'")
+        arms.append(f"WHEN {i} THEN " + " || ".join(pieces))
+    html = f"CASE doc_id % {len(_CD_ARMS)} " + " ".join(arms) + " END"
+    c0 = (
+        f"CASE WHEN regexp_extract(html, '{q(W.CANONICAL_RE)}', 1) <> '' "
+        f"THEN regexp_extract(html, '{q(W.CANONICAL_RE)}', 1) "
+        f"ELSE regexp_extract(html, '{q(W.CANONICAL_RE)}', 2) END"
+    )
+    resolved = _sql_url_resolve("page_url", "c0")
+    norm = _sql_url_norm_core(f"({_sql_pct_normalize('(' + resolved + ')')})")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % 200 AS g, doc_id % {_LG_HOSTS} AS h
+        FROM documents
+    ),
+    p AS (
+        SELECT 'https://site' || h || '.example/d' || (g % 10) ||
+                   '/page' || g || '.html' AS page_url,
+               {html} AS html
+        FROM d
+    ),
+    c AS (
+        SELECT page_url, {c0} AS c0 FROM p
+    ),
+    r AS (
+        SELECT page_url, (c0 <> '') AS declared,
+               CASE WHEN c0 <> '' THEN {norm} ELSE page_url END
+                   AS canonical_url
+        FROM c
+    )
+    SELECT page_url, canonical_url, declared,
+           (canonical_url = page_url) AS is_self,
+           CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+               AS dup_count,
+           (page_url = min(page_url) OVER (PARTITION BY canonical_url))
+               AS keep
+    FROM r
+    ORDER BY page_url"""
+
+
+QUERIES["corpus_canonical_dedup"] = corpus_canonical_dedup
+ORACLES["corpus_canonical_dedup"] = _canonical_dedup_sql()

@@ -196,6 +196,7 @@ HEADLINE = [
     "corpus_link_graph",
     "corpus_host_rank",
     "corpus_crawl_cycle",
+    "corpus_canonical_dedup",
 ]
 
 

@@ -1278,11 +1278,75 @@ def test_crawl_cycle_gates_and_schedule(spark):
     assert sched
     for r in sched:
         assert r["fetch_slot_ms"] == (r["seq"] - 1) * r["delay_ms"]
-        i = int(r["host"][4])
-        assert r["delay_ms"] == {0: 1500, 1: 1000, 2: 2000}[i % 3]
+        if r["host"].startswith("site"):
+            i = int(r["host"][4])
+            assert r["delay_ms"] == {0: 1500, 1: 1000, 2: 2000}[i % 3]
+        else:
+            # mirror hosts publish no robots file: everything allowed,
+            # default politeness delay
+            assert r["host"].startswith("mirror")
+            assert r["allowed"] and r["matched_prefix"] is None
+            assert r["delay_ms"] == 1000
+    # the <base href> arm routes BOTH its anchors (path- and
+    # origin-relative) onto the mirror host, never the page's own
+    mirror = [r for r in out if r["host"].startswith("mirror")]
+    assert mirror
+    assert {u.split(".example")[1].split("/")[1] for u in (r["url"] for r in mirror)} == {"m", "root"}
+    # the hub arm concentrates discovery: hub URLs carry n_refs > 1
+    hubs = [r for r in out if r["url"].endswith("/hub")]
+    assert hubs and all(r["n_refs"] > 1 for r in hubs)
     # per-host seqs are 1..n without gaps
     from collections import defaultdict
     byhost = defaultdict(list)
     for r in sched:
         byhost[r["host"]].append(r["seq"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in byhost.values())
+
+
+# -- r14c: base-href and rel=canonical extraction ------------------------------
+
+
+def test_base_and_canonical_extraction(spark):
+    rows = [
+        # first <base> wins; canonical in either attribute order
+        ('<base href="https://b.example/x/"><base href="/ignored/">'
+         '<link rel="canonical" href="/c1">', "https://b.example/x/", "/c1"),
+        ("<link href='/c2' rel='canonical'>", "", "/c2"),
+        # unrelated link tags never fire
+        ('<link rel="stylesheet" href="/css/x.css">', "", ""),
+        ("<p>no head markup at all</p>", "", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in rows], ["h"])
+    got = df.select(
+        W.base_href(F.col("h")).alias("b"),
+        W.canonical_href(F.col("h")).alias("c"),
+    ).collect()
+    assert [(r["b"], r["c"]) for r in got] == [(b, c) for _, b, c in rows]
+
+
+def test_canonical_dedup_groups(spark):
+    from automated_datastore_discovery_with_aws_glue_spark.plans.web_pipeline import (
+        corpus_canonical_dedup,
+    )
+
+    out = corpus_canonical_dedup(spark, "/root/testdata/sf0.001").collect()
+    # undeclared pages (the no-link and stylesheet-only arms) key on
+    # themselves: declared False, self-canonical, singleton groups
+    undecl = [r for r in out if not r["declared"]]
+    assert undecl and all(r["is_self"] and r["dup_count"] == 1 and r["keep"] for r in undecl)
+    # the syndication arm: cross-host canon.example groups collapse,
+    # exactly ONE kept survivor per group, the lexicographic first
+    synd = [r for r in out if "canon.example" in r["canonical_url"]]
+    assert synd and all(not r["is_self"] for r in synd)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in synd:
+        groups[r["canonical_url"]].append(r)
+    assert any(len(v) > 1 for v in groups.values())
+    for v in groups.values():
+        assert sum(r["keep"] for r in v) == 1
+        assert min(r["page_url"] for r in v) == next(r["page_url"] for r in v if r["keep"])
+        assert all(r["dup_count"] == len(v) for r in v)
+    # the path-relative self-canonical arm declares AND is self
+    selfs = [r for r in out if r["declared"] and r["is_self"]]
+    assert selfs
