@@ -531,6 +531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rows-only (stateful lifecycle, data-dependent centroids); the
         # quantizer math is pinned in-window by knn_kmeans_centroids
         "incr_ann_ingest": INC.incr_ann_ingest,
+        # r14c: the crawl-frontier recurring cost — bulk + daily-delta
+        # discovery through the persisted partition-pruned seen-set.
+        # Rows-only (stateful lifecycle); discovery math pinned
+        # in-window by corpus_link_graph / corpus_crawl_cycle and the
+        # cross-batch == one-shot contract by tests/test_frontier.py
+        "incr_frontier_ingest": INC.incr_frontier_ingest,
         **L.EXTRA_QUERIES,
         "doc_fingerprint": L.QUERIES["doc_fingerprint"],
         "dedup_minhash_lsh": L.QUERIES["dedup_minhash_lsh"],

@@ -629,6 +629,66 @@ def idn_fold(
     ).drop("_if_h", "_if_f")
 
 
+def discover_frontier(
+    pages: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """In-page frontier discovery over REAL page rows (r14c): every
+    fetchable, non-nofollow anchor target of ``html_col`` resolved
+    against the page's resolution base (the first ``<base href>``
+    when declared — itself resolved against ``url_col`` — else the
+    page URL), canonicalized, and deduplicated within the frame:
+    ``(url, host, n_refs)``. The generic form of the fixture pipeline
+    behind ``corpus_link_graph`` / ``corpus_crawl_cycle``, and the
+    per-batch discovery step of the persisted
+    :class:`~automated_datastore_discovery_with_aws_glue_spark.state.frontier.CrawlFrontier`.
+
+    Gates, in order: empty href, fragment-only, non-fetchable schemes
+    (mailto/javascript/tel/data), ``rel=nofollow`` (a polite corpus
+    crawler treats it as do-not-crawl), unresolvable/unnormalizable
+    targets (NULL quarantine). All map-side JVM expressions; the one
+    shuffle is the final URL-key aggregate."""
+    u, h = F.col(url_col), F.col(html_col)
+    pre = pages.select(
+        u.alias("_df_page"),
+        let(
+            h,
+            lambda hh: F.struct(
+                extract_anchors(hh).alias("anchors"),
+                base_href(hh).alias("base"),
+            ),
+        ).alias("_df_hx"),
+    ).select(
+        "_df_page",
+        F.when(
+            F.col("_df_hx.base") != "",
+            let(url_resolve(F.col("_df_page"), F.col("_df_hx.base")), lambda b: b),
+        )
+        .otherwise(F.col("_df_page"))
+        .alias("_df_base"),
+        F.explode(F.col("_df_hx.anchors")).alias("_df_a"),
+    )
+    cand = (
+        pre.filter(
+            (F.col("_df_a.href") != "")
+            & ~F.col("_df_a.href").startswith("#")
+            & ~F.col("_df_a.href").rlike(NOFETCH_SCHEME_RE)
+            & ~F.col("_df_a.nofollow")
+        )
+        .select(
+            let(
+                url_resolve(F.col("_df_base"), F.col("_df_a.href")),
+                lambda r: url_normalize(r),
+            ).alias("url")
+        )
+        .filter(F.col("url").isNotNull())
+    )
+    return (
+        cand.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .select("url", url_host(F.col("url")).alias("host"), "n_refs")
+    )
+
+
 def url_dedup(
     df: DataFrame, id_col: str, url_col: str, *, keep_order: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -659,3 +659,52 @@ def incr_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ix.topk(query, 10, n_probe=4).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def incr_frontier_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark shape of the RECURRING crawl-frontier cost (r14c):
+    seed a fresh :class:`~automated_datastore_discovery_with_aws_glue_spark.state.frontier.CrawlFrontier`
+    with the full crawled URL set, ingest 90% of the pages as the bulk
+    discovery batch, then the remaining 10% as the daily delta — the
+    second ingest is the number that must stay O(batch + hits) as the
+    seen-set grows (stored side scanned against the broadcast batch,
+    never shuffled; appends hard-linked). Pages are the shared
+    link-graph fixture (anchors, base-href, nofollow, hub arms).
+    Returns the delta batch's new frontier slice. Rows-only for the
+    driver: the lifecycle is stateful (temp store root); the
+    discovery math is pinned in-window by corpus_link_graph /
+    corpus_crawl_cycle, and the cross-batch == one-shot contract by
+    pytest (tests/test_frontier.py)."""
+    import shutil
+    import tempfile
+
+    from automated_datastore_discovery_with_aws_glue_spark.plans.web_pipeline import (
+        _LG_ARMS,
+        _LG_HOSTS,
+        _lg_page,
+        _lg_tpl,
+    )
+    from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
+    from automated_datastore_discovery_with_aws_glue_spark.state.frontier import CrawlFrontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the fixture page set as real (url, html) rows — the same arm
+    # chain the in-window link-graph/crawl-cycle rows compile
+    g = (F.col("doc_id") % 200).cast("string")
+    x = ((F.col("doc_id") % _LG_HOSTS + 1) % _LG_HOSTS).cast("string")
+    arm = F.col("doc_id") % len(_LG_ARMS)
+    html = None
+    for i, tpl in enumerate(_LG_ARMS):
+        branch = _lg_tpl(tpl, g, x)
+        html = F.when(arm == i, branch) if html is None else html.when(arm == i, branch)
+    pages = docs.select("doc_id", _lg_page().alias("url"), html.alias("html"))
+    root = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        fr = CrawlFrontier(spark, root, partitions=16)
+        fr.seed(pages.select("url"))
+        fr.ingest(pages.filter(F.col("doc_id") % 10 < 9), "url", "html")
+        delta = fr.ingest(pages.filter(F.col("doc_id") % 10 >= 9), "url", "html")
+        # localCheckpoint inside ingest: the result outlives the store
+        return delta.orderBy("url")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

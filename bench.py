@@ -197,6 +197,9 @@ HEADLINE = [
     "corpus_host_rank",
     "corpus_crawl_cycle",
     "corpus_canonical_dedup",
+    # r14c: the crawl-frontier recurring cost (bulk + daily delta
+    # through the persisted partition-pruned seen-set)
+    "incr_frontier_ingest",
 ]
 
 
