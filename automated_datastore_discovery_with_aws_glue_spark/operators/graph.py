@@ -52,13 +52,21 @@ def pagerank(
         .distinct()
         .persist()
     )
-    nodes = (
+    nodes_plain = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # the dangling set is FIXED across iterations (nodes with no out-
+    # edges): decide it ONCE as a flag on the node table instead of
+    # re-running a ranks⋈outdeg anti-join every round (r14: one join
+    # per iteration removed, identical semantics)
+    nodes = nodes_plain.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_out")),
+        "node",
+        "left",
+    ).select("node", F.col("_out").isNull().alias("_dang")).persist()
     n = nodes.count()
     if n == 0:
         # empty graph: nothing to rank — return an empty, correctly
@@ -71,29 +79,46 @@ def pagerank(
     r0 = SCALE // n
     teleport = (15 * (SCALE // n)) // 100
 
+    # edges ⋈ outdeg is iteration-invariant: hoist it out of the loop
+    # (r14: was re-joined inside every round's inflow)
+    e_deg = e.join(outdeg, "src").select("src", "dst", "deg").persist()
+
     ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
-    cached = [e, nodes, outdeg]
+    cached = [e, nodes, outdeg, e_deg]
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import (
+        adopt,
+        persistent_rdd_ids,
+        rdd_id_releaser,
+    )
+
+    sc = edges.sparkSession.sparkContext
+    seen_ids = persistent_rdd_ids(sc)
+    # the checkpointed frames must stay PYTHON-referenced until release:
+    # dropping the wrapper lets the JVM ContextCleaner unpersist the
+    # checkpoint blocks while later rounds still read them
+    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    cp_refs: list[DataFrame] = []
     for _ in range(iterations):
-        # each round's ranks feed TWO branches (dangling + inflow):
-        # persisted so the single final action materializes every round
-        # once instead of re-expanding 2^k lineage branches. The
-        # dangling mass stays a LAZY 1-row frame (crossJoin) — one
-        # action for the whole run instead of a collect per round
-        # (wall-clock at small sf is codegen-bound either way; fewer
-        # actions is the cluster-friendly shape)
-        ranks = ranks.persist()
-        cached.append(ranks)
-        dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(
-                F.expr(f"coalesce(sum(r), 0) div {n}")
-                .cast("bigint")
-                .alias("_dshare")
-            )
+        # each round's ranks feed TWO branches (dangling + inflow).
+        # localCheckpoint — not persist — so round t+1's logical plan
+        # starts from an RDD leaf: with persist the analyzer/optimizer
+        # re-walked a tree that DOUBLES per round (the r13 plan printed
+        # 20k lines / 1312 Exchanges after 5 rounds; driver-side
+        # planning dominated the query, guide §7.3). Eager: the lazy
+        # form materializes rounds recursively inside the final job,
+        # where block-manager cleanup of mid-chain rounds raced the
+        # reads (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); one small job per
+        # round is the robust shape. The dangling mass stays a LAZY
+        # 1-row frame (crossJoin) — no per-round collect.
+        ranks = ranks.localCheckpoint(eager=True)
+        cp_refs.append(ranks)
+        dang = ranks.filter(F.col("_dang")).agg(
+            F.expr(f"coalesce(sum(r), 0) div {n}")
+            .cast("bigint")
+            .alias("_dshare")
         )
         inflow = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
@@ -103,16 +128,24 @@ def pagerank(
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit(teleport)
                     + F.expr("(85 * (coalesce(inflow, 0) + _dshare)) div 100")
                 ).cast("bigint").alias("r"),
             )
         )
-    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt
+    own_ids = persistent_rdd_ids(sc) - seen_ids
+    releaser = rdd_id_releaser(sc, own_ids)
+
+    def _release_cps(refs=cp_refs, rel=releaser) -> None:
+        rel()
+        refs.clear()
 
     return adopt(
-        ranks.select("node", F.col("r").alias("rank_mass")), *cached
+        ranks.select("node", F.col("r").alias("rank_mass")),
+        *cached,
+        _release_cps,
     )
 
 

@@ -827,7 +827,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C"), F.col("o_custkey")).alias("dst"),
     )
     ranks = pagerank(edges, iterations=_PR_ITERS)
-    return ranks.orderBy(F.desc("rank_mass"), "node").limit(_PR_TOP_K)
+    # carry: the orderBy wrapper must keep the operator's caches (and
+    # checkpoint blocks) alive until the caller's action — without it
+    # the GC backstop released them BEFORE collect and every iteration
+    # recomputed from scratch
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import carry
+
+    return carry(
+        ranks.orderBy(F.desc("rank_mass"), "node").limit(_PR_TOP_K), ranks
+    )
 
 
 def _graph_pagerank_sql() -> str:

@@ -3648,7 +3648,12 @@ def corpus_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with unreliable executors would use a reliable checkpoint dir).
     edges = edges.localCheckpoint(eager=False)
     ranks = pagerank(edges, iterations=_HR_ITERS)
-    return ranks.orderBy(F.desc("rank_mass"), "node")
+    # carry: keep the operator's caches/checkpoint blocks alive past
+    # the orderBy wrapper (the GC backstop would otherwise release
+    # them before the caller's action)
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import carry
+
+    return carry(ranks.orderBy(F.desc("rank_mass"), "node"), ranks)
 
 
 def _host_rank_sql() -> str:
