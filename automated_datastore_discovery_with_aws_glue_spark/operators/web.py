@@ -1131,9 +1131,15 @@ def robots_filter(
     the REP precedence: the rule with the most octets wins, allow wins
     length ties, no matching rule means allowed. Adds ``allowed``
     (boolean) and ``matched_prefix`` (the winning rule path as written,
-    NULL when no rule matched). One broadcast join + one aggregate —
-    the per-page winner is ``max(struct(len, is_allow, prefix))``, no
-    window over page rows.
+    NULL when no rule matched). FULLY MAP-SIDE (r14): the per-host rule
+    list is collect_list'd into one broadcast array row per host, each
+    page left-joins its host's array, and the winner is
+    ``array_max(transform(filter(rules, matches), struct(len,
+    is_allow, prefix)))`` — the same ``max(struct(...))`` precedence,
+    decided per row with ZERO page-scale exchanges. The previous shape
+    (broadcast join -> groupBy(id) aggregate -> join back onto pages)
+    shuffled page-scale rows twice and evaluated the pages subtree
+    twice.
 
     ``path_col`` must be the RAW fetch target (:func:`url_raw_target`
     — raw path plus ``?query``), not the canonical form: a directory
@@ -1149,23 +1155,9 @@ def robots_filter(
     bytes (robots must still decide something for a garbled URL).
     Precedence octets and ``matched_prefix`` use the rule AS WRITTEN."""
     decoded_pfx = F.coalesce(pct_normalize(F.col("prefix")), F.col("prefix"))
-    rules = rules.select(
-        "*",
-        rep_is_wildcard(F.col("prefix")).alias("_wild"),
-        rep_pattern(decoded_pfx).alias("_pat"),
-        decoded_pfx.alias("_pfx"),
-    )
-    pages_d = pages.withColumn(
-        "_rf_tgt",
-        F.coalesce(pct_normalize(F.col(path_col)), F.col(path_col)),
-    )
-    j = pages_d.join(F.broadcast(rules), key_col).filter(
-        F.when(
-            F.col("_wild"), F.regexp_like(F.col("_rf_tgt"), F.col("_pat"))
-        ).otherwise(F.col("_rf_tgt").startswith(F.col("_pfx")))
-    )
-    best = j.groupBy(id_col).agg(
-        F.max(
+    host_rules = (
+        rules.select(
+            key_col,
             F.struct(
                 # RFC 9309 ranks by OCTETS of the rule as written — a
                 # raw-UTF-8 rule path must out-rank a shorter-in-bytes
@@ -1173,16 +1165,38 @@ def robots_filter(
                 F.octet_length("prefix").alias("l"),
                 (F.col("rule") == "allow").cast("int").alias("a"),
                 F.col("prefix").alias("p"),
-            )
-        ).alias("_b")
+                rep_is_wildcard(F.col("prefix")).alias("w"),
+                rep_pattern(decoded_pfx).alias("pat"),
+                decoded_pfx.alias("pfx"),
+            ).alias("_r"),
+        )
+        .groupBy(key_col)
+        .agg(F.collect_list("_r").alias("_rf_rules"))
+    )
+    tgt = F.coalesce(pct_normalize(F.col(path_col)), F.col(path_col))
+
+    def match(r: Column) -> Column:
+        return F.when(
+            r["w"], F.regexp_like(F.col("_rf_tgt"), r["pat"])
+        ).otherwise(F.col("_rf_tgt").startswith(r["pfx"]))
+
+    # collect_list order is nondeterministic, but array_max over the
+    # (l, a, p) precedence structs is order-independent
+    best = F.array_max(
+        F.transform(
+            F.filter(F.col("_rf_rules"), match),
+            lambda r: F.struct(r["l"].alias("l"), r["a"].alias("a"), r["p"].alias("p")),
+        )
     )
     return (
-        pages.join(best, id_col, "left")
+        pages.join(F.broadcast(host_rules), key_col, "left")
+        .withColumn("_rf_tgt", tgt)
+        .withColumn("_rf_best", best)
         .withColumn(
-            "allowed", F.coalesce(F.col("_b.a") == 1, F.lit(True))
+            "allowed", F.coalesce(F.col("_rf_best.a") == 1, F.lit(True))
         )
-        .withColumn("matched_prefix", F.col("_b.p"))
-        .drop("_b")
+        .withColumn("matched_prefix", F.col("_rf_best.p"))
+        .drop("_rf_rules", "_rf_tgt", "_rf_best")
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from automated_datastore_discovery_with_aws_glue_spark.operators import text as TX
 from automated_datastore_discovery_with_aws_glue_spark.operators import web as W
+from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt, carry
 from automated_datastore_discovery_with_aws_glue_spark.sources.readers import load_table
 
 # -- shared synthetic-URL fixture -------------------------------------------
@@ -1702,7 +1703,10 @@ def corpus_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fractional-seconds -> ms math, and the canonicalization."""
     docs = load_table(spark, sf_dir, "documents")
     raw = _raw_url()
-    hosts = docs.select(W.url_host(raw).alias("host")).distinct()
+    # persisted: hosts/robots feed four derivation chains (rule count,
+    # delay, sitemaps, the spine join) — each re-ran the corpus scan +
+    # DISTINCT shuffle unpersisted (r14)
+    hosts = docs.select(W.url_host(raw).alias("host")).distinct().persist()
     robots = hosts.withColumn("robots", _robots_text(F.col("host")))
     nr = W.robots_rules(robots, "host", "robots").groupBy("host").agg(
         F.count(F.lit(1)).alias("n_rules")
@@ -1721,7 +1725,7 @@ def corpus_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sitemaps"),
         F.min("_s").alias("_first"),
     )
-    return (
+    return adopt(
         hosts.join(nr, "host", "left")
         .join(delay, "host", "left")
         .join(sm_agg, "host", "left")
@@ -1733,7 +1737,8 @@ def corpus_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_first.u").alias("first_sitemap"),
             F.col("_first.oh").alias("sm_on_host"),
         )
-        .orderBy("host")
+        .orderBy("host"),
+        hosts,
     )
 
 
@@ -2010,24 +2015,31 @@ def corpus_robots_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.url_host(raw).alias("host"),
         W.url_raw_target(raw).alias("target"),
     )
-    robots = pages.select("host").distinct().withColumn(
-        "robots", _agent_robots_text(F.col("host"))
+    # the per-host robots table feeds FOUR parse chains (two rule
+    # selections + two delay selections), each of which would otherwise
+    # re-run the full pages scan + DISTINCT shuffle — persist the tiny
+    # host-scale frame so the corpus is scanned once for it (r14)
+    robots = (
+        pages.select("host")
+        .distinct()
+        .withColumn("robots", _agent_robots_text(F.col("host")))
+        .persist()
     )
     rules_star = W.robots_rules(robots, "host", "robots")
     rules_agent = W.robots_rules(robots, "host", "robots", agent=_AG_TOKEN)
-    vstar = W.robots_filter(
-        pages, rules_star, id_col="doc_id", path_col="target"
-    ).select(
-        "doc_id",
-        F.col("allowed").alias("allowed_star"),
-        F.col("matched_prefix").alias("m_star"),
+    # robots_filter is map-side and row-preserving (r14): CHAIN the two
+    # selections over one pages pass instead of joining two page-scale
+    # verdict frames back on doc_id (was: two extra shuffles + three
+    # pages subtree evaluations)
+    vstar = (
+        W.robots_filter(pages, rules_star, id_col="doc_id", path_col="target")
+        .withColumnRenamed("allowed", "allowed_star")
+        .withColumnRenamed("matched_prefix", "m_star")
     )
-    vagent = W.robots_filter(
-        pages, rules_agent, id_col="doc_id", path_col="target"
-    ).select(
-        "doc_id",
-        F.col("allowed").alias("allowed_agent"),
-        F.col("matched_prefix").alias("m_agent"),
+    both = (
+        W.robots_filter(vstar, rules_agent, id_col="doc_id", path_col="target")
+        .withColumnRenamed("allowed", "allowed_agent")
+        .withColumnRenamed("matched_prefix", "m_agent")
     )
     dstar = W.robots_crawl_delay(robots, "host", "robots").select(
         "host", F.col("crawl_delay_ms").alias("delay_star_ms")
@@ -2035,11 +2047,9 @@ def corpus_robots_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     dagent = W.robots_crawl_delay(
         robots, "host", "robots", agent=_AG_TOKEN
     ).select("host", F.col("crawl_delay_ms").alias("delay_agent_ms"))
-    return (
-        pages.join(vstar, "doc_id")
-        .join(vagent, "doc_id")
-        .join(dstar, "host", "left")
-        .join(dagent, "host", "left")
+    out = (
+        both.join(F.broadcast(dstar), "host", "left")
+        .join(F.broadcast(dagent), "host", "left")
         .select(
             "doc_id",
             "host",
@@ -2053,6 +2063,7 @@ def corpus_robots_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return adopt(out, robots)
 
 
 def _robots_agents_sql() -> str:
@@ -2479,8 +2490,14 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.url_host(raw).alias("host"),
         W.url_raw_target(raw).alias("target"),
     )
-    robots = pages.select("host").distinct().withColumn(
-        "robots", _robots_text(F.col("host"))
+    # persisted: the host-scale robots table feeds both the rule parse
+    # and the delay parse — unpersisted each chain re-ran the pages
+    # scan + DISTINCT shuffle (r14)
+    robots = (
+        pages.select("host")
+        .distinct()
+        .withColumn("robots", _robots_text(F.col("host")))
+        .persist()
     )
     rules = W.robots_rules(robots, "host", "robots")
     verdict = W.robots_filter(pages, rules, id_col="doc_id", path_col="target")
@@ -2489,9 +2506,12 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = W.crawl_schedule(
         frontier, delays, id_col="doc_id", default_delay_ms=_CS_DEFAULT_MS
     )
-    return out.select(
-        "doc_id", "host", "target", "seq", "delay_ms", "fetch_slot_ms"
-    ).orderBy("doc_id")
+    return adopt(
+        out.select(
+            "doc_id", "host", "target", "seq", "delay_ms", "fetch_slot_ms"
+        ).orderBy("doc_id"),
+        robots,
+    )
 
 
 def _crawl_schedule_sql() -> str:
@@ -3756,6 +3776,11 @@ def corpus_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, robots string",
     )
     rules = W.robots_rules(robots, "host", "robots")
+    # NOT persisted: the verdict subtree feeds the schedule slice AND
+    # the final spine join, but its dedup exchange is byte-identical on
+    # both paths, so ReusedExchange already computes it once — an
+    # explicit persist measured SLOWER (4.6 s vs 2.8 s: cache write +
+    # two cache reads replaced a free plan-level reuse)
     verdict = W.robots_filter(
         cand.withColumn("target", W.url_raw_target(F.col("url"))),
         rules,
