@@ -2171,7 +2171,12 @@ def doc_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
-    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the term-count table is vocab-cardinality metadata but
+    # feeds FOUR derivation chains (vocab -> uni, vocab -> vmass,
+    # totals, bi) — unpersisted, each re-ran the full corpus tokenize +
+    # count shuffle (r14; the chains differ downstream of the exchange,
+    # so ReusedExchange alone does not cover the scan)
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     vocab = tc.orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB)
     totals = tc.agg(F.sum("c").alias("t_all"))
     vmass = vocab.agg(F.sum("c").alias("v_mass"))
@@ -2180,23 +2185,33 @@ def doc_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pair_frame(src: DataFrame) -> DataFrame:
-        words = TX.tokens(F.col("text"))
-        pairs = F.when(
-            F.size(words) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - 1),
-                lambda i: F.struct(
-                    F.element_at(words, i).alias("w1"),
-                    F.element_at(words, i + 1).alias("w2"),
+        # let-bound + zip_with over two shifted slices (r14): the
+        # previous transform(sequence(1, n-1), i -> element_at(words,
+        # i)) re-evaluated the un-bound tokenize regex inside the
+        # per-element lambda — O(L^2) work per document, measured 7.1 s
+        # vs 0.5 s per corpus pass at sf0.1 (the dedup shingle kernels
+        # already guard against exactly this, operators/dedup.py)
+        def body(words: Column) -> Column:
+            return F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+        pairs = TX.let(TX.tokens(F.col("text")), body)
         return (
             src.select("doc_id", F.explode(pairs).alias("pp"))
             .select("doc_id", "pp.w1", "pp.w2")
             .filter((F.col("w1") != "") & (F.col("w2") != ""))
         )
 
+    # NOT persisted: the transition stream feeds both the bigram-count
+    # pass and the scoring pass, but re-running the map-side tokenize +
+    # explode measured CHEAPER than writing/reading the materialized
+    # pair stream (14.5 s vs 13.5 s at sf0.1)
     pairs = pair_frame(docs)
     bc = (
         pairs.groupBy("w1", "w2")
@@ -2225,13 +2240,14 @@ def doc_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln_p"),
         )
     )
-    return (
+    return C.adopt(
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_transitions"),
             F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity2"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        tc,
     )
 
 
