@@ -287,12 +287,16 @@ def gapfill(
     three-op float formula measurably drifts 1 ulp across engines when
     one of them contracts multiply-add to FMA).
 
-    Shuffle shape: one aggregate to (key, bucket), a metadata-sized
-    span aggregate per key, a map-side grid explode (rows bounded by
-    span/step per key), one join of grid to observations on
-    (key, bucket), and ONE window sort per key serving both fill
-    directions. No all-pairs anything; per-key state is the span, so
-    skewed keys cost their own span only."""
+    Shuffle shape: ONE hash exchange total. The input repartitions by
+    the keys alone, which also satisfies the finer (key, bucket) dedup
+    window (subset clustering), so the dedup, the neighbor windows and
+    the lead window all share that single exchange and one sort. The
+    grid then materializes MAP-SIDE: each observation row explodes
+    ``sequence(bucket, next_bucket - 1)`` (its own bucket plus the gap
+    rows it anchors), carrying the already-windowed fill neighbors —
+    no span aggregate, no grid join, no second scan of the input.
+    Per-key state is the span, so skewed keys cost their own span
+    only."""
     keys = [key] if isinstance(key, str) else list(key)
     order = order_col or ts_col
     # integer floor-division (`div`), never float-divide-then-floor: a
@@ -306,34 +310,27 @@ def gapfill(
         Window.partitionBy(*keys, "bucket").orderBy(ts_col, order)
     )
     obs = (
-        df.withColumn("bucket", bucket)
+        df.repartition(*[F.col(k) for k in keys])
+        .withColumn("bucket", bucket)
         .withColumn("_rn", rn)
         .filter(F.col("_rn") == 1)
         .select(*keys, "bucket", F.col(val_col).alias("_v"))
     )
-    span = obs.groupBy(*keys).agg(
-        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
-    )
-    grid = span.select(
-        *keys, F.explode(F.sequence("_b0", "_b1")).alias("bucket")
-    )
-    g = grid.join(obs, [*keys, "bucket"], "left")
-
-    wb = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wf = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    g = g.withColumn(
+    obs = obs.withColumn(
         "_vq", F.round(F.col("_v") * interp_quant).cast("bigint")
     )
     obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket"))
-    # ALL window values in ONE projection: staged withColumns plan a
-    # separate Window operator (each with its own codegen unit) per
-    # stage — four in the first formulation; this plans two (one per
-    # frame direction) sharing a single exchange+sort
-    g = g.select(
+    # ALL window values in ONE projection over the deduped observation
+    # rows (one per occupied bucket): the backward frame carries the
+    # LOCF/interp left neighbor, the exclusive forward frame the interp
+    # right neighbor, and lead() the next occupied bucket that bounds
+    # this row's gap run. A NULL-valued observation stays a grid anchor
+    # but is invisible to the fill columns (ignorenulls), exactly like
+    # the former grid-join formulation.
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    anchors = obs.select(
         *keys,
         "bucket",
         "_v",
@@ -342,7 +339,31 @@ def gapfill(
         F.last(obs_bucket, ignorenulls=True).over(wb).alias("_pb"),
         F.first("_vq", ignorenulls=True).over(wf).alias("_nq"),
         F.first(obs_bucket, ignorenulls=True).over(wf).alias("_nb"),
+        F.lead("bucket").over(w).alias("_ng"),
     )
+    # map-side grid: each anchor emits itself plus the empty buckets up
+    # to (excluding) the next anchor; the last anchor emits itself only.
+    # For the anchor row (_gb == bucket) the exclusive forward neighbor
+    # is only read when _v is NULL — where it coincides with the old
+    # inclusive frame (the row's own contribution was NULL) — and for
+    # gap rows the anchor's at-or-before/after-self neighbors are
+    # exactly the gap's neighbors.
+    g = anchors.select(
+        *keys,
+        F.col("bucket").alias("_ab"),
+        "_v",
+        "_pv",
+        "_pq",
+        "_pb",
+        "_nq",
+        "_nb",
+        F.explode(
+            F.sequence(
+                F.col("bucket"), F.coalesce(F.col("_ng") - 1, F.col("bucket"))
+            )
+        ).alias("bucket"),
+    )
+    val = F.when(F.col("bucket") == F.col("_ab"), F.col("_v"))
     # exact integer weighted average of the quantized neighbors, rounded
     # to 4dp IN INTEGER SPACE (`(2x + d) div 2d`, the repo's half-up
     # idiom): a float `round()` at an exact tie — quarter-unit rationals
@@ -354,22 +375,22 @@ def gapfill(
     # _den is NULLed on observed rows (prev_b == next_b == bucket):
     # ANSI `div` by zero would error even though `interp` never reads
     # the branch there
-    g = g.withColumn(
+    g = g.withColumn("_val", val).withColumn(
         "_num",
         F.col("_pq") * (F.col("_nb") - F.col("bucket"))
         + F.col("_nq") * (F.col("bucket") - F.col("_pb")),
     ).withColumn(
         "_den", F.when(F.col("_nb") > F.col("_pb"), F.col("_nb") - F.col("_pb"))
     )
-    interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+    interp = F.when(F.col("_val").isNotNull(), F.col("_val")).otherwise(
         F.expr(f"(_num * 2 * {factor} + _den) div (2 * _den)")
         / F.lit(float(out_scale))
     )
     return g.select(
         *keys,
         (F.col("bucket") * (step_us // 1_000_000)).alias("bucket_start_epoch"),
-        F.col("_v").isNotNull().alias("observed"),
-        F.round(F.col("_v"), 4).alias("value"),
+        F.col("_val").isNotNull().alias("observed"),
+        F.round(F.col("_val"), 4).alias("value"),
         F.round(F.col("_pv"), 4).alias("locf"),
         F.round(interp, 4).alias("interp"),
     )
