@@ -167,7 +167,15 @@ class CorpusDedupIndex:
         replaced by the group's min-id representative. Returns
         ``(stored_side, sizes)`` — ``sizes`` is the valve's persisted
         size frame (caller unpersists after its actions), None when the
-        valve is off."""
+        valve is off.
+
+        Valve shape: ONE aggregate computes each probed group's count
+        AND min id map-side (partial agg — a degenerate hot bucket
+        shuffles one row, never its membership), broadcasts back, and a
+        single filtered pass keeps small-group members plus each hot
+        group's min-id row. The former split_hot_buckets + reps-union
+        formulation re-scanned the pruned index once per side (sizes /
+        ok / hot) — three scans where two carry identical semantics."""
         pts = sorted(
             r["pt"]
             for r in banded_probe.select(self._pt().alias("pt")).distinct().collect()
@@ -179,19 +187,47 @@ class CorpusDedupIndex:
             stored = stored.filter(F.col("pt").isin(pts))
         if self.max_bucket is None:
             return stored, None
-        from automated_datastore_discovery_with_aws_glue_spark.operators.hot import split_hot_buckets
+        from automated_datastore_discovery_with_aws_glue_spark.operators.hot import (
+            _log_hot_stats,
+            _probe,
+        )
 
         probed = stored.join(
             F.broadcast(banded_probe.select("band", "bucket").distinct()),
             ["band", "bucket"],
             "left_semi",
         )
-        ok, hot, _stats, sizes = split_hot_buckets(
-            probed, ("band", "bucket"), self.max_bucket, label=label, policy="route"
+        sizes = (
+            probed.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"), F.min("id").alias("_mn"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        reps = hot.groupBy("band", "bucket").agg(F.min("id").alias("id"))
-        cols = ["band", "bucket", "id"]
-        return ok.select(*cols).unionByName(reps.select(*cols)), sizes
+        max_bucket = self.max_bucket
+
+        def _account() -> None:  # same async accounting as split_hot_buckets
+            try:
+                n_groups, n_rows = _probe(sizes, max_bucket)
+            except Exception:  # session torn down before the probe landed
+                return
+            if n_groups:
+                _log_hot_stats(n_groups, n_rows, label, max_bucket, "route")
+
+        try:
+            from pyspark import InheritableThread
+
+            t = InheritableThread(target=_account, daemon=True)
+        except ImportError:  # pragma: no cover - ancient pyspark
+            import threading
+
+            t = threading.Thread(target=_account, daemon=True)
+        t.name = f"hot-bucket-probe-{label}"
+        t.start()
+        out = (
+            probed.join(F.broadcast(sizes), ["band", "bucket"])
+            .filter((F.col("_bn") <= max_bucket) | (F.col("id") == F.col("_mn")))
+            .select("band", "bucket", "id")
+        )
+        return out, sizes
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
         rows = self.num_hashes // self.bands
@@ -345,10 +381,16 @@ class CorpusDedupIndex:
             # near-dups permanently undetectable.
             # repartition by pt BEFORE the partitioned write: each pt dir
             # is then written by one task — 64 files per ingest, not
-            # tasks x 64 tiny files (small-file blowup at daily cadence)
+            # tasks x 64 tiny files (small-file blowup at daily cadence).
+            # The banded survivor rows come from the PERSISTED
+            # keep_banded when an index exists (final_keep ⊆ batch_keep,
+            # so keep_banded ⋈ final_keep == banded_new ⋈ final_keep) —
+            # re-deriving banded_new here would re-scan the stored id
+            # column for its anti-join.
+            banded_keep_src = keep_banded if have_index else banded_new
             self.store.append(
                 BUCKETS,
-                banded_new.join(final_keep, "id")
+                banded_keep_src.join(final_keep, "id")
                 .select("band", "bucket", "id")
                 .withColumn("pt", self._pt())
                 .repartition(F.col("pt")),
@@ -362,14 +404,17 @@ class CorpusDedupIndex:
                 .repartition(F.col("pt")),
                 partition_by="pt",
             )
-        kept_rows = docs.join(
-            final_keep.withColumnRenamed("id", "__keep"),
+        # checkpoint the (small) surviving ID SET, not the full-text
+        # join: the returned frame then depends only on the caller's own
+        # ``docs`` plus the checkpointed ids — safe long after the
+        # operator caches release — and callers that never act on it
+        # (the bench lifecycle, make_sink) never pay for materializing
+        # the text join at all
+        keep_ck = final_keep.localCheckpoint()
+        out = docs.join(
+            keep_ck.withColumnRenamed("id", "__keep"),
             docs[id_col] == F.col("__keep"),
         ).drop("__keep")
-        # eager localCheckpoint SEVERS the result's lineage before the
-        # operator caches release — the caller's later actions can never
-        # fall into recomputing a released plan
-        out = kept_rows.localCheckpoint()
         final_keep.unpersist()
         base.unpersist()
         banded.unpersist()
