@@ -54,26 +54,6 @@ def _wrap(col: Column) -> Column:
     return F.regexp_replace(col, "([a-z])", "<$1>")
 
 
-def _adjacent_pairs(seg_df: DataFrame) -> DataFrame:
-    """Explode every adjacent symbol pair of every word, weighted by the
-    word's corpus count (overlapping positions each count — the
-    get_stats convention)."""
-    syms = F.regexp_extract_all("seg", F.lit("<([a-z]+)>"), 1)
-    return (
-        seg_df.select("cnt", syms.alias("syms"))
-        .select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "transform(slice(syms, 1, size(syms) - 1),"
-                    " (x, i) -> struct(x AS lhs, syms[i + 1] AS rhs))"
-                )
-            ).alias("p"),
-        )
-        .select(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"), "cnt")
-    )
-
-
 def bpe_train(
     words: DataFrame,
     *,
@@ -83,35 +63,42 @@ def bpe_train(
     """Learn up to ``n_merges`` merges from a (word, cnt) frequency
     table. The capped word-TYPE table is collected once (``top_words``
     rows — the bounded in-memory table every BPE trainer holds; the
-    corpus itself is never collected), then each round runs the
-    pair-count aggregate + deterministic argmax (count desc, lhs asc,
-    rhs asc) DISTRIBUTED over a re-created frame and applies the
-    winning merge to the driver-resident segmentations — Python
-    ``str.replace``, the same non-overlapping left-to-right semantics
-    as the executor-side ``replace``. No caching, no lineage growth
-    (a localCheckpoint variant leaked cached RDDs into long sessions).
-    Returns the merges in learned order (fewer than ``n_merges`` if
-    pairs exhaust)."""
-    spark = words.sparkSession
+    corpus itself is never collected). The merge loop then runs
+    entirely on the driver: the segmentations already live there, so
+    each round's pair count is an exact-integer dict aggregate with the
+    deterministic argmax (count desc, lhs asc, rhs asc), and the winner
+    applies via Python ``str.replace`` — the same non-overlapping
+    left-to-right semantics as the executor-side ``replace``. (The
+    earlier formulation re-created a DataFrame from these driver rows
+    every round purely to count pairs distributedly — twelve job
+    round-trips over a 256-row table; the scale knob is ``top_words``,
+    and any value for which driver counting hurts is already bounded by
+    the collect above.) Returns the merges in learned order (fewer than
+    ``n_merges`` if pairs exhaust)."""
+    import re as _re
+
     vocab = words.orderBy(F.desc("cnt"), "word").limit(top_words).collect()
     seg_rows = [
         (r["word"], int(r["cnt"]), "".join(f"<{ch}>" for ch in r["word"]))
         for r in vocab
     ]
+    sym_rx = _re.compile("<([a-z]+)>")
     merges: list[dict] = []
     for step in range(1, n_merges + 1):
-        seg = spark.createDataFrame(seg_rows, "word string, cnt bigint, seg string")
-        best = (
-            _adjacent_pairs(seg)
-            .groupBy("lhs", "rhs")
-            .agg(F.sum("cnt").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "lhs", "rhs")
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        # the get_stats convention: every adjacent symbol pair of every
+        # word counts, weighted by the word's corpus count, overlapping
+        # positions included — identical to the unrolled oracle CTEs
+        counts: dict[tuple[str, str], int] = {}
+        for _w, cnt, seg in seg_rows:
+            syms = sym_rx.findall(seg)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
             break
-        lhs, rhs, pc = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        (lhs, rhs), pc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append(
             {
                 "step": step,
