@@ -338,6 +338,7 @@ class DiscoveryEngine:
                 insert_not_matched=False,
                 partition_by="data_source_type",
                 prune_partitions=True,
+                partition_values=[source_type],
             )
         return registered
 
@@ -533,6 +534,7 @@ class DiscoveryEngine:
                 insert_not_matched=False,
                 partition_by="data_source_type",
                 prune_partitions=True,
+                partition_values=[source_type],
             )
         return report
 
@@ -694,6 +696,7 @@ class DiscoveryEngine:
                 insert_not_matched=False,
                 partition_by="data_source_type",
                 prune_partitions=True,
+                partition_values=[source_type],
             )
         return len(pending)
 

@@ -645,8 +645,20 @@ def incr_classify_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(os.path.join(part_dir, data[0]), os.path.join(src, name))
             shutil.rmtree(part_dir, ignore_errors=True)
 
+        # the nine initial files land in ONE partitioned write (one scan
+        # of events, nine headered single-file partitions) instead of
+        # nine filtered scans; identical rows per file as the per-part
+        # path (write_part stays for the delta file, which must land
+        # AFTER the first classify pass)
+        stage_dir = os.path.join(root, "stage_bulk")
+        derived.filter(F.col("part") < 9).select("part", *csv_cols).coalesce(
+            1
+        ).write.option("header", True).mode("overwrite").partitionBy("part").csv(stage_dir)
         for p in range(9):
-            write_part(p, f"f{p}.csv")
+            pdir = os.path.join(stage_dir, f"part={p}")
+            data = [f for f in os.listdir(pdir) if f.endswith(".csv")]
+            shutil.move(os.path.join(pdir, data[0]), os.path.join(src, f"f{p}.csv"))
+        shutil.rmtree(stage_dir, ignore_errors=True)
         eng = DiscoveryEngine(spark, os.path.join(root, "state"), database=db)
         eng.onboard_source(
             "s3", {"path": src, "name": "bench_src", "format": "csv"}, {"gdpr-scan": "true"}

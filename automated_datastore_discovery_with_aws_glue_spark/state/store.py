@@ -376,18 +376,6 @@ class ParquetStateStore:
             self._write_version(table, df, partition_by=partition_by)
             return
         self._check_reserved(df)
-        stray = (
-            df.select(partition_by)
-            .distinct()
-            .filter(~F.col(partition_by).isin(values) | F.col(partition_by).isNull())
-            .limit(1)
-            .collect()
-        )
-        if stray:
-            raise ValueError(
-                f"replace_partitions: df carries partition value {stray[0][0]!r} "
-                f"outside the declared replacement set"
-            )
         cur_v = self.latest_version(table)
         cur_dir = self._version_dir(table, cur_v)
         current = self.read(table)
@@ -406,7 +394,22 @@ class ParquetStateStore:
             # current version isn't laid out by this column (first write
             # was unpartitioned, or a different key): full logical
             # replace-rewrite — correctness first, the next version is
-            # partitioned and later passes prune again
+            # partitioned and later passes prune again. The stray-value
+            # guard needs its own scan here (the logical merge would
+            # silently absorb strays); the pruned path below gets it for
+            # free from the staged directory listing.
+            stray = (
+                df.select(partition_by)
+                .distinct()
+                .filter(~F.col(partition_by).isin(values) | F.col(partition_by).isNull())
+                .limit(1)
+                .collect()
+            )
+            if stray:
+                raise ValueError(
+                    f"replace_partitions: df carries partition value {stray[0][0]!r} "
+                    f"outside the declared replacement set"
+                )
             merged = current.filter(
                 ~F.col(partition_by).isin(values) | F.col(partition_by).isNull()
             ).unionByName(df.select(*current.columns))
@@ -418,6 +421,23 @@ class ParquetStateStore:
             df.select(*current.columns).write.mode("overwrite").partitionBy(
                 partition_by
             ).parquet(staging)
+            # stray-value guard, free from the staged listing (no extra
+            # Spark job): every partition dir the write produced must be
+            # in the declared set — a NULL partition value surfaces here
+            # as __HIVE_DEFAULT_PARTITION__, an undeclared value (or one
+            # whose dir-name encoding diverged) as its own dir. Raising
+            # inside the try discards the staging dir; nothing commits.
+            for name in os.listdir(staging):
+                if (
+                    "=" in name
+                    and os.path.isdir(os.path.join(staging, name))
+                    and name not in replaced_dirs
+                ):
+                    raise ValueError(
+                        f"replace_partitions: df carries partition value "
+                        f"{name.split('=', 1)[1]!r} outside the declared "
+                        "replacement set (or the value is not dir-name-safe)"
+                    )
             inherited: list[dict] = []
             untouched = [
                 name
@@ -427,15 +447,6 @@ class ParquetStateStore:
                 and name not in replaced_dirs
             ]
             for name in untouched:
-                if os.path.isdir(os.path.join(staging, name)):
-                    # df wrote into a partition it did not declare — the
-                    # stray check above makes this unreachable unless the
-                    # value's dir-name encoding diverged; fail loudly
-                    # rather than mixing old and new files
-                    raise ValueError(
-                        f"replace_partitions: undeclared partition dir {name} "
-                        "in staging (value not dir-name-safe?)"
-                    )
                 sub = self._link_version_files(
                     os.path.join(cur_dir, name), os.path.join(staging, name)
                 )
@@ -465,6 +476,7 @@ class ParquetStateStore:
         insert_not_matched: bool = True,
         partition_by: str | None = None,
         prune_partitions: bool = False,
+        partition_values: list | None = None,
     ) -> None:
         """MERGE INTO <table> USING <source> (S8/S9/J5 semantics);
         initializes the table from the source batch when absent.
@@ -478,7 +490,14 @@ class ParquetStateStore:
         then only ever match target rows inside its own partition value.
         Falls back to the full rewrite when the source lacks the
         partition column, when ``set_on_match`` rewrites it, or when the
-        current version isn't partitioned."""
+        current version isn't partitioned.
+
+        ``partition_values`` declares the source's distinct partition
+        values when the caller already knows them (a driver-built batch),
+        skipping the distinct-scan job that would otherwise derive them.
+        The staged write re-validates the claim from its partition
+        directory listing — an undeclared value aborts the commit instead
+        of shadowing a live partition."""
         if not self.exists(table):
             if insert_not_matched:
                 self._write_version(table, source, partition_by=partition_by)
@@ -500,7 +519,11 @@ class ParquetStateStore:
             )
             vals: list = []
             if safe:
-                vals = [r[0] for r in source.select(partition_by).distinct().collect()]
+                vals = (
+                    list(partition_values)
+                    if partition_values is not None
+                    else [r[0] for r in source.select(partition_by).distinct().collect()]
+                )
                 # a NULL partition value can't be matched by isin() (SQL
                 # NULL semantics), so the NULL partition's target rows
                 # would be excluded from the merge AND shadowed by the
@@ -558,8 +581,26 @@ class ParquetStateStore:
             insert_not_matched=insert_not_matched,
         )
         staging = self._staging_dir(table)
+        declared_dirs = {f"{partition_by}={v}" for v in vals}
         try:
             merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+            # validate the declared value set from the staged listing (no
+            # Spark job): a source value missing from ``vals`` — possible
+            # only through a wrong ``partition_values`` hint — would have
+            # excluded that partition's target rows from ``touched`` and
+            # then shadowed the live partition dir at link time. Raising
+            # here discards staging; nothing commits.
+            for name in os.listdir(staging):
+                if (
+                    "=" in name
+                    and os.path.isdir(os.path.join(staging, name))
+                    and name not in declared_dirs
+                ):
+                    raise ValueError(
+                        f"merge: source carries partition value "
+                        f"{name.split('=', 1)[1]!r} outside the declared "
+                        "partition_values set"
+                    )
             # untouched partitions: link whole directories. A touched value
             # with target rows always re-appears in staging (merge retains
             # matched rows), so "in cur but not in staging" = untouched.
