@@ -364,6 +364,7 @@ class IvfVectorIndex:
         *,
         _keep_applied: set[int] | None = None,
         max_retries: int = 5,
+        _base: DataFrame | None = None,
     ) -> None:
         """Train the quantizer over ``df`` (distributed Lloyd) and write
         the initial index. Errors on an empty/all-zero corpus — an index
@@ -378,7 +379,12 @@ class IvfVectorIndex:
         crash or interleaving can pair new codebooks with stale stored
         assignments. An ingest that commits mid-build loses nothing:
         the lost CAS folds the late batches in — their rows re-assigned
-        with the NEW quantizer, their ids and the watermark preserved."""
+        with the NEW quantizer, their ids and the watermark preserved.
+
+        ``_base`` lets the caller hand in an already-persisted
+        :func:`quantized_training_base` frame (e.g. after sizing
+        ``n_cells`` from its count) — the caller then owns its
+        persist/unpersist; build trains over it without re-deriving."""
         keep_applied = _keep_applied or set()
         v0 = (
             self.store.latest_version(VECTORS)
@@ -388,10 +394,26 @@ class IvfVectorIndex:
         # one corpus preparation (spread + norm-filter + quantize) shared
         # by BOTH trainers — the dominant prep cost is paid once per
         # build/rebuild (code-review r10)
-        tbase = quantized_training_base(
-            df, self.vec_col, self.id_col, self.hash_fn
-        ).persist()
+        own_base = _base is None
+        tbase = (
+            quantized_training_base(
+                df, self.vec_col, self.id_col, self.hash_fn
+            ).persist()
+            if own_base
+            else _base
+        )
         try:
+            # ONE hash-order seed collect covers both trainers (the
+            # centroid prefix and the codebook prefix share the same
+            # ordering) — previously two orderBy-limit jobs per build
+            need = max(self.n_cells, self.pq_k if self.pq_m else 0)
+            seed_qvs = [
+                list(r["_qv"])
+                for r in tbase.orderBy("_h", "_id")
+                .limit(need)
+                .select("_qv")
+                .collect()
+            ]
             cents = kmeans_centroids_int(
                 df,
                 self.vec_col,
@@ -400,6 +422,7 @@ class IvfVectorIndex:
                 id_col=self.id_col,
                 hash_fn=self.hash_fn,
                 base=tbase,
+                seed_qvs=seed_qvs,
             )
             if not cents:
                 raise ValueError(
@@ -416,6 +439,7 @@ class IvfVectorIndex:
                     id_col=self.id_col,
                     hash_fn=self.hash_fn,
                     base=tbase,
+                    seed_qvs=seed_qvs,
                 )
                 if not books:
                     raise ValueError(
@@ -423,7 +447,8 @@ class IvfVectorIndex:
                         "to train PQ codebooks on"
                     )
         finally:
-            tbase.unpersist()
+            if own_base:
+                tbase.unpersist()
         cent_rows = self.spark.createDataFrame(
             [
                 (cell, pos, int(v))

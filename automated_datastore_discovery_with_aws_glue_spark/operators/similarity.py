@@ -1090,6 +1090,7 @@ def kmeans_centroids_int(
     hash_fn: str = "xxh",
     assign: str = "arrow",
     base: DataFrame | None = None,
+    seed_qvs: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Train ``n_cells`` centroids with ``iterations`` full Lloyd steps
     over EVERY (non-zero) vector; returns the k x d integer micro-unit
@@ -1101,7 +1102,10 @@ def kmeans_centroids_int(
     (vectorized int64 matmul — the default; exact-integer math identical
     to the expression path, differential-pinned) or ``'hof'`` (the
     native higher-order-function expression — interpreted per row,
-    kept as the differential reference)."""
+    kept as the differential reference). ``seed_qvs`` supplies the
+    hash-order seed prefix when the caller already collected it (a
+    build training centroids AND codebooks collects ONE shared prefix
+    instead of two orderBy-limit jobs over the base)."""
     import math
 
     own_base = base is None
@@ -1110,8 +1114,11 @@ def kmeans_centroids_int(
             StorageLevel.MEMORY_AND_DISK
         )
     try:
-        seeds = base.orderBy("_h", "_id").limit(n_cells).select("_qv").collect()
-        cents = [list(r["_qv"]) for r in seeds]
+        if seed_qvs is not None:
+            cents = [list(v) for v in seed_qvs[:n_cells]]
+        else:
+            seeds = base.orderBy("_h", "_id").limit(n_cells).select("_qv").collect()
+            cents = [list(r["_qv"]) for r in seeds]
         if not cents:
             return []
         for _ in range(iterations):
@@ -1287,6 +1294,7 @@ def pq_codebooks_int(
     hash_fn: str = "xxh",
     assign: str = "arrow",
     base: DataFrame | None = None,
+    seed_qvs: list[list[int]] | None = None,
 ) -> list[list[list[int]]]:
     """Train m x k product-quantization codebooks with ``iterations``
     full Lloyd steps over EVERY non-zero vector (unit-norm micro-unit
@@ -1294,27 +1302,33 @@ def pq_codebooks_int(
     the subvectors of the k hash-smallest rows; empty cells keep their
     previous centroid. Returns the m x k x (d/m) integer tensor.
     ``assign`` as in :func:`kmeans_centroids_int`: ``'arrow'`` partial
-    sums (default) or the ``'hof'`` expression reference."""
+    sums (default) or the ``'hof'`` expression reference; ``seed_qvs``
+    as in :func:`kmeans_centroids_int` (the shared hash-order seed
+    prefix)."""
     own_base = base is None
     if own_base:
         base = quantized_training_base(df, vec_col, id_col, hash_fn).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     try:
-        seed_rows = base.orderBy("_h", "_id").limit(k).select("_qv").collect()
-        if not seed_rows:
+        if seed_qvs is not None:
+            seed_vecs = [list(v) for v in seed_qvs[:k]]
+        else:
+            seed_rows = base.orderBy("_h", "_id").limit(k).select("_qv").collect()
+            seed_vecs = [list(r["_qv"]) for r in seed_rows]
+        if not seed_vecs:
             return []
-        d = len(seed_rows[0]["_qv"])
+        d = len(seed_vecs[0])
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")
         ds = d // m
         books = [
-            [list(r["_qv"][j * ds : (j + 1) * ds]) for r in seed_rows]
+            [list(v[j * ds : (j + 1) * ds]) for v in seed_vecs]
             for j in range(m)
         ]
         while len(books[0]) < k:  # degenerate tiny corpus: repeat seeds
             for j in range(m):
-                books[j].append(list(books[j][len(books[j]) % len(seed_rows)]))
+                books[j].append(list(books[j][len(books[j]) % len(seed_vecs)]))
         for _ in range(iterations):
             if assign == "arrow":
                 partials = _pq_partials_arrow(base, books)

@@ -3619,9 +3619,15 @@ def knn_index_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "query_id int, rnk int, vec_id bigint, adc_d2 bigint, exact_d2 bigint"
     emb = load_table(spark, sf_dir, "embeddings")
+    # materialize the 3-row query batch ONCE: the old shape ran the
+    # corpus-wide hash sort twice (an emptiness .count() plus the
+    # serving plan's own evaluation of the same subtree) — collecting
+    # the rows makes the serving plan's query side a local relation
     qframe = _md5_query_frame(emb, 3)
-    if qframe.count() == 0:  # empty / all-zero corpus: nothing to probe
+    qrows = qframe.collect()
+    if not qrows:  # empty / all-zero corpus: nothing to probe
         return spark.createDataFrame([], schema)
+    qlocal = spark.createDataFrame(qrows, qframe.schema)
     root = tempfile.mkdtemp(prefix="q_ann_ix_adc_")
     try:
         ix = IvfVectorIndex(
@@ -3629,7 +3635,7 @@ def knn_index_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ix.build(emb)
         rows = ix.topk_batch(
-            qframe, 10, n_probe=2, mode="adc", rerank_factor=5
+            qlocal, 10, n_probe=2, mode="adc", rerank_factor=5
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3662,14 +3668,17 @@ def knn_index_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "query_id int, rnk int, vec_id bigint, cos_micro bigint"
     emb = load_table(spark, sf_dir, "embeddings")
+    # same collect-once query batch as knn_index_topk_adc
     qframe = _md5_query_frame(emb, 3)
-    if qframe.count() == 0:
+    qrows = qframe.collect()
+    if not qrows:
         return spark.createDataFrame([], schema)
+    qlocal = spark.createDataFrame(qrows, qframe.schema)
     root = tempfile.mkdtemp(prefix="q_ann_ix_exact_")
     try:
         ix = IvfVectorIndex(spark, root, n_cells=4, iterations=2, hash_fn="md5")
         ix.build(emb)
-        rows = ix.topk_batch(qframe, 10, n_probe=2, mode="exact").collect()
+        rows = ix.topk_batch(qlocal, 10, n_probe=2, mode="exact").collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -3746,15 +3755,21 @@ def emb_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "query_id bigint, vec_id bigint, cell int, cos_micro bigint"
     emb = load_table(spark, sf_dir, "embeddings")
-    n_nz = emb.filter(S.sq_norm_expr("embedding") > 0).count()
+    # the sizing count rides the SAME persisted training base the build
+    # consumes (the emb_ivf_join pattern): one corpus scan sizes the
+    # cells AND materializes the trainers' input, instead of a separate
+    # full-table count job ahead of the build's own base derivation
+    tbase = S.quantized_training_base(emb, "embedding", "vec_id", "md5").persist()
+    n_nz = tbase.count()
     if n_nz == 0:
+        tbase.unpersist()
         return spark.createDataFrame([], schema)
     root = tempfile.mkdtemp(prefix="q_ann_ix_join_")
     try:
         ix = IvfVectorIndex(
             spark, root, n_cells=_emb_join_cells(n_nz), iterations=2, hash_fn="md5"
         )
-        ix.build(emb)
+        ix.build(emb, _base=tbase)
         incoming = emb.filter(F.col("vec_id") % 7 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
@@ -3765,6 +3780,7 @@ def emb_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ordered=True,
         ).collect()
     finally:
+        tbase.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(r["query_id"], r["vec_id"], r["cell"], r["cos_micro"]) for r in rows],
