@@ -719,16 +719,23 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish) -> filter candidates. Deterministic: boundary ties in the
     vocab break on the term, and both engines fold the same doubles."""
     docs = load_table(spark, sf_dir, "documents")
-    return _lm_perplexity_frame(docs).orderBy("doc_id")
+    ppl = _lm_perplexity_frame(docs)
+    return C.carry(ppl.orderBy("doc_id"), ppl)
 
 
 def _lm_perplexity_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, perplexity) — the unordered body of
-    :func:`doc_lm_perplexity`, reused by the composed signal gate."""
+    :func:`doc_lm_perplexity`, reused by the composed signal gate.
+    Carries an adopted cache (the term-count table) — derive from it
+    with ``C.carry`` so the cache lives until the caller's action."""
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
-    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # persisted for the same reason as the bigram LM's tc (r14): the
+    # term-count table is vocab-cardinality metadata feeding THREE
+    # chains (vocab -> probs, totals, vocab -> vmass) that differ
+    # downstream of the exchange, so each re-ran the corpus tokenize
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     vocab = tc.orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB)
     # total token count derives from the term-count aggregate — no
     # second corpus scan (sum of per-term counts == count of tokens)
@@ -753,9 +760,12 @@ def _lm_perplexity_frame(docs: DataFrame) -> DataFrame:
             ).alias("ln_p"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity"),
+    return C.adopt(
+        scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.exp(-F.avg("ln_p")), 4).alias("perplexity"),
+        ),
+        tc,
     )
 
 
@@ -821,8 +831,9 @@ def corpus_filter_signals(
         TX.classifier_score(F.col("text")).alias("cls_quality"),
         "dup_gram_frac",
     )
-    ppl = _lm_perplexity_frame(docs).select("doc_id", "perplexity")
-    return (
+    ppl_full = _lm_perplexity_frame(docs)
+    ppl = ppl_full.select("doc_id", "perplexity")
+    return C.carry(
         proj.join(ppl, "doc_id")
         .filter(
             (F.col("quality_score") >= min_quality)
@@ -830,7 +841,8 @@ def corpus_filter_signals(
             & (F.col("dup_gram_frac") <= max_dup)
             & (F.col("perplexity") <= max_ppl)
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        ppl_full,
     )
 
 
@@ -3027,19 +3039,20 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     need = 25
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
+    # ONE persisted quantized base feeds the trainer AND the assignment
+    # (the emb_ivf_join pattern): previously the trainer derived its own
+    # internal base and the assignment re-ran the scan+norm+quantize
+    # projection from the parquet table a second time
+    tbase = S.quantized_training_base(emb, "embedding", "vec_id", "md5").persist()
     cents = S.kmeans_centroids_int(
-        emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5"
+        emb, "embedding", n_cells=4, iterations=2, id_col="vec_id", hash_fn="md5",
+        base=tbase,
     )
-    # the interpreted-HOF assignment is the per-row cost: ONE pass,
-    # persisted across the counts / select / (rare) fallback actions,
-    # released before the literal return
+    # the interpreted-HOF assignment is the per-row cost: ONE pass over
+    # the cached quantized rows, persisted across the counts / select /
+    # (rare) fallback actions, released before the literal return
     assigned = (
-        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
-        .filter(F.col("_nrm") > 0)
-        .select(
-            "vec_id",
-            S.quantize_unit_micro("embedding", "_nrm").alias("_qv"),
-        )
+        tbase.select(F.col("_id").alias("vec_id"), "_qv")
         .withColumn("cell", S.kmeans_cell_expr("_qv", cents))
         .select("vec_id", "cell")
         .persist()
@@ -3077,6 +3090,7 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [r for r in rows if r["cell"] not in set(short)] + fb
     finally:
         assigned.unpersist()
+        tbase.unpersist()
     data = sorted(
         ((r["cell"], r["doc_id"], r["lang"], r["rn"]) for r in rows),
         key=lambda t: (t[0], t[3]),
