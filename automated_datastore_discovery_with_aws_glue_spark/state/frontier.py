@@ -191,10 +191,14 @@ class CrawlFrontier:
             cand.unpersist()
         # O(batch) hard-linked appends; the watermark commits atomically
         # with the seen rows (CAS on the version the decision derived
-        # from — a concurrent ingest loses loudly, never silently)
+        # from — a concurrent ingest loses loudly, never silently).
+        # repartition on the partition column first or the write emits
+        # tasks x partitions tiny files (store gotcha): unrepartitioned,
+        # a 32-task batch wrote ~460 files into 16 dirs and every later
+        # append re-linked all of them
         self.store.append(
             _SEEN,
-            out.select(self._pt(F.col("url")).alias("pt"), "url"),
+            out.select(self._pt(F.col("url")).alias("pt"), "url").repartition("pt"),
             partition_by="pt",
             expect=expect,
             meta={"batch_id": bid},
