@@ -1233,28 +1233,30 @@ def strip_dup_spans(
     tokens.
     """
     base, grams = _span_gram_base(df, id_col, text_col, k)
+    # winner = the lexicographic struct-min over (id, pos): first the
+    # minimum id, then the minimum pos within that id — exactly the
+    # (min doc, first position in it) keep-one-copy policy. One
+    # aggregate replaces the old three-step rep -> firsts-join ->
+    # anti-join chain (r14): the grams subtree is evaluated twice
+    # instead of three times and two gram-scale joins disappear.
     rep = (
         grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("id").alias("_wid"))
-        .filter(F.col("_n") > 1)
-        .select("h", "_wid")
-    )
-    firsts = (
-        grams.join(rep, "h")
-        .filter(F.col("id") == F.col("_wid"))
-        .groupBy("h", "_wid")
-        .agg(F.min("pos").alias("_wpos"))
-    )
-    marked = (
-        grams.join(rep.select("h"), "h", "left_semi")
-        .alias("g")
-        .join(
-            firsts.alias("f"),
-            (F.col("g.h") == F.col("f.h"))
-            & (F.col("g.id") == F.col("f._wid"))
-            & (F.col("g.pos") == F.col("f._wpos")),
-            "left_anti",
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("id", "pos")).alias("_w"),
         )
+        .filter(F.col("_n") > 1)
+        .select(
+            "h",
+            F.col("_w.id").alias("_wid"),
+            F.col("_w.pos").alias("_wpos"),
+        )
+    )
+    # inner join on the unique-h winner table (row-preserving for
+    # repeated grams), then drop the single winning occurrence — the
+    # same rows the semi-join + anti-join pair kept
+    marked = grams.join(rep, "h").filter(
+        ~((F.col("id") == F.col("_wid")) & (F.col("pos") == F.col("_wpos")))
     )
     covered = _merged_spans(marked, k).select(
         "id", F.explode(F.sequence("_s", "_e")).alias("pos")
