@@ -3031,10 +3031,7 @@ def corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 25 smallest hashes are all under the threshold), and the
     cosmically-unlikely short cell falls back to an unfiltered pass for
     just that cell. Selection — and the oracle — are unchanged."""
-    from pyspark.sql import Window
-
     from automated_datastore_discovery_with_aws_glue_spark.operators import similarity as S
-    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
 
     need = 25
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3192,29 +3189,35 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/ann.py`)."""
     from pyspark.sql import Window
 
-    from automated_datastore_discovery_with_aws_glue_spark.operators.text import md5_hash64
-
     m, kk, n_cells, n_probe = 8, 8, 4, 2
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE persisted quantized pass feeds both trainers AND the scoring
+    # frames below (r14): unshared, each trainer derived+persisted its
+    # own base and ran its own seed job, and the scoring projection
+    # re-ran the scan+quantize a third time. Seeds share one hash-order
+    # prefix collect (the IvfVectorIndex.build pattern).
+    tbase = S.quantized_training_base(emb, "embedding", "vec_id", "md5").persist()
+    seed_qvs = [
+        list(r["_qv"])
+        for r in tbase.orderBy("_h", "_id")
+        .limit(max(n_cells, kk))
+        .select("_qv")
+        .collect()
+    ]
     cents = S.kmeans_centroids_int(
-        emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id", hash_fn="md5"
+        emb, "embedding", n_cells=n_cells, iterations=2, id_col="vec_id",
+        hash_fn="md5", base=tbase, seed_qvs=seed_qvs,
     )
     books = S.pq_codebooks_int(
-        emb, "embedding", m=m, k=kk, iterations=2, id_col="vec_id", hash_fn="md5"
+        emb, "embedding", m=m, k=kk, iterations=2, id_col="vec_id",
+        hash_fn="md5", base=tbase, seed_qvs=seed_qvs,
     )
     if not cents or not books:  # empty / all-zero corpus: nothing to score
+        tbase.unpersist()
         return spark.createDataFrame(
             [], "query_id int, rnk int, vec_id bigint, adc_d2 bigint, exact_d2 bigint"
         )
-    base = (
-        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
-        .filter(F.col("_nrm") > 0)
-        .select(
-            "vec_id",
-            S.quantize_unit_micro("embedding", "_nrm").alias("_qv"),
-            md5_hash64(F.col("vec_id").cast("string")).alias("_h"),
-        )
-    )
+    base = tbase.select(F.col("_id").alias("vec_id"), "_qv", "_h")
     # ONE assignment pass: the cell argmax and the m-wide code argmin
     # are interpreted HOF lambdas (the costly step) — persist so the
     # probe joins filter the materialized rows instead of re-deriving
@@ -3277,7 +3280,7 @@ def knn_ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "vec_id", "adc_d2", "exact_d2")
         .orderBy("query_id", "rnk")
     )
-    return C.adopt(result, assigned)
+    return C.adopt(result, assigned, tbase)
 
 
 _ADC_SCORING_CTES = """kf AS MATERIALIZED (
