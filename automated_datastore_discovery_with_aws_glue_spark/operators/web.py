@@ -720,36 +720,32 @@ def domain_cap(
     """Keep at most ``cap`` rows per domain, best-first by ``order``
     (default: the input's ``quality`` column descending, then ``id``).
 
-    Two-phase so the ranking window only ever sees over-cap domains:
-    an aggregate pass counts rows per domain (map-side combinable);
-    under-cap domains — the overwhelming majority of a web corpus —
-    bypass the sort entirely, and only rows of over-cap HEAD domains
-    flow through ``row_number``. Both phases shuffle on the domain key,
-    so at 1000 executors the cap is a per-key local sort of the few
-    hot domains, never a corpus-wide ranking.
+    ONE ranked window, pruned map-side: Spark's rank-limit pushdown
+    (``WindowGroupLimit``, fires for ``row_number() <= k`` with k under
+    ``spark.sql.optimizer.windowGroupLimitThreshold``, default 1000)
+    inserts a partial per-group top-``cap`` heap BEFORE the exchange, so
+    each map task ships at most ``cap`` rows per domain and the reduce
+    side never sorts a whole domain — a mega-domain arrives as
+    cap x map-tasks rows, not its full membership. The previous
+    two-phase formulation (count join -> under/over split -> window on
+    the over subset) shuffled the ENTIRE input through a null-safe
+    sort-merge join just to learn the counts, sent the hot domain's
+    full membership through one join partition, and — because the
+    optimizer pushes the ``_dn`` filters below the join — evaluated the
+    input subtree once per branch (4 evaluations of an expensive
+    upstream in the composed pipelines).
 
-    The operator is TOTAL: rows with a NULL domain form one group and
-    are capped like any other domain (the count join is null-safe —
-    a plain equi-join would silently drop them)."""
+    The operator is TOTAL: rows with a NULL domain form one window
+    group and are capped like any other domain."""
     if order is None:
         order = [F.col("quality").desc(), F.col("id")]
-    counts = df.groupBy(domain_col).agg(
-        F.count(F.lit(1)).alias("_dn")
-    ).withColumnRenamed(domain_col, "_dk")
-    joined = df.join(
-        counts, F.col(domain_col).eqNullSafe(F.col("_dk"))
-    ).drop("_dk")
-    under = joined.filter(F.col("_dn") <= cap).drop("_dn")
-    over = (
-        joined.filter(F.col("_dn") > cap)
-        .drop("_dn")
-        .withColumn(
+    return (
+        df.withColumn(
             "_rn", F.row_number().over(Window.partitionBy(domain_col).orderBy(*order))
         )
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
-    return under.unionByName(over)
 
 
 # -- robots.txt (r11; r12 adds REP path wildcards) ----------------------

@@ -26,8 +26,8 @@ from automated_datastore_discovery_with_aws_glue_spark.sources.readers import lo
 #
 # domain id: skewed on purpose — domain0 takes ~56% of the corpus
 # (doc_id % 16 in 0..8), domains 1-7 split the rest — so the per-domain
-# cap exercises BOTH branches of the two-phase plan at sf0.01: domain0
-# flows through the ranking window, the tail domains bypass it.
+# cap's map-side WindowGroupLimit heap does real pruning at sf0.01:
+# domain0 is trimmed to the cap, the tail domains pass through whole.
 # path id:   doc_id % 200
 # arm:       (doc_id div 25) % 10. Arms {0,2,4,5,6} are ONE canonical
 #            .com URL wearing different disguises and arms {1,3} one
@@ -301,9 +301,10 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain-mix gate (r11): exact-dedup on the canonical URL
     (lowest doc wins), drop blocklisted registered domains, then keep at
     most 40 documents per domain, best-first by length then id
-    (``operators/web.domain_cap`` — the two-phase plan whose ranking
-    window only ever sees over-cap HEAD domains; the skewed fixture
-    sends ~56% of the corpus to domain0 so both branches execute).
+    (``operators/web.domain_cap`` — one ranked window whose
+    WindowGroupLimit pushdown prunes each map task to the per-domain
+    top-40 before the exchange; the skewed fixture sends ~56% of the
+    corpus to domain0 so the partial heap does real work).
     Per-domain summary out; DuckDB replays dedup, blocklist, and cap
     with the same tiebreaks."""
     docs = load_table(spark, sf_dir, "documents")
@@ -585,14 +586,16 @@ def corpus_ingest_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed web-ingest pipeline (r11): corrupt -> repair
     (``fix_encoding``) -> token-count quality gate -> URL
     canonicalization -> exact URL dedup -> domain blocklist ->
-    two-phase per-domain cap -> per-domain corpus stats, all as ONE
-    declarative plan (the `corpus_prepare` composition pattern for the
-    web layer). Stage order matters and is part of the contract: repair
-    runs BEFORE the gate (corruption inflates token counts), dedup runs
-    AFTER the gate (a below-quality canonical copy must not shadow a
-    passing one). Shuffles: one on the canonical URL (dedup), two on
-    the domain (cap counts + cap window over the over-cap subset),
-    one for the final aggregate — everything upstream is map-side.
+    per-domain cap -> per-domain corpus stats, all as ONE declarative
+    plan (the `corpus_prepare` composition pattern for the web layer).
+    Stage order matters and is part of the contract: repair runs BEFORE
+    the gate (corruption inflates token counts), dedup runs AFTER the
+    gate (a below-quality canonical copy must not shadow a passing
+    one). Shuffles: one on the canonical URL (dedup), one on the domain
+    (the cap window, WindowGroupLimit-pruned map-side), one for the
+    final aggregate — everything upstream is map-side and evaluated
+    ONCE (the former two-phase cap re-ran the whole repair+tokenize
+    subtree once per count/under/over branch).
     Every stage's fragment is shared verbatim with the standalone
     queries' oracles."""
     docs = load_table(spark, sf_dir, "documents")

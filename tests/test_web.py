@@ -1,6 +1,6 @@
 """URL / web-ingest operators (`operators/web.py`, r11) and encoding
 repair (`operators/text.py fix_encoding`): golden normalization cases,
-eTLD+1 rules, URL dedup, the two-phase domain cap, and the mojibake
+eTLD+1 rules, URL dedup, the ranked-window domain cap, and the mojibake
 replace chain."""
 
 from __future__ import annotations
@@ -222,7 +222,7 @@ def test_url_dedup_keeps_lowest_id_and_counts(spark):
 # -- domain_cap ---------------------------------------------------------
 
 
-def test_domain_cap_two_phase_matches_plain_window(spark):
+def test_domain_cap_keeps_best_cap_rows_per_domain(spark):
     rows = [(i, "big.com" if i < 30 else f"small{i % 3}.com", i * 7 % 13) for i in range(45)]
     df = spark.createDataFrame(rows, ["id", "domain", "quality"])
     capped = W.domain_cap(df, "domain", 5).collect()
