@@ -3377,25 +3377,31 @@ def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE summation (trunc-div — the DSIR integer pattern), so the sum
     is BIGINT-safe at 1e9 rows and order-independent; imbalance
     (max share vs 10000/k) is the documented `needs_rebuild` signal."""
+    # ONE persisted quantized base feeds the trainer AND the assignment
+    # (the corpus_cluster_sample pattern): previously the trainer derived
+    # its own internal base and the report pass re-ran the scan + norm +
+    # quantize projection from the parquet table a second time
+    emb = load_table(spark, sf_dir, "embeddings")
+    tbase = S.quantized_training_base(emb, "embedding", "vec_id", "md5").persist()
     cents = S.kmeans_centroids_int(
-        load_table(spark, sf_dir, "embeddings"),
+        emb,
         "embedding",
         n_cells=4,
         iterations=2,
         id_col="vec_id",
         hash_fn="md5",
+        base=tbase,
     )
     if not cents:  # empty / all-zero corpus: no cells to report
+        tbase.unpersist()
         return spark.createDataFrame(
             [], "cell int, n_vecs bigint, share_bp bigint, mean_cos_micro bigint"
         )
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import adopt
     from automated_datastore_discovery_with_aws_glue_spark.operators.similarity import _lit_imatrix_sql
 
-    emb = load_table(spark, sf_dir, "embeddings")
     assigned = (
-        emb.withColumn("_nrm", S.sq_norm_expr("embedding"))
-        .filter(F.col("_nrm") > 0)
-        .select("vec_id", S.quantize_unit_micro("embedding", "_nrm").alias("_qv"))
+        tbase.select(F.col("_id").alias("vec_id"), "_qv")
         .withColumn("_cell", S.kmeans_cell_expr("_qv", cents))
         .withColumn(
             "_dotq",
@@ -3410,7 +3416,7 @@ def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"), F.sum("_dotq").alias("_sdot")
     )
     total = per.agg(F.sum("n_vecs").alias("_total"))
-    return (
+    return adopt(
         per.crossJoin(F.broadcast(total))
         .select(
             F.col("_cell").alias("cell"),
@@ -3418,7 +3424,8 @@ def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_vecs * 10000) div _total").alias("share_bp"),
             F.expr("_sdot div n_vecs").alias("mean_cos_micro"),
         )
-        .orderBy("cell")
+        .orderBy("cell"),
+        tbase,
     )
 
 
