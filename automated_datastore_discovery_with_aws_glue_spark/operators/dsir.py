@@ -82,10 +82,20 @@ def dsir_scores(
     ``target`` may be a subset of ``raw`` (hash-selected quality proxy)
     or a disjoint corpus — the math never assumes either."""
     occ = gram_occurrences(raw, id_col, text_col).persist()
-    tgt = gram_occurrences(target, id_col, text_col)
 
-    tq = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    tp = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    # the two bucket tables are <= N_BUCKETS rows — persist them and
+    # derive BOTH corpus totals as sums over them (sum(count-per-bucket)
+    # == count, with empty-input null coalesced to 0): the target corpus
+    # then explodes exactly once (tp) instead of twice (tp + its total),
+    # and the cached raw occurrences are read twice (tq + scorer)
+    # instead of three times
+    tq = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq")).persist()
+    tp = (
+        gram_occurrences(target, id_col, text_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .persist()
+    )
     ratio = (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("cq"), F.lit(0)) + F.lit(1.0)
     )
@@ -94,8 +104,8 @@ def dsir_scores(
         F.round(F.log(ratio) * _SCALE).cast("bigint").alias("l_micro"),
     )
 
-    nq = occ.agg(F.count(F.lit(1)).alias("nq"))
-    np_ = tgt.agg(F.count(F.lit(1)).alias("np"))
+    nq = tq.agg(F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"))
+    np_ = tp.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np"))
     k_micro = (
         nq.crossJoin(np_)
         .select(
@@ -127,7 +137,7 @@ def dsir_scores(
             ),
         )
     )
-    return C.adopt(scored, occ)
+    return C.adopt(scored, occ, tq, tp)
 
 
 def dsir_select(
@@ -142,4 +152,6 @@ def dsir_select(
     (ties broken on the id) — the resampling step with the noise term
     set to zero, the reproducible form a data-selection audit wants."""
     scores = dsir_scores(raw, target, id_col=id_col, text_col=text_col)
-    return scores.orderBy(F.desc("score_micro"), id_col).limit(k)
+    # carry: the top-k wrapper owns the scorer's caches (returning the
+    # bare wrapper would let the GC backstop unpersist them pre-action)
+    return C.carry(scores.orderBy(F.desc("score_micro"), id_col).limit(k), scores)

@@ -2604,7 +2604,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
-    return dsir.dsir_scores(docs, target).orderBy("doc_id")
+    # carry: the orderBy wrapper must own the scorer's adopted caches —
+    # returning the bare wrapper lets the GC backstop unpersist them
+    # before the caller's action (every cached subtree then silently
+    # recomputes; the r14 lost-cache class)
+    scores = dsir.dsir_scores(docs, target)
+    return C.carry(scores.orderBy("doc_id"), scores)
 
 
 CORPUS_DSIR_WEIGHTS_SQL = r"""
