@@ -2765,7 +2765,9 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sel = dsir.dsir_select(docs, docs.filter(F.col("lang") == "en"), 150)
-    return sel.orderBy("doc_id")
+    # carry: sel owns the scorer's caches; the orderBy wrapper must own
+    # sel in turn or the backstop releases the whole chain pre-action
+    return C.carry(sel.orderBy("doc_id"), sel)
 
 
 CORPUS_DSIR_SELECT_SQL = (

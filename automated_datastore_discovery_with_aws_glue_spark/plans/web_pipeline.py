@@ -3274,7 +3274,12 @@ def corpus_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COMPUTE, not the analyzer cost — measured ~2x wall-clock)
     edges = edges.localCheckpoint(eager=False)
     out = W.redirect_chains(edges, max_hops=_RC_HOPS)
-    return out.select("start", "final_url", "n_hops", "status").orderBy("start")
+    # carry: the select/orderBy wrapper must own the walker's adopted
+    # caches — returning the bare wrapper lets the GC backstop release
+    # them before the caller's action (the r14 lost-cache class)
+    return carry(
+        out.select("start", "final_url", "n_hops", "status").orderBy("start"), out
+    )
 
 
 def _redirect_chains_sql() -> str:
