@@ -997,9 +997,21 @@ def dedup_clusters(
     (release it yourself via ``cache.release(pairs)``).
     """
     sc = pairs.sparkSession.sparkContext
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # both edge directions come out of ONE evaluation of the pair
+    # subtree (explode of a 2-struct array): the former
+    # e.union(e.reversed) planned the — typically expensive, rarely
+    # persisted — pair generation TWICE (two full candidate+verify
+    # passes feeding one distinct)
     edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                    F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+                )
+            ).alias("_ab")
+        )
+        .select("_ab.a", "_ab.b")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
