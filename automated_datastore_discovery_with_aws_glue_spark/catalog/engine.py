@@ -579,6 +579,8 @@ class DiscoveryEngine:
         source_type: str,
         attrs: dict[str, str],
         paths: list[str] | None = None,
+        *,
+        infer: bool = True,
     ) -> DataFrame:
         """Read a source (schema inference). ``paths`` restricts the read
         to an explicit file list — the delta-read used by file-level
@@ -587,7 +589,14 @@ class DiscoveryEngine:
         to the source root so hive-style partition directories
         (``key=value/``) still surface their partition COLUMNS — without
         it a delta read would silently drop them and incremental
-        classification would diverge from a full rescan."""
+        classification would diverge from a full rescan.
+
+        ``infer=False`` (CSV only) skips the type-inference pass — a
+        full extra read of every byte — and surfaces header-named string
+        columns; callers that conform the frame to a registered schema
+        by NAME+cast use it, because they discard the inferred types
+        anyway. Callers whose job IS inference (register, drift
+        detection) keep the default."""
         path: str | list[str] = paths if paths is not None else attrs["path"]
         base = attrs.get("path") if paths is not None else None
         if base and base.startswith("file:"):
@@ -599,6 +608,7 @@ class DiscoveryEngine:
                 path,
                 multi_line=attrs.get("multiline") == "true",
                 base_path=base,
+                infer=infer,
             )
         if fmt == "json":
             return read_json_items(self.spark, path, base_path=base)
@@ -782,7 +792,13 @@ class DiscoveryEngine:
         if kept_stats is not None:
             parts.append(kept_stats.select(*self._STATS_COLS))
         if delta:
-            raw = self._read_source(source_type, attrs, [os.path.join(root, f) for f in delta])
+            # infer=False: the conform step below casts every column to
+            # the REGISTERED table type by name — running CSV type
+            # inference first would read the whole delta an extra time
+            # to produce types that cast immediately overwrites
+            raw = self._read_source(
+                source_type, attrs, [os.path.join(root, f) for f in delta], infer=False
+            )
             present = set(raw.columns)
             conformed = raw.select(
                 *[

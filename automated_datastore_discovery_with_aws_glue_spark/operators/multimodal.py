@@ -585,8 +585,11 @@ def sample_gif_frames(
 
         for pdf in batches:
             rows: list[dict] = []
-            for _, rec in pdf.iterrows():
-                b = rec[content_col]
+            # column-array walk, not iterrows (the warc kernels'
+            # pattern): decoding dominates, but a Series per row is
+            # pure overhead on wide passthrough frames
+            keep_vals = {k: pdf[k].tolist() for k in keep_names}
+            for i, b in enumerate(pdf[content_col].tolist()):
                 if b is None:
                     continue  # NULL media cell contributes no frames
                 # STREAM the frames: only the sampled frames' channel
@@ -605,7 +608,7 @@ def sample_gif_frames(
                              sum(px[0::3]) / cnt, sum(px[1::3]) / cnt, sum(px[2::3]) / cnt)
                         )
                 for idx, delay, w, h, mr, mg, mb in sampled:
-                    row = {k: rec[k] for k in keep_names}
+                    row = {k: keep_vals[k][i] for k in keep_names}
                     row.update(
                         frame_index=idx,
                         n_frames=n,
@@ -675,8 +678,9 @@ def audio_frame_features(
 
         for pdf in batches:
             rows: list[dict] = []
-            for _, rec in pdf.iterrows():
-                b = rec[content_col]
+            # column-array walk, not iterrows (see sample_gif_frames)
+            keep_vals = {k: pdf[k].tolist() for k in keep_names}
+            for i, b in enumerate(pdf[content_col].tolist()):
                 if b is None:
                     continue
                 b = bytes(b)
@@ -711,7 +715,7 @@ def audio_frame_features(
                         )
                     samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                     mono = samples[channel::nch]
-                base = {k: rec[k] for k in keep_names}
+                base = {k: keep_vals[k][i] for k in keep_names}
                 for f_idx in range(len(mono) // frame_len):
                     fr = mono[f_idx * frame_len : (f_idx + 1) * frame_len]
                     sq = int(np.dot(fr, fr))  # exact: int64 sums
@@ -776,8 +780,9 @@ def sample_video_frames(
 
         for pdf in batches:
             rows: list[dict] = []
-            for _, rec in pdf.iterrows():
-                b = rec[content_col]
+            # column-array walk, not iterrows (see sample_gif_frames)
+            keep_vals = {k: pdf[k].tolist() for k in keep_names}
+            for i, b in enumerate(pdf[content_col].tolist()):
                 if b is None:
                     continue  # NULL media cell contributes no frames
                 sampled: list[tuple] = []
@@ -797,7 +802,7 @@ def sample_video_frames(
                              sum(px[0::3]) / cnt, sum(px[1::3]) / cnt, sum(px[2::3]) / cnt)
                         )
                 for idx, w, h, mr, mg, mb in sampled:
-                    row = {k: rec[k] for k in keep_names}
+                    row = {k: keep_vals[k][i] for k in keep_names}
                     row.update(
                         frame_index=idx,
                         n_frames=n,

@@ -286,7 +286,7 @@ class CorpusDedupIndex:
             StorageLevel.MEMORY_AND_DISK
         )
         sigs = base.select("id", _signature_expr(F.col("hs"), self.num_hashes).alias("signature"))
-        banded = self._banded(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+        banded = self._banded(sigs)
 
         have_index = self.store.exists(BUCKETS)
         if have_index:
@@ -303,10 +303,15 @@ class CorpusDedupIndex:
             base_new = base.join(
                 indexed_ids, base["id"] == F.col("_known"), "left_anti"
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            # persist the POST-anti-join banded frame, not its input: the
+            # self-join (both sides) and keep_banded all consume
+            # banded_new, and each un-persisted evaluation re-scanned the
+            # stored id column (index-sized at scale) for the anti-join
             banded_new = banded.join(
                 indexed_ids, banded["id"] == F.col("_known"), "left_anti"
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         else:
+            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
             base_new, banded_new = base, banded
 
         # within-batch: self-join candidates -> verify -> components ->
@@ -417,7 +422,7 @@ class CorpusDedupIndex:
         ).drop("__keep")
         final_keep.unpersist()
         base.unpersist()
-        banded.unpersist()
+        banded_new.unpersist()  # == banded on the no-index path
         if have_index:
             base_new.unpersist()
             keep_banded.unpersist()

@@ -115,6 +115,7 @@ def read_csv_source(
     *,
     multi_line: bool = False,
     base_path: str | None = None,
+    infer: bool = True,
 ) -> DataFrame:
     """CSV source with header + schema inference.
 
@@ -123,10 +124,14 @@ def read_csv_source(
     quoted-multiline fixture (`individual_details.csv`, FIXTURES.md §3).
     ``base_path`` (used with explicit file lists) keeps hive-style
     partition-directory columns visible — reading files by path without
-    it would silently drop them."""
+    it would silently drop them. ``infer=False`` reads every column as
+    string (header names only, NO inference pass) — for callers that
+    immediately conform the frame to an already-registered schema, where
+    inference would cost a full extra read of the data just to produce
+    types the conform step throws away."""
     reader = (
         spark.read.option("header", True)
-        .option("inferSchema", True)
+        .option("inferSchema", infer)
         .option("multiLine", multi_line)
         .option("escape", '"')
     )

@@ -397,7 +397,7 @@ def test_recrawl_fingerprint_incremental_classification(spark, tmp_path):
 
     reads = []
     orig = eng._read_source
-    eng._read_source = lambda st, attrs, paths=None: (reads.append(1), orig(st, attrs, paths))[1]
+    eng._read_source = lambda st, attrs, paths=None, **kw: (reads.append(1), orig(st, attrs, paths, **kw))[1]
 
     # unchanged source: recrawl skips with zero source scans, and the
     # second classify pass scans nothing
@@ -483,9 +483,9 @@ def test_file_level_incremental_classification(spark, tmp_path):
 
     read_paths: list[list[str] | None] = []
     orig = eng._read_source
-    def spy(st, attrs, paths=None):
+    def spy(st, attrs, paths=None, **kw):
         read_paths.append(sorted(paths) if paths else paths)
-        return orig(st, attrs, paths)
+        return orig(st, attrs, paths, **kw)
     eng._read_source = spy
 
     assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
@@ -592,7 +592,7 @@ def test_recrawl_append_only_fast_path(spark, tmp_path):
 
     reads = []
     orig = eng._read_source
-    eng._read_source = lambda st, attrs, paths=None: (reads.append(sorted(paths) if paths else None), orig(st, attrs, paths))[1]
+    eng._read_source = lambda st, attrs, paths=None, **kw: (reads.append(sorted(paths) if paths else None), orig(st, attrs, paths, **kw))[1]
 
     # day 2 lands: recrawl APPENDS only day2.csv
     write_file("day2.csv", range(100, 140))
@@ -728,7 +728,7 @@ def test_partitioned_source_incremental_classification(spark, tmp_path):
 
     reads = []
     orig = eng._read_source
-    eng._read_source = lambda st, attrs, paths=None: (reads.append(paths), orig(st, attrs, paths))[1]
+    eng._read_source = lambda st, attrs, paths=None, **kw: (reads.append(paths), orig(st, attrs, paths, **kw))[1]
     assert eng.classify_pending("s3", ["EMAIL", "PERSON_NAME"]) == 1
     assert len([p for p in reads if p]) == 1  # delta file only
 
@@ -787,8 +787,8 @@ def test_incremental_classification_with_uri_escapable_filenames(spark, tmp_path
     assert eng.recrawl("s3")[0]["skipped"] is False
     read_paths = []
     orig = eng._read_source
-    eng._read_source = lambda st, attrs, paths=None: (
-        read_paths.append(sorted(paths) if paths else paths) or orig(st, attrs, paths)
+    eng._read_source = lambda st, attrs, paths=None, **kw: (
+        read_paths.append(sorted(paths) if paths else paths) or orig(st, attrs, paths, **kw)
     )
     assert eng.classify_pending("s3", ["EMAIL"], detection_threshold=0.5) == 1
     assert [p for p in read_paths if p is not None] == [[str(src / "week 2 b.csv")]]
