@@ -115,11 +115,10 @@ def encode_samples(
     return nibbles, predictor, index
 
 
-def decode_ima_adpcm_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode an IMA-ADPCM WAV (mono or multi-channel): returns
-    ``(sample_rate, n_channels, samples)`` as 16-bit PCM values,
-    channel-interleaved. Raises ``NotImplementedError`` on anything but
-    format 17 (capability gap = error)."""
+def _parse_wav_container(data: bytes) -> tuple[int, int, int, bytes]:
+    """RIFF walk of an IMA-ADPCM WAV: ``(rate, channels, block_align,
+    frames)``. Raises ``NotImplementedError`` on anything but format 17
+    (capability gap = error)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE container")
     pos = 12
@@ -145,52 +144,180 @@ def decode_ima_adpcm_wav(data: bytes) -> tuple[int, int, list[int]]:
         )
     if channels < 1:
         raise NotImplementedError("IMA ADPCM WAV with zero channels")
-    samples: list[int] = []
-    for off in range(0, len(frames) - (len(frames) % block_align), block_align):
-        block = frames[off : off + block_align]
-        if channels == 1:
-            # mono: one header, then a CONTIGUOUS nibble stream (no
-            # word-interleave constraint — the data area may be any
-            # even nibble count)
-            predictor = struct.unpack_from("<h", block, 0)[0]
-            index = _clamp_index(block[2])
-            samples.append(predictor)  # the header carries sample 0
-            nibbles: list[int] = []
-            for byte in block[4:]:
-                nibbles.append(byte & 0x0F)  # low nibble first (IMA order)
-                nibbles.append(byte >> 4)
-            samples.extend(decode_nibbles(nibbles, predictor, index))
+    return rate, channels, block_align, frames
+
+
+def _nibble_matrix(data, np):
+    """(B, K) byte matrix -> (B, 2K) nibble matrix, LOW nibble first per
+    byte (IMA order)."""
+    b, k = data.shape
+    nib = np.empty((b, 2 * k), dtype=np.uint8)
+    nib[:, 0::2] = data & 0x0F
+    nib[:, 1::2] = data >> 4
+    return nib
+
+
+def _decode_streams(nib, pred, idx, np):
+    """Vectorized IMA recurrence: ``nib`` is (N, T) nibbles with per-row
+    seeds ``pred`` / ``idx``; returns the (N, T) decoded samples. The
+    per-step math is IDENTICAL to :func:`decode_nibbles_state` (the
+    hand-stepped reference), run across all N streams at once — every
+    value stays well inside int32 (|pred| <= 32768 after each clamp,
+    delta < 2 * STEP_TABLE[88])."""
+    step_tab = np.asarray(STEP_TABLE, dtype=np.int32)
+    idx_tab = np.asarray(INDEX_TABLE, dtype=np.int32)
+    n_rows, t_len = nib.shape
+    out = np.empty((t_len, n_rows), dtype=np.int32)
+    # (T, N) int32 once: each step's nibble vector is then a contiguous
+    # row instead of a strided column copy
+    nib_t = np.ascontiguousarray(nib.T).astype(np.int32)
+    pred = pred.astype(np.int32, copy=True)
+    idx = idx.astype(np.int32, copy=True)
+    for t in range(t_len):
+        n = nib_t[t]
+        step = step_tab[idx]
+        delta = step >> 3
+        delta += (step >> 2) * (n & 1)
+        delta += (step >> 1) * ((n >> 1) & 1)
+        delta += step * ((n >> 2) & 1)
+        pred = np.where(n & 8, pred - delta, pred + delta)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx += idx_tab[n & 7]
+        np.clip(idx, 0, 88, out=idx)
+        out[t] = pred
+    return np.ascontiguousarray(out.T)
+
+
+def decode_ima_adpcm_wavs(
+    datas: list[bytes | None],
+) -> list[tuple[int, int, list[int]] | None]:
+    """Batch decoder: decode many IMA-ADPCM WAVs with ONE numpy-
+    vectorized recurrence across every (block, channel) nibble stream in
+    the batch (a block header reseeds (predictor, index), so streams are
+    independent and the sequential recurrence runs per STEP across all
+    streams, not per nibble in Python). Per-row work is bounded at the
+    container parse: WAVs group by (channels, block_align) layout and
+    each group's header split, word de-interleave, nibble expansion and
+    sample re-interleave run as single whole-group array ops. ``None``
+    inputs pass through as ``None``; per-row sample values equal
+    :func:`decode_ima_adpcm_wav`'s bit-for-bit (pinned by tests), but
+    arrive as an int32 ``numpy.ndarray`` (callers that want Python ints
+    pay the boxing themselves — the hot kernels never do)."""
+    import numpy as np
+
+    # phase 1: parse containers (pure bytes work per row), group by layout
+    metas: list[tuple | None] = []  # (rate, channels, block_align, n_blocks)
+    groups: dict[tuple[int, int], list] = {}  # layout -> [frame bytes]
+    for row, data in enumerate(datas):
+        if data is None:
+            metas.append(None)
             continue
-        # multi-channel (r9): per-channel 4-byte headers, then the data
-        # area interleaves one 4-byte word (8 nibbles = 8 samples) PER
-        # CHANNEL, round-robin — the Microsoft WAVE layout for tag 17
+        rate, channels, block_align, frames = _parse_wav_container(data)
+        n_blocks = len(frames) // block_align if block_align else 0
+        metas.append((rate, channels, block_align, n_blocks))
+        if n_blocks == 0:
+            continue
         hdr = 4 * channels
-        if (len(block) - hdr) % (4 * channels):
+        if channels > 1 and (block_align - hdr) % (4 * channels):
             raise NotImplementedError(
-                f"IMA ADPCM block data ({len(block) - hdr} bytes) is not "
+                f"IMA ADPCM block data ({block_align - hdr} bytes) is not "
                 f"a whole number of {channels}-channel 4-byte word groups"
             )
-        preds = [struct.unpack_from("<h", block, 4 * ch)[0] for ch in range(channels)]
-        idxs = [_clamp_index(block[4 * ch + 2]) for ch in range(channels)]
-        samples.extend(preds)  # sample 0 of every channel, interleaved
-        pos_b = hdr
-        while pos_b < len(block):
-            group: list[list[int]] = []
-            for ch in range(channels):
-                word = block[pos_b : pos_b + 4]
-                pos_b += 4
-                nibbles = []
-                for byte in word:
-                    nibbles.append(byte & 0x0F)
-                    nibbles.append(byte >> 4)
-                decoded, preds[ch], idxs[ch] = decode_nibbles_state(
-                    nibbles, preds[ch], idxs[ch]
-                )
-                group.append(decoded)
-            for k in range(8):
-                for ch in range(channels):
-                    samples.append(group[ch][k])
-    return rate, channels, samples
+        groups.setdefault((channels, block_align), []).append(
+            frames[: n_blocks * block_align]
+        )
+
+    # phase 2: per layout group, split headers / de-interleave words /
+    # expand nibbles across ALL the group's blocks at once; collect the
+    # streams for one shared padded recurrence
+    stream_mats: list = []  # (B_g * channels, T_g) nibble matrices
+    seed_p: list = []
+    seed_i: list = []
+    group_plan: list = []  # (key, channels, t_len, B_total, stream_slot)
+    for key, parts in groups.items():
+        channels, block_align = key
+        blk = np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(-1, block_align)
+        b_total = blk.shape[0]
+        hdr = 4 * channels
+        t_len = (block_align - hdr) // channels * 2
+        # (B, channels) seeds straight from the per-channel headers
+        head_bytes = blk[:, :hdr].reshape(b_total, channels, 4)
+        preds = (
+            np.ascontiguousarray(head_bytes[:, :, :2])
+            .view("<i2")
+            .reshape(b_total, channels)
+            .astype(np.int32)
+        )
+        idxs = np.clip(head_bytes[:, :, 2].astype(np.int32), 0, 88)
+        body = blk[:, hdr:]
+        if channels > 1:
+            # word de-interleave: channel ch's 4-byte words concatenate
+            # into ONE contiguous stream per block (the state carries
+            # across a channel's words — chaining == concatenation);
+            # axes (B, G, ch, 4) -> (B, ch, G*4)
+            body = (
+                body.reshape(b_total, -1, channels, 4)
+                .transpose(0, 2, 1, 3)
+                .reshape(b_total * channels, -1)
+            )
+        nib = _nibble_matrix(np.ascontiguousarray(body), np)
+        stream_mats.append(nib)
+        seed_p.append(preds.ravel())
+        seed_i.append(idxs.ravel())
+        group_plan.append((key, channels, t_len, b_total))
+
+    # phase 3: ONE padded recurrence over every stream in the batch
+    group_out: dict[tuple[int, int], object] = {}
+    if stream_mats:
+        t_max = max(m.shape[1] for m in stream_mats)
+        n_streams = sum(m.shape[0] for m in stream_mats)
+        nib_all = np.zeros((n_streams, t_max), dtype=np.uint8)
+        row = 0
+        bounds = []
+        for m in stream_mats:
+            nib_all[row : row + m.shape[0], : m.shape[1]] = m
+            bounds.append((row, row + m.shape[0]))
+            row += m.shape[0]
+        all_p = np.concatenate(seed_p)
+        out = _decode_streams(nib_all, all_p, np.concatenate(seed_i), np)
+        # per group: (B, channels, T) -> sample-major/channel-minor block
+        # rows with the header sample of every channel up front —
+        # exactly the reference loop's interleave
+        for (a, b), (key, channels, t_len, b_total) in zip(bounds, group_plan):
+            chans = out[a:b, :t_len].reshape(b_total, channels, t_len)
+            heads = all_p[a:b].reshape(b_total, channels)
+            block_mat = np.concatenate(
+                [heads[:, None, :], chans.transpose(0, 2, 1)], axis=1
+            ).reshape(b_total, -1)
+            group_out[key] = block_mat
+
+    # phase 4: slice each WAV's blocks back out, in arrival order per group
+    results: list[tuple[int, int, list[int]] | None] = [None] * len(datas)
+    cursor: dict[tuple[int, int], int] = dict.fromkeys(groups, 0)
+    for row, meta in enumerate(metas):
+        if meta is None:
+            continue
+        rate, channels, block_align, n_blocks = meta
+        if n_blocks == 0:
+            results[row] = (rate, channels, np.empty(0, dtype=np.int32))
+            continue
+        key = (channels, block_align)
+        block_mat = group_out[key]
+        at = cursor[key]
+        cursor[key] = at + n_blocks
+        results[row] = (rate, channels, block_mat[at : at + n_blocks].ravel())
+    return results
+
+
+def decode_ima_adpcm_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode an IMA-ADPCM WAV (mono or multi-channel): returns
+    ``(sample_rate, n_channels, samples)`` as 16-bit PCM values,
+    channel-interleaved. Raises ``NotImplementedError`` on anything but
+    format 17 (capability gap = error). One-row front of
+    :func:`decode_ima_adpcm_wavs` (a single vectorized code path keeps
+    the batch and scalar decoders bit-identical by construction)."""
+    rate, channels, samples = decode_ima_adpcm_wavs([data])[0]
+    return rate, channels, samples.tolist()
 
 
 def encode_ima_adpcm_wav(

@@ -317,18 +317,39 @@ def decode_audio(
         import io
         import wave
 
+        from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+            decode_ima_adpcm_wavs,
+        )
+
         for pdf in batches:
             rates: list[int | None] = []
             chans: list[int | None] = []
             widths: list[int | None] = []
             frames: list[int | None] = []
             durs: list[int | None] = []
-            for b in pdf[content_col]:
+            contents = [None if b is None else bytes(b) for b in pdf[content_col]]
+            # IMA-ADPCM rows decode as ONE vectorized numpy batch (the
+            # per-row nibble recurrence was the kernel's hot loop)
+            adpcm = (
+                [None] * len(contents)
+                if fake
+                else decode_ima_adpcm_wavs(
+                    [
+                        b
+                        if b is not None
+                        and b[:4] == b"RIFF"
+                        and b[8:12] == b"WAVE"
+                        and _wav_format_tag(b) == 0x0011
+                        else None
+                        for b in contents
+                    ]
+                )
+            )
+            for i, b in enumerate(contents):
                 if b is None:
                     rates.append(None), chans.append(None), widths.append(None)
                     frames.append(None), durs.append(None)
                     continue
-                b = bytes(b)
                 if fake:
                     h = hashlib.sha256(b).digest()
                     r = 8000 * (1 + h[0] % 5)
@@ -342,14 +363,10 @@ def decode_audio(
                         "(not installed); the stdlib kernel covers PCM WAV — "
                         "pass fake=True for the deterministic stub"
                     )
-                if _wav_format_tag(b) == 0x0011:
+                if adpcm[i] is not None:
                     # IMA ADPCM: the stdlib wave module refuses it; the
-                    # vendored kernel decodes (mono) to 16-bit samples
-                    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
-                        decode_ima_adpcm_wav,
-                    )
-
-                    r, ch, smp = decode_ima_adpcm_wav(b)
+                    # vendored kernel decoded it above
+                    r, ch, smp = adpcm[i]
                     rates.append(r), chans.append(ch), widths.append(2)
                     frames.append(len(smp)), durs.append(len(smp) * 1000 // r)
                     continue
@@ -676,30 +693,43 @@ def audio_frame_features(
         import math
         import wave
 
+        from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
+            decode_ima_adpcm_wavs,
+        )
+
         for pdf in batches:
             rows: list[dict] = []
             # column-array walk, not iterrows (see sample_gif_frames)
             keep_vals = {k: pdf[k].tolist() for k in keep_names}
-            for i, b in enumerate(pdf[content_col].tolist()):
+            contents = [None if b is None else bytes(b) for b in pdf[content_col].tolist()]
+            # IMA-ADPCM rows decode as ONE vectorized numpy batch (the
+            # per-row nibble recurrence was the kernel's hot loop)
+            adpcm = decode_ima_adpcm_wavs(
+                [
+                    b
+                    if b is not None
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WAVE"
+                    and _wav_format_tag(b) == 0x0011
+                    else None
+                    for b in contents
+                ]
+            )
+            for i, b in enumerate(contents):
                 if b is None:
                     continue
-                b = bytes(b)
                 if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
                     raise NotImplementedError(
                         "non-WAV audio features require an external codec "
                         "(not installed); the stdlib kernel covers PCM WAV"
                     )
-                if _wav_format_tag(b) == 0x0011:
-                    from automated_datastore_discovery_with_aws_glue_spark.functions.adpcm import (
-                        decode_ima_adpcm_wav,
-                    )
-
-                    _r, _ch, smp = decode_ima_adpcm_wav(b)
+                if adpcm[i] is not None:
+                    _r, _ch, smp = adpcm[i]
                     if channel >= _ch:
                         raise ValueError(
                             f"channel {channel} requested from {_ch}-channel audio"
                         )
-                    mono = np.asarray(smp, dtype=np.int64)[channel::_ch]
+                    mono = smp[channel::_ch].astype(np.int64)
                 else:
                     with wave.open(io.BytesIO(b)) as w:
                         if w.getsampwidth() != 2:

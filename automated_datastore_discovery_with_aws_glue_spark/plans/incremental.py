@@ -393,21 +393,29 @@ class CorpusDedupIndex:
             # re-deriving banded_new here would re-scan the stored id
             # column for its anti-join.
             banded_keep_src = keep_banded if have_index else banded_new
-            self.store.append(
-                BUCKETS,
-                banded_keep_src.join(final_keep, "id")
-                .select("band", "bucket", "id")
-                .withColumn("pt", self._pt())
-                .repartition(F.col("pt")),
-                partition_by="pt",
-            )
-            self.store.append(
-                DOCS,
-                base_new.join(final_keep, "id")
-                .select("id", "hs", "sz")
-                .withColumn("pt", self._doc_pt())
-                .repartition(F.col("pt")),
-                partition_by="pt",
+            # ONE two-table ingest: both staged writes run concurrently
+            # (independent jobs — the second write's tasks back-fill the
+            # first's tail) while the pointer flips stay strictly
+            # BUCKETS-before-DOCS (append_many commits in list order)
+            self.store.append_many(
+                [
+                    {
+                        "table": BUCKETS,
+                        "df": banded_keep_src.join(final_keep, "id")
+                        .select("band", "bucket", "id")
+                        .withColumn("pt", self._pt())
+                        .repartition(F.col("pt")),
+                        "partition_by": "pt",
+                    },
+                    {
+                        "table": DOCS,
+                        "df": base_new.join(final_keep, "id")
+                        .select("id", "hs", "sz")
+                        .withColumn("pt", self._doc_pt())
+                        .repartition(F.col("pt")),
+                        "partition_by": "pt",
+                    },
+                ]
             )
         # checkpoint the (small) surviving ID SET, not the full-text
         # join: the returned frame then depends only on the caller's own

@@ -196,12 +196,21 @@ class CrawlFrontier:
         # tasks x partitions tiny files (store gotcha): unrepartitioned,
         # a 32-task batch wrote ~460 files into 16 dirs and every later
         # append re-linked all of them
-        self.store.append(
-            _SEEN,
-            out.select(self._pt(F.col("url")).alias("pt"), "url").repartition("pt"),
-            partition_by="pt",
-            expect=expect,
-            meta={"batch_id": bid},
+        # ONE two-table ingest: both staged writes run concurrently;
+        # the pointer flips stay _SEEN-before-_LOG (the watermark in
+        # _SEEN's meta is the replay guard, so it must land first)
+        self.store.append_many(
+            [
+                {
+                    "table": _SEEN,
+                    "df": out.select(
+                        self._pt(F.col("url")).alias("pt"), "url"
+                    ).repartition("pt"),
+                    "partition_by": "pt",
+                    "expect": expect,
+                    "meta": {"batch_id": bid},
+                },
+                {"table": _LOG, "df": out},
+            ]
         )
-        self.store.append(_LOG, out)
         return out

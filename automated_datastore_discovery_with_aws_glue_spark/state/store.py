@@ -298,11 +298,28 @@ class ParquetStateStore:
         read-derive-append sequences like the ANN index's batch-id
         watermark. ``meta`` commits atomically with the data.
         """
+        staging, base_v = self._stage_append(
+            table, df, partition_by=partition_by, expect=expect, meta=meta
+        )
+        self._commit_staged(table, staging, expect=base_v)
+
+    def _stage_append(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: str | None = None,
+        expect: int | None = None,
+        meta: dict | None = None,
+    ) -> tuple[str, int]:
+        """Everything :meth:`append` does up to (not including) the
+        pointer flip: returns ``(staging_dir, base_version)`` ready for
+        :meth:`_commit_staged`. Factored out so :meth:`append_many` can
+        run several tables' staged writes concurrently."""
         if not self.exists(table):
-            self._write_version(
+            return self._stage_version(
                 table, df, partition_by=partition_by, expect=expect, meta=meta
             )
-            return
         self._check_reserved(df)
         cur_v = self.latest_version(table) if expect is None else expect
         cur_dir = self._version_dir(table, cur_v)
@@ -324,10 +341,9 @@ class ParquetStateStore:
             # landing during the union-rewrite must lose the CAS, not be
             # silently overwritten by a result built on the old snapshot
             merged = current.unionByName(df, allowMissingColumns=True)
-            self._write_version(
+            return self._stage_version(
                 table, merged, partition_by=partition_by, expect=cur_v, meta=meta
             )
-            return
         staging = self._staging_dir(table)
         writer = df.select(*current.columns).write.mode("overwrite")
         if partition_by and partition_by in df.columns:
@@ -344,7 +360,68 @@ class ParquetStateStore:
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        self._commit_staged(table, staging, expect=cur_v)
+        return staging, cur_v
+
+    def append_many(self, appends: list[dict]) -> None:
+        """Append several DISTINCT tables as one ingest. The staged
+        Spark writes run CONCURRENTLY from a small driver thread pool
+        (independent jobs overlap — one write's task tail back-fills
+        with the next write's tasks, guide §2.6), then the pointer
+        flips commit sequentially in LIST ORDER, preserving cross-table
+        commit-order invariants (e.g. the dedup index's strictly-
+        BUCKETS-before-DOCS replay contract).
+
+        Each entry: ``{"table": str, "df": DataFrame,
+        "partition_by": str|None, "expect": int|None, "meta": dict|None}``.
+
+        Failure exposure is identical to calling :meth:`append` per
+        table in list order: a staging failure commits NOTHING (all
+        staged dirs are discarded); a commit failure (lost CAS) leaves
+        the tables before it committed and discards the rest — the same
+        crash window the sequential appends always had, minus the time
+        the second table's write used to spend inside it."""
+        tables = [a["table"] for a in appends]
+        if len(set(tables)) != len(tables):
+            raise ValueError("append_many: tables must be distinct per call")
+        if len(appends) == 1:
+            a = appends[0]
+            self.append(
+                a["table"],
+                a["df"],
+                partition_by=a.get("partition_by"),
+                expect=a.get("expect"),
+                meta=a.get("meta"),
+            )
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        futs = []
+        with ThreadPoolExecutor(max_workers=min(len(appends), 4)) as pool:
+            for a in appends:
+                futs.append(
+                    pool.submit(
+                        self._stage_append,
+                        a["table"],
+                        a["df"],
+                        partition_by=a.get("partition_by"),
+                        expect=a.get("expect"),
+                        meta=a.get("meta"),
+                    )
+                )
+        failed = [f for f in futs if f.exception() is not None]
+        if failed:
+            for f in futs:
+                if f.exception() is None:
+                    shutil.rmtree(f.result()[0], ignore_errors=True)
+            raise failed[0].exception()
+        staged = [f.result() for f in futs]
+        for i, (a, (staging, base_v)) in enumerate(zip(appends, staged)):
+            try:
+                self._commit_staged(a["table"], staging, expect=base_v)
+            except Exception:
+                for _s, (later, _v) in zip(appends[i + 1 :], staged[i + 1 :]):
+                    shutil.rmtree(later, ignore_errors=True)
+                raise
 
     def replace_partitions(
         self,
@@ -777,7 +854,7 @@ class ParquetStateStore:
                 "partition level of the manifest read path); rename it"
             )
 
-    def _write_version(
+    def _stage_version(
         self,
         table: str,
         df: DataFrame,
@@ -785,7 +862,7 @@ class ParquetStateStore:
         partition_by: str | None,
         expect: int | None = None,
         meta: dict | None = None,
-    ) -> None:
+    ) -> tuple[str, int]:
         # ``expect`` pins the snapshot the caller derived ``df`` from; when
         # omitted, the version at entry is the snapshot (the Spark write
         # below is the long window a concurrent commit could slip into).
@@ -804,4 +881,18 @@ class ParquetStateStore:
             # partial staging directories behind
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        return staging, base_v
+
+    def _write_version(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: str | None,
+        expect: int | None = None,
+        meta: dict | None = None,
+    ) -> None:
+        staging, base_v = self._stage_version(
+            table, df, partition_by=partition_by, expect=expect, meta=meta
+        )
         self._commit_staged(table, staging, expect=base_v)

@@ -157,17 +157,23 @@ def test_crash_between_bucket_and_doc_appends_recovers_on_replay(spark, index, m
 
     index.ingest(_docs(spark, [(1, OTHER)]))  # unrelated seed
 
-    real_append = index.store.append
+    real_commit = index.store._commit_staged
 
-    def crashing_append(table, df, **kw):
+    def crashing_commit(table, staging, **kw):
+        # the two appends stage concurrently (append_many) but COMMIT in
+        # order; dying on the DOCS pointer flip is exactly the window —
+        # BUCKETS committed, DOCS not
         if table == inc.DOCS:
-            raise RuntimeError("simulated crash between appends")
-        return real_append(table, df, **kw)
+            import shutil
 
-    monkeypatch.setattr(index.store, "append", crashing_append)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError("simulated crash between appends")
+        return real_commit(table, staging, **kw)
+
+    monkeypatch.setattr(index.store, "_commit_staged", crashing_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
         index.ingest(_docs(spark, [(2, BASE)]))
-    monkeypatch.setattr(index.store, "append", real_append)
+    monkeypatch.setattr(index.store, "_commit_staged", real_commit)
 
     # BUCKETS has the orphan rows, DOCS does not -> id 2 is NOT indexed
     assert sorted(r["id"] for r in index.kept_ids().collect()) == [1]

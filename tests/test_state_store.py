@@ -530,20 +530,20 @@ def test_append_drift_path_loses_cas_to_concurrent_commit(spark, store):
     store.init("t", _df(spark, [("a", 1, True)]))
     drifted = spark.createDataFrame([("x", 9)], ["id", "val"])  # column set differs
 
-    orig = store._write_version
+    orig = store._stage_version
 
     def racing(table, df, **kw):
         # winner commits between the drift path's snapshot read and its write
         if kw.get("expect") == 1:
-            orig(table, _df(spark, [("winner", 7, True)]), partition_by=None)
+            store._write_version(table, _df(spark, [("winner", 7, True)]), partition_by=None)
         return orig(table, df, **kw)
 
-    store._write_version = racing
+    store._stage_version = racing
     try:
         with pytest.raises(ConcurrentWriteError):
             store.append("t", drifted)
     finally:
-        store._write_version = orig
+        store._stage_version = orig
     # the winner's commit stands untouched (its version wrote exactly
     # its own full-version content); the drift append lost cleanly
     assert store.latest_version("t") == 2
@@ -891,3 +891,84 @@ def test_append_expect_and_atomic_table_meta(spark, tmp_path):
         meta={"w": [0, 1, 2]},
     )
     assert store.table_meta("t") == {"w": [0, 1, 2]}
+
+
+def test_append_many_stages_concurrently_commits_in_order(spark, store):
+    """append_many: both tables land as one ingest — results identical
+    to sequential appends, links preserved (O(batch)), meta and expect
+    honored — and the pointer flips happen in LIST order."""
+    import os
+
+    store.init("a", _df(spark, [("a", 1, False)]))
+    store.init("b", _df(spark, [("x", 9, True)]))
+    v_a = store.latest_version("a")
+    store.append_many(
+        [
+            {
+                "table": "a",
+                "df": _df(spark, [("b", 2, True)]),
+                "expect": v_a,
+                "meta": {"watermark": 7},
+            },
+            {"table": "b", "df": _df(spark, [("y", 8, False)])},
+        ]
+    )
+    assert store.latest_version("a") == 2
+    assert store.latest_version("b") == 2
+    assert store.table_meta("a") == {"watermark": 7}
+    got_a = {r["id"]: r["val"] for r in store.read("a").collect()}
+    got_b = {r["id"]: r["val"] for r in store.read("b").collect()}
+    assert got_a == {"a": 1, "b": 2}
+    assert got_b == {"x": 9, "y": 8}
+    # O(batch) contract intact: v1 files reappear as hard links in v2
+    v1_inodes = {os.stat(p).st_ino for p in _data_files(store._version_dir("a", 1))}
+    v2_inodes = {os.stat(p).st_ino for p in _data_files(store._version_dir("a", 2))}
+    assert v1_inodes <= v2_inodes
+    # no staging leftovers
+    for t in ("a", "b"):
+        assert not [
+            n for n in os.listdir(store._table_dir(t)) if n.startswith("._staging_")
+        ]
+
+
+def test_append_many_lost_cas_commits_nothing_later(spark, store):
+    """A lost CAS on the FIRST table must leave the SECOND table
+    untouched (commit order is the cross-table invariant) and sweep its
+    staging."""
+    import os
+
+    from automated_datastore_discovery_with_aws_glue_spark.state.store import (
+        ConcurrentWriteError,
+    )
+
+    store.init("a", _df(spark, [("a", 1, False)]))
+    store.init("b", _df(spark, [("x", 9, True)]))
+    stale = store.latest_version("a")  # snapshot BEFORE the concurrent commit
+    store.append("a", _df(spark, [("z", 5, False)]))  # the concurrent winner
+    with pytest.raises(ConcurrentWriteError):
+        store.append_many(
+            [
+                {
+                    "table": "a",
+                    "df": _df(spark, [("b", 2, True)]),
+                    "expect": stale,
+                },
+                {"table": "b", "df": _df(spark, [("y", 8, False)])},
+            ]
+        )
+    assert store.latest_version("a") == 2
+    assert store.latest_version("b") == 1
+    assert not [
+        n for n in os.listdir(store._table_dir("b")) if n.startswith("._staging_")
+    ]
+
+
+def test_append_many_rejects_duplicate_tables(spark, store):
+    store.init("a", _df(spark, [("a", 1, False)]))
+    with pytest.raises(ValueError, match="distinct"):
+        store.append_many(
+            [
+                {"table": "a", "df": _df(spark, [("b", 2, True)])},
+                {"table": "a", "df": _df(spark, [("c", 3, True)])},
+            ]
+        )
