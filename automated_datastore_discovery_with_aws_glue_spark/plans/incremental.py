@@ -372,8 +372,12 @@ class CorpusDedupIndex:
         else:
             final_keep = batch_keep
 
-        final_keep = final_keep.persist(StorageLevel.MEMORY_AND_DISK)
-        n_kept = final_keep.count()  # pins the keep set before state writes
+        # ONE materialization pins the (small) surviving ID SET for the
+        # state writes AND the returned frame: localCheckpoint stores the
+        # set as RDD blocks (the former persist+count+checkpoint trio ran
+        # an extra pass), and the count over those blocks is ~free
+        final_keep = final_keep.localCheckpoint()
+        n_kept = final_keep.count()
         if n_kept:
             # Commit-order invariant: BUCKETS strictly BEFORE DOCS. The
             # replay filter keys on DOCS membership, so a crash in the
@@ -417,18 +421,15 @@ class CorpusDedupIndex:
                     },
                 ]
             )
-        # checkpoint the (small) surviving ID SET, not the full-text
-        # join: the returned frame then depends only on the caller's own
-        # ``docs`` plus the checkpointed ids — safe long after the
-        # operator caches release — and callers that never act on it
-        # (the bench lifecycle, make_sink) never pay for materializing
-        # the text join at all
-        keep_ck = final_keep.localCheckpoint()
+        # the returned frame joins the caller's own ``docs`` to the
+        # CHECKPOINTED id set — safe long after the operator caches
+        # release — and callers that never act on it (the bench
+        # lifecycle, make_sink) never pay for materializing the text
+        # join at all
         out = docs.join(
-            keep_ck.withColumnRenamed("id", "__keep"),
+            final_keep.withColumnRenamed("id", "__keep"),
             docs[id_col] == F.col("__keep"),
         ).drop("__keep")
-        final_keep.unpersist()
         base.unpersist()
         banded_new.unpersist()  # == banded on the no-index path
         if have_index:

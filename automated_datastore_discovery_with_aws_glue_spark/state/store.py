@@ -123,6 +123,11 @@ class ParquetStateStore:
         self.spark = spark
         self.root = root
         self._backend = commit_backend or PosixCommitBackend()
+        # committed versions are IMMUTABLE, so their DataFrames are
+        # reusable: memoizing read() per (table, version) saves the
+        # file-listing job and plan re-analysis every re-read pays —
+        # the incr_* lifecycles re-read the same snapshot 2-4x per batch
+        self._read_cache: dict[tuple[str, int], DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping ------------------------------------------------
@@ -194,15 +199,23 @@ class ParquetStateStore:
                 f"{table}: version {v} not available (latest {latest}; older "
                 "versions may have been vacuumed)"
             )
+        cached = self._read_cache.get((table, v))
+        if cached is not None:
+            return cached
         manifest = self._read_manifest(vdir)
         if not manifest:
-            return self.spark.read.parquet(vdir)
-        srcs = sorted({e["src"] for e in manifest})
-        return (
-            self.spark.read.option("basePath", self._table_dir(table))
-            .parquet(vdir, *srcs)
-            .drop("v")
-        )
+            df = self.spark.read.parquet(vdir)
+        else:
+            srcs = sorted({e["src"] for e in manifest})
+            df = (
+                self.spark.read.option("basePath", self._table_dir(table))
+                .parquet(vdir, *srcs)
+                .drop("v")
+            )
+        if len(self._read_cache) >= 64:  # bound plan references, FIFO
+            self._read_cache.pop(next(iter(self._read_cache)))
+        self._read_cache[(table, v)] = df
+        return df
 
     def versions(self, table: str) -> list[int]:
         """Retained, readable versions (ascending; vacuum-tombstoned
@@ -395,19 +408,26 @@ class ParquetStateStore:
             return
         from concurrent.futures import ThreadPoolExecutor
 
+        # job descriptions are thread-local: carry the caller's into the
+        # pool threads so the staged writes stay attributable in the UI
+        sc = self.spark.sparkContext
+        desc = sc.getLocalProperty("spark.job.description")
+
+        def stage(a: dict):
+            if desc is not None:
+                sc.setJobDescription(desc)
+            return self._stage_append(
+                a["table"],
+                a["df"],
+                partition_by=a.get("partition_by"),
+                expect=a.get("expect"),
+                meta=a.get("meta"),
+            )
+
         futs = []
         with ThreadPoolExecutor(max_workers=min(len(appends), 4)) as pool:
             for a in appends:
-                futs.append(
-                    pool.submit(
-                        self._stage_append,
-                        a["table"],
-                        a["df"],
-                        partition_by=a.get("partition_by"),
-                        expect=a.get("expect"),
-                        meta=a.get("meta"),
-                    )
-                )
+                futs.append(pool.submit(stage, a))
         failed = [f for f in futs if f.exception() is not None]
         if failed:
             for f in futs:

@@ -41,6 +41,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,26 +79,35 @@ def main() -> None:
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
-    # flush and parse the event log: per-job (duration, description)
+    # flush and parse the event log: per-job (duration, description).
+    # Spark 4 writes a rolling directory eventlog_v2_<appId>/events_*.
     app_id = sc.applicationId
     spark.stop()
-    path = os.path.join(evdir, app_id)
-    if not os.path.exists(path):  # .inprogress suffix if stop didn't rename
-        cands = [p for p in os.listdir(evdir) if p.startswith(app_id)]
-        path = os.path.join(evdir, cands[0])
+    paths: list[str] = []
+    for name in sorted(os.listdir(evdir)):
+        p = os.path.join(evdir, name)
+        if os.path.isdir(p):
+            paths.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.startswith("events")
+            )
+        elif name.startswith(app_id):
+            paths.append(p)
     starts: dict[int, tuple[float, str]] = {}
     rows = []
-    with open(path) as fh:
-        for line in fh:
-            ev = json.loads(line)
-            if ev.get("Event") == "SparkListenerJobStart":
-                desc = (ev.get("Properties") or {}).get("spark.job.description", "")
-                starts[ev["Job ID"]] = (ev["Submission Time"], desc)
-            elif ev.get("Event") == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in starts:
-                    sub, desc = starts[jid]
-                    rows.append((jid, (ev["Completion Time"] - sub) / 1000.0, desc))
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                ev = json.loads(line)
+                if ev.get("Event") == "SparkListenerJobStart":
+                    desc = (ev.get("Properties") or {}).get("spark.job.description", "")
+                    starts[ev["Job ID"]] = (ev["Submission Time"], desc)
+                elif ev.get("Event") == "SparkListenerJobEnd":
+                    jid = ev["Job ID"]
+                    if jid in starts:
+                        sub, desc = starts[jid]
+                        rows.append((jid, (ev["Completion Time"] - sub) / 1000.0, desc))
     print("\n-- per-job timeline (jobId, seconds, description) --")
     for jid, dur, desc in rows:
         print(f"job {jid:4d}  {dur:7.3f}s  {desc}")
