@@ -631,6 +631,7 @@ def decontaminate(
     *,
     n: int = 13,
     hash_fn: str = "xxhash64",
+    detect_on: DataFrame | None = None,
 ) -> DataFrame:
     """Test-set decontamination (the GPT-3-style pipeline step): drop
     every training document that shares ANY word ``n``-gram with the
@@ -648,7 +649,17 @@ def decontaminate(
     ``hash_fn='md5'`` computes grams as top-15-hex-digit md5 of the
     string shingles — the DuckDB-replayable twin (same dual-path design
     as ``minhash_signatures``); ``'xxhash64'`` is the production path.
-    Returns the surviving ``train`` rows unchanged."""
+    Returns the surviving ``train`` rows unchanged.
+
+    ``detect_on`` (optional) is the frame the contaminated id set is
+    COMPUTED from — it must contain every ``train`` row's (id, text)
+    pair; a SUPERSET is fine because the final anti-join only ever
+    removes ids present in ``train``. Callers whose ``train`` is an
+    expensive derivation of an already-cached frame (corpus_prepare's
+    post-dedup canonical slice of the persisted quality gate) pass the
+    cached superset here so the gram explode reads the cache instead of
+    re-evaluating the canonical subtree — identical output, one
+    evaluation of the expensive side."""
     if hash_fn == "md5":
         def grams(df: DataFrame) -> DataFrame:
             sh = word_shingles(F.col("_t"), n)
@@ -665,7 +676,7 @@ def decontaminate(
 
     bench_grams = grams(bench).select("gh").distinct()
     contaminated = (
-        grams(train)
+        grams(train if detect_on is None else detect_on)
         .join(F.broadcast(bench_grams), "gh", "left_semi")
         .select(F.col("id").alias(id_col))
         .distinct()

@@ -96,8 +96,14 @@ def pagerank(
     # the checkpointed frames must stay PYTHON-referenced until release:
     # dropping the wrapper lets the JVM ContextCleaner unpersist the
     # checkpoint blocks while later rounds still read them
-    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Rolling window (r15): once
+    # round t's checkpoint has materialized, round t-1's blocks feed
+    # NOTHING (round t+1 plans on top of t, the final frame on the last
+    # round) — release them immediately, so peak checkpoint storage is
+    # TWO rounds' node tables however many iterations run, and driver/
+    # executor memory stays flat when iterations double.
     cp_refs: list[DataFrame] = []
+    prev_ids: set[int] = set()
     for _ in range(iterations):
         # each round's ranks feed TWO branches (dangling + inflow).
         # localCheckpoint — not persist — so round t+1's logical plan
@@ -110,8 +116,19 @@ def pagerank(
         # reads (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); one small job per
         # round is the robust shape. The dangling mass stays a LAZY
         # 1-row frame (crossJoin) — no per-round collect.
+        before_ids = persistent_rdd_ids(sc)
         ranks = ranks.localCheckpoint(eager=True)
         cp_refs.append(ranks)
+        new_ids = persistent_rdd_ids(sc) - before_ids
+        if prev_ids:
+            # the previous round's blocks were fully consumed by the
+            # eager materialization above — free them now, keeping only
+            # the newest checkpoint alive (its python ref stays in
+            # cp_refs until the final releaser runs)
+            rdd_id_releaser(sc, prev_ids)()
+            if len(cp_refs) > 1:
+                cp_refs.pop(0)
+        prev_ids = new_ids
         dang = ranks.filter(F.col("_dang")).agg(
             F.expr(f"coalesce(sum(r), 0) div {n}")
             .cast("bigint")

@@ -285,8 +285,6 @@ class CorpusDedupIndex:
         base = _hashed_shingle_frame(docs, id_col, text_col, self.n).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        sigs = base.select("id", _signature_expr(F.col("hs"), self.num_hashes).alias("signature"))
-        banded = self._banded(sigs)
 
         have_index = self.store.exists(BUCKETS)
         if have_index:
@@ -298,21 +296,26 @@ class CorpusDedupIndex:
                     "supported read-only; run rebuild() to migrate the layout"
                 )
             stored_docs = self.store.read(DOCS)
-            # exact replays (id already indexed) drop before anything else
-            indexed_ids = stored_docs.select(F.col("id").alias("_known"))
+            # exact replays (id already indexed) drop before anything else.
+            # ONE anti-join against the stored id column, at the BASE
+            # level: signatures/bands derive from the filtered frame, so
+            # replayed rows never pay signature work and the index-sized
+            # id scan runs once (the former base+banded double anti-join
+            # scanned it twice, and hashed 16 band rows per replayed doc)
             base_new = base.join(
-                indexed_ids, base["id"] == F.col("_known"), "left_anti"
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            # persist the POST-anti-join banded frame, not its input: the
-            # self-join (both sides) and keep_banded all consume
-            # banded_new, and each un-persisted evaluation re-scanned the
-            # stored id column (index-sized at scale) for the anti-join
-            banded_new = banded.join(
-                indexed_ids, banded["id"] == F.col("_known"), "left_anti"
+                stored_docs.select(F.col("id").alias("_known")),
+                base["id"] == F.col("_known"),
+                "left_anti",
             ).persist(StorageLevel.MEMORY_AND_DISK)
         else:
-            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-            base_new, banded_new = base, banded
+            base_new = base
+        sigs = base_new.select(
+            "id", _signature_expr(F.col("hs"), self.num_hashes).alias("signature")
+        )
+        # persist: the self-join (both sides) and keep_banded all consume
+        # the banded frame; each un-persisted evaluation would re-run the
+        # signature pass (and, with an index, the stored-id anti-join)
+        banded_new = self._banded(sigs).persist(StorageLevel.MEMORY_AND_DISK)
 
         # within-batch: self-join candidates -> verify -> components ->
         # min-id canonical (the batch operators' semantics). Fast path
@@ -346,10 +349,16 @@ class CorpusDedupIndex:
             # new-old candidates: BROADCAST the batch's bucket keys
             # against the stored index — partition-pruned to the pt
             # ranges the batch probes, valve-guarded when configured
-            # (a scan of the touched ranges, never an index shuffle)
-            keep_banded = banded_new.join(batch_keep, "id").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            # (a scan of the touched ranges, never an index shuffle).
+            # With no internal pairs (the common delta case) batch_keep
+            # is exactly base_new's id set, so the already-persisted
+            # banded frame IS keep_banded — skip the join + second cache
+            if clusters is None:
+                keep_banded = banded_new
+            else:
+                keep_banded = banded_new.join(batch_keep, "id").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
             stored_side, sizes = self._pruned_stored_side(keep_banded, "corpus-index-ingest")
             no_cand = (
                 stored_side.alias("o")
@@ -431,7 +440,7 @@ class CorpusDedupIndex:
             docs[id_col] == F.col("__keep"),
         ).drop("__keep")
         base.unpersist()
-        banded_new.unpersist()  # == banded on the no-index path
+        banded_new.unpersist()
         if have_index:
             base_new.unpersist()
             keep_banded.unpersist()

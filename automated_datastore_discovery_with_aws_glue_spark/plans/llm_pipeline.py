@@ -1544,7 +1544,21 @@ def corpus_prepare(
     canon = D.dedup_canonical(kept, pairs, "doc_id")
     bench = docs.filter(F.col("source") == "src1")
     train = canon.filter(F.col("source") != "src1")
-    clean = D.decontaminate(train, bench, "doc_id", "text", n=3, hash_fn="md5")
+    # detect contamination on the PERSISTED quality gate (a superset of
+    # train — the anti-join inside decontaminate only drops ids in
+    # train, so the output is identical) instead of the canonical frame:
+    # the gram explode then reads the `kept` cache and the expensive
+    # dedup_canonical subtree evaluates ONCE (the output side), not
+    # twice (r14 VERDICT item 6)
+    clean = D.decontaminate(
+        train,
+        bench,
+        "doc_id",
+        "text",
+        n=3,
+        hash_fn="md5",
+        detect_on=kept.filter(F.col("source") != "src1"),
+    )
     bucket = _seeded_hash(F.col("doc_id"), "split") % 1000
     result = (
         clean.select(

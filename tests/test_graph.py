@@ -83,3 +83,31 @@ def test_pagerank_empty_graph_returns_empty_typed_frame(spark):
     assert out.columns == ["node", "rank_mass"]
     assert dict(out.dtypes)["rank_mass"] == "bigint"
     assert out.count() == 0
+
+
+def test_pagerank_checkpoint_storage_is_bounded_by_two_rounds(spark):
+    """r15: intermediate rounds' localCheckpoint blocks are released as
+    soon as the next round materializes, so the persistent-RDD footprint
+    after the operator returns is ONE checkpoint (the last round's, which
+    backs the returned plan) — flat in the iteration count, not O(k).
+    Doubling iterations must not grow the retained checkpoint set."""
+    from automated_datastore_discovery_with_aws_glue_spark.operators.cache import (
+        persistent_rdd_ids,
+        release,
+    )
+
+    sc = spark.sparkContext
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+
+    def retained(iterations: int) -> int:
+        before = persistent_rdd_ids(sc)
+        out = pagerank(spark.createDataFrame(edges, ["src", "dst"]), iterations=iterations)
+        rows = {r["node"]: r["rank_mass"] for r in out.collect()}
+        kept = len(persistent_rdd_ids(sc) - before)
+        release(out)
+        assert len(persistent_rdd_ids(sc) - before) == 0  # full cleanup
+        assert rows  # the walk actually ran
+        return kept
+
+    k5, k10 = retained(5), retained(10)
+    assert k5 == k10, f"checkpoint footprint grew with iterations: {k5} vs {k10}"
