@@ -113,6 +113,10 @@ class IvfVectorIndex:
         self.pq_m = pq_m
         self.pq_k = pq_k
         self.store = ParquetStateStore(spark, root, commit_backend=commit_backend)
+        # centroid/codebook matrices memoized per committed quantizer
+        # version (immutable snapshots; bounded — a handful of rebuilds
+        # per index lifetime)
+        self._quantizer_cache: dict[tuple[str, int], list] = {}
         self._check_or_write_meta()
 
     def _check_or_write_meta(self) -> None:
@@ -186,19 +190,30 @@ class IvfVectorIndex:
     ) -> list[list[int]]:
         """The stored quantizer as the k x d integer matrix — the
         version the given vectors snapshot was ASSIGNED with, not
-        whatever a concurrent rebuild may have staged since."""
+        whatever a concurrent rebuild may have staged since.
+
+        Memoized per resolved CENTROIDS version (committed versions are
+        immutable — the store-read memoize argument): the ingest/topk
+        recurring paths each collected the same k x d table as a fresh
+        Spark job per call."""
         qv = self._quantizer_versions(vectors_version=vectors_version).get(
             "centroids"
         )
+        key = qv if qv is not None else self.store.latest_version(CENTROIDS)
+        hit = self._quantizer_cache.get(("cent", key))
+        if hit is not None:
+            return hit
         rows = (
             self.store.read(CENTROIDS, version=qv).orderBy("cell", "pos").collect()
         )
         cents: dict[int, dict[int, int]] = {}
         for r in rows:
             cents.setdefault(r["cell"], {})[r["pos"]] = r["c"]
-        return [
+        out = [
             [cents[c][p] for p in sorted(cents[c])] for c in sorted(cents)
         ]
+        self._quantizer_cache[("cent", key)] = out
+        return out
 
     def quantizer(self, *, vectors_version: int | None = None) -> np.ndarray:
         """Float unit-norm view of the stored centroids (probe scoring)."""
@@ -217,17 +232,23 @@ class IvfVectorIndex:
         qv = self._quantizer_versions(vectors_version=vectors_version).get(
             "codebooks"
         )
+        key = qv if qv is not None else self.store.latest_version(CODEBOOKS)
+        hit = self._quantizer_cache.get(("book", key))
+        if hit is not None:
+            return hit
         rows = self.store.read(CODEBOOKS, version=qv).collect()
         acc: dict[int, dict[int, dict[int, int]]] = {}
         for r in rows:
             acc.setdefault(r["j"], {}).setdefault(r["cell"], {})[r["pos"]] = r["c"]
-        return [
+        out = [
             [
                 [acc[j][cell][p] for p in sorted(acc[j][cell])]
                 for cell in sorted(acc[j])
             ]
             for j in sorted(acc)
         ]
+        self._quantizer_cache[("book", key)] = out
+        return out
 
     def _assigned(
         self,

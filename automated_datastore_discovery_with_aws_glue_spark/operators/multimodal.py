@@ -605,7 +605,10 @@ def sample_gif_frames(
             # column-array walk, not iterrows (the warc kernels'
             # pattern): decoding dominates, but a Series per row is
             # pure overhead on wide passthrough frames
-            keep_vals = {k: pdf[k].tolist() for k in keep_names}
+            # lazy: passthrough columns materialize only when a row is
+            # actually emitted (ADVICE r14 — an all-NULL or no-sample
+            # batch must not pay a full-batch copy of wide frames)
+            keep_vals: dict | None = None
             for i, b in enumerate(pdf[content_col].tolist()):
                 if b is None:
                     continue  # NULL media cell contributes no frames
@@ -625,6 +628,8 @@ def sample_gif_frames(
                              sum(px[0::3]) / cnt, sum(px[1::3]) / cnt, sum(px[2::3]) / cnt)
                         )
                 for idx, delay, w, h, mr, mg, mb in sampled:
+                    if keep_vals is None:
+                        keep_vals = {k: pdf[k].tolist() for k in keep_names}
                     row = {k: keep_vals[k][i] for k in keep_names}
                     row.update(
                         frame_index=idx,
@@ -700,7 +705,10 @@ def audio_frame_features(
         for pdf in batches:
             rows: list[dict] = []
             # column-array walk, not iterrows (see sample_gif_frames)
-            keep_vals = {k: pdf[k].tolist() for k in keep_names}
+            # lazy: passthrough columns materialize only when a row is
+            # actually emitted (ADVICE r14 — an all-NULL or no-sample
+            # batch must not pay a full-batch copy of wide frames)
+            keep_vals: dict | None = None
             contents = [None if b is None else bytes(b) for b in pdf[content_col].tolist()]
             # IMA-ADPCM rows decode as ONE vectorized numpy batch (the
             # per-row nibble recurrence was the kernel's hot loop)
@@ -745,6 +753,8 @@ def audio_frame_features(
                         )
                     samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                     mono = samples[channel::nch]
+                if keep_vals is None:
+                    keep_vals = {k: pdf[k].tolist() for k in keep_names}
                 base = {k: keep_vals[k][i] for k in keep_names}
                 for f_idx in range(len(mono) // frame_len):
                     fr = mono[f_idx * frame_len : (f_idx + 1) * frame_len]
@@ -811,7 +821,10 @@ def sample_video_frames(
         for pdf in batches:
             rows: list[dict] = []
             # column-array walk, not iterrows (see sample_gif_frames)
-            keep_vals = {k: pdf[k].tolist() for k in keep_names}
+            # lazy: passthrough columns materialize only when a row is
+            # actually emitted (ADVICE r14 — an all-NULL or no-sample
+            # batch must not pay a full-batch copy of wide frames)
+            keep_vals: dict | None = None
             for i, b in enumerate(pdf[content_col].tolist()):
                 if b is None:
                     continue  # NULL media cell contributes no frames
@@ -832,6 +845,8 @@ def sample_video_frames(
                              sum(px[0::3]) / cnt, sum(px[1::3]) / cnt, sum(px[2::3]) / cnt)
                         )
                 for idx, w, h, mr, mg, mb in sampled:
+                    if keep_vals is None:
+                        keep_vals = {k: pdf[k].tolist() for k in keep_names}
                     row = {k: keep_vals[k][i] for k in keep_names}
                     row.update(
                         frame_index=idx,

@@ -20,6 +20,16 @@ def spark(tmp_path_factory):
         "engine-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+        extra_conf={
+            "spark.sql.warehouse.dir": str(warehouse),
+            # TEST-session posture only (the engine session keeps its
+            # scale defaults): the suite runs ~1000 tests x many tiny
+            # actions, each compiling fresh whole-stage Janino classes
+            # for KB-scale data — interpreted execution is faster than
+            # the compile at this size
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+            "spark.sql.constraintPropagation.enabled": "false",
+        },
     )
     yield spark
